@@ -1,0 +1,466 @@
+"""Ray-Data-native inverted-index build pipeline.
+
+Reference lifecycle re-expressed (SURVEY.md §3.1 "Ray mapping"):
+
+    read_parquet(transcripts)
+      -> map_batches(assign segment = hash(conv_id) % num_segments)   [stateless]
+      -> groupby("seg").map_groups(sort by (conv_id, turn_idx),
+                                   assign segment-local docIDs,
+                                   write docs.parquet = stored fields) [shuffle 1]
+      -> map_batches(Tokenize*)  analyzer chain, per-(doc,term) tf     [stateless]
+      -> [mode="term_shuffle"]  groupby(["seg","term","salt"])
+             .map_groups(pack_partial)                                 [shuffle 2]
+         [mode="local"]        partial postings packed per batch (combiner)
+      -> groupby("seg").map_groups(SegmentWriter, concurrency=...)     [shuffle 3/2]
+      -> driver: collect manifest rows -> atomic manifest.json publish
+
+Design notes for 100 TB scale:
+  * The document-side partition key is hash(conv_id): a conversation lives
+    entirely in one segment (block-join locality, deterministic docIDs), and
+    `num_segments` is FIXED config, so segment contents are identical at any
+    parallelism level (N=1 == N=8 golden equivalence, SURVEY.md §5e).
+  * Hot-term skew (`the`-class Zipf heads) is handled by *doc-range salting*:
+    the groupby(term) shuffle key is (seg, term, salt) with
+    salt = doc // salt_range, so no single reducer sees an unbounded group
+    and — because salts are ordered, disjoint docID ranges — the second
+    phase merges salted partials by cheap ordered concatenation, never a
+    re-sort (SURVEY.md §7.1.5; reference contrast: FreqProxTermsWriter keeps
+    term skew node-local, we must handle it in the shuffle).
+  * mode="local" is the DWPT-style combiner path
+    (`lucene/core/src/java/org/apache/lucene/index/DocumentsWriterPerThread.java`
+    semantics): each tokenize batch emits one packed partial posting per
+    (seg, term) — the wide shuffle then moves ~9 bytes/posting in one row
+    per term per batch instead of one row per token occurrence.  Both modes
+    produce byte-identical segments (the writer re-encodes from merged raw
+    arrays), which tests assert.
+  * Per-segment writers are an actor pool (stateful stage: config + reusable
+    buffers), the `Lucene84PostingsWriter`+`BlockTreeTermsWriter` analog.
+  * Resume: segments whose `_SUCCESS` lineage matches (config hash, input
+    fingerprint) are filtered out at the first map_batches, so finished
+    partitions cost zero downstream work.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rindex.analysis import get_analyzer
+from rindex.codec import encode_norms, encode_posting
+from rindex.schema import BLOCK_SIZE, DEFAULT_NUM_SEGMENTS, SALT_RANGE
+from rindex import segments as segio
+
+TERMS_PER_ROW_GROUP = 1024  # postings.parquet row-group size -> term pruning
+
+
+def hash_partition(values, num_segments: int) -> np.ndarray:
+    """Stable cross-process partitioner (crc32 of the utf-8 key)."""
+    return np.fromiter(
+        (zlib.crc32(str(v).encode()) % num_segments for v in values),
+        dtype=np.int32,
+        count=len(values),
+    )
+
+
+def _build_config(
+    analyzer_name: str,
+    num_segments: int,
+    id_cols: tuple[str, ...],
+    text_col: str,
+    salt_range: int,
+) -> dict:
+    return {
+        "analyzer": analyzer_name,
+        "num_segments": num_segments,
+        "block_size": BLOCK_SIZE,
+        "id_cols": list(id_cols),
+        "text_col": text_col,
+        "salt_range": salt_range,
+    }
+
+
+def _make_assign_seg(key_col: str, num_segments: int, done_segs: frozenset):
+    """Stage 1 (stateless task): add `seg`; drop rows of committed segments."""
+    done = np.fromiter(done_segs, dtype=np.int32) if done_segs else None
+
+    def assign_seg(batch: pa.Table) -> pa.Table:
+        seg = hash_partition(batch[key_col].to_pylist(), num_segments)
+        batch = batch.append_column("seg", pa.array(seg, pa.int32()))
+        if done is not None:
+            batch = batch.filter(pa.array(~np.isin(seg, done)))
+        return batch
+
+    return assign_seg
+
+
+def _make_assign_docids(
+    index_dir: str, id_cols: tuple[str, ...], text_col: str, keep_cols: list[str]
+):
+    """Stage 2 (per segment group): stable sort -> docIDs -> stored fields."""
+
+    def assign(group: pa.Table) -> pa.Table:
+        seg_id = int(group["seg"][0].as_py())
+        group = group.sort_by([(c, "ascending") for c in id_cols])
+        doc = pa.array(np.arange(len(group), dtype=np.int32), pa.int32())
+        sdir = segio.seg_dir(index_dir, seg_id)
+        os.makedirs(sdir, exist_ok=True)
+        stored_cols = {"doc": doc}
+        for c in list(id_cols) + keep_cols + [text_col]:
+            if c not in stored_cols:
+                stored_cols[c] = group[c]
+        docs_path = os.path.join(sdir, "docs.parquet")
+        tmp = docs_path + f".tmp-{os.getpid()}"
+        pq.write_table(pa.table(stored_cols), tmp)
+        segio.atomic_rename_file(tmp, docs_path)
+        return pa.table(
+            {
+                "seg": group["seg"],
+                "doc": doc,
+                "text": group[text_col],
+            }
+        )
+
+    return assign
+
+
+def _make_tokenize_local(analyzer_name: str):
+    """Stage 3, combiner mode (stateless task): per batch, analyze text and
+    emit one packed partial posting row per (seg, term).  Analyzer state is
+    tiny (compiled regex) and module-level-cached per worker process, so a
+    task — not an actor pool — is the right shape: an actor pool here would
+    reserve CPUs away from the shuffle stages (classic starvation)."""
+
+    def tokenize_local(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        analyzer = get_analyzer(analyzer_name)
+        segs = batch["seg"].to_numpy()
+        docs = batch["doc"].to_numpy()
+        texts = pc.utf8_lower(batch["text"]).to_pylist()
+        # accumulate per (seg, term): lists of (doc, tf)
+        acc: dict[tuple[int, str], list] = {}
+        dls = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            tf = analyzer.term_freqs(text or "")
+            dls[i] = sum(tf.values())
+            s = int(segs[i])
+            d = int(docs[i])
+            for term, f in tf.items():
+                acc.setdefault((s, term), []).append((d, f))
+        norms_all = encode_norms(dls)
+        # key by (seg, doc): docIDs are segment-local ordinals, so a batch
+        # spanning segments can contain the same ordinal twice
+        doc_to_norm = {
+            (int(s), int(d)): int(n)
+            for s, d, n in zip(segs, docs, norms_all)
+        }
+        return _pack_acc(acc, doc_to_norm)
+
+    return tokenize_local
+
+
+def _pack_acc(acc: dict, doc_to_norm: dict) -> pa.Table:
+    seg_col, term_col, salt_col, first_col = [], [], [], []
+    df_col, ttf_col = [], []
+    docs_col, tfs_col, norms_col = [], [], []
+    for (s, term), pairs in acc.items():
+        pairs.sort()
+        d = np.fromiter((p[0] for p in pairs), dtype=np.int32, count=len(pairs))
+        t = np.fromiter((p[1] for p in pairs), dtype=np.int32, count=len(pairs))
+        n = np.fromiter(
+            (doc_to_norm[(s, int(x))] for x in d), dtype=np.uint8, count=len(d)
+        )
+        seg_col.append(s)
+        term_col.append(term)
+        salt_col.append(-1)
+        first_col.append(int(d[0]))
+        df_col.append(len(d))
+        ttf_col.append(int(t.sum()))
+        docs_col.append(d.tobytes())
+        tfs_col.append(t.tobytes())
+        norms_col.append(n.tobytes())
+    return pa.table(
+        {
+            "seg": pa.array(seg_col, pa.int32()),
+            "term": pa.array(term_col, pa.string()),
+            "salt": pa.array(salt_col, pa.int32()),
+            "first_doc": pa.array(first_col, pa.int32()),
+            "df": pa.array(df_col, pa.int64()),
+            "ttf": pa.array(ttf_col, pa.int64()),
+            "docs": pa.array(docs_col, pa.binary()),
+            "tfs": pa.array(tfs_col, pa.binary()),
+            "norms": pa.array(norms_col, pa.binary()),
+        }
+    )
+
+
+def _make_tokenize_tokens(analyzer_name: str, salt_range: int):
+    """Stage 3, term-shuffle mode (stateless task): emit one row per
+    (doc, term) with tf and the doc-range salt — the explicit groupby(term)
+    shuffle input."""
+
+    def tokenize_tokens(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        analyzer = get_analyzer(analyzer_name)
+        segs = batch["seg"].to_numpy()
+        docs = batch["doc"].to_numpy()
+        texts = pc.utf8_lower(batch["text"]).to_pylist()
+        out_seg, out_term, out_doc, out_tf, out_norm = [], [], [], [], []
+        for i, text in enumerate(texts):
+            tf = analyzer.term_freqs(text or "")
+            dl = sum(tf.values())
+            norm = int(encode_norms(np.array([dl]))[0])
+            s = int(segs[i])
+            d = int(docs[i])
+            for term, f in tf.items():
+                out_seg.append(s)
+                out_term.append(term)
+                out_doc.append(d)
+                out_tf.append(f)
+                out_norm.append(norm)
+        salt = (np.asarray(out_doc, dtype=np.int64) // salt_range).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "seg": pa.array(out_seg, pa.int32()),
+                "term": pa.array(out_term, pa.string()),
+                "salt": pa.array(salt, pa.int32()),
+                "doc": pa.array(out_doc, pa.int32()),
+                "tf": pa.array(out_tf, pa.int32()),
+                "norm": pa.array(out_norm, pa.uint8()),
+            }
+        )
+
+    return tokenize_tokens
+
+
+def _pack_partial_group(group: pa.Table) -> pa.Table:
+    """Per (seg, term, salt) group: sort by doc, pack raw partial arrays."""
+    d = group["doc"].to_numpy()
+    order = np.argsort(d)
+    d = d[order].astype(np.int32)
+    t = group["tf"].to_numpy()[order].astype(np.int32)
+    n = group["norm"].to_numpy()[order].astype(np.uint8)
+    return pa.table(
+        {
+            "seg": group["seg"].slice(0, 1),
+            "term": group["term"].slice(0, 1),
+            "salt": group["salt"].slice(0, 1),
+            "first_doc": pa.array([int(d[0])], pa.int32()),
+            "df": pa.array([len(d)], pa.int64()),
+            "ttf": pa.array([int(t.sum())], pa.int64()),
+            "docs": pa.array([d.tobytes()], pa.binary()),
+            "tfs": pa.array([t.tobytes()], pa.binary()),
+            "norms": pa.array([n.tobytes()], pa.binary()),
+        }
+    )
+
+
+class SegmentWriter:
+    """Stage 4 (actor pool): merge a segment's partial postings per term,
+    block-encode once, write term-sorted postings.parquet + meta.json +
+    `_SUCCESS`, and emit one manifest row.  The reference analog is the
+    codec write path (`Lucene84PostingsWriter` + `BlockTreeTermsWriter`)."""
+
+    def __init__(self, index_dir: str, cfg: dict, fingerprint: str):
+        self.index_dir = index_dir
+        self.cfg = cfg
+        self.cfg_hash = segio.config_hash(cfg)
+        self.fingerprint = fingerprint
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        seg_id = int(group["seg"].iloc[0])
+        sdir = segio.seg_dir(self.index_dir, seg_id)
+        n_partials = len(group)
+        # group partials by term; merge runs; encode once
+        rows = []
+        max_partials = 0
+        n_multi = 0
+        sum_dl_from_ttf = 0
+        for term, g in group.groupby("term", sort=True):
+            parts = list(
+                zip(
+                    g["first_doc"].to_numpy(),
+                    g["docs"], g["tfs"], g["norms"],
+                )
+            )
+            max_partials = max(max_partials, len(parts))
+            if len(parts) > 1:
+                n_multi += 1
+                parts.sort(key=lambda p: p[0])
+            docs = np.concatenate(
+                [np.frombuffer(p[1], dtype=np.int32) for p in parts]
+            ).astype(np.int64)
+            tfs = np.concatenate(
+                [np.frombuffer(p[2], dtype=np.int32) for p in parts]
+            ).astype(np.int64)
+            norms = np.concatenate(
+                [np.frombuffer(p[3], dtype=np.uint8) for p in parts]
+            )
+            if len(parts) > 1 and np.any(np.diff(docs) <= 0):
+                order = np.argsort(docs, kind="stable")
+                docs, tfs, norms = docs[order], tfs[order], norms[order]
+            enc = encode_posting(docs, tfs, norms)
+            sum_dl_from_ttf += enc["ttf"]
+            rows.append(
+                (
+                    term, enc["df"], enc["ttf"],
+                    enc["block_first_doc"], enc["block_last_doc"],
+                    enc["block_max_tf"], enc["block_min_norm"],
+                    enc["block_offset"], enc["blob"],
+                )
+            )
+        cols = list(zip(*rows)) if rows else [[] for _ in range(9)]
+        table = pa.table(
+            {
+                "term": pa.array(cols[0], pa.string()),
+                "df": pa.array(cols[1], pa.int64()),
+                "ttf": pa.array(cols[2], pa.int64()),
+                "block_first_doc": pa.array(cols[3], pa.list_(pa.int32())),
+                "block_last_doc": pa.array(cols[4], pa.list_(pa.int32())),
+                "block_max_tf": pa.array(cols[5], pa.list_(pa.int32())),
+                "block_min_norm": pa.array(cols[6], pa.list_(pa.uint8())),
+                "block_offset": pa.array(cols[7], pa.list_(pa.int64())),
+                "blob": pa.array(cols[8], pa.binary()),
+            }
+        )
+        post_path = os.path.join(sdir, "postings.parquet")
+        tmp = post_path + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp, row_group_size=TERMS_PER_ROW_GROUP)
+        segio.atomic_rename_file(tmp, post_path)
+        doc_count = pq.ParquetFile(
+            os.path.join(sdir, "docs.parquet")
+        ).metadata.num_rows
+        postings_bytes = os.path.getsize(post_path)
+        meta = {
+            "seg_id": seg_id,
+            "doc_count": int(doc_count),
+            "max_doc": int(doc_count),
+            "sum_dl": int(sum_dl_from_ttf),
+            "n_terms": len(rows),
+            "postings_bytes": int(postings_bytes),
+            "total_postings": int(sum(cols[1])) if rows else 0,
+            "max_df": int(max(cols[1])) if rows else 0,
+            "n_partials": int(n_partials),
+            "max_partials_per_term": int(max_partials),
+            "n_multi_partial_terms": int(n_multi),
+            "lineage": {
+                "config_hash": self.cfg_hash,
+                "input_fingerprint": self.fingerprint,
+            },
+        }
+        segio.atomic_write_json(os.path.join(sdir, "meta.json"), meta)
+        segio.write_success(
+            sdir,
+            {
+                "config_hash": self.cfg_hash,
+                "input_fingerprint": self.fingerprint,
+            },
+        )
+        return pd.DataFrame([{"seg_id": seg_id}])
+
+
+def build_index(
+    source,
+    index_dir: str,
+    *,
+    num_segments: int = DEFAULT_NUM_SEGMENTS,
+    analyzer_name: str = "standard",
+    mode: str = "term_shuffle",
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("role", "tool", "ts"),
+    salt_range: int = SALT_RANGE,
+    resume: bool = True,
+    input_files: list[str] | None = None,
+    tokenize_batch_size: int = 1024,
+    writer_concurrency: int | None = None,
+) -> dict:
+    """Build an index from a Ray Dataset (or parquet path/dir).  Returns the
+    published manifest dict.  Does NOT call ray.init()."""
+    import ray.data as rd
+
+    if isinstance(source, (str, list)):
+        paths = source
+        if isinstance(paths, str) and os.path.isdir(paths):
+            input_files = input_files or [
+                os.path.join(paths, f)
+                for f in os.listdir(paths)
+                if f.endswith(".parquet")
+            ]
+        elif isinstance(paths, list):
+            input_files = input_files or paths
+        cols = list(dict.fromkeys(list(id_cols) + list(keep_cols) + [text_col]))
+        ds = rd.read_parquet(paths, columns=cols)
+    else:
+        ds = source
+
+    cfg = _build_config(analyzer_name, num_segments, id_cols, text_col, salt_range)
+    cfg_hash = segio.config_hash(cfg)
+    fingerprint = segio.input_fingerprint(input_files)
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+
+    done = frozenset(
+        s
+        for s in range(num_segments)
+        if resume
+        and segio.segment_done(segio.seg_dir(index_dir, s), cfg_hash, fingerprint)
+    )
+
+    if len(done) < num_segments:
+        import ray
+
+        if writer_concurrency is None:
+            # actor pool sized to roughly half the cluster so the writer
+            # stage never starves the upstream tokenize/shuffle stages
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            writer_concurrency = max(1, min(num_segments, ncpu // 2))
+        ds = ds.map_batches(
+            _make_assign_seg(id_cols[0], num_segments, done),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ds = ds.groupby("seg").map_groups(
+            _make_assign_docids(index_dir, id_cols, text_col, list(keep_cols)),
+            batch_format="pyarrow",
+        )
+        if mode == "local":
+            partials = ds.map_batches(
+                _make_tokenize_local(analyzer_name),
+                batch_format="pyarrow",
+                batch_size=tokenize_batch_size,
+                zero_copy_batch=True,
+            )
+        elif mode == "term_shuffle":
+            tokens = ds.map_batches(
+                _make_tokenize_tokens(analyzer_name, salt_range),
+                batch_format="pyarrow",
+                batch_size=tokenize_batch_size,
+                zero_copy_batch=True,
+            )
+            partials = tokens.groupby(["seg", "term", "salt"]).map_groups(
+                _pack_partial_group, batch_format="pyarrow"
+            )
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        written = partials.groupby("seg").map_groups(
+            SegmentWriter,
+            fn_constructor_args=(index_dir, cfg, fingerprint),
+            batch_format="pandas",
+            concurrency=writer_concurrency,
+        )
+        written.materialize()  # execute the pipeline (manifest rows are tiny)
+
+    metas = []
+    for s in range(num_segments):
+        sdir = segio.seg_dir(index_dir, s)
+        if segio.segment_done(sdir, cfg_hash, fingerprint):
+            metas.append(segio.read_meta(sdir))
+    return segio.write_manifest(index_dir, metas, cfg)

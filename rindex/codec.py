@@ -1,0 +1,317 @@
+"""Posting-list block codec: delta + FOR bit-packing, SmallFloat norms.
+
+Re-implements the *semantics* of the reference's block postings format
+(`lucene/core/src/java/org/apache/lucene/codecs/lucene84/{Lucene84PostingsWriter,
+ForUtil,ForDeltaUtil}.java`): postings are split into blocks of up to
+BLOCK_SIZE=128 entries; within a block docIDs are delta-encoded against the
+previous entry and bit-packed at the block's max bit width (FOR).  Term
+frequencies are FOR-packed too (the reference uses PFor with exceptions for
+freqs; plain FOR is an intentional simplification with the same asymptotics).
+Norm bytes ride inline (1 byte/entry) instead of a separate norms file so the
+scoring kernel needs no per-doc gather — a deliberate columnar-layout change,
+not a semantic one (the norm VALUE is byte-identical to Lucene's SmallFloat
+encoding, see `intToByte4` below).
+
+Per-block metadata (first_doc, last_doc, max_tf, min_norm) is stored outside
+the blob (POSTINGS_SCHEMA list columns) and is the skip list + impacts
+(`Lucene84SkipWriter` / `ImpactsEnum` analog) that block-max WAND consumes.
+
+All kernels are vectorized numpy; no Python loops over postings.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from rindex.schema import BLOCK_SIZE
+
+# ---------------------------------------------------------------------------
+# SmallFloat norm encoding (reference: lucene/core/.../util/SmallFloat.java
+# #intToByte4/#byte4ToInt).  Encodes a positive int (field length in tokens)
+# into one lossy byte: values < 24 exact, larger values as a 4-bit-mantissa
+# float.  BM25's dl comes from decoding this byte — score parity with the
+# reference requires bit-identical behavior here.
+# ---------------------------------------------------------------------------
+
+_MAX_INT4 = None  # computed below
+_NUM_FREE_VALUES = None
+
+
+def long_to_int4(i: int) -> int:
+    if i < 0:
+        raise ValueError("only positive values")
+    num_bits = i.bit_length()
+    if num_bits < 4:
+        # subnormal value
+        return i
+    # keep 4 significant bits, clear the implicit leading one, encode shift+1
+    shift = num_bits - 4
+    return ((i >> shift) & 0x07) | ((shift + 1) << 3)
+
+
+def int4_to_long(i: int) -> int:
+    bits = i & 0x07
+    shift = (i >> 3) - 1
+    if shift == -1:
+        return bits
+    return (bits | 0x08) << shift
+
+
+_MAX_INT4 = long_to_int4(2**31 - 1)
+_NUM_FREE_VALUES = 255 - _MAX_INT4  # == 24
+
+
+def int_to_byte4(i: int) -> int:
+    """Lossy-encode a positive int to an unsigned byte (0..255)."""
+    if i < 0:
+        raise ValueError("only positive values")
+    if i < _NUM_FREE_VALUES:
+        return i
+    return _NUM_FREE_VALUES + long_to_int4(i - _NUM_FREE_VALUES)
+
+
+def byte4_to_int(b: int) -> int:
+    if b < _NUM_FREE_VALUES:
+        return b
+    return _NUM_FREE_VALUES + int4_to_long(b - _NUM_FREE_VALUES)
+
+
+# Vectorized lookup tables: norms only take 256 decoded values, and encode is
+# monotone, so both directions are table lookups.
+NORM_DECODE_TABLE: np.ndarray = np.array(
+    [byte4_to_int(b) for b in range(256)], dtype=np.int64
+)
+
+
+def encode_norms(dls: np.ndarray) -> np.ndarray:
+    """Vectorized int_to_byte4 over an int array of field lengths -> uint8."""
+    dls = np.asarray(dls, dtype=np.int64)
+    # encode = searchsorted on the decode table (monotone, decode(encode(x))
+    # is the largest representable value <= x).
+    idx = np.searchsorted(NORM_DECODE_TABLE, dls, side="right") - 1
+    return idx.astype(np.uint8)
+
+
+def decode_norms(norms: np.ndarray) -> np.ndarray:
+    return NORM_DECODE_TABLE[np.asarray(norms, dtype=np.uint8)]
+
+
+# ---------------------------------------------------------------------------
+# FOR bit-packing (numpy).  Packs n uint32 values at width w bits into bytes.
+# ---------------------------------------------------------------------------
+
+
+def bitpack(values: np.ndarray, width: int) -> bytes:
+    """Pack uint32 values into `width` bits each (big-endian bit order)."""
+    if width == 0:
+        return b""
+    v = np.asarray(values, dtype=np.uint32)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint32)
+    bits = ((v[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def bitunpack(data: bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of bitpack -> uint32 array of length n."""
+    if width == 0:
+        return np.zeros(n, dtype=np.uint32)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width)
+    bits = bits.reshape(n, width).astype(np.uint32)
+    weights = (np.uint32(1) << np.arange(width - 1, -1, -1, dtype=np.uint32))
+    return bits @ weights
+
+
+def _width(values: np.ndarray) -> int:
+    if len(values) == 0:
+        return 0
+    m = int(values.max())
+    return m.bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Posting-list encode/decode.
+#
+# Blob layout per block:
+#   header: <u16 n> <u8 w_doc> <u8 w_tf>
+#   payload: bitpack(doc_deltas, w_doc) + bitpack(tfs - 1, w_tf) + norms(u8*n)
+# Block 0's first delta is doc[0] - base (base = -1 for a fresh list, i.e.
+# delta = doc[0] + 1); later blocks delta against the previous block's last
+# doc.  Metadata arrays are returned separately (POSTINGS_SCHEMA columns).
+# ---------------------------------------------------------------------------
+
+_HEADER = struct.Struct("<HBB")
+
+
+def encode_posting(
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode a full posting list (ascending unique docIDs) into blocks.
+
+    Returns dict with keys: blob, block_first_doc, block_last_doc,
+    block_max_tf, block_min_norm, block_offset, df, ttf.
+    """
+    docs = np.asarray(docs, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.uint8)
+    n = len(docs)
+    parts: list[bytes] = []
+    first_doc: list[int] = []
+    last_doc: list[int] = []
+    max_tf: list[int] = []
+    min_norm: list[int] = []
+    offsets: list[int] = []
+    pos = 0
+    prev = -1
+    for start in range(0, n, block_size):
+        end = min(start + block_size, n)
+        bd = docs[start:end]
+        bt = tfs[start:end]
+        bn = norms[start:end]
+        deltas = np.empty(end - start, dtype=np.int64)
+        deltas[0] = bd[0] - prev
+        deltas[1:] = bd[1:] - bd[:-1]
+        prev = int(bd[-1])
+        w_doc = _width(deltas)
+        w_tf = _width(bt - 1)
+        payload = (
+            _HEADER.pack(end - start, w_doc, w_tf)
+            + bitpack(deltas.astype(np.uint32), w_doc)
+            + bitpack((bt - 1).astype(np.uint32), w_tf)
+            + bn.tobytes()
+        )
+        parts.append(payload)
+        first_doc.append(int(bd[0]))
+        last_doc.append(prev)
+        max_tf.append(int(bt.max()))
+        min_norm.append(int(bn.min()))
+        offsets.append(pos)
+        pos += len(payload)
+    return {
+        "blob": b"".join(parts),
+        "block_first_doc": first_doc,
+        "block_last_doc": last_doc,
+        "block_max_tf": max_tf,
+        "block_min_norm": min_norm,
+        "block_offset": offsets,
+        "df": n,
+        "ttf": int(tfs.sum()) if n else 0,
+    }
+
+
+def decode_block(
+    blob: bytes, offset: int, prev_doc: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block at `offset`; prev_doc is the previous block's last
+    docID (-1 for the first block).  Returns (docs, tfs, norms)."""
+    n, w_doc, w_tf = _HEADER.unpack_from(blob, offset)
+    pos = offset + _HEADER.size
+    len_doc = (n * w_doc + 7) // 8
+    len_tf = (n * w_tf + 7) // 8
+    deltas = bitunpack(blob[pos : pos + len_doc], n, w_doc).astype(np.int64)
+    pos += len_doc
+    tfs = bitunpack(blob[pos : pos + len_tf], n, w_tf).astype(np.int64) + 1
+    pos += len_tf
+    norms = np.frombuffer(blob[pos : pos + n], dtype=np.uint8)
+    docs = np.cumsum(deltas) + prev_doc
+    return docs, tfs, norms
+
+
+def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode all blocks of a posting row (dict with blob + metadata)."""
+    blob = row["blob"]
+    offs = row["block_offset"]
+    lasts = row["block_last_doc"]
+    out_d, out_t, out_n = [], [], []
+    prev = -1
+    for i, off in enumerate(offs):
+        d, t, nn = decode_block(blob, int(off), prev)
+        prev = int(lasts[i])
+        out_d.append(d)
+        out_t.append(t)
+        out_n.append(nn)
+    if not out_d:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), np.zeros(0, dtype=np.uint8)
+    return np.concatenate(out_d), np.concatenate(out_t), np.concatenate(out_n)
+
+
+def concat_postings(parts: list[dict]) -> dict:
+    """Merge partial posting encodings whose docID ranges are ascending and
+    disjoint (the doc-range-salted shuffle guarantees this) by concatenating
+    their block lists — no re-encode.  Falls back to decode+re-encode when
+    ranges interleave (possible only for partials produced from arbitrary
+    batch boundaries in the combiner path)."""
+    parts = [p for p in parts if p["df"] > 0]
+    if not parts:
+        raise ValueError("no non-empty partials")
+    if len(parts) == 1:
+        return parts[0]
+    parts = sorted(parts, key=lambda p: p["block_first_doc"][0])
+    disjoint = all(
+        parts[i]["block_last_doc"][-1] < parts[i + 1]["block_first_doc"][0]
+        for i in range(len(parts) - 1)
+    )
+    if not disjoint:
+        ds, ts, ns = zip(*(decode_posting(p) for p in parts))
+        docs = np.concatenate(ds)
+        order = np.argsort(docs, kind="stable")
+        return encode_posting(
+            docs[order], np.concatenate(ts)[order], np.concatenate(ns)[order]
+        )
+    # Fast path: fix up each part's first block so its first delta is against
+    # the previous part's last doc, then splice blobs.
+    blobs: list[bytes] = []
+    first_doc: list[int] = []
+    last_doc: list[int] = []
+    max_tf: list[int] = []
+    min_norm: list[int] = []
+    offsets: list[int] = []
+    pos = 0
+    prev = -1
+    for p in parts:
+        blob = p["blob"]
+        # re-delta the first block against `prev` (decode + re-encode just
+        # that one block; remaining blocks splice verbatim).
+        # Each part was encoded standalone (base -1), so decoding its first
+        # block with prev_doc=-1 yields absolute docIDs.
+        d, t, nn = decode_block(blob, int(p["block_offset"][0]), -1)
+        deltas = np.empty(len(d), dtype=np.int64)
+        deltas[0] = d[0] - prev
+        deltas[1:] = d[1:] - d[:-1]
+        w_doc = _width(deltas)
+        w_tf = _width(t - 1)
+        fixed = (
+            _HEADER.pack(len(d), w_doc, w_tf)
+            + bitpack(deltas.astype(np.uint32), w_doc)
+            + bitpack((t - 1).astype(np.uint32), w_tf)
+            + nn.tobytes()
+        )
+        n_blocks = len(p["block_offset"])
+        rest_start = p["block_offset"][1] if n_blocks > 1 else len(blob)
+        blobs.append(fixed)
+        blobs.append(blob[int(rest_start) :])
+        shift = pos - 0
+        offsets.append(pos)
+        for i in range(1, n_blocks):
+            offsets.append(int(p["block_offset"][i]) - int(rest_start) + shift + len(fixed))
+        pos += len(fixed) + (len(blob) - int(rest_start))
+        first_doc.extend(int(x) for x in p["block_first_doc"])
+        last_doc.extend(int(x) for x in p["block_last_doc"])
+        max_tf.extend(int(x) for x in p["block_max_tf"])
+        min_norm.extend(int(x) for x in p["block_min_norm"])
+        prev = int(p["block_last_doc"][-1])
+    return {
+        "blob": b"".join(blobs),
+        "block_first_doc": first_doc,
+        "block_last_doc": last_doc,
+        "block_max_tf": max_tf,
+        "block_min_norm": min_norm,
+        "block_offset": offsets,
+        "df": int(sum(p["df"] for p in parts)),
+        "ttf": int(sum(p["ttf"] for p in parts)),
+    }

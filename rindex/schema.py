@@ -1,0 +1,119 @@
+"""Schemas and constants for the rindex engine.
+
+Transcript input shape is authoritative from BASELINE.json `input_hint`:
+(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp[us]).  Reference data-model analysis: SURVEY.md §1; the segment
+file layout mirrors Lucene's codec split (postings / terms / stored fields /
+norms — cf. lucene/core codecs lucene84 + compressing stored fields) but is
+re-expressed as Parquet tables per immutable segment directory.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# --- BM25 constants (reference: BM25Similarity, k1=1.2, b=0.75) -------------
+K1: float = 1.2
+B: float = 0.75
+
+# --- posting block layout (reference: Lucene84PostingsFormat BLOCK_SIZE=128)
+BLOCK_SIZE: int = 128
+
+# Doc-range width used to salt hot terms in the groupby(term) shuffle:
+# salt = doc_id // SALT_RANGE.  Range-based (not hash-based) salting keeps the
+# salted partial postings of one term in ascending, disjoint docID ranges, so
+# the second-phase merge is a cheap ordered concatenation (SURVEY.md §7.1.5).
+SALT_RANGE: int = 1 << 14
+
+# Default number of segments an index build partitions into.  Fixed (not
+# derived from cluster size) so segment contents are deterministic across
+# parallelism levels — the N=1 ≡ N=8 golden-equivalence tests rely on it.
+DEFAULT_NUM_SEGMENTS: int = 16
+
+# Tokens longer than this are split (StandardTokenizer maxTokenLength).
+MAX_TOKEN_LEN: int = 255
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# Per-segment stored-fields / docmap table (docs.parquet).  `doc` is the
+# segment-local ordinal assigned by stable sort on the id columns; global
+# identity is (conv_id, turn_idx).  Keeping the original columns here is the
+# stored-fields half of the reference's data model (fetch-by-docID after
+# top-k) and powers the per-row invariant "per-turn text equality under
+# stable turn ordering".
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc", pa.int32()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("dl", pa.int32()),  # exact field length (tokens); norm byte derives
+    ]
+)
+
+# Partial-posting rows flowing through the build shuffle.  docs/tfs/norms are
+# packed little-endian arrays (int32/int32/uint8) for compact shuffling; the
+# segment writer merges and block-encodes them.
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("seg", pa.int32()),
+        ("term", pa.string()),
+        ("salt", pa.int32()),
+        ("first_doc", pa.int32()),
+        ("df", pa.int64()),
+        ("ttf", pa.int64()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+        ("norms", pa.binary()),
+    ]
+)
+
+# Per-segment postings table (postings.parquet), sorted by term so Parquet
+# row-group statistics act as the coarse term-dictionary index (the FST/.tip
+# analog — SURVEY.md §1.4).  Block metadata columns are the skip list +
+# impacts: per block (first_doc, last_doc) bound the docID range and
+# (max_tf, min_norm) upper-bound the BM25 score for block-max WAND.
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("ttf", pa.int64()),
+        ("block_first_doc", pa.list_(pa.int32())),
+        ("block_last_doc", pa.list_(pa.int32())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_norm", pa.list_(pa.uint8())),
+        ("block_offset", pa.list_(pa.int64())),
+        ("blob", pa.binary()),
+    ]
+)
+
+QUERY_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("qtype", pa.string()),
+        ("text", pa.string()),
+        ("k", pa.int32()),
+    ]
+)
+
+TOPK_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("rank", pa.int32()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("score", pa.float64()),
+    ]
+)
