@@ -1,0 +1,377 @@
+"""BM25 top-k query engine: term lookup, exhaustive + block-max WAND.
+
+Reference search path re-expressed (SURVEY.md §3.2):
+  * Query AST — Term / And / Or over analyzed terms (`TermQuery`,
+    `BooleanQuery` MUST / SHOULD; `lucene/core/src/java/org/apache/lucene/
+    search/BooleanQuery.java`).  Duplicate clauses score additively, like
+    duplicate SHOULD/MUST clauses in the reference.
+  * Collection stats are GLOBAL: df summed over segments, N and avgdl from
+    the manifest totals (Lucene `CollectionStatistics` — idf identical on a
+    1-segment and an N-segment index).
+  * Term dictionary lookup — postings.parquet is term-sorted with small row
+    groups, so a `term in (...)` Parquet filter prunes row groups via
+    column statistics (the BlockTree/FST analog at coarse granularity).
+  * Per-segment scoring — vectorized numpy over decoded blocks:
+      - `exhaustive`: full postings scored, np.bincount accumulation
+        (baseline, and the WAND-equivalence oracle inside the engine).
+      - `wand`: block-max pruning (`WANDScorer`/`ImpactsDISI`/`MaxScoreCache`
+        semantics — `lucene/core/src/java/org/apache/lucene/search/
+        WANDScorer.java`): per-block upper bounds from (max_tf, min_norm)
+        impacts; doc-range intervals whose summed upper bound is below the
+        current top-k threshold are skipped without decoding.  Processing
+        intervals in descending upper-bound order grows the threshold fast.
+        Skips use a STRICT < threshold comparison so score-ties are never
+        lost (tie-break correctness).
+  * Merge — per-segment top-k candidates -> global sort by
+    (score desc, conv_id asc, turn_idx asc) -> limit k, the
+    `TopScoreDocCollector` + `TopDocs#merge` semantics (docID order within a
+    segment IS (conv_id, turn_idx) order by build construction).
+  * Field fetch — winning docIDs only, from docs.parquet (stored fields),
+    the two-round-trip GET_FIELDS pattern.
+
+Scale notes: one searcher holds only per-term cached posting rows (LRU-ish
+dict), never a whole segment; at cluster scale, queries fan out as a Ray
+actor-pool `map_batches` over a query Dataset (`search_queries`), each actor
+serving all segments of a manifest; per-segment scoring is independent and
+could further fan out as tasks per segment group without changing semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rindex.analysis import get_analyzer
+from rindex.bm25 import idf as bm25_idf
+from rindex.bm25 import norm_len_cache
+from rindex.codec import decode_block
+from rindex import segments as segio
+
+
+@dataclass
+class Query:
+    terms: list[str]  # analyzed terms, order preserved (duplicates allowed)
+    mode: str = "or"  # "or" | "and"
+    k: int = 10
+
+
+def parse_query(text: str, qtype: str = "or", k: int = 10, analyzer_name: str = "standard") -> Query:
+    terms = get_analyzer(analyzer_name).tokens(text)
+    mode = "and" if qtype == "and" else "or"
+    return Query(terms=terms, mode=mode, k=k)
+
+
+class _SegmentReader:
+    """Lazy per-segment postings + stored-field access with a term cache."""
+
+    def __init__(self, sdir: str, meta: dict):
+        self.sdir = sdir
+        self.meta = meta
+        self.max_doc = int(meta["max_doc"])
+        self._term_cache: dict[str, dict | None] = {}
+        self._ids_cache: pa.Table | None = None
+
+    def postings_for(self, terms: list[str]) -> dict[str, dict | None]:
+        missing = [t for t in set(terms) if t not in self._term_cache]
+        if missing:
+            path = os.path.join(self.sdir, "postings.parquet")
+            tbl = pq.read_table(
+                path,
+                filters=[("term", "in", missing)],
+                columns=[
+                    "term", "df", "ttf", "block_first_doc", "block_last_doc",
+                    "block_max_tf", "block_min_norm", "block_offset", "blob",
+                ],
+            )
+            found = {}
+            for row in tbl.to_pylist():
+                found[row["term"]] = row
+            for t in missing:
+                self._term_cache[t] = found.get(t)
+        return {t: self._term_cache[t] for t in set(terms)}
+
+    def fetch_ids(self, docs: np.ndarray, id_cols: list[str]) -> dict:
+        """doc -> tuple(id values), reading only needed row groups (docs are
+        sorted in docs.parquet, so min/max stats prune)."""
+        if self._ids_cache is None:
+            path = os.path.join(self.sdir, "docs.parquet")
+            if self.max_doc <= 2_000_000:
+                self._ids_cache = pq.read_table(path, columns=["doc"] + id_cols)
+            else:
+                tbl = pq.read_table(
+                    path,
+                    columns=["doc"] + id_cols,
+                    filters=[("doc", "in", [int(d) for d in docs])],
+                )
+                return {
+                    int(r["doc"]): tuple(r[c] for c in id_cols)
+                    for r in tbl.to_pylist()
+                }
+        tbl = self._ids_cache
+        dcol = tbl["doc"].to_numpy()
+        pos = np.searchsorted(dcol, docs)
+        out = {}
+        cols = [tbl[c] for c in id_cols]
+        for d, p in zip(docs, pos):
+            out[int(d)] = tuple(c[int(p)].as_py() for c in cols)
+        return out
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str, algo: str = "wand"):
+        self.index_dir = index_dir
+        self.manifest = segio.read_manifest(index_dir)
+        cfg = self.manifest["config"]
+        self.analyzer_name = cfg["analyzer"]
+        self.id_cols = list(cfg["id_cols"])
+        self.algo = algo
+        self.n_docs = int(self.manifest["totals"]["doc_count"])
+        self.sum_dl = int(self.manifest["totals"]["sum_dl"])
+        self.avgdl = self.sum_dl / max(1, self.n_docs)
+        self.cache = norm_len_cache(self.avgdl)  # 256-entry norm denominators
+        self.readers = [
+            _SegmentReader(segio.seg_dir(index_dir, m["seg_id"], m.get("gen", 0)), m)
+            for m in self.manifest["segments"]
+        ]
+
+    # ---- stats ----
+    def global_df(self, terms: list[str]) -> dict[str, int]:
+        uniq = list(set(terms))
+        df = dict.fromkeys(uniq, 0)
+        for r in self.readers:
+            posts = r.postings_for(uniq)
+            for t, row in posts.items():
+                if row is not None:
+                    df[t] += int(row["df"])
+        return df
+
+    # ---- scoring ----
+    def _term_plan(self, q: Query):
+        """Per unique term (query order of first occurrence): multiplicity,
+        global idf.  Terms with global df=0 are dropped for OR; for AND they
+        make the result empty."""
+        order: list[str] = []
+        mult: dict[str, int] = {}
+        for t in q.terms:
+            if t not in mult:
+                order.append(t)
+            mult[t] = mult.get(t, 0) + 1
+        df = self.global_df(order)
+        if q.mode == "and" and any(df[t] == 0 for t in order):
+            return [], mult, df
+        order = [t for t in order if df[t] > 0]
+        return order, mult, df
+
+    def _decode_scored(self, row: dict, weight: float):
+        """Decode the full posting, returning (docs, scores, per-block slices
+        are not needed for exhaustive)."""
+        blob = row["blob"]
+        offs = row["block_offset"]
+        lasts = row["block_last_doc"]
+        prev = -1
+        out_d, out_s = [], []
+        for i, off in enumerate(offs):
+            d, t, nrm = decode_block(blob, int(off), prev)
+            prev = int(lasts[i])
+            tf = t.astype(np.float64)
+            out_d.append(d)
+            out_s.append(weight * tf / (tf + self.cache[nrm]))
+        return np.concatenate(out_d), np.concatenate(out_s)
+
+    def _search_segment_exhaustive(self, reader, q, order, mult, idf_map, k):
+        posts = reader.postings_for(order)
+        acc = np.zeros(reader.max_doc, dtype=np.float64)
+        hits = np.zeros(reader.max_doc, dtype=np.int64)
+        present = 0
+        for t in order:
+            row = posts.get(t)
+            if row is None:
+                continue
+            present += 1
+            d, s = self._decode_scored(row, idf_map[t] * mult[t])
+            acc[d] += s
+            hits[d] += 1
+        if present == 0 or (q.mode == "and" and present < len(order)):
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        need = len(order) if q.mode == "and" else 1
+        cand = np.nonzero(hits >= need)[0]
+        if len(cand) == 0:
+            return cand, np.zeros(0)
+        scores = acc[cand]
+        sel = np.lexsort((cand, -scores))[:k]
+        return cand[sel], scores[sel]
+
+    def _search_segment_wand(self, reader, q, order, mult, idf_map, k):
+        posts = reader.postings_for(order)
+        rows = [(t, posts.get(t)) for t in order]
+        if q.mode == "and" and any(r is None for _, r in rows):
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        rows = [(t, r) for t, r in rows if r is not None]
+        if not rows:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        n_terms = len(rows)
+        firsts = [np.asarray(r["block_first_doc"], dtype=np.int64) for _, r in rows]
+        lasts = [np.asarray(r["block_last_doc"], dtype=np.int64) for _, r in rows]
+        # per-block upper bounds from impacts (max_tf, min_norm)
+        ubs = []
+        for (t, r), f in zip(rows, firsts):
+            mtf = np.asarray(r["block_max_tf"], dtype=np.float64)
+            mn = np.asarray(r["block_min_norm"], dtype=np.int64)
+            ubs.append(idf_map[t] * mult[t] * mtf / (mtf + self.cache[mn]))
+        # interval sweep: edges from all block boundaries
+        edges = np.unique(
+            np.concatenate(
+                [np.concatenate(firsts)] + [np.concatenate(lasts) + 1]
+            )
+        )
+        lo = edges[:-1]
+        hi = edges[1:] - 1
+        n_iv = len(lo)
+        iv_ub = np.zeros(n_iv, dtype=np.float64)
+        iv_active = np.zeros((n_terms, n_iv), dtype=np.int32)  # block idx+1, 0=none
+        for ti in range(n_terms):
+            bidx = np.searchsorted(firsts[ti], lo, side="right") - 1
+            ok = (bidx >= 0) & (lasts[ti][np.clip(bidx, 0, None)] >= lo)
+            iv_active[ti][ok] = bidx[ok] + 1
+            iv_ub[ok] += ubs[ti][bidx[ok]]
+        if q.mode == "and":
+            eligible = np.all(iv_active > 0, axis=0)
+        else:
+            eligible = np.any(iv_active > 0, axis=0)
+        iv_order = np.argsort(-iv_ub, kind="stable")
+        iv_order = iv_order[eligible[iv_order]]
+
+        decoded: dict[tuple[int, int], tuple] = {}  # (term_i, block) -> (d, s)
+
+        def get_block(ti: int, b: int):
+            key = (ti, b)
+            if key not in decoded:
+                t, r = rows[ti]
+                prev = int(r["block_last_doc"][b - 1]) if b > 0 else -1
+                d, tf, nrm = decode_block(r["blob"], int(r["block_offset"][b]), prev)
+                tff = tf.astype(np.float64)
+                s = idf_map[t] * mult[t] * tff / (tff + self.cache[nrm])
+                decoded[key] = (d, s)
+            return decoded[key]
+
+        best_docs = np.zeros(0, dtype=np.int64)
+        best_scores = np.zeros(0, dtype=np.float64)
+        theta = -np.inf
+        for j in iv_order:
+            if len(best_docs) >= k and iv_ub[j] < theta:
+                break  # intervals are ub-descending: nothing below can win
+            l, h = int(lo[j]), int(hi[j])
+            span = h - l + 1
+            acc = np.zeros(span, dtype=np.float64)
+            hits = np.zeros(span, dtype=np.int64)
+            for ti in range(n_terms):
+                b = iv_active[ti][j]
+                if b == 0:
+                    continue
+                d, s = get_block(ti, b - 1)
+                m = (d >= l) & (d <= h)
+                dd = d[m] - l
+                acc[dd] += s[m]
+                hits[dd] += 1
+            need = n_terms if q.mode == "and" else 1
+            cand = np.nonzero(hits >= need)[0]
+            if len(cand) == 0:
+                continue
+            nd = cand + l
+            ns = acc[cand]
+            best_docs = np.concatenate([best_docs, nd])
+            best_scores = np.concatenate([best_scores, ns])
+            if len(best_docs) > k:
+                sel = np.lexsort((best_docs, -best_scores))[:k]
+                best_docs, best_scores = best_docs[sel], best_scores[sel]
+            if len(best_docs) >= k:
+                theta = best_scores.min()
+        sel = np.lexsort((best_docs, -best_scores))[:k]
+        return best_docs[sel], best_scores[sel]
+
+    def search(self, text: str, k: int = 10, mode: str = "or", algo: str | None = None) -> list[tuple]:
+        """Returns [(rank, *id_cols, score)]."""
+        q = Query(terms=get_analyzer(self.analyzer_name).tokens(text), mode=mode, k=k)
+        return self.search_query(q, algo=algo)
+
+    def search_query(self, q: Query, algo: str | None = None) -> list[tuple]:
+        algo = algo or self.algo
+        order, mult, df = self._term_plan(q)
+        if not order:
+            return []
+        idf_map = {t: float(bm25_idf(df[t], self.n_docs)) for t in order}
+        per_seg = (
+            self._search_segment_wand if algo == "wand" else self._search_segment_exhaustive
+        )
+        cands = []  # (score, id_tuple)
+        for reader in self.readers:
+            docs, scores = per_seg(reader, q, order, mult, idf_map, q.k)
+            if len(docs) == 0:
+                continue
+            ids = reader.fetch_ids(docs, self.id_cols)
+            for d, s in zip(docs, scores):
+                cands.append((float(s), ids[int(d)]))
+        cands.sort(key=lambda x: (-x[0],) + tuple(x[1]))
+        return [
+            (rank, *idt, score) for rank, (score, idt) in enumerate(cands[: q.k])
+        ]
+
+    def search_table(self, queries: pa.Table, algo: str | None = None) -> pa.Table:
+        """Run a QUERY_SCHEMA table, return a TOPK_SCHEMA table."""
+        rows = []
+        for qid, qtype, text, k in zip(
+            queries["query_id"].to_pylist(),
+            queries["qtype"].to_pylist(),
+            queries["text"].to_pylist(),
+            queries["k"].to_pylist(),
+        ):
+            mode = "and" if qtype == "and" else "or"
+            for r in self.search(text, k=k, mode=mode, algo=algo):
+                rows.append((qid, *r))
+        qid_c, rank_c, conv_c, turn_c, score_c = (
+            zip(*rows) if rows else ([], [], [], [], [])
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(qid_c, pa.string()),
+                "rank": pa.array(rank_c, pa.int32()),
+                "conv_id": pa.array(conv_c, pa.string()),
+                "turn_idx": pa.array(turn_c, pa.int32()),
+                "score": pa.array(score_c, pa.float64()),
+            }
+        )
+
+
+class QuerySearcher:
+    """Actor-pool stage: serve query batches against one index (manifest +
+    term caches held per actor — the `SolrIndexSearcher` + query-cache
+    analog).  Use with `queries_ds.map_batches(QuerySearcher,
+    fn_constructor_args=(index_dir,), concurrency=N, batch_format="pyarrow")`."""
+
+    def __init__(self, index_dir: str, algo: str = "wand"):
+        self.searcher = IndexSearcher(index_dir, algo=algo)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.searcher.search_table(batch)
+
+
+def search_queries(
+    index_dir: str,
+    queries,
+    *,
+    algo: str = "wand",
+    concurrency: int | tuple = (1, 4),
+    batch_size: int = 16,
+):
+    """Distributed query serving: Dataset of queries -> Dataset of top-k."""
+    return queries.map_batches(
+        QuerySearcher,
+        fn_constructor_args=(index_dir, algo),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

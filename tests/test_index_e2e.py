@@ -1,0 +1,168 @@
+"""End-to-end index build + BM25 parity vs the naive oracle.
+
+Mirrors the reference test strategy (SURVEY.md §5): golden equivalence
+(BaseDistributedSearchTestCase — 1-partition vs many-partition builds),
+rank-identical top-k with exact score equality vs the in-repo oracle
+(TestBM25Similarity stand-in), and WAND == exhaustive (TestWANDScorer)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rindex.build import build_index
+from rindex.fixtures import make_queries
+from rindex.oracle import NaiveBM25Oracle
+from rindex.search import IndexSearcher, search_queries
+
+
+@pytest.fixture(scope="session")
+def small_index(ray_session, small_corpus, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx") / "small")
+    manifest = build_index(
+        small_corpus, idx, num_segments=8, mode="local", salt_range=512
+    )
+    return idx, manifest
+
+
+@pytest.fixture(scope="session")
+def small_oracle(small_corpus):
+    t = pq.read_table(small_corpus)
+    return NaiveBM25Oracle(t)
+
+
+def test_build_totals(small_index, small_corpus):
+    _, manifest = small_index
+    n_rows = pq.read_table(small_corpus).num_rows
+    assert manifest["totals"]["doc_count"] == n_rows
+    assert manifest["totals"]["n_segments"] == 8
+
+
+def test_per_turn_text_equality(small_index, small_corpus):
+    """Per-row invariant vs the reference: per-turn text equality under
+    stable (conv_id, turn_idx) ordering (BASELINE.json input_hint)."""
+    idx, manifest = small_index
+    src = pq.read_table(small_corpus).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    parts = []
+    for m in manifest["segments"]:
+        parts.append(
+            pq.read_table(
+                os.path.join(idx, "segments", f"seg-{m['seg_id']:05d}", "docs.parquet")
+            )
+        )
+    stored = pa.concat_tables(parts).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert stored.num_rows == src.num_rows
+    assert stored["text"].to_pylist() == src["text"].to_pylist()
+    assert stored["conv_id"].to_pylist() == src["conv_id"].to_pylist()
+    assert stored["turn_idx"].to_pylist() == src["turn_idx"].to_pylist()
+
+
+@pytest.mark.parametrize("algo", ["exhaustive", "wand"])
+def test_oracle_parity_rank_and_score(small_index, small_oracle, algo):
+    """Engine top-k is rank-identical to the oracle with EXACT float64 score
+    equality (lossy-norm mode — the tested contract, FIXTURES.md §3)."""
+    idx, _ = small_index
+    searcher = IndexSearcher(idx, algo=algo)
+    queries = make_queries()
+    got = searcher.search_table(queries, algo=algo)
+    want = small_oracle.search_table(queries)
+    got_rows = list(zip(*[got[c].to_pylist() for c in got.column_names]))
+    want_rows = list(zip(*[want[c].to_pylist() for c in want.column_names]))
+    assert len(got_rows) == len(want_rows)
+    for g, w in zip(got_rows, want_rows):
+        assert g[:4] == w[:4], (g, w)
+        assert g[4] == w[4], f"score mismatch {g} vs {w}"
+
+
+def test_wand_equals_exhaustive(small_index):
+    idx, _ = small_index
+    s = IndexSearcher(idx)
+    queries = make_queries()
+    a = s.search_table(queries, algo="wand")
+    b = s.search_table(queries, algo="exhaustive")
+    assert a.equals(b)
+
+
+def test_distributed_query_serving(ray_session, small_index):
+    import ray.data as rd
+
+    idx, _ = small_index
+    queries = make_queries()
+    qds = rd.from_arrow(queries)
+    out = search_queries(idx, qds, concurrency=(1, 2)).to_pandas()
+    s = IndexSearcher(idx)
+    direct = s.search_table(queries).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    direct = direct.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert out.equals(direct)
+
+
+def test_parallelism_equivalence(ray_session, tiny_corpus, tmp_path):
+    """N=1 vs N=8 input partitions -> byte-identical postings (golden
+    equivalence, SURVEY.md §5e).  Also local vs term_shuffle mode."""
+    import ray.data as rd
+
+    t = pq.read_table(tiny_corpus)
+    one = rd.from_arrow(t).repartition(1)
+    many = rd.from_arrow(t).repartition(8)
+    m1 = build_index(one, str(tmp_path / "i1"), num_segments=4, mode="local")
+    m2 = build_index(many, str(tmp_path / "i2"), num_segments=4, mode="local")
+    m3 = build_index(
+        many, str(tmp_path / "i3"), num_segments=4, mode="term_shuffle", salt_range=64
+    )
+    assert m1["totals"] == m2["totals"] == m3["totals"]
+    for s in range(4):
+        p1 = pq.read_table(str(tmp_path / "i1" / "segments" / f"seg-{s:05d}" / "postings.parquet"))
+        p2 = pq.read_table(str(tmp_path / "i2" / "segments" / f"seg-{s:05d}" / "postings.parquet"))
+        p3 = pq.read_table(str(tmp_path / "i3" / "segments" / f"seg-{s:05d}" / "postings.parquet"))
+        assert p1.equals(p2)
+        assert p1.equals(p3)
+
+
+def test_resume_skips_done_segments(ray_session, tiny_corpus, tmp_path):
+    idx = str(tmp_path / "resume")
+    m1 = build_index(tiny_corpus, idx, num_segments=4)
+    # sabotage one segment: drop its _SUCCESS -> only that one rebuilds
+    victim = os.path.join(idx, "segments", "seg-00002", "_SUCCESS")
+    os.remove(victim)
+    mtimes = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(idx, "segments", "*", "postings.parquet"))
+    }
+    m2 = build_index(tiny_corpus, idx, num_segments=4)
+    assert m2["totals"] == m1["totals"]
+    for f, old in mtimes.items():
+        if "seg-00002" in f:
+            assert os.path.getmtime(f) > old  # rebuilt
+        else:
+            assert os.path.getmtime(f) == old  # untouched
+    # config change invalidates checkpoints
+    with open(os.path.join(idx, "segments", "seg-00001", "_SUCCESS")) as fh:
+        lin = json.load(fh)
+    assert lin["config_hash"] == m2["config_hash"]
+
+
+def test_empty_and_absent_queries(small_index):
+    idx, _ = small_index
+    s = IndexSearcher(idx)
+    assert s.search("zzzzabsent") == []
+    assert s.search("") == []
+    assert s.search("zzzzabsent the", mode="and") == []
+    assert len(s.search("zzzzabsent the", mode="or", k=5)) == 5
+
+
+def test_topk_k_variants(small_index, small_oracle):
+    idx, _ = small_index
+    s = IndexSearcher(idx)
+    for k in (1, 3, 100):
+        got = s.search("the w0001", k=k)
+        want = small_oracle.search("the w0001", k=k)
+        assert got == [(r[0], r[1], r[2], pytest.approx(r[3], abs=0)) for r in want]
