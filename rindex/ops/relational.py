@@ -1,0 +1,690 @@
+"""Relational operators over the driver testdata (SURVEY.md §2.4-§2.8).
+
+Every op maps a reference operator family to a Ray Data pipeline and carries
+a DuckDB oracle SQL (column names matched exactly).  Reference citations are
+in each docstring; scale notes inline.
+
+Float policy: aggregate outputs are rounded on BOTH sides (Ray + SQL) to a
+digit count at which the exact value is recovered from accumulated float64
+error (money sums -> 2-4 decimals), so order-of-summation differences can't
+flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rindex.ops.util import broadcast_join, broadcast_semi_filter, read_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# Grouped aggregates (facet/stats/rollup: SimpleFacets, StatsValuesFactory,
+# RollupStream -> groupby().aggregate() with partial+final combine)
+# ---------------------------------------------------------------------------
+
+def q_rollup_pricing_summary(sf_dir: str):
+    """rollup()/stats over lineitem (reference: RollupStream + metrics,
+    `solr/solrj/.../io/stream/RollupStream.java`; FacetStream pushdown =
+    Ray's partial-per-block aggregate)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "disc_price", pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_base_price"] = df["sum_base_price"].round(2)
+    df["sum_disc_price"] = df["sum_disc_price"].round(4)
+    df["avg_qty"] = df["avg_qty"].round(6)
+    df["avg_disc"] = df["avg_disc"].round(6)
+    return df
+
+
+_register(
+    "rollup_pricing_summary",
+    q_rollup_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                   AS sum_base_price,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 6)                        AS avg_qty,
+           round(avg(l_discount), 6)                        AS avg_disc,
+           count(*)                                         AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+def q_terms_facet_events(sf_dir: str):
+    """Terms facet: group by field value -> count (reference: FacetField /
+    SimpleFacets, `solr/core/src/java/org/apache/solr/search/facet/
+    FacetField.java`)."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", ["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+_register(
+    "terms_facet_events",
+    q_terms_facet_events,
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+
+
+def q_range_facet_totalprice(sf_dir: str):
+    """Range facet: numeric histogram with fixed gap (reference: FacetRange,
+    `solr/core/src/java/org/apache/solr/search/facet/FacetRange.java`).
+    Bucket assignment is a vectorized map_batches; the groupby shuffles only
+    (bucket,count) partials."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "orders", ["o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": pc.multiply(
+                    pc.floor(pc.divide(t["o_totalprice"], pa.scalar(50000.0))),
+                    pa.scalar(50000.0),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("bucket").aggregate(Count(alias_name="n"))
+
+
+_register(
+    "range_facet_totalprice",
+    q_range_facet_totalprice,
+    """
+    SELECT floor(o_totalprice / 50000.0) * 50000.0 AS bucket, count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+
+
+def q_timeseries_events_daily(sf_dir: str):
+    """timeseries(): date-truncated buckets + metrics (reference:
+    `solr/solrj/.../io/stream/TimeSeriesStream.java`)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read_table(sf_dir, "events", ["ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"day": pc.floor_temporal(t["ts"], unit="day"), "value": t["value"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("day").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+    )
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(4)
+    df["avg_value"] = df["avg_value"].round(6)
+    return df
+
+
+_register(
+    "timeseries_events_daily",
+    q_timeseries_events_daily,
+    """
+    SELECT date_trunc('day', ts) AS day, count(*) AS n,
+           round(sum(value), 4) AS sum_value, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+
+
+def q_stats_agg_lineitem(sf_dir: str):
+    """Global stats component: count/sum/min/max/mean/stddev (reference:
+    StatsValuesFactory, `solr/core/src/java/org/apache/solr/handler/
+    component/StatsValuesFactory.java`).  All partial+final combinable."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+    ds = read_table(sf_dir, "lineitem", ["l_quantity"])
+    out = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Std("l_quantity", ddof=1, alias_name="std_qty"),
+    )
+    df = pd.DataFrame([out])
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["avg_qty"] = df["avg_qty"].round(6)
+    df["std_qty"] = df["std_qty"].round(6)
+    return df
+
+
+_register(
+    "stats_agg_lineitem",
+    q_stats_agg_lineitem,
+    """
+    SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(stddev_samp(l_quantity), 6) AS std_qty
+    FROM lineitem
+    """,
+)
+
+
+def q_exact_distinct_users_per_type(sf_dir: str):
+    """unique (exact distinct count) per group (reference: UniqueAgg,
+    `solr/core/src/java/org/apache/solr/search/facet/UniqueAgg.java`)."""
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"])
+    return ds.groupby("event_type").map_groups(
+        lambda g: pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [int(g["user_id"].nunique())],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+_register(
+    "exact_distinct_users_per_type",
+    q_exact_distinct_users_per_type,
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def q_percentile_value_per_type(sf_dir: str):
+    """Percentile agg — exact per-group quantile with linear interpolation
+    (reference: PercentileAgg t-digest, `solr/core/src/java/org/apache/solr/
+    search/facet/PercentileAgg.java`; exact at test scale, sketch path is
+    ops/sketches.py)."""
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+    return ds.groupby("event_type").map_groups(
+        lambda g: pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [round(float(np.quantile(g["value"], 0.5)), 6)],
+                "p90": [round(float(np.quantile(g["value"], 0.9)), 6)],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+_register(
+    "percentile_value_per_type",
+    q_percentile_value_per_type,
+    """
+    SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.4)
+# ---------------------------------------------------------------------------
+
+def q_hash_join_orders_customers(sf_dir: str):
+    """hashJoin() stream via Ray's hash-partitioned Dataset.join (reference:
+    `solr/solrj/.../io/stream/HashJoinStream.java`)."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
+    )
+    df = out.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
+_register(
+    "hash_join_orders_customers",
+    q_hash_join_orders_customers,
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+
+
+def q_join_customer_nation_region(sf_dir: str):
+    """3-way dimension join via broadcast lookups (reference: fetch()
+    enrichment, `solr/solrj/.../io/stream/FetchStream.java`; small side
+    shipped once via ray.put, no shuffle)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    joined = broadcast_join(
+        cust.map_batches(
+            lambda t: t.rename_columns(["c_custkey", "n_nationkey", "c_acctbal"]),
+            batch_format="pyarrow",
+        ),
+        dim,
+        on="n_nationkey",
+    )
+    out = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal")
+    )
+    df = out.to_pandas()
+    df["sum_acctbal"] = df["sum_acctbal"].round(2)
+    return df
+
+
+_register(
+    "join_customer_nation_region",
+    q_join_customer_nation_region,
+    """
+    SELECT r_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+
+
+def q_semi_join_customers_with_orders(sf_dir: str):
+    """intersect() stream = semi join by key (reference:
+    `solr/solrj/.../io/stream/IntersectStream.java`); broadcast key set +
+    filter inside map_batches."""
+    cust = read_table(sf_dir, "customer", ["c_custkey"])
+    keys = read_table(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    return broadcast_semi_filter(cust, keys, "c_custkey")
+
+
+_register(
+    "semi_join_customers_with_orders",
+    q_semi_join_customers_with_orders,
+    "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+
+
+def q_anti_join_customers_without_orders(sf_dir: str):
+    """complement() stream = anti join (reference:
+    `solr/solrj/.../io/stream/ComplementStream.java`).  Restricted to
+    big-ticket orders so the complement is non-empty at test scales."""
+    cust = read_table(sf_dir, "customer", ["c_custkey"])
+    big = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    keys = big.unique("o_custkey")
+    return broadcast_semi_filter(cust, keys, "c_custkey", anti=True)
+
+
+_register(
+    "anti_join_customers_without_orders",
+    q_anti_join_customers_without_orders,
+    """
+    SELECT c_custkey FROM customer WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / paging / sampling / export (§2.6)
+# ---------------------------------------------------------------------------
+
+def q_topk_orders_by_totalprice(sf_dir: str):
+    """top()/RankStream + TopFieldCollector: distributed sort + limit
+    (reference: `lucene/core/src/java/org/apache/lucene/search/
+    TopFieldCollector.java`; per-partition top-k then merge is Ray's
+    sort().limit())."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(20)
+
+
+_register(
+    "topk_orders_by_totalprice",
+    q_topk_orders_by_totalprice,
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+
+
+def q_cursor_paging_orders(sf_dir: str):
+    """Deep paging with cursorMark: keyset pagination on (sort values, id)
+    (reference: `solr/core/src/java/org/apache/solr/search/CursorMark.java`).
+    Page 2 of 20 after the page-1 anchor row."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    page1 = ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(20).to_pandas()
+    ap, ak = float(page1["o_totalprice"].iloc[-1]), int(page1["o_orderkey"].iloc[-1])
+
+    def after_cursor(t: pa.Table) -> pa.Table:
+        price, key = t["o_totalprice"], t["o_orderkey"]
+        keep = pc.or_(
+            pc.less(price, pa.scalar(ap)),
+            pc.and_(pc.equal(price, pa.scalar(ap)), pc.greater(key, pa.scalar(ak))),
+        )
+        return t.filter(keep)
+
+    return (
+        ds.map_batches(after_cursor, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+_register(
+    "cursor_paging_orders",
+    q_cursor_paging_orders,
+    """
+    WITH anchor AS (
+      SELECT o_totalprice AS ap, o_orderkey AS ak FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1 OFFSET 19
+    )
+    SELECT o_orderkey, o_totalprice FROM orders, anchor
+    WHERE o_totalprice < ap OR (o_totalprice = ap AND o_orderkey > ak)
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+
+
+def q_export_sorted_events(sf_dir: str):
+    """Export handler: full sorted export (reference: `solr/core/src/java/
+    org/apache/solr/handler/export/ExportWriter.java`).  Bounded here to the
+    first 1000 rows; the real op is sort + write_parquet/iter_batches."""
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return ds.sort(["ts", "event_id"]).limit(1000)
+
+
+_register(
+    "export_sorted_events",
+    q_export_sorted_events,
+    """
+    SELECT event_id, ts, event_type FROM events
+    ORDER BY ts, event_id LIMIT 1000
+    """,
+)
+
+
+def q_systematic_sample_events(sf_dir: str):
+    """Deterministic pseudo-random sampling (reference: RandomSortField
+    hash-based stable ordering, `solr/core/src/java/org/apache/solr/schema/
+    RandomSortField.java`) — stable modulo filter so the oracle agrees."""
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["event_id"], pa.scalar(63)), pa.scalar(0))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_register(
+    "systematic_sample_events",
+    q_systematic_sample_events,
+    "SELECT event_id, value FROM events WHERE event_id % 64 = 0",
+)
+
+
+# ---------------------------------------------------------------------------
+# Set ops & dedup-adjacent (§2.7)
+# ---------------------------------------------------------------------------
+
+def q_unique_event_types(sf_dir: str):
+    """unique() stream: exact distinct (reference:
+    `solr/solrj/.../io/stream/UniqueStream.java`)."""
+    ds = read_table(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+_register(
+    "unique_event_types",
+    q_unique_event_types,
+    "SELECT DISTINCT event_type FROM events",
+)
+
+
+def q_union_merge_orders(sf_dir: str):
+    """merge() stream: union of two substreams, duplicates kept (reference:
+    `solr/solrj/.../io/stream/MergeStream.java`)."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    high = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(250000.0))).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    urgent = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    return high.union(urgent)
+
+
+_register(
+    "union_merge_orders",
+    q_union_merge_orders,
+    """
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 250000.0
+    UNION ALL
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+
+
+def q_collapse_best_event_per_user(sf_dir: str):
+    """Field collapsing: keep the best doc per group key (reference:
+    CollapsingQParserPlugin, `solr/core/src/java/org/apache/solr/search/
+    CollapsingQParserPlugin.java`).  argmax by (value desc, event_id asc)."""
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        return g.head(1)
+
+    return ds.groupby("user_id").map_groups(best, batch_format="pandas")
+
+
+_register(
+    "collapse_best_event_per_user",
+    q_collapse_best_event_per_user,
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+
+
+def q_grouping_top2_events_per_type(sf_dir: str):
+    """Grouping component: top-k docs within each group (reference:
+    `solr/core/src/java/org/apache/solr/search/Grouping.java`)."""
+    ds = read_table(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"], ascending=[False, True]).head(2)
+
+    return ds.groupby("event_type").map_groups(top2, batch_format="pandas")
+
+
+_register(
+    "grouping_top2_events_per_type",
+    q_grouping_top2_events_per_type,
+    """
+    SELECT event_type, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Filters, function queries, date math (§2.2, §2.8)
+# ---------------------------------------------------------------------------
+
+def q_filter_term_range(sf_dir: str):
+    """fq-style term + range filters pushed into the scan (reference:
+    TermQuery/PointRangeQuery as filters, `lucene/core/src/java/org/apache/
+    lucene/search/PointRangeQuery.java`)."""
+    from ray.data.aggregate import Count, Sum
+
+    flt = (pc.field("l_returnflag") == "R") & (
+        pc.field("l_shipdate") >= pa.scalar(np.datetime64("1995-01-01", "us"))
+    ) & (pc.field("l_shipdate") < pa.scalar(np.datetime64("1997-01-01", "us")))
+    import ray.data as rd
+    import os
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity"],
+        filter=flt,
+    )
+    out = ds.aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    df = pd.DataFrame([out])
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df
+
+
+_register(
+    "filter_term_range",
+    q_filter_term_range,
+    """
+    SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+)
+
+
+def q_function_query_boost(sf_dir: str):
+    """Function queries: computed scoring expression + top-k (reference:
+    ValueSource tree, `lucene/queries/src/java/org/apache/lucene/queries/
+    function/valuesource/*.java`; log/product/linear combos)."""
+    ds = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        s = pc.multiply(
+            pc.ln(pc.add(t["l_extendedprice"], pa.scalar(1.0))),
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "score": pc.round(s, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "l_orderkey", "l_linenumber"], descending=[True, False, False])
+        .limit(15)
+    )
+
+
+_register(
+    "function_query_boost",
+    q_function_query_boost,
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(ln(l_extendedprice + 1.0) * (1.0 - l_discount), 6) AS score
+    FROM lineitem
+    ORDER BY score DESC, l_orderkey ASC, l_linenumber ASC LIMIT 15
+    """,
+)
+
+
+def q_datemath_recent_events(sf_dir: str):
+    """Date-math window filter: NOW/DAY-7DAYS analog anchored to max(ts)
+    (reference: `solr/core/src/java/org/apache/solr/util/DateMathParser.java`
+    + DocExpirationURP TTL semantics)."""
+    from ray.data.aggregate import Count, Max
+
+    ds = read_table(sf_dir, "events", ["ts", "event_type"])
+    anchor = ds.aggregate(Max("ts"))["max(ts)"]
+    anchor = pd.Timestamp(anchor).floor("D") - pd.Timedelta(days=7)
+
+    def recent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["ts"], pa.scalar(anchor.to_datetime64())))
+
+    return (
+        ds.map_batches(recent, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+_register(
+    "datemath_recent_events",
+    q_datemath_recent_events,
+    """
+    SELECT event_type, count(*) AS n FROM events
+    WHERE ts >= (SELECT date_trunc('day', max(ts)) - INTERVAL 7 DAY FROM events)
+    GROUP BY event_type
+    """,
+)

@@ -1,0 +1,64 @@
+"""Shared helpers for the operator suite."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Pruned parquet read (columns pushed down to the scan)."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
+    """Broadcast hash join: the small side is put in the object store ONCE
+    and merged per batch — no shuffle (SURVEY.md §2.4 hashJoin/fetch()
+    mapping; the reference builds the small side in memory the same way,
+    `solr/solrj/.../io/stream/HashJoinStream.java`)."""
+    import ray
+
+    ref = ray.put(small_df)
+
+    class _Join:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(_Join, batch_format="pandas", concurrency=(1, 4))
+
+
+def broadcast_semi_filter(ds, keys, col: str, anti: bool = False):
+    """Semi / anti join via a broadcast key set
+    (`io/stream/{IntersectStream,ComplementStream}.java` mapping)."""
+    import numpy as np
+    import ray
+
+    ref = ray.put(np.asarray(sorted(set(keys))))
+
+    def f(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ks = ray.get(ref)
+        vals = batch[col].to_numpy()
+        pos = np.searchsorted(ks, vals)
+        pos = np.clip(pos, 0, len(ks) - 1)
+        hit = ks[pos] == vals
+        if anti:
+            hit = ~hit
+        return batch.filter(pa.array(hit))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def to_pandas_sorted(ds, by: list[str]) -> pd.DataFrame:
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    return df.sort_values(by).reset_index(drop=True)

@@ -321,7 +321,8 @@ class IndexSearcher:
         ]
 
     def search_table(self, queries: pa.Table, algo: str | None = None) -> pa.Table:
-        """Run a QUERY_SCHEMA table, return a TOPK_SCHEMA table."""
+        """Run a QUERY_SCHEMA table, return a TOPK_SCHEMA-shaped table whose
+        id columns are the index's configured id_cols."""
         rows = []
         for qid, qtype, text, k in zip(
             queries["query_id"].to_pylist(),
@@ -332,18 +333,22 @@ class IndexSearcher:
             mode = "and" if qtype == "and" else "or"
             for r in self.search(text, k=k, mode=mode, algo=algo):
                 rows.append((qid, *r))
-        qid_c, rank_c, conv_c, turn_c, score_c = (
-            zip(*rows) if rows else ([], [], [], [], [])
-        )
-        return pa.table(
-            {
-                "query_id": pa.array(qid_c, pa.string()),
-                "rank": pa.array(rank_c, pa.int32()),
-                "conv_id": pa.array(conv_c, pa.string()),
-                "turn_idx": pa.array(turn_c, pa.int32()),
-                "score": pa.array(score_c, pa.float64()),
-            }
-        )
+        n_id = len(self.id_cols)
+        cols = list(zip(*rows)) if rows else [[] for _ in range(3 + n_id)]
+        id_types = {c: None for c in self.id_cols}
+        if not rows and self.readers:
+            sch = pq.read_schema(
+                os.path.join(self.readers[0].sdir, "docs.parquet")
+            )
+            id_types = {c: sch.field(c).type for c in self.id_cols}
+        out = {
+            "query_id": pa.array(cols[0], pa.string()),
+            "rank": pa.array(cols[1], pa.int32()),
+        }
+        for i, c in enumerate(self.id_cols):
+            out[c] = pa.array(cols[2 + i], id_types[c])
+        out["score"] = pa.array(cols[2 + n_id], pa.float64())
+        return pa.table(out)
 
 
 class QuerySearcher:
