@@ -1,0 +1,367 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — the large-scale training-data-pipeline ops (prompt
+requirement; reference anchors: SignatureUpdateProcessorFactory exact-dup +
+TextProfileSignature fuzzy-dup, SURVEY.md §2.7).
+
+Scale shapes:
+  * exact        — content-hash column -> groupby(hash) -> first per group.
+  * ngram-jaccard— shingle explode -> groupby(shingle) bucket -> candidate
+                   pairs -> exact-verify.  Full recall for tau > 0 (any
+                   overlapping pair shares >= 1 shingle), so the DuckDB
+                   brute-force oracle matches exactly.  At 10^12 scale the
+                   shingle buckets are hot-key-capped and MinHash takes over.
+  * minhash-lsh  — 128 perms x (16 bands x 8 rows) -> band-bucket groupby ->
+                   candidates -> exact-verify (probabilistic recall -> no SQL
+                   oracle; recall asserted vs the exact op in pytest).
+  * simhash      — 64-bit simhash, 4x16-bit band blocking (EXACT for
+                   hamming <= 3 by pigeonhole) -> verify hamming.
+  * embedding    — cosine over normalized vectors, blocked matmul.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rindex.ops.util import read_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+_TOKEN_RE = re.compile(r"[0-9a-z]+")
+NGRAM = 3
+JACCARD_TAU = 0.5
+COSINE_TAU = 0.45
+
+
+def _tokens(text: str) -> list[str]:
+    return _TOKEN_RE.findall((text or "").lower())
+
+
+def _stable_hash64(data: bytes) -> int:
+    """Process-stable 63-bit hash (python's hash() is seed-randomized across
+    Ray workers and would break bucket joins)."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "little") >> 1
+
+
+def _shingles(text: str) -> np.ndarray:
+    toks = _tokens(text)
+    out = {
+        _stable_hash64(" ".join(toks[i : i + NGRAM]).encode())
+        for i in range(len(toks) - NGRAM + 1)
+    }
+    return np.fromiter(out, dtype=np.int64, count=len(out))
+
+
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_documents(sf_dir: str):
+    """Exact dedup: md5(text) -> keep min doc_id per hash."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(h)})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())]})
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+QUERIES["dedup_exact_documents"] = q_dedup_exact_documents
+ORACLE["dedup_exact_documents"] = (
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+)
+
+
+# ---------------------------------------------------------------------------
+
+def _shingle_table(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, sh = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = _shingles(text)
+            ids.extend([did] * len(s))
+            sh.extend(s.tolist())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "shingle": pa.array(sh, pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _verify_pairs(pairs_df: pd.DataFrame, shingle_sets: dict, tau: float):
+    rows = []
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        sa, sb = shingle_sets[int(a)], shingle_sets[int(b)]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac = inter / union if union else 0.0
+        if jac >= tau:
+            rows.append((int(a), int(b), round(jac, 6)))
+    return rows
+
+
+def _pairs_from_buckets(bucketed, key: str):
+    """groupby(bucket) -> all intra-bucket candidate pairs (a < b)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    return bucketed.groupby(key).map_groups(pairs, batch_format="pandas")
+
+
+def _collect_shingle_sets(sf_dir: str) -> dict:
+    sets: dict[int, np.ndarray] = {}
+    for batch in _shingle_table(sf_dir).iter_batches(
+        batch_size=65536, batch_format="pandas"
+    ):
+        for did, g in batch.groupby("doc_id"):
+            arr = np.sort(g["shingle"].to_numpy())
+            if did in sets:
+                arr = np.union1d(sets[did], arr)
+            sets[int(did)] = arr
+    return sets
+
+
+def q_ngram_jaccard_neardup(sf_dir: str):
+    """Near-dup pairs with 3-gram Jaccard >= 0.5: shingle-bucket candidate
+    generation (full recall) + exact verification."""
+    cand = _pairs_from_buckets(_shingle_table(sf_dir), "shingle").to_pandas()
+    cand = cand.drop_duplicates()
+    sets = _collect_shingle_sets(sf_dir)
+    rows = _verify_pairs(cand, sets, JACCARD_TAU)
+    rows.sort()
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+        {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
+    )
+
+
+QUERIES["ngram_jaccard_neardup"] = q_ngram_jaccard_neardup
+ORACLE["ngram_jaccard_neardup"] = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+{NGRAM - 1}], ' ')
+                            FOR i IN range(1, len(toks) - {NGRAM - 2})]) AS shingles
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[0-9a-z]+') AS toks
+            FROM documents)
+      WHERE len(toks) >= {NGRAM}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+
+N_PERM = 128
+N_BANDS = 16  # 16 bands x 8 rows
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _minhash_params():
+    rng = np.random.Generator(np.random.PCG64(1234))
+    a = rng.integers(1, _MERSENNE31, size=N_PERM, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE31, size=N_PERM, dtype=np.int64)
+    return a, b
+
+
+def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Min over shingles of (a*x+b) mod p per permutation — universal-hash
+    family over the Mersenne-31 prime; int64-safe (a,x < 2^31 -> a*x < 2^62)
+    and fully vectorized."""
+    x = (shingles % _MERSENNE31)[:, None]
+    h = (a[None, :] * x + b[None, :]) % _MERSENNE31
+    return np.min(h, axis=0).astype(np.int64)
+
+
+def q_minhash_lsh_neardup(sf_dir: str):
+    """MinHash+LSH near-dup: shingle -> 128 minhashes -> 16 band buckets ->
+    groupby(band, band_hash) -> candidate pairs -> exact Jaccard verify.
+    Probabilistic recall (no SQL oracle); precision is exact because
+    candidates are re-verified.  pytest asserts high recall vs the exact
+    n-gram op on the planted near-dups."""
+    a, b = _minhash_params()
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    rows_per_band = N_PERM // N_BANDS
+
+    def sigs(t: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = _shingles(text)
+            if len(s) == 0:
+                continue
+            mh = _minhash(s, a, b).reshape(N_BANDS, rows_per_band)
+            for bi in range(N_BANDS):
+                ids.append(did)
+                band_ids.append(bi)
+                band_hashes.append(_stable_hash64(mh[bi].tobytes()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(band_ids, pa.int32()),
+                "bh": pa.array(band_hashes, pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(sigs, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = (
+        bucketed.groupby(["band", "bh"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    sets = _collect_shingle_sets(sf_dir)
+    rows = _verify_pairs(cand, sets, JACCARD_TAU)
+    rows.sort()
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+        {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
+    )
+
+
+QUERIES["minhash_lsh_neardup"] = q_minhash_lsh_neardup
+
+
+# ---------------------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    from collections import Counter
+
+    c = Counter(_tokens(text))
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w, f in c.items():
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+        )
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, f, -f)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup: 64-bit simhash, pairs with hamming <= 3 found via
+    4x16-bit band blocking (exact by pigeonhole: <=3 differing bits leave
+    >=1 band identical)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def sigs(t: pa.Table) -> pa.Table:
+        ids, bands, keys, hashes = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            h = _simhash64(text)
+            for bi in range(4):
+                ids.append(did)
+                bands.append(bi)
+                keys.append((h >> (16 * bi)) & 0xFFFF)
+                hashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "key": pa.array(keys, pa.int32()),
+                "sh": pa.array(np.array(hashes, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+    bucketed = ds.map_batches(sigs, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["sh"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [bin(int(hs[x]) ^ int(hs[y])).count("1") for x, y in zip(ia, ib)]
+        )
+        m = ham <= 3
+        return pd.DataFrame(
+            {"doc_a": ids[ia[m]], "doc_b": ids[ib[m]], "hamming": ham[m]}
+        )
+
+    out = (
+        bucketed.groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
+
+
+QUERIES["simhash_neardup"] = q_simhash_neardup
+
+
+# ---------------------------------------------------------------------------
+
+def q_embedding_cosine_neardup(sf_dir: str):
+    """Embedding near-dup: pairs with cosine >= 0.45 over L2-normalized
+    vectors.  Blocked matmul per batch against the (broadcast) full matrix —
+    at 10^12 scale the matrix is replaced by LSH buckets (ops/ann.py)."""
+    import ray
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    full = emb.to_pandas()
+    ids_all = full["vec_id"].to_numpy()
+    M = np.array(full["embedding"].tolist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids_all, M))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_all_, M_ = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        V = np.array(batch["embedding"].tolist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ M_.T
+        out_a, out_b, out_c = [], [], []
+        for r in range(len(ids)):
+            m = (S[r] >= COSINE_TAU) & (ids_all_ > ids[r])
+            for j in np.nonzero(m)[0]:
+                out_a.append(int(ids[r]))
+                out_b.append(int(ids_all_[j]))
+                out_c.append(round(float(S[r, j]), 6))
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+
+    return emb.map_batches(f, batch_format="pandas", batch_size=512)
+
+
+QUERIES["embedding_cosine_neardup"] = q_embedding_cosine_neardup
+ORACLE["embedding_cosine_neardup"] = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_TAU}
+"""

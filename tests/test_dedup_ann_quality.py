@@ -1,0 +1,90 @@
+"""Quality checks for the probabilistic ops (no SQL oracle): MinHash-LSH
+recall vs the exact n-gram op, SRP-LSH ANN recall vs brute force, simhash
+pair sanity, multimodal stage schema."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_recall_vs_exact(ray_session):
+    from rindex.ops.dedup import q_minhash_lsh_neardup, q_ngram_jaccard_neardup
+
+    exact = q_ngram_jaccard_neardup(SF)
+    lsh = q_minhash_lsh_neardup(SF)
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    # precision is exact by construction (verified candidates)
+    assert lsh_pairs <= exact_pairs
+    # high-similarity pairs (the planted dups) must be recalled
+    hi = set(
+        zip(
+            exact.loc[exact["jaccard"] >= 0.8, "doc_a"],
+            exact.loc[exact["jaccard"] >= 0.8, "doc_b"],
+        )
+    )
+    assert hi, "fixture should contain planted near-dups"
+    recall_hi = len(lsh_pairs & hi) / len(hi)
+    assert recall_hi >= 0.9, f"recall@j>=0.8 = {recall_hi}"
+
+
+def test_srp_lsh_ann_recall(ray_session):
+    from rindex.ops.ann import TOP_K, q_ann_cosine_topk, q_ann_srp_lsh_topk
+
+    exact = q_ann_cosine_topk(SF)
+    approx = q_ann_srp_lsh_topk(SF)
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        want = set(g["neighbor_id"])
+        got = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        recalls.append(len(want & got) / TOP_K)
+    assert np.mean(recalls) >= 0.3, f"mean recall {np.mean(recalls)}"
+
+
+def test_simhash_pairs_are_neardups(ray_session):
+    from rindex.ops.dedup import q_ngram_jaccard_neardup, q_simhash_neardup
+
+    sim = q_simhash_neardup(SF)
+    exact = q_ngram_jaccard_neardup(SF)
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    if len(sim):
+        hits = sum(
+            (a, b) in exact_pairs for a, b in zip(sim["doc_a"], sim["doc_b"])
+        )
+        assert hits / len(sim) >= 0.8  # simhash<=3 pairs are true near-dups
+
+
+def test_multimodal_stage(ray_session):
+    from rindex.ops.multimodal import FakeDecoder, q_multimodal_decode_features
+
+    df = q_multimodal_decode_features(SF).to_pandas()
+    assert list(df.columns) == ["doc_id", "mime", "n_bytes", "width", "height", "aspect"]
+    assert (df["n_bytes"] == 1024).all()
+    assert df["width"].between(16, 255).all()
+    # strict mode raises (the real decoder is intentionally stubbed)
+    strict = FakeDecoder(strict=True)
+    with pytest.raises(NotImplementedError):
+        strict.decode_one(b"xx")
+
+
+def test_textprofile_signature_golden(ray_session):
+    from rindex.ops.textstats import q_textprofile_signature_documents
+
+    df = q_textprofile_signature_documents(SF).to_pandas()
+    assert df["signature"].str.len().eq(32).all()
+    # deterministic across runs
+    df2 = q_textprofile_signature_documents(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        df2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_langid_runs(ray_session):
+    from rindex.ops.textstats import q_langid_documents
+
+    df = q_langid_documents(SF).to_pandas()
+    assert set(df["pred_lang"]) <= {"en", "de", "fr", "es", "und"}
+    assert len(df) == 500
