@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Benchmark driver (the graft driver runs this per round -> BENCH_r{N}.json).
+
+Headline pipeline = the north-star job: build the inverted index over a
+deterministic synthetic transcript corpus sized to the scale factor
+(fixtures.make_transcripts, seed=42 -> same corpus every run), then serve
+the 60-query reference set with block-max WAND and report indexing
+throughput (turns/sec) and query latency p50.  Additional representative
+pipelines from the operator suite run over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+--scaling runs the headline job twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (sandbox has one physical core, so the
+ratio evidences the two-cluster-size criterion as instructed by the
+driver; on a real cluster this is ray job submit at N and 4N nodes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCRATCH = "/tmp/rindex_bench"
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_dir(sf: float) -> str:
+    """Deterministic synthetic transcripts sized to sf (cached in /tmp).
+    sf=0.1 -> 80k conversations (~360k turns), matching fixtures 'bench'."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rindex.fixtures import make_transcripts
+
+    n_convs = max(200, int(800_000 * sf))
+    out = os.path.join(SCRATCH, f"corpus_sf{sf}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = make_transcripts(n_convs, 8)
+    n_files = 32
+    per = (t.num_rows + n_files - 1) // n_files
+    for f in range(n_files):
+        chunk = t.slice(f * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(out, f"part-{f:04d}.parquet"))
+    with open(done, "w") as fh:
+        fh.write(f"{n_convs} convs {t.num_rows} turns\n")
+    return out
+
+
+def run_headline(sf: float, num_cpus: int) -> dict:
+    """Build index over the transcript corpus + serve the query set.
+    Assumes Ray is already initialised by the caller."""
+    import pyarrow.parquet as pq
+
+    from rindex.build import build_index
+    from rindex.fixtures import make_queries
+    from rindex.search import IndexSearcher
+
+    corpus = corpus_dir(sf)
+    n_turns = sum(
+        pq.read_metadata(os.path.join(corpus, f)).num_rows
+        for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )
+    index_dir = os.path.join(SCRATCH, f"index_sf{sf}_cpus{num_cpus}")
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)  # fresh build, no resume
+
+    t0 = time.perf_counter()
+    build_index(corpus, index_dir, mode="term_shuffle")
+    build_s = time.perf_counter() - t0
+
+    searcher = IndexSearcher(index_dir, algo="wand")
+    queries = make_queries()
+    lat = []
+    t0 = time.perf_counter()
+    for qtype, text, k in zip(
+        queries["qtype"].to_pylist(),
+        queries["text"].to_pylist(),
+        queries["k"].to_pylist(),
+    ):
+        q0 = time.perf_counter()
+        searcher.search(text, k=int(k), mode="and" if qtype == "and" else "or")
+        lat.append(time.perf_counter() - q0)
+    query_s = time.perf_counter() - t0
+    lat.sort()
+    return {
+        "n_turns": n_turns,
+        "build_sec": round(build_s, 3),
+        "turns_per_sec": round(n_turns / build_s, 1),
+        "query_total_sec": round(query_s, 3),
+        "query_p50_ms": round(1000 * lat[len(lat) // 2], 2),
+        "query_p99_ms": round(1000 * lat[int(len(lat) * 0.99)], 2),
+        "qps": round(len(lat) / query_s, 1),
+    }
+
+
+OPS_BENCH = [
+    "bm25_topk_documents",
+    "rollup_pricing_summary",
+    "hash_join_orders_customers",
+    "terms_facet_events",
+    "minhash_lsh_neardup",
+    "dedup_exact_documents",
+    "ann_cosine_topk",
+    "token_count_documents",
+]
+
+
+def run_ops(sf_dir: str) -> dict:
+    import __ray_entry__ as E
+
+    q = E.queries()
+    out = {}
+    for name in OPS_BENCH:
+        if name not in q:
+            continue
+        t0 = time.perf_counter()
+        res = q[name](sf_dir)
+        # force execution for lazy Datasets
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+    if not args.headline_only and not os.path.isdir(SF_DIR):
+        sys.exit(f"GRAFT_SF_DIR does not exist: {SF_DIR}")
+    sf = _sf_of(SF_DIR)
+
+    if args.scaling:
+        # fresh process per parallelism level; same cached input corpus
+        corpus_dir(sf)  # pre-generate so neither run pays generation cost
+        results = {}
+        for n in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            results[n] = json.loads(p.stdout.strip().splitlines()[-1])
+        tp8 = results[8]["turns_per_sec"]
+        tp32 = results[32]["turns_per_sec"]
+        eff = (tp32 / tp8) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32_cpus",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sf": sf,
+                    "turns_per_sec_8cpu": tp8,
+                    "turns_per_sec_32cpu": tp32,
+                    "build_sec_8cpu": results[8]["build_sec"],
+                    "build_sec_32cpu": results[32]["build_sec"],
+                    "note": "single-node sandbox: logical-CPU throughput "
+                    "ratio stands in for N vs 4N node clusters",
+                }
+            )
+        )
+        return
+
+    ray = _init_ray(NUM_CPUS)
+    headline = run_headline(sf, NUM_CPUS)
+    queries = {"index_build": headline["build_sec"], "query_set_60": headline["query_total_sec"]}
+    if not args.headline_only:
+        queries.update(run_ops(SF_DIR))
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "rindex_headline_build_plus_ops_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        **{k: v for k, v in headline.items() if k not in ("build_sec", "query_total_sec")},
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

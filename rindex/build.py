@@ -135,23 +135,33 @@ def _make_tokenize_local(analyzer_name: str):
     task — not an actor pool — is the right shape: an actor pool here would
     reserve CPUs away from the shuffle stages (classic starvation)."""
 
-    def tokenize_local(batch: pa.Table) -> pa.Table:
+    return _make_tokenize_partials(analyzer_name, salt_range=None)
+
+
+def _make_tokenize_partials(analyzer_name: str, salt_range: int | None):
+    """Shared combiner: per batch, analyze text and emit one packed partial
+    posting row per (seg, term[, doc-range salt]).  With salt_range set
+    (term-shuffle mode), a hot term's partials split at doc-range boundaries
+    so downstream shuffle rows stay bounded."""
+
+    def tokenize_partials(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         analyzer = get_analyzer(analyzer_name)
         segs = batch["seg"].to_numpy()
         docs = batch["doc"].to_numpy()
         texts = pc.utf8_lower(batch["text"]).to_pylist()
-        # accumulate per (seg, term): lists of (doc, tf)
-        acc: dict[tuple[int, str], list] = {}
+        # accumulate per (seg, term, salt): lists of (doc, tf)
+        acc: dict[tuple[int, str, int], list] = {}
         dls = np.zeros(len(texts), dtype=np.int64)
         for i, text in enumerate(texts):
             tf = analyzer.term_freqs(text or "")
             dls[i] = sum(tf.values())
             s = int(segs[i])
             d = int(docs[i])
+            salt = -1 if salt_range is None else d // salt_range
             for term, f in tf.items():
-                acc.setdefault((s, term), []).append((d, f))
+                acc.setdefault((s, term, salt), []).append((d, f))
         norms_all = encode_norms(dls)
         # key by (seg, doc): docIDs are segment-local ordinals, so a batch
         # spanning segments can contain the same ordinal twice
@@ -161,14 +171,14 @@ def _make_tokenize_local(analyzer_name: str):
         }
         return _pack_acc(acc, doc_to_norm)
 
-    return tokenize_local
+    return tokenize_partials
 
 
 def _pack_acc(acc: dict, doc_to_norm: dict) -> pa.Table:
     seg_col, term_col, salt_col, first_col = [], [], [], []
     df_col, ttf_col = [], []
     docs_col, tfs_col, norms_col = [], [], []
-    for (s, term), pairs in acc.items():
+    for (s, term, salt), pairs in acc.items():
         pairs.sort()
         d = np.fromiter((p[0] for p in pairs), dtype=np.int32, count=len(pairs))
         t = np.fromiter((p[1] for p in pairs), dtype=np.int32, count=len(pairs))
@@ -177,7 +187,7 @@ def _pack_acc(acc: dict, doc_to_norm: dict) -> pa.Table:
         )
         seg_col.append(s)
         term_col.append(term)
-        salt_col.append(-1)
+        salt_col.append(salt)
         first_col.append(int(d[0]))
         df_col.append(len(d))
         ttf_col.append(int(t.sum()))
@@ -199,68 +209,121 @@ def _pack_acc(acc: dict, doc_to_norm: dict) -> pa.Table:
     )
 
 
-def _make_tokenize_tokens(analyzer_name: str, salt_range: int):
-    """Stage 3, term-shuffle mode (stateless task): emit one row per
-    (doc, term) with tf and the doc-range salt — the explicit groupby(term)
-    shuffle input."""
+def _add_bucket(num_buckets: int):
+    """Term-shuffle mode: the explicit groupby(term) shuffle key is
+    (seg, bucket) with bucket = crc32(term) % num_buckets — a COARSE term
+    partition, so one reduce group holds ~1/num_buckets of a segment's
+    postings and the per-group merge is one vectorized kernel call instead
+    of per-term Python (the map_groups-per-term shape costs ~1 ms/group in
+    scheduler+slicing overhead, which at Zipf vocab sizes dominates the
+    whole build)."""
 
-    def tokenize_tokens(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        analyzer = get_analyzer(analyzer_name)
-        segs = batch["seg"].to_numpy()
-        docs = batch["doc"].to_numpy()
-        texts = pc.utf8_lower(batch["text"]).to_pylist()
-        out_seg, out_term, out_doc, out_tf, out_norm = [], [], [], [], []
-        for i, text in enumerate(texts):
-            tf = analyzer.term_freqs(text or "")
-            dl = sum(tf.values())
-            norm = int(encode_norms(np.array([dl]))[0])
-            s = int(segs[i])
-            d = int(docs[i])
-            for term, f in tf.items():
-                out_seg.append(s)
-                out_term.append(term)
-                out_doc.append(d)
-                out_tf.append(f)
-                out_norm.append(norm)
-        salt = (np.asarray(out_doc, dtype=np.int64) // salt_range).astype(
-            np.int32
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (zlib.crc32(t.encode()) % num_buckets for t in batch["term"].to_pylist()),
+            dtype=np.int32,
+            count=len(batch),
         )
-        return pa.table(
-            {
-                "seg": pa.array(out_seg, pa.int32()),
-                "term": pa.array(out_term, pa.string()),
-                "salt": pa.array(salt, pa.int32()),
-                "doc": pa.array(out_doc, pa.int32()),
-                "tf": pa.array(out_tf, pa.int32()),
-                "norm": pa.array(out_norm, pa.uint8()),
-            }
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    return add_bucket
+
+
+def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+    """Per (seg, bucket) reduce: vectorized merge+encode of all partials of
+    the bucket's terms -> final encoded posting rows (term-sorted within)."""
+    seg_id = int(group["seg"].iloc[0])
+    table, _stats = merge_partials_to_postings(group, with_partial_counts=True)
+    return table.append_column(
+        "seg", pa.array(np.full(table.num_rows, seg_id, dtype=np.int32))
+    )
+
+
+def merge_partials_to_postings(
+    group: pd.DataFrame, with_partial_counts: bool = False
+) -> tuple[pa.Table, dict]:
+    """Vectorized merge of packed partial postings into the final term-sorted
+    postings table.  No per-term Python: one lexsort over all postings + one
+    `encode_postings_batch` pass (the whole-segment codec kernel), with the
+    output table assembled zero-copy from offset buffers."""
+    from rindex.codec import encode_postings_batch
+
+    if len(group) == 0:
+        from rindex.schema import POSTINGS_SCHEMA
+
+        return POSTINGS_SCHEMA.empty_table(), {
+            "sum_ttf": 0, "max_partials_per_term": 0, "n_multi_partial_terms": 0,
+        }
+    term_vals = group["term"].to_numpy()
+    terms, codes = np.unique(term_vals, return_inverse=True)
+    part_dfs = group["df"].to_numpy().astype(np.int64)
+    first_docs = group["first_doc"].to_numpy()
+    # order partials by (term, first_doc) so same-term runs concatenate in
+    # ascending doc-range order (the doc-range-salt guarantee)
+    order = np.lexsort((first_docs, codes))
+    codes_o = codes[order]
+    dfs_o = part_dfs[order]
+    docs_bytes = group["docs"].to_numpy()[order]
+    tfs_bytes = group["tfs"].to_numpy()[order]
+    norms_bytes = group["norms"].to_numpy()[order]
+    big_docs = np.frombuffer(b"".join(docs_bytes), dtype=np.int32).astype(np.int64)
+    big_tfs = np.frombuffer(b"".join(tfs_bytes), dtype=np.int32).astype(np.int64)
+    big_norms = np.frombuffer(b"".join(norms_bytes), dtype=np.uint8)
+    term_of = np.repeat(codes_o, dfs_o)
+    # batch boundaries may interleave doc ranges in combiner mode: always
+    # sort (stable; already near-sorted so cost is low)
+    so = np.lexsort((big_docs, term_of))
+    big_docs, big_tfs, big_norms = big_docs[so], big_tfs[so], big_norms[so]
+    n_terms = len(terms)
+    per_term_df = np.bincount(codes_o, weights=dfs_o, minlength=n_terms).astype(
+        np.int64
+    )
+    term_bounds = np.concatenate([[0], np.cumsum(per_term_df)])
+    enc = encode_postings_batch(term_bounds, big_docs, big_tfs, big_norms)
+    nb = enc["block_counts"].astype(np.int32)
+    blk_bounds = np.concatenate([[0], np.cumsum(nb)]).astype(np.int32)
+
+    def list_arr(values: np.ndarray, typ) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            pa.array(blk_bounds, pa.int32()), pa.array(values, typ)
         )
 
-    return tokenize_tokens
-
-
-def _pack_partial_group(group: pa.Table) -> pa.Table:
-    """Per (seg, term, salt) group: sort by doc, pack raw partial arrays."""
-    d = group["doc"].to_numpy()
-    order = np.argsort(d)
-    d = d[order].astype(np.int32)
-    t = group["tf"].to_numpy()[order].astype(np.int32)
-    n = group["norm"].to_numpy()[order].astype(np.uint8)
-    return pa.table(
+    blob_arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n_terms,
+        [
+            None,
+            pa.py_buffer(enc["blob_offsets"].astype(np.int64).tobytes()),
+            pa.py_buffer(enc["blob_data"].tobytes()),
+        ],
+    )
+    if len(enc["blob_data"]) < 2**31 - 1:
+        blob_arr = blob_arr.cast(pa.binary())  # POSTINGS_SCHEMA type; >2GB
+        # segments keep large_binary (parquet stores both as BYTE_ARRAY)
+    table = pa.table(
         {
-            "seg": group["seg"].slice(0, 1),
-            "term": group["term"].slice(0, 1),
-            "salt": group["salt"].slice(0, 1),
-            "first_doc": pa.array([int(d[0])], pa.int32()),
-            "df": pa.array([len(d)], pa.int64()),
-            "ttf": pa.array([int(t.sum())], pa.int64()),
-            "docs": pa.array([d.tobytes()], pa.binary()),
-            "tfs": pa.array([t.tobytes()], pa.binary()),
-            "norms": pa.array([n.tobytes()], pa.binary()),
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(enc["df"], pa.int64()),
+            "ttf": pa.array(enc["ttf"], pa.int64()),
+            "block_first_doc": list_arr(enc["block_first_doc"], pa.int32()),
+            "block_last_doc": list_arr(enc["block_last_doc"], pa.int32()),
+            "block_max_tf": list_arr(enc["block_max_tf"], pa.int32()),
+            "block_min_norm": list_arr(enc["block_min_norm"], pa.uint8()),
+            "block_offset": list_arr(enc["block_offset"], pa.int64()),
+            "blob": blob_arr,
         }
     )
+    partials_per_term = np.bincount(codes_o, minlength=n_terms)
+    if with_partial_counts:
+        table = table.append_column(
+            "term_n_partials", pa.array(partials_per_term, pa.int32())
+        )
+    stats = {
+        "sum_ttf": int(enc["ttf"].sum()),
+        "max_partials_per_term": int(partials_per_term.max()),
+        "n_multi_partial_terms": int((partials_per_term > 1).sum()),
+    }
+    return table, stats
 
 
 class SegmentWriter:
@@ -277,60 +340,15 @@ class SegmentWriter:
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         seg_id = int(group["seg"].iloc[0])
-        sdir = segio.seg_dir(self.index_dir, seg_id)
         n_partials = len(group)
-        # group partials by term; merge runs; encode once
-        rows = []
-        max_partials = 0
-        n_multi = 0
-        sum_dl_from_ttf = 0
-        for term, g in group.groupby("term", sort=True):
-            parts = list(
-                zip(
-                    g["first_doc"].to_numpy(),
-                    g["docs"], g["tfs"], g["norms"],
-                )
-            )
-            max_partials = max(max_partials, len(parts))
-            if len(parts) > 1:
-                n_multi += 1
-                parts.sort(key=lambda p: p[0])
-            docs = np.concatenate(
-                [np.frombuffer(p[1], dtype=np.int32) for p in parts]
-            ).astype(np.int64)
-            tfs = np.concatenate(
-                [np.frombuffer(p[2], dtype=np.int32) for p in parts]
-            ).astype(np.int64)
-            norms = np.concatenate(
-                [np.frombuffer(p[3], dtype=np.uint8) for p in parts]
-            )
-            if len(parts) > 1 and np.any(np.diff(docs) <= 0):
-                order = np.argsort(docs, kind="stable")
-                docs, tfs, norms = docs[order], tfs[order], norms[order]
-            enc = encode_posting(docs, tfs, norms)
-            sum_dl_from_ttf += enc["ttf"]
-            rows.append(
-                (
-                    term, enc["df"], enc["ttf"],
-                    enc["block_first_doc"], enc["block_last_doc"],
-                    enc["block_max_tf"], enc["block_min_norm"],
-                    enc["block_offset"], enc["blob"],
-                )
-            )
-        cols = list(zip(*rows)) if rows else [[] for _ in range(9)]
-        table = pa.table(
-            {
-                "term": pa.array(cols[0], pa.string()),
-                "df": pa.array(cols[1], pa.int64()),
-                "ttf": pa.array(cols[2], pa.int64()),
-                "block_first_doc": pa.array(cols[3], pa.list_(pa.int32())),
-                "block_last_doc": pa.array(cols[4], pa.list_(pa.int32())),
-                "block_max_tf": pa.array(cols[5], pa.list_(pa.int32())),
-                "block_min_norm": pa.array(cols[6], pa.list_(pa.uint8())),
-                "block_offset": pa.array(cols[7], pa.list_(pa.int64())),
-                "blob": pa.array(cols[8], pa.binary()),
-            }
-        )
+        table, stats = merge_partials_to_postings(group)
+        return self._write(seg_id, table, stats, n_partials)
+
+    def _write(
+        self, seg_id: int, table: pa.Table, stats: dict, n_partials: int
+    ) -> pd.DataFrame:
+        sdir = segio.seg_dir(self.index_dir, seg_id)
+        dfs = table["df"].to_numpy() if table.num_rows else np.zeros(0)
         post_path = os.path.join(sdir, "postings.parquet")
         tmp = post_path + f".tmp-{os.getpid()}"
         pq.write_table(table, tmp, row_group_size=TERMS_PER_ROW_GROUP)
@@ -343,14 +361,14 @@ class SegmentWriter:
             "seg_id": seg_id,
             "doc_count": int(doc_count),
             "max_doc": int(doc_count),
-            "sum_dl": int(sum_dl_from_ttf),
-            "n_terms": len(rows),
+            "sum_dl": int(stats["sum_ttf"]),
+            "n_terms": int(table.num_rows),
             "postings_bytes": int(postings_bytes),
-            "total_postings": int(sum(cols[1])) if rows else 0,
-            "max_df": int(max(cols[1])) if rows else 0,
+            "total_postings": int(dfs.sum()),
+            "max_df": int(dfs.max()) if len(dfs) else 0,
             "n_partials": int(n_partials),
-            "max_partials_per_term": int(max_partials),
-            "n_multi_partial_terms": int(n_multi),
+            "max_partials_per_term": int(stats["max_partials_per_term"]),
+            "n_multi_partial_terms": int(stats["n_multi_partial_terms"]),
             "lineage": {
                 "config_hash": self.cfg_hash,
                 "input_fingerprint": self.fingerprint,
@@ -367,6 +385,28 @@ class SegmentWriter:
         return pd.DataFrame([{"seg_id": seg_id}])
 
 
+class EncodedSegmentWriter(SegmentWriter):
+    """Term-shuffle-mode stage 5: the bucket reducers already merged and
+    encoded; this writer just term-sorts the segment's encoded rows and
+    writes the files (pure IO — the encode CPU was distributed across the
+    (seg, bucket) reduce)."""
+
+    def __call__(self, group: pa.Table) -> pd.DataFrame:  # type: ignore[override]
+        seg_id = int(group["seg"][0].as_py())
+        group = group.sort_by("term")
+        pc_counts = group["term_n_partials"].to_numpy()
+        stats = {
+            "sum_ttf": int(
+                np.asarray(group["ttf"].to_numpy(zero_copy_only=False)).sum()
+            ),
+            "max_partials_per_term": int(pc_counts.max()) if len(pc_counts) else 0,
+            "n_multi_partial_terms": int((pc_counts > 1).sum()),
+        }
+        n_partials = int(pc_counts.sum())
+        table = group.drop_columns(["seg", "term_n_partials"])
+        return self._write(seg_id, table, stats, n_partials)
+
+
 def build_index(
     source,
     index_dir: str,
@@ -378,6 +418,7 @@ def build_index(
     text_col: str = "text",
     keep_cols: tuple[str, ...] = ("role", "tool", "ts"),
     salt_range: int = SALT_RANGE,
+    num_buckets: int = 32,
     resume: bool = True,
     input_files: list[str] | None = None,
     tokenize_batch_size: int = 1024,
@@ -438,24 +479,34 @@ def build_index(
                 batch_size=tokenize_batch_size,
                 zero_copy_batch=True,
             )
+            written = partials.groupby("seg").map_groups(
+                SegmentWriter,
+                fn_constructor_args=(index_dir, cfg, fingerprint),
+                batch_format="pandas",
+                concurrency=writer_concurrency,
+            )
         elif mode == "term_shuffle":
-            tokens = ds.map_batches(
-                _make_tokenize_tokens(analyzer_name, salt_range),
+            partials = ds.map_batches(
+                _make_tokenize_partials(analyzer_name, salt_range),
                 batch_format="pyarrow",
                 batch_size=tokenize_batch_size,
                 zero_copy_batch=True,
+            ).map_batches(
+                _add_bucket(num_buckets),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             )
-            partials = tokens.groupby(["seg", "term", "salt"]).map_groups(
-                _pack_partial_group, batch_format="pyarrow"
+            merged = partials.groupby(["seg", "bucket"]).map_groups(
+                _merge_bucket, batch_format="pandas"
+            )
+            written = merged.groupby("seg").map_groups(
+                EncodedSegmentWriter,
+                fn_constructor_args=(index_dir, cfg, fingerprint),
+                batch_format="pyarrow",
+                concurrency=writer_concurrency,
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")
-        written = partials.groupby("seg").map_groups(
-            SegmentWriter,
-            fn_constructor_args=(index_dir, cfg, fingerprint),
-            batch_format="pandas",
-            concurrency=writer_concurrency,
-        )
         written.materialize()  # execute the pipeline (manifest rows are tiny)
 
     metas = []

@@ -68,24 +68,49 @@ def parse_query(text: str, qtype: str = "or", k: int = 10, analyzer_name: str = 
 class _SegmentReader:
     """Lazy per-segment postings + stored-field access with a term cache."""
 
+    # Segments whose postings.parquet is under this load the whole term
+    # dictionary+postings into actor memory once (SolrIndexSearcher-style
+    # hot searcher state); larger segments fall back to per-term row-group
+    # pruned reads so one reader never holds an unbounded table.
+    FULL_CACHE_BYTES = 256 << 20
+
+    _COLS = [
+        "term", "df", "ttf", "block_first_doc", "block_last_doc",
+        "block_max_tf", "block_min_norm", "block_offset", "blob",
+    ]
+
     def __init__(self, sdir: str, meta: dict):
         self.sdir = sdir
         self.meta = meta
         self.max_doc = int(meta["max_doc"])
         self._term_cache: dict[str, dict | None] = {}
         self._ids_cache: pa.Table | None = None
+        self._tbl: pa.Table | None = None
+        self._terms_np: np.ndarray | None = None
+
+    def _ensure_loaded(self) -> bool:
+        if self._tbl is None:
+            if int(self.meta.get("postings_bytes", 1 << 62)) > self.FULL_CACHE_BYTES:
+                return False
+            path = os.path.join(self.sdir, "postings.parquet")
+            self._tbl = pq.read_table(path, columns=self._COLS).combine_chunks()
+            self._terms_np = self._tbl["term"].to_numpy(zero_copy_only=False)
+        return True
 
     def postings_for(self, terms: list[str]) -> dict[str, dict | None]:
         missing = [t for t in set(terms) if t not in self._term_cache]
-        if missing:
+        if missing and self._ensure_loaded():
+            tnp = self._terms_np
+            for t in missing:
+                i = int(np.searchsorted(tnp, t))
+                if i < len(tnp) and tnp[i] == t:
+                    self._term_cache[t] = self._tbl.slice(i, 1).to_pylist()[0]
+                else:
+                    self._term_cache[t] = None
+        elif missing:
             path = os.path.join(self.sdir, "postings.parquet")
             tbl = pq.read_table(
-                path,
-                filters=[("term", "in", missing)],
-                columns=[
-                    "term", "df", "ttf", "block_first_doc", "block_last_doc",
-                    "block_max_tf", "block_min_norm", "block_offset", "blob",
-                ],
+                path, filters=[("term", "in", missing)], columns=self._COLS
             )
             found = {}
             for row in tbl.to_pylist():
