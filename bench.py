@@ -196,8 +196,8 @@ def main() -> None:
                     "sf": sf,
                     "turns_per_sec_8cpu": tp8,
                     "turns_per_sec_32cpu": tp32,
-                    "build_sec_8cpu": results[8]["build_sec"],
-                    "build_sec_32cpu": results[32]["build_sec"],
+                    "build_sec_8cpu": results[8]["queries"]["index_build"],
+                    "build_sec_32cpu": results[32]["queries"]["index_build"],
                     "note": "single-node sandbox: logical-CPU throughput "
                     "ratio stands in for N vs 4N node clusters",
                 }

@@ -459,10 +459,12 @@ def build_index(
         import ray
 
         if writer_concurrency is None:
-            # actor pool sized to roughly half the cluster so the writer
-            # stage never starves the upstream tokenize/shuffle stages
+            # The writer is IO-bound (term_shuffle mode: encode already
+            # happened in the bucket reduce) — a small actor pool; a large
+            # one reserves CPUs away from the tokenize/shuffle stages for
+            # the whole pipeline lifetime and starves them (measured: 2x).
             ncpu = int(ray.cluster_resources().get("CPU", 4))
-            writer_concurrency = max(1, min(num_segments, ncpu // 2))
+            writer_concurrency = max(2, min(num_segments, ncpu // 8))
         ds = ds.map_batches(
             _make_assign_seg(id_cols[0], num_segments, done),
             batch_format="pyarrow",
