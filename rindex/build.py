@@ -73,6 +73,7 @@ def _build_config(
     id_cols: tuple[str, ...],
     text_col: str,
     salt_range: int,
+    keep_cols: tuple[str, ...] = (),
 ) -> dict:
     return {
         "analyzer": analyzer_name,
@@ -81,6 +82,7 @@ def _build_config(
         "id_cols": list(id_cols),
         "text_col": text_col,
         "salt_range": salt_range,
+        "keep_cols": list(keep_cols),
     }
 
 
@@ -99,7 +101,11 @@ def _make_assign_seg(key_col: str, num_segments: int, done_segs: frozenset):
 
 
 def _make_assign_docids(
-    index_dir: str, id_cols: tuple[str, ...], text_col: str, keep_cols: list[str]
+    index_dir: str,
+    id_cols: tuple[str, ...],
+    text_col: str,
+    keep_cols: list[str],
+    gen: int = 0,
 ):
     """Stage 2 (per segment group): stable sort -> docIDs -> stored fields."""
 
@@ -107,7 +113,7 @@ def _make_assign_docids(
         seg_id = int(group["seg"][0].as_py())
         group = group.sort_by([(c, "ascending") for c in id_cols])
         doc = pa.array(np.arange(len(group), dtype=np.int32), pa.int32())
-        sdir = segio.seg_dir(index_dir, seg_id)
+        sdir = segio.seg_dir(index_dir, seg_id, gen)
         os.makedirs(sdir, exist_ok=True)
         stored_cols = {"doc": doc}
         for c in list(id_cols) + keep_cols + [text_col]:
@@ -332,11 +338,12 @@ class SegmentWriter:
     `_SUCCESS`, and emit one manifest row.  The reference analog is the
     codec write path (`Lucene84PostingsWriter` + `BlockTreeTermsWriter`)."""
 
-    def __init__(self, index_dir: str, cfg: dict, fingerprint: str):
+    def __init__(self, index_dir: str, cfg: dict, fingerprint: str, gen: int = 0):
         self.index_dir = index_dir
         self.cfg = cfg
         self.cfg_hash = segio.config_hash(cfg)
         self.fingerprint = fingerprint
+        self.gen = gen
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         seg_id = int(group["seg"].iloc[0])
@@ -347,7 +354,7 @@ class SegmentWriter:
     def _write(
         self, seg_id: int, table: pa.Table, stats: dict, n_partials: int
     ) -> pd.DataFrame:
-        sdir = segio.seg_dir(self.index_dir, seg_id)
+        sdir = segio.seg_dir(self.index_dir, seg_id, self.gen)
         dfs = table["df"].to_numpy() if table.num_rows else np.zeros(0)
         post_path = os.path.join(sdir, "postings.parquet")
         tmp = post_path + f".tmp-{os.getpid()}"
@@ -359,6 +366,7 @@ class SegmentWriter:
         postings_bytes = os.path.getsize(post_path)
         meta = {
             "seg_id": seg_id,
+            "gen": int(self.gen),
             "doc_count": int(doc_count),
             "max_doc": int(doc_count),
             "sum_dl": int(stats["sum_ttf"]),
@@ -423,9 +431,18 @@ def build_index(
     input_files: list[str] | None = None,
     tokenize_batch_size: int = 1024,
     writer_concurrency: int | None = None,
+    generation: int = 0,
 ) -> dict:
     """Build an index from a Ray Dataset (or parquet path/dir).  Returns the
-    published manifest dict.  Does NOT call ray.init()."""
+    published manifest dict.  Does NOT call ray.init().
+
+    generation > 0 appends a new micro-batch of segments (one per hash
+    slot) to an existing index — the soft-commit/NRT micro-batching analog
+    (`DirectUpdateHandler2#commit` + `DirectoryReader#openIfChanged`,
+    SURVEY.md §2.9): each build round is one segment generation, and the
+    manifest swap makes it visible atomically.  Append is append-only at
+    build time; re-ingested (conv_id, turn_idx) duplicates are resolved at
+    MERGE time, newest generation wins (rindex/merge.py)."""
     import ray.data as rd
 
     if isinstance(source, (str, list)):
@@ -443,7 +460,9 @@ def build_index(
     else:
         ds = source
 
-    cfg = _build_config(analyzer_name, num_segments, id_cols, text_col, salt_range)
+    cfg = _build_config(
+        analyzer_name, num_segments, id_cols, text_col, salt_range, keep_cols
+    )
     cfg_hash = segio.config_hash(cfg)
     fingerprint = segio.input_fingerprint(input_files)
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
@@ -452,7 +471,9 @@ def build_index(
         s
         for s in range(num_segments)
         if resume
-        and segio.segment_done(segio.seg_dir(index_dir, s), cfg_hash, fingerprint)
+        and segio.segment_done(
+            segio.seg_dir(index_dir, s, generation), cfg_hash, fingerprint
+        )
     )
 
     if len(done) < num_segments:
@@ -471,7 +492,9 @@ def build_index(
             zero_copy_batch=True,
         )
         ds = ds.groupby("seg").map_groups(
-            _make_assign_docids(index_dir, id_cols, text_col, list(keep_cols)),
+            _make_assign_docids(
+                index_dir, id_cols, text_col, list(keep_cols), generation
+            ),
             batch_format="pyarrow",
         )
         if mode == "local":
@@ -483,7 +506,7 @@ def build_index(
             )
             written = partials.groupby("seg").map_groups(
                 SegmentWriter,
-                fn_constructor_args=(index_dir, cfg, fingerprint),
+                fn_constructor_args=(index_dir, cfg, fingerprint, generation),
                 batch_format="pandas",
                 concurrency=writer_concurrency,
             )
@@ -503,7 +526,7 @@ def build_index(
             )
             written = merged.groupby("seg").map_groups(
                 EncodedSegmentWriter,
-                fn_constructor_args=(index_dir, cfg, fingerprint),
+                fn_constructor_args=(index_dir, cfg, fingerprint, generation),
                 batch_format="pyarrow",
                 concurrency=writer_concurrency,
             )
@@ -513,7 +536,30 @@ def build_index(
 
     metas = []
     for s in range(num_segments):
-        sdir = segio.seg_dir(index_dir, s)
+        sdir = segio.seg_dir(index_dir, s, generation)
         if segio.segment_done(sdir, cfg_hash, fingerprint):
             metas.append(segio.read_meta(sdir))
+    if generation > 0:
+        # append: keep every live segment of other generations
+        prior = segio.read_manifest(index_dir)["segments"]
+        metas = [m for m in prior if m.get("gen", 0) != generation] + metas
     return segio.write_manifest(index_dir, metas, cfg)
+
+
+def append_index(source, index_dir: str, **kwargs) -> dict:
+    """One incremental micro-batch: index `source` as the next segment
+    generation of an existing index (topic/checkpoint-style incremental
+    runs — SURVEY.md §2.9).  Returns the new manifest."""
+    prior = segio.read_manifest(index_dir)
+    next_gen = 1 + max(int(m.get("gen", 0)) for m in prior["segments"])
+    cfg = prior["config"]
+    for key, val in (
+        ("num_segments", cfg["num_segments"]),
+        ("analyzer_name", cfg["analyzer"]),
+        ("id_cols", tuple(cfg["id_cols"])),
+        ("text_col", cfg["text_col"]),
+        ("salt_range", cfg["salt_range"]),
+        ("keep_cols", tuple(cfg.get("keep_cols", ("role", "tool", "ts")))),
+    ):
+        kwargs.setdefault(key, val)
+    return build_index(source, index_dir, generation=next_gen, **kwargs)

@@ -1,0 +1,337 @@
+"""Tiered log-structured segment merging (TieredMergePolicy semantics).
+
+Re-implements the *semantics* of the reference merge policy
+(`lucene/core/src/java/org/apache/lucene/index/TieredMergePolicy.java`
+#findMerges / MergeScore — defaults segsPerTier=10, maxMergeAtOnce=10,
+maxMergedSegmentMB=5120, floorSegmentMB=2): segments are binned into size
+tiers; when a tier exceeds segsPerTier, candidate merges of up to
+maxMergeAtOnce size-adjacent segments are scored by size skew (more-uniform
+merges score better, cheaper amortized write cost) with a mild penalty on
+total merged size, and the best non-overlapping candidates run.  Deletes-%
+scoring is not needed here: our deletes exist only as same-(conv_id,
+turn_idx) supersession across generations, resolved during the merge itself.
+
+PARTITIONING ASSUMPTION (explicit, per build brief): merges only combine
+segments of the SAME hash slot (seg_id) across generations — a conversation
+lives entirely in one slot (`hash(conv_id) % num_segments`), so merging
+within a slot preserves conversation locality and the (conv_id, turn_idx)
+sort invariant, and merged docIDs remain deterministic.  The reference's
+global merge graph is unnecessary because slot contents are disjoint by
+construction.
+
+Merge execution is expressed Ray-Data-natively: a Dataset of merge specs ->
+`map_batches(do_merge, batch_size=1)` (one task per merge, IO-heavy, no
+shuffle — member segment files stream from shared storage), then one atomic
+manifest swap on the driver (`SegmentInfos#finishCommit` analog).  Merged
+postings are byte-identical to a from-scratch build of the union (tests
+assert), because the merge re-sorts stored fields by (conv_id, turn_idx),
+remaps docIDs, and re-encodes through the same vectorized codec kernel.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rindex import segments as segio
+from rindex.codec import decode_posting
+from rindex.build import merge_partials_to_postings, SegmentWriter
+
+
+@dataclass
+class TieredMergePolicy:
+    segs_per_tier: float = 10.0
+    max_merge_at_once: int = 10
+    max_merged_segment_bytes: int = 5 * 1024 * 1024 * 1024
+    floor_segment_bytes: int = 2 * 1024 * 1024
+
+    def _size(self, meta: dict) -> int:
+        return int(meta["postings_bytes"])
+
+    def _allowed_seg_count(self, sizes: list[int]) -> int:
+        """Tier budget: segsPerTier per level, levels grow by
+        maxMergeAtOnce (TieredMergePolicy#findMerges 'allowedSegCount')."""
+        tot = float(sum(max(s, self.floor_segment_bytes) for s in sizes))
+        level = float(self.floor_segment_bytes)
+        allowed = 0.0
+        while tot > 0:
+            count_at_level = tot / level
+            if count_at_level < self.segs_per_tier:
+                allowed += np.ceil(count_at_level)
+                break
+            allowed += self.segs_per_tier
+            tot -= self.segs_per_tier * level
+            level *= self.max_merge_at_once
+        return int(allowed)
+
+    def find_merges_for_slot(self, metas: list[dict]) -> list[list[dict]]:
+        """Merges for one hash slot's generation list."""
+        eligible = [
+            m
+            for m in metas
+            if self._size(m) < self.max_merged_segment_bytes // 2
+        ]
+        sizes_all = [self._size(m) for m in metas]
+        if len(metas) <= self._allowed_seg_count(sizes_all):
+            return []
+        by_size = sorted(eligible, key=self._size, reverse=True)
+        chosen: list[list[dict]] = []
+        used: set[int] = set()
+        candidates: list[tuple[float, list[dict]]] = []
+        for i in range(len(by_size)):
+            group: list[dict] = []
+            tot = 0
+            for j in range(i, len(by_size)):
+                s = self._size(by_size[j])
+                if len(group) >= self.max_merge_at_once:
+                    break
+                if tot + s > self.max_merged_segment_bytes:
+                    continue
+                group.append(by_size[j])
+                tot += s
+            if len(group) < 2:
+                continue
+            floored = [max(self._size(m), self.floor_segment_bytes) for m in group]
+            # MergeScore semantics: skew = biggest/total (lower = more
+            # uniform = better), times a mild total-size penalty.
+            skew = max(floored) / sum(floored)
+            score = skew * (sum(floored) ** 0.05)
+            candidates.append((score, group))
+        for _score, group in sorted(candidates, key=lambda c: c[0]):
+            ids = {id(m) for m in group}
+            if ids & used:
+                continue
+            used |= ids
+            chosen.append(group)
+        return chosen
+
+    def find_forced_merges(
+        self, manifest: dict, max_segments_per_slot: int = 1
+    ) -> list[list[dict]]:
+        """forceMerge/optimize semantics (TieredMergePolicy#findForcedMerges):
+        compact every slot down to max_segments_per_slot regardless of tier
+        budgets (still bounded by max_merge_at_once per merge round)."""
+        slots: dict[int, list[dict]] = {}
+        for m in manifest["segments"]:
+            slots.setdefault(int(m["seg_id"]), []).append(m)
+        merges = []
+        for _slot, metas in sorted(slots.items()):
+            if len(metas) <= max_segments_per_slot:
+                continue
+            group = sorted(metas, key=self._size, reverse=True)[
+                : self.max_merge_at_once
+            ]
+            if len(group) >= 2:
+                merges.append(group)
+        return merges
+
+    def find_merges(self, manifest: dict) -> list[list[dict]]:
+        slots: dict[int, list[dict]] = {}
+        for m in manifest["segments"]:
+            slots.setdefault(int(m["seg_id"]), []).append(m)
+        merges = []
+        for _slot, metas in sorted(slots.items()):
+            merges.extend(self.find_merges_for_slot(metas))
+        return merges
+
+
+def _decode_segment_postings(sdir: str) -> pd.DataFrame:
+    """Member segment -> partial-posting rows (one per term, raw packed
+    arrays) for `merge_partials_to_postings`."""
+    tbl = pq.read_table(os.path.join(sdir, "postings.parquet"))
+    rows = tbl.to_pylist()
+    out = {
+        "term": [], "first_doc": [], "df": [], "ttf": [],
+        "docs": [], "tfs": [], "norms": [],
+    }
+    for row in rows:
+        d, t, n = decode_posting(row)
+        out["term"].append(row["term"])
+        out["first_doc"].append(int(d[0]) if len(d) else 0)
+        out["df"].append(len(d))
+        out["ttf"].append(int(row["ttf"]))
+        out["docs"].append(d.astype(np.int32).tobytes())
+        out["tfs"].append(t.astype(np.int32).tobytes())
+        out["norms"].append(n.tobytes())
+    return pd.DataFrame(out)
+
+
+def merge_segments(
+    index_dir: str, members: list[dict], new_gen: int, cfg: dict
+) -> dict:
+    """Merge member segments (same slot, ascending gen) into one new
+    segment at `new_gen`.  Duplicate (id_cols) rows are superseded by the
+    highest generation (the `_version_` reorder-handling analog —
+    `solr/core/src/java/org/apache/solr/update/DistributedUpdateProcessor`
+    semantics: stale versions dropped at compaction).  Returns new meta."""
+    seg_id = int(members[0]["seg_id"])
+    id_cols = list(cfg["id_cols"])
+    members = sorted(members, key=lambda m: int(m.get("gen", 0)))
+
+    # ---- stored fields: concat, supersede dups by gen, re-sort, new docIDs
+    docs_tables = []
+    for m in members:
+        sdir = segio.seg_dir(index_dir, seg_id, int(m.get("gen", 0)))
+        t = pq.read_table(os.path.join(sdir, "docs.parquet"))
+        t = t.append_column(
+            "_gen", pa.array(np.full(t.num_rows, int(m.get("gen", 0)), np.int32))
+        )
+        docs_tables.append(t)
+    docs = pa.concat_tables(docs_tables)
+    df = docs.to_pandas()
+    # newest gen wins per id; stable keep="last" after gen-ascending sort
+    df = df.sort_values(["_gen"] + id_cols, kind="stable")
+    keep_mask = ~df.duplicated(subset=id_cols, keep="last")
+    df["_keep"] = keep_mask
+    # old (member order, old doc) -> new doc mapping
+    df = df.sort_values(id_cols, kind="stable").reset_index(drop=True)
+    kept = df[df["_keep"]].reset_index(drop=True)
+    kept["_newdoc"] = np.arange(len(kept), dtype=np.int32)
+    # build per-member remap arrays old_doc -> new_doc (-1 = superseded)
+    remaps: dict[int, np.ndarray] = {}
+    for m in members:
+        g = int(m.get("gen", 0))
+        remap = np.full(int(m["doc_count"]), -1, dtype=np.int64)
+        sel = kept[kept["_gen"] == g]
+        remap[sel["doc"].to_numpy()] = sel["_newdoc"].to_numpy()
+        remaps[g] = remap
+
+    # ---- postings: decode members, remap+drop, vectorized re-encode
+    parts = []
+    for m in members:
+        g = int(m.get("gen", 0))
+        sdir = segio.seg_dir(index_dir, seg_id, g)
+        p = _decode_segment_postings(sdir)
+        remap = remaps[g]
+        new_docs, new_tfs, new_norms = [], [], []
+        new_first, new_df, new_ttf = [], [], []
+        keep_rows = np.ones(len(p), dtype=bool)
+        for i in range(len(p)):
+            d = np.frombuffer(p["docs"].iloc[i], dtype=np.int32)
+            nd = remap[d]
+            ok = nd >= 0
+            if not ok.any():
+                keep_rows[i] = False
+                new_docs.append(b""); new_tfs.append(b""); new_norms.append(b"")
+                new_first.append(0); new_df.append(0); new_ttf.append(0)
+                continue
+            t = np.frombuffer(p["tfs"].iloc[i], dtype=np.int32)[ok]
+            n = np.frombuffer(p["norms"].iloc[i], dtype=np.uint8)[ok]
+            nd = nd[ok]
+            order = np.argsort(nd, kind="stable")
+            nd, t, n = nd[order], t[order], n[order]
+            new_docs.append(nd.astype(np.int32).tobytes())
+            new_tfs.append(t.tobytes())
+            new_norms.append(n.tobytes())
+            new_first.append(int(nd[0]))
+            new_df.append(len(nd))
+            new_ttf.append(int(t.sum()))
+        p["docs"], p["tfs"], p["norms"] = new_docs, new_tfs, new_norms
+        p["first_doc"], p["df"], p["ttf"] = new_first, new_df, new_ttf
+        parts.append(p[keep_rows])
+    partials = pd.concat(parts, ignore_index=True)
+
+    # ---- write the merged segment through the standard writer path
+    new_sdir = segio.seg_dir(index_dir, seg_id, new_gen)
+    os.makedirs(new_sdir, exist_ok=True)
+    stored = pa.Table.from_pandas(
+        kept.drop(columns=["_gen", "_keep", "doc"])
+        .rename(columns={"_newdoc": "doc"})
+        [["doc"] + [c for c in kept.columns if c not in ("_gen", "_keep", "doc", "_newdoc")]],
+        preserve_index=False,
+    )
+    tmp = os.path.join(new_sdir, "docs.parquet") + f".tmp-{os.getpid()}"
+    pq.write_table(stored, tmp)
+    segio.atomic_rename_file(tmp, os.path.join(new_sdir, "docs.parquet"))
+
+    writer = SegmentWriter(
+        index_dir,
+        cfg,
+        fingerprint="merge:" + "+".join(
+            f"g{int(m.get('gen', 0))}" for m in members
+        ),
+        gen=new_gen,
+    )
+    table, stats = merge_partials_to_postings(partials)
+    writer._write(seg_id, table, stats, n_partials=len(partials))
+    return segio.read_meta(new_sdir)
+
+
+def run_merges(
+    index_dir: str,
+    policy: TieredMergePolicy | None = None,
+    concurrency: int | None = None,
+    force: bool = False,
+) -> dict:
+    """Find + execute merges, publish the new manifest atomically.  Merge
+    tasks run as a Dataset pipeline over merge specs (one task per merge,
+    like ConcurrentMergeScheduler's background merge threads with a
+    bounded pool).  Returns the (possibly unchanged) manifest."""
+    import ray.data as rd
+
+    policy = policy or TieredMergePolicy()
+    manifest = segio.read_manifest(index_dir)
+    merges = (
+        policy.find_forced_merges(manifest)
+        if force
+        else policy.find_merges(manifest)
+    )
+    if not merges:
+        return manifest
+    cfg = manifest["config"]
+    next_gen = 1 + max(int(m.get("gen", 0)) for m in manifest["segments"])
+
+    import json
+
+    specs = [
+        {
+            "spec": json.dumps(
+                {
+                    "index_dir": index_dir,
+                    "members": group,
+                    # unique gen per merge: two merges may share a slot
+                    "new_gen": next_gen + i,
+                    "cfg": cfg,
+                }
+            )
+        }
+        for i, group in enumerate(merges)
+    ]
+
+    def do_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        metas = []
+        for raw in batch["spec"]:
+            spec = json.loads(raw)
+            meta = merge_segments(
+                spec["index_dir"], spec["members"], int(spec["new_gen"]),
+                spec["cfg"],
+            )
+            metas.append({"seg_id": meta["seg_id"], "gen": meta["gen"]})
+        return pd.DataFrame(metas)
+
+    ds = rd.from_items(specs).map_batches(
+        do_merge, batch_size=1, batch_format="pandas", **(
+            {"concurrency": concurrency} if concurrency else {}
+        )
+    )
+    ds.materialize()
+
+    merged_away = {
+        (int(m["seg_id"]), int(m.get("gen", 0)))
+        for group in merges
+        for m in group
+    }
+    live = [
+        m
+        for m in manifest["segments"]
+        if (int(m["seg_id"]), int(m.get("gen", 0))) not in merged_away
+    ]
+    for i, group in enumerate(merges):
+        sdir = segio.seg_dir(index_dir, int(group[0]["seg_id"]), next_gen + i)
+        live.append(segio.read_meta(sdir))
+    return segio.write_manifest(index_dir, live, cfg)

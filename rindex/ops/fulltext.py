@@ -145,6 +145,61 @@ QUERIES["bm25_topk_documents"] = q_bm25_topk_documents
 ORACLE["bm25_topk_documents"] = _bm25_oracle_sql()
 
 
+def q_bm25_incremental_merge_documents(sf_dir: str):
+    """Incremental-index + tiered-merge lifecycle, validated against the
+    SAME BM25 oracle as the one-shot build: gen0 indexes the low half of
+    doc_ids, gen1 appends the high half PLUS a re-ingest of 50 gen0 docs
+    (identical content — the update/reorder case), then forceMerge compacts
+    each slot; supersession keeps the newest generation, so the merged
+    index is byte-equivalent to a from-scratch build and the top-k must be
+    rank+score identical to the oracle (reference lifecycle:
+    soft-commit micro-batches + TieredMergePolicy compaction,
+    `lucene/core/src/java/org/apache/lucene/index/TieredMergePolicy.java`)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rindex.build import append_index, build_index
+    from rindex.merge import run_merges
+    from rindex.search import IndexSearcher
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
+    cut = int(np.median(ids))
+    idx = _index_dir_for(sf_dir) + "-incr"
+    shutil.rmtree(idx, ignore_errors=True)
+    kwargs = dict(
+        num_segments=8, mode="term_shuffle", id_cols=("doc_id",),
+        text_col="text", keep_cols=("lang", "source"),
+    )
+    lo = rd.read_parquet(src).filter(expr=f"doc_id < {cut}")
+    build_index(lo, idx, **kwargs)
+    hi = rd.read_parquet(src).filter(expr=f"doc_id >= {cut}")
+    redo = rd.read_parquet(src).filter(expr=f"doc_id < {min(ids) + 50}")
+    append_index(hi.union(redo), idx, mode="term_shuffle")
+    run_merges(idx, force=True)
+
+    searcher = IndexSearcher(idx, algo="wand")
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in DOC_QUERIES]),
+            "qtype": pa.array([q[1] for q in DOC_QUERIES]),
+            "text": pa.array([q[2] for q in DOC_QUERIES]),
+            "k": pa.array([TOP_K] * len(DOC_QUERIES), pa.int32()),
+        }
+    )
+    out = searcher.search_table(qtbl)
+    return out.set_column(
+        out.schema.get_field_index("score"), "score", pc.round(out["score"], 6)
+    )
+
+
+QUERIES["bm25_incremental_merge_documents"] = q_bm25_incremental_merge_documents
+ORACLE["bm25_incremental_merge_documents"] = _bm25_oracle_sql()
+
+
 def q_term_search_documents(sf_dir: str):
     """Single-term search: all matching doc ids (TermQuery as a filter,
     reference: `lucene/core/src/java/org/apache/lucene/search/TermQuery.java`

@@ -93,7 +93,9 @@ def write_manifest(index_dir: str, segments: list[dict], config: dict) -> dict:
         "format_version": 1,
         "config": config,
         "config_hash": config_hash(config),
-        "segments": sorted(segments, key=lambda m: m["seg_id"]),
+        "segments": sorted(
+            segments, key=lambda m: (m["seg_id"], m.get("gen", 0))
+        ),
         "totals": {
             "doc_count": int(sum(m["doc_count"] for m in segments)),
             "sum_dl": int(sum(m["sum_dl"] for m in segments)),

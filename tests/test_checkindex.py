@@ -23,11 +23,16 @@ def audited_index(ray_session, tiny_corpus, tmp_path_factory):
 
 
 def test_check_index_invariants(audited_index):
-    manifest = read_manifest(audited_index)
+    audit_index(audited_index)
+
+
+def audit_index(index_dir):
+    """Reusable CheckIndex audit (also run post-merge by test_merge.py)."""
+    manifest = read_manifest(index_dir)
     analyzer = get_analyzer(manifest["config"]["analyzer"])
     total_docs = 0
     for m in manifest["segments"]:
-        sdir = seg_dir(audited_index, m["seg_id"])
+        sdir = seg_dir(index_dir, m["seg_id"], m.get("gen", 0))
         docs_tbl = pq.read_table(os.path.join(sdir, "docs.parquet"))
         postings = pq.read_table(os.path.join(sdir, "postings.parquet"))
         max_doc = m["max_doc"]
