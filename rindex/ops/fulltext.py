@@ -87,6 +87,33 @@ def q_bm25_topk_documents(sf_dir: str):
     )
 
 
+def _bm25_ctes() -> str:
+    """Shared oracle CTEs: tokenization, tf, lossy dl, df, stats — reused by
+    the BM25 / rerank / MoreLikeThis oracles."""
+    norm_vals = ",".join(
+        str(int(v)) for v in sorted(set(NORM_DECODE_TABLE.tolist()))
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+             (SELECT sum(dl) FROM dl)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    norm_table AS (SELECT unnest([{norm_vals}]) AS v),
+    lossy AS (
+      SELECT doc_id, (SELECT max(v) FROM norm_table WHERE v <= dl.dl)::DOUBLE AS ldl
+      FROM dl
+    ),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+    """
+
+
 def _bm25_oracle_sql() -> str:
     norm_vals = ",".join(str(int(v)) for v in sorted(set(NORM_DECODE_TABLE.tolist())))
     q_rows = []
@@ -271,3 +298,222 @@ ORACLE["phrase_search_documents"] = f"""
     WHERE ' ' || array_to_string(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}'), ' ') || ' '
           LIKE '% hash join %'
 """
+
+
+# ---------------------------------------------------------------------------
+# ReRank — second-pass rescoring of top-N candidates
+# ---------------------------------------------------------------------------
+
+RERANK_QUERY = "sort merge spill"
+RERANK_N = 100  # first-pass candidate window
+RERANK_K = 10
+
+
+def q_rerank_documents(sf_dir: str):
+    """ReRank: BM25 retrieves the top-100 candidate window, a second-pass
+    function rescores ONLY those candidates (final = 0.5*bm25 +
+    0.1*ln(1+n_chars)) and the top-10 is re-sorted (reference:
+    `solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java`;
+    the candidate set is top-N small by design — the rescore would be an
+    actor-pool map_batches for a model scorer, cf. LTRScoringQuery)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="wand")
+    cands = s.search(RERANK_QUERY, k=RERANK_N, mode="or")
+    if not cands:
+        return pd.DataFrame(
+            columns=["rank", "doc_id", "first_pass_score", "score"]
+        )
+    ids = [c[1] for c in cands]
+    nchars = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+        filters=[("doc_id", "in", ids)],
+    ).to_pandas().set_index("doc_id")["n_chars"]
+    rows = []  # cand = (rank, doc_id, score) for the single id col
+    for _rank, doc_id, bm25 in ((c[0], c[1], c[2]) for c in cands):
+        final = 0.5 * bm25 + 0.1 * float(np.log1p(float(nchars[doc_id])))
+        rows.append((doc_id, round(bm25, 6), round(final, 6)))
+    out = pd.DataFrame(rows, columns=["doc_id", "first_pass_score", "score"])
+    out = out.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(RERANK_K).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(len(out), dtype=np.int64))
+    return out
+
+
+QUERIES["rerank_documents"] = q_rerank_documents
+_rr_terms = ",".join(f"('{t}')" for t in RERANK_QUERY.split())
+ORACLE["rerank_documents"] = f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES {_rr_terms}),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q JOIN tf USING (term) JOIN df USING (term)
+      JOIN lossy USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    window_cands AS (
+      SELECT doc_id, s,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+      FROM scores
+    ),
+    rescored AS (
+      SELECT w.doc_id, round(w.s, 6) AS first_pass_score,
+             round(0.5 * w.s + 0.1 * ln(1 + d.n_chars), 6) AS score
+      FROM window_cands w JOIN documents d USING (doc_id)
+      WHERE w.rn <= {RERANK_N}
+    )
+    SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+           doc_id, first_pass_score, score
+    FROM rescored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {RERANK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MoreLikeThis — top tf-idf terms of a source doc -> OR query
+# ---------------------------------------------------------------------------
+
+MLT_N_TERMS = 5
+MLT_K = 10
+
+
+def q_more_like_this_documents(sf_dir: str):
+    """MoreLikeThis: extract the source doc's top-5 terms by tf*idf (idf =
+    the BM25 idf, ties by term asc), run them as an OR BM25 query, exclude
+    the source doc (reference: `lucene/queries/src/java/org/apache/lucene/
+    queries/mlt/MoreLikeThis.java` — interesting-term selection by tf-idf
+    then a BooleanQuery of SHOULD terms).  Term stats come from the index
+    (global_df), not a corpus scan."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rindex.analysis import get_analyzer
+    from rindex.bm25 import idf as bm25_idf
+    from rindex.search import IndexSearcher, Query
+
+    src_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    src_id = int(pa.compute.min(src_tbl["doc_id"]).as_py())
+    src_text = src_tbl.filter(
+        pa.compute.equal(src_tbl["doc_id"], src_id)
+    )["text"][0].as_py()
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="wand")
+    tfs = get_analyzer().term_freqs((src_text or "").lower())
+    dfs = s.global_df(list(tfs))
+    scored = sorted(
+        (
+            (-tf * float(bm25_idf(dfs[t], s.n_docs)), t)
+            for t, tf in tfs.items()
+            if dfs[t] > 0
+        ),
+    )[:MLT_N_TERMS]
+    terms = [t for _neg, t in scored]
+    hits = s.search_query(Query(terms=terms, mode="or", k=MLT_K + 1))
+    rows = [
+        (doc_id, round(score, 6))
+        for _r, doc_id, score in hits
+        if doc_id != src_id
+    ][:MLT_K]
+    out = pd.DataFrame(rows, columns=["doc_id", "score"])
+    out.insert(0, "rank", np.arange(len(out), dtype=np.int64))
+    return out
+
+
+QUERIES["more_like_this_documents"] = q_more_like_this_documents
+ORACLE["more_like_this_documents"] = f"""
+    WITH {_bm25_ctes()},
+    src AS (SELECT min(doc_id) AS src_id FROM documents),
+    mlt_terms AS (
+      SELECT tf.term
+      FROM tf JOIN src ON tf.doc_id = src.src_id
+      JOIN df USING (term) CROSS JOIN stats
+      ORDER BY tf.tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) DESC,
+               tf.term ASC
+      LIMIT {MLT_N_TERMS}
+    ),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM mlt_terms q JOIN tf USING (term) JOIN df USING (term)
+      JOIN lossy USING (doc_id) CROSS JOIN stats
+      WHERE tf.doc_id <> (SELECT src_id FROM src)
+      GROUP BY tf.doc_id
+    )
+    SELECT (row_number() OVER (ORDER BY s DESC, doc_id ASC) - 1)::BIGINT AS rank,
+           doc_id, round(s, 6) AS score
+    FROM scores
+    ORDER BY s DESC, doc_id ASC
+    LIMIT {MLT_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Highlighting — best-window snippet extraction over top-k hits
+# ---------------------------------------------------------------------------
+
+HL_QUERY = "hash join"
+HL_WINDOW = 8
+
+
+def q_highlight_documents(sf_dir: str):
+    """UnifiedHighlighter analog: for the query's top-10 docs, re-run the
+    analyzer over the stored text and pick the WINDOW of 8 consecutive
+    tokens containing the most query-term occurrences (leftmost on ties) as
+    the snippet (reference: `lucene/highlighter/src/java/org/apache/lucene/
+    search/uhighlight/UnifiedHighlighter.java` — offsets-from-reanalysis
+    mode).  Snippet construction is deterministic; no SQL oracle (string
+    assembly) — pytest asserts the doc set matches BM25 top-k and every
+    snippet contains a query term."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="wand")
+    hits = s.search(HL_QUERY, k=10, mode="or")
+    qterms = set(HL_QUERY.split())
+    ids = [h[1] for h in hits]
+    if not ids:
+        return pd.DataFrame(columns=["rank", "doc_id", "snippet"])
+    texts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    ).to_pandas().set_index("doc_id")["text"]
+    rx = re.compile(TOKEN_SQL_RE)
+    rows = []
+    for rank, doc_id in enumerate(ids):
+        toks = rx.findall((texts[doc_id] or "").lower())
+        marks = np.fromiter((t in qterms for t in toks), dtype=np.int64,
+                            count=len(toks))
+        if len(toks) <= HL_WINDOW:
+            best = 0
+        else:
+            win = np.convolve(marks, np.ones(HL_WINDOW, dtype=np.int64),
+                              "valid")
+            best = int(np.argmax(win))  # leftmost max
+        snippet = " ".join(toks[best : best + HL_WINDOW])
+        rows.append((rank, doc_id, snippet))
+    return pd.DataFrame(rows, columns=["rank", "doc_id", "snippet"])
+
+
+QUERIES["highlight_documents"] = q_highlight_documents

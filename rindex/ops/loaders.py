@@ -1,0 +1,108 @@
+"""Source/sink format coverage (SURVEY.md §2.1): JSON and CSV loaders fed
+through `ray.data.read_json` / `ray.data.read_csv`, validated against the
+same rows from the parquet view.
+
+The reference ingests update streams as JSON/CSV/XML
+(`solr/core/src/java/org/apache/solr/handler/loader/{JsonLoader,
+CSVLoaderBase}.java`); here the wire format is materialized once per sf_dir
+under /tmp (cache keyed by path) and read back with the Ray-native readers —
+the Dataset that results is identical to the parquet-sourced one, which the
+oracle (running on the parquet view) asserts."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _cache_dir(sf_dir: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    d = os.path.join("/tmp", "rindex_cache", f"wire-{key}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _ensure_wire_files(sf_dir: str) -> tuple[str, str]:
+    """events.parquet -> events.jsonl + events.csv (once, cached)."""
+    import pyarrow.parquet as pq
+
+    d = _cache_dir(sf_dir)
+    jpath = os.path.join(d, "events.jsonl")
+    cpath = os.path.join(d, "events.csv")
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "user_id", "value"],
+        )
+        df = t.to_pandas()
+        df.to_json(jpath + ".tmp", orient="records", lines=True)
+        os.replace(jpath + ".tmp", jpath)
+        df.to_csv(cpath + ".tmp", index=False)
+        os.replace(cpath + ".tmp", cpath)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return jpath, cpath
+
+
+def q_json_loader_events(sf_dir: str):
+    """JsonLoader analog: read the JSON-lines update stream with
+    `ray.data.read_json`, then the standard facet pipeline.  Proves the
+    loader produces the same Dataset as the parquet source (oracle runs on
+    parquet)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    jpath, _ = _ensure_wire_files(sf_dir)
+    ds = rd.read_json(jpath)
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(), Sum("value"))
+        .to_pandas()
+        .rename(columns={"count()": "n", "sum(value)": "sum_value"})
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["json_loader_events"] = q_json_loader_events
+ORACLE["json_loader_events"] = """
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_csv_loader_events(sf_dir: str):
+    """CSVLoaderBase analog via `ray.data.read_csv` (same validation
+    shape as the JSON loader, distinct wire format + type inference)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    _, cpath = _ensure_wire_files(sf_dir)
+    ds = rd.read_csv(cpath)
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Min("event_id"), Max("event_id"))
+        .to_pandas()
+        .rename(
+            columns={"min(event_id)": "min_id", "max(event_id)": "max_id"}
+        )
+    )
+    out["min_id"] = out["min_id"].astype("int64")
+    out["max_id"] = out["max_id"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["csv_loader_events"] = q_csv_loader_events
+ORACLE["csv_loader_events"] = """
+    SELECT event_type, min(event_id)::BIGINT AS min_id,
+           max(event_id)::BIGINT AS max_id
+    FROM events GROUP BY event_type ORDER BY event_type
+"""

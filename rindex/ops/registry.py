@@ -7,7 +7,10 @@ def _modules():
     from rindex.ops import relational
 
     mods = [relational]
-    for name in ("fulltext", "dedup", "textstats", "ann", "multimodal"):
+    for name in (
+        "fulltext", "dedup", "textstats", "ann", "multimodal",
+        "search_ext", "loaders",
+    ):
         try:
             mods.append(
                 __import__(f"rindex.ops.{name}", fromlist=[name])

@@ -1,0 +1,405 @@
+"""Extended search-side operators (SURVEY.md §2.3/§2.4/§2.5): block join,
+graph traversal, suggester, spellcheck, HyperLogLog, significantTerms.
+
+Each op's docstring cites the reference operator it re-expresses; all are
+Ray-Data-native (map_batches partial + small final reduce, broadcast small
+sides, no driver-side row loops over big data).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rindex.ops.util import read_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Block join (parent/child) — ToParentBlockJoinQuery
+# ---------------------------------------------------------------------------
+
+def q_block_join_orders_lineitem(sf_dir: str):
+    """Parent/child block join: parents (orders) matched through a child
+    (lineitem) predicate, child scores aggregated to the parent with the
+    `max` ScoreMode (reference: `lucene/join/src/java/org/apache/lucene/
+    search/join/ToParentBlockJoinQuery.java` + ScoreJoinQParserPlugin
+    score=max).  Ray shape: child-side filter + partial groupby-max per
+    batch, then one small groupby — the parent table is never shuffled."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"]
+    )
+    hits = li.filter(expr="l_quantity > 45")
+    agg = hits.groupby("l_orderkey").aggregate(Max("l_extendedprice"))
+    df = agg.to_pandas().rename(
+        columns={"max(l_extendedprice)": "best_child_price", "l_orderkey": "o_orderkey"}
+    )
+    df["best_child_price"] = df["best_child_price"].round(2)
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["block_join_orders_lineitem"] = q_block_join_orders_lineitem
+ORACLE["block_join_orders_lineitem"] = """
+    SELECT l_orderkey AS o_orderkey,
+           round(max(l_extendedprice), 2) AS best_child_price
+    FROM lineitem WHERE l_quantity > 45
+    GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal — gatherNodes / GraphQuery BFS frontier expansion
+# ---------------------------------------------------------------------------
+
+def q_graph_gather_orders_of_nation(sf_dir: str):
+    """2-hop graph walk: nation 'NATION_3' -> its customers -> their orders
+    (reference: `solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/
+    GatherNodesStream.java`; each hop is a frontier expansion = semi-join,
+    the frontier is broadcast because it is small — the reference ships the
+    frontier in the join query the same way)."""
+    import ray
+
+    nat = read_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    keys = nat.loc[nat["n_name"] == "NATION_3", "n_nationkey"]
+    frontier0 = ray.put(set(int(k) for k in keys))
+
+    def hop1(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["c_nationkey"].isin(ray.get(frontier0))
+        return batch.loc[keep, ["c_custkey"]]
+
+    custs = (
+        read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(hop1, batch_format="pandas")
+        .to_pandas()
+    )
+    if custs.empty:  # dead frontier -> empty result, stable schema
+        return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64")})
+    frontier1 = ray.put(set(custs["c_custkey"].astype(int)))
+
+    def hop2(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["o_custkey"].isin(ray.get(frontier1))
+        return batch.loc[keep, ["o_orderkey"]]
+
+    orders = (
+        read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(hop2, batch_format="pandas")
+        .to_pandas()
+    )
+    out = orders.drop_duplicates().sort_values("o_orderkey").reset_index(drop=True)
+    return out
+
+
+QUERIES["graph_gather_orders_of_nation"] = q_graph_gather_orders_of_nation
+ORACLE["graph_gather_orders_of_nation"] = """
+    SELECT DISTINCT o.o_orderkey
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE n.n_name = 'NATION_3'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Suggester — AnalyzingSuggester / FreeTextSuggester over the term dict
+# ---------------------------------------------------------------------------
+
+def q_suggest_prefix_documents(sf_dir: str):
+    """Prefix completion from the INDEX term dictionary ranked by global df
+    (reference: `lucene/suggest/src/java/org/apache/lucene/search/suggest/
+    analyzing/AnalyzingSuggester.java` — weight-ordered FST completion; our
+    term dict is the sorted postings.parquet term column, so prefix lookup
+    is a row-group-pruned range read per segment + tiny df-sum reduce)."""
+    import pyarrow.parquet as pq
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    prefix = "s"
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    acc: dict[str, int] = {}
+    for m in man["segments"]:
+        p = os.path.join(
+            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
+        )
+        t = pq.read_table(
+            p,
+            columns=["term", "df"],
+            filters=[("term", ">=", prefix), ("term", "<", prefix + "￿")],
+        )
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            acc[term] = acc.get(term, 0) + int(df)
+    out = pd.DataFrame(
+        sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:10],
+        columns=["suggestion", "weight"],
+    )
+    return out
+
+
+QUERIES["suggest_prefix_documents"] = q_suggest_prefix_documents
+ORACLE["suggest_prefix_documents"] = """
+    SELECT term AS suggestion, count(DISTINCT doc_id)::BIGINT AS weight
+    FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+      FROM documents
+    )
+    WHERE term LIKE 's%'
+    GROUP BY term
+    ORDER BY weight DESC, suggestion ASC
+    LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spellcheck — DirectSpellChecker (edit distance over the term dict)
+# ---------------------------------------------------------------------------
+
+SPELL_INPUTS = ["spakr", "joni", "windw", "stremm"]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if abs(len(a) - len(b)) > 2:
+        return 99
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def q_spellcheck_documents(sf_dir: str):
+    """Spelling correction from the index term dictionary: candidate with
+    min edit distance (<=2), ties by higher df then term order (reference:
+    `lucene/suggest/src/java/org/apache/lucene/search/spell/
+    DirectSpellChecker.java` — candidates from the term dict, ranked by
+    distance then docFreq).  The term dict with global dfs is a tiny
+    aggregate of the segment dictionaries; the scan is driver-side because
+    the dict is bounded (vocab), not corpus-sized."""
+    import pyarrow.parquet as pq
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    acc: dict[str, int] = {}
+    for m in man["segments"]:
+        p = os.path.join(
+            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
+        )
+        t = pq.read_table(p, columns=["term", "df"])
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            acc[term] = acc.get(term, 0) + int(df)
+    rows = []
+    for w in SPELL_INPUTS:
+        best = None
+        for term, df in acc.items():
+            d = _levenshtein(w, term)
+            if d > 2:
+                continue
+            key = (d, -df, term)
+            if best is None or key < best[0]:
+                best = (key, term, d, df)
+        if best is not None:
+            rows.append((w, best[1], best[2], best[3]))
+    return pd.DataFrame(
+        rows, columns=["input", "correction", "distance", "weight"]
+    )
+
+
+QUERIES["spellcheck_documents"] = q_spellcheck_documents
+_spell_values = ",".join(f"('{w}')" for w in SPELL_INPUTS)
+ORACLE["spellcheck_documents"] = f"""
+    WITH dict AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS weight
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+        FROM documents
+      ) GROUP BY term
+    ),
+    inputs(input) AS (VALUES {_spell_values}),
+    cand AS (
+      SELECT input, term AS correction,
+             levenshtein(input, term)::BIGINT AS distance, weight,
+             row_number() OVER (
+               PARTITION BY input
+               ORDER BY levenshtein(input, term) ASC, weight DESC, term ASC
+             ) AS rn
+      FROM inputs CROSS JOIN dict
+      WHERE levenshtein(input, term) <= 2
+    )
+    SELECT input, correction, distance, weight FROM cand WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — approx distinct, mergeable across blocks (HLLAgg / hll/HLL)
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _hll_registers(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """Vectorized register computation for one batch of int64 values."""
+    h = _splitmix64(values.astype(np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    # rho = leading zeros of `rest` + 1, vectorized via float64 exponent
+    lz = np.full(len(rest), 64 - p, dtype=np.int64)
+    nz = rest != 0
+    exp = np.frexp(rest[nz].astype(np.float64))[1]
+    lz[nz] = np.minimum(64 - exp, 64 - p)
+    rho = (lz + 1).astype(np.uint8)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # linear counting small-range correction
+    return float(e)
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """Approximate distinct users per event_type via HyperLogLog sketches:
+    one register set per (type, block) computed vectorized in map_batches,
+    merged by elementwise max in a small final reduce (reference:
+    `solr/core/src/java/org/apache/solr/search/facet/HLLAgg.java` +
+    `solr/core/src/java/org/apache/solr/util/hll/HLL.java` — the same
+    partial-sketch-then-union shape Solr uses across shards).  Approximate
+    -> no SQL oracle; pytest asserts <5%% error vs exact distinct."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in batch.groupby("event_type"):
+            regs = _hll_registers(g["user_id"].to_numpy())
+            rows.append((et, regs.tobytes()))
+        return pd.DataFrame(rows, columns=["event_type", "regs"])
+
+    ev = read_table(sf_dir, "events", ["event_type", "user_id"])
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for et, g in parts.groupby("event_type"):
+        merged = np.zeros(1 << HLL_P, dtype=np.uint8)
+        for blob in g["regs"]:
+            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+        out.append((et, int(round(_hll_estimate(merged)))))
+    return pd.DataFrame(out, columns=["event_type", "approx_users"]).sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+QUERIES["hll_distinct_users"] = q_hll_distinct_users
+
+
+# ---------------------------------------------------------------------------
+# significantTerms — foreground vs background term relatedness
+# ---------------------------------------------------------------------------
+
+SIG_FG_SOURCES = ("src0", "src1")
+SIG_MIN_DF = 3
+
+
+def q_significant_terms_documents(sf_dir: str):
+    """Terms over-represented in a foreground doc set vs the corpus
+    (reference: `solr/solrj/.../io/stream/SignificantTermsStream.java` +
+    `solr/core/src/java/org/apache/solr/search/facet/RelatednessAgg.java`;
+    score here = fg_rate log-ratio, computed identically in SQL).  Two
+    distributed groupby-count passes (per-term doc counts fg + bg) and a
+    tiny driver-side score/sort."""
+    import pyarrow.compute as pc
+
+    from rindex.analysis import get_analyzer
+
+    analyzer = get_analyzer()
+
+    def term_docs(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        fg_set = set(SIG_FG_SOURCES)
+        for text, src in zip(
+            pc.utf8_lower(batch["text"]).to_pylist(),
+            batch["source"].to_pylist(),
+        ):
+            fg = src in fg_set
+            for term in set(analyzer.tokens(text or "")):
+                rows.append((term, 1 if fg else 0))
+        return pd.DataFrame(rows, columns=["term", "is_fg"])
+
+    from ray.data.aggregate import Count, Sum
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    counts = (
+        docs.map_batches(term_docs, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(), Sum("is_fg"))
+        .to_pandas()
+        .rename(columns={"count()": "df_bg", "sum(is_fg)": "df_fg"})
+    )
+    n_bg = docs.count()
+    n_fg = (
+        read_table(sf_dir, "documents", ["source"])
+        .filter(expr=f"source in {list(SIG_FG_SOURCES)}")
+        .count()
+    )
+    c = counts[counts["df_fg"] >= SIG_MIN_DF].copy()
+    c["score"] = (
+        (c["df_fg"] / n_fg) / (c["df_bg"] / n_bg)
+    ).apply(lambda x: round(float(np.log(x)), 6))
+    c = c.sort_values(["score", "term"], ascending=[False, True]).head(10)
+    c["df_fg"] = c["df_fg"].astype(np.int64)
+    c["df_bg"] = c["df_bg"].astype(np.int64)
+    return c[["term", "df_fg", "df_bg", "score"]].reset_index(drop=True)
+
+
+QUERIES["significant_terms_documents"] = q_significant_terms_documents
+_fg_list = ",".join(f"'{s}'" for s in SIG_FG_SOURCES)
+ORACLE["significant_terms_documents"] = f"""
+    WITH td AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term,
+             count(*)::BIGINT AS df_bg,
+             sum(CASE WHEN source IN ({_fg_list}) THEN 1 ELSE 0 END)::BIGINT AS df_fg
+      FROM td GROUP BY term
+    ),
+    sizes AS (
+      SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_bg,
+             (SELECT count(*) FROM documents
+              WHERE source IN ({_fg_list}))::DOUBLE AS n_fg
+    )
+    SELECT term, df_fg, df_bg,
+           round(ln((df_fg / n_fg) / (df_bg / n_bg)), 6) AS score
+    FROM counts CROSS JOIN sizes
+    WHERE df_fg >= {SIG_MIN_DF}
+    ORDER BY score DESC, term ASC
+    LIMIT 10
+"""

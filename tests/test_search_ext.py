@@ -1,0 +1,66 @@
+"""Quality checks for extended ops without SQL oracles: HLL error bound,
+highlighter properties; plus spot determinism for the sketch ops."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_error_bound(ray_session):
+    from rindex.ops.search_ext import q_hll_distinct_users
+
+    approx = q_hll_distinct_users(SF).set_index("event_type")["approx_users"]
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            f"""SELECT event_type, count(DISTINCT user_id)
+                FROM read_parquet('{SF}/events.parquet') GROUP BY 1"""
+        ).fetchall()
+    )
+    assert set(approx.index) == set(exact)
+    for et, est in approx.items():
+        err = abs(est - exact[et]) / max(1, exact[et])
+        assert err < 0.05, f"{et}: {est} vs {exact[et]} (err {err:.3f})"
+
+
+def test_hll_registers_merge_associative():
+    from rindex.ops.search_ext import _hll_estimate, _hll_registers
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 10**12, 50_000)
+    whole = _hll_registers(vals)
+    parts = np.maximum.reduce(
+        [_hll_registers(c) for c in np.array_split(vals, 7)]
+    )
+    np.testing.assert_array_equal(whole, parts)  # merge == single pass
+    est = _hll_estimate(whole)
+    true = len(np.unique(vals))
+    assert abs(est - true) / true < 0.05
+
+
+def test_highlighter_properties(ray_session):
+    from rindex.ops.fulltext import HL_QUERY, HL_WINDOW, q_highlight_documents
+    from rindex.ops.fulltext import q_bm25_topk_documents
+
+    hl = q_highlight_documents(SF)
+    qterms = set(HL_QUERY.split())
+    assert len(hl) == 10
+    for snip in hl["snippet"]:
+        toks = snip.split()
+        assert len(toks) <= HL_WINDOW
+        assert qterms & set(toks), f"snippet lacks query terms: {snip!r}"
+    # highlighted docs == the engine's top-10 for the same query
+    top = q_bm25_topk_documents(SF).to_pandas()
+    want = top.loc[top["query_id"] == "q03"].sort_values("rank")["doc_id"]
+    assert list(hl.sort_values("rank")["doc_id"]) == list(want)
+
+
+def test_spellcheck_corrections_sane(ray_session):
+    from rindex.ops.search_ext import q_spellcheck_documents
+
+    out = q_spellcheck_documents(SF).set_index("input")["correction"]
+    assert out["spakr"] == "spark"
+    assert out["joni"] == "join"
+    assert out["windw"] == "window"
