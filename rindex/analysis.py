@@ -94,6 +94,158 @@ def make_pattern_replace(pattern: str, repl: str) -> Callable[[str], str]:
     return lambda text: rx.sub(repl, text)
 
 
+# ---------------------------------------------------------------------------
+# PorterStemFilter analog — the Porter (1980) suffix-stripping algorithm,
+# re-implemented from the published paper (public); reference semantics:
+# `lucene/analysis/common/src/java/org/apache/lucene/analysis/en/
+# PorterStemFilter.java` + `PorterStemmer.java`.
+# ---------------------------------------------------------------------------
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """m in [C](VC)^m[V]."""
+    n, i, m = len(w), 0, 0
+    while i < n and _is_cons(w, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(w, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(w, i):
+            i += 1
+    return m
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _is_cons(w, i) for i in range(len(w)))
+
+
+def _ends_cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(w: str) -> str:
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        hit = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            hit = w = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            hit = w = w[:-3]
+        if hit is not None:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif (
+                len(w) >= 2
+                and w[-1] == w[-2]
+                and _is_cons(w, len(w) - 1)
+                and w[-1] not in "lsz"
+            ):
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2 (longest matching suffix, apply iff m(stem) > 0)
+    for suf, rep in sorted(_STEP2, key=lambda x: -len(x[0])):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in sorted(_STEP3, key=lambda x: -len(x[0])):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4 (m(stem) > 1; 'ion' additionally requires stem ending s/t)
+    for suf in sorted(_STEP4, key=len, reverse=True):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1 and (
+                suf != "ion" or stem.endswith(("s", "t"))
+            ):
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if (
+        len(w) >= 2
+        and w[-1] == "l"
+        and w[-1] == w[-2]
+        and _measure(w) > 1
+    ):
+        w = w[:-1]
+    return w
+
+
+def porter_stem_filter(toks: list[str]) -> list[str]:
+    return [porter_stem(t) for t in toks]
+
+
+def make_synonym_filter(
+    mapping: dict[str, str]
+) -> Callable[[list[str]], list[str]]:
+    """SynonymGraphFilter analog restricted to single-token replacement
+    synonyms (canonicalization); the dict is held by the caller's actor
+    (`lucene/analysis/common/.../synonym/SynonymGraphFilter.java`)."""
+    return lambda toks: [mapping.get(t, t) for t in toks]
+
+
 ANALYZERS: dict[str, Analyzer] = {
     "standard": Analyzer(name="standard"),
 }

@@ -1,0 +1,404 @@
+"""Analysis-chain + stream-enrichment operators (SURVEY.md §2.2 / §2.4).
+
+Reference anchors (semantics only, no code ported):
+  * StopFilter           — `lucene/analysis/common/src/java/org/apache/lucene/
+                            analysis/core/StopFilter.java`
+  * SynonymGraphFilter   — `.../synonym/SynonymGraphFilter.java` (dictionary
+                            loaded once per worker → actor-pool stage)
+  * ShingleFilter        — `.../shingle/ShingleFilter.java`
+  * EdgeNGramTokenFilter — `.../ngram/EdgeNGramTokenFilter.java`
+  * PorterStemFilter     — `.../en/PorterStemFilter.java`
+  * Field-mutating URPs  — `solr/core/src/java/org/apache/solr/update/
+                            processor/ParseIntFieldUpdateProcessorFactory.java`
+  * fetch() stream       — `solr/solrj/src/java/org/apache/solr/client/solrj/
+                            io/stream/FetchStream.java`
+  * ScoreJoin            — `solr/core/src/java/org/apache/solr/search/join/
+                            ScoreJoinQParserPlugin.java`
+
+Scale notes: every term/bigram count op pre-aggregates INSIDE map_batches
+(partial Counter per batch) so the groupby shuffle only moves (key, count)
+partials, never raw token rows — the combiner pattern that keeps the
+all-to-all exchange proportional to vocabulary size, not corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rindex.ops.util import read_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+TOKEN_SQL_RE = "[0-9a-z]+"
+_TOKEN_RE = re.compile(TOKEN_SQL_RE)
+
+# intersects the documents vocabulary ('the' is present); STOPSETS["en"]
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+# replacement synonyms over the documents vocabulary
+SYNONYMS = {"fast": "quick", "slow": "sluggish", "join": "merge"}
+
+TOP_TERMS = 20
+TOP_BIGRAMS = 15
+
+
+def _count_partial(counter_fn):
+    """map_batches fn: per-batch Counter -> (term, cnt) partial rows."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.utf8_lower(t["text"]).to_pylist()
+        c = counter_fn(texts)
+        if not c:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        ks, vs = zip(*c.items())
+        return pa.table({"term": pa.array(ks), "cnt": pa.array(vs, pa.int64())})
+
+    return f
+
+
+def _sum_sort_limit(ds, n: int):
+    from ray.data.aggregate import Sum
+
+    out = ds.groupby("term").aggregate(Sum(on="cnt", alias_name="cnt"))
+    return out.sort(["cnt", "term"], descending=[True, False]).limit(n)
+
+
+def q_stopword_topterms_documents(sf_dir: str):
+    """StopFilter: top terms by collection frequency AFTER stopword removal.
+    Tokenize + filter + partial-count in one vectorized map_batches; the
+    shuffle moves only (term, cnt) partials."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    sw = frozenset(STOPWORDS)
+
+    def count(texts):
+        c = Counter()
+        for x in texts:
+            c.update(tk for tk in _TOKEN_RE.findall(x or "") if tk not in sw)
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+QUERIES["stopword_topterms_documents"] = q_stopword_topterms_documents
+ORACLE["stopword_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents)
+    WHERE term NOT IN {tuple(STOPWORDS)}
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_synonym_canonical_documents(sf_dir: str):
+    """SynonymGraphFilter (replacement synonyms): term counts after mapping
+    through a synonym dictionary held by an ACTOR POOL — the dict is built
+    once per actor in __init__ (broadcast via constructor closure), not
+    re-shipped per batch."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    class SynonymCount:
+        def __init__(self):
+            from rindex.analysis import make_synonym_filter
+
+            self.filter = make_synonym_filter(dict(SYNONYMS))
+            self.rx = re.compile(TOKEN_SQL_RE)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = Counter()
+            for x in pc.utf8_lower(t["text"]).to_pylist():
+                c.update(self.filter(self.rx.findall(x or "")))
+            if not c:
+                return pa.table(
+                    {"term": pa.array([], pa.string()),
+                     "cnt": pa.array([], pa.int64())}
+                )
+            ks, vs = zip(*c.items())
+            return pa.table(
+                {"term": pa.array(ks), "cnt": pa.array(vs, pa.int64())}
+            )
+
+    mapped = ds.map_batches(
+        SynonymCount, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return _sum_sort_limit(mapped, TOP_TERMS)
+
+
+_syn_case = " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in sorted(SYNONYMS.items())
+)
+QUERIES["synonym_canonical_documents"] = q_synonym_canonical_documents
+ORACLE["synonym_canonical_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT CASE t {_syn_case} ELSE t END AS term FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS t
+        FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_shingle_bigrams_documents(sf_dir: str):
+    """ShingleFilter (token bigrams): top word-pair counts; partial Counter
+    per batch -> (bigram, cnt) groupby sum."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def count(texts):
+        c = Counter()
+        for x in texts:
+            toks = _TOKEN_RE.findall(x or "")
+            c.update(
+                f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+            )
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_BIGRAMS)
+
+
+QUERIES["shingle_bigrams_documents"] = q_shingle_bigrams_documents
+ORACLE["shingle_bigrams_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(
+        list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+      ) AS term FROM (
+        SELECT regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+        FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_BIGRAMS}
+"""
+
+
+def q_edge_ngram_terms_documents(sf_dir: str):
+    """EdgeNGramTokenFilter over the distinct corpus vocabulary: each term
+    expands to its 2..5-char prefixes (the autocomplete-index shape).
+    Vocab is derived distributively (partial term sets per batch ->
+    groupby-distinct), then the expansion is a flat map."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def terms(texts):
+        # partial distinct per batch (cnt unused downstream; 1 per term)
+        return Counter(set().union(
+            *(set(_TOKEN_RE.findall(x or "")) for x in texts)
+        )) if texts else Counter()
+
+    vocab = (
+        ds.map_batches(
+            _count_partial(terms), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("term")
+        .count()
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts, gs = [], []
+        for term in t["term"].to_pylist():
+            for i in range(2, min(len(term), 5) + 1):
+                ts.append(term)
+                gs.append(term[:i])
+        return pa.table({"term": pa.array(ts, pa.string()),
+                         "gram": pa.array(gs, pa.string())})
+
+    return vocab.map_batches(expand, batch_format="pyarrow")
+
+
+QUERIES["edge_ngram_terms_documents"] = q_edge_ngram_terms_documents
+ORACLE["edge_ngram_terms_documents"] = f"""
+    SELECT term, unnest(
+      list_transform(range(2, least(length(term), 5) + 1),
+                     i -> substr(term, 1, i))
+    ) AS gram FROM (
+      SELECT DISTINCT unnest(
+        regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents)
+"""
+
+
+def q_porter_stem_documents(sf_dir: str):
+    """PorterStemFilter: per-document token count after stemming plus the
+    count of DISTINCT stems (the stemmer collapses inflections).  Rows-only
+    (Porter is not SQL-expressible); the stemmer itself is golden-tested in
+    tests/test_analysis.py against the published algorithm's examples."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    class Stem:
+        def __init__(self):
+            from rindex.analysis import porter_stem
+
+            self.stem = porter_stem
+            self.rx = re.compile(TOKEN_SQL_RE)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n_tok, n_stem = [], []
+            for x in pc.utf8_lower(t["text"]).to_pylist():
+                stems = [self.stem(tk) for tk in self.rx.findall(x or "")]
+                n_tok.append(len(stems))
+                n_stem.append(len(set(stems)))
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pa.array(n_tok, pa.int64()),
+                    "n_distinct_stems": pa.array(n_stem, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        Stem, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
+QUERIES["porter_stem_documents"] = q_porter_stem_documents
+# no ORACLE: Porter stemming is not SQL-expressible; pytest goldens cover it.
+
+
+def q_urp_parse_props_events(sf_dir: str):
+    """Field-mutating URP chain (ParseIntField analog): extract the integer
+    `k` from the JSON-ish `props` string column, bucket by decade, count.
+    Pure vectorized pyarrow.compute — no Python loop."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", ["props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        decade = pc.multiply(pc.divide(k, 10), 10)
+        return pa.table({"k_decade": decade})
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k_decade")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+QUERIES["urp_parse_props_events"] = q_urp_parse_props_events
+ORACLE["urp_parse_props_events"] = """
+    SELECT (regexp_extract(props, '"k": (\\d+)', 1)::BIGINT // 10) * 10
+             AS k_decade,
+           count(*) AS n
+    FROM events GROUP BY 1
+"""
+
+
+def q_fetch_enrich_orders(sf_dir: str):
+    """fetch() stream: top-50 orders by totalprice enriched with customer
+    name/segment via a BROADCAST keyed lookup (small side ray.put once,
+    merged per batch — no shuffle join).  Partitioning assumption: the
+    fetched collection fits in one object-store copy per node."""
+    import pyarrow.parquet as pq
+
+    from rindex.ops.util import broadcast_join
+
+    top = (
+        read_table(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(50)
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    return broadcast_join(top, cust, on="o_custkey", how="left")
+
+
+QUERIES["fetch_enrich_orders"] = q_fetch_enrich_orders
+ORACLE["fetch_enrich_orders"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50) o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+SCORE_JOIN_TERM = "spark"
+SCORE_JOIN_TOP = 5
+
+
+def q_score_join_documents_source(sf_dir: str):
+    """ScoreJoin: BM25-score every document matching a term, aggregate
+    max(score) per `source` field, return the top sources.  The score side
+    comes from the inverted index (all matches, exhaustive); the per-source
+    aggregation is a Ray groupby over (doc_id, score) joined to the source
+    column by broadcast — the reference aggregates join scores the same way
+    (`ScoreJoinQParserPlugin` score=max)."""
+    from ray.data.aggregate import Max
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.ops.util import broadcast_join
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    hits = s.search(SCORE_JOIN_TERM, k=10**9, mode="or")
+    scores = pd.DataFrame(
+        {"doc_id": [h[1] for h in hits],
+         "score": np.round([h[-1] for h in hits], 6)}
+    )
+    docs = read_table(sf_dir, "documents", ["doc_id", "source"])
+    joined = broadcast_join(docs, scores, on="doc_id", how="inner")
+    out = joined.groupby("source").aggregate(
+        Max(on="score", alias_name="max_score")
+    )
+    return out.sort(
+        ["max_score", "source"], descending=[True, False]
+    ).limit(SCORE_JOIN_TOP)
+
+
+def _score_join_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    return f"""
+    WITH {_bm25_ctes()},
+    scores AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl)) AS s
+      FROM tf JOIN df USING (term) JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.term = '{SCORE_JOIN_TERM}'
+    )
+    SELECT d.source, round(max(round(s.s, 6)), 6) AS max_score
+    FROM scores s JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY max_score DESC, d.source ASC LIMIT {SCORE_JOIN_TOP}
+    """
+
+
+QUERIES["score_join_documents_source"] = q_score_join_documents_source
+ORACLE["score_join_documents_source"] = _score_join_oracle()

@@ -238,7 +238,7 @@ def q_term_search_documents(sf_dir: str):
     s = IndexSearcher(idx)
     docs = []
     for r in s.readers:
-        row = r.postings_for(["spill"]).get("spill")
+        row = r.postings_for(["dup"]).get("dup")
         if row is not None:
             d, _, _ = decode_posting(row)
             ids = r.fetch_ids(d.astype(np.int64), ["doc_id"])
@@ -253,7 +253,7 @@ import numpy as np  # noqa: E402  (used above)
 QUERIES["term_search_documents"] = q_term_search_documents
 ORACLE["term_search_documents"] = f"""
     SELECT doc_id FROM documents
-    WHERE list_contains(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}'), 'spill')
+    WHERE list_contains(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}'), 'dup')
 """
 
 

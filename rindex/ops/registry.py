@@ -9,7 +9,7 @@ def _modules():
     mods = [relational]
     for name in (
         "fulltext", "dedup", "textstats", "ann", "multimodal",
-        "search_ext", "loaders",
+        "search_ext", "loaders", "analysis_ext",
     ):
         try:
             mods.append(

@@ -43,3 +43,53 @@ def test_filters():
     assert html_strip("<b>hi</b> there") == " hi  there"
     pr = make_pattern_replace(r"\d+", "#")
     assert pr("a1b22") == "a#b#"
+
+
+def test_porter_stem_paper_examples():
+    """Full-pipeline outputs for the example vocabulary of Porter (1980);
+    expected values are the canonical algorithm's end-to-end stems."""
+    from rindex.analysis import porter_stem
+
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "airliner": "airlin",
+        "gyroscopic": "gyroscop", "adjustable": "adjust",
+        "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    bad = {
+        w: (porter_stem(w), want)
+        for w, want in cases.items()
+        if porter_stem(w) != want
+    }
+    assert not bad, bad
+
+
+def test_synonym_filter():
+    from rindex.analysis import make_synonym_filter
+
+    syn = make_synonym_filter({"fast": "quick"})
+    assert syn(["fast", "join", "fast"]) == ["quick", "join", "quick"]
