@@ -74,8 +74,9 @@ def _build_config(
     text_col: str,
     salt_range: int,
     keep_cols: tuple[str, ...] = (),
+    with_positions: bool = False,
 ) -> dict:
-    return {
+    cfg = {
         "analyzer": analyzer_name,
         "num_segments": num_segments,
         "block_size": BLOCK_SIZE,
@@ -84,6 +85,11 @@ def _build_config(
         "salt_range": salt_range,
         "keep_cols": list(keep_cols),
     }
+    # key present only when enabled so non-positional config hashes (and
+    # therefore existing checkpoints) are unchanged
+    if with_positions:
+        cfg["with_positions"] = True
+    return cfg
 
 
 def _make_assign_seg(key_col: str, num_segments: int, done_segs: frozenset):
@@ -134,21 +140,27 @@ def _make_assign_docids(
     return assign
 
 
-def _make_tokenize_local(analyzer_name: str):
+def _make_tokenize_local(analyzer_name: str, with_positions: bool = False):
     """Stage 3, combiner mode (stateless task): per batch, analyze text and
     emit one packed partial posting row per (seg, term).  Analyzer state is
     tiny (compiled regex) and module-level-cached per worker process, so a
     task — not an actor pool — is the right shape: an actor pool here would
     reserve CPUs away from the shuffle stages (classic starvation)."""
 
-    return _make_tokenize_partials(analyzer_name, salt_range=None)
+    return _make_tokenize_partials(
+        analyzer_name, salt_range=None, with_positions=with_positions
+    )
 
 
-def _make_tokenize_partials(analyzer_name: str, salt_range: int | None):
+def _make_tokenize_partials(
+    analyzer_name: str, salt_range: int | None, with_positions: bool = False
+):
     """Shared combiner: per batch, analyze text and emit one packed partial
     posting row per (seg, term[, doc-range salt]).  With salt_range set
     (term-shuffle mode), a hot term's partials split at doc-range boundaries
-    so downstream shuffle rows stay bounded."""
+    so downstream shuffle rows stay bounded.  with_positions additionally
+    packs within-doc token positions per partial (IndexOptions
+    DOCS_AND_FREQS_AND_POSITIONS analog)."""
 
     def tokenize_partials(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -157,17 +169,28 @@ def _make_tokenize_partials(analyzer_name: str, salt_range: int | None):
         segs = batch["seg"].to_numpy()
         docs = batch["doc"].to_numpy()
         texts = pc.utf8_lower(batch["text"]).to_pylist()
-        # accumulate per (seg, term, salt): lists of (doc, tf)
+        # accumulate per (seg, term, salt): lists of (doc, tf[, positions])
         acc: dict[tuple[int, str, int], list] = {}
         dls = np.zeros(len(texts), dtype=np.int64)
         for i, text in enumerate(texts):
-            tf = analyzer.term_freqs(text or "")
-            dls[i] = sum(tf.values())
             s = int(segs[i])
             d = int(docs[i])
             salt = -1 if salt_range is None else d // salt_range
-            for term, f in tf.items():
-                acc.setdefault((s, term, salt), []).append((d, f))
+            if with_positions:
+                toks = analyzer.tokens(text or "")
+                dls[i] = len(toks)
+                per_term: dict[str, list[int]] = {}
+                for p, term in enumerate(toks):
+                    per_term.setdefault(term, []).append(p)
+                for term, plist in per_term.items():
+                    acc.setdefault((s, term, salt), []).append(
+                        (d, len(plist), plist)
+                    )
+            else:
+                tf = analyzer.term_freqs(text or "")
+                dls[i] = sum(tf.values())
+                for term, f in tf.items():
+                    acc.setdefault((s, term, salt), []).append((d, f))
         norms_all = encode_norms(dls)
         # key by (seg, doc): docIDs are segment-local ordinals, so a batch
         # spanning segments can contain the same ordinal twice
@@ -175,17 +198,19 @@ def _make_tokenize_partials(analyzer_name: str, salt_range: int | None):
             (int(s), int(d)): int(n)
             for s, d, n in zip(segs, docs, norms_all)
         }
-        return _pack_acc(acc, doc_to_norm)
+        return _pack_acc(acc, doc_to_norm, with_positions)
 
     return tokenize_partials
 
 
-def _pack_acc(acc: dict, doc_to_norm: dict) -> pa.Table:
+def _pack_acc(
+    acc: dict, doc_to_norm: dict, with_positions: bool = False
+) -> pa.Table:
     seg_col, term_col, salt_col, first_col = [], [], [], []
     df_col, ttf_col = [], []
-    docs_col, tfs_col, norms_col = [], [], []
+    docs_col, tfs_col, norms_col, pos_col = [], [], [], []
     for (s, term, salt), pairs in acc.items():
-        pairs.sort()
+        pairs.sort(key=lambda p: p[0])
         d = np.fromiter((p[0] for p in pairs), dtype=np.int32, count=len(pairs))
         t = np.fromiter((p[1] for p in pairs), dtype=np.int32, count=len(pairs))
         n = np.fromiter(
@@ -200,19 +225,28 @@ def _pack_acc(acc: dict, doc_to_norm: dict) -> pa.Table:
         docs_col.append(d.tobytes())
         tfs_col.append(t.tobytes())
         norms_col.append(n.tobytes())
-    return pa.table(
-        {
-            "seg": pa.array(seg_col, pa.int32()),
-            "term": pa.array(term_col, pa.string()),
-            "salt": pa.array(salt_col, pa.int32()),
-            "first_doc": pa.array(first_col, pa.int32()),
-            "df": pa.array(df_col, pa.int64()),
-            "ttf": pa.array(ttf_col, pa.int64()),
-            "docs": pa.array(docs_col, pa.binary()),
-            "tfs": pa.array(tfs_col, pa.binary()),
-            "norms": pa.array(norms_col, pa.binary()),
-        }
-    )
+        if with_positions:
+            pos_col.append(
+                np.fromiter(
+                    (p for pair in pairs for p in pair[2]),
+                    dtype=np.int32,
+                    count=int(t.sum()),
+                ).tobytes()
+            )
+    cols = {
+        "seg": pa.array(seg_col, pa.int32()),
+        "term": pa.array(term_col, pa.string()),
+        "salt": pa.array(salt_col, pa.int32()),
+        "first_doc": pa.array(first_col, pa.int32()),
+        "df": pa.array(df_col, pa.int64()),
+        "ttf": pa.array(ttf_col, pa.int64()),
+        "docs": pa.array(docs_col, pa.binary()),
+        "tfs": pa.array(tfs_col, pa.binary()),
+        "norms": pa.array(norms_col, pa.binary()),
+    }
+    if with_positions:
+        cols["pos"] = pa.array(pos_col, pa.binary())
+    return pa.table(cols)
 
 
 def _add_bucket(num_buckets: int):
@@ -260,6 +294,7 @@ def merge_partials_to_postings(
         return POSTINGS_SCHEMA.empty_table(), {
             "sum_ttf": 0, "max_partials_per_term": 0, "n_multi_partial_terms": 0,
         }
+    has_pos = "pos" in group.columns
     term_vals = group["term"].to_numpy()
     terms, codes = np.unique(term_vals, return_inverse=True)
     part_dfs = group["df"].to_numpy().astype(np.int64)
@@ -279,6 +314,20 @@ def merge_partials_to_postings(
     # batch boundaries may interleave doc ranges in combiner mode: always
     # sort (stable; already near-sorted so cost is low)
     so = np.lexsort((big_docs, term_of))
+    if has_pos:
+        # gather each doc entry's position run under the same permutation
+        # (occurrence-granular: run start/length from the pre-sort tfs)
+        pos_bytes = group["pos"].to_numpy()[order]
+        big_pos = np.frombuffer(b"".join(pos_bytes), dtype=np.int32).astype(
+            np.int64
+        )
+        starts_pre = np.concatenate([[0], np.cumsum(big_tfs)[:-1]])
+        lens_s = big_tfs[so]
+        occ_idx = np.repeat(starts_pre[so], lens_s) + (
+            np.arange(int(lens_s.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(lens_s) - lens_s, lens_s)
+        )
+        big_pos = big_pos[occ_idx]
     big_docs, big_tfs, big_norms = big_docs[so], big_tfs[so], big_norms[so]
     n_terms = len(terms)
     per_term_df = np.bincount(codes_o, weights=dfs_o, minlength=n_terms).astype(
@@ -306,19 +355,38 @@ def merge_partials_to_postings(
     if len(enc["blob_data"]) < 2**31 - 1:
         blob_arr = blob_arr.cast(pa.binary())  # POSTINGS_SCHEMA type; >2GB
         # segments keep large_binary (parquet stores both as BYTE_ARRAY)
-    table = pa.table(
-        {
-            "term": pa.array(terms, pa.string()),
-            "df": pa.array(enc["df"], pa.int64()),
-            "ttf": pa.array(enc["ttf"], pa.int64()),
-            "block_first_doc": list_arr(enc["block_first_doc"], pa.int32()),
-            "block_last_doc": list_arr(enc["block_last_doc"], pa.int32()),
-            "block_max_tf": list_arr(enc["block_max_tf"], pa.int32()),
-            "block_min_norm": list_arr(enc["block_min_norm"], pa.uint8()),
-            "block_offset": list_arr(enc["block_offset"], pa.int64()),
-            "blob": blob_arr,
-        }
-    )
+    cols = {
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array(enc["df"], pa.int64()),
+        "ttf": pa.array(enc["ttf"], pa.int64()),
+        "block_first_doc": list_arr(enc["block_first_doc"], pa.int32()),
+        "block_last_doc": list_arr(enc["block_last_doc"], pa.int32()),
+        "block_max_tf": list_arr(enc["block_max_tf"], pa.int32()),
+        "block_min_norm": list_arr(enc["block_min_norm"], pa.uint8()),
+        "block_offset": list_arr(enc["block_offset"], pa.int64()),
+        "blob": blob_arr,
+    }
+    if has_pos:
+        from rindex.codec import encode_positions_batch
+
+        cum_occ = np.concatenate([[0], np.cumsum(big_tfs)])
+        occ_term_bounds = cum_occ[term_bounds]
+        run_mask = np.zeros(int(cum_occ[-1]), dtype=bool)
+        run_mask[cum_occ[:-1]] = True
+        p_data, p_off, p_width = encode_positions_batch(
+            occ_term_bounds, run_mask, big_pos
+        )
+        cols["pos_blob"] = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            n_terms,
+            [
+                None,
+                pa.py_buffer(p_off.astype(np.int64).tobytes()),
+                pa.py_buffer(p_data.tobytes()),
+            ],
+        ).cast(pa.binary())
+        cols["pos_width"] = pa.array(p_width.astype(np.uint8), pa.uint8())
+    table = pa.table(cols)
     partials_per_term = np.bincount(codes_o, minlength=n_terms)
     if with_partial_counts:
         table = table.append_column(
@@ -432,6 +500,7 @@ def build_index(
     tokenize_batch_size: int = 1024,
     writer_concurrency: int | None = None,
     generation: int = 0,
+    with_positions: bool = False,
 ) -> dict:
     """Build an index from a Ray Dataset (or parquet path/dir).  Returns the
     published manifest dict.  Does NOT call ray.init().
@@ -461,7 +530,8 @@ def build_index(
         ds = source
 
     cfg = _build_config(
-        analyzer_name, num_segments, id_cols, text_col, salt_range, keep_cols
+        analyzer_name, num_segments, id_cols, text_col, salt_range, keep_cols,
+        with_positions,
     )
     cfg_hash = segio.config_hash(cfg)
     fingerprint = segio.input_fingerprint(input_files)
@@ -499,7 +569,7 @@ def build_index(
         )
         if mode == "local":
             partials = ds.map_batches(
-                _make_tokenize_local(analyzer_name),
+                _make_tokenize_local(analyzer_name, with_positions),
                 batch_format="pyarrow",
                 batch_size=tokenize_batch_size,
                 zero_copy_batch=True,
@@ -512,7 +582,7 @@ def build_index(
             )
         elif mode == "term_shuffle":
             partials = ds.map_batches(
-                _make_tokenize_partials(analyzer_name, salt_range),
+                _make_tokenize_partials(analyzer_name, salt_range, with_positions),
                 batch_format="pyarrow",
                 batch_size=tokenize_batch_size,
                 zero_copy_batch=True,
@@ -560,6 +630,7 @@ def append_index(source, index_dir: str, **kwargs) -> dict:
         ("text_col", cfg["text_col"]),
         ("salt_range", cfg["salt_range"]),
         ("keep_cols", tuple(cfg.get("keep_cols", ("role", "tool", "ts")))),
+        ("with_positions", bool(cfg.get("with_positions", False))),
     ):
         kwargs.setdefault(key, val)
     return build_index(source, index_dir, generation=next_gen, **kwargs)

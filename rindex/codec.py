@@ -405,6 +405,72 @@ def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return np.concatenate(out_d), np.concatenate(out_t), np.concatenate(out_n)
 
 
+# ---------------------------------------------------------------------------
+# Positional postings (opt-in, IndexOptions.DOCS_AND_FREQS_AND_POSITIONS
+# analog — reference: the .pos stream of
+# `lucene/core/src/java/org/apache/lucene/codecs/lucene84/
+# Lucene84PostingsWriter.java#addPosition`).  Positions are within-doc token
+# ordinals, stored per term as one flat delta-encoded bit-packed region in
+# doc order; a doc's run is located via the prefix sum of the already-decoded
+# tf array (the same sequential-skip shape as Lucene's .pos file).
+# ---------------------------------------------------------------------------
+
+
+def encode_positions_batch(
+    occ_term_bounds: np.ndarray,
+    occ_run_starts: np.ndarray,
+    positions: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode positions for MANY terms at once (one np.packbits pass).
+
+    occ_term_bounds: int64 occurrence offsets per term (n_terms + 1);
+    occ_run_starts: bool mask, True at the first occurrence of each
+    (term, doc) run; positions: int64 within-doc positions, ascending per
+    run.  Returns (packed uint8 data, per-term byte offsets (n_terms + 1),
+    per-term bit widths).
+    """
+    occ_term_bounds = np.asarray(occ_term_bounds, dtype=np.int64)
+    positions = np.asarray(positions, dtype=np.int64)
+    n = len(positions)
+    n_terms = len(occ_term_bounds) - 1
+    if n == 0:
+        return (
+            np.zeros(0, dtype=np.uint8),
+            np.zeros(n_terms + 1, dtype=np.int64),
+            np.zeros(n_terms, dtype=np.int64),
+        )
+    deltas = positions.copy()
+    deltas[1:] -= positions[:-1]
+    deltas[occ_run_starts] = positions[occ_run_starts]
+    ttf = np.diff(occ_term_bounds)
+    term_of = np.repeat(np.arange(n_terms, dtype=np.int64), ttf)
+    widths = _bits_to_widths(
+        np.maximum.reduceat(deltas, np.minimum(occ_term_bounds[:-1], n - 1))
+    )
+    widths = np.where(ttf > 0, widths, 0)
+    packed, offsets = _pack_region(
+        deltas, widths, term_of, occ_term_bounds[:-1]
+    )
+    return packed, offsets, widths
+
+
+def decode_positions(
+    blob: bytes, width: int, tfs: np.ndarray
+) -> np.ndarray:
+    """Decode one term's position region.  `tfs` is the term's per-doc tf
+    array (decoded from the doc postings); returns the flat positions array
+    (sum(tfs) values, runs in doc order)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = int(tfs.sum())
+    deltas = bitunpack(blob, n, width).astype(np.int64)
+    if n == 0:
+        return deltas
+    run_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    c = np.cumsum(deltas)
+    base = c[run_starts] - deltas[run_starts]
+    return c - np.repeat(base, tfs)
+
+
 def concat_postings(parts: list[dict]) -> dict:
     """Merge partial posting encodings whose docID ranges are ascending and
     disjoint (the doc-range-salted shuffle guarantees this) by concatenating

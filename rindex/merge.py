@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from rindex import segments as segio
-from rindex.codec import decode_posting
+from rindex.codec import decode_posting, decode_positions
 from rindex.build import merge_partials_to_postings, SegmentWriter
 
 
@@ -144,11 +144,14 @@ def _decode_segment_postings(sdir: str) -> pd.DataFrame:
     """Member segment -> partial-posting rows (one per term, raw packed
     arrays) for `merge_partials_to_postings`."""
     tbl = pq.read_table(os.path.join(sdir, "postings.parquet"))
+    has_pos = "pos_blob" in tbl.schema.names
     rows = tbl.to_pylist()
     out = {
         "term": [], "first_doc": [], "df": [], "ttf": [],
         "docs": [], "tfs": [], "norms": [],
     }
+    if has_pos:
+        out["pos"] = []
     for row in rows:
         d, t, n = decode_posting(row)
         out["term"].append(row["term"])
@@ -158,6 +161,9 @@ def _decode_segment_postings(sdir: str) -> pd.DataFrame:
         out["docs"].append(d.astype(np.int32).tobytes())
         out["tfs"].append(t.astype(np.int32).tobytes())
         out["norms"].append(n.tobytes())
+        if has_pos:
+            pos = decode_positions(row["pos_blob"], int(row["pos_width"]), t)
+            out["pos"].append(pos.astype(np.int32).tobytes())
     return pd.DataFrame(out)
 
 
@@ -207,8 +213,9 @@ def merge_segments(
         g = int(m.get("gen", 0))
         sdir = segio.seg_dir(index_dir, seg_id, g)
         p = _decode_segment_postings(sdir)
+        has_pos = "pos" in p.columns
         remap = remaps[g]
-        new_docs, new_tfs, new_norms = [], [], []
+        new_docs, new_tfs, new_norms, new_pos = [], [], [], []
         new_first, new_df, new_ttf = [], [], []
         keep_rows = np.ones(len(p), dtype=bool)
         for i in range(len(p)):
@@ -219,12 +226,26 @@ def merge_segments(
                 keep_rows[i] = False
                 new_docs.append(b""); new_tfs.append(b""); new_norms.append(b"")
                 new_first.append(0); new_df.append(0); new_ttf.append(0)
+                if has_pos:
+                    new_pos.append(b"")
                 continue
-            t = np.frombuffer(p["tfs"].iloc[i], dtype=np.int32)[ok]
+            t_all = np.frombuffer(p["tfs"].iloc[i], dtype=np.int32)
+            t = t_all[ok]
             n = np.frombuffer(p["norms"].iloc[i], dtype=np.uint8)[ok]
             nd = nd[ok]
             order = np.argsort(nd, kind="stable")
             nd, t, n = nd[order], t[order], n[order]
+            if has_pos:
+                # positions are within-doc (unchanged by the docID remap):
+                # keep surviving runs, reordered to the new doc order
+                pos = np.frombuffer(p["pos"].iloc[i], dtype=np.int32)
+                starts = np.concatenate([[0], np.cumsum(t_all)[:-1]])
+                sel = np.flatnonzero(ok)[order]
+                new_pos.append(
+                    np.concatenate(
+                        [pos[starts[j]: starts[j] + t_all[j]] for j in sel]
+                    ).astype(np.int32).tobytes()
+                )
             new_docs.append(nd.astype(np.int32).tobytes())
             new_tfs.append(t.tobytes())
             new_norms.append(n.tobytes())
@@ -233,6 +254,8 @@ def merge_segments(
             new_ttf.append(int(t.sum()))
         p["docs"], p["tfs"], p["norms"] = new_docs, new_tfs, new_norms
         p["first_doc"], p["df"], p["ttf"] = new_first, new_df, new_ttf
+        if has_pos:
+            p["pos"] = new_pos
         parts.append(p[keep_rows])
     partials = pd.concat(parts, ignore_index=True)
 

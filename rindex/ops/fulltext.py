@@ -257,46 +257,58 @@ ORACLE["term_search_documents"] = f"""
 """
 
 
+def documents_index_pos(sf_dir: str) -> str:
+    """Positional documents index (with_positions=True -> the .pos stream;
+    separate cache dir so the headline non-positional index is untouched)."""
+    from rindex.build import build_index
+
+    idx = _index_dir_for(sf_dir) + "-pos"
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        idx,
+        num_segments=8,
+        mode="term_shuffle",
+        id_cols=("doc_id",),
+        text_col="text",
+        keep_cols=("lang", "source"),
+        with_positions=True,
+        input_files=[os.path.join(sf_dir, "documents.parquet")],
+    )
+    return idx
+
+
 def q_phrase_search_documents(sf_dir: str):
-    """Phrase query via conjunction candidates + stored-field verification
-    (reference: PhraseQuery, `lucene/core/src/java/org/apache/lucene/search/
-    PhraseQuery.java`; positions are not yet in the postings format, so
-    candidates from the index are re-verified against stored text — the
-    same two-phase approx-then-verify shape as ReRank)."""
+    """Exact PhraseQuery (slop=0) on POSITIONAL postings: conjunction of the
+    phrase terms' doc lists, then per-doc position-set intersection with
+    per-term offsets, returning matching docs + phrase frequency (reference:
+    `lucene/core/src/java/org/apache/lucene/search/{PhraseQuery,
+    ExactPhraseMatcher}.java`; positions delta-encoded per term, the
+    Lucene84 .pos stream analog — rindex/codec.py encode_positions_batch)."""
+    import pandas as pd
+
     from rindex.search import IndexSearcher
 
-    idx = documents_index(sf_dir)
-    s = IndexSearcher(idx, algo="exhaustive")
-    phrase = ["hash", "join"]
-    # conjunction candidates from the inverted index (all matches: large k)
-    cands = s.search(" ".join(phrase), k=10**9, mode="and")
-    import pandas as pd
-    import pyarrow.parquet as pq
-    import re
-
-    cand_ids = [c[1] for c in cands]
-    if not cand_ids:
-        return pd.DataFrame({"doc_id": []})
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-        filters=[("doc_id", "in", cand_ids)],
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_phrase("hash join")
+    return pd.DataFrame(
+        {
+            "doc_id": [h[0] for h in hits],
+            "phrase_freq": pd.array([h[1] for h in hits], dtype="int64"),
+        }
     )
-    rx = re.compile(TOKEN_SQL_RE)
-    needle = " " + " ".join(phrase) + " "
-    keep = [
-        did
-        for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
-        if needle in " " + " ".join(rx.findall((text or "").lower())) + " "
-    ]
-    return pd.DataFrame({"doc_id": sorted(keep)})
 
 
 QUERIES["phrase_search_documents"] = q_phrase_search_documents
 ORACLE["phrase_search_documents"] = f"""
-    SELECT doc_id FROM documents
-    WHERE ' ' || array_to_string(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}'), ' ') || ' '
-          LIKE '% hash join %'
+    SELECT doc_id,
+           len(list_filter(range(1, len(l)),
+                           i -> l[i] = 'hash' AND l[i + 1] = 'join'))::BIGINT
+             AS phrase_freq
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+          FROM documents)
+    WHERE len(list_filter(range(1, len(l)),
+                          i -> l[i] = 'hash' AND l[i + 1] = 'join')) > 0
 """
 
 

@@ -119,6 +119,37 @@ class _SegmentReader:
                 self._term_cache[t] = found.get(t)
         return {t: self._term_cache[t] for t in set(terms)}
 
+    def positions_for(
+        self, terms: list[str]
+    ) -> dict[str, tuple | None]:
+        """term -> (docs, tfs, positions) for a positional segment
+        (`with_positions=True` build — the PostingsEnum.nextPosition analog,
+        reference `lucene/core/src/java/org/apache/lucene/index/
+        PostingsEnum.java`).  Positions are flat, runs in doc order (a doc's
+        run located by the tf prefix sum).  Raises if the segment was built
+        without positions."""
+        from rindex.codec import decode_posting, decode_positions
+
+        path = os.path.join(self.sdir, "postings.parquet")
+        schema = pq.read_schema(path)
+        if "pos_blob" not in schema.names:
+            raise ValueError(
+                f"segment {self.sdir} was built without positions "
+                "(build_index(with_positions=True))"
+            )
+        uniq = sorted(set(terms))
+        tbl = pq.read_table(
+            path,
+            filters=[("term", "in", uniq)],
+            columns=self._COLS + ["pos_blob", "pos_width"],
+        )
+        out: dict[str, tuple | None] = dict.fromkeys(uniq)
+        for row in tbl.to_pylist():
+            docs, tfs, _ = decode_posting(row)
+            pos = decode_positions(row["pos_blob"], int(row["pos_width"]), tfs)
+            out[row["term"]] = (docs, tfs, pos)
+        return out
+
     def fetch_ids(self, docs: np.ndarray, id_cols: list[str]) -> dict:
         """doc -> tuple(id values), reading only needed row groups (docs are
         sorted in docs.parquet, so min/max stats prune)."""
@@ -344,6 +375,59 @@ class IndexSearcher:
         return [
             (rank, *idt, score) for rank, (score, idt) in enumerate(cands[: q.k])
         ]
+
+    def search_phrase(self, text: str) -> list[tuple]:
+        """Exact PhraseQuery (slop=0) evaluated on positional postings:
+        per segment, conjunct the phrase terms' doc lists, then intersect
+        position sets with per-term offsets (term j must appear at p + j) —
+        the ExactPhraseMatcher algorithm re-expressed in numpy (reference:
+        `lucene/core/src/java/org/apache/lucene/search/
+        ExactPhraseMatcher.java`).  Requires a with_positions index.
+
+        Returns [( *id_cols, phrase_freq )] sorted by id columns."""
+        terms = get_analyzer(self.analyzer_name).tokens(text)
+        if not terms:
+            return []
+        results: list[tuple] = []
+        for reader in self.readers:
+            posts = reader.positions_for(terms)
+            if any(posts[t] is None for t in terms):
+                continue
+            # conjunction of doc lists
+            common = posts[terms[0]][0]
+            for t in terms[1:]:
+                common = np.intersect1d(common, posts[t][0])
+            if len(common) == 0:
+                continue
+            # per-term run lookup for the common docs
+            runs = []  # (starts, lens, positions) aligned to common
+            for j, t in enumerate(terms):
+                docs, tfs, pos = posts[t]
+                starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+                at = np.searchsorted(docs, common)
+                runs.append((starts[at], tfs[at], pos, j))
+            match_docs, match_freq = [], []
+            for i, d in enumerate(common):
+                s0, l0, p0, _ = runs[0]
+                cand = p0[s0[i]: s0[i] + l0[i]]
+                for s, ln, p, j in runs[1:]:
+                    if len(cand) == 0:
+                        break
+                    cand = np.intersect1d(
+                        cand, p[s[i]: s[i] + ln[i]] - j, assume_unique=True
+                    )
+                if len(cand):
+                    match_docs.append(int(d))
+                    match_freq.append(len(cand))
+            if match_docs:
+                ids = reader.fetch_ids(
+                    np.asarray(match_docs, dtype=np.int64), self.id_cols
+                )
+                results.extend(
+                    (*ids[d], f) for d, f in zip(match_docs, match_freq)
+                )
+        results.sort(key=lambda r: r[:-1])
+        return results
 
     def search_table(self, queries: pa.Table, algo: str | None = None) -> pa.Table:
         """Run a QUERY_SCHEMA table, return a TOPK_SCHEMA-shaped table whose

@@ -1,0 +1,126 @@
+"""Positional postings (with_positions builds): codec round-trip, build-mode
+equivalence, phrase search vs a naive full-scan oracle, and survival through
+incremental append + forceMerge (docID remap).
+
+Reference invariants mirrored: positions ascending within each doc run,
+sum(run lengths) == ttf, phrase matching == ExactPhraseMatcher semantics
+(`lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java`).
+"""
+
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rindex.analysis import standard_tokenize
+from rindex.codec import decode_positions, encode_positions_batch
+
+
+def _random_term_positions(rng, n_terms=40):
+    all_pos, bounds, run_mask, per_term = [], [0], [], []
+    for _ in range(n_terms):
+        n_docs = int(rng.integers(1, 25))
+        tfs = rng.integers(1, 7, n_docs)
+        runs = []
+        for tf in tfs:
+            runs.append(np.sort(rng.choice(3000, size=int(tf), replace=False)))
+            run_mask.extend([True] + [False] * (int(tf) - 1))
+        flat = np.concatenate(runs)
+        all_pos.append(flat)
+        bounds.append(bounds[-1] + len(flat))
+        per_term.append((tfs.astype(np.int64), flat))
+    return (
+        np.concatenate(all_pos),
+        np.array(bounds, dtype=np.int64),
+        np.array(run_mask, dtype=bool),
+        per_term,
+    )
+
+
+def test_positions_codec_roundtrip():
+    rng = np.random.default_rng(11)
+    positions, bounds, mask, per_term = _random_term_positions(rng)
+    packed, offsets, widths = encode_positions_batch(bounds, mask, positions)
+    for t, (tfs, flat) in enumerate(per_term):
+        blob = packed[offsets[t]: offsets[t + 1]].tobytes()
+        dec = decode_positions(blob, int(widths[t]), tfs)
+        assert np.array_equal(dec, flat)
+
+
+def _naive_phrase(src, phrase):
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    terms = phrase.split()
+    out = []
+    for did, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = standard_tokenize(txt or "")
+        n = sum(
+            1
+            for i in range(len(toks) - len(terms) + 1)
+            if toks[i: i + len(terms)] == terms
+        )
+        if n:
+            out.append((did, n))
+    out.sort()
+    return out
+
+
+SRC = "/root/testdata/sf0.001/documents.parquet"
+PHRASES = ["hash join", "the value", "big order scan", "nosuchword here"]
+
+
+@pytest.mark.parametrize("mode", ["local", "term_shuffle"])
+def test_phrase_search_vs_naive_oracle(ray_session, tmp_path, mode):
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    idx = str(tmp_path / f"pos-{mode}")
+    build_index(
+        SRC, idx, num_segments=4, mode=mode, id_cols=("doc_id",),
+        text_col="text", keep_cols=("lang",), with_positions=True,
+    )
+    s = IndexSearcher(idx)
+    for phrase in PHRASES:
+        got = [(h[0], h[1]) for h in s.search_phrase(phrase)]
+        assert got == _naive_phrase(SRC, phrase), (mode, phrase)
+
+
+def test_phrase_after_append_and_force_merge(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rindex.build import append_index, build_index
+    from rindex.merge import run_merges
+    from rindex.search import IndexSearcher
+
+    idx = str(tmp_path / "pos-merge")
+    shutil.rmtree(idx, ignore_errors=True)
+    ids = pq.read_table(SRC, columns=["doc_id"])["doc_id"].to_numpy()
+    cut = int(np.median(ids))
+    kw = dict(
+        num_segments=4, mode="term_shuffle", id_cols=("doc_id",),
+        text_col="text", keep_cols=("lang",), with_positions=True,
+    )
+    build_index(rd.read_parquet(SRC).filter(expr=f"doc_id < {cut}"), idx, **kw)
+    append_index(
+        rd.read_parquet(SRC).filter(expr=f"doc_id >= {cut}"),
+        idx, mode="term_shuffle",
+    )
+    run_merges(idx, force=True)
+    s = IndexSearcher(idx)
+    for phrase in PHRASES[:3]:
+        got = [(h[0], h[1]) for h in s.search_phrase(phrase)]
+        assert got == _naive_phrase(SRC, phrase), phrase
+
+
+def test_positions_reader_errors_without_positions(ray_session, tmp_path):
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    idx = str(tmp_path / "no-pos")
+    build_index(
+        SRC, idx, num_segments=2, mode="local", id_cols=("doc_id",),
+        text_col="text", keep_cols=(), with_positions=False,
+    )
+    s = IndexSearcher(idx)
+    with pytest.raises(ValueError, match="without positions"):
+        s.readers[0].positions_for(["hash"])
