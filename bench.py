@@ -92,6 +92,9 @@ def run_headline(sf: float, num_cpus: int) -> dict:
     build_s = time.perf_counter() - t0
 
     searcher = IndexSearcher(index_dir, algo="wand")
+    t0 = time.perf_counter()
+    searcher.warm()  # parallel segment preload (SolrIndexSearcher warming)
+    warm_s = time.perf_counter() - t0
     queries = make_queries()
     lat = []
     t0 = time.perf_counter()
@@ -110,6 +113,7 @@ def run_headline(sf: float, num_cpus: int) -> dict:
         "build_sec": round(build_s, 3),
         "turns_per_sec": round(n_turns / build_s, 1),
         "query_total_sec": round(query_s, 3),
+        "searcher_warm_sec": round(warm_s, 3),
         "query_p50_ms": round(1000 * lat[len(lat) // 2], 2),
         "query_p99_ms": round(1000 * lat[int(len(lat) * 0.99)], 2),
         "qps": round(len(lat) / query_s, 1),

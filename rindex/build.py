@@ -210,7 +210,9 @@ def _pack_acc(
     df_col, ttf_col = [], []
     docs_col, tfs_col, norms_col, pos_col = [], [], [], []
     for (s, term, salt), pairs in acc.items():
-        pairs.sort(key=lambda p: p[0])
+        # plain tuple sort (C compare): doc is unique within a partial so
+        # the comparison never reaches the positions list element
+        pairs.sort()
         d = np.fromiter((p[0] for p in pairs), dtype=np.int32, count=len(pairs))
         t = np.fromiter((p[1] for p in pairs), dtype=np.int32, count=len(pairs))
         n = np.fromiter(

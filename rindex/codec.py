@@ -405,6 +405,70 @@ def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return np.concatenate(out_d), np.concatenate(out_t), np.concatenate(out_n)
 
 
+def decode_posting_fast(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized whole-posting decode (== decode_posting, tested): parse
+    every block header in one pass, unpack each bit-width group with a
+    single np.unpackbits + gather, and recover docIDs with one global
+    cumsum (the first delta of each block chains against the previous
+    block's last doc, so deltas cumsum across block boundaries).  ~10x the
+    per-block path for long (stopword-class) posting lists — the decode
+    hot path of both scoring kernels."""
+    blob = row["blob"]
+    offs = np.asarray(row["block_offset"], dtype=np.int64)
+    n_blocks = len(offs)
+    if n_blocks <= 4:  # setup cost beats the block loop only on long lists
+        return decode_posting(row)
+    u8 = np.frombuffer(blob, dtype=np.uint8)
+    ns = u8[offs].astype(np.int64) | (u8[offs + 1].astype(np.int64) << 8)
+    w_doc = u8[offs + 2].astype(np.int64)
+    w_tf = u8[offs + 3].astype(np.int64)
+    doc_start = offs + _HEADER.size
+    doc_len = (ns * w_doc + 7) // 8
+    tf_start = doc_start + doc_len
+    tf_len = (ns * w_tf + 7) // 8
+    nrm_start = tf_start + tf_len
+    total = int(ns.sum())
+
+    def unpack_regions(starts, lens, widths):
+        out = np.zeros(total, dtype=np.int64)
+        bounds = np.concatenate([[0], np.cumsum(ns)])
+        # group blocks by (count, width): regions in a group are uniform, so
+        # the whole group unpacks with ONE byte gather + reshape — no
+        # bit-level indexing (typical term = 1-2 groups: full blocks at one
+        # width + a tail block)
+        keys = ns * 64 + widths  # widths < 64
+        for key in np.unique(keys):
+            sel = np.flatnonzero(keys == key)
+            w = int(widths[sel[0]])
+            n_in = int(ns[sel[0]])
+            if w == 0:
+                continue
+            rb = int(lens[sel[0]])  # uniform region byte length
+            byte_idx = (
+                starts[sel][:, None] + np.arange(rb, dtype=np.int64)[None, :]
+            ).ravel()
+            bits = np.unpackbits(u8[byte_idx]).reshape(len(sel), rb * 8)
+            m = bits[:, : n_in * w].reshape(-1, w)
+            vals = np.zeros(len(m), dtype=np.int64)
+            for j in range(w):
+                vals = (vals << 1) | m[:, j]
+            dst = (
+                bounds[sel][:, None] + np.arange(n_in, dtype=np.int64)[None, :]
+            ).ravel()
+            out[dst] = vals
+        return out
+
+    deltas = unpack_regions(doc_start, doc_len, w_doc)
+    docs = np.cumsum(deltas) - 1
+    tfs = unpack_regions(tf_start, tf_len, w_tf) + 1
+    nrm_idx = np.repeat(nrm_start, ns) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(ns) - ns, ns)
+    )
+    norms = u8[nrm_idx]
+    return docs, tfs, norms
+
+
 # ---------------------------------------------------------------------------
 # Positional postings (opt-in, IndexOptions.DOCS_AND_FREQS_AND_POSITIONS
 # analog — reference: the .pos stream of

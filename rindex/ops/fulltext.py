@@ -529,3 +529,43 @@ def q_highlight_documents(sf_dir: str):
 
 
 QUERIES["highlight_documents"] = q_highlight_documents
+
+
+PROX_A, PROX_B, PROX_WINDOW = "hash", "scan", 5
+
+
+def q_proximity_search_documents(sf_dir: str):
+    """Proximity query (sloppy-phrase analog) on positional postings: docs
+    where 'sort' and 'spill' co-occur within a 4-token window, plus the
+    minimal covering span (reference: SloppyPhraseMatcher,
+    `lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java`
+    — match condition here is the symmetric min-cover window, evaluated by a
+    merged-positions sweep per candidate doc)."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_proximity(f"{PROX_A} {PROX_B}", window=PROX_WINDOW)
+    return pd.DataFrame(
+        {
+            "doc_id": [h[0] for h in hits],
+            "min_span": pd.array([h[1] for h in hits], dtype="int64"),
+        }
+    )
+
+
+QUERIES["proximity_search_documents"] = q_proximity_search_documents
+ORACLE["proximity_search_documents"] = f"""
+    SELECT doc_id, min_span FROM (
+      SELECT doc_id,
+             list_min(list_transform(
+               list_filter(range(1, len(l) + 1), i -> l[i] = '{PROX_A}'),
+               i -> list_min(list_transform(
+                      list_filter(range(1, len(l) + 1), j -> l[j] = '{PROX_B}'),
+                      j -> abs(i - j) + 1))))::BIGINT AS min_span
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents))
+    WHERE min_span IS NOT NULL AND min_span <= {PROX_WINDOW}
+"""

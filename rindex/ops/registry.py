@@ -9,7 +9,7 @@ def _modules():
     mods = [relational]
     for name in (
         "fulltext", "dedup", "textstats", "ann", "multimodal",
-        "search_ext", "loaders", "analysis_ext",
+        "search_ext", "loaders", "analysis_ext", "sketches",
     ):
         try:
             mods.append(

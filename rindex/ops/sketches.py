@@ -1,0 +1,142 @@
+"""Mergeable sketch aggregates (the distributed scale path for quantiles).
+
+t-digest (Dunning's merging variant, public algorithm) re-implemented in
+numpy as a Ray Data `AggregateFn`: per-block partial digests accumulate
+vectorized, partials merge associatively in the reduce, and the final step
+interpolates quantiles — the same partial→final combine shape as the
+reference's PercentileAgg (`solr/core/src/java/org/apache/solr/search/facet/
+PercentileAgg.java`, which shards AVLTreeDigest sketches and merges them on
+the coordinator).  Error is bounded near the tails by the k1 (arcsine) scale
+function; compression delta=100 keeps ≤ ~2*delta centroids per digest.
+
+Determinism: centroids are sorted by mean before every compress, and block
+accumulation folds values in sorted order, so equal multisets of inputs give
+identical digests regardless of block arrival order ONLY when the grouping
+shuffle delivers whole groups (Ray groupby does); across different block
+*partitionings* the digest may differ slightly — that is inherent to
+t-digest and why the op is registered rows-only (pytest asserts error
+bounds vs the exact quantile instead of value equality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DELTA = 100  # compression: max centroids ~ 2*delta
+
+
+def _k1(q: np.ndarray) -> np.ndarray:
+    """k1 scale function: delta/(2*pi) * asin(2q-1)."""
+    return DELTA / (2 * np.pi) * np.arcsin(2 * q - 1)
+
+
+def compress(means: np.ndarray, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted centroids greedily while the k1 size bound allows."""
+    if len(means) == 0:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_m, out_w = [], []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_so_far = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q0 = w_so_far / total
+        q2 = (w_so_far + cur_w + w) / total
+        if _k1(np.array([q2]))[0] - _k1(np.array([q0]))[0] <= 1.0:
+            # merge into current centroid (weighted mean)
+            cur_m = (cur_m * cur_w + float(m) * float(w)) / (cur_w + float(w))
+            cur_w += float(w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_so_far += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def digest_add(state: tuple, values: np.ndarray) -> tuple:
+    means, weights = state
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if len(v) == 0:
+        return state
+    return compress(
+        np.concatenate([means, np.sort(v)]),
+        np.concatenate([weights, np.ones(len(v))]),
+    )
+
+
+def digest_merge(a: tuple, b: tuple) -> tuple:
+    return compress(
+        np.concatenate([a[0], b[0]]), np.concatenate([a[1], b[1]])
+    )
+
+
+def digest_quantile(state: tuple, q: float) -> float:
+    """Interpolated quantile from centroids (midpoint rule)."""
+    means, weights = state
+    if len(means) == 0:
+        return float("nan")
+    if len(means) == 1:
+        return float(means[0])
+    total = weights.sum()
+    # centroid midpoints in cumulative-weight space
+    cum = np.cumsum(weights) - weights / 2.0
+    target = q * total
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(cum, target) - 1)
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(means[i] + frac * (means[i + 1] - means[i]))
+
+
+def empty_state() -> tuple:
+    return (np.zeros(0), np.zeros(0))
+
+
+def make_tdigest_aggregate(on: str, quantiles: dict[str, float]):
+    """Ray Data AggregateFn: per-block vectorized accumulate, associative
+    merge of centroid sets, finalize -> interpolated quantiles.  Returns one
+    aggregator per output column (Ray aggregates are scalar-valued)."""
+    from ray.data.aggregate import AggregateFn
+
+    aggs = []
+    for name, q in quantiles.items():
+        aggs.append(
+            AggregateFn(
+                init=lambda k: empty_state(),
+                accumulate_block=lambda st, block, _on=on: digest_add(
+                    st, block[_on].to_numpy(zero_copy_only=False)
+                ),
+                merge=digest_merge,
+                finalize=lambda st, _q=q: round(digest_quantile(st, _q), 6),
+                name=name,
+            )
+        )
+    return aggs
+
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q_percentile_tdigest_value_per_type(sf_dir: str):
+    """Approximate grouped percentiles via the mergeable t-digest
+    AggregateFn (partial digest per block -> associative merge -> final
+    interpolation).  Rows-only: t-digest is approximate by design; pytest
+    asserts p50/p90 land within 2% rank error of the exact quantile."""
+    from rindex.ops.util import read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        *make_tdigest_aggregate("value", {"p50": 0.5, "p90": 0.9})
+    )
+
+
+QUERIES["percentile_tdigest_value_per_type"] = q_percentile_tdigest_value_per_type
+# no ORACLE: approximate sketch; bounded-error pytest coverage instead.

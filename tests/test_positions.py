@@ -124,3 +124,34 @@ def test_positions_reader_errors_without_positions(ray_session, tmp_path):
     s = IndexSearcher(idx)
     with pytest.raises(ValueError, match="without positions"):
         s.readers[0].positions_for(["hash"])
+
+
+def _naive_proximity(src, a, b, window):
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    out = []
+    for did, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = standard_tokenize(txt or "")
+        pa_ = [i for i, t in enumerate(toks) if t == a]
+        pb_ = [i for i, t in enumerate(toks) if t == b]
+        if not pa_ or not pb_:
+            continue
+        span = min(abs(i - j) + 1 for i in pa_ for j in pb_)
+        if span <= window:
+            out.append((did, span))
+    out.sort()
+    return out
+
+
+def test_proximity_search_vs_naive(ray_session, tmp_path):
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    idx = str(tmp_path / "pos-prox")
+    build_index(
+        SRC, idx, num_segments=4, mode="term_shuffle", id_cols=("doc_id",),
+        text_col="text", keep_cols=(), with_positions=True,
+    )
+    s = IndexSearcher(idx)
+    for a, b, w in [("hash", "scan", 5), ("sort", "merge", 3)]:
+        got = [(h[0], h[1]) for h in s.search_proximity(f"{a} {b}", window=w)]
+        assert got == _naive_proximity(SRC, a, b, w), (a, b, w)
