@@ -175,11 +175,22 @@ def main() -> None:
     sf = _sf_of(SF_DIR)
 
     if args.scaling:
-        # fresh process per parallelism level; same cached input corpus
-        corpus_dir(sf)  # pre-generate so neither run pays generation cost
+        # fresh process per parallelism level; SAME cached input corpus for
+        # both.  The corpus is 4x the headline sf: at sf0.1 the 32-cpu
+        # build finishes in ~10s and fixed driver/scheduling overhead
+        # dominates the ratio (Amdahl), which misstates scaling at the
+        # 10^12-turn target the metric describes; 4x (~1.44M turns) gives
+        # each level enough work to amortize (measured 0.83 vs 0.58).
+        sf_big = sf * 4
+        corpus_dir(sf_big)  # pre-generate so neither run pays generation
         results = {}
         for n in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                GRAFT_SF_DIR=SF_DIR,
+                RIX_BENCH_CORPUS_SF=str(sf_big),
+            )
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env,
@@ -210,7 +221,8 @@ def main() -> None:
         return
 
     ray = _init_ray(NUM_CPUS)
-    headline = run_headline(sf, NUM_CPUS)
+    corpus_sf = float(os.environ.get("RIX_BENCH_CORPUS_SF", sf))
+    headline = run_headline(corpus_sf, NUM_CPUS)
     queries = {"index_build": headline["build_sec"], "query_set_60": headline["query_total_sec"]}
     if not args.headline_only:
         queries.update(run_ops(SF_DIR))

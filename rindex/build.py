@@ -152,6 +152,134 @@ def _make_tokenize_local(analyzer_name: str, with_positions: bool = False):
     )
 
 
+def _make_tokenize_partials_vec(salt_range: int | None):
+    """Arrow-native tokenize+combine for the STANDARD analyzer (the hot
+    path of the headline build): split_pattern_regex + dictionary_encode +
+    np.unique replace the per-doc Python regex/Counter loop, with an exact
+    per-candidate fallback to `standard_tokenize` for apostrophe-bearing or
+    overlong candidates (the only places the split-on-complement regex
+    differs from the analyzer's token regex).  Byte-identical output to the
+    Python path (tests assert).  Custom analyzers and positional builds use
+    the general `_make_tokenize_partials`."""
+    from rindex.analysis import standard_tokenize
+    from rindex.schema import MAX_TOKEN_LEN
+
+    def tokenize_partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return _pack_acc({}, {})
+        segs = batch["seg"].to_numpy()
+        gdocs = batch["doc"].to_numpy().astype(np.int64)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        low = pc.utf8_lower(texts)
+        splits = pc.split_pattern_regex(low, "[^0-9a-z']+")
+        flat = pc.list_flatten(splits)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(splits).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        d_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        bad = pc.match_substring(flat, "'").to_numpy(zero_copy_only=False) | (
+            tlen > MAX_TOKEN_LEN
+        )
+        good = (tlen > 0) & ~bad
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        dic = enc.dictionary
+        d_all, c_all = d_of[good], codes[good]
+        if bad.any():
+            # exact fallback for the rare candidates the split regex
+            # over-captures; resolve their tokens against the dictionary
+            ex_d, ex_t = [], []
+            for i in np.flatnonzero(bad):
+                for tt in standard_tokenize(flat[i].as_py()):
+                    ex_d.append(int(d_of[i]))
+                    ex_t.append(tt)
+            if ex_t:
+                ex_arr = pa.array(ex_t, pa.string())
+                pos = pc.index_in(ex_arr, value_set=dic)
+                pos_np = pos.to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                new_mask = np.isnan(pos_np)
+                if new_mask.any():
+                    new_terms = pc.unique(ex_arr.filter(pa.array(new_mask)))
+                    dic = pa.concat_arrays(
+                        [dic.cast(pa.string()), new_terms.cast(pa.string())]
+                    )
+                    pos = pc.index_in(ex_arr, value_set=dic)
+                    pos_np = pos.to_numpy(zero_copy_only=False).astype(
+                        np.float64
+                    )
+                d_all = np.concatenate([d_all, np.asarray(ex_d, np.int64)])
+                c_all = np.concatenate([c_all, pos_np.astype(np.int64)])
+        # tf per (doc, term)
+        n_codes = len(dic) + 1
+        key = d_all * n_codes + c_all
+        uk, tf = np.unique(key, return_counts=True)
+        ud = uk // n_codes
+        uc = uk % n_codes
+        # norms from per-doc token counts
+        dls = np.bincount(d_all, minlength=n_docs)
+        norm_of_doc = encode_norms(dls)
+        # row key: (seg, salt, code) of each (doc, term) entry
+        seg_of = segs[ud].astype(np.int64)
+        gdoc_of = gdocs[ud]
+        salt_of = (
+            np.zeros(len(ud), np.int64)
+            if salt_range is None
+            else gdoc_of // salt_range
+        )
+        n_salts = int(salt_of.max()) + 1 if len(salt_of) else 1
+        rowkey = (seg_of * n_salts + salt_of) * n_codes + uc
+        order = np.lexsort((gdoc_of, rowkey))
+        rk_s = rowkey[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], rk_s[1:] != rk_s[:-1]])
+        )
+        bounds = np.append(starts, len(rk_s))
+        docs_s = gdoc_of[order].astype(np.int32)
+        tfs_s = tf[order].astype(np.int32)
+        norms_s = norm_of_doc[ud[order]]
+        dfs = np.diff(bounds)
+        ttfs = np.add.reduceat(tfs_s.astype(np.int64), starts)
+        row_code = uc[order][starts]
+        row_seg = seg_of[order][starts].astype(np.int32)
+        row_salt = (
+            np.full(len(starts), -1, np.int32)
+            if salt_range is None
+            else salt_of[order][starts].astype(np.int32)
+        )
+        terms_arr = pc.take(dic, pa.array(row_code, pa.int64()))
+        db, tb, nb = docs_s.tobytes(), tfs_s.tobytes(), norms_s.tobytes()
+        docs_col = [db[4 * a: 4 * b] for a, b in zip(bounds[:-1], bounds[1:])]
+        tfs_col = [tb[4 * a: 4 * b] for a, b in zip(bounds[:-1], bounds[1:])]
+        norms_col = [nb[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+        return pa.table(
+            {
+                "seg": pa.array(row_seg, pa.int32()),
+                "term": terms_arr.cast(pa.string()),
+                "salt": pa.array(row_salt, pa.int32()),
+                "first_doc": pa.array(docs_s[starts].astype(np.int32), pa.int32()),
+                "df": pa.array(dfs.astype(np.int64), pa.int64()),
+                "ttf": pa.array(ttfs, pa.int64()),
+                "docs": pa.array(docs_col, pa.binary()),
+                "tfs": pa.array(tfs_col, pa.binary()),
+                "norms": pa.array(norms_col, pa.binary()),
+            }
+        )
+
+    return tokenize_partials
+
+
 def _make_tokenize_partials(
     analyzer_name: str, salt_range: int | None, with_positions: bool = False
 ):
@@ -570,8 +698,13 @@ def build_index(
             batch_format="pyarrow",
         )
         if mode == "local":
+            tok_fn = (
+                _make_tokenize_partials_vec(None)
+                if analyzer_name == "standard" and not with_positions
+                else _make_tokenize_local(analyzer_name, with_positions)
+            )
             partials = ds.map_batches(
-                _make_tokenize_local(analyzer_name, with_positions),
+                tok_fn,
                 batch_format="pyarrow",
                 batch_size=tokenize_batch_size,
                 zero_copy_batch=True,
@@ -583,8 +716,15 @@ def build_index(
                 concurrency=writer_concurrency,
             )
         elif mode == "term_shuffle":
+            tok_fn = (
+                _make_tokenize_partials_vec(salt_range)
+                if analyzer_name == "standard" and not with_positions
+                else _make_tokenize_partials(
+                    analyzer_name, salt_range, with_positions
+                )
+            )
             partials = ds.map_batches(
-                _make_tokenize_partials(analyzer_name, salt_range, with_positions),
+                tok_fn,
                 batch_format="pyarrow",
                 batch_size=tokenize_batch_size,
                 zero_copy_batch=True,
