@@ -402,3 +402,73 @@ def _score_join_oracle() -> str:
 
 QUERIES["score_join_documents_source"] = q_score_join_documents_source
 ORACLE["score_join_documents_source"] = _score_join_oracle()
+
+
+LTR_WEIGHTS = {"log_chars": 0.4, "tokens": 0.002, "punct_ratio": -2.0}
+LTR_TOP = 20
+
+
+def q_ltr_score_documents(sf_dir: str):
+    """LTR model scoring as a distributed ACTOR-POOL stage: a linear model
+    (feature weights) is loaded once per actor in __init__, features are
+    extracted vectorized per batch, and every document is scored —
+    map_batches(ScorerCls, concurrency=N) over the whole table, the
+    LTRScoringQuery/LTRScoringModel shape (reference: `solr/contrib/ltr/
+    src/java/org/apache/solr/ltr/{LTRScoringQuery,model/LinearModel}.java`).
+    Returns the top-20 by model score (ties by doc_id)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    class LtrScorer:
+        def __init__(self):
+            # "model load": weights + compiled feature extractors, once per
+            # actor (a real model would come from object storage here)
+            self.w = dict(LTR_WEIGHTS)
+            self.tok = re.compile(TOKEN_SQL_RE)
+            self.punct = re.compile(r"[.!?,;:]")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            raw = t["text"].to_pylist()
+            low = pc.utf8_lower(t["text"]).to_pylist()
+            n_chars = np.fromiter((len(x or "") for x in raw), np.float64)
+            n_tok = np.fromiter(
+                (len(self.tok.findall(x or "")) for x in low), np.float64
+            )
+            n_punct = np.fromiter(
+                (len(self.punct.findall(x or "")) for x in raw), np.float64
+            )
+            score = (
+                self.w["log_chars"] * np.log1p(n_chars)
+                + self.w["tokens"] * n_tok
+                + self.w["punct_ratio"] * n_punct / np.maximum(n_chars, 1.0)
+            )
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "ltr_score": pa.array(np.round(score, 6)),
+                }
+            )
+
+    scored = ds.map_batches(
+        LtrScorer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return scored.sort(
+        ["ltr_score", "doc_id"], descending=[True, False]
+    ).limit(LTR_TOP)
+
+
+QUERIES["ltr_score_documents"] = q_ltr_score_documents
+ORACLE["ltr_score_documents"] = f"""
+    SELECT doc_id,
+           round({LTR_WEIGHTS["log_chars"]} * ln(1 + length(text))
+                 + {LTR_WEIGHTS["tokens"]}
+                   * len(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}'))
+                 + {LTR_WEIGHTS["punct_ratio"]}
+                   * (length(text)
+                      - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                   / greatest(length(text), 1), 6) AS ltr_score
+    FROM documents
+    ORDER BY ltr_score DESC, doc_id ASC LIMIT {LTR_TOP}
+"""

@@ -112,3 +112,58 @@ def test_bitpack_roundtrip():
         packed = codec.bitpack(vals, w)
         out = codec.bitunpack(packed, n, w)
         np.testing.assert_array_equal(out, vals)
+
+
+def test_vectorized_tokenize_partials_byte_identical():
+    """The Arrow-native combiner must emit byte-identical partial rows to
+    the per-doc Python path, including apostrophe/overlong fallbacks."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rindex.build import (
+        _make_tokenize_partials,
+        _make_tokenize_partials_vec,
+    )
+
+    texts = [
+        "the quick brown fox", "don't stop it's o'clock", "",
+        "'leading trailing' '' x", "a " * 50 + "b",
+        "x" * 700 + " plain", "dup dup dup value",
+    ] * 3
+    n = len(texts)
+    batch = pa.table(
+        {
+            "seg": pa.array((np.arange(n) % 2).astype(np.int32)),
+            "doc": pa.array(np.arange(n, dtype=np.int32)),
+            "text": pa.array(texts),
+        }
+    )
+    for salt_range in (None, 4):
+        a = _make_tokenize_partials("standard", salt_range)(batch).to_pandas()
+        b = _make_tokenize_partials_vec(salt_range)(batch).to_pandas()
+        key = ["seg", "term", "salt"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b)
+        for c in a.columns:
+            assert (a[c] == b[c]).all(), c
+
+
+def test_decode_posting_fast_equivalence():
+    import numpy as np
+
+    from rindex.codec import (
+        decode_posting, decode_posting_fast, encode_posting,
+    )
+
+    rng = np.random.default_rng(21)
+    for _ in range(25):
+        n = int(rng.integers(1, 3000))
+        docs = np.sort(rng.choice(500000, size=n, replace=False))
+        tfs = rng.integers(1, 60, n)
+        norms = rng.integers(0, 256, n).astype(np.uint8)
+        row = encode_posting(docs, tfs, norms)
+        for x, y in zip(decode_posting(row), decode_posting_fast(row)):
+            assert np.array_equal(
+                np.asarray(x, dtype=np.int64), np.asarray(y, dtype=np.int64)
+            )
