@@ -108,7 +108,33 @@ def run_headline(sf: float, num_cpus: int) -> dict:
         lat.append(time.perf_counter() - q0)
     query_s = time.perf_counter() - t0
     lat.sort()
+    # distributed serving path: the same query set replicated 10x through
+    # the QuerySearcher actor pool (one warmed searcher per actor)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rindex.search import search_queries
+
+    big = pa.concat_tables(
+        [
+            queries.set_column(
+                0, "query_id",
+                pa.array([f"{q}-{i}" for q in queries["query_id"].to_pylist()]),
+            )
+            for i in range(10)
+        ]
+    )
+    # repartition: a single Arrow block would serialize the actor pool
+    qds = rd.from_arrow(big).repartition(64)
+    t0 = time.perf_counter()
+    n_served = search_queries(
+        index_dir, qds, concurrency=16, batch_size=4
+    ).count()
+    dist_s = time.perf_counter() - t0
+    dist_qps = round(big.num_rows / dist_s, 1)
     return {
+        "distributed_qps": dist_qps,
+        "distributed_queries": big.num_rows,
         "n_turns": n_turns,
         "build_sec": round(build_s, 3),
         "turns_per_sec": round(n_turns / build_s, 1),

@@ -472,3 +472,57 @@ ORACLE["ltr_score_documents"] = f"""
     FROM documents
     ORDER BY ltr_score DESC, doc_id ASC LIMIT {LTR_TOP}
 """
+
+
+GEO_CENTER = (13.37, 42.42)
+GEO_RADIUS2 = 900.0  # squared planar radius
+GEO_TOP = 20
+
+
+def q_geo_radius_events(sf_dir: str):
+    """Spatial radius filter + distance sort (the LatLonPoint distance
+    query / geodist() sort shape — reference: `lucene/core/src/java/org/
+    apache/lucene/document/LatLonPoint.java#newDistanceQuery`,
+    `solr/core/src/java/org/apache/solr/search/function/distance/
+    HaversineConstFunction.java`).  Coordinates are derived
+    deterministically from user_id (the driver tables carry no geo
+    columns); distance is planar-squared so Ray and SQL compute
+    bit-identical doubles — swap in a haversine kernel for real lat/lon.
+    Vectorized map_batches filter -> global sort -> limit."""
+    ds = read_table(sf_dir, "events", ["event_id"])
+    clat, clon = GEO_CENTER
+
+    def f(t: pa.Table) -> pa.Table:
+        uid = t["event_id"].to_numpy().astype(np.int64)
+        lat = (uid * 7919 % 18000) / 100.0 - 90.0
+        lon = (uid * 104729 % 36000) / 100.0 - 180.0
+        d2 = (lat - clat) * (lat - clat) + (lon - clon) * (lon - clon)
+        keep = d2 <= GEO_RADIUS2
+        return pa.table(
+            {
+                "event_id": t["event_id"].filter(pa.array(keep)),
+                "lat": pa.array(lat[keep]),
+                "lon": pa.array(lon[keep]),
+                "dist2": pa.array(np.round(d2[keep], 6)),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["dist2", "event_id"]).limit(GEO_TOP)
+
+
+QUERIES["geo_radius_events"] = q_geo_radius_events
+ORACLE["geo_radius_events"] = f"""
+    SELECT event_id, lat, lon, round(dist2, 6) AS dist2 FROM (
+      SELECT event_id,
+             (event_id * 7919 % 18000) / 100.0 - 90.0  AS lat,
+             (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon,
+             ((event_id * 7919 % 18000) / 100.0 - 90.0 - {GEO_CENTER[0]})
+               * ((event_id * 7919 % 18000) / 100.0 - 90.0 - {GEO_CENTER[0]})
+             + ((event_id * 104729 % 36000) / 100.0 - 180.0 - {GEO_CENTER[1]})
+               * ((event_id * 104729 % 36000) / 100.0 - 180.0 - {GEO_CENTER[1]})
+               AS dist2
+      FROM events)
+    WHERE dist2 <= {GEO_RADIUS2}
+    ORDER BY dist2 ASC, event_id ASC LIMIT {GEO_TOP}
+"""

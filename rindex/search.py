@@ -319,15 +319,29 @@ class IndexSearcher:
             tff = tf.astype(np.float64)
             return d, idf_map[t] * mult[t] * tff / (tff + self.cache[nrm])
 
+        full_cache: dict[int, tuple] = {}  # term_i -> (docs, scores)
+
         def lookup(ti: int, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             """Contribution of term ti at the (sorted unique) candidate
-            docs; decodes only the blocks candidates fall into.  Returns
-            (scores, present mask)."""
+            docs.  Decodes only the blocks candidates fall into — unless
+            the candidates touch most of the list's blocks, where ONE
+            whole-list vectorized decode beats the per-block loop.
+            Returns (scores, present mask)."""
             out = np.zeros(len(cand))
             present = np.zeros(len(cand), dtype=bool)
             bi = np.searchsorted(firsts[ti], cand, side="right") - 1
             ok = (bi >= 0) & (lasts[ti][np.clip(bi, 0, None)] >= cand)
-            for b in np.unique(bi[ok]):
+            needed = np.unique(bi[ok])
+            if ti in full_cache or len(needed) > 0.25 * len(firsts[ti]):
+                if ti not in full_cache:
+                    full_cache[ti] = decode_all(ti)
+                d, s = full_cache[ti]
+                pos = np.clip(np.searchsorted(d, cand), 0, len(d) - 1)
+                hit = d[pos] == cand
+                out[hit] = s[pos[hit]]
+                present[hit] = True
+                return out, present
+            for b in needed:
                 sel = np.flatnonzero(ok & (bi == b))
                 d, s = get_block(ti, int(b))
                 pos = np.clip(np.searchsorted(d, cand[sel]), 0, len(d) - 1)

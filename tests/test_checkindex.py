@@ -27,7 +27,12 @@ def test_check_index_invariants(audited_index):
 
 
 def audit_index(index_dir):
-    """Reusable CheckIndex audit (also run post-merge by test_merge.py)."""
+    """Reusable CheckIndex audit (also run post-merge by test_merge.py).
+    Positional segments additionally get the checkTermsAndPositions-style
+    checks: run lengths == tfs, positions ascending within a run, within
+    [0, dl), and equal to the analyzer's ground-truth token positions."""
+    from rindex.codec import decode_positions
+
     manifest = read_manifest(index_dir)
     analyzer = get_analyzer(manifest["config"]["analyzer"])
     total_docs = 0
@@ -87,5 +92,35 @@ def audit_index(index_dir):
                 assert row["block_min_norm"][i] == int(norms[in_block].min())
                 pos += int(in_block.sum())
             assert pos == row["df"]
+            if "pos_blob" in row and row.get("pos_blob") is not None:
+                ps = decode_positions(
+                    row["pos_blob"], int(row["pos_width"]), tfs
+                )
+                assert len(ps) == row["ttf"]
+                bounds = np.concatenate([[0], np.cumsum(tfs)])
+                for j, doc in enumerate(docs_arr.tolist()):
+                    run = ps[bounds[j]: bounds[j + 1]]
+                    assert np.all(np.diff(run) > 0)
+                    assert run[0] >= 0 and run[-1] < true_dl[doc]
+                    toks = analyzer.tokens(
+                        docs_tbl["text"][int(doc)].as_py() or ""
+                    )
+                    want_pos = [
+                        i for i, t in enumerate(toks) if t == row["term"]
+                    ]
+                    assert run.tolist() == want_pos
         assert m["sum_dl"] == sum_ttf == int(true_dl.sum())
     assert total_docs == manifest["totals"]["doc_count"]
+
+
+@pytest.fixture(scope="session")
+def audited_pos_index(ray_session, tiny_corpus, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("chkpos") / "idx")
+    build_index(
+        tiny_corpus, idx, num_segments=4, salt_range=64, with_positions=True
+    )
+    return idx
+
+
+def test_check_index_invariants_positional(audited_pos_index):
+    audit_index(audited_pos_index)
