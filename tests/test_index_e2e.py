@@ -166,3 +166,17 @@ def test_topk_k_variants(small_index, small_oracle):
         got = s.search("the w0001", k=k)
         want = small_oracle.search("the w0001", k=k)
         assert got == [(r[0], r[1], r[2], pytest.approx(r[3], abs=0)) for r in want]
+
+
+def test_config_change_invalidates_checkpoints(ray_session, tiny_corpus, tmp_path):
+    """Checkpoint keys include the config hash: a changed build config must
+    rebuild every segment, not reuse stale ones (SURVEY.md §7.3.6)."""
+    idx = str(tmp_path / "cfg-invalidate")
+    build_index(tiny_corpus, idx, num_segments=4, salt_range=64)
+    mtimes = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(idx, "segments", "*", "postings.parquet"))
+    }
+    build_index(tiny_corpus, idx, num_segments=4, salt_range=128)
+    for f, old in mtimes.items():
+        assert os.path.getmtime(f) > old, f
