@@ -48,13 +48,32 @@ def _stable_hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "little") >> 1
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_MASK63 = (1 << 63) - 1
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Stable 63-bit hash per token, memoized — Zipf text means the cache
+    hit rate is ~1, so md5 runs once per DISTINCT token per worker."""
+    cache = _TOKEN_HASH_CACHE
+    out = np.empty(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = cache[t] = _stable_hash64(t.encode())
+        out[i] = h
+    return out
+
+
 def _shingles(text: str) -> np.ndarray:
-    toks = _tokens(text)
-    out = {
-        _stable_hash64(" ".join(toks[i : i + NGRAM]).encode())
-        for i in range(len(toks) - NGRAM + 1)
-    }
-    return np.fromiter(out, dtype=np.int64, count=len(out))
+    """Distinct 3-gram shingle hashes: vectorized polynomial combine of the
+    cached per-token hashes (replaces one md5 PER SHINGLE — the previous
+    hot spot of every shingle-based dedup op)."""
+    th = _token_hashes(_tokens(text))
+    if len(th) < NGRAM:
+        return np.empty(0, dtype=np.int64)
+    h = (th[:-2] * 0x9E3779B1 + th[1:-1] * 0x85EBCA77 + th[2:]) & _MASK63
+    return np.unique(h)
 
 
 # ---------------------------------------------------------------------------
@@ -113,29 +132,83 @@ def _verify_pairs(pairs_df: pd.DataFrame, shingle_sets: dict, tau: float):
     return rows
 
 
-def _pairs_from_buckets(bucketed, key: str):
-    """groupby(bucket) -> all intra-bucket candidate pairs (a < b)."""
+def _pairs_from_buckets(bucketed, key: str, n_coarse: int = 509):
+    """exact-key buckets -> all intra-bucket candidate pairs (a < b).
+
+    The shuffle key is a COARSE hash of the exact bucket key (key % prime),
+    so one map_groups task handles ~1/509 of the buckets and expands pairs
+    for all of its exact-key runs vectorized — a per-exact-key map_groups
+    would pay ~1ms scheduling/slicing per tiny group, which at 16 bands x
+    n_docs buckets dominates the whole op (the same coarse-reduce shape as
+    the index build's (seg, bucket) term shuffle)."""
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy()
+        return t.append_column(
+            "_cb", pa.array((k % n_coarse).astype(np.int32))
+        )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        df = g.sort_values([key, "doc_id"], kind="mergesort")
+        k = df[key].to_numpy()
+        d = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        bounds = np.append(starts, len(k))
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            ids = np.unique(d[s:e])
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.zeros(0, np.int64),
+                    "doc_b": np.zeros(0, np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+            }
+        )
 
-    return bucketed.groupby(key).map_groups(pairs, batch_format="pandas")
+    return (
+        bucketed.map_batches(
+            add_coarse, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_cb")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+_SHINGLE_SETS_CACHE: dict[str, dict] = {}
 
 
 def _collect_shingle_sets(sf_dir: str) -> dict:
-    sets: dict[int, np.ndarray] = {}
-    for batch in _shingle_table(sf_dir).iter_batches(
-        batch_size=65536, batch_format="pandas"
-    ):
-        for did, g in batch.groupby("doc_id"):
-            arr = np.sort(g["shingle"].to_numpy())
-            if did in sets:
-                arr = np.union1d(sets[did], arr)
-            sets[int(did)] = arr
+    """doc_id -> sorted shingle array, for exact-Jaccard verification of
+    candidate pairs.  Collected driver-side (test scale) with one lexsort +
+    run split instead of a per-doc pandas groupby; cached per sf_dir since
+    the minhash and ngram ops share it.  At 10^12 scale the verify becomes
+    a hash join of candidates against the shingle table."""
+    if sf_dir in _SHINGLE_SETS_CACHE:
+        return _SHINGLE_SETS_CACHE[sf_dir]
+    df = _shingle_table(sf_dir).to_pandas()
+    d = df["doc_id"].to_numpy()
+    s = df["shingle"].to_numpy()
+    order = np.lexsort((s, d))
+    d, s = d[order], s[order]
+    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    bounds = np.append(starts, len(d))
+    sets = {
+        int(d[a]): s[a:b] for a, b in zip(bounds[:-1], bounds[1:])
+    }
+    _SHINGLE_SETS_CACHE[sf_dir] = sets
     return sets
 
 
@@ -209,7 +282,7 @@ def q_minhash_lsh_neardup(sf_dir: str):
     rows_per_band = N_PERM // N_BANDS
 
     def sigs(t: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
+        ids, band_hashes = [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             s = _shingles(text)
             if len(s) == 0:
@@ -217,30 +290,21 @@ def q_minhash_lsh_neardup(sf_dir: str):
             mh = _minhash(s, a, b).reshape(N_BANDS, rows_per_band)
             for bi in range(N_BANDS):
                 ids.append(did)
-                band_ids.append(bi)
-                band_hashes.append(_stable_hash64(mh[bi].tobytes()))
+                # the band index is baked into the bucket key, so one
+                # int64 column is the whole LSH bucket identity
+                band_hashes.append(
+                    _stable_hash64(bytes([bi]) + mh[bi].tobytes())
+                )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(band_ids, pa.int32()),
                 "bh": pa.array(band_hashes, pa.int64()),
             }
         )
 
     bucketed = ds.map_batches(sigs, batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
     cand = (
-        bucketed.groupby(["band", "bh"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+        _pairs_from_buckets(bucketed, "bh").to_pandas().drop_duplicates()
     )
     sets = _collect_shingle_sets(sf_dir)
     rows = _verify_pairs(cand, sets, JACCARD_TAU)
@@ -277,48 +341,46 @@ def q_simhash_neardup(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def sigs(t: pa.Table) -> pa.Table:
-        ids, bands, keys, hashes = [], [], [], []
+        ids, keys, hashes = [], [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             h = _simhash64(text)
             for bi in range(4):
                 ids.append(did)
-                bands.append(bi)
-                keys.append((h >> (16 * bi)) & 0xFFFF)
+                # band baked into the bucket key (band<<16 | 16-bit slice)
+                keys.append((bi << 16) | ((h >> (16 * bi)) & 0xFFFF))
                 hashes.append(h)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "key": pa.array(keys, pa.int32()),
+                "bk": pa.array(keys, pa.int64()),
                 "sh": pa.array(np.array(hashes, dtype=np.uint64).view(np.int64)),
             }
         )
 
     bucketed = ds.map_batches(sigs, batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["sh"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(hs[x]) ^ int(hs[y])).count("1") for x, y in zip(ia, ib)]
-        )
-        m = ham <= 3
-        return pd.DataFrame(
-            {"doc_a": ids[ia[m]], "doc_b": ids[ib[m]], "hamming": ham[m]}
-        )
-
-    out = (
-        bucketed.groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+    cand = (
+        _pairs_from_buckets(bucketed, "bk").to_pandas().drop_duplicates()
     )
+    # verify hamming on the candidates (vectorized XOR popcount).  The
+    # signature map collects driver-side here; at 10^12 scale the verify is
+    # a hash join of the (small) candidate table against the signatures.
+    sh_map = (
+        bucketed.to_pandas()
+        .drop_duplicates("doc_id")
+        .set_index("doc_id")["sh"]
+    )
+    ha = sh_map.loc[cand["doc_a"]].to_numpy().astype(np.uint64)
+    hb = sh_map.loc[cand["doc_b"]].to_numpy().astype(np.uint64)
+    x = np.bitwise_xor(ha, hb)
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    m = ham <= 3
+    out = pd.DataFrame(
+        {
+            "doc_a": cand["doc_a"].to_numpy()[m],
+            "doc_b": cand["doc_b"].to_numpy()[m],
+            "hamming": ham[m],
+        }
+    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return out.astype({"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
 
 
