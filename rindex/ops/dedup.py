@@ -213,16 +213,52 @@ def _collect_shingle_sets(sf_dir: str) -> dict:
 
 
 def q_ngram_jaccard_neardup(sf_dir: str):
-    """Near-dup pairs with 3-gram Jaccard >= 0.5: shingle-bucket candidate
-    generation (full recall) + exact verification."""
-    cand = _pairs_from_buckets(_shingle_table(sf_dir), "shingle").to_pandas()
-    cand = cand.drop_duplicates()
-    sets = _collect_shingle_sets(sf_dir)
-    rows = _verify_pairs(cand, sets, JACCARD_TAU)
-    rows.sort()
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
-        {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
+    """Near-dup pairs with 3-gram Jaccard >= 0.5, fully distributed via the
+    co-occurrence formulation: shingles are DISTINCT per doc, so a pair's
+    intersection size equals how many shingle buckets emit it — pair
+    multiplicity from the bucket expansion, counted with a groupby, no
+    per-pair set intersection anywhere (the Zipf corpus yields ~1.1M
+    candidate pairs at sf0.1; verifying each with set ops was the op's
+    entire cost).  |union| = |A| + |B| - inter with per-doc sizes looked up
+    from a broadcast array.  Exact: full recall (any qualifying pair shares
+    a shingle) and exact Jaccard — same SQL oracle."""
+    st = _shingle_table(sf_dir)
+    sizes = st.groupby("doc_id").count().to_pandas()
+    size_ids = sizes["doc_id"].to_numpy()
+    size_vals = sizes["count()"].to_numpy().astype(np.int64)
+
+    # pair keys stream back as packed int64 blocks; the multiplicity count
+    # is ONE np.unique over them (~1.3M rows -> ms).  At 10^12 scale this
+    # final count becomes a distributed groupby over the pre-counted
+    # per-coarse-bucket partials instead of a driver concat.
+    pk_parts = []
+    for t in _pairs_from_buckets(st, "shingle").iter_batches(
+        batch_size=1 << 18, batch_format="pyarrow"
+    ):
+        a = t["doc_a"].to_numpy().astype(np.int64)
+        b = t["doc_b"].to_numpy().astype(np.int64)
+        pk_parts.append((a << 32) | b)
+    if not pk_parts:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype=np.int64),
+             "doc_b": pd.Series(dtype=np.int64),
+             "jaccard": pd.Series(dtype=np.float64)}
+        )
+    pk, inter = np.unique(np.concatenate(pk_parts), return_counts=True)
+    a = pk >> 32
+    b = pk & 0xFFFFFFFF
+    sa = size_vals[np.searchsorted(size_ids, a)]
+    sb = size_vals[np.searchsorted(size_ids, b)]
+    jac = inter / (sa + sb - inter)
+    keep = jac >= JACCARD_TAU
+    out = pd.DataFrame(
+        {
+            "doc_a": a[keep],
+            "doc_b": b[keep],
+            "jaccard": np.round(jac[keep], 6),
+        }
     )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 QUERIES["ngram_jaccard_neardup"] = q_ngram_jaccard_neardup
