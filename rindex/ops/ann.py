@@ -174,3 +174,113 @@ def q_ann_srp_lsh_topk(sf_dir: str):
 
 
 QUERIES["ann_srp_lsh_topk"] = q_ann_srp_lsh_topk
+
+
+IVF_K = 16       # coarse centroids
+IVF_NPROBE = 8   # probed lists per query (synthetic embeddings are
+#   near-uniform — no cluster structure — so recall needs a wide probe)
+IVF_TRAIN = 2048  # deterministic training sample: lowest vec_ids
+IVF_ITERS = 10
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic coarse quantizer: seeded Lloyd k-means on the lowest
+    IVF_TRAIN vec_ids (spherical: centroids renormalized each step, so
+    assignment = max dot product).  Train is driver-side on a bounded
+    sample — at 10^12 scale the sample stays bounded and training cost is
+    constant; only assignment scales with the data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", IVF_TRAIN)],
+    )
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.Generator(np.random.PCG64(4242))
+    C = X[rng.choice(len(X), size=IVF_K, replace=False)]
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(X @ C.T, axis=1)
+        for k in range(IVF_K):
+            m = assign == k
+            if m.any():
+                c = X[m].mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[k] = c / n
+    return C
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """Approximate ANN, IVF (inverted-file) variant: vectors partition into
+    IVF_K coarse-centroid lists; a query scans only its IVF_NPROBE nearest
+    lists (~nprobe/k of the data).  The list id is the shuffle/partition
+    key at scale — this is the Ray-native FAISS-IVF shape: assignment and
+    scan are both map_batches, the quantizer is trained once and broadcast
+    via ray.put.  Approximate -> no SQL oracle; recall vs the exact
+    brute-force op asserted in pytest."""
+    import ray
+
+    qids, Q = _query_matrix(sf_dir)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    C = _ivf_centroids(sf_dir)
+    # per-query probed lists
+    probes = np.argsort(-(Qn @ C.T), axis=1)[:, :IVF_NPROBE]
+    probes.sort(axis=1)
+    ref = ray.put((qids, Qn, C, probes))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qids_, Qn_, C_, probes_ = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        V = np.array(batch["embedding"].tolist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        assign = np.argmax(V @ C_.T, axis=1)
+        rows = []
+        for qi in range(len(qids_)):
+            ok = np.isin(assign, probes_[qi]) & (ids != qids_[qi])
+            if not ok.any():
+                continue
+            s = Qn_[qi] @ V[ok].T
+            cid = ids[ok]
+            sel = np.lexsort((cid, -s))[:TOP_K]
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(sel), qids_[qi]),
+                        "neighbor_id": cid[sel],
+                        "cosine": np.round(s[sel], 6),
+                    }
+                )
+            )
+        if not rows:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "neighbor_id": pd.Series(dtype=np.int64),
+                 "cosine": pd.Series(dtype=np.float64)}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    parts = emb.map_batches(
+        partial, batch_format="pandas", batch_size=1024
+    ).to_pandas()
+    out = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(TOP_K).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(
+            columns=["query_id", "rank", "neighbor_id", "cosine"]
+        )
+    return pd.concat(out, ignore_index=True)[
+        ["query_id", "rank", "neighbor_id", "cosine"]
+    ]
+
+
+QUERIES["ann_ivf_topk"] = q_ann_ivf_topk

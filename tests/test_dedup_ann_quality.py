@@ -88,3 +88,21 @@ def test_langid_runs(ray_session):
     df = q_langid_documents(SF).to_pandas()
     assert set(df["pred_lang"]) <= {"en", "de", "fr", "es", "und"}
     assert len(df) == 500
+
+
+def test_ann_ivf_recall_vs_exact(ray_session):
+    """IVF-probed ANN must recall >= 0.7 of the exact top-5 (synthetic
+    embeddings are near-uniform; nprobe=8/16 measured 0.82)."""
+    from rindex.ops.ann import q_ann_cosine_topk, q_ann_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_ann_cosine_topk(sf)
+    ivf = q_ann_ivf_topk(sf)
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    v = ivf.groupby("query_id")["neighbor_id"].apply(set)
+    rec = sum(
+        len(e[q] & v.get(q, set())) / len(e[q]) for q in e.index
+    ) / len(e.index)
+    assert rec >= 0.7, rec
+    # determinism: seeded quantizer -> identical output
+    assert ivf.equals(q_ann_ivf_topk(sf))

@@ -155,3 +155,38 @@ def test_proximity_search_vs_naive(ray_session, tmp_path):
     for a, b, w in [("hash", "scan", 5), ("sort", "merge", 3)]:
         got = [(h[0], h[1]) for h in s.search_proximity(f"{a} {b}", window=w)]
         assert got == _naive_proximity(SRC, a, b, w), (a, b, w)
+
+
+def _naive_proximity_k(src, terms, window):
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    out = []
+    for did, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = standard_tokenize(txt or "")
+        pos = [[i for i, t in enumerate(toks) if t == term] for term in terms]
+        if any(not p for p in pos):
+            continue
+        # brute-force min cover span over the cartesian product
+        import itertools
+
+        best = min(
+            max(c) - min(c) + 1 for c in itertools.product(*pos)
+        )
+        if best <= window:
+            out.append((did, best))
+    out.sort()
+    return out
+
+
+def test_proximity_three_terms(ray_session, tmp_path):
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    idx = str(tmp_path / "pos-prox3")
+    build_index(
+        SRC, idx, num_segments=4, mode="term_shuffle", id_cols=("doc_id",),
+        text_col="text", keep_cols=(), with_positions=True,
+    )
+    s = IndexSearcher(idx)
+    terms = ["hash", "scan", "sort"]
+    got = [(h[0], h[1]) for h in s.search_proximity(" ".join(terms), window=8)]
+    assert got == _naive_proximity_k(SRC, terms, 8)

@@ -64,3 +64,36 @@ def test_spellcheck_corrections_sane(ray_session):
     assert out["spakr"] == "spark"
     assert out["joni"] == "join"
     assert out["windw"] == "window"
+
+
+def test_cost_planner_algo_selection(ray_session, tiny_corpus, tmp_path):
+    """The searcher-default path must route all-common-term queries to the
+    exhaustive kernel and selective queries to WAND; explicit algo= is
+    honored verbatim (results are identical either way — other tests)."""
+    from unittest.mock import patch
+
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    idx = str(tmp_path / "planner-idx")
+    build_index(tiny_corpus, idx, num_segments=2)
+    s = IndexSearcher(idx, algo="wand")
+    common = max(
+        ("the", "a", "of", "to"), key=lambda t: s.global_df([t])[t]
+    )
+    assert s.global_df([common])[common] / s.n_docs > s.WAND_SELECTIVITY
+
+    calls = []
+    orig_w, orig_e = s._search_segment_wand, s._search_segment_exhaustive
+    with patch.object(
+        s, "_search_segment_wand",
+        side_effect=lambda *a: calls.append("w") or orig_w(*a),
+    ), patch.object(
+        s, "_search_segment_exhaustive",
+        side_effect=lambda *a: calls.append("e") or orig_e(*a),
+    ):
+        s.search(common, k=5)                      # planned -> exhaustive
+        assert set(calls) == {"e"}
+        calls.clear()
+        s.search(common, k=5, algo="wand")         # explicit -> honored
+        assert set(calls) == {"w"}
