@@ -569,3 +569,104 @@ ORACLE["proximity_search_documents"] = f"""
             FROM documents))
     WHERE min_span IS NOT NULL AND min_span <= {PROX_WINDOW}
 """
+
+
+NOT_QUERY, NOT_EXCLUDE = "join", "dup"
+
+
+def q_bm25_not_query_documents(sf_dir: str):
+    """BooleanQuery with a MUST_NOT clause: BM25 top-k for 'join' excluding
+    any doc containing 'dup' (exclusion is non-scoring — reference:
+    `lucene/core/src/java/org/apache/lucene/search/ReqExclScorer.java`,
+    BooleanWeight MUST_NOT handling; the excluded term's postings are
+    decoded per segment and masked out of both scoring kernels)."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="wand")
+    hits = s.search(NOT_QUERY, k=TOP_K, mode="or", exclude=NOT_EXCLUDE)
+    return pd.DataFrame(
+        {
+            "rank": pd.array([h[0] for h in hits], dtype="int32"),
+            "doc_id": [h[1] for h in hits],
+            "score": [round(h[2], 6) for h in hits],
+        }
+    )
+
+
+def _bm25_single_term_scores_cte() -> str:
+    from rindex.schema import B, K1
+
+    return f"""
+    scores AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl)) AS s
+      FROM tf JOIN df USING (term) JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.term = '{NOT_QUERY}'
+    )
+    """
+
+
+QUERIES["bm25_not_query_documents"] = q_bm25_not_query_documents
+ORACLE["bm25_not_query_documents"] = f"""
+    WITH {_bm25_ctes()},
+    {_bm25_single_term_scores_cte()},
+    banned AS (
+      SELECT DISTINCT doc_id FROM toks WHERE term = '{NOT_EXCLUDE}'
+    ),
+    ranked AS (
+      SELECT doc_id, s,
+             (row_number() OVER (ORDER BY s DESC, doc_id ASC) - 1)::INTEGER
+               AS rank
+      FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM banned)
+    )
+    SELECT rank, doc_id, round(s, 6) AS score
+    FROM ranked WHERE rank < {TOP_K}
+"""
+
+
+FILTER_LANG = "en"
+
+
+def q_bm25_filter_lang_documents(sf_dir: str):
+    """BM25 top-k with a non-scoring FILTER clause on a stored field
+    (lang = 'en') — the `fq` / BooleanClause.Occur.FILTER analog; the
+    per-segment allowed-doc set comes from docs.parquet with predicate
+    pushdown and is cached per (column, value) like the reference's
+    filterCache (`solr/core/.../search/SolrIndexSearcher.java`)."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="wand")
+    hits = s.search(
+        NOT_QUERY, k=TOP_K, mode="or", field_filter=("lang", FILTER_LANG)
+    )
+    return pd.DataFrame(
+        {
+            "rank": pd.array([h[0] for h in hits], dtype="int32"),
+            "doc_id": [h[1] for h in hits],
+            "score": [round(h[2], 6) for h in hits],
+        }
+    )
+
+
+QUERIES["bm25_filter_lang_documents"] = q_bm25_filter_lang_documents
+ORACLE["bm25_filter_lang_documents"] = f"""
+    WITH {_bm25_ctes()},
+    {_bm25_single_term_scores_cte()},
+    ranked AS (
+      SELECT s.doc_id, s.s,
+             (row_number() OVER (ORDER BY s.s DESC, s.doc_id ASC) - 1)::INTEGER
+               AS rank
+      FROM scores s JOIN documents d USING (doc_id)
+      WHERE d.lang = '{FILTER_LANG}'
+    )
+    SELECT rank, doc_id, round(s, 6) AS score
+    FROM ranked WHERE rank < {TOP_K}
+"""

@@ -57,6 +57,14 @@ class Query:
     terms: list[str]  # analyzed terms, order preserved (duplicates allowed)
     mode: str = "or"  # "or" | "and"
     k: int = 10
+    # MUST_NOT clauses: docs containing ANY of these terms are excluded
+    # (non-scoring — reference: BooleanWeight + ReqExclScorer,
+    # `lucene/core/src/java/org/apache/lucene/search/ReqExclScorer.java`)
+    exclude: list[str] = None  # type: ignore[assignment]
+    # FILTER clause on a stored field: (column, value) — matches must have
+    # docs.parquet[column] == value; contributes no score (the `fq` /
+    # BooleanClause.Occur.FILTER analog)
+    field_filter: tuple[str, str] | None = None
 
 
 def parse_query(text: str, qtype: str = "or", k: int = 10, analyzer_name: str = "standard") -> Query:
@@ -149,6 +157,23 @@ class _SegmentReader:
             pos = decode_positions(row["pos_blob"], int(row["pos_width"]), tfs)
             out[row["term"]] = (docs, tfs, pos)
         return out
+
+    def docs_matching(self, column: str, value) -> np.ndarray:
+        """Seg-local doc ordinals whose stored field `column` == value
+        (FILTER-clause support; cached per (column, value) — the
+        filter-cache analog, `solr/core/src/java/org/apache/solr/search/
+        SolrIndexSearcher.java` filterCache)."""
+        if not hasattr(self, "_filter_cache"):
+            self._filter_cache: dict = {}
+        key = (column, str(value))
+        if key not in self._filter_cache:
+            tbl = pq.read_table(
+                os.path.join(self.sdir, "docs.parquet"),
+                columns=["doc"],
+                filters=[(column, "==", value)],
+            )
+            self._filter_cache[key] = tbl["doc"].to_numpy().astype(np.int64)
+        return self._filter_cache[key]
 
     def fetch_ids(self, docs: np.ndarray, id_cols: list[str]) -> dict:
         """doc -> tuple(id values), reading only needed row groups (docs are
@@ -245,6 +270,30 @@ class IndexSearcher:
         tf = t.astype(np.float64)
         return d, weight * tf / (tf + self.cache[nrm])
 
+    def _banned_for(self, reader, q) -> np.ndarray | None:
+        """Seg-local docs excluded by MUST_NOT terms / FILTER clause
+        (ReqExclScorer + filter-clause semantics: non-scoring)."""
+        from rindex.codec import decode_posting_fast
+
+        parts = []
+        if q.exclude:
+            posts = reader.postings_for(sorted(set(q.exclude)))
+            for t in sorted(set(q.exclude)):
+                row = posts.get(t)
+                if row is not None:
+                    parts.append(decode_posting_fast(row)[0])
+        if q.field_filter is not None:
+            col, val = q.field_filter
+            allowed = reader.docs_matching(col, val)
+            parts.append(
+                np.setdiff1d(
+                    np.arange(reader.max_doc, dtype=np.int64), allowed
+                )
+            )
+        if not parts:
+            return None
+        return np.unique(np.concatenate(parts))
+
     def _search_segment_exhaustive(self, reader, q, order, mult, idf_map, k):
         posts = reader.postings_for(order)
         acc = np.zeros(reader.max_doc, dtype=np.float64)
@@ -260,6 +309,9 @@ class IndexSearcher:
             hits[d] += 1
         if present == 0 or (q.mode == "and" and present < len(order)):
             return np.zeros(0, dtype=np.int64), np.zeros(0)
+        banned = self._banned_for(reader, q)
+        if banned is not None and len(banned):
+            hits[banned] = -(10**9)
         need = len(order) if q.mode == "and" else 1
         cand = np.nonzero(hits >= need)[0]
         if len(cand) == 0:
@@ -362,12 +414,19 @@ class IndexSearcher:
                 npresent += p
             return total, npresent
 
+        banned = self._banned_for(reader, q)
+
+        def drop_banned(d: np.ndarray):
+            if banned is None or len(banned) == 0 or len(d) == 0:
+                return np.ones(len(d), dtype=bool)
+            return ~np.isin(d, banned, assume_unique=False)
+
         if q.mode == "and":
             # conjunction: candidates are exactly the rarest list's docs
             ta = int(np.argmin([int(r["df"]) for _, r in rows]))
             docs_a, _ = decode_all(ta)
             total, npres = score_candidates(docs_a)
-            keep = npres == n_terms
+            keep = (npres == n_terms) & drop_banned(docs_a)
             docs_a, total = docs_a[keep], total[keep]
             sel = np.lexsort((docs_a, -total))[:k]
             return docs_a[sel], total[sel]
@@ -375,6 +434,8 @@ class IndexSearcher:
         # OR phase A: full scores at the max-ub term's docs -> theta
         ta = int(np.argmax(term_ub))
         docs_a, _ = decode_all(ta)
+        ok_a = drop_banned(docs_a)
+        docs_a = docs_a[ok_a]
         total_a, _ = score_candidates(docs_a)
         sel = np.lexsort((docs_a, -total_a))[:k]
         best_docs, best_scores = docs_a[sel], total_a[sel]
@@ -393,6 +454,7 @@ class IndexSearcher:
         if extra:
             cand = np.unique(np.concatenate([decode_all(ti)[0] for ti in extra]))
             cand = cand[~np.isin(cand, docs_a, assume_unique=True)]
+            cand = cand[drop_banned(cand)]
             if len(cand):
                 total_b, _ = score_candidates(cand)
                 best_docs = np.concatenate([best_docs, cand])
@@ -400,9 +462,30 @@ class IndexSearcher:
         sel = np.lexsort((best_docs, -best_scores))[:k]
         return best_docs[sel], best_scores[sel]
 
-    def search(self, text: str, k: int = 10, mode: str = "or", algo: str | None = None) -> list[tuple]:
-        """Returns [(rank, *id_cols, score)]."""
-        q = Query(terms=get_analyzer(self.analyzer_name).tokens(text), mode=mode, k=k)
+    def search(
+        self,
+        text: str,
+        k: int = 10,
+        mode: str = "or",
+        algo: str | None = None,
+        exclude: str | None = None,
+        field_filter: tuple[str, str] | None = None,
+    ) -> list[tuple]:
+        """Returns [(rank, *id_cols, score)].  `exclude` is a MUST_NOT
+        clause (analyzed; matching docs dropped, non-scoring);
+        `field_filter=(column, value)` is a non-scoring FILTER clause on a
+        stored field."""
+        q = Query(
+            terms=get_analyzer(self.analyzer_name).tokens(text),
+            mode=mode,
+            k=k,
+            exclude=(
+                get_analyzer(self.analyzer_name).tokens(exclude)
+                if exclude
+                else None
+            ),
+            field_filter=field_filter,
+        )
         return self.search_query(q, algo=algo)
 
     # A query term is "selective" when its df is below this fraction of the

@@ -97,3 +97,44 @@ def test_cost_planner_algo_selection(ray_session, tiny_corpus, tmp_path):
         calls.clear()
         s.search(common, k=5, algo="wand")         # explicit -> honored
         assert set(calls) == {"w"}
+
+
+def test_must_not_and_filter_clauses_both_kernels(ray_session, tmp_path):
+    """MUST_NOT + FILTER results must be identical under WAND and
+    exhaustive, match a naive scan, and never contain excluded docs."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "notfilter-idx")
+    build_index(
+        src, idx, num_segments=4, mode="term_shuffle", id_cols=("doc_id",),
+        text_col="text", keep_cols=("lang",),
+    )
+    s = IndexSearcher(idx)
+    tbl = pq.read_table(src, columns=["doc_id", "text", "lang"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    langs = dict(zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist()))
+
+    for kwargs in (
+        {"exclude": "dup"},
+        {"field_filter": ("lang", "en")},
+        {"exclude": "dup", "field_filter": ("lang", "en")},
+    ):
+        a = s.search("join scan", k=20, mode="or", algo="wand", **kwargs)
+        b = s.search("join scan", k=20, mode="or", algo="exhaustive", **kwargs)
+        assert a == b, kwargs
+        for _rank, did, _score in a:
+            if "exclude" in kwargs:
+                assert "dup" not in (texts[did] or "").lower().split()
+            if "field_filter" in kwargs:
+                assert langs[did] == "en"
+        # AND mode too
+        aa = s.search("join scan", k=20, mode="and", algo="wand", **kwargs)
+        bb = s.search("join scan", k=20, mode="and", algo="exhaustive", **kwargs)
+        assert aa == bb, kwargs
