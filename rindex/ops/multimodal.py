@@ -94,3 +94,81 @@ def q_multimodal_decode_features(sf_dir: str):
 
 
 QUERIES["multimodal_decode_features"] = q_multimodal_decode_features
+
+
+TARGET_BOX = (224, 224)
+
+
+class FakeResizer(FakeDecoder):
+    """Actor-pool resize stage: the aspect-preserving fit-into-box geometry
+    is real (what a real cv2/PIL stage computes before the pixel op); only
+    the pixel transform itself is stubbed behind the fake decoder."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        dims = [self.decode_one(p) for p in batch["payload"]]
+        w = np.array([d[0] for d in dims], dtype=np.float64)
+        h = np.array([d[1] for d in dims], dtype=np.float64)
+        scale = np.minimum(TARGET_BOX[0] / w, TARGET_BOX[1] / h)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "src_w": w.astype(np.int64),
+                "src_h": h.astype(np.int64),
+                "out_w": np.floor(w * scale).astype(np.int64),
+                "out_h": np.floor(h * scale).astype(np.int64),
+                "scale": np.round(scale, 6),
+            }
+        )
+
+
+def q_multimodal_resize_plan(sf_dir: str):
+    """Resize stage plan: per payload, the aspect-preserving target
+    geometry for a 224x224 box (actor pool, small batches)."""
+    return make_payloads(sf_dir).map_batches(
+        FakeResizer,
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+
+QUERIES["multimodal_resize_plan"] = q_multimodal_resize_plan
+
+
+FRAME_SAMPLE_N = 8
+
+
+def q_multimodal_frame_sample(sf_dir: str):
+    """Frame-sampling stage for video-like payloads: deterministic fake
+    (fps, duration) metadata per payload, REAL uniform frame-index
+    selection (N evenly spaced frames, the standard decode plan a real
+    ffmpeg stage would execute).  One output row per sampled frame —
+    flat_map-style expansion inside map_batches."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        rows = []
+        for did, p in zip(batch["doc_id"], batch["payload"]):
+            hd = _h.md5(p).digest()
+            fps = 12 + hd[2] % 19          # 12..30 fps
+            duration_ms = 1000 + int.from_bytes(hd[3:5], "little") % 9000
+            n_frames = max(1, fps * duration_ms // 1000)
+            idx = np.unique(
+                np.linspace(0, n_frames - 1, FRAME_SAMPLE_N).astype(np.int64)
+            )
+            for fi in idx:
+                rows.append((did, int(fps), int(n_frames), int(fi),
+                             round(float(fi) / fps, 6)))
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "fps", "n_frames", "frame_idx", "ts_sec"],
+        )
+
+    return make_payloads(sf_dir).map_batches(
+        f, batch_format="pandas", batch_size=256
+    )
+
+
+QUERIES["multimodal_frame_sample"] = q_multimodal_frame_sample

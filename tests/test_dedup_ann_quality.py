@@ -106,3 +106,30 @@ def test_ann_ivf_recall_vs_exact(ray_session):
     assert rec >= 0.7, rec
     # determinism: seeded quantizer -> identical output
     assert ivf.equals(q_ann_ivf_topk(sf))
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    from rindex.ops.multimodal import (
+        FRAME_SAMPLE_N, TARGET_BOX,
+        q_multimodal_frame_sample, q_multimodal_resize_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rz = q_multimodal_resize_plan(sf).to_pandas()
+    assert len(rz) == 500
+    assert (rz.out_w <= TARGET_BOX[0]).all() and (rz.out_h <= TARGET_BOX[1]).all()
+    # aspect preserved within floor rounding (relative tolerance)
+    a_out, a_src = rz.out_w / rz.out_h, rz.src_w / rz.src_h
+    assert (abs(a_out - a_src) / a_src < 0.1).all()
+    # at least one dimension hits the box (fit, not shrink-only)
+    assert ((rz.out_w >= TARGET_BOX[0] - 1) | (rz.out_h >= TARGET_BOX[1] - 1)).all()
+
+    fs = q_multimodal_frame_sample(sf).to_pandas()
+    g = fs.groupby("doc_id")
+    assert (g["frame_idx"].count() <= FRAME_SAMPLE_N).all()
+    assert (fs.frame_idx < fs.n_frames).all() and (fs.frame_idx >= 0).all()
+    assert (fs.groupby("doc_id")["frame_idx"].apply(
+        lambda s: s.is_monotonic_increasing
+    )).all()
+    # determinism
+    assert fs.equals(q_multimodal_frame_sample(sf).to_pandas())
