@@ -158,6 +158,35 @@ class _SegmentReader:
             out[row["term"]] = (docs, tfs, pos)
         return out
 
+    # decoded-postings cache: only lists this long are cached (short lists
+    # decode in ~µs; hot stopword-class lists dominate repeated-query cost);
+    # byte-budgeted so a reader's heap stays bounded regardless of df
+    DECODED_CACHE_MIN_DF = 4096
+    DECODED_CACHE_MAX_BYTES = 64 << 20
+
+    def decoded(self, term: str, row: dict):
+        """(docs, tfs, norms) with an LRU-less high-df cache — the
+        query/filter-cache analog (`solr/core/src/java/org/apache/solr/
+        search/SolrIndexSearcher.java` caches): scores are recomputed per
+        query (idf differs) but the expensive bit-unpack is reused."""
+        from rindex.codec import decode_posting_fast
+
+        if not hasattr(self, "_decoded_cache"):
+            self._decoded_cache: dict = {}
+            self._decoded_bytes = 0
+        hit = self._decoded_cache.get(term)
+        if hit is not None:
+            return hit
+        out = decode_posting_fast(row)
+        nbytes = sum(int(a.nbytes) for a in out)
+        if (
+            int(row["df"]) >= self.DECODED_CACHE_MIN_DF
+            and self._decoded_bytes + nbytes <= self.DECODED_CACHE_MAX_BYTES
+        ):
+            self._decoded_cache[term] = out
+            self._decoded_bytes += nbytes
+        return out
+
     def docs_matching(self, column: str, value) -> np.ndarray:
         """Seg-local doc ordinals whose stored field `column` == value
         (FILTER-clause support; cached per (column, value) — the
@@ -304,7 +333,9 @@ class IndexSearcher:
             if row is None:
                 continue
             present += 1
-            d, s = self._decode_scored(row, idf_map[t] * mult[t])
+            d, tf_arr, nrm = reader.decoded(t, row)
+            tff = tf_arr.astype(np.float64)
+            s = (idf_map[t] * mult[t]) * tff / (tff + self.cache[nrm])
             acc[d] += s
             hits[d] += 1
         if present == 0 or (q.mode == "and" and present < len(order)):
@@ -364,10 +395,8 @@ class IndexSearcher:
             return decoded[key]
 
         def decode_all(ti: int):
-            from rindex.codec import decode_posting_fast
-
             t, r = rows[ti]
-            d, tf, nrm = decode_posting_fast(r)
+            d, tf, nrm = reader.decoded(t, r)
             tff = tf.astype(np.float64)
             return d, idf_map[t] * mult[t] * tff / (tff + self.cache[nrm])
 
