@@ -670,3 +670,56 @@ ORACLE["bm25_filter_lang_documents"] = f"""
     SELECT rank, doc_id, round(s, 6) AS score
     FROM ranked WHERE rank < {TOP_K}
 """
+
+
+QS_QUERY = "+join +scan -dup lang:en"
+
+
+def q_query_string_search_documents(sf_dir: str):
+    """Classic query-string syntax end-to-end: '+join +scan -dup lang:en'
+    parses to (AND[join, scan], MUST_NOT[dup], FILTER[lang=en]) and runs
+    through the full engine (reference: classic QueryParser /
+    LuceneQParserPlugin syntax surface)."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher, parse_query_string
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="wand")
+    q = parse_query_string(QS_QUERY, k=TOP_K)
+    hits = s.search_query(q)
+    return pd.DataFrame(
+        {
+            "rank": pd.array([h[0] for h in hits], dtype="int32"),
+            "doc_id": [h[1] for h in hits],
+            "score": [round(h[2], 6) for h in hits],
+        }
+    )
+
+
+QUERIES["query_string_search_documents"] = q_query_string_search_documents
+ORACLE["query_string_search_documents"] = f"""
+    WITH {_bm25_ctes()},
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s,
+             count(DISTINCT tf.term) AS n_matched
+      FROM tf JOIN df USING (term) JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.term IN ('join', 'scan')
+      GROUP BY tf.doc_id
+    ),
+    banned AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'),
+    ranked AS (
+      SELECT s.doc_id, s.s,
+             (row_number() OVER (ORDER BY s.s DESC, s.doc_id ASC) - 1)::INTEGER
+               AS rank
+      FROM scores s JOIN documents d USING (doc_id)
+      WHERE s.n_matched = 2
+        AND d.lang = 'en'
+        AND s.doc_id NOT IN (SELECT doc_id FROM banned)
+    )
+    SELECT rank, doc_id, round(s, 6) AS score
+    FROM ranked WHERE rank < {TOP_K}
+"""

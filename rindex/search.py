@@ -73,6 +73,47 @@ def parse_query(text: str, qtype: str = "or", k: int = 10, analyzer_name: str = 
     return Query(terms=terms, mode=mode, k=k)
 
 
+def parse_query_string(
+    qs: str, k: int = 10, analyzer_name: str = "standard"
+) -> Query:
+    """Mini query-string parser (the lucene-QParser surface subset that the
+    engine supports — reference: `solr/core/src/java/org/apache/solr/
+    search/LuceneQParserPlugin.java`, classic QueryParser syntax):
+
+      term term        -> OR of analyzed terms (SHOULD)
+      +term            -> required; if ANY + clause is present the whole
+                          positive term set is evaluated as a conjunction
+                          (documented simplification of MUST+SHOULD mixing:
+                          the engine's AND mode requires every scored term)
+      -term            -> MUST_NOT (non-scoring exclusion)
+      field:value      -> FILTER clause on a stored field (non-scoring)
+
+    Quoted phrases are not parsed here — use search_phrase directly."""
+    analyzer = get_analyzer(analyzer_name)
+    terms: list[str] = []
+    exclude: list[str] = []
+    field_filter = None
+    has_required = False
+    for tok in qs.split():
+        if tok.startswith("-") and len(tok) > 1:
+            exclude.extend(analyzer.tokens(tok[1:]))
+        elif tok.startswith("+") and len(tok) > 1:
+            has_required = True
+            terms.extend(analyzer.tokens(tok[1:]))
+        elif ":" in tok and not tok.startswith(":"):
+            col, val = tok.split(":", 1)
+            field_filter = (col, val)
+        else:
+            terms.extend(analyzer.tokens(tok))
+    return Query(
+        terms=terms,
+        mode="and" if has_required else "or",
+        k=k,
+        exclude=exclude or None,
+        field_filter=field_filter,
+    )
+
+
 class _SegmentReader:
     """Lazy per-segment postings + stored-field access with a term cache."""
 
@@ -556,6 +597,60 @@ class IndexSearcher:
         return [
             (rank, *idt, score) for rank, (score, idt) in enumerate(cands[: q.k])
         ]
+
+    def explain(self, text: str, id_values: tuple, mode: str = "or") -> dict:
+        """Score breakdown for one document (the Explanation analog —
+        reference: `lucene/core/src/java/org/apache/lucene/search/
+        IndexSearcher.java#explain` + BM25Similarity explain): per matched
+        term, tf, df, idf, lossy dl, and the term's contribution; `total`
+        is bit-identical to the score search() produces for the doc
+        (asserted in tests).  id_values is the doc's id-column tuple."""
+        q = Query(
+            terms=get_analyzer(self.analyzer_name).tokens(text),
+            mode=mode, k=1,
+        )
+        order, mult, df = self._term_plan(q)
+        idf_map = {t: float(bm25_idf(df[t], self.n_docs)) for t in order}
+        for reader in self.readers:
+            ids = reader.fetch_ids(
+                np.arange(reader.max_doc, dtype=np.int64), self.id_cols
+            )
+            local = next(
+                (d for d, v in ids.items() if v == tuple(id_values)), None
+            )
+            if local is None:
+                continue
+            detail, total = [], 0.0
+            n_matched = 0
+            for t in order:
+                row = reader.postings_for([t]).get(t)
+                if row is None:
+                    continue
+                d, tf_arr, nrm = reader.decoded(t, row)
+                at = int(np.searchsorted(d, local))
+                if at >= len(d) or d[at] != local:
+                    continue
+                n_matched += 1
+                tf = float(tf_arr[at])
+                norm_b = int(nrm[at])
+                contrib = (
+                    idf_map[t] * mult[t] * tf / (tf + self.cache[nrm[at:at + 1]][0])
+                )
+                total += contrib
+                from rindex.codec import NORM_DECODE_TABLE
+
+                detail.append(
+                    {
+                        "term": t, "tf": tf, "df": int(df[t]),
+                        "idf": idf_map[t], "boost_mult": mult[t],
+                        "lossy_dl": int(NORM_DECODE_TABLE[norm_b]),
+                        "contribution": contrib,
+                    }
+                )
+            if not detail or (q.mode == "and" and n_matched < len(order)):
+                return {"matched": False, "total": 0.0, "details": []}
+            return {"matched": True, "total": total, "details": detail}
+        return {"matched": False, "total": 0.0, "details": []}
 
     def search_phrase(self, text: str) -> list[tuple]:
         """Exact PhraseQuery (slop=0) evaluated on positional postings:

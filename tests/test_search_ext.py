@@ -138,3 +138,41 @@ def test_must_not_and_filter_clauses_both_kernels(ray_session, tmp_path):
         aa = s.search("join scan", k=20, mode="and", algo="wand", **kwargs)
         bb = s.search("join scan", k=20, mode="and", algo="exhaustive", **kwargs)
         assert aa == bb, kwargs
+
+
+def test_query_string_parser():
+    from rindex.search import parse_query_string
+
+    q = parse_query_string("hash join")
+    assert q.terms == ["hash", "join"] and q.mode == "or" and not q.exclude
+
+    q = parse_query_string("+hash join -dup lang:en")
+    assert q.terms == ["hash", "join"] and q.mode == "and"
+    assert q.exclude == ["dup"] and q.field_filter == ("lang", "en")
+
+    q = parse_query_string("-dup scan")
+    assert q.terms == ["scan"] and q.mode == "or" and q.exclude == ["dup"]
+
+
+def test_explain_matches_search_score(ray_session, tmp_path):
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "explain-idx")
+    build_index(
+        src, idx, num_segments=4, mode="term_shuffle", id_cols=("doc_id",),
+        text_col="text", keep_cols=(),
+    )
+    s = IndexSearcher(idx)
+    for text, mode in [("hash join", "or"), ("group agg", "and"), ("spark", "or")]:
+        hits = s.search(text, k=5, mode=mode)
+        assert hits
+        for _rank, doc_id, score in hits:
+            ex = s.explain(text, (doc_id,), mode=mode)
+            assert ex["matched"]
+            assert ex["total"] == score, (text, doc_id)
+            assert sum(d["contribution"] for d in ex["details"]) == ex["total"]
+    # non-matching doc
+    miss = s.explain("spark", (10**9,))
+    assert not miss["matched"] and miss["total"] == 0.0
