@@ -526,3 +526,66 @@ ORACLE["geo_radius_events"] = f"""
     WHERE dist2 <= {GEO_RADIUS2}
     ORDER BY dist2 ASC, event_id ASC LIMIT {GEO_TOP}
 """
+
+
+SPLIT_FRACS = {"train": 90, "val": 5, "test": 5}  # percent buckets
+
+
+def q_train_test_split_documents(sf_dir: str):
+    """Deterministic train/val/test split — the assignment every
+    training-data pipeline needs to be STABLE across runs and cluster
+    sizes: split = hash-bucket of doc_id (md5-based, seed-free), never
+    random state.  Returns per-split counts + char volume (full assignment
+    is the same map without the aggregate)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_numpy()
+        buckets = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(int(i)).encode()).digest()[:4], "little"
+                )
+                % 100
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        split = np.where(
+            buckets < SPLIT_FRACS["train"],
+            "train",
+            np.where(
+                buckets < SPLIT_FRACS["train"] + SPLIT_FRACS["val"],
+                "val",
+                "test",
+            ),
+        )
+        return pa.table(
+            {"split": pa.array(split), "n_chars": t["n_chars"]}
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("split")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
+QUERIES["train_test_split_documents"] = q_train_test_split_documents
+ORACLE["train_test_split_documents"] = f"""
+    SELECT CASE
+             WHEN b < {SPLIT_FRACS["train"]} THEN 'train'
+             WHEN b < {SPLIT_FRACS["train"] + SPLIT_FRACS["val"]} THEN 'val'
+             ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (SELECT n_chars,
+                 (('0x' || substr(h,7,2) || substr(h,5,2) || substr(h,3,2) || substr(h,1,2))::BIGINT % 100) AS b
+          FROM (SELECT n_chars, md5(doc_id::VARCHAR) AS h FROM documents))
+    GROUP BY 1
+"""

@@ -723,3 +723,70 @@ ORACLE["query_string_search_documents"] = f"""
     SELECT rank, doc_id, round(s, 6) AS score
     FROM ranked WHERE rank < {TOP_K}
 """
+
+
+COMPOSITE_TERM = "window"
+
+
+def q_composite_search_rollup_documents(sf_dir: str):
+    """Streaming-expression composition — the reference's dataflow algebra
+    `rollup(hashJoin(search(...), hashed=...), over=lang, sum/avg)` as one
+    Ray pipeline (SURVEY.md §3.3: the TupleStream tree IS the Dataset
+    expression tree): BM25-score every match of a term from the inverted
+    index, broadcast-join the (small) score table onto the documents
+    Dataset, roll up per lang with count + mean score."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Mean
+
+    from rindex.ops.util import broadcast_join, read_table
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    hits = s.search(COMPOSITE_TERM, k=10**9, mode="or")
+    scores = pd.DataFrame(
+        {
+            "doc_id": [h[1] for h in hits],
+            "score": np.round([h[-1] for h in hits], 6),
+        }
+    )
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    joined = broadcast_join(docs, scores, on="doc_id", how="inner")
+    out = joined.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Mean("score", alias_name="avg_score")
+    )
+
+    def rnd(t):
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("avg_score"),
+            "avg_score",
+            pc.round(t["avg_score"], 6),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _composite_oracle() -> str:
+    from rindex.schema import B, K1
+
+    return f"""
+    WITH {_bm25_ctes()},
+    scores AS (
+      SELECT tf.doc_id,
+             round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl)), 6) AS s
+      FROM tf JOIN df USING (term) JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.term = '{COMPOSITE_TERM}'
+    )
+    SELECT d.lang, count(*) AS n_docs, round(avg(s.s), 6) AS avg_score
+    FROM scores s JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
+
+
+QUERIES["composite_search_rollup_documents"] = q_composite_search_rollup_documents
+ORACLE["composite_search_rollup_documents"] = _composite_oracle()
