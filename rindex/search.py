@@ -272,6 +272,18 @@ class _SegmentReader:
         return out
 
 
+def _topk_preselect(d: np.ndarray, s: np.ndarray, k: int):
+    """Exact top-k preselection: np.partition finds the k-th largest score
+    in O(n), then only entries with score >= that value (ties INCLUDED, so
+    the subsequent doc-asc tie-break lexsort stays rank-exact) survive —
+    replaces a full O(n log n) lexsort over ~1M candidates with O(n)."""
+    if len(d) <= 4 * k or k <= 0:
+        return d, s
+    kth = np.partition(s, len(s) - k)[len(s) - k]
+    m = s >= kth
+    return d[m], s[m]
+
+
 class IndexSearcher:
     def __init__(self, index_dir: str, algo: str = "wand"):
         self.index_dir = index_dir
@@ -389,8 +401,73 @@ class IndexSearcher:
         if len(cand) == 0:
             return cand, np.zeros(0)
         scores = acc[cand]
+        cand, scores = _topk_preselect(cand, scores, k)
         sel = np.lexsort((cand, -scores))[:k]
         return cand[sel], scores[sel]
+
+    def _search_segment_single_term(self, reader, q, order, mult, idf_map, k):
+        """Impact-ordered top-k for a SINGLE-term query: process blocks in
+        descending upper-bound order (per-block (max_tf, min_norm) impacts)
+        and stop once the next block's bound is strictly below the k-th
+        best score — the ImpactsEnum/TopScoreDocCollector early-termination
+        path (reference: `lucene/core/src/java/org/apache/lucene/index/
+        ImpactsEnum.java`, LUCENE-4198 impacts).  Ties at the threshold are
+        still processed (ub >= theta) so doc-asc tie-break stays exact."""
+        t = order[0]
+        row = reader.postings_for([t]).get(t)
+        if row is None:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        banned = self._banned_for(reader, q)
+        weight = idf_map[t] * mult[t]
+        mtf = np.asarray(row["block_max_tf"], dtype=np.float64)
+        mn = np.asarray(row["block_min_norm"], dtype=np.int64)
+        ubs = weight * mtf / (mtf + self.cache[mn])
+        n_blocks = len(ubs)
+        lasts = row["block_last_doc"]
+        blob = row["blob"]
+        offs = row["block_offset"]
+
+        def decode_blocks(bs):
+            parts_d, parts_s = [], []
+            for b in bs:
+                prev = int(lasts[b - 1]) if b > 0 else -1
+                d, tf, nrm = decode_block(blob, int(offs[b]), prev)
+                tff = tf.astype(np.float64)
+                parts_d.append(d)
+                parts_s.append(weight * tff / (tff + self.cache[nrm]))
+            return np.concatenate(parts_d), np.concatenate(parts_s)
+
+        def topk(d, s):
+            if banned is not None and len(banned) and len(d):
+                ok = ~np.isin(d, banned)
+                d, s = d[ok], s[ok]
+            d, s = _topk_preselect(d, s, k)
+            sel = np.lexsort((d, -s))[:k]
+            return d[sel], s[sel]
+
+        order_b = np.argsort(-ubs, kind="stable")
+        seed = order_b[: max(1, (k + 127) // 128 + 1)]
+        d0, s0 = topk(*decode_blocks(seed.tolist()))
+        if len(d0) >= k:
+            theta = s0.min()
+            # ties at theta must still be processed for doc-asc tie-break
+            rest = [
+                int(b) for b in order_b[len(seed):] if ubs[b] >= theta
+            ]
+        else:
+            rest = [int(b) for b in order_b[len(seed):]]
+        if not rest:
+            return d0, s0
+        if len(rest) > 0.25 * n_blocks:
+            # bounds don't discriminate -> ONE vectorized whole-list pass
+            # (cached) is cheaper than per-block decoding
+            d, tf, nrm = reader.decoded(t, row)
+            tff = tf.astype(np.float64)
+            return topk(d, weight * tff / (tff + self.cache[nrm]))
+        d1, s1 = decode_blocks(rest)
+        return topk(
+            np.concatenate([d0, d1]), np.concatenate([s0, s1])
+        )
 
     def _search_segment_wand(self, reader, q, order, mult, idf_map, k):
         """Block-max WAND, driver/pivot formulation (reference semantics:
@@ -582,9 +659,15 @@ class IndexSearcher:
             min_sel = min(df[t] for t in order) / max(1, self.n_docs)
             if min_sel > self.WAND_SELECTIVITY:
                 algo = "exhaustive"
-        per_seg = (
-            self._search_segment_wand if algo == "wand" else self._search_segment_exhaustive
-        )
+        if planned and len(order) == 1:
+            # single-term: impact-ordered early termination beats both
+            # kernels regardless of df
+            algo = "single"
+        per_seg = {
+            "wand": self._search_segment_wand,
+            "exhaustive": self._search_segment_exhaustive,
+            "single": self._search_segment_single_term,
+        }[algo]
         cands = []  # (score, id_tuple)
         for reader in self.readers:
             docs, scores = per_seg(reader, q, order, mult, idf_map, q.k)

@@ -78,10 +78,12 @@ def test_cost_planner_algo_selection(ray_session, tiny_corpus, tmp_path):
     idx = str(tmp_path / "planner-idx")
     build_index(tiny_corpus, idx, num_segments=2)
     s = IndexSearcher(idx, algo="wand")
-    common = max(
-        ("the", "a", "of", "to"), key=lambda t: s.global_df([t])[t]
+    sw = sorted(
+        ("the", "a", "of", "to"), key=lambda t: -s.global_df([t])[t]
     )
-    assert s.global_df([common])[common] / s.n_docs > s.WAND_SELECTIVITY
+    common = f"{sw[0]} {sw[1]}"  # two terms: single-term routing bypassed
+    for t in sw[:2]:
+        assert s.global_df([t])[t] / s.n_docs > s.WAND_SELECTIVITY
 
     calls = []
     orig_w, orig_e = s._search_segment_wand, s._search_segment_exhaustive
