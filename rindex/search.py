@@ -343,15 +343,6 @@ class IndexSearcher:
         order = [t for t in order if df[t] > 0]
         return order, mult, df
 
-    def _decode_scored(self, row: dict, weight: float):
-        """Decode the full posting (vectorized whole-list kernel) and score
-        every entry in one expression."""
-        from rindex.codec import decode_posting_fast
-
-        d, t, nrm = decode_posting_fast(row)
-        tf = t.astype(np.float64)
-        return d, weight * tf / (tf + self.cache[nrm])
-
     def _banned_for(self, reader, q) -> np.ndarray | None:
         """Seg-local docs excluded by MUST_NOT terms / FILTER clause
         (ReqExclScorer + filter-clause semantics: non-scoring)."""
