@@ -369,8 +369,11 @@ class IndexSearcher:
 
     def _search_segment_exhaustive(self, reader, q, order, mult, idf_map, k):
         posts = reader.postings_for(order)
+        is_and = q.mode == "and"
         acc = np.zeros(reader.max_doc, dtype=np.float64)
-        hits = np.zeros(reader.max_doc, dtype=np.int64)
+        # the hit-count scatter is only needed for conjunction semantics;
+        # for OR every positive score marks a match (idf > 0, tf > 0)
+        hits = np.zeros(reader.max_doc, dtype=np.int64) if is_and else None
         present = 0
         for t in order:
             row = posts.get(t)
@@ -381,14 +384,19 @@ class IndexSearcher:
             tff = tf_arr.astype(np.float64)
             s = (idf_map[t] * mult[t]) * tff / (tff + self.cache[nrm])
             acc[d] += s
-            hits[d] += 1
-        if present == 0 or (q.mode == "and" and present < len(order)):
+            if is_and:
+                hits[d] += 1
+        if present == 0 or (is_and and present < len(order)):
             return np.zeros(0, dtype=np.int64), np.zeros(0)
         banned = self._banned_for(reader, q)
-        if banned is not None and len(banned):
-            hits[banned] = -(10**9)
-        need = len(order) if q.mode == "and" else 1
-        cand = np.nonzero(hits >= need)[0]
+        if is_and:
+            if banned is not None and len(banned):
+                hits[banned] = -(10**9)
+            cand = np.nonzero(hits >= len(order))[0]
+        else:
+            if banned is not None and len(banned):
+                acc[banned] = 0.0
+            cand = np.nonzero(acc)[0]
         if len(cand) == 0:
             return cand, np.zeros(0)
         scores = acc[cand]
