@@ -790,3 +790,66 @@ def _composite_oracle() -> str:
 
 QUERIES["composite_search_rollup_documents"] = q_composite_search_rollup_documents
 ORACLE["composite_search_rollup_documents"] = _composite_oracle()
+
+
+PHRASE_TOPK_A, PHRASE_TOPK_B = "hash", "join"
+
+
+def q_phrase_bm25_topk_documents(sf_dir: str):
+    """SCORED exact-phrase top-k: BM25 where tf = phrase frequency and
+    df = number of docs containing the phrase, norms the same lossy bytes
+    as term scoring — the reference's PhraseQuery scoring contract
+    (`lucene/core/src/java/org/apache/lucene/search/PhraseWeight.java`),
+    evaluated on positional postings and rank+score-checked against the
+    SQL oracle."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_phrase_topk(f"{PHRASE_TOPK_A} {PHRASE_TOPK_B}", k=TOP_K)
+    return pd.DataFrame(
+        {
+            "rank": pd.array([h[0] for h in hits], dtype="int32"),
+            "doc_id": [h[1] for h in hits],
+            "phrase_freq": pd.array([h[2] for h in hits], dtype="int64"),
+            "score": [round(h[3], 6) for h in hits],
+        }
+    )
+
+
+QUERIES["phrase_bm25_topk_documents"] = q_phrase_bm25_topk_documents
+ORACLE["phrase_bm25_topk_documents"] = f"""
+    WITH {_bm25_ctes()},
+    pf AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(l)),
+                             i -> l[i] = '{PHRASE_TOPK_A}'
+                              AND l[i + 1] = '{PHRASE_TOPK_B}'))::BIGINT
+               AS phrase_freq
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents)
+    ),
+    matches AS (SELECT * FROM pf WHERE phrase_freq > 0),
+    pstats AS (SELECT count(*)::DOUBLE AS df_phrase FROM matches),
+    scored AS (
+      SELECT m.doc_id, m.phrase_freq,
+             ln(1.0 + (s.n_docs - p.df_phrase + 0.5) / (p.df_phrase + 0.5))
+               * m.phrase_freq
+               / (m.phrase_freq
+                  + {K1} * (1.0 - {B} + {B} * lo.ldl / s.avgdl)) AS sc
+      FROM matches m
+      JOIN lossy lo USING (doc_id)
+      CROSS JOIN stats s CROSS JOIN pstats p
+    ),
+    ranked AS (
+      SELECT doc_id, phrase_freq, sc,
+             (row_number() OVER (ORDER BY sc DESC, doc_id ASC) - 1)::INTEGER
+               AS rank
+      FROM scored
+    )
+    SELECT rank, doc_id, phrase_freq, round(sc, 6) AS score
+    FROM ranked WHERE rank < {TOP_K}
+"""

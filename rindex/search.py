@@ -171,7 +171,7 @@ class _SegmentReader:
     def positions_for(
         self, terms: list[str]
     ) -> dict[str, tuple | None]:
-        """term -> (docs, tfs, positions) for a positional segment
+        """term -> (docs, tfs, positions, norms) for a positional segment
         (`with_positions=True` build — the PostingsEnum.nextPosition analog,
         reference `lucene/core/src/java/org/apache/lucene/index/
         PostingsEnum.java`).  Positions are flat, runs in doc order (a doc's
@@ -194,9 +194,9 @@ class _SegmentReader:
         )
         out: dict[str, tuple | None] = dict.fromkeys(uniq)
         for row in tbl.to_pylist():
-            docs, tfs, _ = decode_posting(row)
+            docs, tfs, norms = decode_posting(row)
             pos = decode_positions(row["pos_blob"], int(row["pos_width"]), tfs)
-            out[row["term"]] = (docs, tfs, pos)
+            out[row["term"]] = (docs, tfs, pos, norms)
         return out
 
     # decoded-postings cache: only lists this long are cached (short lists
@@ -748,35 +748,9 @@ class IndexSearcher:
             return []
         results: list[tuple] = []
         for reader in self.readers:
-            posts = reader.positions_for(terms)
-            if any(posts[t] is None for t in terms):
-                continue
-            # conjunction of doc lists
-            common = posts[terms[0]][0]
-            for t in terms[1:]:
-                common = np.intersect1d(common, posts[t][0])
-            if len(common) == 0:
-                continue
-            # per-term run lookup for the common docs
-            runs = []  # (starts, lens, positions) aligned to common
-            for j, t in enumerate(terms):
-                docs, tfs, pos = posts[t]
-                starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
-                at = np.searchsorted(docs, common)
-                runs.append((starts[at], tfs[at], pos, j))
-            match_docs, match_freq = [], []
-            for i, d in enumerate(common):
-                s0, l0, p0, _ = runs[0]
-                cand = p0[s0[i]: s0[i] + l0[i]]
-                for s, ln, p, j in runs[1:]:
-                    if len(cand) == 0:
-                        break
-                    cand = np.intersect1d(
-                        cand, p[s[i]: s[i] + ln[i]] - j, assume_unique=True
-                    )
-                if len(cand):
-                    match_docs.append(int(d))
-                    match_freq.append(len(cand))
+            match_docs, match_freq, _norms = self._segment_phrase(
+                reader, terms
+            )
             if match_docs:
                 ids = reader.fetch_ids(
                     np.asarray(match_docs, dtype=np.int64), self.id_cols
@@ -786,6 +760,82 @@ class IndexSearcher:
                 )
         results.sort(key=lambda r: r[:-1])
         return results
+
+    def _segment_phrase(self, reader, terms):
+        """Per-segment exact-phrase matches -> (docs, phrase_freqs, norm
+        bytes) — the norm comes from the first term's postings (norms are
+        doc-level, identical on every term of the doc)."""
+        posts = reader.positions_for(terms)
+        if any(posts[t] is None for t in terms):
+            return [], [], []
+        common = posts[terms[0]][0]
+        for t in terms[1:]:
+            common = np.intersect1d(common, posts[t][0])
+        if len(common) == 0:
+            return [], [], []
+        runs = []  # (starts, lens, positions) aligned to common
+        for j, t in enumerate(terms):
+            docs, tfs, pos = posts[t][:3]
+            starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+            at = np.searchsorted(docs, common)
+            runs.append((starts[at], tfs[at], pos, j))
+        d0, n0 = posts[terms[0]][0], posts[terms[0]][3]
+        norm_at = np.searchsorted(d0, common)
+        match_docs, match_freq, match_norm = [], [], []
+        for i, d in enumerate(common):
+            s0, l0, p0, _ = runs[0]
+            cand = p0[s0[i]: s0[i] + l0[i]]
+            for s, ln, p, j in runs[1:]:
+                if len(cand) == 0:
+                    break
+                cand = np.intersect1d(
+                    cand, p[s[i]: s[i] + ln[i]] - j, assume_unique=True
+                )
+            if len(cand):
+                match_docs.append(int(d))
+                match_freq.append(len(cand))
+                match_norm.append(int(n0[norm_at[i]]))
+        return match_docs, match_freq, match_norm
+
+    def search_phrase_topk(self, text: str, k: int = 10) -> list[tuple]:
+        """SCORED exact-phrase query: BM25 with tf = phrase frequency and
+        df = number of docs containing the phrase — exactly how the
+        reference scores PhraseQuery (`lucene/core/src/java/org/apache/
+        lucene/search/PhraseWeight.java`: phraseFreq into
+        Similarity.score(), docFreq from the phrase's matches).  Norms are
+        the same lossy doc-level bytes as term scoring.
+
+        Returns [(rank, *id_cols, phrase_freq, score)]."""
+        terms = get_analyzer(self.analyzer_name).tokens(text)
+        if not terms:
+            return []
+        per_seg = []
+        df_phrase = 0
+        for reader in self.readers:
+            docs, freqs, norms = self._segment_phrase(reader, terms)
+            df_phrase += len(docs)
+            if docs:
+                per_seg.append((reader, docs, freqs, norms))
+        if df_phrase == 0:
+            return []
+        w = float(bm25_idf(df_phrase, self.n_docs))
+        cands = []
+        for reader, docs, freqs, norms in per_seg:
+            pf = np.asarray(freqs, dtype=np.float64)
+            nrm = np.asarray(norms, dtype=np.uint8)
+            scores = w * pf / (pf + self.cache[nrm])
+            ids = reader.fetch_ids(
+                np.asarray(docs, dtype=np.int64), self.id_cols
+            )
+            cands.extend(
+                (float(s), ids[d], int(f))
+                for d, s, f in zip(docs, scores, freqs)
+            )
+        cands.sort(key=lambda x: (-x[0],) + tuple(x[1]))
+        return [
+            (rank, *idt, f, score)
+            for rank, (score, idt, f) in enumerate(cands[:k])
+        ]
 
     def search_proximity(self, text: str, window: int) -> list[tuple]:
         """Proximity query on positional postings: docs where ONE occurrence
@@ -811,7 +861,7 @@ class IndexSearcher:
                 continue
             runs = []
             for t in terms:
-                docs, tfs, pos = posts[t]
+                docs, tfs, pos = posts[t][:3]
                 starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
                 at = np.searchsorted(docs, common)
                 runs.append((starts[at], tfs[at], pos))
