@@ -337,7 +337,10 @@ def run_merges(
             metas.append({"seg_id": meta["seg_id"], "gen": meta["gen"]})
         return pd.DataFrame(metas)
 
-    ds = rd.from_items(specs).map_batches(
+    # one BLOCK per merge spec: from_items can pack all specs into a single
+    # block, and map_batches runs a block's batches sequentially in one
+    # task — without the repartition every merge executes serially
+    ds = rd.from_items(specs).repartition(len(specs)).map_batches(
         do_merge, batch_size=1, batch_format="pandas", **(
             {"concurrency": concurrency} if concurrency else {}
         )
