@@ -88,7 +88,7 @@ def run_headline(sf: float, num_cpus: int) -> dict:
     shutil.rmtree(index_dir, ignore_errors=True)  # fresh build, no resume
 
     t0 = time.perf_counter()
-    build_index(corpus, index_dir, mode="term_shuffle")
+    build_index(corpus, index_dir, mode="term_shuffle", num_segments="auto")
     build_s = time.perf_counter() - t0
 
     searcher = IndexSearcher(index_dir, algo="wand")

@@ -717,6 +717,22 @@ def build_index(
     else:
         ds = source
 
+    if num_segments == "auto":
+        # segment count must GROW with the corpus: fixed 16 segments at 8x
+        # the headline volume halved build throughput (180k-doc sort+write
+        # groups bottleneck on 16-way parallelism).  ~45k docs/segment
+        # measured fastest; derived from input metadata only, so the value
+        # is deterministic for a given input at any parallelism level.
+        if input_files:
+            n_rows = sum(
+                pq.read_metadata(f).num_rows for f in input_files
+            )
+            num_segments = max(
+                DEFAULT_NUM_SEGMENTS, int(np.ceil(n_rows / 45_000))
+            )
+        else:
+            num_segments = DEFAULT_NUM_SEGMENTS
+
     cfg = _build_config(
         analyzer_name, num_segments, id_cols, text_col, salt_range, keep_cols,
         with_positions,
