@@ -133,7 +133,7 @@ def run_headline(sf: float, num_cpus: int) -> dict:
     qds = rd.from_arrow(big).repartition(64)
     t0 = time.perf_counter()
     n_served = search_queries(
-        index_dir, qds, concurrency=(2, min(16, ncpu)), batch_size=4
+        index_dir, qds, concurrency=(min(2, ncpu), max(1, min(16, ncpu))), batch_size=4
     ).count()
     dist_s = time.perf_counter() - t0
     dist_qps = round(big.num_rows / dist_s, 1)

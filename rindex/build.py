@@ -426,8 +426,6 @@ def merge_partials_to_postings(
     11M-posting segment merge was measured 30x slower than the same volume
     in bounded chunks (allocation/cache blowup) — this is what the build's
     (seg, bucket) reduce gets for free from bucketing."""
-    from rindex.codec import encode_postings_batch
-
     if len(group) > 1 and group["df"].sum() > ENCODE_CHUNK_POSTINGS:
         g = group.sort_values(["term", "first_doc"], kind="mergesort")
         terms = g["term"].to_numpy()
@@ -710,6 +708,8 @@ def build_index(
                 for f in os.listdir(paths)
                 if f.endswith(".parquet")
             ]
+        elif isinstance(paths, str):
+            input_files = input_files or [paths]
         elif isinstance(paths, list):
             input_files = input_files or paths
         cols = list(dict.fromkeys(list(id_cols) + list(keep_cols) + [text_col]))

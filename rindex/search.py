@@ -445,7 +445,14 @@ class IndexSearcher:
             return d[sel], s[sel]
 
         order_b = np.argsort(-ubs, kind="stable")
-        seed = order_b[: max(1, (k + 127) // 128 + 1)]
+        n_seed = max(1, (k + 127) // 128 + 1)
+        if n_seed > 0.25 * n_blocks:
+            # k covers most of the list (match-all-style request): one
+            # cached vectorized whole-list pass beats per-block decoding
+            d, tf, nrm = reader.decoded(t, row)
+            tff = tf.astype(np.float64)
+            return topk(d, weight * tff / (tff + self.cache[nrm]))
+        seed = order_b[:n_seed]
         d0, s0 = topk(*decode_blocks(seed.tolist()))
         if len(d0) >= k:
             theta = s0.min()
