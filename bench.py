@@ -254,6 +254,7 @@ def main() -> None:
                     "value": best["eff"],
                     "unit": "ratio",
                     "sf": sf,
+                    "corpus_sf": sf_big,
                     "turns_per_sec_8cpu": best["tp8"],
                     "turns_per_sec_32cpu": best["tp32"],
                     "build_sec_8cpu": best["build8"],

@@ -175,6 +175,8 @@ def _make_tokenize_partials_vec(salt_range: int | None):
         texts = batch["text"]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        # null text rows tokenize as empty (the Python path's `text or ""`)
+        texts = pc.fill_null(texts, "")
         low = pc.utf8_lower(texts)
         splits = pc.split_pattern_regex(low, "[^0-9a-z']+")
         flat = pc.list_flatten(splits)
@@ -221,6 +223,10 @@ def _make_tokenize_partials_vec(salt_range: int | None):
                     )
                 d_all = np.concatenate([d_all, np.asarray(ex_d, np.int64)])
                 c_all = np.concatenate([c_all, pos_np.astype(np.int64)])
+        if len(d_all) == 0:
+            # zero valid tokens in the whole batch (blank/punctuation-only
+            # rows): emit no partials, like the Python path
+            return _pack_acc({}, {})
         # tf per (doc, term)
         n_codes = len(dic) + 1
         key = d_all * n_codes + c_all

@@ -49,6 +49,7 @@ def _stable_hash64(data: bytes) -> int:
 
 
 _TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1_000_000  # bound worker RSS on high-cardinality text
 _MASK63 = (1 << 63) - 1
 
 
@@ -60,6 +61,8 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     for i, t in enumerate(toks):
         h = cache.get(t)
         if h is None:
+            if len(cache) >= _TOKEN_HASH_CACHE_MAX:
+                cache.clear()
             h = cache[t] = _stable_hash64(t.encode())
         out[i] = h
     return out
@@ -198,6 +201,8 @@ def _collect_shingle_sets(sf_dir: str) -> dict:
     a hash join of candidates against the shingle table."""
     if sf_dir in _SHINGLE_SETS_CACHE:
         return _SHINGLE_SETS_CACHE[sf_dir]
+    if len(_SHINGLE_SETS_CACHE) >= 2:  # bound driver memory across sf_dirs
+        _SHINGLE_SETS_CACHE.clear()
     df = _shingle_table(sf_dir).to_pandas()
     d = df["doc_id"].to_numpy()
     s = df["shingle"].to_numpy()

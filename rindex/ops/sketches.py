@@ -58,15 +58,26 @@ def compress(means: np.ndarray, weights: np.ndarray) -> tuple[np.ndarray, np.nda
 
 
 def digest_add(state: tuple, values: np.ndarray) -> tuple:
+    """Vectorized block accumulate: pre-cluster the sorted raw values into
+    k1-scale quantile chunks (one searchsorted + reduceat — no per-element
+    Python), then merge the ~delta/2 chunk centroids into the state via
+    compress.  Raw-value-count work is O(n log n) numpy; only centroid
+    counts (~2*delta) ever reach the Python merge loop."""
     means, weights = state
     v = np.asarray(values, dtype=np.float64)
-    v = v[~np.isnan(v)]
-    if len(v) == 0:
+    v = np.sort(v[~np.isnan(v)])
+    n = len(v)
+    if n == 0:
         return state
-    return compress(
-        np.concatenate([means, np.sort(v)]),
-        np.concatenate([weights, np.ones(len(v))]),
+    ks = np.arange(np.floor(-DELTA / 4), np.ceil(DELTA / 4) + 1)
+    qcuts = (np.sin(2 * np.pi * ks / DELTA) + 1) / 2
+    chunk = np.searchsorted(qcuts, (np.arange(n) + 0.5) / n)
+    starts = np.flatnonzero(
+        np.concatenate([[True], chunk[1:] != chunk[:-1]])
     )
+    w = np.diff(np.append(starts, n)).astype(np.float64)
+    m = np.add.reduceat(v, starts) / w
+    return digest_merge(state, (m, w))
 
 
 def digest_merge(a: tuple, b: tuple) -> tuple:

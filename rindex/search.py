@@ -86,7 +86,11 @@ def parse_query_string(
                           (documented simplification of MUST+SHOULD mixing:
                           the engine's AND mode requires every scored term)
       -term            -> MUST_NOT (non-scoring exclusion)
-      field:value      -> FILTER clause on a stored field (non-scoring)
+      field:value      -> FILTER clause on a stored field (non-scoring;
+                          a leading '+' is accepted and redundant).  The
+                          engine supports ONE filter clause — a second
+                          raises ValueError rather than silently dropping
+                          the first.
 
     Quoted phrases are not parsed here — use search_phrase directly."""
     analyzer = get_analyzer(analyzer_name)
@@ -95,14 +99,23 @@ def parse_query_string(
     field_filter = None
     has_required = False
     for tok in qs.split():
-        if tok.startswith("-") and len(tok) > 1:
+        body = tok[1:] if tok[:1] in "+-" else tok
+        if ":" in body and not body.startswith(":"):
+            if tok.startswith("-"):
+                raise ValueError(
+                    f"negated field filter not supported: {tok!r}"
+                )
+            if field_filter is not None:
+                raise ValueError(
+                    f"only one field:value filter supported, got second {tok!r}"
+                )
+            col, val = body.split(":", 1)
+            field_filter = (col, val)
+        elif tok.startswith("-") and len(tok) > 1:
             exclude.extend(analyzer.tokens(tok[1:]))
         elif tok.startswith("+") and len(tok) > 1:
             has_required = True
             terms.extend(analyzer.tokens(tok[1:]))
-        elif ":" in tok and not tok.startswith(":"):
-            col, val = tok.split(":", 1)
-            field_filter = (col, val)
         else:
             terms.extend(analyzer.tokens(tok))
     return Query(
@@ -345,16 +358,27 @@ class IndexSearcher:
 
     def _banned_for(self, reader, q) -> np.ndarray | None:
         """Seg-local docs excluded by MUST_NOT terms / FILTER clause
-        (ReqExclScorer + filter-clause semantics: non-scoring)."""
-        from rindex.codec import decode_posting_fast
-
+        (ReqExclScorer + filter-clause semantics: non-scoring).  Cached per
+        (exclude-set, filter) on the reader — the repeated-query cost is
+        otherwise an O(max_doc) complement rebuild per query."""
+        if not q.exclude and q.field_filter is None:
+            return None
+        key = (
+            tuple(sorted(set(q.exclude))) if q.exclude else (),
+            q.field_filter,
+        )
+        if not hasattr(reader, "_banned_cache"):
+            reader._banned_cache = {}
+        hit = reader._banned_cache.get(key)
+        if hit is not None:
+            return hit
         parts = []
         if q.exclude:
             posts = reader.postings_for(sorted(set(q.exclude)))
             for t in sorted(set(q.exclude)):
                 row = posts.get(t)
                 if row is not None:
-                    parts.append(decode_posting_fast(row)[0])
+                    parts.append(reader.decoded(t, row)[0])
         if q.field_filter is not None:
             col, val = q.field_filter
             allowed = reader.docs_matching(col, val)
@@ -363,9 +387,10 @@ class IndexSearcher:
                     np.arange(reader.max_doc, dtype=np.int64), allowed
                 )
             )
-        if not parts:
-            return None
-        return np.unique(np.concatenate(parts))
+        banned = np.unique(np.concatenate(parts)) if parts else None
+        if len(reader._banned_cache) < 64:
+            reader._banned_cache[key] = banned
+        return banned
 
     def _search_segment_exhaustive(self, reader, q, order, mult, idf_map, k):
         posts = reader.postings_for(order)
@@ -701,14 +726,18 @@ class IndexSearcher:
         order, mult, df = self._term_plan(q)
         idf_map = {t: float(bm25_idf(df[t], self.n_docs)) for t in order}
         for reader in self.readers:
-            ids = reader.fetch_ids(
-                np.arange(reader.max_doc, dtype=np.int64), self.id_cols
+            # predicate-pushdown lookup of the one target doc (a full
+            # doc->id map per segment would be O(max_doc))
+            tbl = pq.read_table(
+                os.path.join(reader.sdir, "docs.parquet"),
+                columns=["doc"],
+                filters=[
+                    (c, "==", v) for c, v in zip(self.id_cols, id_values)
+                ],
             )
-            local = next(
-                (d for d, v in ids.items() if v == tuple(id_values)), None
-            )
-            if local is None:
+            if tbl.num_rows == 0:
                 continue
+            local = int(tbl["doc"][0].as_py())
             detail, total = [], 0.0
             n_matched = 0
             for t in order:
