@@ -37,6 +37,27 @@ def _query_matrix(sf_dir: str):
     return ids[order], Q[order]
 
 
+
+
+def _merge_topk(parts: pd.DataFrame) -> pd.DataFrame:
+    """Shared final reduce for all ANN variants: per query, sort UNROUNDED
+    cosines (desc, neighbor asc tie-break), take TOP_K, round, rank — one
+    definition so tie semantics cannot drift between variants."""
+    if len(parts) == 0:
+        return pd.DataFrame(
+            columns=["query_id", "rank", "neighbor_id", "cosine"]
+        )
+    out = []
+    for _qid, g in parts.groupby("query_id"):
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(TOP_K).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        out.append(g)
+    df = pd.concat(out, ignore_index=True)
+    df["cosine"] = df["cosine"].round(6)
+    return df[["query_id", "rank", "neighbor_id", "cosine"]]
+
 def q_ann_cosine_topk(sf_dir: str):
     """Exact brute-force cosine top-k: per-batch matmul partial top-k,
     driver-side final merge (the per-partition-topk + reduce pattern of
@@ -67,17 +88,7 @@ def q_ann_cosine_topk(sf_dir: str):
 
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     parts = emb.map_batches(partial, batch_format="pandas", batch_size=1024).to_pandas()
-    out = []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(
-            TOP_K
-        )
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int64)
-        out.append(g)
-    df = pd.concat(out, ignore_index=True)
-    df["cosine"] = df["cosine"].round(6)
-    return df[["query_id", "rank", "neighbor_id", "cosine"]]
+    return _merge_topk(parts)
 
 
 QUERIES["ann_cosine_topk"] = q_ann_cosine_topk
@@ -153,24 +164,12 @@ def q_ann_srp_lsh_topk(sf_dir: str):
             cid = ids[ok]
             sel = np.lexsort((cid, -s))[:TOP_K]
             for i in sel:
-                rows.append((int(qids_[qi]), int(cid[i]), round(float(s[i]), 6)))
+                rows.append((int(qids_[qi]), int(cid[i]), float(s[i])))
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     parts = emb.map_batches(partial, batch_format="pandas", batch_size=1024).to_pandas()
-    out = []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(
-            TOP_K
-        )
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int64)
-        out.append(g)
-    if not out:
-        return pd.DataFrame(columns=["query_id", "rank", "neighbor_id", "cosine"])
-    return pd.concat(out, ignore_index=True)[
-        ["query_id", "rank", "neighbor_id", "cosine"]
-    ]
+    return _merge_topk(parts)
 
 
 QUERIES["ann_srp_lsh_topk"] = q_ann_srp_lsh_topk
@@ -251,7 +250,7 @@ def q_ann_ivf_topk(sf_dir: str):
                     {
                         "query_id": np.full(len(sel), qids_[qi]),
                         "neighbor_id": cid[sel],
-                        "cosine": np.round(s[sel], 6),
+                        "cosine": s[sel],
                     }
                 )
             )
@@ -267,20 +266,7 @@ def q_ann_ivf_topk(sf_dir: str):
     parts = emb.map_batches(
         partial, batch_format="pandas", batch_size=1024
     ).to_pandas()
-    out = []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True]
-        ).head(TOP_K).reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int64)
-        out.append(g)
-    if not out:
-        return pd.DataFrame(
-            columns=["query_id", "rank", "neighbor_id", "cosine"]
-        )
-    return pd.concat(out, ignore_index=True)[
-        ["query_id", "rank", "neighbor_id", "cosine"]
-    ]
+    return _merge_topk(parts)
 
 
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk

@@ -5,9 +5,9 @@ The BM25 oracle SQL reproduces the engine's scoring contract — including the
 SmallFloat-lossy norm — in pure SQL: the 256 decodable norm lengths are
 inlined as a VALUES list and dl is floored onto them, exactly what
 `int_to_byte4` does (rindex/codec.py; reference `lucene/core/src/java/org/
-apache/lucene/util/SmallFloat.java`).  The `documents` corpus contains only
-simple lowercase tokens, so the SQL tokenizer regex equals the engine
-analyzer on this corpus (asserted in tests/test_fulltext_ops.py).
+apache/lucene/util/SmallFloat.java`).  The SQL tokenizer regex is
+analyzer-identical including word-internal apostrophes (TOKEN_SQL_RE
+below); only >255-char token splitting remains SQL-inexpressible.
 """
 
 from __future__ import annotations
@@ -24,9 +24,11 @@ from rindex.schema import B, K1
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-# token pattern shared by engine analyzer and SQL oracle (documents corpus
-# has no apostrophes / overlong tokens — the regexes coincide)
-TOKEN_SQL_RE = "[0-9a-z]+"
+# token pattern shared by engine analyzer and SQL oracle — the ANALYZER's
+# pattern (word-internal apostrophes kept; '' is the SQL-literal escape for
+# one apostrophe).  The only remaining documented divergence is >255-char
+# token splitting, which SQL cannot express (none in the driver corpora).
+TOKEN_SQL_RE = "[0-9a-z]+(?:''[0-9a-z]+)*"
 
 # fixed reference query set over the documents vocabulary
 DOC_QUERIES: list[tuple[str, str, str]] = [

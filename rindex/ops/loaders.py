@@ -21,7 +21,13 @@ ORACLE: dict = {}
 
 
 def _cache_dir(sf_dir: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # keyed by path + source parquet (mtime, size): regenerated input data
+    # must invalidate the cached wire files, not serve them stale
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     d = os.path.join("/tmp", "rindex_cache", f"wire-{key}")
     os.makedirs(d, exist_ok=True)
     return d
@@ -41,10 +47,16 @@ def _ensure_wire_files(sf_dir: str) -> tuple[str, str]:
             columns=["event_id", "event_type", "user_id", "value"],
         )
         df = t.to_pandas()
-        df.to_json(jpath + ".tmp", orient="records", lines=True)
-        os.replace(jpath + ".tmp", jpath)
-        df.to_csv(cpath + ".tmp", index=False)
-        os.replace(cpath + ".tmp", cpath)
+        # double_precision=15: pandas' default 10 makes the JSON round-trip
+        # lossy (~1% of doubles come back 1 ulp off); pid-unique tmp names
+        # so concurrent first runs cannot interleave writes
+        tmp = f".tmp-{os.getpid()}"
+        df.to_json(
+            jpath + tmp, orient="records", lines=True, double_precision=15
+        )
+        os.replace(jpath + tmp, jpath)
+        df.to_csv(cpath + tmp, index=False)
+        os.replace(cpath + tmp, cpath)
         with open(done, "w") as fh:
             fh.write("ok")
     return jpath, cpath

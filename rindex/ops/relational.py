@@ -63,7 +63,10 @@ def q_rollup_pricing_summary(sf_dir: str):
     df = out.to_pandas()
     df["sum_qty"] = df["sum_qty"].round(2)
     df["sum_base_price"] = df["sum_base_price"].round(2)
-    df["sum_disc_price"] = df["sum_disc_price"].round(4)
+    # 2 decimals: at sf0.1 these sums are ~5e9 where one float64 ulp is
+    # ~1e-6 — partial-sum ORDER differences between Ray and DuckDB exceed a
+    # 4-decimal rounding and break value-hash parity
+    df["sum_disc_price"] = df["sum_disc_price"].round(2)
     df["avg_qty"] = df["avg_qty"].round(6)
     df["avg_disc"] = df["avg_disc"].round(6)
     return df
@@ -76,7 +79,7 @@ _register(
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                        AS sum_qty,
            round(sum(l_extendedprice), 2)                   AS sum_base_price,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
            round(avg(l_quantity), 6)                        AS avg_qty,
            round(avg(l_discount), 6)                        AS avg_disc,
            count(*)                                         AS count_order
@@ -306,7 +309,12 @@ def q_join_customer_nation_region(sf_dir: str):
     ]
     joined = broadcast_join(
         cust.map_batches(
-            lambda t: t.rename_columns(["c_custkey", "n_nationkey", "c_acctbal"]),
+            lambda t: t.rename_columns(
+                [
+                    ("n_nationkey" if c == "c_nationkey" else c)
+                    for c in t.schema.names
+                ]
+            ),
             batch_format="pyarrow",
         ),
         dim,

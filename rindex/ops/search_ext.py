@@ -111,6 +111,31 @@ ORACLE["graph_gather_orders_of_nation"] = """
 # Suggester — AnalyzingSuggester / FreeTextSuggester over the term dict
 # ---------------------------------------------------------------------------
 
+def _global_term_dfs(idx: str, prefix: str | None = None) -> dict[str, int]:
+    """term -> global df summed over every live segment of the manifest
+    (shared by the suggester and spellchecker — one definition so a change
+    to segment/generation semantics cannot silently diverge them)."""
+    import pyarrow.parquet as pq
+
+    from rindex.segments import read_manifest, seg_dir
+
+    man = read_manifest(idx)
+    acc: dict[str, int] = {}
+    for m in man["segments"]:
+        p = os.path.join(
+            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
+        )
+        filters = (
+            [("term", ">=", prefix), ("term", "<", prefix + "\uffff")]
+            if prefix
+            else None
+        )
+        t = pq.read_table(p, columns=["term", "df"], filters=filters)
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            acc[term] = acc.get(term, 0) + int(df)
+    return acc
+
+
 def q_suggest_prefix_documents(sf_dir: str):
     """Prefix completion from the INDEX term dictionary ranked by global df
     (reference: `lucene/suggest/src/java/org/apache/lucene/search/suggest/
@@ -149,7 +174,7 @@ ORACLE["suggest_prefix_documents"] = """
     SELECT term AS suggestion, count(DISTINCT doc_id)::BIGINT AS weight
     FROM (
       SELECT doc_id,
-             unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
       FROM documents
     )
     WHERE term LIKE 's%'
@@ -188,21 +213,10 @@ def q_spellcheck_documents(sf_dir: str):
     distance then docFreq).  The term dict with global dfs is a tiny
     aggregate of the segment dictionaries; the scan is driver-side because
     the dict is bounded (vocab), not corpus-sized."""
-    import pyarrow.parquet as pq
-
     from rindex.ops.fulltext import documents_index
-    from rindex.segments import read_manifest, seg_dir
 
     idx = documents_index(sf_dir)
-    man = read_manifest(idx)
-    acc: dict[str, int] = {}
-    for m in man["segments"]:
-        p = os.path.join(
-            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
-        )
-        t = pq.read_table(p, columns=["term", "df"])
-        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-            acc[term] = acc.get(term, 0) + int(df)
+    acc = _global_term_dfs(idx)
     rows = []
     for w in SPELL_INPUTS:
         best = None
@@ -227,7 +241,7 @@ ORACLE["spellcheck_documents"] = f"""
       SELECT term, count(DISTINCT doc_id)::BIGINT AS weight
       FROM (
         SELECT doc_id,
-               unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+               unnest(regexp_extract_all(lower(text), '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
         FROM documents
       ) GROUP BY term
     ),
@@ -382,7 +396,7 @@ _fg_list = ",".join(f"'{s}'" for s in SIG_FG_SOURCES)
 ORACLE["significant_terms_documents"] = f"""
     WITH td AS (
       SELECT DISTINCT doc_id, source,
-             unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
       FROM documents
     ),
     counts AS (

@@ -49,9 +49,12 @@ def broadcast_semi_filter(ds, keys, col: str, anti: bool = False):
 
         ks = ray.get(ref)
         vals = batch[col].to_numpy()
-        pos = np.searchsorted(ks, vals)
-        pos = np.clip(pos, 0, len(ks) - 1)
-        hit = ks[pos] == vals
+        if len(ks) == 0:
+            hit = np.zeros(len(vals), dtype=bool)  # empty set matches nothing
+        else:
+            pos = np.searchsorted(ks, vals)
+            pos = np.clip(pos, 0, len(ks) - 1)
+            hit = ks[pos] == vals
         if anti:
             hit = ~hit
         return batch.filter(pa.array(hit))
