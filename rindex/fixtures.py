@@ -118,9 +118,20 @@ def write_corpus(out_dir: str, scale: str = "small", seed: int = SEED) -> str:
     and checkpoint/resume).  Idempotent: skips if already present."""
     n_convs, max_turns, n_files = SCALES[scale]
     done = os.path.join(out_dir, "_DONE")
+    stamp = f"{scale} seed={seed}"
     if os.path.exists(done):
-        return out_dir
+        with open(done) as fh:
+            if fh.read().strip().startswith(stamp):
+                return out_dir
+        # dir was written for a DIFFERENT scale/seed: rebuild, do not
+        # silently serve mismatched data under this label
+        os.remove(done)
     os.makedirs(out_dir, exist_ok=True)
+    # clean stale part files (e.g. a crashed larger-scale write) so the
+    # directory read cannot include leftovers
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, f))
     t = make_transcripts(n_convs, max_turns, seed)
     n = t.num_rows
     per = (n + n_files - 1) // n_files
@@ -129,7 +140,7 @@ def write_corpus(out_dir: str, scale: str = "small", seed: int = SEED) -> str:
         if chunk.num_rows:
             pq.write_table(chunk, os.path.join(out_dir, f"part-{f:04d}.parquet"))
     with open(done, "w") as fh:
-        fh.write(f"{scale} {n} rows seed={seed}\n")
+        fh.write(f"{stamp} {n} rows\n")
     return out_dir
 
 

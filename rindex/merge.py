@@ -172,12 +172,22 @@ def merge_segments(
 ) -> dict:
     """Merge member segments (same slot, ascending gen) into one new
     segment at `new_gen`.  Duplicate (id_cols) rows are superseded by the
-    highest generation (the `_version_` reorder-handling analog —
+    highest VERSION (the `_version_` reorder-handling analog —
     `solr/core/src/java/org/apache/solr/update/DistributedUpdateProcessor`
-    semantics: stale versions dropped at compaction).  Returns new meta."""
+    semantics: stale versions dropped at compaction).  `new_gen` is only a
+    directory-name allocator; ordering uses each member's `version` (fresh
+    segments: version == gen; merged segments: max member version), so a
+    merge of OLD generations can never outrank an unmerged newer segment
+    holding an updated duplicate id — output gens alone would (enumerate
+    order assigns {g2,g3}->gen4 and {g0,g1}->gen5, putting stale gen-0
+    docs "newer" than the gen-3 update).  Returns new meta."""
+
+    def _ver(m: dict) -> int:
+        return int(m.get("version", m.get("gen", 0)))
+
     seg_id = int(members[0]["seg_id"])
     id_cols = list(cfg["id_cols"])
-    members = sorted(members, key=lambda m: int(m.get("gen", 0)))
+    members = sorted(members, key=_ver)
 
     # ---- stored fields: concat, supersede dups by gen, re-sort, new docIDs
     docs_tables = []
@@ -185,7 +195,7 @@ def merge_segments(
         sdir = segio.seg_dir(index_dir, seg_id, int(m.get("gen", 0)))
         t = pq.read_table(os.path.join(sdir, "docs.parquet"))
         t = t.append_column(
-            "_gen", pa.array(np.full(t.num_rows, int(m.get("gen", 0)), np.int32))
+            "_gen", pa.array(np.full(t.num_rows, _ver(m), np.int32))
         )
         docs_tables.append(t)
     docs = pa.concat_tables(docs_tables)
@@ -203,7 +213,7 @@ def merge_segments(
     for m in members:
         g = int(m.get("gen", 0))
         remap = np.full(int(m["doc_count"]), -1, dtype=np.int64)
-        sel = kept[kept["_gen"] == g]
+        sel = kept[kept["_gen"] == _ver(m)]
         remap[sel["doc"].to_numpy()] = sel["_newdoc"].to_numpy()
         remaps[g] = remap
 
@@ -282,6 +292,11 @@ def merge_segments(
     )
     table, stats = merge_partials_to_postings(partials)
     writer._write(seg_id, table, stats, n_partials=len(partials))
+    # stamp the supersession version: max of member versions, NOT the
+    # directory gen (see docstring)
+    meta = segio.read_meta(new_sdir)
+    meta["version"] = max(_ver(m) for m in members)
+    segio.atomic_write_json(os.path.join(new_sdir, "meta.json"), meta)
     return segio.read_meta(new_sdir)
 
 

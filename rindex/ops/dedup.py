@@ -82,20 +82,40 @@ def _shingles(text: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact_documents(sf_dir: str):
-    """Exact dedup: md5(text) -> keep min doc_id per hash."""
+    """Exact dedup: md5(text) -> keep min doc_id per hash.  The shuffle key
+    is a COARSE bucket of the content hash, and each reduce task keeps the
+    min doc per exact-hash run vectorized — one pandas group per distinct
+    md5 would pay ~1ms scheduling per (mostly singleton) group, the
+    tiny-group antipattern _pairs_from_buckets documents."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = [hashlib.md5((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "h": pa.array(h)})
+        h = [
+            hashlib.md5((x or "").encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        cb = np.fromiter(
+            (int(x[:4], 16) % 509 for x in h), dtype=np.int32, count=len(h)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(h),
+                "_cb": pa.array(cb),
+            }
+        )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())]})
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["h", "doc_id"], kind="mergesort")
+        k = df["h"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        return pd.DataFrame({"doc_id": d[starts]})
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(first, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(first_per_hash, batch_format="pandas")
     )
 
 
@@ -227,10 +247,16 @@ def q_ngram_jaccard_neardup(sf_dir: str):
     entire cost).  |union| = |A| + |B| - inter with per-doc sizes looked up
     from a broadcast array.  Exact: full recall (any qualifying pair shares
     a shingle) and exact Jaccard — same SQL oracle."""
-    st = _shingle_table(sf_dir)
+    st = _shingle_table(sf_dir).materialize()  # feeds sizes AND pairs
     sizes = st.groupby("doc_id").count().to_pandas()
-    size_ids = sizes["doc_id"].to_numpy()
-    size_vals = sizes["count()"].to_numpy().astype(np.int64)
+    order = np.argsort(sizes["doc_id"].to_numpy())  # groupby output order
+    # is an implementation detail — make the searchsorted invariant explicit
+    size_ids = sizes["doc_id"].to_numpy()[order]
+    size_vals = sizes["count()"].to_numpy().astype(np.int64)[order]
+    if len(size_ids) and int(size_ids.max()) >= 1 << 31:
+        raise ValueError(
+            "pair-key packing requires doc_id < 2^31; re-key the corpus"
+        )
 
     # pair keys stream back as packed int64 blocks; the multiplicity count
     # is ONE np.unique over them (~1.3M rows -> ms).  At 10^12 scale this
@@ -398,7 +424,9 @@ def q_simhash_neardup(sf_dir: str):
             }
         )
 
-    bucketed = ds.map_batches(sigs, batch_format="pyarrow")
+    bucketed = ds.map_batches(sigs, batch_format="pyarrow").materialize()
+    # materialize: the signature stage feeds BOTH the pair expansion and
+    # the verify map — without it the per-doc simhash runs twice
     cand = (
         _pairs_from_buckets(bucketed, "bk").to_pandas().drop_duplicates()
     )

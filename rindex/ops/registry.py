@@ -4,20 +4,18 @@ from __future__ import annotations
 
 
 def _modules():
-    from rindex.ops import relational
+    # imports fail LOUD: a swallowed ImportError would silently drop a
+    # whole module's ops from the driver's query set and verification
+    # would pass vacuously on the remainder
+    from rindex.ops import (
+        analysis_ext, ann, dedup, fulltext, loaders, multimodal,
+        relational, search_ext, sketches, textstats,
+    )
 
-    mods = [relational]
-    for name in (
-        "fulltext", "dedup", "textstats", "ann", "multimodal",
-        "search_ext", "loaders", "analysis_ext", "sketches",
-    ):
-        try:
-            mods.append(
-                __import__(f"rindex.ops.{name}", fromlist=[name])
-            )
-        except ImportError:
-            pass
-    return mods
+    return [
+        relational, fulltext, dedup, textstats, ann, multimodal,
+        search_ext, loaders, analysis_ext, sketches,
+    ]
 
 
 def all_queries() -> dict:

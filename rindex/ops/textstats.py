@@ -181,8 +181,8 @@ def q_langid_documents(sf_dir: str):
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             preds = []
-            for x in batch["text"].str.lower():
-                toks = set(self.rx.findall(x or ""))
+            for x in batch["text"]:
+                toks = set(self.rx.findall((x or "").lower() if isinstance(x, str) else ""))
                 scores = {
                     lang: len(toks & sw) for lang, sw in self.profiles.items()
                 }

@@ -43,14 +43,19 @@ def input_fingerprint(input_files: list[str] | None) -> str:
     items = []
     for f in sorted(input_files):
         try:
-            items.append((os.path.basename(f), os.path.getsize(f)))
+            st = os.stat(f)
+            # mtime included: a same-size in-place regeneration must
+            # invalidate checkpoints, not serve stale segments on resume
+            items.append((os.path.basename(f), st.st_size, st.st_mtime_ns))
         except OSError:
-            items.append((os.path.basename(f), -1))
+            items.append((os.path.basename(f), -1, -1))
     return hashlib.md5(json.dumps(items).encode()).hexdigest()[:16]
 
 
 def atomic_write_json(path: str, obj: dict) -> None:
-    tmp = path + ".tmp"
+    # pid-unique tmp: two concurrent writers of the same JSON must not
+    # interleave into one tmp file and publish truncated content
+    tmp = f"{path}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(obj, fh, indent=1, default=str)
         fh.flush()

@@ -174,3 +174,43 @@ def test_run_merges_noop_under_budget(ray_session, gen_corpora, tmp_path):
     man1 = read_manifest(idx)
     man2 = run_merges(idx)  # defaults: nothing to do for 1 gen
     assert man1["segments"] == man2["segments"]
+
+
+def test_merge_gen_order_cannot_resurrect_stale_docs(ray_session, tmp_path):
+    """Adversarial merge ordering: a merge of OLD generations allocated a
+    HIGHER directory gen than a merge containing a newer update must not
+    resurrect the stale document — supersession orders by member VERSION,
+    not by output directory gen."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rindex.build import append_index, build_index
+    from rindex.merge import merge_segments, run_merges
+    from rindex.search import IndexSearcher
+    from rindex import segments as segio
+
+    def turns(text):
+        return rd.from_arrow(pa.table({
+            "conv_id": pa.array(["c0"]), "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]), "text": pa.array([text]),
+            "tool": pa.array([""]), "ts": pa.array([0], pa.timestamp("us")),
+        }))
+
+    idx = str(tmp_path / "resurrect")
+    build_index(turns("stalecontent alpha"), idx, num_segments=1)       # gen0
+    append_index(turns("filler one"), idx)                              # gen1
+    append_index(turns("filler two"), idx)                              # gen2
+    append_index(turns("updatedcontent beta"), idx)                     # gen3 (update of c0/0)
+    man = segio.read_manifest(idx)
+    by_gen = {int(m.get("gen", 0)): m for m in man["segments"]}
+    cfg = man["config"]
+    # adversarial: old gens get the HIGHER output gen
+    m_new = merge_segments(idx, [by_gen[2], by_gen[3]], new_gen=4, cfg=cfg)
+    m_old = merge_segments(idx, [by_gen[0], by_gen[1]], new_gen=5, cfg=cfg)
+    assert m_new["version"] == 3 and m_old["version"] == 1
+    segio.write_manifest(idx, [m_new, m_old], cfg)
+    run_merges(idx, force=True)
+    s = IndexSearcher(idx)
+    assert s.n_docs == 1  # every generation re-ingested the same (c0, 0)
+    assert s.search("updatedcontent", k=5), "newest version must survive"
+    assert not s.search("stalecontent", k=5), "stale gen-0 text resurrected"
