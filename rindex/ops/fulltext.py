@@ -855,3 +855,38 @@ ORACLE["phrase_bm25_topk_documents"] = f"""
     SELECT rank, doc_id, phrase_freq, round(sc, 6) AS score
     FROM ranked WHERE rank < {TOP_K}
 """
+
+
+RTG_IDS = (3, 44, 123, 250, 499)
+
+
+def q_realtime_get_documents(sf_dir: str):
+    """Realtime GET: fetch stored fields for a handful of ids straight from
+    the index's docmap with predicate pushdown — the /get handler analog
+    (reference: `solr/core/src/java/org/apache/solr/handler/component/
+    RealTimeGetComponent.java`; our segments are always committed, so the
+    tlog-read branch collapses to the docmap read)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx)
+    rows = []
+    for r in s.readers:
+        t = pq.read_table(
+            os.path.join(r.sdir, "docs.parquet"),
+            columns=["doc_id", "lang", "source"],
+            filters=[("doc_id", "in", list(RTG_IDS))],
+        )
+        rows.append(t.to_pandas())
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["realtime_get_documents"] = q_realtime_get_documents
+ORACLE["realtime_get_documents"] = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN {RTG_IDS} ORDER BY doc_id
+"""

@@ -696,3 +696,74 @@ _register(
     GROUP BY event_type
     """,
 )
+
+
+def q_topic_checkpoint_events(sf_dir: str):
+    """topic() stream: checkpointed incremental consumption (reference:
+    `solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+    TopicStream.java` — return rows newer than the persisted checkpoint,
+    then advance it).  Two rounds inside the op prove exactly-once over a
+    fixed mid-range cutoff: round 1 consumes ts <= cutoff, persists the
+    checkpoint (atomic JSON, the manifest-checkpoint analog), round 2
+    consumes the remainder from the persisted state; the union must count
+    every event exactly once per type."""
+    import hashlib
+    import json
+    import os
+
+    from ray.data.aggregate import Count
+
+    from rindex.segments import atomic_write_json
+
+    cutoff = "2024-06-15 00:00:00"
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    ck_path = os.path.join("/tmp", "rindex_cache", f"topic-ck-{key}.json")
+    os.makedirs(os.path.dirname(ck_path), exist_ok=True)
+    if os.path.exists(ck_path):
+        os.remove(ck_path)  # deterministic re-run
+
+    def consume(since: str | None, until: str | None):
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+
+        ds = read_table(sf_dir, "events", ["ts", "event_type"])
+
+        def window(t: pa_.Table) -> pa_.Table:
+            m = pa_.array(np.ones(t.num_rows, dtype=bool))
+            if since is not None:
+                m = pc_.and_(
+                    m, pc_.greater(t["ts"], pa_.scalar(pd.Timestamp(since)))
+                )
+            if until is not None:
+                m = pc_.and_(
+                    m,
+                    pc_.less_equal(t["ts"], pa_.scalar(pd.Timestamp(until))),
+                )
+            return t.filter(m)
+
+        return (
+            ds.map_batches(window, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n"))
+            .to_pandas()
+        )
+
+    round1 = consume(None, cutoff)
+    atomic_write_json(ck_path, {"checkpoint": cutoff})
+    with open(ck_path) as fh:
+        ck = json.load(fh)["checkpoint"]
+    round2 = consume(ck, None)
+    both = pd.concat([round1, round2], ignore_index=True)
+    out = both.groupby("event_type", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_register(
+    "topic_checkpoint_events",
+    q_topic_checkpoint_events,
+    """
+    SELECT event_type, count(*)::BIGINT AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
