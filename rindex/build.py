@@ -854,5 +854,17 @@ def append_index(source, index_dir: str, **kwargs) -> dict:
         ("keep_cols", tuple(cfg.get("keep_cols", ("role", "tool", "ts")))),
         ("with_positions", bool(cfg.get("with_positions", False))),
     ):
+        # a caller-supplied override that disagrees with the index's stored
+        # config would create mixed generations in one slot (e.g. positional
+        # + non-positional segments that crash at merge) — refuse loudly
+        if key in kwargs:
+            got = kwargs[key]
+            got_n = tuple(got) if isinstance(got, (list, tuple)) else got
+            if got_n != val:
+                raise ValueError(
+                    f"append_index: {key}={got!r} conflicts with the "
+                    f"index's stored config value {val!r}; incremental "
+                    "generations must share the build config"
+                )
         kwargs.setdefault(key, val)
     return build_index(source, index_dir, generation=next_gen, **kwargs)

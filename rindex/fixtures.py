@@ -121,7 +121,9 @@ def write_corpus(out_dir: str, scale: str = "small", seed: int = SEED) -> str:
     stamp = f"{scale} seed={seed}"
     if os.path.exists(done):
         with open(done) as fh:
-            if fh.read().strip().startswith(stamp):
+            # compare the first two fields exactly — startswith(stamp) would
+            # let 'seed=4' claim a marker written for 'seed=42'
+            if fh.read().strip().split()[:2] == stamp.split():
                 return out_dir
         # dir was written for a DIFFERENT scale/seed: rebuild, do not
         # silently serve mismatched data under this label

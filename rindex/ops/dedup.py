@@ -143,27 +143,126 @@ def _shingle_table(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _verify_pairs(pairs_df: pd.DataFrame, shingle_sets: dict, tau: float):
-    rows = []
-    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
-        sa, sb = shingle_sets[int(a)], shingle_sets[int(b)]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        jac = inter / union if union else 0.0
-        if jac >= tau:
-            rows.append((int(a), int(b), round(jac, 6)))
-    return rows
+_DROP_SENTINEL = -1  # pk value carrying dropped-pair counts (real pk >= 0)
+
+# Hot-bucket cap for LSH CANDIDATE generation: a band bucket holding more
+# than this many docs (an exact-dup megacluster or a degenerate band) would
+# expand O(D^2) pairs; it is dropped WITH a logged count.  The exact-oracle
+# ngram op and all verify passes run uncapped (restriction to the candidate
+# set is their bound).
+LSH_MAX_BUCKET = 1024
+
+_LAST_DROPPED: dict[str, int] = {}  # per-op-label drop telemetry (tests read it)
 
 
-def _pairs_from_buckets(bucketed, key: str, n_coarse: int = 509):
-    """exact-key buckets -> all intra-bucket candidate pairs (a < b).
+def _log_drops(label: str, n_pairs: int) -> None:
+    import logging
 
-    The shuffle key is a COARSE hash of the exact bucket key (key % prime),
-    so one map_groups task handles ~1/509 of the buckets and expands pairs
-    for all of its exact-key runs vectorized — a per-exact-key map_groups
-    would pay ~1ms scheduling/slicing per tiny group, which at 16 bands x
-    n_docs buckets dominates the whole op (the same coarse-reduce shape as
-    the index build's (seg, bucket) term shuffle)."""
+    _LAST_DROPPED[label] = _LAST_DROPPED.get(label, 0) + n_pairs
+    logging.getLogger("rindex.dedup").warning(
+        "%s: hot-bucket cap dropped %d candidate pairs "
+        "(LSH_MAX_BUCKET=%d exceeded)", label, n_pairs, LSH_MAX_BUCKET
+    )
+
+
+def _pack_pk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.int64) << 32) | b.astype(np.int64)
+
+
+def _run_pair_counts(
+    k: np.ndarray,
+    d: np.ndarray,
+    max_bucket: int | None = None,
+    cand: tuple[np.ndarray, np.ndarray] | None = None,
+    values: np.ndarray | None = None,
+):
+    """Pure per-task kernel: expand exact-key runs of a (key, doc_id)-sorted
+    slice into intra-run doc pairs (a < b) and pre-count duplicate pairs.
+
+    Returns (pk:int64[], n:int64[], va, vb, n_dropped_pairs).  `pk` is the
+    packed (doc_a<<32|doc_b) pair key; `n` its multiplicity WITHIN this
+    task.  With `cand=(sorted_doc_ids, sorted_pks)` each run is first
+    restricted to candidate docs and emitted pairs filtered to the
+    candidate pk set (the verify path: bounded by the candidate set, so no
+    cap needed).  With `max_bucket`, runs longer than it are DROPPED and
+    their would-be pair count returned (the hot-bucket cap — a stopword
+    shingle of df=D would otherwise expand D(D-1)/2 pairs).  With
+    `values`, per-doc int64 payloads ride along as (va, vb)."""
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    bounds = np.append(starts, len(k))
+    out_pk, out_va, out_vb = [], [], []
+    dropped = 0
+    cand_ids = cand[0] if cand is not None else None
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        ids, idx = np.unique(d[s:e], return_index=True)
+        if cand_ids is not None:
+            m = np.isin(ids, cand_ids, assume_unique=True)
+            ids, idx = ids[m], idx[m]
+        if len(ids) < 2:
+            continue
+        if max_bucket is not None and len(ids) > max_bucket:
+            dropped += len(ids) * (len(ids) - 1) // 2
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_pk.append(_pack_pk(ids[ia], ids[ib]))
+        if values is not None:
+            v = values[s:e][idx]
+            out_va.append(v[ia])
+            out_vb.append(v[ib])
+    if not out_pk:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z, dropped
+    pk = np.concatenate(out_pk)
+    if values is not None:
+        va = np.concatenate(out_va)
+        vb = np.concatenate(out_vb)
+    else:
+        va = vb = None
+    if cand is not None:
+        if len(cand[1]) == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z, dropped
+        pos = np.searchsorted(cand[1], pk)
+        m = (pos < len(cand[1])) & (cand[1][np.minimum(pos, len(cand[1]) - 1)] == pk)
+        pk = pk[m]
+        if values is not None:
+            va, vb = va[m], vb[m]
+    if values is not None:
+        # payload path: no pre-count (payloads are pair-constant; dedupe
+        # happens downstream), n=1 per emitted row
+        return pk, np.ones(len(pk), np.int64), va, vb, dropped
+    upk, n = np.unique(pk, return_counts=True)
+    return upk, n.astype(np.int64), None, None, dropped
+
+
+def _pair_counts(
+    bucketed,
+    key: str,
+    n_coarse: int = 509,
+    max_bucket: int | None = None,
+    cand_ref=None,
+):
+    """exact-key buckets -> Dataset[(pk, n)] = every intra-bucket doc pair
+    (a < b, packed int64) with its multiplicity across ALL buckets — fully
+    distributed: pair expansion + pre-count per coarse-bucket task, then a
+    native vectorized groupby-sum over the pre-counted partials.  Nothing
+    corpus-sized ever lands on the driver.
+
+    The expansion shuffle key is a COARSE hash of the exact bucket key
+    (key % prime), so one map_groups task handles ~1/509 of the buckets and
+    expands pairs for all of its exact-key runs vectorized — a per-exact-key
+    map_groups would pay ~1ms scheduling/slicing per tiny group, which at
+    16 bands x n_docs buckets dominates the whole op (the same coarse-reduce
+    shape as the index build's (seg, bucket) term shuffle).
+
+    `max_bucket` drops hot buckets WITH AN ACCOUNTED COUNT: dropped-pair
+    totals flow through as pk == _DROP_SENTINEL rows (never silent — the
+    caller logs them; SURVEY §7 'no silent caps').  `cand_ref` is a ray
+    ObjectRef of (sorted cand doc_ids, sorted cand pks) restricting the
+    expansion to candidate pairs (the exact-verify path)."""
+    import ray
 
     def add_coarse(t: pa.Table) -> pa.Table:
         k = t[key].to_numpy()
@@ -173,35 +272,17 @@ def _pairs_from_buckets(bucketed, key: str, n_coarse: int = 509):
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         df = g.sort_values([key, "doc_id"], kind="mergesort")
-        k = df[key].to_numpy()
-        d = df["doc_id"].to_numpy()
-        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
-        bounds = np.append(starts, len(k))
-        out_a, out_b = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            ids = np.unique(d[s:e])
-            if len(ids) < 2:
-                continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
-        if not out_a:
-            return pd.DataFrame(
-                {
-                    "doc_a": np.zeros(0, np.int64),
-                    "doc_b": np.zeros(0, np.int64),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "doc_a": np.concatenate(out_a),
-                "doc_b": np.concatenate(out_b),
-            }
+        cand = ray.get(cand_ref) if cand_ref is not None else None
+        pk, n, _va, _vb, dropped = _run_pair_counts(
+            df[key].to_numpy(), df["doc_id"].to_numpy(),
+            max_bucket=max_bucket, cand=cand,
         )
+        if dropped:
+            pk = np.append(pk, _DROP_SENTINEL)
+            n = np.append(n, dropped)
+        return pd.DataFrame({"pk": pk, "n": n})
 
-    return (
+    return _sum_by_pk(
         bucketed.map_batches(
             add_coarse, batch_format="pyarrow", zero_copy_batch=True
         )
@@ -210,44 +291,49 @@ def _pairs_from_buckets(bucketed, key: str, n_coarse: int = 509):
     )
 
 
-_SHINGLE_SETS_CACHE: dict[str, dict] = {}
+def _sum_by_pk(pairs_ds, n_coarse: int = 509):
+    """Distributed SUM(n) GROUP BY pk without Ray's per-group aggregation
+    path: at ~1 distinct pair per row a native groupby("pk").sum() walks
+    >10^6 tiny groups in Python (~150us each — measured 178s at sf0.1);
+    the coarse-bucket reduce (shuffle on pk % prime, one sort + reduceat
+    per task) does the same in ~2s.  Output schema matches the native
+    aggregation: (pk, sum(n))."""
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_pb", pa.array((t["pk"].to_numpy() % n_coarse).astype(np.int32))
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pk"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.argsort(pk, kind="mergesort")
+        pk, n = pk[order], n[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], pk[1:] != pk[:-1]])
+        )
+        return pd.DataFrame(
+            {
+                "pk": pk[starts],
+                "sum(n)": np.add.reduceat(n, starts),
+            }
+        )
+
+    return (
+        pairs_ds.map_batches(add_pb, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("_pb")
+        .map_groups(reduce, batch_format="pandas")
+    )
 
 
-def _collect_shingle_sets(sf_dir: str) -> dict:
-    """doc_id -> sorted shingle array, for exact-Jaccard verification of
-    candidate pairs.  Collected driver-side (test scale) with one lexsort +
-    run split instead of a per-doc pandas groupby; cached per sf_dir since
-    the minhash and ngram ops share it.  At 10^12 scale the verify becomes
-    a hash join of candidates against the shingle table."""
-    if sf_dir in _SHINGLE_SETS_CACHE:
-        return _SHINGLE_SETS_CACHE[sf_dir]
-    if len(_SHINGLE_SETS_CACHE) >= 2:  # bound driver memory across sf_dirs
-        _SHINGLE_SETS_CACHE.clear()
-    df = _shingle_table(sf_dir).to_pandas()
-    d = df["doc_id"].to_numpy()
-    s = df["shingle"].to_numpy()
-    order = np.lexsort((s, d))
-    d, s = d[order], s[order]
-    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
-    bounds = np.append(starts, len(d))
-    sets = {
-        int(d[a]): s[a:b] for a, b in zip(bounds[:-1], bounds[1:])
-    }
-    _SHINGLE_SETS_CACHE[sf_dir] = sets
-    return sets
+def _doc_sizes_ref(st):
+    """Broadcast (sorted doc_ids, shingle-set sizes) from the shingle table.
+    8 bytes/doc — the designated small side at test scale; at 10^12 docs
+    this broadcast becomes a hash join of the pair table against the sizes
+    table on doc_a then doc_b (same two-phase shape, no new semantics)."""
+    import ray
 
-
-def q_ngram_jaccard_neardup(sf_dir: str):
-    """Near-dup pairs with 3-gram Jaccard >= 0.5, fully distributed via the
-    co-occurrence formulation: shingles are DISTINCT per doc, so a pair's
-    intersection size equals how many shingle buckets emit it — pair
-    multiplicity from the bucket expansion, counted with a groupby, no
-    per-pair set intersection anywhere (the Zipf corpus yields ~1.1M
-    candidate pairs at sf0.1; verifying each with set ops was the op's
-    entire cost).  |union| = |A| + |B| - inter with per-doc sizes looked up
-    from a broadcast array.  Exact: full recall (any qualifying pair shares
-    a shingle) and exact Jaccard — same SQL oracle."""
-    st = _shingle_table(sf_dir).materialize()  # feeds sizes AND pairs
     sizes = st.groupby("doc_id").count().to_pandas()
     order = np.argsort(sizes["doc_id"].to_numpy())  # groupby output order
     # is an implementation detail — make the searchsorted invariant explicit
@@ -257,39 +343,72 @@ def q_ngram_jaccard_neardup(sf_dir: str):
         raise ValueError(
             "pair-key packing requires doc_id < 2^31; re-key the corpus"
         )
+    return ray.put((size_ids, size_vals))
 
-    # pair keys stream back as packed int64 blocks; the multiplicity count
-    # is ONE np.unique over them (~1.3M rows -> ms).  At 10^12 scale this
-    # final count becomes a distributed groupby over the pre-counted
-    # per-coarse-bucket partials instead of a driver concat.
-    pk_parts = []
-    for t in _pairs_from_buckets(st, "shingle").iter_batches(
-        batch_size=1 << 18, batch_format="pyarrow"
-    ):
-        a = t["doc_a"].to_numpy().astype(np.int64)
-        b = t["doc_b"].to_numpy().astype(np.int64)
-        pk_parts.append((a << 32) | b)
-    if not pk_parts:
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype=np.int64),
-             "doc_b": pd.Series(dtype=np.int64),
-             "jaccard": pd.Series(dtype=np.float64)}
+
+def _jaccard_from_counts(counts, sizes_ref, tau: float, log_label: str):
+    """Dataset[(pk, sum(n))] -> verified near-dup pairs.  The multiplicity
+    IS the intersection size (shingles are distinct per doc), so jaccard =
+    n / (|A| + |B| - n) with sizes from the broadcast lookup — computed per
+    batch, distributed; only rows passing tau (plus the tiny drop-count
+    sentinel) ever reach the driver."""
+    import ray
+
+    def finish(t: pa.Table) -> pa.Table:
+        size_ids, size_vals = ray.get(sizes_ref)
+        pk = t["pk"].to_numpy()
+        inter = t["sum(n)"].to_numpy().astype(np.int64)
+        drop_m = pk == _DROP_SENTINEL
+        dropped = int(inter[drop_m].sum())  # 0 unless the input was capped
+        pk, inter = pk[~drop_m], inter[~drop_m]
+        a = pk >> 32
+        b = pk & 0xFFFFFFFF
+        sa = size_vals[np.searchsorted(size_ids, a)]
+        sb = size_vals[np.searchsorted(size_ids, b)]
+        jac = inter / (sa + sb - inter)
+        keep = jac >= tau
+        a, b, jac = a[keep], b[keep], np.round(jac[keep], 6)
+        if dropped:  # ride the drop count back to the driver for logging
+            a = np.append(a, _DROP_SENTINEL)
+            b = np.append(b, dropped)
+            jac = np.append(jac, 0.0)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
         )
-    pk, inter = np.unique(np.concatenate(pk_parts), return_counts=True)
-    a = pk >> 32
-    b = pk & 0xFFFFFFFF
-    sa = size_vals[np.searchsorted(size_ids, a)]
-    sb = size_vals[np.searchsorted(size_ids, b)]
-    jac = inter / (sa + sb - inter)
-    keep = jac >= JACCARD_TAU
-    out = pd.DataFrame(
-        {
-            "doc_a": a[keep],
-            "doc_b": b[keep],
-            "jaccard": np.round(jac[keep], 6),
-        }
-    )
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    res = counts.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return _split_drop_rows(res, log_label)
+
+
+def _split_drop_rows(res: pd.DataFrame, log_label: str) -> pd.DataFrame:
+    """Split doc_a == _DROP_SENTINEL marker rows off a pair result, log
+    their summed drop count driver-side, return the clean sorted pairs."""
+    drop_m = res["doc_a"].to_numpy() == _DROP_SENTINEL
+    if drop_m.any():
+        _log_drops(log_label, int(res["doc_b"].to_numpy()[drop_m].sum()))
+        res = res[~drop_m]
+    return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_ngram_jaccard_neardup(sf_dir: str):
+    """Near-dup pairs with 3-gram Jaccard >= 0.5, fully distributed via the
+    co-occurrence formulation: shingles are DISTINCT per doc, so a pair's
+    intersection size equals how many shingle buckets emit it — pair
+    multiplicity from pre-counted per-coarse-bucket partials, summed with a
+    native distributed groupby, jaccard computed per batch against the
+    broadcast per-doc sizes.  No per-pair set intersection anywhere and no
+    corpus-sized driver materialization.  Exact: full recall (any
+    qualifying pair shares a shingle) and exact Jaccard — same SQL oracle.
+    Runs UNCAPPED by design (this is the exact-oracle variant; the capped
+    candidate generation lives in the LSH ops)."""
+    st = _shingle_table(sf_dir).materialize()  # feeds sizes AND pairs
+    sizes_ref = _doc_sizes_ref(st)
+    counts = _pair_counts(st, "shingle")
+    return _jaccard_from_counts(counts, sizes_ref, JACCARD_TAU, "ngram")
 
 
 QUERIES["ngram_jaccard_neardup"] = q_ngram_jaccard_neardup
@@ -369,16 +488,34 @@ def q_minhash_lsh_neardup(sf_dir: str):
             }
         )
 
+    import ray
+
     bucketed = ds.map_batches(sigs, batch_format="pyarrow")
-    cand = (
-        _pairs_from_buckets(bucketed, "bh").to_pandas().drop_duplicates()
+    # candidate pks, deduped DISTRIBUTED (groupby inside _pair_counts); hot
+    # band buckets capped with a logged drop count.  The deduped candidate
+    # set is the designated small side (LSH yields O(n) candidates) — it is
+    # collected and broadcast once for the verify pass.
+    cand_df = (
+        _pair_counts(bucketed, "bh", max_bucket=LSH_MAX_BUCKET)
+        .to_pandas()
     )
-    sets = _collect_shingle_sets(sf_dir)
-    rows = _verify_pairs(cand, sets, JACCARD_TAU)
-    rows.sort()
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
-        {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
-    )
+    drop_m = cand_df["pk"].to_numpy() == _DROP_SENTINEL
+    if drop_m.any():
+        _log_drops("minhash_lsh", int(cand_df["sum(n)"].to_numpy()[drop_m].sum()))
+    cand_pk = np.sort(cand_df["pk"].to_numpy()[~drop_m])
+    cand_ids = np.unique(
+        np.concatenate([cand_pk >> 32, cand_pk & 0xFFFFFFFF])
+    ) if len(cand_pk) else np.zeros(0, np.int64)
+    cand_ref = ray.put((cand_ids, cand_pk))
+
+    # exact-Jaccard verify, distributed: re-run the co-occurrence count over
+    # the shingle table RESTRICTED to candidate docs/pairs (each bucket
+    # shrinks to its candidate members before expansion — bounded by the
+    # candidate set, not by shingle df), then the same batchwise jaccard.
+    st = _shingle_table(sf_dir).materialize()
+    sizes_ref = _doc_sizes_ref(st)
+    counts = _pair_counts(st, "shingle", cand_ref=cand_ref)
+    return _jaccard_from_counts(counts, sizes_ref, JACCARD_TAU, "minhash_lsh")
 
 
 QUERIES["minhash_lsh_neardup"] = q_minhash_lsh_neardup
@@ -386,68 +523,108 @@ QUERIES["minhash_lsh_neardup"] = q_minhash_lsh_neardup
 
 # ---------------------------------------------------------------------------
 
-def _simhash64(text: str) -> int:
-    from collections import Counter
-
-    c = Counter(_tokens(text))
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w, f in c.items():
-        h = np.uint64(
-            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
-        )
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, f, -f)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+def _simhash_batch(texts: list) -> np.ndarray:
+    """Vectorized SimHash over a batch of documents: one unpackbits over
+    the concatenated distinct-token hashes of ALL docs, one reduceat per
+    doc — no per-token Python loop (the md5 per distinct token is memoized
+    in _token_hashes).  Top bit of the 63-bit token hash is constant, so
+    this is effectively a 63-bit simhash; the 4x16-bit pigeonhole blocking
+    below is unaffected."""
+    per_doc_h, per_doc_f, counts = [], [], np.zeros(len(texts), np.int64)
+    for i, text in enumerate(texts):
+        toks = _tokens(text)
+        if not toks:
+            continue
+        uh, f = np.unique(_token_hashes(toks), return_counts=True)
+        per_doc_h.append(uh)
+        per_doc_f.append(f.astype(np.int64))
+        counts[i] = len(uh)
+    sims = np.zeros(len(texts), dtype=np.uint64)
+    if not per_doc_h:
+        return sims
+    H = np.concatenate(per_doc_h).view(np.uint64)
+    F = np.concatenate(per_doc_f)
+    bits = np.unpackbits(
+        H.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int64)  # (k, 64); column j == (h >> j) & 1
+    signed = (bits * 2 - 1) * F[:, None]
+    nz = counts > 0
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1][nz]
+    acc = np.add.reduceat(signed, starts, axis=0)  # (n_nonempty, 64)
+    packed = np.packbits((acc > 0), axis=1, bitorder="little")
+    sims[nz] = np.ascontiguousarray(packed).view(np.uint64).ravel()
+    return sims
 
 
 def q_simhash_neardup(sf_dir: str):
     """SimHash near-dup: 64-bit simhash, pairs with hamming <= 3 found via
     4x16-bit band blocking (exact by pigeonhole: <=3 differing bits leave
-    >=1 band identical)."""
+    >=1 band identical).  Fully distributed: the signature rides along in
+    the band-bucket rows, hamming is verified with a vectorized XOR
+    popcount INSIDE the pair-expansion task, duplicates across bands
+    collapse in a native groupby — no driver-side signature table."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def sigs(t: pa.Table) -> pa.Table:
-        ids, keys, hashes = [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            h = _simhash64(text)
-            for bi in range(4):
-                ids.append(did)
-                # band baked into the bucket key (band<<16 | 16-bit slice)
-                keys.append((bi << 16) | ((h >> (16 * bi)) & 0xFFFF))
-                hashes.append(h)
+        ids = t["doc_id"].to_numpy()
+        sh = _simhash_batch(t["text"].to_pylist())
+        n = len(ids)
+        # band index baked into the bucket key (band<<16 | 16-bit slice)
+        bands = np.arange(4, dtype=np.uint64)
+        bk = ((bands << np.uint64(16))[None, :]
+              | ((sh[:, None] >> (bands * np.uint64(16))[None, :])
+                 & np.uint64(0xFFFF)))
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "bk": pa.array(keys, pa.int64()),
-                "sh": pa.array(np.array(hashes, dtype=np.uint64).view(np.int64)),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "bk": pa.array(bk.reshape(-1).astype(np.int64)),
+                "sh": pa.array(np.repeat(sh, 4).view(np.int64)),
             }
         )
 
-    bucketed = ds.map_batches(sigs, batch_format="pyarrow").materialize()
-    # materialize: the signature stage feeds BOTH the pair expansion and
-    # the verify map — without it the per-doc simhash runs twice
-    cand = (
-        _pairs_from_buckets(bucketed, "bk").to_pandas().drop_duplicates()
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["bk", "doc_id"], kind="mergesort")
+        pk, _n, va, vb, dropped = _run_pair_counts(
+            df["bk"].to_numpy(), df["doc_id"].to_numpy(),
+            max_bucket=LSH_MAX_BUCKET, values=df["sh"].to_numpy(),
+        )
+        x = np.bitwise_xor(va.view(np.uint64), vb.view(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1
+        ).astype(np.int64)
+        m = ham <= 3  # verify in-task: hamming is pair-local
+        pk, ham = pk[m], ham[m]
+        if dropped:
+            pk = np.append(pk, _DROP_SENTINEL)
+            ham = np.append(ham, dropped)
+        return pd.DataFrame({"pk": pk, "ham": ham})
+
+    from ray.data.aggregate import Min, Sum
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_cb", pa.array((t["bk"].to_numpy() % 509).astype(np.int32))
+        )
+
+    agg = (
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cb")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("pk")
+        .aggregate(Min("ham"), Sum("ham"))
+        .to_pandas()  # verified pairs only — small by construction
     )
-    # verify hamming on the candidates (vectorized XOR popcount).  The
-    # signature map collects driver-side here; at 10^12 scale the verify is
-    # a hash join of the (small) candidate table against the signatures.
-    sh_map = (
-        bucketed.to_pandas()
-        .drop_duplicates("doc_id")
-        .set_index("doc_id")["sh"]
-    )
-    ha = sh_map.loc[cand["doc_a"]].to_numpy().astype(np.uint64)
-    hb = sh_map.loc[cand["doc_b"]].to_numpy().astype(np.uint64)
-    x = np.bitwise_xor(ha, hb)
-    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-    m = ham <= 3
+    pk = agg["pk"].to_numpy()
+    drop_m = pk == _DROP_SENTINEL
+    if drop_m.any():
+        _log_drops("simhash", int(agg["sum(ham)"].to_numpy()[drop_m].sum()))
+        agg, pk = agg[~drop_m], pk[~drop_m]
     out = pd.DataFrame(
         {
-            "doc_a": cand["doc_a"].to_numpy()[m],
-            "doc_b": cand["doc_b"].to_numpy()[m],
-            "hamming": ham[m],
+            "doc_a": pk >> 32,
+            "doc_b": pk & 0xFFFFFFFF,
+            "hamming": agg["min(ham)"].to_numpy().astype(np.int64),
         }
     ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return out.astype({"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
@@ -477,14 +654,15 @@ def q_embedding_cosine_neardup(sf_dir: str):
         V = np.array(batch["embedding"].tolist(), dtype=np.float64)
         V /= np.linalg.norm(V, axis=1, keepdims=True)
         S = V @ M_.T
-        out_a, out_b, out_c = [], [], []
-        for r in range(len(ids)):
-            m = (S[r] >= COSINE_TAU) & (ids_all_ > ids[r])
-            for j in np.nonzero(m)[0]:
-                out_a.append(int(ids[r]))
-                out_b.append(int(ids_all_[j]))
-                out_c.append(round(float(S[r, j]), 6))
-        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+        m = (S >= COSINE_TAU) & (ids_all_[None, :] > ids[:, None])
+        ri, cj = np.nonzero(m)
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ri].astype(np.int64),
+                "vec_b": ids_all_[cj].astype(np.int64),
+                "cosine": np.round(S[ri, cj], 6),
+            }
+        )
 
     return emb.map_batches(f, batch_format="pandas", batch_size=512)
 

@@ -29,6 +29,9 @@ ORACLE: dict = {}
 # one apostrophe).  The only remaining documented divergence is >255-char
 # token splitting, which SQL cannot express (none in the driver corpora).
 TOKEN_SQL_RE = "[0-9a-z]+(?:''[0-9a-z]+)*"
+# Python-side twin: in SQL string literals '' escapes one apostrophe, in a
+# Python regex it would demand TWO literal quote chars — derive, don't retype.
+TOKEN_PY_RE = TOKEN_SQL_RE.replace("''", "'")
 
 # fixed reference query set over the documents vocabulary
 DOC_QUERIES: list[tuple[str, str, str]] = [
@@ -513,7 +516,7 @@ def q_highlight_documents(sf_dir: str):
         columns=["doc_id", "text"],
         filters=[("doc_id", "in", ids)],
     ).to_pandas().set_index("doc_id")["text"]
-    rx = re.compile(TOKEN_SQL_RE)
+    rx = re.compile(TOKEN_PY_RE)
     rows = []
     for rank, doc_id in enumerate(ids):
         toks = rx.findall((texts[doc_id] or "").lower())

@@ -39,6 +39,7 @@ could further fan out as tasks per segment group without changing semantics.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -100,7 +101,16 @@ def parse_query_string(
     has_required = False
     for tok in qs.split():
         body = tok[1:] if tok[:1] in "+-" else tok
+        is_field = False
         if ":" in body and not body.startswith(":"):
+            col_, val_ = body.split(":", 1)
+            # only identifier-shaped field names with a non-URL-ish value are
+            # filters — '12:30' or 'http://x' must stay query text, not
+            # become a filter on a nonexistent stored column
+            is_field = bool(
+                re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col_)
+            ) and val_ != "" and not val_.startswith("/")
+        if is_field:
             if tok.startswith("-"):
                 raise ValueError(
                     f"negated field filter not supported: {tok!r}"
