@@ -177,6 +177,98 @@ QUERIES["bm25_topk_documents"] = q_bm25_topk_documents
 ORACLE["bm25_topk_documents"] = _bm25_oracle_sql()
 
 
+# --- pluggable Similarity: ClassicSimilarity top-k (Similarity SPI —
+# lucene/core/.../search/similarities/{Similarity,ClassicSimilarity}.java;
+# the same engine kernels with the plugged scoring fn, WAND bounds included)
+
+CLASSIC_QUERIES: list[tuple[str, str, str]] = [
+    ("c00", "term", "spark"),
+    ("c01", "or", "hash join"),
+    ("c02", "and", "filter scan"),
+]
+
+
+def q_classic_sim_topk_documents(sf_dir: str):
+    """Top-k with ClassicSimilarity (sqrt(tf) * (1+ln(N/(df+1)))^2 /
+    sqrt(lossy dl)) through the SAME WAND/exhaustive kernels — the
+    similarity is a plugged strategy, and the block-max upper bounds are
+    recomputed from it."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand", similarity="classic")
+    slack = 16  # see ranking note below
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in CLASSIC_QUERIES]),
+            "qtype": pa.array([q[1] for q in CLASSIC_QUERIES]),
+            "text": pa.array([q[2] for q in CLASSIC_QUERIES]),
+            "k": pa.array([TOP_K + slack] * len(CLASSIC_QUERIES), pa.int32()),
+        }
+    )
+    out = searcher.search_table(qtbl).to_pandas()
+    # Rank on the ROUNDED score (the op's output contract), doc asc:
+    # Classic's sqrt(tf)/sqrt(dl) form produces genuine cross-doc ratio
+    # ties (sqrt(6/84) == sqrt(1/14)) whose unrounded float ordering is
+    # ulp-noise that numpy and the SQL engine resolve differently — BM25's
+    # tf/(tf+c) form cannot tie across distinct (tf, dl), so only this op
+    # needs the rounded-rank discipline.  The slack rows absorb boundary
+    # re-ordering before the cut.
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=False)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32")
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _classic_oracle_sql() -> str:
+    q_rows = []
+    for qid, qtype, text in CLASSIC_QUERIES:
+        terms = text.split()
+        for t in terms:
+            q_rows.append(f"('{qid}', '{t}', {len(set(terms))}, '{qtype}')")
+    q_values = ",".join(q_rows)
+    return f"""
+    WITH {_bm25_ctes()},
+    q(query_id, term, n_required, qtype) AS (VALUES {q_values}),
+    scores AS (
+      SELECT q.query_id,
+             tf.doc_id,
+             sum(sqrt(tf) * ((1.0 + ln(n_docs / (df + 1.0)))
+                             * (1.0 + ln(n_docs / (df + 1.0))))
+                 / sqrt(greatest(ldl, 1.0))) AS s,
+             count(DISTINCT tf.term) AS n_matched,
+             max(q.n_required) AS n_required,
+             max(q.qtype) AS qtype
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(s, 6) AS s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 6) DESC, doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM scores
+      WHERE qtype <> 'and' OR n_matched = n_required
+    )
+    SELECT query_id, rank, doc_id, s AS score
+    FROM ranked WHERE rank < {TOP_K}
+    """
+
+
+QUERIES["classic_sim_topk_documents"] = q_classic_sim_topk_documents
+ORACLE["classic_sim_topk_documents"] = _classic_oracle_sql()
+
+
 def q_bm25_incremental_merge_documents(sf_dir: str):
     """Incremental-index + tiered-merge lifecycle, validated against the
     SAME BM25 oracle as the one-shot build: gen0 indexes the low half of

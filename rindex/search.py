@@ -47,8 +47,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from rindex.analysis import get_analyzer
-from rindex.bm25 import idf as bm25_idf
-from rindex.bm25 import norm_len_cache
+from rindex.bm25 import idf as bm25_idf  # noqa: F401 (re-export for oracles)
+from rindex.bm25 import norm_len_cache  # noqa: F401
+from rindex.similarity import get_similarity
 from rindex.codec import decode_block
 from rindex import segments as segio
 
@@ -308,7 +309,8 @@ def _topk_preselect(d: np.ndarray, s: np.ndarray, k: int):
 
 
 class IndexSearcher:
-    def __init__(self, index_dir: str, algo: str = "wand"):
+    def __init__(self, index_dir: str, algo: str = "wand",
+                 similarity="bm25"):
         self.index_dir = index_dir
         self.manifest = segio.read_manifest(index_dir)
         cfg = self.manifest["config"]
@@ -318,7 +320,9 @@ class IndexSearcher:
         self.n_docs = int(self.manifest["totals"]["doc_count"])
         self.sum_dl = int(self.manifest["totals"]["sum_dl"])
         self.avgdl = self.sum_dl / max(1, self.n_docs)
-        self.cache = norm_len_cache(self.avgdl)  # 256-entry norm denominators
+        self.sim = get_similarity(similarity)
+        # 256-entry per-norm-byte factors from the plugged similarity
+        self.cache = self.sim.norm_cache(self.avgdl)
         self.readers = [
             _SegmentReader(segio.seg_dir(index_dir, m["seg_id"], m.get("gen", 0)), m)
             for m in self.manifest["segments"]
@@ -417,7 +421,7 @@ class IndexSearcher:
             present += 1
             d, tf_arr, nrm = reader.decoded(t, row)
             tff = tf_arr.astype(np.float64)
-            s = (idf_map[t] * mult[t]) * tff / (tff + self.cache[nrm])
+            s = self.sim.score(idf_map[t] * mult[t], tff, self.cache[nrm])
             acc[d] += s
             if is_and:
                 hits[d] += 1
@@ -455,7 +459,7 @@ class IndexSearcher:
         weight = idf_map[t] * mult[t]
         mtf = np.asarray(row["block_max_tf"], dtype=np.float64)
         mn = np.asarray(row["block_min_norm"], dtype=np.int64)
-        ubs = weight * mtf / (mtf + self.cache[mn])
+        ubs = self.sim.score(weight, mtf, self.cache[mn])
         n_blocks = len(ubs)
         lasts = row["block_last_doc"]
         blob = row["blob"]
@@ -468,7 +472,7 @@ class IndexSearcher:
                 d, tf, nrm = decode_block(blob, int(offs[b]), prev)
                 tff = tf.astype(np.float64)
                 parts_d.append(d)
-                parts_s.append(weight * tff / (tff + self.cache[nrm]))
+                parts_s.append(self.sim.score(weight, tff, self.cache[nrm]))
             return np.concatenate(parts_d), np.concatenate(parts_s)
 
         def topk(d, s):
@@ -486,7 +490,7 @@ class IndexSearcher:
             # cached vectorized whole-list pass beats per-block decoding
             d, tf, nrm = reader.decoded(t, row)
             tff = tf.astype(np.float64)
-            return topk(d, weight * tff / (tff + self.cache[nrm]))
+            return topk(d, self.sim.score(weight, tff, self.cache[nrm]))
         seed = order_b[:n_seed]
         d0, s0 = topk(*decode_blocks(seed.tolist()))
         if len(d0) >= k:
@@ -504,7 +508,7 @@ class IndexSearcher:
             # (cached) is cheaper than per-block decoding
             d, tf, nrm = reader.decoded(t, row)
             tff = tf.astype(np.float64)
-            return topk(d, weight * tff / (tff + self.cache[nrm]))
+            return topk(d, self.sim.score(weight, tff, self.cache[nrm]))
         d1, s1 = decode_blocks(rest)
         return topk(
             np.concatenate([d0, d1]), np.concatenate([s0, s1])
@@ -537,7 +541,7 @@ class IndexSearcher:
         for (t, r), f in zip(rows, firsts):
             mtf = np.asarray(r["block_max_tf"], dtype=np.float64)
             mn = np.asarray(r["block_min_norm"], dtype=np.int64)
-            ubs.append(idf_map[t] * mult[t] * mtf / (mtf + self.cache[mn]))
+            ubs.append(self.sim.score(idf_map[t] * mult[t], mtf, self.cache[mn]))
         term_ub = np.array([u.max() for u in ubs])
 
         decoded: dict[tuple[int, int], tuple] = {}  # (term_i, block) -> (d, s)
@@ -549,7 +553,7 @@ class IndexSearcher:
                 prev = int(r["block_last_doc"][b - 1]) if b > 0 else -1
                 d, tf, nrm = decode_block(r["blob"], int(r["block_offset"][b]), prev)
                 tff = tf.astype(np.float64)
-                s = idf_map[t] * mult[t] * tff / (tff + self.cache[nrm])
+                s = self.sim.score(idf_map[t] * mult[t], tff, self.cache[nrm])
                 decoded[key] = (d, s)
             return decoded[key]
 
@@ -557,7 +561,7 @@ class IndexSearcher:
             t, r = rows[ti]
             d, tf, nrm = reader.decoded(t, r)
             tff = tf.astype(np.float64)
-            return d, idf_map[t] * mult[t] * tff / (tff + self.cache[nrm])
+            return d, self.sim.score(idf_map[t] * mult[t], tff, self.cache[nrm])
 
         full_cache: dict[int, tuple] = {}  # term_i -> (docs, scores)
 
@@ -695,7 +699,7 @@ class IndexSearcher:
         order, mult, df = self._term_plan(q)
         if not order:
             return []
-        idf_map = {t: float(bm25_idf(df[t], self.n_docs)) for t in order}
+        idf_map = {t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order}
         if planned and algo == "wand":
             min_sel = min(df[t] for t in order) / max(1, self.n_docs)
             if min_sel > self.WAND_SELECTIVITY:
@@ -734,7 +738,7 @@ class IndexSearcher:
             mode=mode, k=1,
         )
         order, mult, df = self._term_plan(q)
-        idf_map = {t: float(bm25_idf(df[t], self.n_docs)) for t in order}
+        idf_map = {t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order}
         for reader in self.readers:
             # predicate-pushdown lookup of the one target doc (a full
             # doc->id map per segment would be O(max_doc))
@@ -761,8 +765,10 @@ class IndexSearcher:
                 n_matched += 1
                 tf = float(tf_arr[at])
                 norm_b = int(nrm[at])
-                contrib = (
-                    idf_map[t] * mult[t] * tf / (tf + self.cache[nrm[at:at + 1]][0])
+                contrib = float(
+                    self.sim.score(
+                        idf_map[t] * mult[t], tf, self.cache[nrm[at:at + 1]][0]
+                    )
                 )
                 total += contrib
                 from rindex.codec import NORM_DECODE_TABLE
@@ -864,12 +870,12 @@ class IndexSearcher:
                 per_seg.append((reader, docs, freqs, norms))
         if df_phrase == 0:
             return []
-        w = float(bm25_idf(df_phrase, self.n_docs))
+        w = float(self.sim.term_weight(df_phrase, self.n_docs))
         cands = []
         for reader, docs, freqs, norms in per_seg:
             pf = np.asarray(freqs, dtype=np.float64)
             nrm = np.asarray(norms, dtype=np.uint8)
-            scores = w * pf / (pf + self.cache[nrm])
+            scores = self.sim.score(w, pf, self.cache[nrm])
             ids = reader.fetch_ids(
                 np.asarray(docs, dtype=np.int64), self.id_cols
             )
@@ -987,7 +993,8 @@ class QuerySearcher:
     analog).  Use with `queries_ds.map_batches(QuerySearcher,
     fn_constructor_args=(index_dir,), concurrency=N, batch_format="pyarrow")`."""
 
-    def __init__(self, index_dir: str, algo: str = "wand"):
+    def __init__(self, index_dir: str, algo: str = "wand",
+                 similarity="bm25"):
         # warm in the constructor: segment loads happen once per ACTOR at
         # pool spin-up, not on the first served batch
         self.searcher = IndexSearcher(index_dir, algo=algo).warm()

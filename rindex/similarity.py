@@ -1,0 +1,84 @@
+"""Pluggable similarity SPI (the Lucene `Similarity` strategy —
+`lucene/core/src/java/org/apache/lucene/search/similarities/Similarity.java`,
+with BM25Similarity.java as the default and ClassicSimilarity.java /
+TFIDFSimilarity.java as the alternative).
+
+Contract (what the WAND / impacts machinery relies on, as in Lucene's
+`Similarity.SimScorer#score` javadoc): `score(w, tf, cv)` must be monotone
+non-decreasing in tf and non-increasing in document length, where
+`cv = norm_cache(avgdl)[norm_byte]` is the per-norm-byte precomputed
+factor.  Under that contract the per-block upper bound used by block-max
+WAND is exactly `score(w, block_max_tf, norm_cache[block_min_norm])`
+(max tf, min dl), for EVERY similarity — the bound is recomputed from the
+plugged formula, never hard-coded BM25.
+
+BM25 keeps bit-identical results vs the pre-SPI kernels: the same float64
+expression `(w * tf) / (tf + cv)` in the same operation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rindex.bm25 import idf as bm25_idf
+from rindex.bm25 import norm_len_cache
+from rindex.codec import NORM_DECODE_TABLE
+
+
+class BM25Similarity:
+    """Lucene 8.x BM25 (LUCENE-8563 form, no (k1+1) numerator):
+    w = ln(1 + (N-df+.5)/(df+.5)); score = w * tf / (tf + k1*(1-b+b*dl/avgdl))."""
+
+    name = "bm25"
+
+    def term_weight(self, df, n_docs) -> float:
+        return bm25_idf(df, n_docs)
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        return norm_len_cache(avgdl)
+
+    def score(self, w, tf, cv):
+        return w * tf / (tf + cv)
+
+
+class ClassicSimilarity:
+    """Lucene ClassicSimilarity (TFIDFSimilarity with defaults, 8.x form —
+    queryNorm removed): w = (1 + ln(N/(df+1)))^2  [idf appears squared:
+    once in the query weight, once in the doc weight], score =
+    w * sqrt(tf) / sqrt(dl) with the same lossy SmallFloat dl bytes as
+    BM25.  avgdl is unused (interface uniformity)."""
+
+    name = "classic"
+
+    def term_weight(self, df, n_docs) -> float:
+        i = 1.0 + np.log(np.float64(n_docs) / (np.asarray(df, np.float64) + 1.0))
+        return i * i
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        # sqrt(dl), NOT its reciprocal: score() divides, in the same float64
+        # operation order as the SQL oracle `... * w / sqrt(ldl)` — a
+        # reciprocal-multiply differs by an ulp and flips genuine
+        # mathematical ties like sqrt(4/32) == sqrt(5/40)
+        dl = NORM_DECODE_TABLE.astype(np.float64)
+        return np.sqrt(np.maximum(dl, 1.0))
+
+    def score(self, w, tf, cv):
+        return w * np.sqrt(tf) / cv
+
+
+SIMILARITIES = {
+    "bm25": BM25Similarity(),
+    "classic": ClassicSimilarity(),
+}
+
+
+def get_similarity(name_or_obj):
+    if isinstance(name_or_obj, str):
+        try:
+            return SIMILARITIES[name_or_obj]
+        except KeyError:
+            raise ValueError(
+                f"unknown similarity {name_or_obj!r}; "
+                f"registered: {sorted(SIMILARITIES)}"
+            ) from None
+    return name_or_obj

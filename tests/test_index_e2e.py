@@ -91,6 +91,30 @@ def test_wand_equals_exhaustive(small_index):
     assert a.equals(b)
 
 
+def test_wand_equals_exhaustive_classic_similarity(small_index):
+    """The block-max bounds must be recomputed from the PLUGGED similarity:
+    with ClassicSimilarity the pruned path must still match the exhaustive
+    one bit-for-bit (Similarity SPI — similarities/Similarity.java)."""
+    idx, _ = small_index
+    s = IndexSearcher(idx, similarity="classic")
+    queries = make_queries()
+    a = s.search_table(queries, algo="wand")
+    b = s.search_table(queries, algo="exhaustive")
+    assert a.equals(b)
+
+
+def test_similarities_actually_differ(small_index):
+    idx, _ = small_index
+    queries = make_queries()
+    a = IndexSearcher(idx, similarity="bm25").search_table(queries)
+    b = IndexSearcher(idx, similarity="classic").search_table(queries)
+    assert not a["score"].equals(b["score"])
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown similarity"):
+        IndexSearcher(idx, similarity="nope")
+
+
 def test_distributed_query_serving(ray_session, small_index):
     import ray.data as rd
 
