@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from rindex import segments as segio
-from rindex.codec import decode_posting, decode_positions
+from rindex.codec import decode_positions
 from rindex.build import merge_partials_to_postings, SegmentWriter
 
 
@@ -142,27 +142,40 @@ class TieredMergePolicy:
 
 def _decode_segment_postings(sdir: str) -> pd.DataFrame:
     """Member segment -> partial-posting rows (one per term, raw packed
-    arrays) for `merge_partials_to_postings`."""
+    arrays) for `merge_partials_to_postings`.  Columnar access + the
+    vectorized whole-posting decoder (decode_posting_fast) — no
+    to_pylist() row materialization; the remaining per-term loop is one
+    decode call per term, each internally vectorized."""
+    from rindex.codec import decode_posting_fast
+
     tbl = pq.read_table(os.path.join(sdir, "postings.parquet"))
     has_pos = "pos_blob" in tbl.schema.names
-    rows = tbl.to_pylist()
+    terms = tbl["term"].to_pylist()
+    ttfs = tbl["ttf"].to_pylist()
+    blobs = tbl["blob"].to_pylist()
+    offs = tbl["block_offset"].to_pylist()
+    lasts = tbl["block_last_doc"].to_pylist()
+    pos_blobs = tbl["pos_blob"].to_pylist() if has_pos else None
+    pos_widths = tbl["pos_width"].to_pylist() if has_pos else None
     out = {
-        "term": [], "first_doc": [], "df": [], "ttf": [],
+        "term": terms, "first_doc": [], "df": [], "ttf": ttfs,
         "docs": [], "tfs": [], "norms": [],
     }
     if has_pos:
         out["pos"] = []
-    for row in rows:
-        d, t, n = decode_posting(row)
-        out["term"].append(row["term"])
+    for i in range(tbl.num_rows):
+        row = {
+            "blob": blobs[i], "block_offset": offs[i],
+            "block_last_doc": lasts[i],
+        }
+        d, t, n = decode_posting_fast(row)
         out["first_doc"].append(int(d[0]) if len(d) else 0)
         out["df"].append(len(d))
-        out["ttf"].append(int(row["ttf"]))
         out["docs"].append(d.astype(np.int32).tobytes())
         out["tfs"].append(t.astype(np.int32).tobytes())
-        out["norms"].append(n.tobytes())
+        out["norms"].append(n.astype(np.uint8).tobytes())
         if has_pos:
-            pos = decode_positions(row["pos_blob"], int(row["pos_width"]), t)
+            pos = decode_positions(pos_blobs[i], int(pos_widths[i]), t)
             out["pos"].append(pos.astype(np.int32).tobytes())
     return pd.DataFrame(out)
 
@@ -217,7 +230,13 @@ def merge_segments(
         remap[sel["doc"].to_numpy()] = sel["_newdoc"].to_numpy()
         remaps[g] = remap
 
-    # ---- postings: decode members, remap+drop, vectorized re-encode
+    # ---- postings: decode members, remap+drop, vectorized re-encode.
+    # The remap runs over the member's CONCATENATED posting arrays: one
+    # np.repeat(term_idx, df) expansion, one gather through the remap
+    # array, one lexsort — the same whole-segment shape as
+    # merge_partials_to_postings, no per-term Python loop (the old loop
+    # was the last Python-bound merge stage: ~41 s of a 2.9 M-doc
+    # forceMerge).
     parts = []
     for m in members:
         g = int(m.get("gen", 0))
@@ -225,48 +244,68 @@ def merge_segments(
         p = _decode_segment_postings(sdir)
         has_pos = "pos" in p.columns
         remap = remaps[g]
-        new_docs, new_tfs, new_norms, new_pos = [], [], [], []
-        new_first, new_df, new_ttf = [], [], []
-        keep_rows = np.ones(len(p), dtype=bool)
-        for i in range(len(p)):
-            d = np.frombuffer(p["docs"].iloc[i], dtype=np.int32)
-            nd = remap[d]
-            ok = nd >= 0
-            if not ok.any():
-                keep_rows[i] = False
-                new_docs.append(b""); new_tfs.append(b""); new_norms.append(b"")
-                new_first.append(0); new_df.append(0); new_ttf.append(0)
-                if has_pos:
-                    new_pos.append(b"")
-                continue
-            t_all = np.frombuffer(p["tfs"].iloc[i], dtype=np.int32)
-            t = t_all[ok]
-            n = np.frombuffer(p["norms"].iloc[i], dtype=np.uint8)[ok]
-            nd = nd[ok]
-            order = np.argsort(nd, kind="stable")
-            nd, t, n = nd[order], t[order], n[order]
-            if has_pos:
-                # positions are within-doc (unchanged by the docID remap):
-                # keep surviving runs, reordered to the new doc order
-                pos = np.frombuffer(p["pos"].iloc[i], dtype=np.int32)
-                starts = np.concatenate([[0], np.cumsum(t_all)[:-1]])
-                sel = np.flatnonzero(ok)[order]
-                new_pos.append(
-                    np.concatenate(
-                        [pos[starts[j]: starts[j] + t_all[j]] for j in sel]
-                    ).astype(np.int32).tobytes()
-                )
-            new_docs.append(nd.astype(np.int32).tobytes())
-            new_tfs.append(t.tobytes())
-            new_norms.append(n.tobytes())
-            new_first.append(int(nd[0]))
-            new_df.append(len(nd))
-            new_ttf.append(int(t.sum()))
-        p["docs"], p["tfs"], p["norms"] = new_docs, new_tfs, new_norms
-        p["first_doc"], p["df"], p["ttf"] = new_first, new_df, new_ttf
+        n_terms = len(p)
+        dfs = p["df"].to_numpy().astype(np.int64)
+        all_docs = np.frombuffer(b"".join(p["docs"]), dtype=np.int32)
+        all_tfs = np.frombuffer(b"".join(p["tfs"]), dtype=np.int32)
+        all_norms = np.frombuffer(b"".join(p["norms"]), dtype=np.uint8)
+        term_idx = np.repeat(np.arange(n_terms, dtype=np.int64), dfs)
+        nd = remap[all_docs]
+        ok = nd >= 0
+        ti_k = term_idx[ok]
+        order = np.lexsort((nd[ok], ti_k))  # (term, new_doc) ascending
+        ti_s = ti_k[order]
+        nd_s = nd[ok][order].astype(np.int32)
+        tf_s = all_tfs[ok][order]
+        n_s = all_norms[ok][order]
+        new_df = np.bincount(ti_s, minlength=n_terms).astype(np.int64)
+        new_ttf = np.bincount(
+            ti_s, weights=tf_s.astype(np.float64), minlength=n_terms
+        ).astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(new_df)])
         if has_pos:
-            p["pos"] = new_pos
-        parts.append(p[keep_rows])
+            # positions are within-doc (unchanged by the docID remap):
+            # gather surviving runs in the new (term, doc) order with one
+            # ragged-gather index build — no per-run slicing
+            all_pos = np.frombuffer(b"".join(p["pos"]), dtype=np.int32)
+            run_starts = np.concatenate(
+                [[0], np.cumsum(all_tfs.astype(np.int64))[:-1]]
+            )
+            sel_runs = np.flatnonzero(ok)[order]
+            L = all_tfs[sel_runs].astype(np.int64)
+            S = run_starts[sel_runs]
+            offs_in_run = (
+                np.arange(int(L.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(L) - L, L)
+            )
+            pos_s = all_pos[np.repeat(S, L) + offs_in_run]
+            pos_lens = np.bincount(
+                ti_s, weights=L.astype(np.float64), minlength=n_terms
+            ).astype(np.int64)
+            pos_bounds = np.concatenate([[0], np.cumsum(pos_lens)])
+        keep = np.flatnonzero(new_df > 0)
+        cols = {
+            "term": p["term"].to_numpy()[keep],
+            "first_doc": nd_s[bounds[keep]].astype(np.int64),
+            "df": new_df[keep],
+            "ttf": new_ttf[keep],
+            # per-surviving-term repack: contiguous slice + tobytes (memcpy)
+            "docs": [
+                nd_s[bounds[i]: bounds[i + 1]].tobytes() for i in keep
+            ],
+            "tfs": [
+                tf_s[bounds[i]: bounds[i + 1]].tobytes() for i in keep
+            ],
+            "norms": [
+                n_s[bounds[i]: bounds[i + 1]].tobytes() for i in keep
+            ],
+        }
+        if has_pos:
+            cols["pos"] = [
+                pos_s[pos_bounds[i]: pos_bounds[i + 1]].tobytes()
+                for i in keep
+            ]
+        parts.append(pd.DataFrame(cols))
     partials = pd.concat(parts, ignore_index=True)
 
     # ---- write the merged segment through the standard writer path
