@@ -29,6 +29,33 @@ def _register(name, fn, sql=None):
         ORACLE[name] = sql
 
 
+def _stable_bucket_adder(col: str, n_buckets: int):
+    """map_batches fn appending `_gb` = stable-hash(col) % n_buckets — the
+    coarse shuffle key of the partial+combine rewrites (one reduce task
+    owns ~1/n of the GROUPS, never one tiny task per group).  md5-based:
+    python hash() is seed-randomized across Ray workers and would split a
+    group across buckets; only DISTINCT values are hashed (dictionary
+    encode + gather)."""
+    import hashlib
+
+    def add(t: pa.Table) -> pa.Table:
+        enc = t[col].combine_chunks().dictionary_encode()
+        hs = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(v).encode()).digest()[:4], "little"
+                ) % n_buckets
+                for v in enc.dictionary.to_pylist()
+            ],
+            dtype=np.int32,
+        )
+        return t.append_column(
+            "_gb", pa.array(hs[enc.indices.to_numpy(zero_copy_only=False)])
+        )
+
+    return add
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregates (facet/stats/rollup: SimpleFacets, StatsValuesFactory,
 # RollupStream -> groupby().aggregate() with partial+final combine)
@@ -209,16 +236,53 @@ _register(
 
 def q_exact_distinct_users_per_type(sf_dir: str):
     """unique (exact distinct count) per group (reference: UniqueAgg,
-    `solr/core/src/java/org/apache/solr/search/facet/UniqueAgg.java`)."""
+    `solr/core/src/java/org/apache/solr/search/facet/UniqueAgg.java`).
+
+    Partial+combine shape: shuffle on a COARSE bucket of the distinct-ness
+    key (user_id % prime) so each reduce task owns every row of its users
+    across all groups, dedupes (group, user) pairs vectorized and emits
+    per-group partial counts; the final combine sums ~prime x n_groups tiny
+    partials.  Scales with group cardinality (one pandas group per key was
+    ~1 ms/group scheduling)."""
     ds = read_table(sf_dir, "events", ["event_type", "user_id"])
-    return ds.groupby("event_type").map_groups(
-        lambda g: pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_users": [int(g["user_id"].nunique())],
-            }
-        ),
-        batch_format="pandas",
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column(
+            "_ub", pa.array((u % 127).astype(np.int32))
+        )
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        c = d.groupby("event_type", sort=False).size()
+        return pd.DataFrame(
+            {"event_type": c.index.to_numpy(), "n": c.to_numpy()}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized sum-per-key within the coarse group bucket: a native
+        # groupby().sum() walks one tiny group per DISTINCT key in Python
+        # (~2 ms/key -> 100 s at 50k keys, measured)
+        df = g.sort_values("event_type", kind="mergesort")
+        k = df["event_type"].to_numpy()
+        n = df["n"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        return pd.DataFrame(
+            {"event_type": k[starts], "n_users": np.add.reduceat(n, starts)}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(partial, batch_format="pandas")
+        .map_batches(_stable_bucket_adder("event_type", 127),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(
+            lambda g: combine(g.drop(columns=["_gb"])),
+            batch_format="pandas",
+        )
     )
 
 
@@ -238,15 +302,37 @@ def q_percentile_value_per_type(sf_dir: str):
     search/facet/PercentileAgg.java`; exact at test scale, sketch path is
     ops/sketches.py)."""
     ds = read_table(sf_dir, "events", ["event_type", "value"])
-    return ds.groupby("event_type").map_groups(
-        lambda g: pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "p50": [round(float(np.quantile(g["value"], 0.5)), 6)],
-                "p90": [round(float(np.quantile(g["value"], 0.9)), 6)],
-            }
-        ),
-        batch_format="pandas",
+
+    # exact quantiles need every value of a key in one task — that's what
+    # groupby gives; the fix for high-cardinality keys is a COARSE shuffle
+    # key (hash of group % prime) so one task handles ~1/prime of the
+    # GROUPS and computes each group's quantiles from slice views of one
+    # in-task sort, instead of paying per-group scheduling
+    add_bucket = _stable_bucket_adder("event_type", 127)
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["event_type", "value"], kind="mergesort")
+        k = df["event_type"].to_numpy()
+        v = df["value"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        bounds = np.append(starts, len(k))
+        rows = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            s = v[a:b]  # already sorted: quantile is pure interpolation
+            rows.append(
+                (
+                    k[a],
+                    round(float(np.quantile(s, 0.5)), 6),
+                    round(float(np.quantile(s, 0.9)), 6),
+                )
+            )
+        return pd.DataFrame(rows, columns=["event_type", "p50", "p90"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(quants, batch_format="pandas")
     )
 
 
@@ -541,11 +627,34 @@ def q_collapse_best_event_per_user(sf_dir: str):
     CollapsingQParserPlugin.java`).  argmax by (value desc, event_id asc)."""
     ds = read_table(sf_dir, "events", ["user_id", "event_id", "value"])
 
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True])
-        return g.head(1)
+    # coarse-bucket reduce (user_id % prime): one task owns ~1/prime of
+    # the USERS and takes every user's argmax from run starts of one
+    # in-task lexsort — per-user map_groups paid ~1 ms scheduling per user
+    # (the tiny-group antipattern; at sf0.1 there are ~50k users)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column(
+            "_ub", pa.array((u % 127).astype(np.int32))
+        )
 
-    return ds.groupby("user_id").map_groups(best, batch_format="pandas")
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        e = g["event_id"].to_numpy()
+        order = np.lexsort((e, -v, u))
+        u_s = u[order]
+        starts = np.flatnonzero(np.concatenate([[True], u_s[1:] != u_s[:-1]]))
+        sel = order[starts]
+        return pd.DataFrame(
+            {"user_id": u[sel], "event_id": e[sel], "value": v[sel]}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(best, batch_format="pandas")
+    )
 
 
 _register(
@@ -567,10 +676,37 @@ def q_grouping_top2_events_per_type(sf_dir: str):
     `solr/core/src/java/org/apache/solr/search/Grouping.java`)."""
     ds = read_table(sf_dir, "events", ["event_type", "event_id", "value"])
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["value", "event_id"], ascending=[False, True]).head(2)
+    # per-batch partial top-2 per group (safe: a group's global top-2 is
+    # contained in the union of its per-batch top-2s), then one final
+    # combine over ~n_batches x n_groups x 2 tiny partial rows
+    def partial_top2(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["event_type"].to_numpy()
+        v = g["value"].to_numpy()
+        e = g["event_id"].to_numpy()
+        order = np.lexsort((e, -v, k))
+        k_s = k[order]
+        starts = np.flatnonzero(np.concatenate([[True], k_s[1:] != k_s[:-1]]))
+        bounds = np.append(starts, len(k_s))
+        second = starts[(bounds[1:] - starts) >= 2] + 1
+        sel = order[np.sort(np.concatenate([starts, second]))]
+        return pd.DataFrame(
+            {"event_type": k[sel], "event_id": e[sel], "value": v[sel]}
+        )
 
-    return ds.groupby("event_type").map_groups(top2, batch_format="pandas")
+    partials = ds.map_batches(partial_top2, batch_format="pandas")
+    # final combine distributed over a coarse bucket of the group key (all
+    # partials of a group land in one task; tasks own many groups)
+    return (
+        partials.map_batches(
+            _stable_bucket_adder("event_type", 127),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("_gb")
+        .map_groups(
+            lambda g: partial_top2(g.drop(columns=["_gb"])),
+            batch_format="pandas",
+        )
+    )
 
 
 _register(
