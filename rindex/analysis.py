@@ -237,6 +237,83 @@ def porter_stem_filter(toks: list[str]) -> list[str]:
     return [porter_stem(t) for t in toks]
 
 
+def ascii_fold(text: str) -> str:
+    """ASCIIFoldingFilter analog (accent-folding subset: NFD decompose +
+    drop combining marks — 'café' -> 'cafe', 'Åland' -> 'Aland').  Matches
+    the SQL oracle's strip_accents semantics exactly; the reference's full
+    Latin-1 ligature table (æ->ae etc.) is out of this subset and ligature
+    chars pass through unchanged on BOTH sides.  Reference:
+    `lucene/analysis/common/.../miscellaneous/ASCIIFoldingFilter.java`."""
+    import unicodedata
+
+    if text.isascii():  # hot-path: corpus text is ASCII
+        return text
+    return "".join(
+        c for c in unicodedata.normalize("NFD", text)
+        if not unicodedata.combining(c)
+    )
+
+
+def trim_filter(toks: list[str]) -> list[str]:
+    """TrimFilter analog — strips surrounding whitespace from tokens
+    (meaningful with the keyword tokenizer; the standard tokenizer never
+    emits whitespace).  `lucene/analysis/common/.../miscellaneous/
+    TrimFilter.java`."""
+    return [t.strip() for t in toks]
+
+
+def keyword_tokenize(text: str) -> list[str]:
+    """KeywordTokenizer analog: the whole input as ONE token
+    (`lucene/core/.../analysis/core/KeywordTokenizer.java`)."""
+    return [text]
+
+
+def make_mapping_char_filter(
+    mapping: dict[str, str]
+) -> Callable[[str], str]:
+    """MappingCharFilter analog: longest-match-first literal rewrites over
+    the char stream, applied in one pass with a compiled alternation (so a
+    shorter key can never pre-empt a longer one at the same position).
+    `lucene/analysis/common/.../charfilter/MappingCharFilter.java`."""
+    keys = sorted(mapping, key=len, reverse=True)
+    rx = re.compile("|".join(re.escape(k) for k in keys))
+    return lambda text: rx.sub(lambda m: mapping[m.group(0)], text)
+
+
+def make_char_ngram_tokenizer(
+    min_n: int, max_n: int
+) -> Callable[[str], list[str]]:
+    """NGramTokenizer analog (char n-grams).  Documented simplification:
+    grams are emitted within each lowercase alphanumeric run (the
+    reference's default token chars), shortest-first per position.
+    `lucene/analysis/common/.../ngram/NGramTokenizer.java`."""
+
+    def tok(text: str) -> list[str]:
+        out = []
+        for run in _TOKEN_RE.findall(text.lower()):
+            for n in range(min_n, max_n + 1):
+                out.extend(
+                    run[i : i + n] for i in range(0, len(run) - n + 1)
+                )
+        return out
+
+    return tok
+
+
+def english_minimal_stem(w: str) -> str:
+    """EnglishMinimalStemFilter analog — S-stemmer: strip one final 's'
+    unless the word is shorter than 3 chars or ends in 'ss'/'us'
+    (`lucene/analysis/common/.../en/EnglishMinimalStemFilter.java`,
+    EnglishMinimalStemmer)."""
+    if len(w) < 3 or not w.endswith("s") or w[-2] in ("s", "u"):
+        return w
+    return w[:-1]
+
+
+def english_minimal_stem_filter(toks: list[str]) -> list[str]:
+    return [english_minimal_stem(t) for t in toks]
+
+
 def make_synonym_filter(
     mapping: dict[str, str]
 ) -> Callable[[list[str]], list[str]]:
@@ -248,6 +325,17 @@ def make_synonym_filter(
 
 ANALYZERS: dict[str, Analyzer] = {
     "standard": Analyzer(name="standard"),
+    "ascii_folding": Analyzer(
+        name="ascii_folding", char_filters=[ascii_fold]
+    ),
+    "keyword_trim": Analyzer(
+        name="keyword_trim",
+        tokenizer=keyword_tokenize,
+        token_filters=[trim_filter],
+    ),
+    "en_minimal_stem": Analyzer(
+        name="en_minimal_stem", token_filters=[english_minimal_stem_filter]
+    ),
 }
 
 

@@ -589,3 +589,185 @@ ORACLE["train_test_split_documents"] = f"""
           FROM (SELECT n_chars, md5(doc_id::VARCHAR) AS h FROM documents))
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Remaining analysis-chain factories (VERDICT r1 item 8): ASCIIFolding,
+# MappingCharFilter, char NGramTokenizer, EnglishMinimalStem, Keyword+Trim —
+# each registered in ANALYZERS (rindex/analysis.py) and exercised through a
+# DuckDB-oracled op here.
+# ---------------------------------------------------------------------------
+
+# apostrophe-aware token regex twin of the analyzer's (SQL-literal form)
+APOS_SQL_RE = "[0-9a-z]+(?:''[0-9a-z]+)*"
+
+
+def q_ascii_fold_topterms_documents(sf_dir: str):
+    """ASCIIFoldingFilter: top terms after accent folding (analyzer
+    'ascii_folding').  Corpus text is ASCII so folding is the identity
+    HERE; the accent behavior itself is pinned by tests/test_analysis.py
+    against strip_accents semantics."""
+    from collections import Counter
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    an = get_analyzer("ascii_folding")
+
+    def count(texts):
+        c = Counter()
+        for x in texts:
+            c.update(an.tokens(x or ""))
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+QUERIES["ascii_fold_topterms_documents"] = q_ascii_fold_topterms_documents
+ORACLE["ascii_fold_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(strip_accents(lower(text)),
+                                       '{APOS_SQL_RE}')) AS term
+      FROM documents)
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+# longest-match-first demo mapping: 'hash join' must win over 'hash' at the
+# same position; replacements deliberately contain no mapping key so the
+# one-pass python rewrite and the SQL replace() chain agree
+MAPPING_RULES = {"hash join": "hjoin", "hash": "hmap"}
+
+
+def q_mapping_charfilter_topterms_documents(sf_dir: str):
+    """MappingCharFilter: top terms after longest-match-first literal
+    rewrites of the char stream."""
+    from collections import Counter
+
+    from rindex.analysis import make_mapping_char_filter, standard_tokenize
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    mcf = make_mapping_char_filter(MAPPING_RULES)
+
+    def count(texts):
+        c = Counter()
+        for x in texts:
+            c.update(standard_tokenize(mcf((x or "").lower())))
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+QUERIES["mapping_charfilter_topterms_documents"] = (
+    q_mapping_charfilter_topterms_documents
+)
+ORACLE["mapping_charfilter_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(
+               replace(replace(lower(text), 'hash join', 'hjoin'),
+                       'hash', 'hmap'),
+               '{APOS_SQL_RE}')) AS term
+      FROM documents)
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+CHAR_NGRAM_N = 3
+
+
+def q_char_ngram_topterms_documents(sf_dir: str):
+    """Char NGramTokenizer: top character 3-grams (grams within each
+    alphanumeric run, the tokenizer's default token chars)."""
+    from collections import Counter
+
+    from rindex.analysis import make_char_ngram_tokenizer
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    tok = make_char_ngram_tokenizer(CHAR_NGRAM_N, CHAR_NGRAM_N)
+
+    def count(texts):
+        c = Counter()
+        for x in texts:
+            c.update(tok(x or ""))
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+QUERIES["char_ngram_topterms_documents"] = q_char_ngram_topterms_documents
+ORACLE["char_ngram_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest([substring(tok, i, {CHAR_NGRAM_N})
+                     FOR i IN range(1, len(tok) - {CHAR_NGRAM_N - 2})]) AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS tok
+            FROM documents)
+      WHERE len(tok) >= {CHAR_NGRAM_N})
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_minimal_stem_topterms_documents(sf_dir: str):
+    """EnglishMinimalStemFilter (S-stemmer): top terms after plural
+    stripping (analyzer 'en_minimal_stem')."""
+    from collections import Counter
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    an = get_analyzer("en_minimal_stem")
+
+    def count(texts):
+        c = Counter()
+        for x in texts:
+            c.update(an.tokens(x or ""))
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+QUERIES["minimal_stem_topterms_documents"] = q_minimal_stem_topterms_documents
+ORACLE["minimal_stem_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT CASE WHEN len(t) >= 3 AND t LIKE '%s'
+                       AND t NOT LIKE '%ss' AND t NOT LIKE '%us'
+                  THEN substring(t, 1, len(t) - 1) ELSE t END AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_keyword_trim_documents(sf_dir: str):
+    """KeywordTokenizer + TrimFilter (analyzer 'keyword_trim'): the whole
+    field as one trimmed token — the untokenized-string-field shape."""
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    an = get_analyzer("keyword_trim")
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        m = ids < 50
+        kws = [an.tokens(x or "")[0] for x, keep
+               in zip(t["text"].to_pylist(), m) if keep]
+        return pa.table(
+            {"doc_id": pa.array(ids[m]), "keyword": pa.array(kws)}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["keyword_trim_documents"] = q_keyword_trim_documents
+ORACLE["keyword_trim_documents"] = """
+    SELECT doc_id, trim(text) AS keyword FROM documents WHERE doc_id < 50
+"""

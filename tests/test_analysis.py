@@ -93,3 +93,53 @@ def test_synonym_filter():
 
     syn = make_synonym_filter({"fast": "quick"})
     assert syn(["fast", "join", "fast"]) == ["quick", "join", "quick"]
+
+
+def test_ascii_fold_matches_strip_accents():
+    import duckdb
+
+    from rindex.analysis import ascii_fold
+
+    samples = ["café", "Åland îles", "naïve—test", "ASCII stays", "ß æ œ"]
+    for s in samples:
+        want = duckdb.sql(
+            "SELECT strip_accents(?)", params=[s]
+        ).fetchone()[0]
+        assert ascii_fold(s) == want, s
+
+
+def test_mapping_char_filter_longest_match_first():
+    from rindex.analysis import make_mapping_char_filter
+
+    mcf = make_mapping_char_filter({"hash join": "hjoin", "hash": "hmap"})
+    assert mcf("hash join hash x hash joint") == "hjoin hmap x hjoint"
+    # replaced spans are not rescanned (one pass)
+    mcf2 = make_mapping_char_filter({"ab": "b", "b": "c"})
+    assert mcf2("abb") == "bc"
+
+
+def test_char_ngram_tokenizer():
+    from rindex.analysis import make_char_ngram_tokenizer
+
+    tok = make_char_ngram_tokenizer(3, 3)
+    assert tok("Scan X") == ["sca", "can"]  # runs split at non-alnum; 'x' too short
+    tok23 = make_char_ngram_tokenizer(2, 3)
+    assert tok23("abc") == ["ab", "bc", "abc"]
+
+
+def test_english_minimal_stem():
+    from rindex.analysis import english_minimal_stem as st
+
+    assert st("tables") == "table"
+    assert st("rows") == "row"
+    assert st("class") == "class"   # -ss kept
+    assert st("status") == "status" # -us kept
+    assert st("is") == "is"         # too short
+    assert st("run") == "run"       # no trailing s
+
+
+def test_keyword_trim_analyzer():
+    from rindex.analysis import get_analyzer
+
+    an = get_analyzer("keyword_trim")
+    assert an.tokens("  Hello World \n") == ["Hello World"]
