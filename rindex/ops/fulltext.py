@@ -822,6 +822,88 @@ ORACLE["query_string_search_documents"] = f"""
 """
 
 
+QS_EXT_QUERY = 'join^2 scan "hash join"^1.5 -dup lang:en source:src13'
+
+
+def q_query_string_extended_documents(sf_dir: str):
+    """Extended query-string surface end-to-end (the ExtendedDismaxQParser
+    slice the engine supports — reference: `solr/core/src/java/org/apache/
+    solr/search/ExtendedDismaxQParser.java`, classic QueryParser boost /
+    phrase syntax): per-term boosts (`join^2`), a scored quoted-phrase
+    SHOULD clause (`"hash join"^1.5`, PhraseWeight semantics: tf = phrase
+    freq, df = phrase-match count), a MUST_NOT term and TWO ANDed field
+    filters, all in one parsed query on the positional index."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher, parse_query_string
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    q = parse_query_string(QS_EXT_QUERY, k=TOP_K)
+    hits = s.search_query(q)
+    return pd.DataFrame(
+        {
+            "rank": pd.array([h[0] for h in hits], dtype="int32"),
+            "doc_id": [h[1] for h in hits],
+            "score": [round(h[2], 6) for h in hits],
+        }
+    )
+
+
+QUERIES["query_string_extended_documents"] = q_query_string_extended_documents
+ORACLE["query_string_extended_documents"] = f"""
+    WITH {_bm25_ctes()},
+    tscores AS (
+      SELECT tf.doc_id,
+             sum((CASE WHEN tf.term = 'join' THEN 2.0 ELSE 1.0 END)
+                 * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM tf JOIN df USING (term) JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.term IN ('join', 'scan')
+      GROUP BY tf.doc_id
+    ),
+    pf AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(l)),
+                             i -> l[i] = 'hash'
+                              AND l[i + 1] = 'join'))::BIGINT AS phrase_freq
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents)
+    ),
+    pmatches AS (SELECT * FROM pf WHERE phrase_freq > 0),
+    pstats AS (SELECT count(*)::DOUBLE AS df_phrase FROM pmatches),
+    pscores AS (
+      SELECT m.doc_id,
+             1.5 * ln(1.0 + (s.n_docs - p.df_phrase + 0.5)
+                            / (p.df_phrase + 0.5))
+                 * m.phrase_freq
+                 / (m.phrase_freq
+                    + {K1} * (1.0 - {B} + {B} * lo.ldl / s.avgdl)) AS s
+      FROM pmatches m
+      JOIN lossy lo USING (doc_id)
+      CROSS JOIN stats s CROSS JOIN pstats p
+    ),
+    allscores AS (
+      SELECT doc_id, sum(s) AS s
+      FROM (SELECT * FROM tscores UNION ALL SELECT * FROM pscores)
+      GROUP BY doc_id
+    ),
+    banned AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'),
+    ranked AS (
+      SELECT a.doc_id, a.s,
+             (row_number() OVER (ORDER BY a.s DESC, a.doc_id ASC) - 1)::INTEGER
+               AS rank
+      FROM allscores a JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' AND d.source = 'src13'
+        AND a.doc_id NOT IN (SELECT doc_id FROM banned)
+    )
+    SELECT rank, doc_id, round(s, 6) AS score
+    FROM ranked WHERE rank < {TOP_K}
+"""
+
+
 COMPOSITE_TERM = "window"
 
 

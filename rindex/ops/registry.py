@@ -23,6 +23,9 @@ def _modules():
 # exercises them this round.  Purely an ordering hint — every op is always
 # present either way.
 _SAMPLE_FIRST = [
+    "query_string_extended_documents", "ascii_fold_topterms_documents",
+    "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
+    "minimal_stem_topterms_documents", "keyword_trim_documents",
     "classic_sim_topk_documents", "multimodal_decode_features",
     "multimodal_resize_plan", "multimodal_frame_sample",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",

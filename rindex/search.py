@@ -63,10 +63,29 @@ class Query:
     # (non-scoring — reference: BooleanWeight + ReqExclScorer,
     # `lucene/core/src/java/org/apache/lucene/search/ReqExclScorer.java`)
     exclude: list[str] = None  # type: ignore[assignment]
-    # FILTER clause on a stored field: (column, value) — matches must have
-    # docs.parquet[column] == value; contributes no score (the `fq` /
-    # BooleanClause.Occur.FILTER analog)
-    field_filter: tuple[str, str] | None = None
+    # FILTER clause(s) on stored fields: (column, value) or a list of them
+    # (ANDed) — matches must have docs.parquet[column] == value for every
+    # clause; contributes no score (the `fq` / BooleanClause.Occur.FILTER
+    # analog)
+    field_filter: tuple[str, str] | list[tuple[str, str]] | None = None
+    # per-term boost weights (`term^2` QueryParser syntax): the summed
+    # boost over a term's occurrences replaces its duplicate-clause
+    # multiplicity in scoring (BoostQuery semantics —
+    # `lucene/core/src/java/org/apache/lucene/search/BoostQuery.java`)
+    boosts: dict[str, float] | None = None
+    # quoted-phrase SHOULD clauses: (analyzed terms, boost).  Scored like
+    # PhraseWeight (tf = phrase freq, df = docs containing the phrase) and
+    # summed with the term clauses; in "and" mode each phrase is required.
+    phrases: list[tuple[list[str], float]] | None = None
+
+
+def _filters_list(q: "Query") -> list[tuple[str, str]]:
+    ff = q.field_filter
+    if ff is None:
+        return []
+    if isinstance(ff, tuple) and len(ff) == 2 and isinstance(ff[0], str):
+        return [ff]
+    return list(ff)
 
 
 def parse_query(text: str, qtype: str = "or", k: int = 10, analyzer_name: str = "standard") -> Query:
@@ -78,63 +97,105 @@ def parse_query(text: str, qtype: str = "or", k: int = 10, analyzer_name: str = 
 def parse_query_string(
     qs: str, k: int = 10, analyzer_name: str = "standard"
 ) -> Query:
-    """Mini query-string parser (the lucene-QParser surface subset that the
-    engine supports — reference: `solr/core/src/java/org/apache/solr/
-    search/LuceneQParserPlugin.java`, classic QueryParser syntax):
+    """Mini query-string parser (the lucene-QParser surface subset the
+    engine supports — reference: classic QueryParser syntax,
+    `solr/core/src/java/org/apache/solr/search/LuceneQParserPlugin.java` +
+    `ExtendedDismaxQParser.java` for the boost/phrase surface):
 
       term term        -> OR of analyzed terms (SHOULD)
-      +term            -> required; if ANY + clause is present the whole
-                          positive term set is evaluated as a conjunction
-                          (documented simplification of MUST+SHOULD mixing:
-                          the engine's AND mode requires every scored term)
+      +term            -> required; if ANY + clause is present ALL scored
+                          clauses (terms and phrases) are evaluated as a
+                          conjunction (documented simplification of
+                          MUST+SHOULD mixing: the engine's AND mode
+                          requires every scored clause)
       -term            -> MUST_NOT (non-scoring exclusion)
-      field:value      -> FILTER clause on a stored field (non-scoring;
-                          a leading '+' is accepted and redundant).  The
-                          engine supports ONE filter clause — a second
-                          raises ValueError rather than silently dropping
-                          the first.
-
-    Quoted phrases are not parsed here — use search_phrase directly."""
+      term^2.5         -> boost: the term's weight multiplier; duplicate
+                          occurrences of a term sum their boosts
+                          (duplicate SHOULD-clause semantics)
+      "a phrase"[^B]   -> exact-phrase SHOULD clause, scored like
+                          PhraseQuery (tf = phrase freq), optional boost
+      field:value      -> FILTER clause on a stored field (non-scoring; a
+                          leading '+' is accepted and redundant).  Multiple
+                          filters AND together."""
     analyzer = get_analyzer(analyzer_name)
-    terms: list[str] = []
+    weights: dict[str, float] = {}
+    order: list[str] = []
     exclude: list[str] = []
-    field_filter = None
+    phrases: list[tuple[list[str], float]] = []
+    filters: list[tuple[str, str]] = []
     has_required = False
-    for tok in qs.split():
-        body = tok[1:] if tok[:1] in "+-" else tok
+
+    def add_term(t: str, boost: float) -> None:
+        if t not in weights:
+            order.append(t)
+            weights[t] = 0.0
+        weights[t] += boost
+
+    for m in re.finditer(r'([+-]?)(?:"([^"]*)"(?:\^([0-9.]+))?|(\S+))', qs):
+        prefix, phrase, pboost, tok = m.groups()
+        if phrase is not None:
+            if prefix == "-":
+                raise ValueError(
+                    f"negated phrase not supported: {m.group(0)!r}"
+                )
+            if prefix == "+":
+                has_required = True
+            pterms = analyzer.tokens(phrase)
+            if not pterms:
+                raise ValueError(f"empty phrase: {m.group(0)!r}")
+            if len(pterms) == 1:  # one-word "phrase" is just a term
+                add_term(pterms[0], float(pboost) if pboost else 1.0)
+            else:
+                phrases.append((pterms, float(pboost) if pboost else 1.0))
+            continue
+        body = tok
+        boost = 1.0
+        if "^" in body:
+            head, _, tail = body.rpartition("^")
+            if head and re.fullmatch(r"[0-9.]+", tail):
+                if prefix == "-":
+                    raise ValueError(
+                        f"boost on a MUST_NOT clause is meaningless: "
+                        f"{m.group(0)!r}"
+                    )
+                body, boost = head, float(tail)
         is_field = False
         if ":" in body and not body.startswith(":"):
             col_, val_ = body.split(":", 1)
-            # only identifier-shaped field names with a non-URL-ish value are
-            # filters — '12:30' or 'http://x' must stay query text, not
+            # only identifier-shaped field names with a non-URL-ish value
+            # are filters — '12:30' or 'http://x' must stay query text, not
             # become a filter on a nonexistent stored column
             is_field = bool(
                 re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col_)
             ) and val_ != "" and not val_.startswith("/")
         if is_field:
-            if tok.startswith("-"):
+            if prefix == "-":
                 raise ValueError(
-                    f"negated field filter not supported: {tok!r}"
+                    f"negated field filter not supported: {m.group(0)!r}"
                 )
-            if field_filter is not None:
+            if boost != 1.0:
                 raise ValueError(
-                    f"only one field:value filter supported, got second {tok!r}"
+                    f"boost on a filter clause is meaningless: "
+                    f"{m.group(0)!r}"
                 )
-            col, val = body.split(":", 1)
-            field_filter = (col, val)
-        elif tok.startswith("-") and len(tok) > 1:
-            exclude.extend(analyzer.tokens(tok[1:]))
-        elif tok.startswith("+") and len(tok) > 1:
-            has_required = True
-            terms.extend(analyzer.tokens(tok[1:]))
+            filters.append(tuple(body.split(":", 1)))
+        elif prefix == "-" and body:
+            exclude.extend(analyzer.tokens(body))
         else:
-            terms.extend(analyzer.tokens(tok))
+            if prefix == "+" and body:
+                has_required = True
+            for t in analyzer.tokens(body):
+                add_term(t, boost)
+    ff: tuple | list | None
+    ff = filters[0] if len(filters) == 1 else (filters or None)
     return Query(
-        terms=terms,
+        terms=order,
         mode="and" if has_required else "or",
         k=k,
         exclude=exclude or None,
-        field_filter=field_filter,
+        field_filter=ff,
+        boosts=weights or None,
+        phrases=phrases or None,
     )
 
 
@@ -364,6 +425,10 @@ class IndexSearcher:
             if t not in mult:
                 order.append(t)
             mult[t] = mult.get(t, 0) + 1
+        if q.boosts:
+            # parser-supplied weights: summed per-occurrence boosts replace
+            # the raw duplicate count (BoostQuery semantics)
+            mult = {t: q.boosts.get(t, m) for t, m in mult.items()}
         df = self.global_df(order)
         if q.mode == "and" and any(df[t] == 0 for t in order):
             return [], mult, df
@@ -375,11 +440,12 @@ class IndexSearcher:
         (ReqExclScorer + filter-clause semantics: non-scoring).  Cached per
         (exclude-set, filter) on the reader — the repeated-query cost is
         otherwise an O(max_doc) complement rebuild per query."""
-        if not q.exclude and q.field_filter is None:
+        filters = _filters_list(q)
+        if not q.exclude and not filters:
             return None
         key = (
             tuple(sorted(set(q.exclude))) if q.exclude else (),
-            q.field_filter,
+            tuple(filters),
         )
         if not hasattr(reader, "_banned_cache"):
             reader._banned_cache = {}
@@ -393,8 +459,7 @@ class IndexSearcher:
                 row = posts.get(t)
                 if row is not None:
                     parts.append(reader.decoded(t, row)[0])
-        if q.field_filter is not None:
-            col, val = q.field_filter
+        for col, val in filters:  # ANDed: each filter bans its complement
             allowed = reader.docs_matching(col, val)
             parts.append(
                 np.setdiff1d(
@@ -697,6 +762,10 @@ class IndexSearcher:
         # searcher-default path
         algo = algo or self.algo
         order, mult, df = self._term_plan(q)
+        if q.mode == "and" and q.terms and not order:
+            return []  # a required term is absent corpus-wide
+        if q.phrases:
+            return self._search_with_phrases(q, order, mult, df)
         if not order:
             return []
         idf_map = {t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order}
@@ -724,6 +793,104 @@ class IndexSearcher:
         cands.sort(key=lambda x: (-x[0],) + tuple(x[1]))
         return [
             (rank, *idt, score) for rank, (score, idt) in enumerate(cands[: q.k])
+        ]
+
+    def _phrase_plan(self, q: Query):
+        """Per phrase clause: clause weight (idf from df = global
+        phrase-match count, times the parsed boost — the PhraseWeight
+        contract: docFreq comes from the phrase's own matches) plus the
+        per-segment sparse matches.  Returns None when an absent phrase
+        makes an AND query empty; OR-mode absent phrases are dropped."""
+        plan = []
+        for pterms, boost in q.phrases:
+            seg: dict[int, tuple] = {}
+            df_p = 0
+            for si, reader in enumerate(self.readers):
+                docs, freqs, norms = self._segment_phrase(reader, pterms)
+                df_p += len(docs)
+                if docs:
+                    seg[si] = (
+                        np.asarray(docs, dtype=np.int64),
+                        np.asarray(freqs, dtype=np.float64),
+                        np.asarray(norms, dtype=np.uint8),
+                    )
+            if df_p == 0:
+                if q.mode == "and":
+                    return None
+                continue
+            w = float(self.sim.term_weight(df_p, self.n_docs)) * boost
+            plan.append((w, seg))
+        return plan
+
+    def _search_with_phrases(self, q: Query, order, mult, df) -> list[tuple]:
+        """Combined term + phrase scoring: phrase clauses force the dense
+        exhaustive kernel (WAND's per-block bounds can't see phrase
+        contributions), each phrase adding sim.score(w_p, phrase_freq,
+        norm) on its matching docs; in AND mode every scored clause (term
+        or phrase) is required — the engine's documented MUST semantics."""
+        plan = self._phrase_plan(q)
+        if plan is None or (not order and not plan):
+            return []
+        idf_map = {
+            t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order
+        }
+        is_and = q.mode == "and"
+        cands = []
+        for si, reader in enumerate(self.readers):
+            posts = reader.postings_for(order) if order else {}
+            acc = np.zeros(reader.max_doc, dtype=np.float64)
+            hits = np.zeros(reader.max_doc, dtype=np.int64) if is_and else None
+            matched = np.zeros(reader.max_doc, dtype=bool)
+            present = 0
+            for t in order:
+                row = posts.get(t)
+                if row is None:
+                    continue
+                present += 1
+                d, tf_arr, nrm = reader.decoded(t, row)
+                acc[d] += self.sim.score(
+                    idf_map[t] * mult[t],
+                    tf_arr.astype(np.float64),
+                    self.cache[nrm],
+                )
+                matched[d] = True
+                if is_and:
+                    hits[d] += 1
+            seg_all_phrases = True
+            for w, seg in plan:
+                got = seg.get(si)
+                if got is None:
+                    seg_all_phrases = False
+                    continue
+                docs_p, pf, nrm_p = got
+                acc[docs_p] += self.sim.score(w, pf, self.cache[nrm_p])
+                matched[docs_p] = True
+                if is_and:
+                    hits[docs_p] += 1
+            if is_and and (present < len(order) or not seg_all_phrases):
+                continue
+            banned = self._banned_for(reader, q)
+            if is_and:
+                if banned is not None and len(banned):
+                    hits[banned] = -(10**9)
+                cand = np.nonzero(hits >= len(order) + len(plan))[0]
+            else:
+                if banned is not None and len(banned):
+                    matched[banned] = False
+                cand = np.nonzero(matched)[0]
+            if len(cand) == 0:
+                continue
+            scores = acc[cand]
+            cand, scores = _topk_preselect(cand, scores, q.k)
+            sel = np.lexsort((cand, -scores))[: q.k]
+            cand, scores = cand[sel], scores[sel]
+            ids = reader.fetch_ids(cand, self.id_cols)
+            for d, s in zip(cand, scores):
+                cands.append((float(s), ids[int(d)]))
+        cands.sort(key=lambda x: (-x[0],) + tuple(x[1]))
+        return [
+            (rank, *idt, score)
+            for rank, (score, idt) in enumerate(cands[: q.k])
         ]
 
     def explain(self, text: str, id_values: tuple, mode: str = "or") -> dict:

@@ -156,6 +156,90 @@ def test_query_string_parser():
     assert q.terms == ["scan"] and q.mode == "or" and q.exclude == ["dup"]
 
 
+def test_query_string_parser_extended():
+    import pytest
+
+    from rindex.search import parse_query_string
+
+    # boosts: ^N multiplies the term weight; duplicates sum their boosts
+    q = parse_query_string("join^2 scan join^0.5")
+    assert q.terms == ["join", "scan"]
+    assert q.boosts == {"join": 2.5, "scan": 1.0}
+
+    # quoted phrase clauses (with optional boost); one-word phrase folds
+    # into a plain term
+    q = parse_query_string('"hash join"^1.5 scan "merge"')
+    assert q.phrases == [(["hash", "join"], 1.5)]
+    assert q.terms == ["scan", "merge"]
+
+    # multiple field filters AND together
+    q = parse_query_string("scan lang:en source:src13")
+    assert q.field_filter == [("lang", "en"), ("source", "src13")]
+
+    # '+' on a phrase makes the whole query a conjunction
+    q = parse_query_string('+"hash join" scan')
+    assert q.mode == "and" and q.phrases == [(["hash", "join"], 1.0)]
+
+    # non-field-shaped ':' tokens stay query text (12:30, URLs)
+    q = parse_query_string("meeting 12:30")
+    assert q.field_filter is None and "12" in q.terms
+
+    for bad in ['-"hash join"', "-term^2", "lang:en^2", '""']:
+        with pytest.raises(ValueError):
+            parse_query_string(bad)
+
+
+def test_query_string_phrase_scoring(ray_session, tmp_path):
+    """Combined term+phrase query == hand-composed scores from the two
+    standalone paths (term search + search_phrase_topk), in both modes."""
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher, parse_query_string
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "qs-pos-idx")
+    build_index(
+        src, idx, num_segments=4, mode="term_shuffle", id_cols=("doc_id",),
+        text_col="text", keep_cols=("lang",), with_positions=True,
+    )
+    s = IndexSearcher(idx)
+    big = 10**6
+
+    # reference composition: score maps from the standalone kernels
+    term_hits = {
+        h[1]: h[2] for h in s.search("scan", k=big, algo="exhaustive")
+    }
+    boosted = {d: 2.0 * v for d, v in term_hits.items()}
+    phr_hits = {h[1]: h[3] for h in s.search_phrase_topk("hash join", k=big)}
+
+    # OR: union of clauses, scores sum where both match
+    got = s.search_query(parse_query_string('scan^2 "hash join"', k=big))
+    want = {
+        d: boosted.get(d, 0.0) + phr_hits.get(d, 0.0)
+        for d in set(boosted) | set(phr_hits)
+    }
+    assert {h[1]: round(h[2], 9) for h in got} == {
+        d: round(v, 9) for d, v in want.items()
+    }
+
+    # AND: both clauses required
+    got = s.search_query(parse_query_string('+scan^2 +"hash join"', k=big))
+    both = set(boosted) & set(phr_hits)
+    assert {h[1] for h in got} == both
+    for _r, d, sc in got:
+        assert abs(sc - (boosted[d] + phr_hits[d])) < 1e-12
+
+    # phrase-only query works (no term clauses at all)
+    got = s.search_query(parse_query_string('"hash join"', k=big))
+    assert {h[1]: round(h[2], 9) for h in got} == {
+        d: round(v, 9) for d, v in phr_hits.items()
+    }
+
+    # absent required phrase -> empty; absent OR phrase -> terms only
+    assert s.search_query(parse_query_string('+"zz qq"', k=5)) == []
+    got = s.search_query(parse_query_string('scan "zz qq"', k=big))
+    assert {h[1] for h in got} == set(term_hits)
+
+
 def test_explain_matches_search_score(ray_session, tmp_path):
     from rindex.build import build_index
     from rindex.search import IndexSearcher
