@@ -9,12 +9,12 @@ def _modules():
     # would pass vacuously on the remainder
     from rindex.ops import (
         analysis_ext, ann, dedup, fulltext, loaders, multimodal,
-        relational, search_ext, sketches, textstats,
+        relational, search_ext, sketches, streams, textstats,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
-        search_ext, loaders, analysis_ext, sketches,
+        search_ext, loaders, analysis_ext, sketches, streams,
     ]
 
 
@@ -23,6 +23,7 @@ def _modules():
 # exercises them this round.  Purely an ordering hint — every op is always
 # present either way.
 _SAMPLE_FIRST = [
+    "merge_join_orders_customers", "merge_left_outer_customer_orders",
     "query_string_extended_documents", "ascii_fold_topterms_documents",
     "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
     "minimal_stem_topterms_documents", "keyword_trim_documents",
