@@ -1,0 +1,310 @@
+"""Stream evaluators (SURVEY.md §2.8): the scalar evaluator surface of the
+reference's streaming expressions, vectorized over Arrow batches.
+
+Reference: `solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/*.java`
+(AddEvaluator, IfThenElseEvaluator, ArcTangentEvaluator, ...) wired through
+`Lang.java`'s function registry; `SelectStream.java` applies them per tuple.
+Here each evaluator is a numpy / pyarrow.compute kernel applied per BATCH
+(never per row), and `select_eval()` is the SelectStream analog: a
+map_batches stage computing new columns from parsed expression strings.
+
+Expression syntax (the streaming-expression scalar subset):
+
+    round(mult(l_extendedprice, sub(1, l_discount)), 2)
+    if(gt(l_quantity, 25), "big", "small")
+
+identifiers = column refs, numbers = literals, double-quoted = string
+literals, `name(...)` = evaluator call.  Unknown evaluators and columns
+fail loudly at parse/eval time.
+
+The matrix/ML evaluator families (~100 of the reference's ~150) are out of
+scope per SURVEY.md §2.8 — the registry below is the extension hook.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rindex.ops.util import read_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Expression parser (tiny recursive-descent; no eval())
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<num>-?\d+\.?\d*(?:[eE][+-]?\d+)?) |
+        (?P<str>"[^"]*") |
+        (?P<ident>[A-Za-z_][A-Za-z0-9_]*) |
+        (?P<punct>[(),])
+    )""",
+    re.X,
+)
+
+
+def parse_expr(s: str):
+    """Parse an evaluator expression into ('call',name,args) / ('col',name)
+    / ('lit',value) nodes."""
+    toks = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip():
+                raise ValueError(f"bad token at {s[pos:]!r} in {s!r}")
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        toks.append((kind, m.group(kind)))
+
+    def parse(i):
+        kind, val = toks[i]
+        if kind == "num":
+            return ("lit", float(val) if "." in val or "e" in val.lower() else int(val)), i + 1
+        if kind == "str":
+            return ("lit", val[1:-1]), i + 1
+        if kind == "ident":
+            if i + 1 < len(toks) and toks[i + 1] == ("punct", "("):
+                name, args, j = val, [], i + 2
+                if toks[j] == ("punct", ")"):
+                    return ("call", name, args), j + 1
+                while True:
+                    node, j = parse(j)
+                    args.append(node)
+                    if toks[j] == ("punct", ")"):
+                        return ("call", name, args), j + 1
+                    if toks[j] != ("punct", ","):
+                        raise ValueError(f"expected ',' or ')' in {s!r}")
+                    j += 1
+            return ("col", val), i + 1
+        raise ValueError(f"unexpected {val!r} in {s!r}")
+
+    try:
+        node, end = parse(0)
+    except IndexError:
+        raise ValueError(f"unexpected end of expression in {s!r}") from None
+    if end != len(toks):
+        raise ValueError(f"trailing tokens in {s!r}")
+    return node
+
+
+# ---------------------------------------------------------------------------
+# Evaluator registry — every kernel is whole-array numpy / Arrow compute
+# ---------------------------------------------------------------------------
+
+def _variadic(fn):
+    def g(*xs):
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = fn(acc, x)
+        return acc
+
+    return g
+
+
+def _if(cond, a, b):
+    return np.where(np.asarray(cond, dtype=bool), a, b)
+
+
+def _str_arr(x):
+    # normalize scalars / numpy arrays to an Arrow string array for pc kernels
+    if isinstance(x, pa.ChunkedArray):
+        return x.combine_chunks()
+    if isinstance(x, pa.Array):
+        return x
+    if isinstance(x, np.ndarray):
+        return pa.array(x)
+    return x  # python scalar
+
+
+def _concat(*xs):
+    n = max(len(x) for x in xs if hasattr(x, "__len__"))
+    arrs = [
+        _str_arr(x) if hasattr(x, "__len__") and not isinstance(x, str)
+        else pa.array(np.full(n, x, dtype=object))
+        for x in xs
+    ]
+    return pc.binary_join_element_wise(*arrs, "")
+
+
+EVALUATORS: dict = {
+    # arithmetic (AddEvaluator, SubtractEvaluator, MultiplyEvaluator, ...)
+    "add": _variadic(np.add),
+    "sub": _variadic(np.subtract),
+    "mult": _variadic(np.multiply),
+    "div": np.divide,
+    "mod": np.mod,
+    "pow": np.power,
+    "abs": np.abs,
+    "ceiling": np.ceil,
+    "floor": np.floor,
+    "round": lambda x, n=0: np.round(x, int(n) if np.isscalar(n) else 0),
+    "sqrt": np.sqrt,
+    "cbrt": np.cbrt,
+    "exp": np.exp,
+    "log": np.log,        # NaturalLogEvaluator
+    "log10": np.log10,
+    # trig (SineEvaluator ... HyperbolicTangentEvaluator)
+    "sin": np.sin, "cos": np.cos, "tan": np.tan,
+    "asin": np.arcsin, "acos": np.arccos, "atan": np.arctan,
+    "atan2": np.arctan2,
+    "sinh": np.sinh, "cosh": np.cosh, "tanh": np.tanh,
+    # comparison (GreaterThanEvaluator, EqualToEvaluator, ...)
+    "gt": np.greater, "gteq": np.greater_equal,
+    "lt": np.less, "lteq": np.less_equal,
+    "eq": np.equal, "neq": np.not_equal,
+    # boolean (AndEvaluator, OrEvaluator, NotEvaluator, ExclusiveOrEvaluator)
+    "and": _variadic(np.logical_and),
+    "or": _variadic(np.logical_or),
+    "not": np.logical_not,
+    "eor": np.logical_xor,
+    # conditional (IfThenElseEvaluator, CoalesceEvaluator)
+    "if": _if,
+    "coalesce": lambda a, b: np.where(pd.isna(a), b, a),
+    # string (ConcatEvaluator, UpperEvaluator, LowerEvaluator, TrimEvaluator,
+    # LengthEvaluator) — Arrow kernels, zero-copy in
+    "concat": _concat,
+    "upper": lambda x: pc.utf8_upper(_str_arr(x)),
+    "lower": lambda x: pc.utf8_lower(_str_arr(x)),
+    "trim": lambda x: pc.utf8_trim_whitespace(_str_arr(x)),
+    "length": lambda x: pc.utf8_length(_str_arr(x)).to_numpy(),
+}
+
+
+def eval_node(node, cols: dict):
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "col":
+        if node[1] not in cols:
+            raise KeyError(f"unknown column {node[1]!r}")
+        return cols[node[1]]
+    _, name, args = node
+    if name not in EVALUATORS:
+        raise KeyError(f"unknown evaluator {name!r}")
+    return EVALUATORS[name](*(eval_node(a, cols) for a in args))
+
+
+def select_eval(ds, exprs: dict[str, str], keep: list[str] | None = None):
+    """SelectStream analog: add `name=expr` columns per Arrow batch; `keep`
+    optionally projects the output (expression columns always kept)."""
+    asts = {name: parse_expr(e) for name, e in exprs.items()}
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {
+            c: t[c].to_numpy(zero_copy_only=False) for c in t.schema.names
+        }
+        for name, ast in asts.items():
+            out = eval_node(ast, cols)
+            arr = out if isinstance(out, (pa.Array, pa.ChunkedArray)) else pa.array(out)
+            t = t.append_column(name, arr) if name not in t.schema.names else (
+                t.set_column(t.schema.get_field_index(name), name, arr)
+            )
+            cols[name] = out if isinstance(out, np.ndarray) else arr.to_numpy(
+                zero_copy_only=False
+            )
+        if keep is not None:
+            t = t.select(list(dict.fromkeys(keep + list(asts))))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+def q_eval_select_lineitem(sf_dir: str):
+    """select(... evaluators ...) -> rollup: discounted price and an
+    if/gt bucket computed by the evaluator engine, then a grouped sum
+    (SelectStream + RollupStream composition)."""
+    from ray.data.aggregate import Count, Sum
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_extendedprice", "l_discount", "l_quantity"]
+    )
+    sel = select_eval(
+        li,
+        {
+            "disc_price": "mult(l_extendedprice, sub(1, l_discount))",
+            "bucket": 'if(gt(l_quantity, 25), "big", "small")',
+        },
+        keep=[],
+    )
+    out = (
+        sel.groupby("bucket")
+        .aggregate(Count(alias_name="n"), Sum("disc_price", alias_name="sum_disc"))
+        .to_pandas()
+    )
+    out["sum_disc"] = out["sum_disc"].round(2)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+QUERIES["eval_select_lineitem"] = q_eval_select_lineitem
+ORACLE["eval_select_lineitem"] = """
+    SELECT CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS bucket,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc
+    FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_eval_math_funcs_events(sf_dir: str):
+    """The math-evaluator family end-to-end (sqrt/log/atan2/tanh/abs/round)
+    over the events stream, row-parallel, output bounded by a pre-filter."""
+    ev = read_table(sf_dir, "events", ["event_id", "value"])
+    sel = select_eval(
+        ev.filter(expr="event_id < 2000"),
+        {
+            "s": "round(sqrt(abs(value)), 6)",
+            "l": "round(log(add(abs(value), 1)), 6)",
+            "t": "round(atan2(value, 2.0), 6)",
+            "h": "round(tanh(div(value, 100)), 6)",
+        },
+        keep=["event_id"],
+    )
+    return sel.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+QUERIES["eval_math_funcs_events"] = q_eval_math_funcs_events
+ORACLE["eval_math_funcs_events"] = """
+    SELECT event_id,
+           round(sqrt(abs(value)), 6) AS s,
+           round(ln(abs(value) + 1), 6) AS l,
+           round(atan2(value, 2.0), 6) AS t,
+           -- this duckdb build has no tanh(); exp identity, same 6-decimal round
+           round((exp(2 * value / 100) - 1) / (exp(2 * value / 100) + 1), 6) AS h
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
+def q_eval_string_funcs_documents(sf_dir: str):
+    """String-evaluator family (concat/upper/trim/length) over documents."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang", "source", "text"])
+    sel = select_eval(
+        docs.filter(expr="doc_id < 3000"),
+        {
+            "tag": 'concat(upper(lang), "-", trim(source))',
+            "text_len": "length(text)",
+        },
+        keep=["doc_id"],
+    )
+    return sel.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["eval_string_funcs_documents"] = q_eval_string_funcs_documents
+ORACLE["eval_string_funcs_documents"] = """
+    SELECT doc_id,
+           concat(upper(lang), '-', trim(source)) AS tag,
+           length(text) AS text_len
+    FROM documents WHERE doc_id < 3000 ORDER BY doc_id
+"""

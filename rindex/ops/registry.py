@@ -8,13 +8,13 @@ def _modules():
     # whole module's ops from the driver's query set and verification
     # would pass vacuously on the remainder
     from rindex.ops import (
-        analysis_ext, ann, dedup, fulltext, loaders, multimodal,
-        relational, search_ext, sketches, streams, textstats,
+        analysis_ext, ann, dedup, evaluators, fulltext, loaders,
+        multimodal, relational, search_ext, sketches, streams, textstats,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
-        search_ext, loaders, analysis_ext, sketches, streams,
+        search_ext, loaders, analysis_ext, sketches, streams, evaluators,
     ]
 
 
@@ -24,6 +24,8 @@ def _modules():
 # present either way.
 _SAMPLE_FIRST = [
     "merge_join_orders_customers", "merge_left_outer_customer_orders",
+    "eval_select_lineitem", "eval_math_funcs_events",
+    "eval_string_funcs_documents",
     "query_string_extended_documents", "ascii_fold_topterms_documents",
     "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
     "minimal_stem_topterms_documents", "keyword_trim_documents",

@@ -1,0 +1,80 @@
+"""Evaluator-engine unit tests: parser shapes, kernel correctness,
+variadic/boolean/conditional semantics, loud failure on unknown names."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rindex.ops.evaluators import EVALUATORS, eval_node, parse_expr, select_eval
+
+
+def _ev(expr, **cols):
+    return eval_node(parse_expr(expr), {k: np.asarray(v) for k, v in cols.items()})
+
+
+def test_parser_shapes():
+    assert parse_expr("add(a, 1)") == ("call", "add", [("col", "a"), ("lit", 1)])
+    assert parse_expr('"x y"') == ("lit", "x y")
+    assert parse_expr("-2.5e3") == ("lit", -2500.0)
+    with pytest.raises(ValueError):
+        parse_expr("add(a,")  # unbalanced
+    with pytest.raises(ValueError):
+        parse_expr("add(a) b")  # trailing tokens
+
+
+def test_arithmetic_and_variadic():
+    np.testing.assert_allclose(
+        _ev("add(a, mult(b, 2), 1)", a=[1.0, 2.0], b=[10.0, 20.0]), [22.0, 43.0]
+    )
+    np.testing.assert_allclose(_ev("pow(a, 2)", a=[3.0, 4.0]), [9.0, 16.0])
+    np.testing.assert_allclose(
+        _ev("round(div(a, 3), 2)", a=[1.0, 2.0]), [0.33, 0.67]
+    )
+
+
+def test_boolean_conditional():
+    out = _ev('if(and(gt(a, 1), lt(a, 4)), "mid", "edge")', a=[0, 2, 3, 9])
+    assert list(out) == ["edge", "mid", "mid", "edge"]
+    assert list(_ev("eor(gt(a, 0), gt(a, 2))", a=[1, 3, -1])) == [True, False, False]
+    assert list(_ev("not(eq(a, 2))", a=[2, 5])) == [False, True]
+
+
+def test_trig_matches_numpy():
+    x = np.linspace(-2, 2, 9)
+    np.testing.assert_array_equal(_ev("atan2(a, 2.0)", a=x), np.arctan2(x, 2.0))
+    np.testing.assert_array_equal(_ev("tanh(a)", a=x), np.tanh(x))
+
+
+def test_string_kernels():
+    out = _ev('concat(upper(a), "-", trim(b))', a=["ab", "cd"], b=[" x ", "y"])
+    assert out.to_pylist() == ["AB-x", "CD-y"]
+    assert list(_ev("length(a)", a=["abc", ""])) == [3, 0]
+
+
+def test_unknown_names_fail_loud():
+    with pytest.raises(KeyError, match="unknown evaluator"):
+        _ev("nosuch(a)", a=[1])
+    with pytest.raises(KeyError, match="unknown column"):
+        _ev("add(zzz, 1)", a=[1])
+
+
+def test_select_eval_over_dataset(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"x": [1.0, 2.0, 3.0], "name": ["a", "b", "c"]})
+    out = select_eval(
+        rd.from_pandas(df).repartition(2),
+        {"y": "mult(x, x)", "tag": 'concat(upper(name), "!")'},
+        keep=["x"],
+    ).to_pandas().sort_values("x").reset_index(drop=True)
+    assert list(out.columns) == ["x", "y", "tag"]
+    np.testing.assert_allclose(out["y"], [1.0, 4.0, 9.0])
+    assert out["tag"].tolist() == ["A!", "B!", "C!"]
+
+
+def test_registry_is_the_extension_hook():
+    EVALUATORS["plus1"] = lambda x: np.asarray(x) + 1
+    try:
+        assert list(_ev("plus1(a)", a=[1, 2])) == [2, 3]
+    finally:
+        del EVALUATORS["plus1"]
