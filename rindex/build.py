@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import os
 import zlib
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -52,7 +53,9 @@ import pyarrow.parquet as pq
 
 from rindex.analysis import get_analyzer
 from rindex.codec import encode_norms, encode_posting
-from rindex.schema import BLOCK_SIZE, DEFAULT_NUM_SEGMENTS, SALT_RANGE
+from rindex.schema import (
+    BLOCK_SIZE, DEFAULT_NUM_SEGMENTS, POSITION_INCREMENT_GAP, SALT_RANGE,
+)
 from rindex import segments as segio
 
 TERMS_PER_ROW_GROUP = 1024  # postings.parquet row-group size -> term pruning
@@ -175,6 +178,14 @@ def _make_tokenize_partials_vec(salt_range: int | None):
         texts = batch["text"]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        if pa.types.is_list(texts.type) or pa.types.is_large_list(texts.type):
+            # multi-valued text: for a NON-positional build, joining values
+            # with one space is tf/dl-identical to per-value tokenization
+            # (the standard tokenizer never merges tokens across a space),
+            # so the hot vectorized path stays vectorized for multi-valued
+            # corpora too; positional builds route to the general path
+            # where the position gap applies
+            texts = pc.fill_null(pc.binary_join(texts, " "), "")
         # null text rows tokenize as empty (the Python path's `text or ""`)
         texts = pc.fill_null(texts, "")
         low = pc.utf8_lower(texts)
@@ -302,7 +313,19 @@ def _make_tokenize_partials(
         analyzer = get_analyzer(analyzer_name)
         segs = batch["seg"].to_numpy()
         docs = batch["doc"].to_numpy()
-        texts = pc.utf8_lower(batch["text"]).to_pylist()
+        ttype = batch["text"].type
+        multivalued = pa.types.is_list(ttype) or pa.types.is_large_list(ttype)
+        if multivalued:
+            # multi-valued text field (Solr multiValued=true TextField):
+            # each row is a LIST of values; tokens concatenate across
+            # values, positions jump by POSITION_INCREMENT_GAP between
+            # values (phrases can't match across value boundaries —
+            # `lucene/core/src/java/org/apache/lucene/document/FieldType.java`
+            # positionIncrementGap), dl = total token count (gaps don't
+            # contribute to norms)
+            texts = batch["text"].to_pylist()
+        else:
+            texts = pc.utf8_lower(batch["text"]).to_pylist()
         # accumulate per (seg, term, salt): lists of (doc, tf[, positions])
         acc: dict[tuple[int, str, int], list] = {}
         dls = np.zeros(len(texts), dtype=np.int64)
@@ -310,18 +333,24 @@ def _make_tokenize_partials(
             s = int(segs[i])
             d = int(docs[i])
             salt = -1 if salt_range is None else d // salt_range
+            values = (text or []) if multivalued else [text]
             if with_positions:
-                toks = analyzer.tokens(text or "")
-                dls[i] = len(toks)
                 per_term: dict[str, list[int]] = {}
-                for p, term in enumerate(toks):
-                    per_term.setdefault(term, []).append(p)
+                pos_off = 0
+                for v in values:
+                    toks = analyzer.tokens(v or "")
+                    dls[i] += len(toks)
+                    for p, term in enumerate(toks):
+                        per_term.setdefault(term, []).append(pos_off + p)
+                    pos_off += len(toks) + POSITION_INCREMENT_GAP
                 for term, plist in per_term.items():
                     acc.setdefault((s, term, salt), []).append(
                         (d, len(plist), plist)
                     )
             else:
-                tf = analyzer.term_freqs(text or "")
+                tf: Counter = Counter()
+                for v in values:
+                    tf.update(analyzer.term_freqs(v or ""))
                 dls[i] = sum(tf.values())
                 for term, f in tf.items():
                     acc.setdefault((s, term, salt), []).append((d, f))

@@ -9,12 +9,14 @@ def _modules():
     # would pass vacuously on the remainder
     from rindex.ops import (
         analysis_ext, ann, dedup, evaluators, fulltext, loaders,
-        multimodal, relational, search_ext, sketches, streams, textstats,
+        multimodal, nested, relational, search_ext, sketches, streams,
+        textstats,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
+        nested,
     ]
 
 
@@ -23,6 +25,7 @@ def _modules():
 # exercises them this round.  Purely an ordering hint — every op is always
 # present either way.
 _SAMPLE_FIRST = [
+    "block_join_topk_threads", "multivalued_filter_topk",
     "merge_join_orders_customers", "merge_left_outer_customer_orders",
     "eval_select_lineitem", "eval_math_funcs_events",
     "eval_string_funcs_documents",

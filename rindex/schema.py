@@ -117,3 +117,8 @@ TOPK_SCHEMA = pa.schema(
         ("score", pa.float64()),
     ]
 )
+
+# Positions jump by this between values of a multi-valued text field, so
+# phrases/proximity can't match across value boundaries (Lucene FieldType
+# positionIncrementGap; Solr TextField default).
+POSITION_INCREMENT_GAP: int = 100

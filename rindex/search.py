@@ -44,6 +44,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from rindex.analysis import get_analyzer
@@ -322,13 +323,73 @@ class _SegmentReader:
             self._filter_cache: dict = {}
         key = (column, str(value))
         if key not in self._filter_cache:
+            path = os.path.join(self.sdir, "docs.parquet")
+            ftype = pq.read_schema(path).field(column).type
+            if pa.types.is_list(ftype) or pa.types.is_large_list(ftype):
+                # multi-valued stored field (Solr multiValued=true): a doc
+                # matches when ANY element equals the value.  Flatten once,
+                # map match positions back to docs via the list offsets —
+                # no per-row Python.
+                tbl = pq.read_table(path, columns=["doc", column])
+                la = tbl[column].combine_chunks()
+                offsets = la.offsets.to_numpy()
+                pos = np.nonzero(
+                    pc.equal(la.flatten(), value).to_numpy(
+                        zero_copy_only=False
+                    )
+                )[0]
+                rows = np.unique(
+                    np.searchsorted(offsets, pos, side="right") - 1
+                )
+                self._filter_cache[key] = (
+                    tbl["doc"].to_numpy()[rows].astype(np.int64)
+                )
+            else:
+                tbl = pq.read_table(
+                    path, columns=["doc"], filters=[(column, "==", value)]
+                )
+                self._filter_cache[key] = tbl["doc"].to_numpy().astype(np.int64)
+        return self._filter_cache[key]
+
+    def parent_blocks(self, parent_col: str):
+        """(block_last_doc asc, parent_values) — the per-segment parent
+        bitset of block-join search, derived from the index's resident doc
+        order and cached on the reader (the BitSetProducer/
+        CachingWrapperFilter analog, `lucene/join/src/java/org/apache/
+        lucene/search/join/QueryBitSetProducer.java`).  Valid only when the
+        index was built parent-first (parent_col == id_cols[0]): docs are
+        sorted by id_cols, so each parent's children form one contiguous
+        docID run — Lucene's index-time block contract.  Fails loud on a
+        non-contiguous layout instead of returning wrong joins."""
+        if not hasattr(self, "_blocks_cache"):
+            self._blocks_cache: dict = {}
+        if parent_col not in self._blocks_cache:
             tbl = pq.read_table(
                 os.path.join(self.sdir, "docs.parquet"),
-                columns=["doc"],
-                filters=[(column, "==", value)],
+                columns=["doc", parent_col],
             )
-            self._filter_cache[key] = tbl["doc"].to_numpy().astype(np.int64)
-        return self._filter_cache[key]
+            docs = tbl["doc"].to_numpy()
+            vals = tbl[parent_col].to_numpy(zero_copy_only=False)
+            if len(vals) == 0:
+                self._blocks_cache[parent_col] = (
+                    np.zeros(0, dtype=np.int64), vals
+                )
+                return self._blocks_cache[parent_col]
+            change = np.nonzero(vals[1:] != vals[:-1])[0]
+            starts = np.concatenate([[0], change + 1])
+            last = docs[np.concatenate([change, [len(vals) - 1]])].astype(
+                np.int64
+            )
+            pvals = vals[starts]
+            if len(np.unique(pvals)) != len(pvals):
+                raise ValueError(
+                    f"parent_blocks: {parent_col!r} runs are not contiguous "
+                    f"in {self.sdir} — build the index with "
+                    f"id_cols=({parent_col!r}, ...) so children share one "
+                    "docID block"
+                )
+            self._blocks_cache[parent_col] = (last, pvals)
+        return self._blocks_cache[parent_col]
 
     def fetch_ids(self, docs: np.ndarray, id_cols: list[str]) -> dict:
         """doc -> tuple(id values), reading only needed row groups (docs are
@@ -471,7 +532,11 @@ class IndexSearcher:
             reader._banned_cache[key] = banned
         return banned
 
-    def _search_segment_exhaustive(self, reader, q, order, mult, idf_map, k):
+    def _segment_match_scores(self, reader, q, order, mult, idf_map):
+        """ALL matching (docs, scores) of a segment, unranked — the dense
+        accumulator shared by the exhaustive top-k kernel and block join
+        (which must see every matching child, not a top-k cut).  Scores sum
+        in query-term order: bit-identical across every consumer."""
         posts = reader.postings_for(order)
         is_and = q.mode == "and"
         acc = np.zeros(reader.max_doc, dtype=np.float64)
@@ -503,7 +568,12 @@ class IndexSearcher:
             cand = np.nonzero(acc)[0]
         if len(cand) == 0:
             return cand, np.zeros(0)
-        scores = acc[cand]
+        return cand, acc[cand]
+
+    def _search_segment_exhaustive(self, reader, q, order, mult, idf_map, k):
+        cand, scores = self._segment_match_scores(reader, q, order, mult, idf_map)
+        if len(cand) == 0:
+            return cand, scores
         cand, scores = _topk_preselect(cand, scores, k)
         sel = np.lexsort((cand, -scores))[:k]
         return cand[sel], scores[sel]
@@ -793,6 +863,72 @@ class IndexSearcher:
         cands.sort(key=lambda x: (-x[0],) + tuple(x[1]))
         return [
             (rank, *idt, score) for rank, (score, idt) in enumerate(cands[: q.k])
+        ]
+
+    def search_block_join(
+        self,
+        text: str,
+        parent_col: str,
+        k: int = 10,
+        mode: str = "or",
+        score_mode: str = "max",
+    ) -> list[tuple]:
+        """ToParentBlockJoinQuery over real index blocks: score every
+        matching CHILD doc (dense kernel, no top-k cut), map each child to
+        its parent block via the segment's cached parent boundaries, and
+        aggregate child scores per parent with ScoreMode `max`/`total`/
+        `avg`/`none` (reference: `lucene/join/src/java/org/apache/lucene/
+        search/join/ToParentBlockJoinQuery.java` BlockJoinScorer).  Returns
+        [(rank, parent_value, score, n_children_matched)] — ties break
+        score desc then parent asc, the TopDocs#merge discipline.  Blocks
+        never span segments (the build hash-partitions on id_cols[0]), so
+        the global merge is a flat top-k over per-segment parent rows."""
+        if score_mode not in ("max", "total", "avg", "none"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        q = Query(
+            terms=get_analyzer(self.analyzer_name).tokens(text),
+            mode=mode,
+            k=k,
+        )
+        order, mult, df = self._term_plan(q)
+        if not order:
+            return []
+        idf_map = {
+            t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order
+        }
+        pvals_all, scores_all, counts_all = [], [], []
+        for reader in self.readers:
+            cand, scores = self._segment_match_scores(
+                reader, q, order, mult, idf_map
+            )
+            if len(cand) == 0:
+                continue
+            last, pvals = reader.parent_blocks(parent_col)
+            b = np.searchsorted(last, cand, side="left")
+            nb = len(last)
+            cnt = np.bincount(b, minlength=nb)
+            if score_mode in ("total", "avg"):
+                agg = np.bincount(b, weights=scores, minlength=nb)
+                if score_mode == "avg":
+                    agg = np.divide(agg, cnt, out=np.zeros(nb), where=cnt > 0)
+            elif score_mode == "max":
+                agg = np.full(nb, -np.inf)
+                np.maximum.at(agg, b, scores)
+            else:  # none: parent matches, score carries no child signal
+                agg = np.zeros(nb)
+            hit = np.nonzero(cnt)[0]
+            pvals_all.append(pvals[hit])
+            scores_all.append(agg[hit])
+            counts_all.append(cnt[hit])
+        if not pvals_all:
+            return []
+        pv = np.concatenate(pvals_all)
+        sc = np.concatenate(scores_all)
+        ct = np.concatenate(counts_all)
+        sel = np.lexsort((pv, -sc))[:k]
+        return [
+            (rank, pv[i], float(sc[i]), int(ct[i]))
+            for rank, i in enumerate(sel)
         ]
 
     def _phrase_plan(self, q: Query):
