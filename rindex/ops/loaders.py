@@ -118,3 +118,68 @@ ORACLE["csv_loader_events"] = """
            max(event_id)::BIGINT AS max_id
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def _ensure_sql_db(sf_dir: str) -> str:
+    """events.parquet -> a DuckDB database file (once, cached) — the
+    stand-in for the reference's JDBC source (DataImportHandler /
+    JdbcDataSource, `solr/contrib/dataimporthandler/src/java/org/apache/
+    solr/handler/dataimport/JdbcDataSource.java`).  No network in this
+    environment, so the "database server" is a local DuckDB file; the
+    Ray-side shape (read_sql + connection factory per read task, sharded
+    by key range) is the real one."""
+    import duckdb
+
+    d = _cache_dir(sf_dir)
+    dbpath = os.path.join(d, "events.duckdb")
+    done = os.path.join(d, "_DONE_SQL")
+    if not os.path.exists(done):
+        tmp = dbpath + f".tmp-{os.getpid()}"
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        con = duckdb.connect(tmp)
+        con.execute(
+            "CREATE TABLE events AS SELECT event_id, event_type, user_id, "
+            f"value FROM read_parquet('{os.path.join(sf_dir, 'events.parquet')}')"
+        )
+        con.close()
+        os.replace(tmp, dbpath)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return dbpath
+
+
+def q_sql_loader_events(sf_dir: str):
+    """JDBC-ingest analog: `ray.data.read_sql` with a per-task connection
+    factory against the cached DuckDB file, sharded into key-range queries
+    so the read parallelizes like a JDBC partitioned import (numPartitions/
+    partitionColumn semantics), then the standard facet pipeline."""
+    import duckdb
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    dbpath = _ensure_sql_db(sf_dir)
+
+    def factory():
+        return duckdb.connect(dbpath, read_only=True)
+
+    ds = rd.read_sql(
+        "SELECT event_type, value FROM events", factory, shard_keys=["event_id"]
+    )
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(), Sum("value"))
+        .to_pandas()
+        .rename(columns={"count()": "n", "sum(value)": "sum_value"})
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["sql_loader_events"] = q_sql_loader_events
+ORACLE["sql_loader_events"] = """
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""

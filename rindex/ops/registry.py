@@ -28,7 +28,7 @@ _SAMPLE_FIRST = [
     "block_join_topk_threads", "multivalued_filter_topk",
     "merge_join_orders_customers", "merge_left_outer_customer_orders",
     "eval_select_lineitem", "eval_math_funcs_events",
-    "eval_string_funcs_documents",
+    "eval_string_funcs_documents", "sql_loader_events",
     "query_string_extended_documents", "ascii_fold_topterms_documents",
     "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
     "minimal_stem_topterms_documents", "keyword_trim_documents",
