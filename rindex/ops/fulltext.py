@@ -628,6 +628,72 @@ def q_highlight_documents(sf_dir: str):
 QUERIES["highlight_documents"] = q_highlight_documents
 
 
+def _highlight_oracle_sql() -> str:
+    """Snippets ARE SQL-expressible: the window selection is a windowed
+    sum over unnested tokens and the snippet a string_agg over the chosen
+    range — so the op is fully oracle-backed, strings included (the
+    VERDICT r1 'doc-set half only' suggestion, extended to the whole op)."""
+    terms = ",".join(f"'{t}'" for t in HL_QUERY.split())
+    q_vals = ",".join(f"('{t}')" for t in HL_QUERY.split())
+    w = HL_WINDOW
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES {q_vals}),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    top AS (
+      SELECT doc_id,
+             (row_number() OVER (ORDER BY s DESC, doc_id ASC) - 1)::INTEGER
+               AS rank
+      FROM scores ORDER BY s DESC, doc_id ASC LIMIT 10
+    ),
+    marked AS (
+      SELECT d.doc_id,
+             unnest(regexp_extract_all(lower(d.text), '{TOKEN_SQL_RE}')) AS tok,
+             generate_subscripts(
+               regexp_extract_all(lower(d.text), '{TOKEN_SQL_RE}'), 1) AS pos
+      FROM documents d JOIN top USING (doc_id)
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN tok IN ({terms}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS cnt,
+             count(*) OVER (PARTITION BY doc_id) AS n_toks
+      FROM marked
+    ),
+    best AS (
+      SELECT doc_id, pos AS bpos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, pos ASC) AS rn
+        FROM wins WHERE pos <= greatest(n_toks - {w - 1}, 1)
+      ) WHERE rn = 1
+    ),
+    snip AS (
+      SELECT m.doc_id, string_agg(m.tok, ' ' ORDER BY m.pos) AS snippet
+      FROM marked m
+      JOIN best b ON m.doc_id = b.doc_id
+                 AND m.pos BETWEEN b.bpos AND b.bpos + {w - 1}
+      GROUP BY m.doc_id
+    )
+    SELECT t.rank, t.doc_id, s.snippet
+    FROM top t JOIN snip s USING (doc_id)
+    """
+
+
+ORACLE["highlight_documents"] = _highlight_oracle_sql()
+
+
 PROX_A, PROX_B, PROX_WINDOW = "hash", "scan", 5
 
 
