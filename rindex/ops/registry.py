@@ -8,7 +8,7 @@ def _modules():
     # whole module's ops from the driver's query set and verification
     # would pass vacuously on the remainder
     from rindex.ops import (
-        analysis_ext, ann, dedup, evaluators, fulltext, loaders,
+        analysis_ext, ann, dedup, dismax, evaluators, fulltext, loaders,
         multimodal, nested, relational, search_ext, sketches, streams,
         textstats,
     )
@@ -16,7 +16,7 @@ def _modules():
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
-        nested,
+        nested, dismax,
     ]
 
 
@@ -26,6 +26,7 @@ def _modules():
 # present either way.
 _SAMPLE_FIRST = [
     "block_join_topk_threads", "multivalued_filter_topk",
+    "dismax_qf_documents", "highlight_documents",
     "merge_join_orders_customers", "merge_left_outer_customer_orders",
     "eval_select_lineitem", "eval_math_funcs_events",
     "eval_string_funcs_documents", "sql_loader_events",

@@ -1290,6 +1290,124 @@ class IndexSearcher:
         return pa.table(out)
 
 
+class DisMaxSearcher:
+    """Multi-field dismax search (Solr qf + tie): per query term, a
+    DisjunctionMaxQuery over field-scoped term queries — score = max over
+    fields + tie * (sum of the other fields) — summed across terms
+    (reference: `lucene/core/src/java/org/apache/lucene/search/
+    DisjunctionMaxQuery.java` + `solr/core/src/java/org/apache/solr/
+    search/DisMaxQParser.java` qf/tie params).
+
+    Each field is its own index (Lucene keeps per-field postings, norms
+    and stats separately — FieldInfos/per-field terms dictionaries); the
+    indexes are doc-aligned by construction when built with the same
+    id_cols/num_segments over the same rows (docID assignment depends on
+    nothing else), which __init__ verifies per segment.  Per-field idf,
+    dl, avgdl — exactly Lucene's per-field stats."""
+
+    def __init__(
+        self,
+        field_dirs: dict[str, str],
+        qf: dict[str, float] | None = None,
+        tie: float = 0.0,
+        similarity: str = "bm25",
+    ):
+        if not field_dirs:
+            raise ValueError("DisMaxSearcher needs at least one field")
+        self.fields = list(field_dirs)
+        self.searchers = {
+            f: IndexSearcher(d, similarity=similarity)
+            for f, d in field_dirs.items()
+        }
+        self.qf = {f: float((qf or {}).get(f, 1.0)) for f in self.fields}
+        self.tie = float(tie)
+        first = self.searchers[self.fields[0]]
+        self.id_cols = first.id_cols
+        self.analyzer_name = first.analyzer_name
+        for f in self.fields[1:]:
+            s = self.searchers[f]
+            if s.id_cols != first.id_cols or len(s.readers) != len(
+                first.readers
+            ):
+                raise ValueError(
+                    f"field index {f!r} is not aligned with "
+                    f"{self.fields[0]!r} (id_cols/num_segments differ)"
+                )
+            for a, b in zip(first.readers, s.readers):
+                if a.max_doc != b.max_doc:
+                    raise ValueError(
+                        f"field index {f!r} segment {a.sdir} doc count "
+                        "differs — indexes must be built over the same rows"
+                    )
+
+    def search(self, text: str, k: int = 10) -> list[tuple]:
+        """[(rank, *id_cols, score)] — OR across terms (dismax mm=0)."""
+        terms_all = get_analyzer(self.analyzer_name).tokens(text)
+        order: list[str] = []
+        mult: dict[str, int] = {}
+        for t in terms_all:
+            if t not in mult:
+                order.append(t)
+            mult[t] = mult.get(t, 0) + 1
+        # per-field stats: idf from the FIELD's df and doc count
+        idf: dict[str, dict[str, float]] = {}
+        for f in self.fields:
+            s = self.searchers[f]
+            df = s.global_df(order)
+            idf[f] = {
+                t: float(s.sim.term_weight(df[t], s.n_docs)) * self.qf[f]
+                for t in order
+                if df[t] > 0
+            }
+        order = [t for t in order if any(t in idf[f] for f in self.fields)]
+        if not order:
+            return []
+        first = self.searchers[self.fields[0]]
+        cands = []
+        for seg_i in range(len(first.readers)):
+            max_doc = first.readers[seg_i].max_doc
+            acc = np.zeros(max_doc, dtype=np.float64)
+            dense = np.zeros(max_doc, dtype=np.float64)  # reused per (t,f)
+            for t in order:
+                m = np.zeros(max_doc, dtype=np.float64)
+                ssum = np.zeros(max_doc, dtype=np.float64)
+                present = False
+                for f in self.fields:
+                    w = idf[f].get(t)
+                    if w is None:
+                        continue
+                    s = self.searchers[f]
+                    reader = s.readers[seg_i]
+                    row = reader.postings_for([t]).get(t)
+                    if row is None:
+                        continue
+                    present = True
+                    d, tf_arr, nrm = reader.decoded(t, row)
+                    sc = s.sim.score(
+                        w * mult[t], tf_arr.astype(np.float64), s.cache[nrm]
+                    )
+                    dense[:] = 0.0
+                    dense[d] = sc
+                    np.maximum(m, dense, out=m)
+                    ssum += dense
+                if present:
+                    acc += m + self.tie * (ssum - m)
+            cand = np.nonzero(acc)[0]
+            if len(cand) == 0:
+                continue
+            scores = acc[cand]
+            cand, scores = _topk_preselect(cand, scores, k)
+            sel = np.lexsort((cand, -scores))[:k]
+            cand, scores = cand[sel], scores[sel]
+            ids = first.readers[seg_i].fetch_ids(cand, self.id_cols)
+            for d, sc in zip(cand, scores):
+                cands.append((float(sc), ids[int(d)]))
+        cands.sort(key=lambda x: (-x[0],) + tuple(x[1]))
+        return [
+            (rank, *idt, score) for rank, (score, idt) in enumerate(cands[:k])
+        ]
+
+
 class QuerySearcher:
     """Actor-pool stage: serve query batches against one index (manifest +
     term caches held per actor — the `SolrIndexSearcher` + query-cache
