@@ -7,9 +7,11 @@ maxMergedSegmentMB=5120, floorSegmentMB=2): segments are binned into size
 tiers; when a tier exceeds segsPerTier, candidate merges of up to
 maxMergeAtOnce size-adjacent segments are scored by size skew (more-uniform
 merges score better, cheaper amortized write cost) with a mild penalty on
-total merged size, and the best non-overlapping candidates run.  Deletes-%
-scoring is not needed here: our deletes exist only as same-(conv_id,
-turn_idx) supersession across generations, resolved during the merge itself.
+total merged size, and the best non-overlapping candidates run.  Deletes are
+resolved during the merge itself: same-(conv_id, turn_idx) supersession
+across generations, plus explicit live-docs sidecars (`rindex.deletes`)
+whose deleted docs every merge expunges; `run_merges(expunge=True)` is the
+forceMergeDeletes path that rewrites deletes-bearing slots unconditionally.
 
 PARTITIONING ASSUMPTION (explicit, per build brief): merges only combine
 segments of the SAME hash slot (seg_id) across generations — a conversation
@@ -130,6 +132,23 @@ class TieredMergePolicy:
                 merges.append(group)
         return merges
 
+    def find_expunge_merges(self, manifest: dict) -> list[list[dict]]:
+        """forceMergeDeletes semantics (TieredMergePolicy
+        #findForcedDeletesMerges): every slot carrying deletes is rewritten
+        — including single-segment slots, where the 1-member "merge" is
+        exactly the rewrite that drops the deleted docs."""
+        slots: dict[int, list[dict]] = {}
+        for m in manifest["segments"]:
+            slots.setdefault(int(m["seg_id"]), []).append(m)
+        merges = []
+        for _slot, metas in sorted(slots.items()):
+            if any(int(m.get("del_count", 0) or 0) > 0 for m in metas):
+                group = sorted(metas, key=self._size, reverse=True)[
+                    : self.max_merge_at_once
+                ]
+                merges.append(group)
+        return merges
+
     def find_merges(self, manifest: dict) -> list[list[dict]]:
         slots: dict[int, list[dict]] = {}
         for m in manifest["segments"]:
@@ -207,6 +226,19 @@ def merge_segments(
     for m in members:
         sdir = segio.seg_dir(index_dir, seg_id, int(m.get("gen", 0)))
         t = pq.read_table(os.path.join(sdir, "docs.parquet"))
+        dg = int(m.get("del_gen", 0) or 0)
+        if dg > 0:
+            # expunge soft deletes: drop the member's deleted docs here, so
+            # stored fields, postings (via the remap's -1 default) and every
+            # recomputed statistic exclude them — the forceMergeDeletes
+            # rewrite (`lucene/core/src/java/org/apache/lucene/index/
+            # TieredMergePolicy.java#findForcedDeletesMerges`)
+            dd = pq.read_table(
+                os.path.join(sdir, f"_liv-g{dg}.parquet")
+            )["doc"].to_numpy()
+            t = t.filter(
+                pa.array(np.isin(t["doc"].to_numpy(), dd, invert=True))
+            )
         t = t.append_column(
             "_gen", pa.array(np.full(t.num_rows, _ver(m), np.int32))
         )
@@ -344,6 +376,7 @@ def run_merges(
     policy: TieredMergePolicy | None = None,
     concurrency: int | None = None,
     force: bool = False,
+    expunge: bool = False,
 ) -> dict:
     """Find + execute merges, publish the new manifest atomically.  Merge
     tasks run as a Dataset pipeline over merge specs (one task per merge,
@@ -353,11 +386,12 @@ def run_merges(
 
     policy = policy or TieredMergePolicy()
     manifest = segio.read_manifest(index_dir)
-    merges = (
-        policy.find_forced_merges(manifest)
-        if force
-        else policy.find_merges(manifest)
-    )
+    if expunge:
+        merges = policy.find_expunge_merges(manifest)
+    elif force:
+        merges = policy.find_forced_merges(manifest)
+    else:
+        merges = policy.find_merges(manifest)
     if not merges:
         return manifest
     cfg = manifest["config"]

@@ -1120,10 +1120,18 @@ def q_realtime_get_documents(sf_dir: str):
     for r in s.readers:
         t = pq.read_table(
             os.path.join(r.sdir, "docs.parquet"),
-            columns=["doc_id", "lang", "source"],
+            columns=["doc", "doc_id", "lang", "source"],
             filters=[("doc_id", "in", list(RTG_IDS))],
         )
-        rows.append(t.to_pandas())
+        dd = r.deleted_docs()
+        if dd is not None and t.num_rows:
+            import numpy as np
+            import pyarrow as pa
+
+            t = t.filter(
+                pa.array(np.isin(t["doc"].to_numpy(), dd, invert=True))
+            )
+        rows.append(t.drop_columns(["doc"]).to_pandas())
     out = pd.concat(rows, ignore_index=True)
     return out.sort_values("doc_id").reset_index(drop=True)
 

@@ -314,6 +314,33 @@ class _SegmentReader:
             self._decoded_bytes += nbytes
         return out
 
+    def deleted_docs(self) -> np.ndarray | None:
+        """Seg-local deleted doc ordinals (the liveDocs COMPLEMENT — the
+        reference keeps a live bitset per segment, `lucene/core/src/java/
+        org/apache/lucene/index/PendingDeletes.java` +
+        `codecs/lucene50/Lucene50LiveDocsFormat.java` generation files);
+        deletes are soft sidecars, the segment files stay immutable and
+        index stats (df/ttf/avgdl/maxDoc) stay STALE until an expunging
+        merge rewrites the segment — exactly the reference's semantics.
+        None when the segment has no deletes (the common fast path)."""
+        if not hasattr(self, "_deleted"):
+            dg = int(self.meta.get("del_gen", 0) or 0)
+            if dg <= 0:
+                self._deleted = None
+            else:
+                path = os.path.join(self.sdir, f"_liv-g{dg}.parquet")
+                self._deleted = (
+                    pq.read_table(path)["doc"].to_numpy().astype(np.int64)
+                )
+        return self._deleted
+
+    def drop_deleted(self, docs: np.ndarray) -> np.ndarray:
+        """Filter seg-local doc ordinals to live docs only."""
+        dd = self.deleted_docs()
+        if dd is None or len(docs) == 0:
+            return docs
+        return docs[np.isin(docs, dd, invert=True)]
+
     def docs_matching(self, column: str, value) -> np.ndarray:
         """Seg-local doc ordinals whose stored field `column` == value
         (FILTER-clause support; cached per (column, value) — the
@@ -502,8 +529,9 @@ class IndexSearcher:
         (exclude-set, filter) on the reader — the repeated-query cost is
         otherwise an O(max_doc) complement rebuild per query."""
         filters = _filters_list(q)
+        deleted = reader.deleted_docs()
         if not q.exclude and not filters:
-            return None
+            return deleted
         key = (
             tuple(sorted(set(q.exclude))) if q.exclude else (),
             tuple(filters),
@@ -513,7 +541,9 @@ class IndexSearcher:
         hit = reader._banned_cache.get(key)
         if hit is not None:
             return hit
-        parts = []
+        # deletes ban like MUST_NOT: constant per reader generation, so
+        # caching the union under the (exclude, filter) key stays valid
+        parts = [] if deleted is None else [deleted]
         if q.exclude:
             posts = reader.postings_for(sorted(set(q.exclude)))
             for t in sorted(set(q.exclude)):
@@ -1126,6 +1156,7 @@ class IndexSearcher:
         common = posts[terms[0]][0]
         for t in terms[1:]:
             common = np.intersect1d(common, posts[t][0])
+        common = reader.drop_deleted(common)
         if len(common) == 0:
             return [], [], []
         runs = []  # (starts, lens, positions) aligned to common
@@ -1212,6 +1243,7 @@ class IndexSearcher:
             common = posts[terms[0]][0]
             for t in terms[1:]:
                 common = np.intersect1d(common, posts[t][0])
+            common = reader.drop_deleted(common)
             if len(common) == 0:
                 continue
             runs = []
@@ -1392,7 +1424,7 @@ class DisMaxSearcher:
                     ssum += dense
                 if present:
                     acc += m + self.tie * (ssum - m)
-            cand = np.nonzero(acc)[0]
+            cand = first.readers[seg_i].drop_deleted(np.nonzero(acc)[0])
             if len(cand) == 0:
                 continue
             scores = acc[cand]
