@@ -302,8 +302,10 @@ def q_ann_srp_lsh_topk(sf_dir: str):
     the candidates (OR over tables = the same amplification as MinHash
     banding).  IO is proportional to the probe set: only row groups whose
     bucket-stat range intersects the probes are read (LAST_SCAN records
-    read/total).  Approximate -> no SQL oracle; recall asserted vs the
-    exact op in pytest."""
+    read/total).  Deterministic given the seeded planes, so fully
+    SQL-oracle-checked: the oracle re-derives buckets/probes/candidates
+    from the same plane literals via list_dot_product (recall vs exact is
+    additionally asserted in pytest)."""
     import ray
     import ray.data as rd
 
@@ -377,6 +379,68 @@ def q_ann_srp_lsh_topk(sf_dir: str):
 QUERIES["ann_srp_lsh_topk"] = q_ann_srp_lsh_topk
 
 
+def _srp_plane_values(dim: int = 64) -> str:
+    """SQL VALUES rows `(tbl, bit, [plane floats])` for the seeded SRP
+    planes.  repr() round-trips float64 exactly, so DuckDB's sign
+    decisions match numpy's (sign of a dot product is scale-invariant,
+    so the oracle can hash UNNORMALIZED embeddings)."""
+    planes = _srp_planes(dim)
+    rows = []
+    for t in range(N_TABLES):
+        for b in range(N_PLANES):
+            vec = ",".join(repr(float(x)) for x in planes[t, b])
+            rows.append(f"({t},{b},[{vec}])")
+    return ",\n      ".join(rows)
+
+
+# The oracle re-derives the ENTIRE approximate pipeline in SQL from the
+# same seeded plane literals: bucket = sign-pattern integer per (vector,
+# table); probe set = own bucket + all hamming-1 flips; candidates = union
+# over tables of probed-bucket members; exact cosine top-k on candidates.
+ORACLE["ann_srp_lsh_topk"] = f"""
+    WITH planes(tbl, bit, vec) AS (VALUES
+      {_srp_plane_values()}),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    buckets AS (
+      SELECT m.vec_id, p.tbl,
+             sum(CASE WHEN list_dot_product(m.e, p.vec) > 0
+                 THEN 1 << p.bit ELSE 0 END)::BIGINT AS bucket
+      FROM emb m CROSS JOIN planes p
+      GROUP BY 1, 2
+    ),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket
+           FROM buckets WHERE vec_id < {N_QUERIES}),
+    bits(bit) AS (VALUES {",".join(f"({b})" for b in range(N_PLANES))}),
+    probes AS (
+      SELECT query_id, tbl, bucket FROM qb
+      UNION
+      SELECT query_id, tbl, xor(bucket, 1 << bit) FROM qb CROSS JOIN bits
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+      FROM probes p
+      JOIN buckets b ON b.tbl = p.tbl AND b.bucket = p.bucket
+      WHERE b.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(q.e, n.e) AS s
+      FROM cands c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id ASC)
+              - 1)::BIGINT AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, round(s, 6) AS cosine
+    FROM ranked WHERE rank < {TOP_K}
+"""
+
+
 IVF_K = 16       # coarse centroids
 IVF_NPROBE = 8   # probed lists per query (synthetic embeddings are
 #   near-uniform — no cluster structure — so recall needs a wide probe)
@@ -399,10 +463,13 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", IVF_TRAIN)],
     )
-    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
     X /= np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.Generator(np.random.PCG64(4242))
-    C = X[rng.choice(len(X), size=IVF_K, replace=False)]
+    # init = the lowest IVF_K vec_ids: deterministic AND data-size-free,
+    # so the DuckDB oracle can re-derive the whole quantizer (a seeded
+    # random choice would depend on the table's row count)
+    C = X[:IVF_K].copy()
     for _ in range(IVF_ITERS):
         assign = np.argmax(X @ C.T, axis=1)
         for k in range(IVF_K):
@@ -425,7 +492,7 @@ def ivf_index(sf_dir: str) -> str:
 
     path = _ann_cache_dir(sf_dir, "ivf")
     fp = _emb_fingerprint(
-        sf_dir, f"ivf:{IVF_K}:{IVF_TRAIN}:{IVF_ITERS}:4242"
+        sf_dir, f"ivf:{IVF_K}:{IVF_TRAIN}:{IVF_ITERS}:init-low"
     )
 
     def build(tmp: str) -> None:
@@ -534,3 +601,102 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+
+
+def _ivf_oracle_sql() -> str:
+    """Full SQL re-derivation of the IVF pipeline — quantizer TRAINING
+    included: normalized long-form embeddings, init = lowest IVF_K
+    vec_ids, IVF_ITERS unrolled Lloyd steps (assign by max dot, spherical
+    mean renormalize, empty clusters carry the previous centroid), final
+    list assignment, per-query NPROBE nearest lists, exact cosine top-k
+    over probed candidates.  Nothing engine-computed is embedded — the
+    oracle is independent end-to-end."""
+    it_ctes = []
+    for n in range(IVF_ITERS):
+        it_ctes.append(f"""
+    d{n} AS MATERIALIZED (
+      SELECT x.vec_id, c.cid, sum(x.v * c.cv) AS s
+      FROM xl x JOIN c{n} c USING (i) GROUP BY 1, 2
+    ),
+    a{n} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid ASC) AS rn
+        FROM d{n}) WHERE rn = 1
+    ),
+    m{n} AS MATERIALIZED (
+      SELECT a.cid, x.i, avg(x.v) AS mv
+      FROM a{n} a JOIN xl x USING (vec_id) GROUP BY 1, 2
+    ),
+    nm{n} AS MATERIALIZED (SELECT cid, sqrt(sum(mv * mv)) AS nrm FROM m{n} GROUP BY 1),
+    c{n + 1} AS MATERIALIZED (
+      SELECT c.cid, c.i,
+             CASE WHEN nm.nrm IS NULL OR nm.nrm <= 0 THEN c.cv
+                  ELSE m.mv / nm.nrm END AS cv
+      FROM c{n} c
+      LEFT JOIN m{n} m ON m.cid = c.cid AND m.i = c.i
+      LEFT JOIN nm{n} nm ON nm.cid = c.cid
+    )""")
+    final = f"c{IVF_ITERS}"
+    return f"""
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    el AS MATERIALIZED (  -- normalized long form of EVERY embedding
+      SELECT vec_id, unnest(range(1, len(e) + 1)) AS i,
+             unnest(e) / sqrt(list_dot_product(e, e)) AS v
+      FROM emb
+    ),
+    xl AS MATERIALIZED (  -- training sample: the lowest {IVF_TRAIN} vec_ids
+      SELECT * FROM el WHERE vec_id < {IVF_TRAIN}
+    ),
+    c0 AS MATERIALIZED (  -- init: the lowest {IVF_K} vec_ids, one cid per rank
+      SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS cid, i, v AS cv
+      FROM xl
+      WHERE vec_id IN (SELECT vec_id FROM xl GROUP BY 1
+                       ORDER BY vec_id LIMIT {IVF_K})
+    ),{",".join(it_ctes)},
+    lists AS MATERIALIZED (  -- final assignment of EVERY vector
+      SELECT vec_id, cid AS lid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY sum(e.v * c.cv) DESC, c.cid ASC)
+                 AS rn
+        FROM el e JOIN {final} c USING (i) GROUP BY e.vec_id, c.cid)
+      WHERE rn = 1
+    ),
+    probes AS (  -- per query: the {IVF_NPROBE} nearest lists
+      SELECT vec_id AS query_id, cid AS lid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY sum(e.v * c.cv) DESC, c.cid ASC)
+                 AS rn
+        FROM el e JOIN {final} c USING (i)
+        WHERE e.vec_id < {N_QUERIES} GROUP BY e.vec_id, c.cid)
+      WHERE rn <= {IVF_NPROBE}
+    ),
+    cands AS (
+      SELECT p.query_id, l.vec_id AS neighbor_id
+      FROM probes p JOIN lists l USING (lid)
+      WHERE l.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(q.e, n.e) AS s
+      FROM cands c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id ASC)
+              - 1)::BIGINT AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, round(s, 6) AS cosine
+    FROM ranked WHERE rank < {TOP_K}
+"""
+
+
+ORACLE["ann_ivf_topk"] = _ivf_oracle_sql()

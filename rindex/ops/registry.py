@@ -25,6 +25,7 @@ def _modules():
 # exercises them this round.  Purely an ordering hint — every op is always
 # present either way.
 _SAMPLE_FIRST = [
+    "delete_soft_search_documents", "delete_expunge_search_documents",
     "block_join_topk_threads", "multivalued_filter_topk",
     "dismax_qf_documents", "highlight_documents",
     "merge_join_orders_customers", "merge_left_outer_customer_orders",
