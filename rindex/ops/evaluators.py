@@ -177,7 +177,43 @@ EVALUATORS: dict = {
     "lower": lambda x: pc.utf8_lower(_str_arr(x)),
     "trim": lambda x: pc.utf8_trim_whitespace(_str_arr(x)),
     "length": lambda x: pc.utf8_length(_str_arr(x)).to_numpy(),
+    # temporal (TemporalEvaluatorYear ... TemporalEvaluatorEpoch — Solr's
+    # `year(col)` family over datetime columns; epoch() returns millis,
+    # week() is the ISO week-of-week-based-year, both as in the reference)
+    "year": lambda x: _dtidx(x).year.to_numpy().astype(np.int64),
+    "month": lambda x: _dtidx(x).month.to_numpy().astype(np.int64),
+    "day": lambda x: _dtidx(x).day.to_numpy().astype(np.int64),
+    "hour": lambda x: _dtidx(x).hour.to_numpy().astype(np.int64),
+    "minute": lambda x: _dtidx(x).minute.to_numpy().astype(np.int64),
+    "second": lambda x: _dtidx(x).second.to_numpy().astype(np.int64),
+    "epoch": lambda x: np.asarray(x, dtype="datetime64[ms]").astype(np.int64),
+    "dayOfYear": lambda x: _dtidx(x).dayofyear.to_numpy().astype(np.int64),
+    "quarter": lambda x: _dtidx(x).quarter.to_numpy().astype(np.int64),
+    "week": lambda x: (
+        _dtidx(x).isocalendar().week.to_numpy().astype(np.int64)
+    ),
+    # statistical (CorrelationEvaluator, CovarianceEvaluator,
+    # RegressionEvaluator, PredictEvaluator) — whole-array reducers; the
+    # registered op computes them DISTRIBUTED via per-batch moment
+    # partials, these kernels serve expression-level use within a batch
+    "corr": lambda x, y: _moments_corr(np.asarray(x, np.float64),
+                                       np.asarray(y, np.float64)),
+    "cov": lambda x, y: float(np.cov(np.asarray(x, np.float64),
+                                     np.asarray(y, np.float64))[0, 1]),
 }
+
+
+def _dtidx(x) -> pd.DatetimeIndex:
+    return pd.DatetimeIndex(np.asarray(x, dtype="datetime64[us]"))
+
+
+def _moments_corr(x: np.ndarray, y: np.ndarray) -> float:
+    n = float(len(x))
+    sx, sy = x.sum(), y.sum()
+    num = n * (x * y).sum() - sx * sy
+    den = np.sqrt((n * (x * x).sum() - sx * sx)
+                  * (n * (y * y).sum() - sy * sy))
+    return float(num / den)
 
 
 def eval_node(node, cols: dict):
@@ -307,4 +343,115 @@ ORACLE["eval_string_funcs_documents"] = """
            concat(upper(lang), '-', trim(source)) AS tag,
            length(text) AS text_len
     FROM documents WHERE doc_id < 3000 ORDER BY doc_id
+"""
+
+
+def q_eval_temporal_events(sf_dir: str):
+    """Temporal-evaluator family (year/month/day/hour/minute/second/
+    quarter/dayOfYear/week/epoch — `solr/solrj/.../io/eval/
+    TemporalEvaluator*.java`) over the events stream, composed with a
+    rollup: every kernel feeds an aggregate so a wrong date part anywhere
+    shifts a group or a sum."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = read_table(sf_dir, "events", ["ts"])
+    sel = select_eval(
+        ev,
+        {
+            "y": "year(ts)", "q": "quarter(ts)", "mo": "month(ts)",
+            "d": "day(ts)", "h": "hour(ts)", "mi": "minute(ts)",
+            "s": "second(ts)", "doy": "dayOfYear(ts)", "wk": "week(ts)",
+            "ep": "epoch(ts)",
+        },
+        keep=[],
+    )
+    out = (
+        sel.groupby(["y", "q", "mo", "d"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("h", alias_name="sum_hour"),
+            Sum("mi", alias_name="sum_min"),
+            Sum("s", alias_name="sum_sec"),
+            Min("doy", alias_name="min_doy"),
+            Max("doy", alias_name="max_doy"),
+            Sum("wk", alias_name="sum_week"),
+            Min("ep", alias_name="min_epoch_ms"),
+            Max("ep", alias_name="max_epoch_ms"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["y", "q", "mo", "d"]).reset_index(drop=True)
+
+
+QUERIES["eval_temporal_events"] = q_eval_temporal_events
+ORACLE["eval_temporal_events"] = """
+    SELECT year(ts) AS y, quarter(ts) AS q, month(ts) AS mo, day(ts) AS d,
+           count(*) AS n,
+           sum(hour(ts)) AS sum_hour,
+           sum(minute(ts)) AS sum_min,
+           sum(cast(floor(second(ts)) AS BIGINT)) AS sum_sec,
+           min(dayofyear(ts)) AS min_doy,
+           max(dayofyear(ts)) AS max_doy,
+           sum(weekofyear(ts)) AS sum_week,
+           min(epoch_ms(ts)) AS min_epoch_ms,
+           max(epoch_ms(ts)) AS max_epoch_ms
+    FROM events
+    GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""
+
+
+def q_eval_regress_lineitem(sf_dir: str):
+    """Statistical-evaluator family (corr/cov/regress/predict —
+    `CorrelationEvaluator`, `CovarianceEvaluator`, `RegressionEvaluator`,
+    `PredictEvaluator`): DISTRIBUTED via one-row-per-batch moment partials
+    (n, Σx, Σy, Σxy, Σx², Σy²) — the whole table never leaves the workers,
+    the driver combines a handful of partial rows (the same
+    partial+combine shape as every facet/stats pushdown here)."""
+    li = read_table(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy().astype(np.float64)
+        y = t["l_extendedprice"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "n": [float(len(x))],
+                "sx": [x.sum()], "sy": [y.sum()],
+                "sxy": [(x * y).sum()],
+                "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            }
+        )
+
+    p = li.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n, sx, sy, sxy, sxx, syy = (
+        p["n"], p["sx"], p["sy"], p["sxy"], p["sxx"], p["syy"]
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    corr = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    cov_samp = (sxy - sx * sy / n) / (n - 1.0)
+    return pd.DataFrame(
+        {
+            "n": [int(n)],
+            "corr_qty_price": [round(float(corr), 6)],
+            "cov_qty_price": [round(float(cov_samp), 4)],
+            "slope": [round(float(slope), 6)],
+            "intercept": [round(float(intercept), 4)],
+            "predict_at_30": [round(float(intercept + slope * 30.0), 4)],
+        }
+    )
+
+
+QUERIES["eval_regress_lineitem"] = q_eval_regress_lineitem
+ORACLE["eval_regress_lineitem"] = """
+    SELECT count(*) AS n,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_intercept(l_extendedprice, l_quantity)
+                 + regr_slope(l_extendedprice, l_quantity) * 30.0, 4)
+             AS predict_at_30
+    FROM lineitem
 """

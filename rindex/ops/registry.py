@@ -26,6 +26,8 @@ def _modules():
 # present either way.
 _SAMPLE_FIRST = [
     "delete_soft_search_documents", "delete_expunge_search_documents",
+    "eval_temporal_events", "eval_regress_lineitem",
+    "ann_srp_lsh_topk", "ann_ivf_topk",
     "block_join_topk_threads", "multivalued_filter_topk",
     "dismax_qf_documents", "highlight_documents",
     "merge_join_orders_customers", "merge_left_outer_customer_orders",

@@ -78,3 +78,32 @@ def test_registry_is_the_extension_hook():
         assert list(_ev("plus1(a)", a=[1, 2])) == [2, 3]
     finally:
         del EVALUATORS["plus1"]
+
+
+def test_temporal_kernels():
+    ts = np.array(
+        ["2024-01-15T13:45:30.500000", "2023-12-31T23:59:59.000001"],
+        dtype="datetime64[us]",
+    )
+    assert list(_ev("year(a)", a=ts)) == [2024, 2023]
+    assert list(_ev("month(a)", a=ts)) == [1, 12]
+    assert list(_ev("day(a)", a=ts)) == [15, 31]
+    assert list(_ev("hour(a)", a=ts)) == [13, 23]
+    assert list(_ev("minute(a)", a=ts)) == [45, 59]
+    assert list(_ev("second(a)", a=ts)) == [30, 59]
+    assert list(_ev("dayOfYear(a)", a=ts)) == [15, 365]
+    assert list(_ev("quarter(a)", a=ts)) == [1, 4]
+    # ISO week: 2024-01-15 is week 3; 2023-12-31 (a Sunday) is ISO week 52
+    assert list(_ev("week(a)", a=ts)) == [3, 52]
+    # epoch() returns millis (truncating sub-millisecond precision)
+    assert list(_ev("epoch(a)", a=ts)) == [1705326330500, 1704067199000]
+
+
+def test_statistical_kernels():
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    y = 2.0 * x + 1.0
+    assert abs(_ev("corr(a, b)", a=x, b=y) - 1.0) < 1e-12
+    assert abs(_ev("cov(a, b)", a=x, b=y) - np.cov(x, y)[0, 1]) < 1e-12
+    rng = np.random.default_rng(3)
+    u, v = rng.normal(size=500), rng.normal(size=500)
+    assert abs(_ev("corr(a, b)", a=u, b=v) - np.corrcoef(u, v)[0, 1]) < 1e-10
