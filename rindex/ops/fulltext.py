@@ -269,6 +269,90 @@ QUERIES["classic_sim_topk_documents"] = q_classic_sim_topk_documents
 ORACLE["classic_sim_topk_documents"] = _classic_oracle_sql()
 
 
+LMD_QUERIES: list[tuple[str, str, str]] = [
+    ("d00", "term", "spark"),
+    ("d01", "or", "hash join"),
+    ("d02", "or", "sort merge spill"),
+]
+LMD_MU = 2000.0
+
+
+def q_lmdirichlet_topk_documents(sf_dir: str):
+    """Top-k with LMDirichletSimilarity (language-model Dirichlet
+    smoothing, mu=2000: per-term max(0, ln(1+tf/(mu*p_c)) + ln(mu/(dl+mu)))
+    with p_c=(ttf+1)/(collectionLen+2)) through the same WAND/exhaustive
+    kernels — a COLLECTION-stats similarity exercising the needs_cstats
+    weight channel (global ttf + exact manifest sum_dl) and the
+    per-similarity recomputed block bounds.  OR-only queries: the max(0,·)
+    clamp makes all-clamped docs score 0, which both sides exclude."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand", similarity="lmdirichlet")
+    slack = 16
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in LMD_QUERIES]),
+            "qtype": pa.array([q[1] for q in LMD_QUERIES]),
+            "text": pa.array([q[2] for q in LMD_QUERIES]),
+            "k": pa.array([TOP_K + slack] * len(LMD_QUERIES), pa.int32()),
+        }
+    )
+    out = searcher.search_table(qtbl).to_pandas()
+    # rounded-rank discipline (see classic op): rank on the rounded score
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=False)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32")
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _lmdirichlet_oracle_sql() -> str:
+    q_rows = []
+    for qid, _qtype, text in LMD_QUERIES:
+        for t in text.split():
+            q_rows.append(f"('{qid}', '{t}')")
+    q_values = ",".join(q_rows)
+    return f"""
+    WITH {_bm25_ctes()},
+    ttfc AS (SELECT term, sum(tf)::DOUBLE AS ttf FROM tf GROUP BY 1),
+    clen AS (SELECT sum(dl)::DOUBLE AS cl FROM dl),
+    q(query_id, term) AS (VALUES {q_values}),
+    scores AS (
+      SELECT q.query_id,
+             tf.doc_id,
+             sum(greatest(0.0,
+                 ln(1.0 + tf / ({LMD_MU} * ((ttf + 1.0) / (cl + 2.0))))
+                 + ln({LMD_MU} / (greatest(ldl, 1.0) + {LMD_MU})))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN ttfc USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN clen
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(s, 6) AS s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 6) DESC, doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM scores
+      WHERE s > 0
+    )
+    SELECT query_id, rank, doc_id, s AS score
+    FROM ranked WHERE rank < {TOP_K}
+    """
+
+
+QUERIES["lmdirichlet_topk_documents"] = q_lmdirichlet_topk_documents
+ORACLE["lmdirichlet_topk_documents"] = _lmdirichlet_oracle_sql()
+
+
 def q_bm25_incremental_merge_documents(sf_dir: str):
     """Incremental-index + tiered-merge lifecycle, validated against the
     SAME BM25 oracle as the one-shot build: gen0 indexes the low half of

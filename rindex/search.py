@@ -502,6 +502,49 @@ class IndexSearcher:
                     df[t] += int(row["df"])
         return df
 
+    def global_ttf(self, terms: list[str]) -> dict[str, int]:
+        """Cross-segment total term frequency (CollectionStatistics'
+        totalTermFreq — needed by collection-stats similarities)."""
+        uniq = list(set(terms))
+        ttf = dict.fromkeys(uniq, 0)
+        for r in self.readers:
+            posts = r.postings_for(uniq)
+            for t, row in posts.items():
+                if row is not None:
+                    ttf[t] += int(row["ttf"])
+        return ttf
+
+    def term_weights(self, order: list[str], df: dict) -> dict[str, float]:
+        """Per-term Similarity weight map.  Collection-stats similarities
+        (needs_cstats, e.g. LMDirichlet) also receive ttf and the total
+        token count (manifest sum_dl — exact, not lossy)."""
+        if getattr(self.sim, "needs_cstats", False):
+            ttf = self.global_ttf(order)
+            return {
+                t: float(
+                    self.sim.term_weight_cstats(
+                        df[t], ttf[t], self.n_docs, self.sum_dl
+                    )
+                )
+                for t in order
+            }
+        return {
+            t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order
+        }
+
+    def _pseudo_term_weight(self, df: int, ttf: float) -> float:
+        """Clause weight for a synthetic term (a phrase: df = phrase-match
+        doc count, ttf = total phrase frequency — the PhraseWeight
+        contract), routed through whichever stats channel the plugged
+        similarity uses."""
+        if getattr(self.sim, "needs_cstats", False):
+            return float(
+                self.sim.term_weight_cstats(
+                    df, ttf, self.n_docs, self.sum_dl
+                )
+            )
+        return float(self.sim.term_weight(df, self.n_docs))
+
     # ---- scoring ----
     def _term_plan(self, q: Query):
         """Per unique term (query order of first occurrence): multiplicity,
@@ -868,7 +911,7 @@ class IndexSearcher:
             return self._search_with_phrases(q, order, mult, df)
         if not order:
             return []
-        idf_map = {t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order}
+        idf_map = self.term_weights(order, df)
         if planned and algo == "wand":
             min_sel = min(df[t] for t in order) / max(1, self.n_docs)
             if min_sel > self.WAND_SELECTIVITY:
@@ -923,9 +966,7 @@ class IndexSearcher:
         order, mult, df = self._term_plan(q)
         if not order:
             return []
-        idf_map = {
-            t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order
-        }
+        idf_map = self.term_weights(order, df)
         pvals_all, scores_all, counts_all = [], [], []
         for reader in self.readers:
             cand, scores = self._segment_match_scores(
@@ -984,7 +1025,9 @@ class IndexSearcher:
                 if q.mode == "and":
                     return None
                 continue
-            w = float(self.sim.term_weight(df_p, self.n_docs)) * boost
+            w = self._pseudo_term_weight(
+                df_p, sum(float(s[1].sum()) for s in seg.values())
+            ) * boost
             plan.append((w, seg))
         return plan
 
@@ -997,9 +1040,7 @@ class IndexSearcher:
         plan = self._phrase_plan(q)
         if plan is None or (not order and not plan):
             return []
-        idf_map = {
-            t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order
-        }
+        idf_map = self.term_weights(order, df)
         is_and = q.mode == "and"
         cands = []
         for si, reader in enumerate(self.readers):
@@ -1071,7 +1112,7 @@ class IndexSearcher:
             mode=mode, k=1,
         )
         order, mult, df = self._term_plan(q)
-        idf_map = {t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order}
+        idf_map = self.term_weights(order, df)
         for reader in self.readers:
             # predicate-pushdown lookup of the one target doc (a full
             # doc->id map per segment would be O(max_doc))
@@ -1204,7 +1245,11 @@ class IndexSearcher:
                 per_seg.append((reader, docs, freqs, norms))
         if df_phrase == 0:
             return []
-        w = float(self.sim.term_weight(df_phrase, self.n_docs))
+        w = self._pseudo_term_weight(
+            df_phrase,
+            sum(float(np.asarray(f, np.float64).sum())
+                for _r, _d, f, _n in per_seg),
+        )
         cands = []
         for reader, docs, freqs, norms in per_seg:
             pf = np.asarray(freqs, dtype=np.float64)

@@ -66,9 +66,44 @@ class ClassicSimilarity:
         return w * np.sqrt(tf) / cv
 
 
+class LMDirichletSimilarity:
+    """Lucene LMDirichletSimilarity (`lucene/core/src/java/org/apache/
+    lucene/search/similarities/LMDirichletSimilarity.java`, mu=2000):
+    per-term score = max(0, ln(1 + tf/(mu*p_c)) + ln(mu/(dl+mu))) with
+    collection probability p_c = (ttf+1)/(collectionLength+2) (LMStats).
+    Needs COLLECTION stats (ttf, total tokens), so it opts into the
+    `needs_cstats` weight path; the doc-length part rides the norm cache
+    (same lossy SmallFloat dl bytes as BM25).  Monotone ↑tf / ↓dl, and the
+    max(0,·) clamp keeps every per-block bound valid, so WAND works
+    unchanged.  NOTE: query-term boosts/multiplicity multiply the weight
+    INSIDE the tf saturation here (the engine's uniform weight channel);
+    Lucene scales the final score — identical for the unboosted queries
+    the registered op uses."""
+
+    name = "lmdirichlet"
+    needs_cstats = True
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+
+    def term_weight_cstats(self, df, ttf, n_docs, collection_len) -> float:
+        p_c = (np.asarray(ttf, np.float64) + 1.0) / (
+            np.float64(collection_len) + 2.0
+        )
+        return 1.0 / (self.mu * p_c)
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = NORM_DECODE_TABLE.astype(np.float64)
+        return np.log(self.mu / (np.maximum(dl, 1.0) + self.mu))
+
+    def score(self, w, tf, cv):
+        return np.maximum(0.0, np.log1p(tf * w) + cv)
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "classic": ClassicSimilarity(),
+    "lmdirichlet": LMDirichletSimilarity(),
 }
 
 
