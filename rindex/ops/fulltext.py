@@ -353,6 +353,81 @@ QUERIES["lmdirichlet_topk_documents"] = q_lmdirichlet_topk_documents
 ORACLE["lmdirichlet_topk_documents"] = _lmdirichlet_oracle_sql()
 
 
+LMJM_LAMBDA = 0.1
+
+
+def q_lmjelinekmercer_topk_documents(sf_dir: str):
+    """Top-k with LMJelinekMercerSimilarity (linear-interpolation language
+    model, lambda=0.1: per-term ln(1 + ((1-λ)/λ)·(tf/dl)/p_c)) through the
+    same WAND/exhaustive kernels — the second collection-stats similarity;
+    every match scores > 0 (no clamp), so the oracle keeps all ranks."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand", similarity="lmjelinekmercer")
+    slack = 16
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in LMD_QUERIES]),
+            "qtype": pa.array([q[1] for q in LMD_QUERIES]),
+            "text": pa.array([q[2] for q in LMD_QUERIES]),
+            "k": pa.array([TOP_K + slack] * len(LMD_QUERIES), pa.int32()),
+        }
+    )
+    out = searcher.search_table(qtbl).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=False)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32")
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _lmjelinekmercer_oracle_sql() -> str:
+    q_rows = []
+    for qid, _qtype, text in LMD_QUERIES:
+        for t in text.split():
+            q_rows.append(f"('{qid}', '{t}')")
+    q_values = ",".join(q_rows)
+    lam = LMJM_LAMBDA
+    return f"""
+    WITH {_bm25_ctes()},
+    ttfc AS (SELECT term, sum(tf)::DOUBLE AS ttf FROM tf GROUP BY 1),
+    clen AS (SELECT sum(dl)::DOUBLE AS cl FROM dl),
+    q(query_id, term) AS (VALUES {q_values}),
+    scores AS (
+      SELECT q.query_id,
+             tf.doc_id,
+             sum(ln(1.0 +
+                 ((1.0 - {lam}) / ({lam} * ((ttf + 1.0) / (cl + 2.0))))
+                 * tf / greatest(ldl, 1.0))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN ttfc USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN clen
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(s, 6) AS s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 6) DESC, doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM scores
+    )
+    SELECT query_id, rank, doc_id, s AS score
+    FROM ranked WHERE rank < {TOP_K}
+    """
+
+
+QUERIES["lmjelinekmercer_topk_documents"] = q_lmjelinekmercer_topk_documents
+ORACLE["lmjelinekmercer_topk_documents"] = _lmjelinekmercer_oracle_sql()
+
+
 def q_bm25_incremental_merge_documents(sf_dir: str):
     """Incremental-index + tiered-merge lifecycle, validated against the
     SAME BM25 oracle as the one-shot build: gen0 indexes the low half of

@@ -100,10 +100,43 @@ class LMDirichletSimilarity:
         return np.maximum(0.0, np.log1p(tf * w) + cv)
 
 
+class LMJelinekMercerSimilarity:
+    """Lucene LMJelinekMercerSimilarity (`lucene/core/src/java/org/apache/
+    lucene/search/similarities/LMJelinekMercerSimilarity.java`, lambda=0.1
+    — the value Lucene's javadoc recommends for short queries): per-term
+    score = ln(1 + ((1-lambda)/lambda) * (tf/dl) / p_c) with the same
+    LMStats collection probability p_c = (ttf+1)/(collectionLength+2) as
+    LMDirichlet.  w = (1-lambda)/(lambda*p_c) rides the needs_cstats
+    weight channel; the norm cache holds the lossy dl itself and score()
+    divides by it (monotone ↑tf, ↓dl — WAND block bounds stay valid).
+    Scores are strictly positive for every match (log1p of a positive),
+    so no clamp is needed."""
+
+    name = "lmjelinekmercer"
+    needs_cstats = True
+
+    def __init__(self, lam: float = 0.1):
+        self.lam = float(lam)
+
+    def term_weight_cstats(self, df, ttf, n_docs, collection_len) -> float:
+        p_c = (np.asarray(ttf, np.float64) + 1.0) / (
+            np.float64(collection_len) + 2.0
+        )
+        return (1.0 - self.lam) / (self.lam * p_c)
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = NORM_DECODE_TABLE.astype(np.float64)
+        return np.maximum(dl, 1.0)
+
+    def score(self, w, tf, cv):
+        return np.log1p(w * tf / cv)
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "classic": ClassicSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),
+    "lmjelinekmercer": LMJelinekMercerSimilarity(),
 }
 
 
