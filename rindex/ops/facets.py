@@ -1,0 +1,240 @@
+"""Facet-module depth: pivot facets, JSON-Facet-API nested subfacets with
+stat-sorted buckets, and query facets (SURVEY.md §2.5).
+
+Reference surfaces:
+- facet.pivot (hierarchical field pivots): `solr/core/src/java/org/apache/
+  solr/handler/component/PivotFacetProcessor.java`
+- JSON Facet API nested facets with `sort` on a stat and per-bucket
+  sub-aggregates: `solr/core/src/java/org/apache/solr/search/facet/
+  FacetField.java` + `FacetRequest.java`
+- facet.query (named predicate counts): `solr/core/src/java/org/apache/
+  solr/request/SimpleFacets.java#getFacetQueryCounts`
+
+Scale notes: the wide step of every op here is ONE leaf-level Ray
+`groupby().aggregate()` whose shuffle carries per-block partials (Ray
+pre-aggregates inside blocks), never raw rows.  Parent-level counts, the
+stat sort and the per-parent top-N are computed on the AGGREGATED frame —
+its row count is the leaf-bucket cardinality (bounded by the facet
+domain's distinct combos, e.g. statuses×priorities), not the data size,
+so driver-side ranking is O(buckets) at any corpus scale.  Query facets
+evaluate all named predicates in a single scan (one vectorized boolean
+mask per predicate per batch) and shuffle only (facet, partial-count)
+rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rindex.ops.util import read_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+PIVOT_LIMIT = 2  # facet.limit at the leaf level (top-N priorities/status)
+
+
+def q_pivot_facet_orders(sf_dir: str):
+    """facet.pivot=o_orderstatus,o_orderpriority: hierarchical counts with
+    Solr's bucket ordering (count desc, value asc tiebreak) and a leaf
+    facet.limit — each status bucket carries its own count plus its top-2
+    priority sub-buckets.  One leaf groupby; both levels derived from the
+    leaf aggregate (parent count = sum of its leaves, no second scan)."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    leaf = (
+        ds.groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="pri_n"))
+        .to_pandas()
+    )
+    leaf["status_n"] = leaf.groupby("o_orderstatus")["pri_n"].transform("sum")
+    leaf = leaf.sort_values(
+        ["o_orderstatus", "pri_n", "o_orderpriority"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    leaf["pri_rank"] = leaf.groupby("o_orderstatus", sort=False).cumcount()
+    out = leaf[leaf["pri_rank"] < PIVOT_LIMIT].reset_index(drop=True)
+    out["pri_rank"] = out["pri_rank"].astype("int32")
+    return out[
+        ["o_orderstatus", "status_n", "o_orderpriority", "pri_n", "pri_rank"]
+    ]
+
+
+QUERIES["pivot_facet_orders"] = q_pivot_facet_orders
+ORACLE["pivot_facet_orders"] = f"""
+WITH leaf AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS pri_n
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderstatus,
+         sum(pri_n) OVER (PARTITION BY o_orderstatus) AS status_n,
+         o_orderpriority, pri_n,
+         (row_number() OVER (PARTITION BY o_orderstatus
+                             ORDER BY pri_n DESC, o_orderpriority ASC)
+          - 1)::INTEGER AS pri_rank
+  FROM leaf
+)
+SELECT o_orderstatus, status_n, o_orderpriority, pri_n, pri_rank
+FROM ranked WHERE pri_rank < {PIVOT_LIMIT}
+"""
+
+
+JSON_FACET_PARENT_LIMIT = 3  # top event types by sum(value) desc
+JSON_FACET_SUB_LIMIT = 3     # top weekdays per type by count desc
+
+
+def q_json_facet_nested_events(sf_dir: str):
+    """JSON Facet API nested facet: terms facet on event_type with bucket
+    `sort: "sum_value desc", limit: 3`, per-bucket stats (n, sum, avg), and
+    a nested terms subfacet on ISO weekday (top-3 by count per parent).
+    The leaf groupby is (event_type, weekday); parent stats are exact sums
+    of their leaves so one shuffle feeds both facet levels."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                # Arrow day_of_week: Monday=0 (matches DuckDB isodow-1)
+                "weekday": pc.day_of_week(t["ts"]),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    leaf = (
+        ds.groupby(["event_type", "weekday"])
+        .aggregate(Count(alias_name="wd_n"), Sum("value", alias_name="wd_sum"))
+        .to_pandas()
+    )
+    parent = (
+        leaf.groupby("event_type", as_index=False)
+        .agg(n=("wd_n", "sum"), sum_value=("wd_sum", "sum"))
+        .sort_values(["sum_value", "event_type"], ascending=[False, True],
+                     kind="mergesort")
+        .head(JSON_FACET_PARENT_LIMIT)
+    )
+    parent["avg_value"] = (parent["sum_value"] / parent["n"]).round(6)
+    parent["sum_value"] = parent["sum_value"].round(4)
+    sub = leaf[leaf["event_type"].isin(parent["event_type"])].copy()
+    sub = sub.sort_values(
+        ["event_type", "wd_n", "weekday"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    sub["wd_rank"] = sub.groupby("event_type", sort=False).cumcount()
+    sub = sub[sub["wd_rank"] < JSON_FACET_SUB_LIMIT]
+    out = parent.merge(
+        sub[["event_type", "weekday", "wd_n", "wd_rank"]], on="event_type"
+    ).reset_index(drop=True)
+    out["weekday"] = out["weekday"].astype("int64")
+    out["wd_rank"] = out["wd_rank"].astype("int32")
+    return out[
+        ["event_type", "n", "sum_value", "avg_value",
+         "weekday", "wd_n", "wd_rank"]
+    ]
+
+
+QUERIES["json_facet_nested_events"] = q_json_facet_nested_events
+ORACLE["json_facet_nested_events"] = f"""
+WITH leaf AS (
+  SELECT event_type, isodow(ts) - 1 AS weekday,
+         count(*) AS wd_n, sum(value) AS wd_sum
+  FROM events GROUP BY 1, 2
+),
+parent AS (
+  SELECT event_type, sum(wd_n) AS n,
+         round(sum(wd_sum), 4) AS sum_value,
+         round(sum(wd_sum) / sum(wd_n), 6) AS avg_value,
+         (row_number() OVER (ORDER BY sum(wd_sum) DESC, event_type ASC)
+          - 1) AS prank
+  FROM leaf GROUP BY 1
+),
+sub AS (
+  SELECT event_type, weekday, wd_n,
+         (row_number() OVER (PARTITION BY event_type
+                             ORDER BY wd_n DESC, weekday ASC)
+          - 1)::INTEGER AS wd_rank
+  FROM leaf
+)
+SELECT p.event_type, p.n, p.sum_value, p.avg_value,
+       s.weekday, s.wd_n, s.wd_rank
+FROM parent p JOIN sub s USING (event_type)
+WHERE p.prank < {JSON_FACET_PARENT_LIMIT}
+  AND s.wd_rank < {JSON_FACET_SUB_LIMIT}
+"""
+
+
+# facet.query: named predicates counted in one scan
+QUERY_FACETS: list[tuple[str, str]] = [
+    # (facet name, DuckDB predicate) — the Ray side evaluates the same
+    # predicate as a vectorized Arrow mask (built in _QF_MASKS below)
+    ("high_value", "o_totalprice > 200000"),
+    ("open_urgent", "o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'"),
+    ("low_or_unspec", "o_orderpriority IN ('5-LOW', '4-NOT SPECIFIED')"),
+    ("finished_cheap", "o_orderstatus = 'F' AND o_totalprice < 50000"),
+]
+
+
+def _qf_masks(t: pa.Table) -> dict[str, pa.ChunkedArray]:
+    price, status, pri = t["o_totalprice"], t["o_orderstatus"], t["o_orderpriority"]
+    return {
+        "high_value": pc.greater(price, 200000.0),
+        "open_urgent": pc.and_(
+            pc.equal(status, "O"), pc.equal(pri, "1-URGENT")
+        ),
+        "low_or_unspec": pc.is_in(
+            pri, value_set=pa.array(["5-LOW", "4-NOT SPECIFIED"])
+        ),
+        "finished_cheap": pc.and_(
+            pc.equal(status, "F"), pc.less(price, 50000.0)
+        ),
+    }
+
+
+def q_query_facets_orders(sf_dir: str):
+    """facet.query: count each named predicate over the domain in ONE scan
+    — every batch emits one (facet, partial-count) row per predicate from a
+    vectorized Arrow mask, and the final groupby sums |facets| × |blocks|
+    tiny rows.  N query facets never cost N scans."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(
+        sf_dir, "orders", ["o_totalprice", "o_orderstatus", "o_orderpriority"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        masks = _qf_masks(t)
+        names = [n for n, _ in QUERY_FACETS]
+        return pa.table(
+            {
+                "facet": pa.array(names),
+                "pn": pa.array(
+                    [int(pc.sum(masks[n]).as_py() or 0) for n in names],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("facet")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    return out
+
+
+QUERIES["query_facets_orders"] = q_query_facets_orders
+ORACLE["query_facets_orders"] = " UNION ALL ".join(
+    f"SELECT '{name}' AS facet, count(*) FILTER (WHERE {pred})::BIGINT AS n "
+    "FROM orders"
+    for name, pred in QUERY_FACETS
+)

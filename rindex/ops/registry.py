@@ -8,15 +8,15 @@ def _modules():
     # whole module's ops from the driver's query set and verification
     # would pass vacuously on the remainder
     from rindex.ops import (
-        analysis_ext, ann, dedup, dismax, evaluators, fulltext, livedocs,
-        loaders, multimodal, nested, relational, search_ext, sketches,
-        streams, textstats,
+        analysis_ext, ann, dedup, dismax, evaluators, facets, fulltext,
+        livedocs, loaders, multimodal, nested, relational, search_ext,
+        sketches, streams, textstats,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
-        nested, dismax, livedocs,
+        nested, dismax, livedocs, facets,
     ]
 
 
