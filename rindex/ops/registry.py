@@ -25,6 +25,9 @@ def _modules():
 # exercises them this round.  Purely an ordering hint — every op is always
 # present either way.
 _SAMPLE_FIRST = [
+    "lmdirichlet_topk_documents", "lmjelinekmercer_topk_documents",
+    "pivot_facet_orders", "json_facet_nested_events", "query_facets_orders",
+    "terms_enum_documents", "termvectors_documents",
     "delete_soft_search_documents", "delete_expunge_search_documents",
     "eval_temporal_events", "eval_regress_lineitem",
     "ann_srp_lsh_topk", "ann_ivf_topk",

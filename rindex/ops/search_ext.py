@@ -417,3 +417,180 @@ ORACLE["significant_terms_documents"] = f"""
     ORDER BY score DESC, term ASC
     LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# TermsComponent — distributed term enumeration from the index
+# ---------------------------------------------------------------------------
+
+TERMS_PREFIX = "s"
+TERMS_MINCOUNT = 5
+TERMS_LIMIT = 5
+
+
+def q_terms_enum_documents(sf_dir: str):
+    """TermsComponent (terms.prefix + terms.mincount + terms.limit,
+    terms.sort=count; reference: `solr/core/src/java/org/apache/solr/
+    handler/component/TermsComponent.java`): enumerate the index's term
+    dictionary for a prefix, summing per-segment df/ttf.
+
+    Scale shape: postings.parquet is TERM-SORTED per segment, so the
+    prefix becomes a parquet range predicate ([p, p+1) on the term column)
+    and row-group min/max stats prune everything outside the prefix range —
+    the read touches O(matching terms) of each dictionary, never the
+    postings blobs (columns= projects term/df/ttf only).  One task per
+    segment file, then a tiny groupby over |prefix-terms| rows."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    paths = [
+        os.path.join(seg_dir(idx, s["seg_id"], int(s.get("gen", 0))),
+                     "postings.parquet")
+        for s in man["segments"]
+    ]
+    hi = TERMS_PREFIX[:-1] + chr(ord(TERMS_PREFIX[-1]) + 1)
+    ds = rd.read_parquet(
+        paths,
+        columns=["term", "df", "ttf"],
+        filter=(pc.field("term") >= TERMS_PREFIX) & (pc.field("term") < hi),
+    )
+    agg = (
+        ds.groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .to_pandas()
+    )
+    agg = agg[agg["df"] >= TERMS_MINCOUNT]
+    agg = agg.sort_values(["df", "term"], ascending=[False, True],
+                          kind="mergesort").head(TERMS_LIMIT)
+    agg = agg.reset_index(drop=True)
+    agg["rank"] = np.arange(len(agg), dtype=np.int32)
+    agg["df"] = agg["df"].astype(np.int64)
+    agg["ttf"] = agg["ttf"].astype(np.int64)
+    return agg[["rank", "term", "df", "ttf"]]
+
+
+QUERIES["terms_enum_documents"] = q_terms_enum_documents
+ORACLE["terms_enum_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+      FROM toks
+      WHERE term LIKE '{TERMS_PREFIX}%'
+      GROUP BY 1
+    )
+    SELECT (row_number() OVER (ORDER BY df DESC, term ASC) - 1)::INTEGER AS rank,
+           term, df, ttf
+    FROM stats WHERE df >= {TERMS_MINCOUNT}
+    ORDER BY rank LIMIT {TERMS_LIMIT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TermVectorComponent — per-doc term vectors for a query's top docs
+# ---------------------------------------------------------------------------
+
+TV_QUERY = "hash join"
+TV_TOP = 3
+
+
+def q_termvectors_documents(sf_dir: str):
+    """TermVectorComponent (tv.tf/tv.df/tv.tf_idf; reference: `solr/core/
+    src/java/org/apache/solr/handler/component/TermVectorComponent.java`):
+    for the top-3 BM25 docs of a query, the full per-doc term vector with
+    tf, global df, and Solr's tf-idf = tf/df.
+
+    The doc set is O(k) (a search result), so re-tokenizing the k stored
+    texts is driver-cheap at any corpus scale; df comes from the index's
+    term dictionary (global_df sums per-segment stats, no corpus scan)."""
+    from rindex.analysis import get_analyzer
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand")
+    # rounded-rank discipline (see bm25_topk): choose the doc SET on
+    # 6dp-rounded scores with doc_id-asc ties so float summation order
+    # can't flip the k boundary between engine and oracle
+    hits = searcher.search(TV_QUERY, k=TV_TOP + 16, mode="or")
+    ranked = sorted(
+        ((round(float(score), 6), int(doc_id))
+         for _rank, doc_id, score in hits),
+        key=lambda x: (-x[0], x[1]),
+    )
+    doc_ids = sorted(d for _s, d in ranked[:TV_TOP])
+
+    import pyarrow.parquet as pq
+
+    # k stored docs via predicate pushdown (docs are doc_id-sorted in the
+    # source parquet, so min/max row-group stats prune the read)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", doc_ids)],
+    ).to_pandas()
+    analyzer = get_analyzer("standard")
+    rows = []
+    all_terms = set()
+    per_doc_tf = {}
+    for _, r in tbl.iterrows():
+        toks = analyzer.tokens(r["text"])
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        per_doc_tf[int(r["doc_id"])] = tf
+        all_terms.update(tf)
+    df_map = searcher.global_df(sorted(all_terms))
+    for d in doc_ids:
+        for t, f in sorted(per_doc_tf[d].items()):
+            rows.append(
+                (d, t, f, df_map[t], round(f / df_map[t], 6))
+            )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "term", "tf", "df", "tfidf"]
+    ).astype({"doc_id": np.int64, "tf": np.int64, "df": np.int64})
+
+
+QUERIES["termvectors_documents"] = q_termvectors_documents
+
+
+def _termvectors_oracle_sql() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    tv_terms = ",".join(f"('{t}')" for t in TV_QUERY.split())
+    return f"""
+    WITH {_bm25_ctes()},
+    qt(term) AS (VALUES {tv_terms}),
+    topdocs AS (
+      SELECT tf.doc_id
+      FROM qt
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+      ORDER BY round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))), 6)
+                   DESC,
+               tf.doc_id ASC
+      LIMIT {TV_TOP}
+    )
+    SELECT t.doc_id, t.term, t.tf::BIGINT AS tf, df.df::BIGINT AS df,
+           round(t.tf / df.df, 6) AS tfidf
+    FROM tf t
+    JOIN df USING (term)
+    JOIN topdocs USING (doc_id)
+    """
+
+
+ORACLE["termvectors_documents"] = _termvectors_oracle_sql()
