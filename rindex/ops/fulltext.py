@@ -15,6 +15,8 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -428,6 +430,63 @@ QUERIES["lmjelinekmercer_topk_documents"] = q_lmjelinekmercer_topk_documents
 ORACLE["lmjelinekmercer_topk_documents"] = _lmjelinekmercer_oracle_sql()
 
 
+MM_QUERY = "dup spark window"
+MM_MIN_MATCH = 2
+
+
+def q_min_should_match_documents(sf_dir: str):
+    """Minimum-should-match (BooleanQuery#setMinimumNumberShouldMatch /
+    the dismax `mm` param — `lucene/core/src/java/org/apache/lucene/
+    search/BooleanQuery.java`, MinShouldMatchSumScorer): OR query whose
+    docs must match at least mm distinct terms; scores are the plain BM25
+    sum over the matched subset.  Routed through the dense exhaustive
+    kernel (the hit-count scatter), like Lucene routes minShouldMatch off
+    the plain WAND path."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    hits = searcher.search(
+        MM_QUERY, k=TOP_K + 16, mode="or", min_match=MM_MIN_MATCH
+    )
+    out = pd.DataFrame(hits, columns=["rank", "doc_id", "score"])
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(TOP_K).reset_index(drop=True)
+    out["rank"] = np.arange(len(out), dtype=np.int32)
+    return out[["rank", "doc_id", "score"]]
+
+
+def _mm_oracle_sql() -> str:
+    terms = ",".join(f"('{t}')" for t in MM_QUERY.split())
+    return f"""
+    WITH {_bm25_ctes()},
+    qt(term) AS (VALUES {terms}),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s,
+             count(DISTINCT tf.term) AS n_matched
+      FROM qt
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+      HAVING count(DISTINCT tf.term) >= {MM_MIN_MATCH}
+    )
+    SELECT (row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC)
+            - 1)::INTEGER AS rank,
+           doc_id, round(s, 6) AS score
+    FROM scores
+    ORDER BY rank LIMIT {TOP_K}
+    """
+
+
+QUERIES["min_should_match_documents"] = q_min_should_match_documents
+ORACLE["min_should_match_documents"] = _mm_oracle_sql()
+
+
 def q_bm25_incremental_merge_documents(sf_dir: str):
     """Incremental-index + tiered-merge lifecycle, validated against the
     SAME BM25 oracle as the one-shot build: gen0 indexes the low half of
@@ -499,12 +558,8 @@ def q_term_search_documents(sf_dir: str):
             d, _, _ = decode_posting(row)
             ids = r.fetch_ids(d.astype(np.int64), ["doc_id"])
             docs.extend(v[0] for v in ids.values())
-    import pandas as pd
-
     return pd.DataFrame({"doc_id": sorted(docs)})
 
-
-import numpy as np  # noqa: E402  (used above)
 
 QUERIES["term_search_documents"] = q_term_search_documents
 ORACLE["term_search_documents"] = f"""

@@ -78,6 +78,12 @@ class Query:
     # PhraseWeight (tf = phrase freq, df = docs containing the phrase) and
     # summed with the term clauses; in "and" mode each phrase is required.
     phrases: list[tuple[list[str], float]] | None = None
+    # minimum-should-match (BooleanQuery#setMinimumNumberShouldMatch / the
+    # dismax `mm` param): in "or" mode a doc must match at least this many
+    # DISTINCT query terms.  0/None = no constraint; counts original
+    # clauses, so terms absent corpus-wide still count toward the bar
+    # (Lucene semantics: an unsatisfiable SHOULD clause is never matched).
+    min_match: int = 0
 
 
 def _filters_list(q: "Query") -> list[tuple[str, str]]:
@@ -612,10 +618,12 @@ class IndexSearcher:
         in query-term order: bit-identical across every consumer."""
         posts = reader.postings_for(order)
         is_and = q.mode == "and"
+        # conjunction = "match all"; mm = "match at least min_match" — one
+        # hit-count scatter serves both (for plain OR every positive score
+        # marks a match: idf > 0, tf > 0, so no counter is needed)
+        need = len(order) if is_and else max(0, int(q.min_match or 0))
         acc = np.zeros(reader.max_doc, dtype=np.float64)
-        # the hit-count scatter is only needed for conjunction semantics;
-        # for OR every positive score marks a match (idf > 0, tf > 0)
-        hits = np.zeros(reader.max_doc, dtype=np.int64) if is_and else None
+        hits = np.zeros(reader.max_doc, dtype=np.int64) if need > 1 else None
         present = 0
         for t in order:
             row = posts.get(t)
@@ -626,15 +634,15 @@ class IndexSearcher:
             tff = tf_arr.astype(np.float64)
             s = self.sim.score(idf_map[t] * mult[t], tff, self.cache[nrm])
             acc[d] += s
-            if is_and:
+            if hits is not None:
                 hits[d] += 1
-        if present == 0 or (is_and and present < len(order)):
+        if present == 0 or present < need:
             return np.zeros(0, dtype=np.int64), np.zeros(0)
         banned = self._banned_for(reader, q)
-        if is_and:
+        if hits is not None:
             if banned is not None and len(banned):
                 hits[banned] = -(10**9)
-            cand = np.nonzero(hits >= len(order))[0]
+            cand = np.nonzero(hits >= need)[0]
         else:
             if banned is not None and len(banned):
                 acc[banned] = 0.0
@@ -870,11 +878,13 @@ class IndexSearcher:
         algo: str | None = None,
         exclude: str | None = None,
         field_filter: tuple[str, str] | None = None,
+        min_match: int = 0,
     ) -> list[tuple]:
         """Returns [(rank, *id_cols, score)].  `exclude` is a MUST_NOT
         clause (analyzed; matching docs dropped, non-scoring);
         `field_filter=(column, value)` is a non-scoring FILTER clause on a
-        stored field."""
+        stored field; `min_match` is BooleanQuery minimumNumberShouldMatch
+        (OR mode only: docs must match >= that many distinct terms)."""
         q = Query(
             terms=get_analyzer(self.analyzer_name).tokens(text),
             mode=mode,
@@ -885,6 +895,7 @@ class IndexSearcher:
                 else None
             ),
             field_filter=field_filter,
+            min_match=min_match,
         )
         return self.search_query(q, algo=algo)
 
@@ -907,6 +918,22 @@ class IndexSearcher:
         order, mult, df = self._term_plan(q)
         if q.mode == "and" and q.terms and not order:
             return []  # a required term is absent corpus-wide
+        mm = max(0, int(q.min_match or 0))
+        if mm > 1:
+            if q.phrases:
+                raise ValueError(
+                    "min_match with phrase clauses is not supported"
+                )
+            if len(order) < mm:
+                return []  # fewer matchable clauses than the bar
+            # mm needs the per-doc hit COUNT — only the dense exhaustive
+            # kernel scatters it (Lucene routes minShouldMatch>0 off the
+            # plain WAND path the same way: MinShouldMatchSumScorer)
+            if not planned and algo != "exhaustive":
+                raise ValueError(
+                    f"min_match requires the exhaustive kernel, got {algo!r}"
+                )
+            algo = "exhaustive"
         if q.phrases:
             return self._search_with_phrases(q, order, mult, df)
         if not order:
@@ -916,7 +943,7 @@ class IndexSearcher:
             min_sel = min(df[t] for t in order) / max(1, self.n_docs)
             if min_sel > self.WAND_SELECTIVITY:
                 algo = "exhaustive"
-        if planned and len(order) == 1:
+        if planned and len(order) == 1 and mm <= 1:
             # single-term: impact-ordered early termination beats both
             # kernels regardless of df
             algo = "single"

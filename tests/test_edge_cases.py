@@ -73,3 +73,42 @@ def test_merge_all_duplicates(ray_session, tmp_path):
     hits = s.search("shared", k=100)
     assert len(hits) == 20
     assert len({h[1] for h in hits}) == 20  # no duplicate ids survive
+
+
+def test_min_should_match(ray_session, tmp_path):
+    """mm semantics: mm=1 == plain OR; mm=n_terms == AND (same doc set AND
+    same scores); mm between excludes under-matching docs; mm conflicts
+    with an explicit non-exhaustive kernel loudly."""
+    import ray.data as rd
+
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    rows = [
+        ("c0", 0, "alpha beta gamma"),
+        ("c1", 0, "alpha beta"),
+        ("c2", 0, "alpha"),
+        ("c3", 0, "delta"),
+    ]
+    src = rd.from_arrow(_mini_table(rows))
+    idx = str(tmp_path / "mm")
+    build_index(src, idx, num_segments=2, mode="term_shuffle")
+    s = IndexSearcher(idx)
+
+    q = "alpha beta gamma"
+    plain = s.search(q, k=10, mode="or")
+    mm1 = s.search(q, k=10, mode="or", min_match=1)
+    assert [(h[1], round(h[3], 9)) for h in plain] == [
+        (h[1], round(h[3], 9)) for h in mm1
+    ]
+    ids = lambda hits: sorted(h[1] for h in hits)
+    assert ids(s.search(q, k=10, mode="or", min_match=2)) == ["c0", "c1"]
+    mm3 = s.search(q, k=10, mode="or", min_match=3)
+    and_hits = s.search(q, k=10, mode="and")
+    assert [(h[1], round(h[3], 9)) for h in mm3] == [
+        (h[1], round(h[3], 9)) for h in and_hits
+    ]
+    # bar above the matchable clause count -> empty
+    assert s.search("alpha beta absent", k=10, mode="or", min_match=3) == []
+    with pytest.raises(ValueError, match="exhaustive"):
+        s.search(q, k=10, mode="or", min_match=2, algo="wand")
