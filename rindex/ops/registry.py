@@ -26,7 +26,8 @@ def _modules():
 # present either way.
 _SAMPLE_FIRST = [
     "lmdirichlet_topk_documents", "lmjelinekmercer_topk_documents",
-    "min_should_match_documents",
+    "min_should_match_documents", "pii_redact_documents",
+    "repetition_stats_documents",
     "pivot_facet_orders", "json_facet_nested_events", "query_facets_orders",
     "terms_enum_documents", "termvectors_documents",
     "delete_soft_search_documents", "delete_expunge_search_documents",

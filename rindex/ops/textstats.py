@@ -198,3 +198,158 @@ def q_langid_documents(sf_dir: str):
 
 
 QUERIES["langid_documents"] = q_langid_documents
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrubbing stage of a training-data pipeline
+# ---------------------------------------------------------------------------
+
+# Both Arrow (re2) and DuckDB (re2) compile these identically.
+_EMAIL_RE = r"[0-9a-z._%+-]+@[0-9a-z.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def q_pii_redact_documents(sf_dir: str):
+    """PII redaction: replace emails/phone numbers with typed placeholder
+    tokens and count the redactions per doc (the scrub stage every LLM
+    training pipeline runs before tokenization).  The driver corpus has no
+    PII, so a contact line is derived DETERMINISTICALLY from doc_id first
+    (both sides derive the same line — the dismax title-derivation trick),
+    then redacted.  Fully vectorized: Arrow re2 kernels
+    (replace_substring_regex / count_substring_regex) per batch, zero
+    Python row loops, streaming end to end."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"]
+        ids_np = ids.to_numpy()
+        m100 = pa.array(np.char.mod("%d", ids_np % 100))
+        m4 = pa.array(np.char.zfill(np.char.mod("%d", ids_np % 10000), 4))
+        aug = pc.binary_join_element_wise(t["text"], m100, " contact user")
+        aug = pc.binary_join_element_wise(
+            aug, m4, "@example.com or call +1-555-"
+        )
+        n_email = pc.count_substring_regex(aug, _EMAIL_RE)
+        red = pc.replace_substring_regex(aug, _EMAIL_RE, "[EMAIL]")
+        n_phone = pc.count_substring_regex(red, _PHONE_RE)
+        red = pc.replace_substring_regex(red, _PHONE_RE, "[PHONE]")
+        return pa.table(
+            {
+                "doc_id": ids,
+                "redacted": red,
+                "n_email": pc.cast(n_email, pa.int64()),
+                "n_phone": pc.cast(n_phone, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["pii_redact_documents"] = q_pii_redact_documents
+ORACLE["pii_redact_documents"] = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || (doc_id % 100)::VARCHAR
+                  || '@example.com or call +1-555-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+           len(regexp_extract_all(t, '{_EMAIL_RE}'))::BIGINT AS n_email,
+           len(regexp_extract_all(
+               regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PHONE_RE}'))::BIGINT AS n_phone
+    FROM aug
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats — Gopher-style within-document repetition filters
+# ---------------------------------------------------------------------------
+
+# Gopher's published cuts are 0.18 / 0.30 (Rae et al. 2021 table A1); the
+# driver transcripts are far less repetitive than web text, so the cuts are
+# tightened to values inside the observed distribution — the FLAG must
+# split on this corpus or the filter is vacuously untested.
+REP_TOP_BIGRAM_MAX = 0.04   # drop if most-common 2-gram fraction >
+REP_DUP_TRIGRAM_MAX = 0.02  # drop if duplicate 3-gram fraction >
+
+
+def q_repetition_stats_documents(sf_dir: str):
+    """Within-document repetition filters (the Gopher rules, Rae et al.
+    2021 §A1.1: fraction of the most common n-gram / fraction of duplicate
+    n-grams): per doc, the most-frequent-bigram fraction and the duplicate
+    -trigram fraction, plus the keep flag.  Stateless map_batches; the
+    per-doc n-gram counting is a short Python loop over a ~100-token
+    transcript (bounded per-doc work, streaming across the corpus)."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        low = pc.utf8_lower(t["text"]).to_pylist()
+        top_bg = np.zeros(len(low), np.float64)
+        dup_tg = np.zeros(len(low), np.float64)
+        for i, x in enumerate(low):
+            toks = _TOKEN_RE.findall(x or "")
+            if len(toks) >= 2:
+                bgs = list(zip(toks, toks[1:]))
+                top_bg[i] = max(Counter(bgs).values()) / len(bgs)
+            if len(toks) >= 3:
+                tgs = list(zip(toks, toks[1:], toks[2:]))
+                dup_tg[i] = 1.0 - len(set(tgs)) / len(tgs)
+        keep = (top_bg <= REP_TOP_BIGRAM_MAX) & (dup_tg <= REP_DUP_TRIGRAM_MAX)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "top_bigram_frac": pa.array(np.round(top_bg, 6)),
+                "dup_trigram_frac": pa.array(np.round(dup_tg, 6)),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["repetition_stats_documents"] = q_repetition_stats_documents
+ORACLE["repetition_stats_documents"] = f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS g
+      FROM t
+    ),
+    bstats AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bg
+      FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l) - 1),
+                    i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+      FROM t
+    ),
+    tstats AS (
+      SELECT doc_id, 1.0 - count(DISTINCT g)::DOUBLE / count(*) AS dup_tg
+      FROM tg GROUP BY 1
+    )
+    SELECT t.doc_id,
+           round(coalesce(top_bg, 0.0), 6) AS top_bigram_frac,
+           round(coalesce(dup_tg, 0.0), 6) AS dup_trigram_frac,
+           (coalesce(top_bg, 0.0) <= {REP_TOP_BIGRAM_MAX}
+            AND coalesce(dup_tg, 0.0) <= {REP_DUP_TRIGRAM_MAX}) AS keep
+    FROM t
+    LEFT JOIN bstats USING (doc_id)
+    LEFT JOIN tstats USING (doc_id)
+"""
