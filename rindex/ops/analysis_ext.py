@@ -771,3 +771,63 @@ QUERIES["keyword_trim_documents"] = q_keyword_trim_documents
 ORACLE["keyword_trim_documents"] = """
     SELECT doc_id, trim(text) AS keyword FROM documents WHERE doc_id < 50
 """
+
+
+# bbox + grid heatmap facet (facet.heatmap / LatLonPoint#newBoxQuery)
+HEATMAP_BBOX = (-60.0, 60.0, -120.0, 120.0)  # lat_min, lat_max, lon_min, lon_max
+HEATMAP_CELL = 20.0
+
+
+def q_geo_heatmap_facet_events(sf_dir: str):
+    """Spatial heatmap facet: bounding-box filter + grid-cell counts (the
+    Solr facet.heatmap shape — reference: `solr/core/src/java/org/apache/
+    solr/handler/component/SpatialHeatmapFacets.java` over
+    `LatLonPoint#newBoxQuery`).  Same deterministic event_id->lat/lon
+    derivation as geo_radius_events; the cell id is floor(coord/cell) so a
+    geohash-style prefix grid falls out of integer division.  Vectorized
+    bbox mask + cell assignment per batch; the groupby shuffles only
+    (cell, partial-count) rows — the facet is heatmap-sized, not
+    data-sized."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", ["event_id"])
+    la1, la2, lo1, lo2 = HEATMAP_BBOX
+
+    def f(t: pa.Table) -> pa.Table:
+        uid = t["event_id"].to_numpy().astype(np.int64)
+        lat = (uid * 7919 % 18000) / 100.0 - 90.0
+        lon = (uid * 104729 % 36000) / 100.0 - 180.0
+        keep = (lat >= la1) & (lat <= la2) & (lon >= lo1) & (lon <= lo2)
+        return pa.table(
+            {
+                "cell_lat": pa.array(
+                    np.floor(lat[keep] / HEATMAP_CELL) * HEATMAP_CELL
+                ),
+                "cell_lon": pa.array(
+                    np.floor(lon[keep] / HEATMAP_CELL) * HEATMAP_CELL
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cell_lat", "cell_lon"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+QUERIES["geo_heatmap_facet_events"] = q_geo_heatmap_facet_events
+ORACLE["geo_heatmap_facet_events"] = f"""
+    WITH pts AS (
+      SELECT (event_id * 7919 % 18000) / 100.0 - 90.0  AS lat,
+             (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+      FROM events
+    )
+    SELECT floor(lat / {HEATMAP_CELL}) * {HEATMAP_CELL} AS cell_lat,
+           floor(lon / {HEATMAP_CELL}) * {HEATMAP_CELL} AS cell_lon,
+           count(*) AS n
+    FROM pts
+    WHERE lat BETWEEN {HEATMAP_BBOX[0]} AND {HEATMAP_BBOX[1]}
+      AND lon BETWEEN {HEATMAP_BBOX[2]} AND {HEATMAP_BBOX[3]}
+    GROUP BY 1, 2
+"""

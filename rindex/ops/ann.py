@@ -603,14 +603,14 @@ def q_ann_ivf_topk(sf_dir: str):
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 
 
-def _ivf_oracle_sql() -> str:
-    """Full SQL re-derivation of the IVF pipeline — quantizer TRAINING
-    included: normalized long-form embeddings, init = lowest IVF_K
-    vec_ids, IVF_ITERS unrolled Lloyd steps (assign by max dot, spherical
-    mean renormalize, empty clusters carry the previous centroid), final
-    list assignment, per-query NPROBE nearest lists, exact cosine top-k
-    over probed candidates.  Nothing engine-computed is embedded — the
-    oracle is independent end-to-end."""
+def _ivf_kmeans_ctes() -> tuple[str, str]:
+    """Shared SQL re-derivation of the IVF quantizer — TRAINING included:
+    normalized long-form embeddings, init = lowest IVF_K vec_ids,
+    IVF_ITERS unrolled Lloyd steps (assign by max dot, spherical mean
+    renormalize, empty clusters carry the previous centroid), final list
+    assignment of every vector.  Returns (with_body, final_centroid_cte):
+    with_body defines emb/el/xl/c0..cN/lists; reused by the ANN-IVF oracle
+    and the k-means clustering oracle so the two can never diverge."""
     it_ctes = []
     for n in range(IVF_ITERS):
         it_ctes.append(f"""
@@ -639,8 +639,7 @@ def _ivf_oracle_sql() -> str:
       LEFT JOIN nm{n} nm ON nm.cid = c.cid
     )""")
     final = f"c{IVF_ITERS}"
-    return f"""
-    WITH emb AS MATERIALIZED (
+    body = f"""emb AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     el AS MATERIALIZED (  -- normalized long form of EVERY embedding
       SELECT vec_id, unnest(range(1, len(e) + 1)) AS i,
@@ -664,7 +663,17 @@ def _ivf_oracle_sql() -> str:
                  AS rn
         FROM el e JOIN {final} c USING (i) GROUP BY e.vec_id, c.cid)
       WHERE rn = 1
-    ),
+    )"""
+    return body, final
+
+
+def _ivf_oracle_sql() -> str:
+    """ANN-IVF oracle: the shared quantizer re-derivation + per-query
+    NPROBE nearest lists + exact cosine top-k over probed candidates.
+    Nothing engine-computed is embedded — independent end-to-end."""
+    body, final = _ivf_kmeans_ctes()
+    return f"""
+    WITH {body},
     probes AS (  -- per query: the {IVF_NPROBE} nearest lists
       SELECT vec_id AS query_id, cid AS lid FROM (
         SELECT e.vec_id, c.cid,
@@ -700,3 +709,88 @@ def _ivf_oracle_sql() -> str:
 
 
 ORACLE["ann_ivf_topk"] = _ivf_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering — the clustering stage of a training-data pipeline
+# (and the Solr clustering-component analog), on the persisted IVF layout
+# ---------------------------------------------------------------------------
+
+def q_kmeans_clusters_embeddings(sf_dir: str):
+    """Distributed k-means clustering summary: every vector's cluster comes
+    from the persisted IVF quantizer (trained once on a bounded sample —
+    constant cost at any corpus size; assignment was the one distributed
+    pass that built the layout), and this op computes per-cluster size,
+    mean cosine-to-centroid (cohesion) and the lowest member id (a
+    deterministic exemplar).  Reference shape: the document-clustering
+    component (`solr/contrib/clustering/src/java/org/apache/solr/handler/
+    clustering/ClusteringComponent.java`) re-expressed as partition-local
+    partials + one tiny groupby: the per-batch cosine is a vectorized
+    row-wise dot with the broadcast centroid matrix, and the shuffle
+    carries only (lid, count, sum_cos, min_id) partials."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    idx = ivf_index(sf_dir)
+    C = np.load(os.path.join(idx, "centroids.npy"))
+    cref = ray.put(C)
+    paths = [
+        os.path.join(p, f)
+        for d in sorted(os.listdir(idx))
+        if d.startswith("lid_part=")
+        and os.path.isdir(p := os.path.join(idx, d))
+        for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+    ]
+
+    def partial(t):
+        import pyarrow as pa
+
+        C_ = ray.get(cref)
+        lid = t["lid"].to_numpy()
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        cos = np.einsum("ij,ij->i", V, C_[lid])
+        return pa.table(
+            {"lid": pa.array(lid.astype(np.int64)),
+             "cos": pa.array(cos),
+             "vec_id": t["vec_id"]}
+        )
+
+    agg = (
+        rd.read_parquet(paths, columns=["lid", "vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lid")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("cos", alias_name="sum_cos"),
+            Min("vec_id", alias_name="exemplar"),
+        )
+        .to_pandas()
+    )
+    agg["avg_cos"] = (agg["sum_cos"] / agg["n"]).round(6)
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["exemplar"] = agg["exemplar"].astype(np.int64)
+    return agg[["lid", "n", "avg_cos", "exemplar"]]
+
+
+def _kmeans_oracle_sql() -> str:
+    body, final = _ivf_kmeans_ctes()
+    return f"""
+    WITH {body},
+    sims AS (
+      SELECT l.vec_id, l.lid, sum(e.v * c.cv) AS cos
+      FROM lists l
+      JOIN el e USING (vec_id)
+      JOIN {final} c ON c.cid = l.lid AND c.i = e.i
+      GROUP BY 1, 2
+    )
+    SELECT lid::BIGINT AS lid, count(*)::BIGINT AS n,
+           round(avg(cos), 6) AS avg_cos,
+           min(vec_id)::BIGINT AS exemplar
+    FROM sims GROUP BY 1
+    """
+
+
+QUERIES["kmeans_clusters_embeddings"] = q_kmeans_clusters_embeddings
+ORACLE["kmeans_clusters_embeddings"] = _kmeans_oracle_sql()

@@ -27,7 +27,8 @@ def _modules():
 _SAMPLE_FIRST = [
     "lmdirichlet_topk_documents", "lmjelinekmercer_topk_documents",
     "min_should_match_documents", "pii_redact_documents",
-    "repetition_stats_documents",
+    "repetition_stats_documents", "geo_heatmap_facet_events",
+    "kmeans_clusters_embeddings",
     "pivot_facet_orders", "json_facet_nested_events", "query_facets_orders",
     "terms_enum_documents", "termvectors_documents",
     "delete_soft_search_documents", "delete_expunge_search_documents",
