@@ -352,25 +352,32 @@ SCORE_JOIN_TOP = 5
 def q_score_join_documents_source(sf_dir: str):
     """ScoreJoin: BM25-score every document matching a term, aggregate
     max(score) per `source` field, return the top sources.  The score side
-    comes from the inverted index (all matches, exhaustive); the per-source
-    aggregation is a Ray groupby over (doc_id, score) joined to the source
-    column by broadcast — the reference aggregates join scores the same way
-    (`ScoreJoinQParserPlugin` score=max)."""
+    comes from the inverted index (all matches, exhaustive, per-segment
+    scoring tasks); the per-source aggregation is a Ray groupby over
+    (doc_id, score) hash-joined to the source column — the reference
+    aggregates join scores the same way (`ScoreJoinQParserPlugin`
+    score=max)."""
+    import pyarrow.compute as _pc
+
     from ray.data.aggregate import Max
 
     from rindex.ops.fulltext import documents_index
-    from rindex.ops.util import broadcast_join
     from rindex.search import IndexSearcher
 
     idx = documents_index(sf_dir)
     s = IndexSearcher(idx, algo="exhaustive")
-    hits = s.search(SCORE_JOIN_TERM, k=10**9, mode="or")
-    scores = pd.DataFrame(
-        {"doc_id": [h[1] for h in hits],
-         "score": np.round([h[-1] for h in hits], 6)}
+    # full match set stays a Dataset (per-segment scoring tasks), joined to
+    # the doc->source column with a hash-partitioned Dataset.join — no
+    # O(df) hit list on the driver
+    scores = s.score_matches_dataset(SCORE_JOIN_TERM, mode="or").map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            _pc.round(t["score"], 6),
+        ),
+        batch_format="pyarrow",
     )
     docs = read_table(sf_dir, "documents", ["doc_id", "source"])
-    joined = broadcast_join(docs, scores, on="doc_id", how="inner")
+    joined = scores.join(docs, "inner", num_partitions=8, on=("doc_id",))
     out = joined.groupby("source").aggregate(
         Max(on="score", alias_name="max_score")
     )

@@ -1192,26 +1192,29 @@ def q_composite_search_rollup_documents(sf_dir: str):
     `rollup(hashJoin(search(...), hashed=...), over=lang, sum/avg)` as one
     Ray pipeline (SURVEY.md §3.3: the TupleStream tree IS the Dataset
     expression tree): BM25-score every match of a term from the inverted
-    index, broadcast-join the (small) score table onto the documents
+    index, hash-join the distributed score Dataset onto the documents
     Dataset, roll up per lang with count + mean score."""
-    import pandas as pd
-
     from ray.data.aggregate import Count, Mean
 
-    from rindex.ops.util import broadcast_join, read_table
+    from rindex.ops.util import read_table
     from rindex.search import IndexSearcher
 
     idx = documents_index(sf_dir)
     s = IndexSearcher(idx, algo="exhaustive")
-    hits = s.search(COMPOSITE_TERM, k=10**9, mode="or")
-    scores = pd.DataFrame(
-        {
-            "doc_id": [h[1] for h in hits],
-            "score": np.round([h[-1] for h in hits], 6),
-        }
+    # full match set stays distributed: per-segment scoring tasks emit
+    # (doc_id, score) blocks into the object store, then a hash-partitioned
+    # Dataset.join — the driver never holds the O(df) hit list
+    scores = s.score_matches_dataset(COMPOSITE_TERM, mode="or").map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            pc.round(t["score"], 6),
+        ),
+        batch_format="pyarrow",
     )
     docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
-    joined = broadcast_join(docs, scores, on="doc_id", how="inner")
+    joined = scores.join(
+        docs, "inner", num_partitions=8, on=("doc_id",)
+    )
     out = joined.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Mean("score", alias_name="avg_score")
     )

@@ -1393,6 +1393,92 @@ class IndexSearcher:
         out["score"] = pa.array(cols[2 + n_id], pa.float64())
         return pa.table(out)
 
+    def score_matches_dataset(
+        self,
+        text: str,
+        mode: str = "or",
+        exclude: str | None = None,
+        field_filter: tuple[str, str] | None = None,
+    ):
+        """ALL matching (id_cols..., score) rows as a ray.data.Dataset —
+        one scoring task per segment, results land in the object store,
+        never on the driver (the distributed analog of `search(k=huge)`;
+        the reference keeps full match sets segment-side the same way —
+        `BulkScorer#score` feeds per-leaf collectors, never a global list,
+        `lucene/core/src/java/org/apache/lucene/search/BulkScorer.java`).
+
+        The query PLAN (term order, multiplicities, similarity weights) is
+        computed once on the driver from per-term stats (tiny) and shipped
+        in the task closure; each task rebuilds only ITS segment's reader
+        (manifest read + lazy per-segment load) and runs the same dense
+        exhaustive kernel as the in-process path, so scores are
+        bit-identical to `search(algo="exhaustive")`."""
+        import ray.data as rd
+
+        analyzer = get_analyzer(self.analyzer_name)
+        q = Query(
+            terms=analyzer.tokens(text),
+            mode=mode,
+            k=0,
+            exclude=analyzer.tokens(exclude) if exclude else None,
+            field_filter=field_filter,
+        )
+        order, mult, df = self._term_plan(q)
+        n_id = len(self.id_cols)
+        id_schema = pq.read_schema(
+            os.path.join(self.readers[0].sdir, "docs.parquet")
+        ) if self.readers else None
+        empty = pa.table(
+            {
+                **{
+                    c: pa.array([], id_schema.field(c).type if id_schema
+                                else pa.string())
+                    for c in self.id_cols
+                },
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if (q.mode == "and" and q.terms and not order) or not order:
+            return rd.from_arrow(empty)
+        idf_map = self.term_weights(order, df)
+        index_dir, sim_name, id_cols = (
+            self.index_dir, self.sim.name, self.id_cols,
+        )
+        n_seg = len(self.readers)
+
+        def score_seg(batch: pa.Table) -> pa.Table:
+            # fresh searcher per task: manifest-only cost; lazy readers
+            # mean just the assigned segments load
+            s = IndexSearcher(index_dir, algo="exhaustive",
+                              similarity=sim_name)
+            parts = []
+            for so in batch["seg_ord"].to_pylist():
+                reader = s.readers[so]
+                docs, scores = s._segment_match_scores(
+                    reader, q, order, mult, idf_map
+                )
+                if len(docs) == 0:
+                    continue
+                # vectorized id fetch: docs.parquet is doc-sorted, so a
+                # searchsorted + Arrow take resolves every match at once
+                # (fetch_ids' dict path is per-row, sized for top-k cuts)
+                tbl = pq.read_table(
+                    os.path.join(reader.sdir, "docs.parquet"),
+                    columns=["doc"] + list(id_cols),
+                )
+                pos = np.searchsorted(tbl["doc"].to_numpy(), docs)
+                taken = tbl.select(list(id_cols)).take(pa.array(pos))
+                parts.append(
+                    taken.append_column("score", pa.array(scores, pa.float64()))
+                )
+            return pa.concat_tables(parts) if parts else empty
+
+        return (
+            rd.from_items([{"seg_ord": i} for i in range(n_seg)])
+            .repartition(n_seg)  # from_items packs ONE block; fan out
+            .map_batches(score_seg, batch_format="pyarrow")
+        )
+
 
 class DisMaxSearcher:
     """Multi-field dismax search (Solr qf + tie): per query term, a

@@ -204,3 +204,21 @@ def test_config_change_invalidates_checkpoints(ray_session, tiny_corpus, tmp_pat
     build_index(tiny_corpus, idx, num_segments=4, salt_range=128)
     for f, old in mtimes.items():
         assert os.path.getmtime(f) > old, f
+
+
+def test_score_matches_dataset_equals_search(ray_session, small_index):
+    """The distributed full-match-set path (per-segment scoring tasks ->
+    Dataset) must be BIT-identical to the in-process exhaustive kernel at
+    k=everything, including AND mode and the empty-plan short-circuit."""
+    idx, _ = small_index
+    s = IndexSearcher(idx, algo="exhaustive")
+    for text, mode in [("the round", "or"), ("the round", "and"),
+                       ("zzz_absent", "or")]:
+        hits = s.search(text, k=10**9, mode=mode)
+        ref = sorted((h[1:-1], h[-1]) for h in hits)
+        ds = s.score_matches_dataset(text, mode=mode)
+        got = sorted(
+            (tuple(r[c] for c in s.id_cols), r["score"])
+            for r in ds.to_pandas().to_dict("records")
+        )
+        assert got == ref, (text, mode, len(got), len(ref))
