@@ -43,15 +43,20 @@ _SAMPLE_FIRST = [
     "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
     "minimal_stem_topterms_documents", "keyword_trim_documents",
     "classic_sim_topk_documents", "multimodal_decode_features",
-    "multimodal_resize_plan", "multimodal_frame_sample",
+    # the two ops rewired onto score_matches_dataset this round — their
+    # implementation changed, so they need FRESH driver verification ahead
+    # of the no-oracle rows-only entries (which pytest bounds anyway)
+    "score_join_documents_source", "composite_search_rollup_documents",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",
     "suggest_prefix_documents", "spellcheck_documents",
-    "hll_distinct_users", "significant_terms_documents",
+    "significant_terms_documents",
     "json_loader_events", "csv_loader_events",
     "stopword_topterms_documents", "synonym_canonical_documents",
     "shingle_bigrams_documents", "edge_ngram_terms_documents",
+    "multimodal_resize_plan", "multimodal_frame_sample",
+    "hll_distinct_users",
     "porter_stem_documents", "urp_parse_props_events",
-    "fetch_enrich_orders", "score_join_documents_source",
+    "fetch_enrich_orders",
     "ltr_score_documents", "geo_radius_events",
     "train_test_split_documents", "percentile_tdigest_value_per_type",
 ]
