@@ -11,8 +11,10 @@ Scale shapes:
                    brute-force oracle matches exactly.  At 10^12 scale the
                    shingle buckets are hot-key-capped and MinHash takes over.
   * minhash-lsh  — 128 perms x (16 bands x 8 rows) -> band-bucket groupby ->
-                   candidates -> exact-verify (probabilistic recall -> no SQL
-                   oracle; recall asserted vs the exact op in pytest).
+                   candidates -> exact-verify (deterministic given the seeded
+                   permutations, so the SQL oracle re-derives the whole
+                   pipeline from inlined literals; recall additionally
+                   asserted vs the exact op in pytest).
   * simhash      — 64-bit simhash, 4x16-bit band blocking (EXACT for
                    hamming <= 3 by pigeonhole) -> verify hamming.
   * embedding    — cosine over normalized vectors, blocked matmul.
@@ -459,9 +461,10 @@ def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def q_minhash_lsh_neardup(sf_dir: str):
     """MinHash+LSH near-dup: shingle -> 128 minhashes -> 16 band buckets ->
     groupby(band, band_hash) -> candidate pairs -> exact Jaccard verify.
-    Probabilistic recall (no SQL oracle); precision is exact because
-    candidates are re-verified.  pytest asserts high recall vs the exact
-    n-gram op on the planted near-dups."""
+    Probabilistic recall but fully deterministic given the seeded
+    permutations (SQL oracle below re-derives every stage); precision is
+    exact because candidates are re-verified.  pytest additionally asserts
+    high recall vs the exact n-gram op on the planted near-dups."""
     a, b = _minhash_params()
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
@@ -519,6 +522,59 @@ def q_minhash_lsh_neardup(sf_dir: str):
 
 
 QUERIES["minhash_lsh_neardup"] = q_minhash_lsh_neardup
+
+# Exact oracle: every stage is a deterministic function of the seeded
+# permutation literals (inlined below, the same trick as the SRP-LSH
+# oracle), so SQL can re-derive the full pipeline: token hash =
+# md5_number_upper >> 1 (== _stable_hash64), shingle hash = the same
+# wrapping polynomial computed in HUGEINT then mod 2^63 ((x mod 2^64) mod
+# 2^63 == x mod 2^63), minhash = min (a*x+b) mod p per permutation, and a
+# band BUCKET is just row-vector equality — the md5 band hash only exists
+# to pack the 8-tuple into an int64 key, so the oracle compares the tuple
+# (as a list) directly.  Candidates = pairs sharing >= 1 band, verified
+# with exact Jaccard >= tau, exactly the Ray pipeline's output.  The
+# LSH_MAX_BUCKET cap never triggers at oracle scale (bucket <= n_docs).
+_MH_A, _MH_B = _minhash_params()
+_MH_PERMS_SQL = ", ".join(
+    f"({i},{int(a)},{int(b)})" for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+)
+ORACLE["minhash_lsh_neardup"] = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS t
+      FROM documents),
+    hl AS (
+      SELECT doc_id, [(md5_number_upper(x) >> 1)::BIGINT FOR x IN t] AS hs
+      FROM toks WHERE len(t) >= {NGRAM}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([((hs[i]::HUGEINT * {0x9E3779B1}
+                       + hs[i + 1]::HUGEINT * {0x85EBCA77}
+                       + hs[i + 2]) % {1 << 63})::BIGINT
+                     FOR i IN range(1, len(hs) - 1)]) AS s
+      FROM hl),
+    mh AS (
+      SELECT s.doc_id, p.i // {N_PERM // N_BANDS} AS band, p.i AS perm,
+             min((p.a * (s.s % {_MERSENNE31}) + p.b) % {_MERSENNE31}) AS m
+      FROM sh s CROSS JOIN (VALUES {_MH_PERMS_SQL}) p(i, a, b)
+      GROUP BY s.doc_id, p.i),
+    bsig AS (
+      SELECT doc_id, band, list(m ORDER BY perm) AS sig
+      FROM mh GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bsig a JOIN bsig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sets AS (
+      SELECT doc_id, list(s) AS ss, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT c.da AS doc_a, c.db AS doc_b,
+           round(len(list_intersect(x.ss, y.ss))::DOUBLE
+                 / (x.n + y.n - len(list_intersect(x.ss, y.ss))), 6) AS jaccard
+    FROM cand c
+    JOIN sets x ON x.doc_id = c.da
+    JOIN sets y ON y.doc_id = c.db
+    WHERE len(list_intersect(x.ss, y.ss))::DOUBLE
+          / (x.n + y.n - len(list_intersect(x.ss, y.ss))) >= {JACCARD_TAU}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -631,6 +687,40 @@ def q_simhash_neardup(sf_dir: str):
 
 
 QUERIES["simhash_neardup"] = q_simhash_neardup
+# Exact oracle: the 4x16-bit band blocking is EXACT for hamming <= 3 (by
+# pigeonhole), so the SQL side can skip the banding entirely and compute the
+# full-pairwise hamming over independently re-derived simhashes.  DuckDB's
+# md5_number_upper(w) is the first 8 digest bytes little-endian == our
+# _stable_hash64 pre-shift; bit 63 of the 63-bit token hash is always 0, so
+# the sign accumulator only needs bits 0..62 (j=63 would be acc<0 anyway).
+# The LSH_MAX_BUCKET cap never triggers at oracle scale (bucket <= n_docs
+# <= 5000 < 1024 only at sf<=0.01 -- the driver's compare scale).
+ORACLE["simhash_neardup"] = """
+    WITH tf AS (
+      SELECT doc_id, w, count(*)::BIGINT AS f
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS w
+            FROM documents)
+      GROUP BY doc_id, w),
+    th AS (
+      SELECT doc_id, (md5_number_upper(w) >> 1)::BIGINT AS h, f FROM tf),
+    bits AS (
+      SELECT doc_id, r.j,
+             sum(CASE WHEN (h >> r.j) & 1 = 1 THEN f ELSE -f END) AS acc
+      FROM th, range(63) r(j)
+      GROUP BY doc_id, r.j),
+    sim AS (
+      SELECT doc_id,
+             sum(CASE WHEN acc > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sh
+      FROM bits GROUP BY doc_id),
+    alldocs AS (
+      SELECT d.doc_id, coalesce(s.sh, 0)::BIGINT AS sh
+      FROM documents d LEFT JOIN sim s USING (doc_id))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+    FROM alldocs a JOIN alldocs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -42,11 +42,15 @@ _SAMPLE_FIRST = [
     "query_string_extended_documents", "ascii_fold_topterms_documents",
     "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
     "minimal_stem_topterms_documents", "keyword_trim_documents",
-    "classic_sim_topk_documents", "multimodal_decode_features",
-    # the two ops rewired onto score_matches_dataset this round — their
-    # implementation changed, so they need FRESH driver verification ahead
-    # of the no-oracle rows-only entries (which pytest bounds anyway)
+    "classic_sim_topk_documents",
+    # ops whose implementation OR oracle changed this round — rewired onto
+    # score_matches_dataset / distributed verify / newly SQL-oracled — need
+    # FRESH driver verification ahead of the no-oracle rows-only entries
+    # (which pytest bounds anyway)
     "score_join_documents_source", "composite_search_rollup_documents",
+    "minhash_lsh_neardup", "simhash_neardup",
+    "textprofile_signature_documents",
+    "multimodal_decode_features",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",
     "suggest_prefix_documents", "spellcheck_documents",
     "significant_terms_documents",

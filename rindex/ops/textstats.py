@@ -138,7 +138,11 @@ def q_textprofile_signature_documents(sf_dir: str):
     """TextProfileSignature: quantized term-frequency profile hash for fuzzy
     dedup (reference: `solr/core/src/java/org/apache/solr/update/processor/
     TextProfileSignature.java` — terms with quantized freq, sorted, hashed).
-    Quantization: round(tf / max_tf * 4)."""
+    Quantization: round-half-up(tf / max_tf * 4), computed in INTEGER
+    arithmetic ((8*tf + max) // (2*max)) so the Ray side and the SQL oracle
+    agree bit-for-bit on .5 boundaries (the reference's Java Math.round is
+    half-up too; Python's round() is banker's and was the reason this op
+    used to be rows-only)."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -154,7 +158,7 @@ def q_textprofile_signature_documents(sf_dir: str):
                 continue
             mx = max(c.values())
             items = sorted(
-                f"{w}:{round(v / mx * 4)}" for w, v in c.items()
+                f"{w}:{(8 * v + mx) // (2 * mx)}" for w, v in c.items()
             )
             sigs.append(hashlib.md5(" ".join(items).encode()).hexdigest())
         return pa.table({"doc_id": t["doc_id"], "signature": pa.array(sigs)})
@@ -163,9 +167,25 @@ def q_textprofile_signature_documents(sf_dir: str):
 
 
 QUERIES["textprofile_signature_documents"] = q_textprofile_signature_documents
-# No SQL oracle: python round() is banker's rounding on .5 quantization
-# boundaries; replicating that plus the profile string assembly in SQL is
-# not portable.  Covered by pytest golden tests instead.
+# Exact oracle: same integer half-up quantization, codepoint-ordered
+# string_agg (items are pure ascii [0-9a-z:]), md5('') for token-less docs.
+ORACLE["textprofile_signature_documents"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, count(*)::BIGINT AS v FROM toks GROUP BY doc_id, w),
+    mx AS (SELECT doc_id, max(v) AS mx FROM tf GROUP BY doc_id),
+    prof AS (
+      SELECT tf.doc_id,
+             tf.w || ':' || ((8 * tf.v + mx.mx) // (2 * mx.mx))::VARCHAR AS item
+      FROM tf JOIN mx USING (doc_id)),
+    sig AS (
+      SELECT doc_id, md5(string_agg(item, ' ' ORDER BY item)) AS signature
+      FROM prof GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(s.signature, md5('')) AS signature
+    FROM documents d LEFT JOIN sig s USING (doc_id)
+"""
 
 
 def q_langid_documents(sf_dir: str):
