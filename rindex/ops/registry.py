@@ -49,7 +49,8 @@ _SAMPLE_FIRST = [
     # (which pytest bounds anyway)
     "score_join_documents_source", "composite_search_rollup_documents",
     "minhash_lsh_neardup", "simhash_neardup",
-    "textprofile_signature_documents",
+    "textprofile_signature_documents", "hll_distinct_users",
+    "langid_documents",
     "multimodal_decode_features",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",
     "suggest_prefix_documents", "spellcheck_documents",

@@ -307,7 +307,9 @@ def q_hll_distinct_users(sf_dir: str):
     `solr/core/src/java/org/apache/solr/search/facet/HLLAgg.java` +
     `solr/core/src/java/org/apache/solr/util/hll/HLL.java` — the same
     partial-sketch-then-union shape Solr uses across shards).  Approximate
-    -> no SQL oracle; pytest asserts <5%% error vs exact distinct."""
+    but DETERMINISTIC (seedless splitmix64, associative register max), so
+    the SQL oracle below re-derives the sketch bit-for-bit; pytest
+    additionally asserts <5%% error vs exact distinct."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -330,6 +332,62 @@ def q_hll_distinct_users(sf_dir: str):
 
 
 QUERIES["hll_distinct_users"] = q_hll_distinct_users
+
+
+def _sql_wrap_mul(a_expr: str, b_const: int) -> str:
+    """SQL for (a * b_const) mod 2^64 without HUGEINT overflow: split the
+    constant into 32-bit halves (a*bh mod 2^32 carries into the high word)."""
+    bh, bl = b_const >> 32, b_const & 0xFFFFFFFF
+    return (
+        f"(((({a_expr})::HUGEINT * {bh}) % 4294967296) * 4294967296"
+        f" + ({a_expr})::HUGEINT * {bl}) % 18446744073709551616"
+    )
+
+
+# Exact oracle: the sketch is a deterministic function — splitmix64 is pure
+# 64-bit wrap arithmetic (reproduced with HUGEINT split-multiply), the
+# register index/rho are bit slices (rho's leading-zero count via
+# length(bin(x)) — integer string op, no float log2 edge cases), register
+# max/merge is associative so the SQL global max equals the Ray
+# partial-then-max-merge, and the estimate formula is copied verbatim.
+# Absent registers contribute 2^0 = 1 to the denominator and count as
+# `zeros` for the linear-counting small-range correction.
+_HLL_M = 1 << HLL_P
+ORACLE["hll_distinct_users"] = f"""
+    WITH v AS (
+      SELECT DISTINCT event_type, user_id::UBIGINT AS x0 FROM events),
+    s1 AS (SELECT event_type,
+                  ((x0::HUGEINT + {0x9E3779B97F4A7C15})
+                   % 18446744073709551616)::UBIGINT AS x1 FROM v),
+    s2 AS (SELECT event_type,
+                  ({_sql_wrap_mul('xor(x1, x1 >> 30)', 0xBF58476D1CE4E5B9)})::UBIGINT AS x2
+           FROM s1),
+    s3 AS (SELECT event_type,
+                  ({_sql_wrap_mul('xor(x2, x2 >> 27)', 0x94D049BB133111EB)})::UBIGINT AS x3
+           FROM s2),
+    h AS (SELECT event_type, xor(x3, x3 >> 31) AS h FROM s3),
+    r AS (SELECT event_type, (h >> {64 - HLL_P})::BIGINT AS idx,
+                 least(64 - length(bin(
+                     (((h::HUGEINT * {1 << HLL_P}) % 18446744073709551616)::UBIGINT
+                      | {(1 << HLL_P) - 1}::UBIGINT))), {64 - HLL_P}) + 1 AS rho
+          FROM h),
+    regs AS (SELECT event_type, idx, max(rho) AS rho
+             FROM r GROUP BY event_type, idx),
+    agg AS (SELECT event_type,
+                   sum(power(2.0, -rho)) + ({_HLL_M} - count(*)) AS denom,
+                   {_HLL_M} - count(*) AS zeros
+            FROM regs GROUP BY event_type),
+    est AS (SELECT event_type,
+                   (0.7213 / (1 + 1.079 / {_HLL_M}.0))
+                     * {_HLL_M}.0 * {_HLL_M}.0 / denom AS e,
+                   zeros
+            FROM agg)
+    SELECT event_type,
+           (CASE WHEN e <= 2.5 * {_HLL_M} AND zeros > 0
+                 THEN round({_HLL_M}.0 * ln({_HLL_M}.0 / zeros))
+                 ELSE round(e) END)::BIGINT AS approx_users
+    FROM est ORDER BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -219,6 +219,32 @@ def q_langid_documents(sf_dir: str):
 
 QUERIES["langid_documents"] = q_langid_documents
 
+# Exact oracle: the "model" is a deterministic function of the inlined
+# stopword profiles — score = |distinct tokens ∩ profile|, winner = max by
+# (score, lang) with the lexicographically GREATEST language on score ties
+# (Python max() keeps the larger key tuple; ORDER BY sc DESC, lang DESC
+# row_number()=1 is the same pick), 'und' when every score is 0.
+_STOPSETS_SQL = ", ".join(
+    "('%s', [%s])" % (lang, ", ".join(f"'{w}'" for w in sorted(sw)))
+    for lang, sw in sorted(STOPSETS.items())
+)
+ORACLE["langid_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text), '[0-9a-z]+')) AS t
+      FROM documents),
+    scores AS (
+      SELECT doc_id, l.lang, len(list_intersect(t, l.sw)) AS sc
+      FROM toks CROSS JOIN (VALUES {_STOPSETS_SQL}) l(lang, sw)),
+    best AS (
+      SELECT doc_id, lang, sc,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY sc DESC, lang DESC) AS rn
+      FROM scores)
+    SELECT doc_id, CASE WHEN sc > 0 THEN lang ELSE 'und' END AS pred_lang
+    FROM best WHERE rn = 1
+"""
+
 
 # ---------------------------------------------------------------------------
 # PII redaction — the scrubbing stage of a training-data pipeline
