@@ -237,6 +237,205 @@ def porter_stem_filter(toks: list[str]) -> list[str]:
     return [porter_stem(t) for t in toks]
 
 
+# ---------------------------------------------------------------------------
+# Porter2 / Snowball English stemmer — the SnowballPorterFilterFactory
+# default ("English").  Implemented from the published Snowball definition
+# (snowballstem.org "The English (Porter2) stemming algorithm"; reference:
+# `lucene/analysis/common/src/java/org/apache/lucene/analysis/snowball/
+# SnowballFilter.java` + the generated `EnglishStemmer`).  R1/R2 are
+# POSITIONS computed once up front (with the gener/commun/arsen prefix
+# exception) and compared against suffix start indices, exactly like the
+# generated Snowball code — suffix rewrites never invalidate them.
+# ---------------------------------------------------------------------------
+
+_P2_VOWELS = frozenset("aeiouy")  # 'y' handled via the Y-marking pass
+_P2_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_P2_LI_END = frozenset("cdeghkmnrt")
+_P2_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_P2_EXC2 = frozenset(
+    ("inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed")
+)
+_P2_STEP2 = [  # (suffix, replacement) — longest-match-first at lookup
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"), ("ousli", "ous"),
+    ("iviti", "ive"), ("fulli", "ful"), ("enci", "ence"), ("anci", "ance"),
+    ("abli", "able"), ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+    ("bli", "ble"), ("ogi", "og"), ("li", ""),
+]
+_P2_STEP3 = [
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"), ("icate", "ic"),
+    ("iciti", "ic"), ("ative", ""), ("ical", "ic"), ("ness", ""), ("ful", ""),
+]
+_P2_STEP4 = [
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent", "ism",
+    "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+]
+
+
+def _p2_mark_vowels(w: str) -> str:
+    """Mark consonant-y as Y: initial y, and y right after a (still
+    unmarked) vowel — the single left-to-right pass of english.sbl, so a
+    y following a marked Y stays a vowel ('sayyid' -> 'saYyid')."""
+    out = []
+    for i, c in enumerate(w):
+        if c == "y" and (i == 0 or out[-1] in "aeiouy"):
+            out.append("Y")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _p2_regions(w: str) -> tuple[int, int]:
+    """(r1, r2) start positions; gener/commun/arsen prefix exception."""
+    n = len(w)
+    r1 = n
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            r1 = len(pre)
+            break
+    else:
+        # standard: after the first non-vowel following a vowel
+        i = 0
+        while i < n and w[i] not in "aeiouy":
+            i += 1
+        while i < n and w[i] in "aeiouy":
+            i += 1
+        r1 = i + 1 if i < n else n
+    r2 = r1
+    i = r1
+    while i < n and w[i] not in "aeiouy":
+        i += 1
+    while i < n and w[i] in "aeiouy":
+        i += 1
+    r2 = i + 1 if i < n else n
+    return r1, r2
+
+
+def _p2_short_syllable_end(w: str) -> bool:
+    """Word ends in a short syllable: non-vowel + vowel + non-vowel(!wxY),
+    or (word == vowel + non-vowel)."""
+    n = len(w)
+    if n == 2:
+        return w[0] in "aeiouy" and w[1] not in "aeiouy"
+    if n >= 3:
+        return (
+            w[-3] not in "aeiouy"
+            and w[-2] in "aeiouy"
+            and w[-1] not in "aeiouy"
+            and w[-1] not in "wxY"
+        )
+    return False
+
+
+def porter2_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = word
+    if w[0] == "'":
+        w = w[1:]
+    exc = _P2_EXC1.get(w)
+    if exc is not None:
+        return exc
+    w = _p2_mark_vowels(w)
+    r1, r2 = _p2_regions(w)
+
+    # step 0: longest of 's'  's  '
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-3] + ("i" if len(w) > 4 else "ie")
+    elif w.endswith(("us", "ss")):
+        pass
+    elif w.endswith("s"):
+        if any(c in "aeiouy" for c in w[:-2]):
+            w = w[:-1]
+    if w in _P2_EXC2:
+        return w.replace("Y", "y")
+    # step 1b: longest of eedly eed ingly edly ing ed
+    if w.endswith(("eedly", "eed")):
+        suf = "eedly" if w.endswith("eedly") else "eed"
+        if len(w) - len(suf) >= r1:
+            w = w[: -len(suf)] + "ee"
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if any(c in "aeiouy" for c in stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_P2_DOUBLES):
+                        w = w[:-1]
+                    elif _p2_short_syllable_end(w) and r1 >= len(w):
+                        w += "e"
+                break
+    # step 1c: y/Y -> i after a non-vowel that is not the first letter
+    if (
+        len(w) >= 3
+        and w[-1] in "yY"
+        and w[-2] not in "aeiouy"
+    ):
+        w = w[:-1] + "i"
+    # step 2 (suffix must lie in R1)
+    for suf, rep in _P2_STEP2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ogi":
+                    if w.endswith("logi"):
+                        w = w[:-1]
+                elif suf == "li":
+                    if len(w) >= 3 and w[-3] in _P2_LI_END:
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+    # step 3 (in R1; 'ative' additionally requires R2)
+    for suf, rep in _P2_STEP3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(w) - len(suf) >= r2:
+                        w = w[: -len(suf)]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+    # step 4 (in R2; 'ion' requires preceding s/t)
+    for suf in _P2_STEP4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r2 and (
+                suf != "ion" or (len(w) > len(suf) and w[-4] in "st")
+            ):
+                w = w[: -len(suf)]
+            break
+    # step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= r2 or (
+            len(w) - 1 >= r1 and not _p2_short_syllable_end(w[:-1])
+        ):
+            w = w[:-1]
+    elif w.endswith("ll") and len(w) - 1 >= r2:
+        w = w[:-1]
+    return w.replace("Y", "y")
+
+
+def porter2_stem_filter(toks: list[str]) -> list[str]:
+    return [porter2_stem(t) for t in toks]
+
+
 def ascii_fold(text: str) -> str:
     """ASCIIFoldingFilter analog (accent-folding subset: NFD decompose +
     drop combining marks — 'café' -> 'cafe', 'Åland' -> 'Aland').  Matches
@@ -335,6 +534,9 @@ ANALYZERS: dict[str, Analyzer] = {
     ),
     "en_minimal_stem": Analyzer(
         name="en_minimal_stem", token_filters=[english_minimal_stem_filter]
+    ),
+    "en_snowball": Analyzer(
+        name="en_snowball", token_filters=[porter2_stem_filter]
     ),
 }
 

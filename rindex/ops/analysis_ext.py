@@ -277,6 +277,49 @@ QUERIES["porter_stem_documents"] = q_porter_stem_documents
 # no ORACLE: Porter stemming is not SQL-expressible; pytest goldens cover it.
 
 
+def q_snowball_stem_documents(sf_dir: str):
+    """SnowballPorterFilterFactory (language="English", i.e. Porter2): the
+    same per-doc token/distinct-stem profile as the Porter op, through the
+    en_snowball analyzer chain.  Porter2 collapses MORE than Porter1 in
+    some families (ization->ize) and LESS in others (argument stays) — the
+    pytest goldens pin both stemmers' documented divergences.  Rows-only
+    (stemming is not SQL-expressible); porter2_stem is golden-tested
+    against the published algorithm's own examples."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    class Stem:
+        def __init__(self):
+            from rindex.analysis import porter2_stem
+
+            self.stem = porter2_stem
+            self.rx = re.compile(TOKEN_SQL_RE)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n_tok, n_stem = [], []
+            for x in pc.utf8_lower(t["text"]).to_pylist():
+                stems = [self.stem(tk) for tk in self.rx.findall(x or "")]
+                n_tok.append(len(stems))
+                n_stem.append(len(set(stems)))
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pa.array(n_tok, pa.int64()),
+                    "n_distinct_stems": pa.array(n_stem, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        Stem, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
+QUERIES["snowball_stem_documents"] = q_snowball_stem_documents
+# no ORACLE: see porter_stem_documents.
+
+
 def q_urp_parse_props_events(sf_dir: str):
     """Field-mutating URP chain (ParseIntField analog): extract the integer
     `k` from the JSON-ish `props` string column, bucket by decade, count.

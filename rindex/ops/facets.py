@@ -238,3 +238,75 @@ ORACLE["query_facets_orders"] = " UNION ALL ".join(
     "FROM orders"
     for name, pred in QUERY_FACETS
 )
+
+
+# ---------------------------------------------------------------------------
+# Interval facets — facet.interval with open/closed/unbounded endpoints
+# ---------------------------------------------------------------------------
+
+# (label, lo, lo_incl, hi, hi_incl); None bound = '*'.  Intervals may
+# OVERLAP (here the 2nd/3rd do) — the semantics range facets cannot express
+# (reference: `solr/core/src/java/org/apache/solr/request/IntervalFacets.java`,
+# interval syntax `[a,b)` / `(a,b]` / `[*,b]` per the Solr ref guide).
+INTERVALS: list[tuple[str, float | None, bool, float | None, bool]] = [
+    ("(*,50000]", None, False, 50000.0, True),
+    ("[50000,150000)", 50000.0, True, 150000.0, False),
+    ("[100000,200000)", 100000.0, True, 200000.0, False),
+    ("[250000,*]", 250000.0, True, None, False),
+]
+
+
+def _interval_mask(v: np.ndarray, lo, lo_incl, hi, hi_incl) -> np.ndarray:
+    m = np.ones(len(v), dtype=bool)
+    if lo is not None:
+        m &= (v >= lo) if lo_incl else (v > lo)
+    if hi is not None:
+        m &= (v <= hi) if hi_incl else (v < hi)
+    return m
+
+
+def q_interval_facet_totalprice(sf_dir: str):
+    """facet.interval over o_totalprice: every interval counted in ONE scan
+    (per-batch vectorized masks -> (interval, partial-count) rows; the
+    shuffle carries |intervals| x |blocks| tiny rows, never order rows), so
+    overlapping intervals cost nothing extra — the same one-pass
+    DocValues-walk contract as the reference's IntervalFacets accumulator."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", ["o_totalprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy()
+        return pa.table(
+            {
+                "interval": pa.array([i[0] for i in INTERVALS]),
+                "pn": pa.array(
+                    [int(_interval_mask(v, *i[1:]).sum()) for i in INTERVALS],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("interval")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def _interval_pred(lo, lo_incl, hi, hi_incl) -> str:
+    parts = []
+    if lo is not None:
+        parts.append(f"o_totalprice {'>=' if lo_incl else '>'} {lo}")
+    if hi is not None:
+        parts.append(f"o_totalprice {'<=' if hi_incl else '<'} {hi}")
+    return " AND ".join(parts) or "TRUE"
+
+
+QUERIES["interval_facet_totalprice"] = q_interval_facet_totalprice
+ORACLE["interval_facet_totalprice"] = " UNION ALL ".join(
+    f"SELECT '{label}' AS interval, "
+    f"count(*) FILTER (WHERE {_interval_pred(lo, li, hi, hi_i)})::BIGINT AS n "
+    "FROM orders"
+    for label, lo, li, hi, hi_i in INTERVALS
+)

@@ -703,6 +703,83 @@ ORACLE["rerank_documents"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Boost function query — edismax boost= (multiplicative function query)
+# ---------------------------------------------------------------------------
+
+BOOST_QUERY = "hash join"
+BOOST_K = 10
+
+
+def q_boost_function_search_documents(sf_dir: str):
+    """edismax `boost=recip(n_chars,1,1000,1000)`: relevance score
+    multiplied by 1000/(n_chars+1000), the "prefer shorter docs" boost
+    every search deployment ships (reference: `solr/core/src/java/org/
+    apache/solr/search/BoostQParserPlugin.java` wrapping the query in
+    Lucene's FunctionScoreQuery, + ExtendedDismaxQParser's boost param).
+
+    Distributed shape: the full OR match set stays a Dataset (one scoring
+    task per segment via score_matches_dataset — bit-identical to the
+    exhaustive kernel), the boost field joins in with a hash-partitioned
+    Dataset.join against the pruned (doc_id, n_chars) read, the multiply
+    is a per-batch vectorized kernel, and only the global top-k reaches
+    the driver.  Ranking is on the ROUNDED boosted score with doc_id-asc
+    ties (the rounded-rank discipline every scored oracle here uses, so
+    float summation order cannot flip the k boundary)."""
+    from rindex.ops.util import read_table
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    scores = s.score_matches_dataset(BOOST_QUERY, mode="or")
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    joined = scores.join(docs, "inner", num_partitions=8, on=("doc_id",))
+
+    def boost(t: pa.Table) -> pa.Table:
+        sc = t["score"].to_numpy()
+        n = t["n_chars"].to_numpy().astype(np.float64)
+        b = np.round(sc * (1000.0 / (n + 1000.0)), 6)
+        return pa.table(
+            {"doc_id": t["doc_id"], "boosted": pa.array(b, pa.float64())}
+        )
+
+    top = (
+        joined.map_batches(boost, batch_format="pyarrow")
+        .sort(["boosted", "doc_id"], descending=[True, False])
+        .limit(BOOST_K)
+        .to_pandas()
+    )
+    top.insert(0, "rank", np.arange(len(top), dtype=np.int64))
+    return top[["rank", "doc_id", "boosted"]]
+
+
+QUERIES["boost_function_search_documents"] = q_boost_function_search_documents
+_boost_terms = ",".join(f"('{t}')" for t in BOOST_QUERY.split())
+ORACLE["boost_function_search_documents"] = f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES {_boost_terms}),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q JOIN tf USING (term) JOIN df USING (term)
+      JOIN lossy USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    boosted AS (
+      SELECT s.doc_id,
+             round(s.s * (1000.0 / (d.n_chars + 1000.0)), 6) AS boosted
+      FROM scores s JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, boosted,
+             row_number() OVER (ORDER BY boosted DESC, doc_id ASC) - 1 AS rank
+      FROM boosted
+    )
+    SELECT rank, doc_id, boosted FROM ranked WHERE rank < {BOOST_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # MoreLikeThis — top tf-idf terms of a source doc -> OR query
 # ---------------------------------------------------------------------------
 

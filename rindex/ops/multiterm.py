@@ -1,0 +1,379 @@
+"""MultiTermQuery family (fuzzy + wildcard term expansion against the
+index's term dictionary) and the QueryElevationComponent.
+
+Reference surfaces:
+- FuzzyQuery: `lucene/core/src/java/org/apache/lucene/search/
+  FuzzyQuery.java` + `FuzzyTermsEnum.java` — expand the query term to all
+  dictionary terms within maxEdits=2, capped at maxExpansions=50 highest-df
+  terms, each expanded term boosted by 1 - ed/min(|term|,|query|)
+  (FuzzyTermsEnum's BoostAttribute), combined disjunctively.  The FST +
+  Levenshtein-automaton walk becomes a columnar dictionary scan: one task
+  per segment's term-sorted postings.parquet (columns=[term,df] — the
+  dictionary columns only, row bodies never read), vectorized banded DP
+  over the length-pruned candidate array.
+- WildcardQuery under CONSTANT_SCORE_REWRITE: `lucene/core/src/java/org/
+  apache/lucene/search/WildcardQuery.java` + `MultiTermQuery.java` — the
+  matching doc SET with a constant score, no per-term scoring.
+- QueryElevationComponent: `solr/core/src/java/org/apache/solr/handler/
+  component/QueryElevationComponent.java` — editorially pinned doc ids
+  occupy the top ranks in elevation-file order; organic results follow
+  with the elevated ids excluded.
+
+Scoring note (documented divergence): Lucene's default fuzzy rewrite is
+TopTermsBLENDEDFreqScoringRewrite (max-df blending); here each expanded
+term is scored as boost * BM25(term) and combined with DisjunctionMax
+(tie=0) — deterministic and SQL-expressible, same top-k shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rindex.ops.util import read_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+FUZZY_TERM = "scon"       # -> scan (ed 1), slow (ed 2) in the driver corpus
+FUZZY_MAX_EDITS = 2       # Lucene FuzzyQuery default
+FUZZY_MAX_EXPANSIONS = 50 # Lucene maxExpansions default
+FUZZY_K = 10
+
+WILD_PATTERN = "s?a*"     # -> scan, spark, small, ...
+WILD_LIMIT = 100
+
+ELEV_QUERY = "hash join"
+ELEV_IDS = (123, 7)       # elevation-file order: pinned to ranks 0, 1
+ELEV_K = 10
+
+
+def _levenshtein_vec(q: str, terms: np.ndarray) -> np.ndarray:
+    """Vectorized edit distance of `q` against a 1-D array of strings:
+    full DP, outer loops over |q| x max_len (tiny), inner ops whole-array.
+    The candidate array is length-pruned by the caller, so max_len is
+    |q| + maxEdits."""
+    if len(terms) == 0:
+        return np.zeros(0, dtype=np.int64)
+    terms = terms.astype(str)
+    lens = np.char.str_len(terms)
+    L = int(lens.max())
+    # (n, L) char-code matrix, 0-padded
+    buf = np.zeros((len(terms), L), dtype=np.uint32)
+    for i, t in enumerate(terms):  # cheap: only builds codes once
+        buf[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (len(terms), 1))
+    for qi, qc in enumerate(q, 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = qi
+        ne = (buf != ord(qc)).astype(np.int64)
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + ne[:, j - 1],
+            )
+        prev = cur
+    return prev[np.arange(len(terms)), lens]
+
+
+def _expand_terms(sf_dir: str, match_fn, label: str) -> pd.DataFrame:
+    """Distributed dictionary expansion: one task per segment dictionary
+    (term-sorted postings.parquet, columns=[term, df] — blob column never
+    read), `match_fn(term_array) -> (mask, extra_df)` vectorized per task,
+    then a tiny df-sum groupby over the union of matches."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    paths = [
+        os.path.join(seg_dir(idx, s["seg_id"], int(s.get("gen", 0))),
+                     "postings.parquet")
+        for s in man["segments"]
+    ]
+    ds = rd.read_parquet(paths, columns=["term", "df"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        mask, extra = match_fn(terms)
+        out = {
+            "term": pa.array(terms[mask].tolist()),
+            "df": pa.array(t["df"].to_numpy()[mask], pa.int64()),
+        }
+        if extra is not None:
+            out["ed"] = pa.array(extra[mask], pa.int64())
+        return pa.table(out)
+
+    hits = ds.map_batches(scan, batch_format="pyarrow")
+    aggs = [Sum("df", alias_name="df")]
+    from ray.data.aggregate import Min
+
+    if label == "fuzzy":
+        aggs.append(Min("ed", alias_name="ed"))
+    return hits.groupby("term").aggregate(*aggs).to_pandas()
+
+
+def q_fuzzy_search_documents(sf_dir: str):
+    """FuzzyQuery('scon', maxEdits=2): dictionary expansion -> top-50-df
+    cap -> DisjunctionMax over boost*BM25 per expanded term -> top-10.
+    The per-term full match sets stay distributed (score_matches_dataset,
+    one task per segment); the boost scale + dismax + top-k run as Dataset
+    map_batches / groupby-max / sort-limit."""
+    from ray.data.aggregate import Max
+
+    import pyarrow.compute as pc
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    qlen = len(FUZZY_TERM)
+
+    def match(terms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lens = np.char.str_len(terms.astype(str))
+        cand = np.abs(lens - qlen) <= FUZZY_MAX_EDITS
+        ed = np.full(len(terms), FUZZY_MAX_EDITS + 1, dtype=np.int64)
+        ed[cand] = _levenshtein_vec(FUZZY_TERM, terms[cand])
+        return ed <= FUZZY_MAX_EDITS, ed
+
+    exp = _expand_terms(sf_dir, match, "fuzzy")
+    # maxExpansions cap: keep the highest-df terms (Lucene's priority
+    # queue), term-asc tiebreak for determinism
+    exp = exp.sort_values(["df", "term"], ascending=[False, True],
+                          kind="mergesort").head(FUZZY_MAX_EXPANSIONS)
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    parts = []
+    for term, ed in zip(exp["term"], exp["ed"]):
+        boost = 1.0 - float(ed) / min(len(term), qlen)
+        scores = s.score_matches_dataset(term, mode="or")
+        parts.append(
+            scores.map_batches(
+                lambda t, b=boost: t.set_column(
+                    t.schema.get_field_index("score"), "score",
+                    pc.multiply(t["score"], pa.scalar(b, pa.float64())),
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    if not parts:
+        return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    top = (
+        ds.groupby("doc_id")
+        .aggregate(Max("score", alias_name="score"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("score"), "score",
+                pc.round(t["score"], 6),
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(FUZZY_K)
+        .to_pandas()
+    )
+    top.insert(0, "rank", np.arange(len(top), dtype=np.int64))
+    return top[["rank", "doc_id", "score"]]
+
+
+QUERIES["fuzzy_search_documents"] = q_fuzzy_search_documents
+
+
+def _fuzzy_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    return f"""
+    WITH {_bm25_ctes()},
+    fuzzy AS (
+      SELECT term, df, levenshtein(term, '{FUZZY_TERM}') AS ed
+      FROM df
+      WHERE levenshtein(term, '{FUZZY_TERM}') <= {FUZZY_MAX_EDITS}
+      ORDER BY df DESC, term ASC LIMIT {FUZZY_MAX_EXPANSIONS}
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             max((1.0 - fz.ed / least(len(fz.term), {len(FUZZY_TERM)})::DOUBLE)
+                 * ln(1.0 + (n_docs - fz.df + 0.5) / (fz.df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM fuzzy fz
+      JOIN tf ON tf.term = fz.term
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, round(s, 6) AS score,
+             row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) - 1
+               AS rank
+      FROM scored
+    )
+    SELECT rank, doc_id, score FROM ranked WHERE rank < {FUZZY_K}
+    """
+
+
+ORACLE["fuzzy_search_documents"] = _fuzzy_oracle()
+
+
+def q_wildcard_search_documents(sf_dir: str):
+    """WildcardQuery('s?a*') under CONSTANT_SCORE_REWRITE: the distinct
+    matching doc set with score 1.0, doc_id-asc, first 100.  Expansion is
+    the same distributed dictionary scan (fnmatch translated to an
+    anchored re2 regex, vectorized via Arrow match_substring_regex); the
+    doc set comes from one posting-fetch task per expanded term with the
+    ids deduped by a distributed groupby."""
+    import pyarrow.compute as pc
+
+    import re as _re
+
+    from ray.data.aggregate import Count
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    rx = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+        for c in WILD_PATTERN
+    ) + "$"
+
+    def match(terms: np.ndarray) -> tuple[np.ndarray, None]:
+        m = pc.match_substring_regex(
+            pa.array(terms.tolist(), pa.string()), rx
+        ).to_numpy(zero_copy_only=False)
+        return m, None
+
+    exp = _expand_terms(sf_dir, match, "wildcard")
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    parts = [
+        s.score_matches_dataset(t, mode="or") for t in sorted(exp["term"])
+    ]
+    if not parts:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    out = (
+        ds.groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .sort("doc_id")
+        .limit(WILD_LIMIT)
+        .to_pandas()
+    )
+    out["score"] = 1.0
+    return out[["doc_id", "score"]]
+
+
+QUERIES["wildcard_search_documents"] = q_wildcard_search_documents
+_wild_like = WILD_PATTERN.replace("*", "%").replace("?", "_")
+ORACLE["wildcard_search_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+                    '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
+      FROM documents
+    )
+    SELECT doc_id, 1.0 AS score
+    FROM (SELECT DISTINCT doc_id FROM toks WHERE term LIKE '{_wild_like}')
+    ORDER BY doc_id LIMIT {WILD_LIMIT}
+"""
+
+
+def q_query_elevation_documents(sf_dir: str):
+    """QueryElevationComponent: ELEV_IDS pinned to the top ranks in
+    elevation-file order (forceElevation semantics — pinned even when the
+    doc scores zero for the query), organic BM25 results follow with the
+    pinned ids excluded.  score = the doc's organic BM25 OR-score for the
+    query (0.0 for a non-matching pinned doc), elevated flag marks the
+    pinned rows — the [elevated] transformer."""
+    import pyarrow.compute as pc
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    hits = s.search(ELEV_QUERY, k=ELEV_K + len(ELEV_IDS), mode="or")
+    organic = [
+        (doc_id, round(score, 6))
+        for _r, doc_id, score in hits
+        if doc_id not in ELEV_IDS
+    ][:ELEV_K - len(ELEV_IDS)] if ELEV_K > len(ELEV_IDS) else []
+    # pinned scores come from the FULL distributed match set, not the
+    # top-k window — a pinned doc ranked below k still shows its real score
+    pin_tbl = (
+        s.score_matches_dataset(ELEV_QUERY, mode="or")
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["doc_id"], pa.array(list(ELEV_IDS), pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    by_id = dict(
+        zip(pin_tbl["doc_id"], np.round(pin_tbl["score"].to_numpy(), 6))
+    )
+    rows = [
+        (d, float(by_id.get(d, 0.0)), True) for d in ELEV_IDS
+    ] + [(d, sc, False) for d, sc in organic]
+    out = pd.DataFrame(rows, columns=["doc_id", "score", "elevated"])
+    out.insert(0, "rank", np.arange(len(out), dtype=np.int64))
+    return out
+
+
+QUERIES["query_elevation_documents"] = q_query_elevation_documents
+
+
+def _elevation_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    elev_vals = ", ".join(
+        f"({r}, {d})" for r, d in enumerate(ELEV_IDS)
+    )
+    qterms = ", ".join(f"('{t}')" for t in ELEV_QUERY.split())
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES {qterms}),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q JOIN tf USING (term) JOIN df USING (term)
+      JOIN lossy USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    elev(erank, doc_id) AS (VALUES {elev_vals}),
+    pinned AS (
+      SELECT e.erank::BIGINT AS rank, e.doc_id::BIGINT AS doc_id,
+             coalesce(round(s.s, 6), 0.0) AS score, TRUE AS elevated
+      FROM elev e LEFT JOIN scores s USING (doc_id)
+    ),
+    organic AS (
+      -- rank on the RAW sum (the engine orders by unrounded score);
+      -- round only for display
+      SELECT {len(ELEV_IDS)} - 1 +
+               row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank,
+             doc_id, round(s, 6) AS score, FALSE AS elevated
+      FROM scores
+      WHERE doc_id NOT IN (SELECT doc_id FROM elev)
+    )
+    SELECT rank, doc_id, score, elevated FROM pinned
+    UNION ALL
+    SELECT rank, doc_id, score, elevated FROM organic
+    WHERE rank < {ELEV_K}
+    """
+
+
+ORACLE["query_elevation_documents"] = _elevation_oracle()

@@ -8,15 +8,15 @@ def _modules():
     # whole module's ops from the driver's query set and verification
     # would pass vacuously on the remainder
     from rindex.ops import (
-        analysis_ext, ann, dedup, dismax, evaluators, facets, fulltext,
-        livedocs, loaders, multimodal, nested, relational, search_ext,
-        sketches, streams, textstats,
+        analysis_ext, ann, atomic, dedup, dismax, evaluators, facets,
+        fulltext, livedocs, loaders, multimodal, multiterm, nested,
+        relational, search_ext, sketches, streams, textstats,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
-        nested, dismax, livedocs, facets,
+        nested, dismax, livedocs, facets, atomic, multiterm,
     ]
 
 
@@ -51,6 +51,10 @@ _SAMPLE_FIRST = [
     "minhash_lsh_neardup", "simhash_neardup",
     "textprofile_signature_documents", "hll_distinct_users",
     "langid_documents",
+    # new this round (r2, second half)
+    "boost_function_search_documents", "interval_facet_totalprice",
+    "atomic_update_documents", "fuzzy_search_documents",
+    "wildcard_search_documents", "query_elevation_documents",
     "multimodal_decode_features",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",
     "suggest_prefix_documents", "spellcheck_documents",

@@ -88,6 +88,64 @@ def test_porter_stem_paper_examples():
     assert not bad, bad
 
 
+def test_porter2_snowball_examples():
+    """Porter2 (Snowball English): the spec's own exceptional forms and
+    step examples, plus end-to-end traces through R1/R2.  Divergences from
+    Porter (1980) are pinned on purpose: ties->tie (not ti), argument kept
+    (Porter1 gives argu), gener-/commun-/arsen- R1 prefix exception."""
+    from rindex.analysis import porter2_stem
+
+    cases = {
+        # exceptional forms + post-1a invariants (verbatim from the spec)
+        "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+        "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+        "early": "earli", "only": "onli", "singly": "singl", "sky": "sky",
+        "news": "news", "atlas": "atlas", "cosmos": "cosmos", "bias": "bias",
+        "andes": "andes", "inning": "inning", "outing": "outing",
+        "canning": "canning", "herring": "herring", "earring": "earring",
+        "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+        # step 1a examples from the definition
+        "ties": "tie", "cries": "cri", "gas": "gas", "this": "this",
+        "gaps": "gap", "kiwis": "kiwi", "caresses": "caress",
+        "ponies": "poni",
+        # step 1b (at/bl/iz +e, undouble, short-word +e, eed in R1)
+        "hopping": "hop", "hoping": "hope", "running": "run",
+        "luxuriated": "luxuri", "agreed": "agre", "feed": "feed",
+        "meetings": "meet", "enjoyed": "enjoy",
+        # 1c + steps 2-5 (sequential application, R1/R2 gates)
+        "cry": "cri", "by": "by", "say": "say", "happy": "happi",
+        "rational": "ration", "conditional": "condit",
+        "generously": "generous", "electrical": "electr",
+        "argument": "argument", "communism": "communism",
+    }
+    bad = {
+        w: (porter2_stem(w), want)
+        for w, want in cases.items()
+        if porter2_stem(w) != want
+    }
+    assert not bad, bad
+
+
+def test_porter2_divergence_from_porter1():
+    """The two stemmers must NOT be identical — each's documented behavior
+    on the words where the algorithms differ."""
+    from rindex.analysis import porter2_stem, porter_stem
+
+    assert porter_stem("ties") == "ti" and porter2_stem("ties") == "tie"
+    assert porter_stem("dying") == "dy" and porter2_stem("dying") == "die"
+    assert porter_stem("cosmos") == "cosmo"  # p2 lists it as invariant
+    assert porter2_stem("cosmos") == "cosmos"
+
+
+def test_en_snowball_analyzer_registered():
+    from rindex.analysis import get_analyzer
+
+    a = get_analyzer("en_snowball")
+    assert a.tokens("Running quickly; the ties agreed!") == [
+        "run", "quick", "the", "tie", "agre"
+    ]
+
+
 def test_synonym_filter():
     from rindex.analysis import make_synonym_filter
 
