@@ -671,6 +671,103 @@ _register(
 )
 
 
+EXPAND_HEADS = 20
+EXPAND_N = 2
+
+
+def q_expand_collapsed_events(sf_dir: str):
+    """ExpandComponent paired with the collapse above (reference:
+    `solr/core/src/java/org/apache/solr/handler/component/
+    ExpandComponent.java`): for each collapsed head on the result page
+    (top-20 heads by value desc), return the next top-2 OTHER members of
+    its group.  The heads come from the distributed collapse (small by
+    construction — one row per user on the page); the expansion re-scans
+    only the heads' groups (pushdown isin filter on the read) and takes
+    each group's top-(N+1) with the same vectorized run-start trick, then
+    drops the head row."""
+    import pyarrow.compute as pc
+
+    heads = (
+        q_collapse_best_event_per_user(sf_dir)
+        .sort(["value", "user_id"], descending=[True, False])
+        .limit(EXPAND_HEADS)
+        .to_pandas()
+    )
+    head_users = heads["user_id"].to_numpy()
+    head_events = dict(zip(heads["user_id"], heads["event_id"]))
+
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "value"],
+        filter=pc.field("user_id").isin(head_users.tolist()),
+    )
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        e = g["event_id"].to_numpy()
+        order = np.lexsort((e, -v, u))
+        u_s, v_s, e_s = u[order], v[order], e[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], u_s[1:] != u_s[:-1]])
+        )
+        bounds = np.append(starts, len(u_s))
+        rows = []
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            head_e = head_events.get(u_s[s])
+            rank = 0
+            for i in range(s, min(t, s + EXPAND_N + 1)):
+                if e_s[i] == head_e:
+                    continue
+                rows.append((u_s[i], e_s[i], v_s[i], rank))
+                rank += 1
+                if rank >= EXPAND_N:
+                    break
+            # groups on the page have >= 1 member (the head); groups of
+            # size 1 simply contribute no expansion rows, as in Solr
+        return pd.DataFrame(
+            rows, columns=["user_id", "event_id", "value", "expand_rank"]
+        ).astype({"user_id": np.int64, "event_id": np.int64,
+                  "expand_rank": np.int64})
+
+    return (
+        ds.map_batches(
+            lambda t: t.append_column(
+                "_ub", pa.array((t["user_id"].to_numpy() % 17).astype(np.int32))
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("_ub")
+        .map_groups(expand, batch_format="pandas")
+    )
+
+
+_register(
+    "expand_collapsed_events",
+    q_expand_collapsed_events,
+    f"""
+    WITH best AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ),
+    heads AS (
+      SELECT user_id FROM best WHERE rn = 1
+      ORDER BY value DESC, user_id ASC LIMIT {EXPAND_HEADS}
+    )
+    SELECT b.user_id, b.event_id, b.value,
+           (b.rn - 2)::BIGINT AS expand_rank
+    FROM best b JOIN heads h USING (user_id)
+    WHERE b.rn BETWEEN 2 AND {1 + EXPAND_N}
+    """,
+)
+
+
 def q_grouping_top2_events_per_type(sf_dir: str):
     """Grouping component: top-k docs within each group (reference:
     `solr/core/src/java/org/apache/solr/search/Grouping.java`)."""
