@@ -55,7 +55,7 @@ _SAMPLE_FIRST = [
     "boost_function_search_documents", "interval_facet_totalprice",
     "atomic_update_documents", "fuzzy_search_documents",
     "wildcard_search_documents", "query_elevation_documents",
-    "expand_collapsed_events",
+    "expand_collapsed_events", "shortest_path_users",
     "multimodal_decode_features",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",
     "suggest_prefix_documents", "spellcheck_documents",

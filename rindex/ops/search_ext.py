@@ -108,6 +108,153 @@ ORACLE["graph_gather_orders_of_nation"] = """
 
 
 # ---------------------------------------------------------------------------
+# shortestPath — iterative BFS levels over a co-occurrence graph
+# ---------------------------------------------------------------------------
+
+SP_MAX_HOPS = 3
+
+
+def q_shortest_path_users(sf_dir: str):
+    """shortestPath() analog (reference: `solr/solrj/src/java/org/apache/
+    solr/client/solrj/io/graph/ShortestPathStream.java` — iterative BFS,
+    one 'join the frontier against the edge index' round per hop): BFS
+    DISTANCES from the minimum user_id to every user within 3 hops of the
+    user co-occurrence graph (edge = two users sharing >= 1 (event_type,
+    hour) bucket — hour granularity gives the corpus real multi-hop
+    structure; day collapses it to a near-clique).
+
+    Scale shape: the edge table is built DISTRIBUTED with the dedup
+    module's coarse-bucketed pair expansion (_pair_counts — pairs
+    pre-counted per task, deduped by a native groupby; nothing
+    corpus-sized on the driver) and materialized once; each BFS round is
+    one map_batches over the edge Dataset with the (small) frontier set
+    broadcast via ray.put — the reference ships the frontier in the join
+    query the same way.  At 10^12 edges the frontier broadcast becomes a
+    hash join of the frontier Dataset against the node-partitioned edge
+    table; the round structure is identical."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from rindex.ops.dedup import _pair_counts
+
+    ev = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    # bucket key = hours-since-epoch << 32 | stable 32-bit hash of the
+    # type string (a per-batch dictionary code would NOT be stable across
+    # batches); the "doc_id" column name is what _pair_counts expects for
+    # the node id
+    def add_key(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        us = pc.cast(
+            pc.floor_temporal(t["ts"], unit="hour"), pa.int64()
+        ).to_numpy()
+        hours = us // 3_600_000_000  # timestamp[us] -> hour ordinal
+        codes = np.array(
+            [
+                int.from_bytes(
+                    _h.md5(s.encode()).digest()[:4], "little"
+                )
+                for s in t["event_type"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        key = (hours << np.int64(32)) | codes
+        return pa.table(
+            {
+                "doc_id": t["user_id"],
+                "bucket": pa.array(key),
+            }
+        )
+
+    pairs = _pair_counts(
+        ev.map_batches(add_key, batch_format="pyarrow"), "bucket"
+    ).materialize()
+
+    from ray.data.aggregate import Min
+
+    src = int(
+        read_table(sf_dir, "events", ["user_id"]).aggregate(Min("user_id"))[
+            "min(user_id)"
+        ]
+    )
+
+    dist = {src: 0}
+    frontier = np.array([src], dtype=np.int64)
+    for hop in range(1, SP_MAX_HOPS + 1):
+        fref = ray.put(np.sort(frontier))
+
+        def neighbors(t: pa.Table, _fref=fref) -> pa.Table:
+            f = ray.get(_fref)
+            pk = t["pk"].to_numpy()
+            a = pk >> 32
+            b = pk & 0xFFFFFFFF
+            fa = np.isin(a, f)
+            fb = np.isin(b, f)
+            out = np.unique(np.concatenate([b[fa], a[fb]]))
+            return pa.table({"user_id": pa.array(out, pa.int64())})
+
+        reached = (
+            pairs.map_batches(neighbors, batch_format="pyarrow")
+            .groupby("user_id")
+            .count()
+            .to_pandas()["user_id"]
+            .to_numpy()
+        )
+        frontier = np.array(
+            [int(u) for u in reached if int(u) not in dist], dtype=np.int64
+        )
+        if len(frontier) == 0:
+            break
+        for u in frontier:
+            dist[int(u)] = hop
+    out = pd.DataFrame(
+        sorted(dist.items()), columns=["user_id", "dist"]
+    ).astype({"user_id": np.int64, "dist": np.int64})
+    return out
+
+
+QUERIES["shortest_path_users"] = q_shortest_path_users
+ORACLE["shortest_path_users"] = f"""
+    WITH ev AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS d
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+      FROM ev a JOIN ev b
+        ON a.event_type = b.event_type AND a.d = b.d
+       AND a.user_id < b.user_id
+    ),
+    und AS (
+      SELECT ua, ub FROM edges UNION ALL SELECT ub AS ua, ua AS ub FROM edges
+    ),
+    d0 AS (SELECT min(user_id) AS user_id FROM events),
+    d1 AS (
+      SELECT DISTINCT e.ub AS user_id FROM und e JOIN d0 ON e.ua = d0.user_id
+      WHERE e.ub NOT IN (SELECT user_id FROM d0)
+    ),
+    d2 AS (
+      SELECT DISTINCT e.ub AS user_id FROM und e JOIN d1 ON e.ua = d1.user_id
+      WHERE e.ub NOT IN (SELECT user_id FROM d0)
+        AND e.ub NOT IN (SELECT user_id FROM d1)
+    ),
+    d3 AS (
+      SELECT DISTINCT e.ub AS user_id FROM und e JOIN d2 ON e.ua = d2.user_id
+      WHERE e.ub NOT IN (SELECT user_id FROM d0)
+        AND e.ub NOT IN (SELECT user_id FROM d1)
+        AND e.ub NOT IN (SELECT user_id FROM d2)
+    )
+    SELECT user_id, 0::BIGINT AS dist FROM d0
+    UNION ALL SELECT user_id, 1 FROM d1
+    UNION ALL SELECT user_id, 2 FROM d2
+    UNION ALL SELECT user_id, 3 FROM d3
+    ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Suggester — AnalyzingSuggester / FreeTextSuggester over the term dict
 # ---------------------------------------------------------------------------
 
