@@ -245,6 +245,7 @@ def _pair_counts(
     n_coarse: int = 509,
     max_bucket: int | None = None,
     cand_ref=None,
+    dedupe: bool = True,
 ):
     """exact-key buckets -> Dataset[(pk, n)] = every intra-bucket doc pair
     (a < b, packed int64) with its multiplicity across ALL buckets — fully
@@ -284,13 +285,18 @@ def _pair_counts(
             n = np.append(n, dropped)
         return pd.DataFrame({"pk": pk, "n": n})
 
-    return _sum_by_pk(
+    expanded = (
         bucketed.map_batches(
             add_coarse, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("_cb")
         .map_groups(pairs, batch_format="pandas")
     )
+    if not dedupe:
+        # caller-side dedupe (candidate generation: the deduped pair set
+        # is the designated small side anyway) — skips one all-to-all
+        return expanded
+    return _sum_by_pk(expanded)
 
 
 def _sum_by_pk(pairs_ds, n_coarse: int = 509):
@@ -471,18 +477,58 @@ def q_minhash_lsh_neardup(sf_dir: str):
     rows_per_band = N_PERM // N_BANDS
 
     def sigs(t: pa.Table) -> pa.Table:
-        ids, band_hashes = [], []
+        # ONE (total_shingles, 128) hash matrix + per-doc reduceat for the
+        # whole batch — bit-identical to per-doc _minhash (same formula,
+        # min is order-free), ~10x fewer numpy dispatches than a per-doc
+        # loop at 5k docs
+        per_doc, keep_ids, counts = [], [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             s = _shingles(text)
-            if len(s) == 0:
-                continue
-            mh = _minhash(s, a, b).reshape(N_BANDS, rows_per_band)
+            if len(s):
+                per_doc.append(s)
+                keep_ids.append(did)
+                counts.append(len(s))
+        if not per_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bh": pa.array([], pa.int64()),
+                }
+            )
+        # chunk at doc boundaries so the (chunk_shingles, 128) hash matrix
+        # stays ~50 MB whatever the block size — one unbounded matrix over
+        # a whole 5k-doc block measured 2.5x SLOWER than the per-doc loop
+        # (allocator-bound), chunked it is ~2x faster
+        counts = np.asarray(counts)
+        doc_offsets = np.concatenate([[0], np.cumsum(counts)])
+        chunks, lo = [], 0
+        while lo < len(counts):
+            hi = max(
+                lo + 1,
+                int(np.searchsorted(doc_offsets, doc_offsets[lo] + 50_000)),
+            )
+            chunks.append((lo, min(hi, len(counts))))
+            lo = min(hi, len(counts))
+        mh_parts = []
+        allsh = np.concatenate(per_doc)
+        for lo, hi in chunks:
+            x = (allsh[doc_offsets[lo]:doc_offsets[hi]] % _MERSENNE31)[:, None]
+            h = (a[None, :] * x + b[None, :]) % _MERSENNE31
+            starts = doc_offsets[lo:hi] - doc_offsets[lo]
+            mh_parts.append(
+                np.minimum.reduceat(h, starts, axis=0).astype(np.int64)
+            )
+        mh = np.concatenate(mh_parts).reshape(
+            len(keep_ids), N_BANDS, rows_per_band
+        )
+        ids, band_hashes = [], []
+        for di, did in enumerate(keep_ids):
             for bi in range(N_BANDS):
                 ids.append(did)
                 # the band index is baked into the bucket key, so one
                 # int64 column is the whole LSH bucket identity
                 band_hashes.append(
-                    _stable_hash64(bytes([bi]) + mh[bi].tobytes())
+                    _stable_hash64(bytes([bi]) + mh[di, bi].tobytes())
                 )
         return pa.table(
             {
@@ -494,18 +540,19 @@ def q_minhash_lsh_neardup(sf_dir: str):
     import ray
 
     bucketed = ds.map_batches(sigs, batch_format="pyarrow")
-    # candidate pks, deduped DISTRIBUTED (groupby inside _pair_counts); hot
-    # band buckets capped with a logged drop count.  The deduped candidate
-    # set is the designated small side (LSH yields O(n) candidates) — it is
-    # collected and broadcast once for the verify pass.
+    # candidate pks: per-task pre-counted partials, deduped HERE — the
+    # deduped candidate set is the designated small side (LSH yields O(n)
+    # candidates), so the cross-task distinct costs one np.unique instead
+    # of a second all-to-all sort; hot band buckets capped with a logged
+    # drop count.  The set is collected and broadcast once for the verify.
     cand_df = (
-        _pair_counts(bucketed, "bh", max_bucket=LSH_MAX_BUCKET)
+        _pair_counts(bucketed, "bh", max_bucket=LSH_MAX_BUCKET, dedupe=False)
         .to_pandas()
     )
     drop_m = cand_df["pk"].to_numpy() == _DROP_SENTINEL
     if drop_m.any():
-        _log_drops("minhash_lsh", int(cand_df["sum(n)"].to_numpy()[drop_m].sum()))
-    cand_pk = np.sort(cand_df["pk"].to_numpy()[~drop_m])
+        _log_drops("minhash_lsh", int(cand_df["n"].to_numpy()[drop_m].sum()))
+    cand_pk = np.unique(cand_df["pk"].to_numpy()[~drop_m])
     cand_ids = np.unique(
         np.concatenate([cand_pk >> 32, cand_pk & 0xFFFFFFFF])
     ) if len(cand_pk) else np.zeros(0, np.int64)
