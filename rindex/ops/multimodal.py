@@ -1,14 +1,26 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: binary image payloads + typed metadata, with a REAL
+decode path.
 
-Image/audio decode libraries are not available in this container, so the
-DECODE step is stubbed (deterministic fake, or NotImplementedError in
-strict mode) while the Ray-side plumbing — binary column schema, actor-pool
-map_batches stage with per-actor "model" setup, bounded batch sizes for
-large payloads, typed metadata output — is real and tested.
+The payloads are genuine P6 PPM images (the uncompressed netpbm format:
+`P6\\n<w> <h>\\n255\\n` header + raw RGB24) synthesized deterministically
+from doc_id, so the decode stage does real work with no codec libraries:
+header parsing, `np.frombuffer` -> (h, w, 3) pixel array, vectorized
+channel statistics and nearest-neighbor resampling.  Compressed codecs
+(JPEG etc.) are NOT available in this container — payloads carrying a
+codec mime route to a loud NotImplementedError in strict mode / a logged
+skip otherwise, exactly how a real pipeline quarantines undecodable rows.
+
+Because the pixel function is arithmetic ((a*r + b*c + s) mod 256 per
+channel, parameters from md5(doc_id) bytes), EVERY stage here is
+SQL-expressible: the DuckDB oracles re-derive the image from the same
+bytes (md5_number_upper/lower = digest halves little-endian) and recompute
+the channel means / thumbnail / frame plan over unnested pixel grids.
 
 Reference anchor: Tika extraction of rich documents
 (`solr/contrib/extraction/src/java/org/apache/solr/handler/extraction/
-ExtractingRequestHandler.java`) — binary in, typed fields out.
+ExtractingRequestHandler.java`) — binary in, typed fields out; the
+actor-pool stage shape (decoder state per actor, small batches for wide
+binary rows) is the LangDetect-URP / LTR-model pattern.
 """
 
 from __future__ import annotations
@@ -24,20 +36,56 @@ from rindex.ops.util import read_table
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-STRICT_DECODE = False  # True -> decode raises NotImplementedError
+STRICT_DECODE = False  # True -> codec mimes raise NotImplementedError
+JPEG_EVERY = 17        # doc_id % 17 == 0 -> stub-codec mime row
+PPM_MIME = "image/x-portable-pixmap"
+THUMB = 16             # nearest-neighbor thumbnail side
+TARGET_BOX = (224, 224)
+FRAME_SAMPLE_N = 8
+
+
+def _img_params(doc_id: int) -> tuple:
+    """(w, h, ar[3], ac[3], s[3], fps, duration_ms) — all from the md5 of
+    the DECIMAL doc_id string, byte-for-byte what the SQL oracles read via
+    md5_number_upper/lower."""
+    d = hashlib.md5(str(int(doc_id)).encode()).digest()
+    w = 16 + d[0] % 48
+    h = 16 + d[1] % 48
+    ar = [1 + (d[2] + k) % 5 for k in range(3)]
+    ac = [1 + (d[3] + k) % 5 for k in range(3)]
+    s = [d[4], d[5], d[6]]
+    fps = 12 + d[8] % 19                       # digest[8] = lower-half byte 0
+    duration_ms = 1000 + (d[9] | (d[10] << 8)) % 9000
+    return w, h, ar, ac, s, fps, duration_ms
+
+
+def _render_ppm(doc_id: int) -> bytes:
+    w, h, ar, ac, s, _f, _d = _img_params(doc_id)
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    img = np.stack(
+        [(ar[k] * r + ac[k] * c + s[k]) % 256 for k in range(3)], axis=-1
+    ).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
 def make_payloads(sf_dir: str):
-    """Synthesize a deterministic opaque binary column from documents.text
-    (stands in for image bytes; schema: doc_id, payload:binary, mime)."""
-    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    """Deterministic binary image column: real P6 PPM bytes per doc
+    (schema: doc_id, payload:binary, mime); every JPEG_EVERY-th doc gets a
+    codec mime + opaque bytes to keep the quarantine path exercised."""
+    ds = read_table(sf_dir, "documents", ["doc_id"])
 
     def f(t: pa.Table) -> pa.Table:
         payloads, mimes = [], []
-        for x in t["text"].to_pylist():
-            d = hashlib.sha256((x or "").encode()).digest()
-            payloads.append(d * 32)  # 1 KiB opaque payload
-            mimes.append("image/fake" if d[0] % 2 == 0 else "audio/fake")
+        for did in t["doc_id"].to_pylist():
+            if did % JPEG_EVERY == 0:
+                payloads.append(
+                    hashlib.sha256(str(did).encode()).digest() * 32
+                )
+                mimes.append("image/jpeg")
+            else:
+                payloads.append(_render_ppm(did))
+                mimes.append(PPM_MIME)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -49,43 +97,70 @@ def make_payloads(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-class FakeDecoder:
-    """Actor-pool decode stage: heavy decoder state would be loaded ONCE per
-    actor here (the LangDetect-URP / LTR-model pattern); per-batch __call__
-    emits typed metadata.  Small batch_size because payload rows are wide."""
+class PpmDecoder:
+    """Actor-pool decode stage: decoder state (header pattern, skip
+    counters) lives per actor; __call__ does the real parse + pixel work
+    per batch.  Small batch_size because payload rows are wide."""
 
     def __init__(self, strict: bool = STRICT_DECODE):
         self.strict = strict
-        # real impl: self.codec = load_image_codec()  # not in this container
+        self.skipped = 0
 
-    def decode_one(self, payload: bytes) -> tuple[int, int]:
-        if self.strict:
-            raise NotImplementedError(
-                "image/audio codecs unavailable in this container"
-            )
-        h = hashlib.md5(payload).digest()
-        return 16 + h[0] % 240, 16 + h[1] % 240  # fake (width, height)
+    def decode_one(self, payload: bytes, mime: str) -> np.ndarray | None:
+        """(h, w, 3) uint8 pixels, or None for quarantined codec rows."""
+        if mime != PPM_MIME or not payload.startswith(b"P6"):
+            if self.strict:
+                raise NotImplementedError(
+                    f"codec {mime!r} unavailable in this container"
+                )
+            self.skipped += 1
+            return None
+        # header: magic, width, height, maxval, then EXACTLY ONE
+        # whitespace byte before the raw RGB24 — bytes.split would eat a
+        # whitespace-valued first pixel byte, so anchor with a regex and
+        # slice at the match end
+        import re as _re
+
+        m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if m is None:
+            raise ValueError("malformed PPM header")
+        w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        if maxval != 255:
+            raise ValueError(f"unsupported maxval {maxval}")
+        px = np.frombuffer(payload, dtype=np.uint8, offset=m.end(),
+                           count=w * h * 3)
+        return px.reshape(h, w, 3)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        dims = [self.decode_one(p) for p in batch["payload"]]
-        w = np.array([d[0] for d in dims], dtype=np.int64)
-        h = np.array([d[1] for d in dims], dtype=np.int64)
+        rows = []
+        for did, p, m in zip(
+            batch["doc_id"], batch["payload"], batch["mime"]
+        ):
+            img = self.decode_one(p, m)
+            if img is None:
+                continue
+            h, w, _ = img.shape
+            means = img.reshape(-1, 3).mean(axis=0)
+            rows.append(
+                (did, m, w, h, w * h,
+                 round(float(means[0]), 6),
+                 round(float(means[1]), 6),
+                 round(float(means[2]), 6))
+            )
         return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "mime": batch["mime"],
-                "n_bytes": batch["payload"].map(len).astype(np.int64),
-                "width": w,
-                "height": h,
-                "aspect": (w / h).round(6),
-            }
-        )
+            rows,
+            columns=["doc_id", "mime", "width", "height", "n_pixels",
+                     "mean_r", "mean_g", "mean_b"],
+        ).astype({"doc_id": np.int64, "width": np.int64,
+                  "height": np.int64, "n_pixels": np.int64})
 
 
 def q_multimodal_decode_features(sf_dir: str):
-    """Binary payload -> actor-pool decode -> typed feature columns."""
+    """Binary payload -> actor-pool PPM decode -> typed feature columns
+    (dimensions + per-channel means over the REAL pixel array).  Codec
+    rows are quarantined (excluded), as the oracle's WHERE mirrors."""
     return make_payloads(sf_dir).map_batches(
-        FakeDecoder,
+        PpmDecoder,
         batch_format="pandas",
         batch_size=256,  # wide binary rows -> small batches
         concurrency=(1, 2),
@@ -95,37 +170,90 @@ def q_multimodal_decode_features(sf_dir: str):
 
 QUERIES["multimodal_decode_features"] = q_multimodal_decode_features
 
+# byte k of the md5 digest: first 8 bytes via md5_number_upper (little-
+# endian), bytes 8.. via md5_number_lower — verified equal to python
+# digest[k] in tests.
+_D = "md5_number_upper(doc_id::VARCHAR)"
+_DL = "md5_number_lower(doc_id::VARCHAR)"
 
-TARGET_BOX = (224, 224)
+
+def _byte(expr: str, k: int) -> str:
+    return f"(({expr} >> {8 * k}) & 255)::BIGINT"
 
 
-class FakeResizer(FakeDecoder):
-    """Actor-pool resize stage: the aspect-preserving fit-into-box geometry
-    is real (what a real cv2/PIL stage computes before the pixel op); only
-    the pixel transform itself is stubbed behind the fake decoder."""
+_PAR = f"""
+    par AS (
+      SELECT doc_id,
+             16 + {_byte(_D, 0)} % 48 AS w,
+             16 + {_byte(_D, 1)} % 48 AS h,
+             {_byte(_D, 2)} AS d2, {_byte(_D, 3)} AS d3,
+             {_byte(_D, 4)} AS s0, {_byte(_D, 5)} AS s1,
+             {_byte(_D, 6)} AS s2
+      FROM documents WHERE doc_id % {JPEG_EVERY} <> 0
+    )
+"""
+
+ORACLE["multimodal_decode_features"] = f"""
+    WITH {_PAR},
+    grid AS (
+      SELECT p.*, r.i AS r, c.j AS c
+      FROM par p, range(64) r(i), range(64) c(j)
+      WHERE r.i < p.h AND c.j < p.w
+    ),
+    m AS (
+      SELECT doc_id,
+             avg(((1 + (d2 + 0) % 5) * r + (1 + (d3 + 0) % 5) * c + s0) % 256) AS mean_r,
+             avg(((1 + (d2 + 1) % 5) * r + (1 + (d3 + 1) % 5) * c + s1) % 256) AS mean_g,
+             avg(((1 + (d2 + 2) % 5) * r + (1 + (d3 + 2) % 5) * c + s2) % 256) AS mean_b
+      FROM grid GROUP BY doc_id
+    )
+    SELECT p.doc_id, '{PPM_MIME}' AS mime, p.w AS width, p.h AS height,
+           (p.w * p.h)::BIGINT AS n_pixels,
+           round(m.mean_r, 6) AS mean_r, round(m.mean_g, 6) AS mean_g,
+           round(m.mean_b, 6) AS mean_b
+    FROM par p JOIN m USING (doc_id)
+"""
+
+
+class PpmResizer(PpmDecoder):
+    """Actor-pool resize stage: the aspect-preserving fit-into-224-box
+    geometry PLUS a real nearest-neighbor 16x16 thumbnail resample of the
+    decoded pixels (pure fancy-indexing — src row (r*h)//16, col
+    (c*w)//16) with per-channel thumbnail means."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        dims = [self.decode_one(p) for p in batch["payload"]]
-        w = np.array([d[0] for d in dims], dtype=np.float64)
-        h = np.array([d[1] for d in dims], dtype=np.float64)
-        scale = np.minimum(TARGET_BOX[0] / w, TARGET_BOX[1] / h)
+        rows = []
+        ti = np.arange(THUMB, dtype=np.int64)
+        for did, p, m in zip(
+            batch["doc_id"], batch["payload"], batch["mime"]
+        ):
+            img = self.decode_one(p, m)
+            if img is None:
+                continue
+            h, w, _ = img.shape
+            scale = min(TARGET_BOX[0] / w, TARGET_BOX[1] / h)
+            thumb = img[(ti * h) // THUMB][:, (ti * w) // THUMB]
+            tm = thumb.reshape(-1, 3).mean(axis=0)
+            rows.append(
+                (did, w, h, int(w * scale), int(h * scale),
+                 round(scale, 6),
+                 round(float(tm[0]), 6), round(float(tm[1]), 6),
+                 round(float(tm[2]), 6))
+            )
         return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "src_w": w.astype(np.int64),
-                "src_h": h.astype(np.int64),
-                "out_w": np.floor(w * scale).astype(np.int64),
-                "out_h": np.floor(h * scale).astype(np.int64),
-                "scale": np.round(scale, 6),
-            }
-        )
+            rows,
+            columns=["doc_id", "src_w", "src_h", "out_w", "out_h", "scale",
+                     "thumb_r", "thumb_g", "thumb_b"],
+        ).astype({"doc_id": np.int64, "src_w": np.int64, "src_h": np.int64,
+                  "out_w": np.int64, "out_h": np.int64})
 
 
 def q_multimodal_resize_plan(sf_dir: str):
-    """Resize stage plan: per payload, the aspect-preserving target
-    geometry for a 224x224 box (actor pool, small batches)."""
+    """Resize stage: target geometry for the 224x224 box + a REAL 16x16
+    nearest-neighbor thumbnail of the decoded image (actor pool, small
+    batches)."""
     return make_payloads(sf_dir).map_batches(
-        FakeResizer,
+        PpmResizer,
         batch_format="pandas",
         batch_size=256,
         concurrency=(1, 2),
@@ -135,28 +263,53 @@ def q_multimodal_resize_plan(sf_dir: str):
 
 QUERIES["multimodal_resize_plan"] = q_multimodal_resize_plan
 
-
-FRAME_SAMPLE_N = 8
+ORACLE["multimodal_resize_plan"] = f"""
+    WITH {_PAR},
+    tgrid AS (
+      SELECT p.*, r.i AS tr, c.j AS tc,
+             (r.i * p.h) // {THUMB} AS sr, (c.j * p.w) // {THUMB} AS sc
+      FROM par p, range({THUMB}) r(i), range({THUMB}) c(j)
+    ),
+    t AS (
+      SELECT doc_id,
+             avg(((1 + (d2 + 0) % 5) * sr + (1 + (d3 + 0) % 5) * sc + s0) % 256) AS tr_,
+             avg(((1 + (d2 + 1) % 5) * sr + (1 + (d3 + 1) % 5) * sc + s1) % 256) AS tg_,
+             avg(((1 + (d2 + 2) % 5) * sr + (1 + (d3 + 2) % 5) * sc + s2) % 256) AS tb_
+      FROM tgrid GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.w AS src_w, p.h AS src_h,
+           -- floor, not cast: DOUBLE->BIGINT casts ROUND in DuckDB while
+           -- python int() truncates
+           floor(p.w * least({TARGET_BOX[0]} / p.w::DOUBLE,
+                             {TARGET_BOX[1]} / p.h::DOUBLE))::BIGINT AS out_w,
+           floor(p.h * least({TARGET_BOX[0]} / p.w::DOUBLE,
+                             {TARGET_BOX[1]} / p.h::DOUBLE))::BIGINT AS out_h,
+           round(least({TARGET_BOX[0]} / p.w::DOUBLE,
+                       {TARGET_BOX[1]} / p.h::DOUBLE), 6) AS scale,
+           round(t.tr_, 6) AS thumb_r, round(t.tg_, 6) AS thumb_g,
+           round(t.tb_, 6) AS thumb_b
+    FROM par p JOIN t USING (doc_id)
+"""
 
 
 def q_multimodal_frame_sample(sf_dir: str):
-    """Frame-sampling stage for video-like payloads: deterministic fake
-    (fps, duration) metadata per payload, REAL uniform frame-index
-    selection (N evenly spaced frames, the standard decode plan a real
-    ffmpeg stage would execute).  One output row per sampled frame —
-    flat_map-style expansion inside map_batches."""
+    """Frame-sampling stage for video-like payloads: (fps, duration)
+    metadata from the doc's digest bytes, REAL uniform frame-index
+    selection with INTEGER arithmetic ((i * (n-1)) // (N-1) — exact on
+    both sides, no float linspace edge cases), one output row per sampled
+    frame — flat_map-style expansion inside map_batches.  Codec rows are
+    quarantined like the other stages."""
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib as _h
-
         rows = []
-        for did, p in zip(batch["doc_id"], batch["payload"]):
-            hd = _h.md5(p).digest()
-            fps = 12 + hd[2] % 19          # 12..30 fps
-            duration_ms = 1000 + int.from_bytes(hd[3:5], "little") % 9000
+        for did, m in zip(batch["doc_id"], batch["mime"]):
+            if m != PPM_MIME:
+                continue
+            _w, _h, _ar, _ac, _s, fps, duration_ms = _img_params(did)
             n_frames = max(1, fps * duration_ms // 1000)
             idx = np.unique(
-                np.linspace(0, n_frames - 1, FRAME_SAMPLE_N).astype(np.int64)
+                (np.arange(FRAME_SAMPLE_N, dtype=np.int64) * (n_frames - 1))
+                // (FRAME_SAMPLE_N - 1)
             )
             for fi in idx:
                 rows.append((did, int(fps), int(n_frames), int(fi),
@@ -164,7 +317,8 @@ def q_multimodal_frame_sample(sf_dir: str):
         return pd.DataFrame(
             rows,
             columns=["doc_id", "fps", "n_frames", "frame_idx", "ts_sec"],
-        )
+        ).astype({"doc_id": np.int64, "fps": np.int64,
+                  "n_frames": np.int64, "frame_idx": np.int64})
 
     return make_payloads(sf_dir).map_batches(
         f, batch_format="pandas", batch_size=256
@@ -172,3 +326,26 @@ def q_multimodal_frame_sample(sf_dir: str):
 
 
 QUERIES["multimodal_frame_sample"] = q_multimodal_frame_sample
+
+ORACLE["multimodal_frame_sample"] = f"""
+    WITH vid AS (
+      SELECT doc_id,
+             12 + {_byte(_DL, 0)} % 19 AS fps,
+             1000 + ({_byte(_DL, 1)} | ({_byte(_DL, 2)} << 8)) % 9000
+               AS duration_ms
+      FROM documents WHERE doc_id % {JPEG_EVERY} <> 0
+    ),
+    nf AS (
+      SELECT doc_id, fps,
+             greatest(1, fps * duration_ms // 1000) AS n_frames
+      FROM vid
+    ),
+    idx AS (
+      SELECT DISTINCT doc_id, fps, n_frames,
+             (r.i * (n_frames - 1)) // ({FRAME_SAMPLE_N} - 1) AS frame_idx
+      FROM nf, range({FRAME_SAMPLE_N}) r(i)
+    )
+    SELECT doc_id, fps, n_frames, frame_idx,
+           round(frame_idx / fps::DOUBLE, 6) AS ts_sec
+    FROM idx
+"""

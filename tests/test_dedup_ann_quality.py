@@ -57,16 +57,34 @@ def test_simhash_pairs_are_neardups(ray_session):
 
 
 def test_multimodal_stage(ray_session):
-    from rindex.ops.multimodal import FakeDecoder, q_multimodal_decode_features
+    import numpy as np
+
+    from rindex.ops.multimodal import (
+        JPEG_EVERY, PPM_MIME, PpmDecoder, _render_ppm,
+        q_multimodal_decode_features,
+    )
 
     df = q_multimodal_decode_features(SF).to_pandas()
-    assert list(df.columns) == ["doc_id", "mime", "n_bytes", "width", "height", "aspect"]
-    assert (df["n_bytes"] == 1024).all()
-    assert df["width"].between(16, 255).all()
-    # strict mode raises (the real decoder is intentionally stubbed)
-    strict = FakeDecoder(strict=True)
+    assert list(df.columns) == [
+        "doc_id", "mime", "width", "height", "n_pixels",
+        "mean_r", "mean_g", "mean_b",
+    ]
+    # codec rows are quarantined, PPM rows decoded
+    assert (df["doc_id"] % JPEG_EVERY != 0).all()
+    assert df["width"].between(16, 63).all()
+    assert df["mean_r"].between(0, 255).all()
+    # the decode is REAL: round-trip a rendered image through the decoder
+    dec = PpmDecoder()
+    img = dec.decode_one(_render_ppm(42), PPM_MIME)
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    # header parse must survive a whitespace-valued first pixel byte
+    crafted = b"P6\n1 1\n255\n" + bytes([0x0A, 7, 7])
+    one = dec.decode_one(crafted, PPM_MIME)
+    assert one.tolist() == [[[0x0A, 7, 7]]]
+    # strict mode raises loudly for codec mimes (jpeg etc. have no libs)
+    strict = PpmDecoder(strict=True)
     with pytest.raises(NotImplementedError):
-        strict.decode_one(b"xx")
+        strict.decode_one(b"xx", "image/jpeg")
 
 
 def test_textprofile_signature_golden(ray_session):
@@ -110,19 +128,26 @@ def test_ann_ivf_recall_vs_exact(ray_session):
 
 def test_multimodal_resize_and_frame_sample(ray_session):
     from rindex.ops.multimodal import (
-        FRAME_SAMPLE_N, TARGET_BOX,
+        FRAME_SAMPLE_N, JPEG_EVERY, TARGET_BOX,
         q_multimodal_frame_sample, q_multimodal_resize_plan,
     )
 
     sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
     rz = q_multimodal_resize_plan(sf).to_pandas()
-    assert len(rz) == 500
+    assert len(rz) == int((ids % JPEG_EVERY != 0).sum())
     assert (rz.out_w <= TARGET_BOX[0]).all() and (rz.out_h <= TARGET_BOX[1]).all()
     # aspect preserved within floor rounding (relative tolerance)
     a_out, a_src = rz.out_w / rz.out_h, rz.src_w / rz.src_h
     assert (abs(a_out - a_src) / a_src < 0.1).all()
     # at least one dimension hits the box (fit, not shrink-only)
     assert ((rz.out_w >= TARGET_BOX[0] - 1) | (rz.out_h >= TARGET_BOX[1] - 1)).all()
+    # thumbnail means are real pixel statistics
+    assert rz.thumb_r.between(0, 255).all()
 
     fs = q_multimodal_frame_sample(sf).to_pandas()
     g = fs.groupby("doc_id")
