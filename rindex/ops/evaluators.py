@@ -200,6 +200,27 @@ EVALUATORS: dict = {
                                        np.asarray(y, np.float64)),
     "cov": lambda x, y: float(np.cov(np.asarray(x, np.float64),
                                      np.asarray(y, np.float64))[0, 1]),
+    # regex (MatchesEvaluator / ReplaceEvaluator) — Arrow re2 kernels
+    "matches": lambda x, p: pc.match_substring_regex(
+        _str_arr(x), p if isinstance(p, str) else str(p)
+    ),
+    "replace": lambda x, p, r: pc.replace_substring_regex(
+        _str_arr(x), p if isinstance(p, str) else str(p),
+        replacement=r if isinstance(r, str) else str(r),
+    ),
+    # arrays (ArrayEvaluator / ValueAtEvaluator / ArrayMax... — Solr's
+    # array() builds a per-tuple list; here fixed-arity columns stack into
+    # an (n, k) matrix so the row-wise reducers stay whole-array)
+    "array": lambda *cols: np.stack(
+        [np.asarray(c, np.float64) for c in cols], axis=1
+    ),
+    "valueAt": lambda arr, i: np.asarray(arr)[:, int(i)],
+    "arrayMax": lambda arr: np.asarray(arr).max(axis=1),
+    "arrayMin": lambda arr: np.asarray(arr).min(axis=1),
+    "arrayMean": lambda arr: np.asarray(arr).mean(axis=1),
+    "arrayLength": lambda arr: np.full(
+        len(np.asarray(arr)), np.asarray(arr).shape[1], dtype=np.int64
+    ),
 }
 
 
@@ -454,4 +475,67 @@ ORACLE["eval_regress_lineitem"] = """
                  + regr_slope(l_extendedprice, l_quantity) * 30.0, 4)
              AS predict_at_30
     FROM lineitem
+"""
+
+
+def q_eval_array_scale_lineitem(sf_dir: str):
+    """Array + regex evaluators and the scale() function query
+    (reference: `solr/solrj/.../io/eval/{ArrayEvaluator,ValueAtEvaluator,
+    MatchesEvaluator}.java` + `lucene/queries/.../valuesource/
+    ScaleFloatFunction.java`).  scale(field, 0, 1) needs the GLOBAL
+    min/max — a real two-pass distributed shape: one tiny Dataset
+    aggregate, constants inlined into the second-pass expression (the
+    reference computes the same bounds in ScaleFloatFunction#createWeight
+    before scoring).  Arrays are fixed-arity column stacks so every
+    row-wise reducer stays whole-matrix numpy."""
+    from ray.data.aggregate import Max, Min
+
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+         "l_tax", "l_extendedprice", "l_returnflag"],
+    )
+    bounds = li.aggregate(
+        Min("l_extendedprice"), Max("l_extendedprice")
+    )
+    lo = float(bounds["min(l_extendedprice)"])
+    hi = float(bounds["max(l_extendedprice)"])
+    def keep_mod(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["l_orderkey"].to_numpy() % 100 == 0))
+
+    sel = select_eval(
+        li.map_batches(keep_mod, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        {
+            "arr_max": "arrayMax(array(l_quantity, mult(l_discount, 100), mult(l_tax, 100)))",
+            "arr_mean": "round(arrayMean(array(l_quantity, mult(l_discount, 100), mult(l_tax, 100))), 6)",
+            "mid": "valueAt(array(l_quantity, mult(l_discount, 100), mult(l_tax, 100)), 1)",
+            "is_return": "matches(l_returnflag, \"R\")",
+            "scaled_price": f"round(div(sub(l_extendedprice, {lo}), {hi - lo}), 6)",
+        },
+        keep=["l_orderkey", "l_linenumber"],
+    )
+    return (
+        sel.sort(["l_orderkey", "l_linenumber"])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["eval_array_scale_lineitem"] = q_eval_array_scale_lineitem
+ORACLE["eval_array_scale_lineitem"] = """
+    WITH b AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, l_discount * 100, l_tax * 100) AS arr_max,
+           round((l_quantity + l_discount * 100 + l_tax * 100) / 3.0, 6)
+             AS arr_mean,
+           l_discount * 100 AS mid,
+           l_returnflag = 'R' AS is_return,
+           round((l_extendedprice - b.lo) / (b.hi - b.lo), 6) AS scaled_price
+    FROM lineitem, b
+    WHERE l_orderkey % 100 = 0
+    ORDER BY l_orderkey, l_linenumber
 """

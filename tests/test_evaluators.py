@@ -107,3 +107,17 @@ def test_statistical_kernels():
     rng = np.random.default_rng(3)
     u, v = rng.normal(size=500), rng.normal(size=500)
     assert abs(_ev("corr(a, b)", a=u, b=v) - np.corrcoef(u, v)[0, 1]) < 1e-10
+
+
+def test_array_and_regex_kernels():
+    x = np.array([1.0, 9.0, 4.0])
+    y = np.array([5.0, 2.0, 4.0])
+    z = np.array([3.0, 7.0, 4.0])
+    assert list(_ev("arrayMax(array(a, b, c))", a=x, b=y, c=z)) == [5.0, 9.0, 4.0]
+    assert list(_ev("arrayMin(array(a, b, c))", a=x, b=y, c=z)) == [1.0, 2.0, 4.0]
+    assert list(_ev("arrayMean(array(a, b, c))", a=x, b=y, c=z)) == [3.0, 6.0, 4.0]
+    assert list(_ev("valueAt(array(a, b, c), 1)", a=x, b=y, c=z)) == [5.0, 2.0, 4.0]
+    assert list(_ev("arrayLength(array(a, b))", a=x, b=y)) == [2, 2, 2]
+    s = np.array(["row", "Ride", "arrow"], dtype=object)
+    assert list(_ev('matches(a, "^r")', a=s).to_pylist()) == [True, False, False]
+    assert list(_ev('replace(a, "r", "R")', a=s).to_pylist()) == ["Row", "Ride", "aRRow"]
