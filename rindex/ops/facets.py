@@ -310,3 +310,49 @@ ORACLE["interval_facet_totalprice"] = " UNION ALL ".join(
     "FROM orders"
     for label, lo, li, hi, hi_i in INTERVALS
 )
+
+
+# ---------------------------------------------------------------------------
+# facet.missing — the null bucket of a terms facet
+# ---------------------------------------------------------------------------
+
+def q_terms_facet_missing_events(sf_dir: str):
+    """facet.missing=true: terms facet over a DERIVED field that is null on
+    part of the domain (two-digit `k` parsed from props — single-digit rows
+    have no value, the classic URP-parsed-field gap), with the null count
+    as Solr's `missing` bucket (reference: `solr/core/src/java/org/apache/
+    solr/request/SimpleFacets.java#getFacetTermEnumCounts` missing=true
+    branch).  One scan: the bucket label (decade string or 'missing')
+    computed vectorized per batch, shuffled as count partials."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", ["props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        k2 = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t["props"], r'"k": (?P<k>\d\d)(?:\D|$)'),
+                "k",
+            ),
+            pa.int64(),
+        )
+        decade = pc.cast(pc.multiply(pc.divide(k2, 10), 10), pa.string())
+        bucket = pc.coalesce(decade, pa.scalar("missing"))
+        return pa.table({"bucket": bucket})
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+QUERIES["terms_facet_missing_events"] = q_terms_facet_missing_events
+ORACLE["terms_facet_missing_events"] = """
+    SELECT coalesce(
+             ((nullif(regexp_extract(props, '"k": (\\d\\d)(?:\\D|$)', 1),
+                      '')::BIGINT // 10) * 10)::VARCHAR,
+             'missing') AS bucket,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+"""

@@ -69,7 +69,6 @@ _SAMPLE_FIRST = [
     "json_loader_events", "csv_loader_events",
     "stopword_topterms_documents", "synonym_canonical_documents",
     "shingle_bigrams_documents", "edge_ngram_terms_documents",
-    "hll_distinct_users",
     "porter_stem_documents", "urp_parse_props_events",
     "fetch_enrich_orders",
     "ltr_score_documents", "geo_radius_events",
