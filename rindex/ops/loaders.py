@@ -183,3 +183,90 @@ ORACLE["sql_loader_events"] = """
            round(sum(value), 4) AS sum_value
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def _ensure_xml_files(sf_dir: str, n_shards: int = 8) -> list[str]:
+    """events.parquet -> Solr XML update format (`<add><doc><field
+    name=...>` — the XMLLoader wire format), sharded for parallel read."""
+    import pyarrow.parquet as pq
+    from xml.sax.saxutils import escape
+
+    d = _cache_dir(sf_dir)
+    paths = [os.path.join(d, f"events-{i}.xml") for i in range(n_shards)]
+    done = os.path.join(d, "_DONE_XML")
+    if not os.path.exists(done):
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "user_id", "value"],
+        ).to_pandas()
+        tmp = f".tmp-{os.getpid()}"
+        for i, p in enumerate(paths):
+            part = t[t["event_id"] % n_shards == i]
+            with open(p + tmp, "w") as fh:
+                fh.write("<add>\n")
+                for r in part.itertuples(index=False):
+                    fh.write(
+                        "<doc>"
+                        f'<field name="event_id">{r.event_id}</field>'
+                        f'<field name="event_type">{escape(r.event_type)}</field>'
+                        f'<field name="user_id">{r.user_id}</field>'
+                        # repr() round-trips float64 exactly
+                        f'<field name="value">{r.value!r}</field>'
+                        "</doc>\n"
+                    )
+                fh.write("</add>\n")
+            os.replace(p + tmp, p)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return paths
+
+
+def q_xml_loader_events(sf_dir: str):
+    """XMLLoader analog (`solr/core/src/java/org/apache/solr/handler/
+    loader/XMLLoader.java` — the classic `<add><doc>` update format): the
+    sharded XML files are read with `ray.data.read_binary_files` (one
+    task per shard) and parsed with ElementTree inside map_batches, then
+    the same Dataset-equivalence validation as the JSON/CSV loaders
+    (count + avg per event_type; oracle runs on the parquet view)."""
+    import xml.etree.ElementTree as ET
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    paths = _ensure_xml_files(sf_dir)
+    ds = rd.read_binary_files(paths)
+
+    def parse(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for blob in batch["bytes"]:
+            root = ET.fromstring(blob)
+            for doc in root.iter("doc"):
+                f = {
+                    el.attrib["name"]: el.text
+                    for el in doc.iter("field")
+                }
+                rows.append(
+                    (f["event_type"], float(f["value"]))
+                )
+        return pd.DataFrame(rows, columns=["event_type", "value"])
+
+    out = (
+        ds.map_batches(parse, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv"))
+        .to_pandas()
+    )
+    out["avg_value"] = (out["sv"] / out["n"]).round(6)
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "n", "avg_value"]].sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+QUERIES["xml_loader_events"] = q_xml_loader_events
+ORACLE["xml_loader_events"] = """
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
