@@ -271,6 +271,83 @@ QUERIES["classic_sim_topk_documents"] = q_classic_sim_topk_documents
 ORACLE["classic_sim_topk_documents"] = _classic_oracle_sql()
 
 
+def q_expression_sim_topk_documents(sf_dir: str):
+    """Top-k under a similarity COMPILED FROM EXPRESSION STRINGS (the
+    Lucene expressions module's scoring use case, served by our evaluator
+    engine instead of a JS compiler): the SMART lnc log-tf scheme
+    w=ln(1+N/(df+1)), score = w*(1+ln(tf))/sqrt(lossy dl) — registered as
+    'expr_logtf' in SIMILARITIES and run through the SAME WAND/exhaustive
+    kernels with per-expression recomputed block bounds.  Same
+    rounded-rank slack discipline as ClassicSimilarity (ratio forms tie
+    across docs)."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand", similarity="expr_logtf")
+    slack = 16
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in CLASSIC_QUERIES]),
+            "qtype": pa.array([q[1] for q in CLASSIC_QUERIES]),
+            "text": pa.array([q[2] for q in CLASSIC_QUERIES]),
+            "k": pa.array([TOP_K + slack] * len(CLASSIC_QUERIES), pa.int32()),
+        }
+    )
+    out = searcher.search_table(qtbl).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=False)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32")
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _expression_sim_oracle_sql() -> str:
+    q_rows = []
+    for qid, qtype, text in CLASSIC_QUERIES:
+        terms = text.split()
+        for t in terms:
+            q_rows.append(f"('{qid}', '{t}', {len(set(terms))}, '{qtype}')")
+    q_values = ",".join(q_rows)
+    return f"""
+    WITH {_bm25_ctes()},
+    q(query_id, term, n_required, qtype) AS (VALUES {q_values}),
+    scores AS (
+      SELECT q.query_id,
+             tf.doc_id,
+             sum(ln(1.0 + n_docs / (df + 1.0)) * (1.0 + ln(tf))
+                 / sqrt(greatest(ldl, 1.0))) AS s,
+             count(DISTINCT tf.term) AS n_matched,
+             max(q.n_required) AS n_required,
+             max(q.qtype) AS qtype
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(s, 6) AS s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 6) DESC, doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM scores
+      WHERE qtype <> 'and' OR n_matched = n_required
+    )
+    SELECT query_id, rank, doc_id, s AS score
+    FROM ranked WHERE rank < {TOP_K}
+    """
+
+
+QUERIES["expression_sim_topk_documents"] = q_expression_sim_topk_documents
+ORACLE["expression_sim_topk_documents"] = _expression_sim_oracle_sql()
+
+
 LMD_QUERIES: list[tuple[str, str, str]] = [
     ("d00", "term", "spark"),
     ("d01", "or", "hash join"),

@@ -37,7 +37,7 @@ _SAMPLE_FIRST = [
     "block_join_topk_threads", "multivalued_filter_topk",
     "dismax_qf_documents", "highlight_documents",
     "merge_join_orders_customers", "merge_left_outer_customer_orders",
-    "eval_select_lineitem",
+    "expression_sim_topk_documents",
     "query_string_extended_documents", "ascii_fold_topterms_documents",
     "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
     "minimal_stem_topterms_documents", "keyword_trim_documents",
@@ -62,7 +62,7 @@ _SAMPLE_FIRST = [
     # displaced from the 50-slot window to make room (pytest-swept,
     # unchanged since their green r2 runs)
     "eval_math_funcs_events", "eval_string_funcs_documents",
-    "sql_loader_events",
+    "sql_loader_events", "eval_select_lineitem",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",
     "suggest_prefix_documents", "spellcheck_documents",
     "significant_terms_documents",

@@ -132,11 +132,71 @@ class LMJelinekMercerSimilarity:
         return np.log1p(w * tf / cv)
 
 
+class ExpressionSimilarity:
+    """Similarity compiled from evaluator-expression strings — the Lucene
+    expressions module's scoring use case (`lucene/expressions/src/java/
+    org/apache/lucene/expressions/ExpressionRescorer.java` + the
+    `expr(...)` similarity bindings) re-expressed over OUR expression
+    engine (rindex/ops/evaluators.py parser + whole-array kernels) instead
+    of a JS compiler.  Three expressions over named bindings:
+
+      weight_expr over (df, n_docs)      -> per-term weight w
+      norm_expr   over (dl, avgdl)       -> per-norm-byte cv (dl >= 1)
+      score_expr  over (w, tf, cv)       -> per-term, per-doc score
+
+    The WAND contract (monotone ↑tf, ↓dl) is the expression AUTHOR's
+    responsibility, exactly as with Lucene expression bindings; the
+    block bounds are then recomputed from the compiled expressions like
+    every other similarity."""
+
+    needs_cstats = False
+
+    def __init__(self, weight_expr: str, norm_expr: str, score_expr: str,
+                 name: str = "expr"):
+        from rindex.ops.evaluators import parse_expr
+
+        self.name = name
+        self._w = parse_expr(weight_expr)
+        self._n = parse_expr(norm_expr)
+        self._s = parse_expr(score_expr)
+
+    def _eval(self, ast, cols):
+        from rindex.ops.evaluators import eval_node
+
+        return eval_node(ast, cols)
+
+    def term_weight(self, df, n_docs):
+        out = self._eval(
+            self._w,
+            {"df": np.asarray(df, np.float64),
+             "n_docs": np.float64(n_docs)},
+        )
+        return float(out) if np.ndim(out) == 0 else np.asarray(out, np.float64)
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = np.maximum(NORM_DECODE_TABLE.astype(np.float64), 1.0)
+        return np.asarray(
+            self._eval(self._n, {"dl": dl, "avgdl": np.float64(avgdl)}),
+            np.float64,
+        )
+
+    def score(self, w, tf, cv):
+        return self._eval(self._s, {"w": w, "tf": tf, "cv": cv})
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "classic": ClassicSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),
     "lmjelinekmercer": LMJelinekMercerSimilarity(),
+    # lnc-style log-tf scheme (Salton & Buckley SMART ltc/lnc weighting):
+    # monotone ↑tf and ↓dl, so WAND block bounds remain valid
+    "expr_logtf": ExpressionSimilarity(
+        weight_expr="log(add(1, div(n_docs, add(df, 1))))",
+        norm_expr="sqrt(dl)",
+        score_expr="div(mult(w, add(1, log(tf))), cv)",
+        name="expr_logtf",
+    ),
 }
 
 

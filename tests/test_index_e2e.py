@@ -103,6 +103,41 @@ def test_wand_equals_exhaustive_classic_similarity(small_index):
     assert a.equals(b)
 
 
+def test_expression_similarity_replicates_bm25(small_index):
+    """An ExpressionSimilarity compiled from BM25's own formulas must
+    reproduce the built-in BM25 RANKING (scores agree to float tolerance —
+    the expression evaluates the same math in a slightly different
+    operation order, so bit-identity is not expected), and the WAND path
+    must equal the exhaustive path under the compiled expression."""
+    import numpy as np
+
+    from rindex.similarity import ExpressionSimilarity
+
+    expr_bm25 = ExpressionSimilarity(
+        weight_expr="log(add(1, div(add(sub(n_docs, df), 0.5), add(df, 0.5))))",
+        norm_expr="mult(1.2, add(0.25, mult(0.75, div(dl, avgdl))))",
+        score_expr="div(mult(w, tf), add(tf, cv))",
+        name="expr_bm25",
+    )
+    idx, _ = small_index
+    queries = make_queries()
+    a = IndexSearcher(idx, similarity="bm25").search_table(queries)
+    b = IndexSearcher(idx, similarity=expr_bm25).search_table(queries)
+    for col in a.schema.names:
+        if col != "score":
+            assert a[col].equals(b[col]), col
+    np.testing.assert_allclose(
+        a["score"].to_numpy(), b["score"].to_numpy(), rtol=1e-12
+    )
+    w = IndexSearcher(idx, similarity=expr_bm25).search_table(
+        queries, algo="wand"
+    )
+    e = IndexSearcher(idx, similarity=expr_bm25).search_table(
+        queries, algo="exhaustive"
+    )
+    assert w.equals(e)
+
+
 def test_similarities_actually_differ(small_index):
     idx, _ = small_index
     queries = make_queries()
