@@ -21,6 +21,17 @@ the gen-1 copy wins by version order (rindex/merge.py:207).  The final
 stored state is read back from the POST-MERGE index (the engine is the
 source of truth; the oracle recomputes the expected state in SQL).
 
+Scale note: the UPDATE BATCH here is demo-sized on purpose (~54% of the
+corpus so the oracle has teeth), and its construction — touched-id list,
+pushdown `in` filters, pandas modifier application — is driver-side
+because an atomic-update batch is the SMALL side of this operation in any
+real deployment (a trickle against the corpus).  At a 10^12-doc corpus
+with a large batch, the same chain runs batch-distributed: updates arrive
+as a Dataset, the current-state fetch becomes a hash join against the
+docmaps on doc_id, modifiers apply per Arrow batch, and append_index +
+the supersession merge already ARE distributed.  No engine semantics
+change — only the batch plumbing.
+
 Deterministic update batch over the documents table:
   - doc_id %% 7 == 0                          -> set  lang   = 'xx'   (expected = current  -> ACCEPTED)
   - else doc_id %% 5 == 0                     -> inc  n_chars += 1000 (expected = current  -> ACCEPTED)
