@@ -127,12 +127,21 @@ def _str_arr(x):
 
 
 def _concat(*xs):
-    n = max(len(x) for x in xs if hasattr(x, "__len__"))
-    arrs = [
-        _str_arr(x) if hasattr(x, "__len__") and not isinstance(x, str)
-        else pa.array(np.full(n, x, dtype=object))
-        for x in xs
-    ]
+    # str is sized too — a literal longer than the batch's row count must
+    # NOT win the length vote (it is broadcast, not element-wise)
+    n = max(
+        (len(x) for x in xs if hasattr(x, "__len__") and not isinstance(x, str)),
+        default=1,
+    )
+    arrs = []
+    for x in xs:
+        if hasattr(x, "__len__") and not isinstance(x, str):
+            a = _str_arr(x)
+            if not pa.types.is_string(a.type) and not pa.types.is_large_string(a.type):
+                a = pc.cast(a, pa.string())  # ConcatEvaluator coerces operands
+            arrs.append(a)
+        else:
+            arrs.append(pa.array(np.full(n, str(x), dtype=object)))
     return pc.binary_join_element_wise(*arrs, "")
 
 
@@ -237,7 +246,7 @@ def _moments_corr(x: np.ndarray, y: np.ndarray) -> float:
     return float(num / den)
 
 
-def eval_node(node, cols: dict):
+def eval_node(node, cols: dict, memo: dict | None = None):
     kind = node[0]
     if kind == "lit":
         return node[1]
@@ -248,6 +257,16 @@ def eval_node(node, cols: dict):
     _, name, args = node
     if name not in EVALUATORS:
         raise KeyError(f"unknown evaluator {name!r}")
+    if memo is not None:
+        # per-batch common-subexpression cache: several output expressions
+        # over the same array(...) stack evaluate the shared subtree once
+        key = repr(node)
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
+        out = EVALUATORS[name](*(eval_node(a, cols, memo) for a in args))
+        memo[key] = out
+        return out
     return EVALUATORS[name](*(eval_node(a, cols) for a in args))
 
 
@@ -260,8 +279,9 @@ def select_eval(ds, exprs: dict[str, str], keep: list[str] | None = None):
         cols = {
             c: t[c].to_numpy(zero_copy_only=False) for c in t.schema.names
         }
+        memo: dict = {}  # shared across this batch's expressions (CSE)
         for name, ast in asts.items():
-            out = eval_node(ast, cols)
+            out = eval_node(ast, cols, memo)
             arr = out if isinstance(out, (pa.Array, pa.ChunkedArray)) else pa.array(out)
             t = t.append_column(name, arr) if name not in t.schema.names else (
                 t.set_column(t.schema.get_field_index(name), name, arr)
@@ -495,7 +515,8 @@ def q_eval_array_scale_lineitem(sf_dir: str):
         ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
          "l_tax", "l_extendedprice", "l_returnflag"],
     )
-    bounds = li.aggregate(
+    # bounds pass reads ONLY the scaled column (its own pruned read)
+    bounds = read_table(sf_dir, "lineitem", ["l_extendedprice"]).aggregate(
         Min("l_extendedprice"), Max("l_extendedprice")
     )
     lo = float(bounds["min(l_extendedprice)"])

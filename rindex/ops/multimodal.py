@@ -304,6 +304,11 @@ def q_multimodal_frame_sample(sf_dir: str):
         rows = []
         for did, m in zip(batch["doc_id"], batch["mime"]):
             if m != PPM_MIME:
+                if STRICT_DECODE:  # same loud-quarantine contract as the
+                    # decode/resize stages (PpmDecoder.decode_one)
+                    raise NotImplementedError(
+                        f"codec {m!r} unavailable in this container"
+                    )
                 continue
             _w, _h, _ar, _ac, _s, fps, duration_ms = _img_params(did)
             n_frames = max(1, fps * duration_ms // 1000)

@@ -19,10 +19,21 @@ Reference surfaces:
   occupy the top ranks in elevation-file order; organic results follow
   with the elevated ids excluded.
 
-Scoring note (documented divergence): Lucene's default fuzzy rewrite is
+Scoring notes (documented divergences): Lucene's default fuzzy rewrite is
 TopTermsBLENDEDFreqScoringRewrite (max-df blending); here each expanded
 term is scored as boost * BM25(term) and combined with DisjunctionMax
-(tie=0) — deterministic and SQL-expressible, same top-k shape.
+(tie=0) — deterministic and SQL-expressible, same top-k shape.  Edit
+distance is plain Levenshtein, i.e. Lucene's `FuzzyQuery(...,
+transpositions=false)` constructor mode — the DEFAULT Lucene mode counts
+a transposition as ONE edit (Damerau), which DuckDB's levenshtein() (the
+oracle) cannot express; a transposed-adjacent term therefore costs 2
+edits on both sides instead of Lucene-default 1.
+
+Scale note: fuzzy spawns one per-segment scoring pass PER EXPANDED TERM
+(bounded by maxExpansions=50); at high expansion counts these fold into
+one per-segment DisjunctionMax task, exactly Lucene's per-leaf scorer —
+same kernels, fewer tasks.  Wildcard needs no scores at all, so it runs
+ONE OR-query match-set pipeline over all expanded terms.
 """
 
 from __future__ import annotations
@@ -103,8 +114,10 @@ def _expand_terms(sf_dir: str, match_fn, label: str) -> pd.DataFrame:
     def scan(t: pa.Table) -> pa.Table:
         terms = np.asarray(t["term"].to_pylist(), dtype=object)
         mask, extra = match_fn(terms)
+        # explicit string type: a batch with ZERO matches would otherwise
+        # emit a null-typed 'term' column and schema-mismatched blocks
         out = {
-            "term": pa.array(terms[mask].tolist()),
+            "term": pa.array(terms[mask].tolist(), pa.string()),
             "df": pa.array(t["df"].to_numpy()[mask], pa.int64()),
         }
         if extra is not None:
@@ -253,16 +266,13 @@ def q_wildcard_search_documents(sf_dir: str):
         return m, None
 
     exp = _expand_terms(sf_dir, match, "wildcard")
+    if not len(exp):
+        return pd.DataFrame({"doc_id": [], "score": []})
     idx = documents_index(sf_dir)
     s = IndexSearcher(idx, algo="exhaustive")
-    parts = [
-        s.score_matches_dataset(t, mode="or") for t in sorted(exp["term"])
-    ]
-    if not parts:
-        return pd.DataFrame({"doc_id": [], "score": []})
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
+    # constant score needs only the MATCH SET: one OR-query pipeline over
+    # ALL expanded terms (scores discarded), not one pass per term
+    ds = s.score_matches_dataset(" ".join(sorted(exp["term"])), mode="or")
     out = (
         ds.groupby("doc_id")
         .aggregate(Count(alias_name="_n"))
