@@ -122,8 +122,11 @@ def q_dedup_exact_documents(sf_dir: str):
 
 
 QUERIES["dedup_exact_documents"] = q_dedup_exact_documents
+# coalesce: the Ray side hashes (text or ""), so a NULL-text doc groups
+# WITH empty-text docs — latent on the null-free driver corpora
 ORACLE["dedup_exact_documents"] = (
-    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+    "SELECT min(doc_id) AS doc_id FROM documents "
+    "GROUP BY md5(coalesce(text, ''))"
 )
 
 
@@ -183,13 +186,20 @@ def _run_pair_counts(
 
     Returns (pk:int64[], n:int64[], va, vb, n_dropped_pairs).  `pk` is the
     packed (doc_a<<32|doc_b) pair key; `n` its multiplicity WITHIN this
-    task.  With `cand=(sorted_doc_ids, sorted_pks)` each run is first
+    task.  Ids are validated packable here — the ONE chokepoint every
+    pair-producing op (jaccard, minhash, simhash, shortest-path edges)
+    goes through, so an id >= 2^31 cannot silently wrap the shift or
+    collide with the _DROP_SENTINEL.  With `cand=(sorted_doc_ids, sorted_pks)` each run is first
     restricted to candidate docs and emitted pairs filtered to the
     candidate pk set (the verify path: bounded by the candidate set, so no
     cap needed).  With `max_bucket`, runs longer than it are DROPPED and
     their would-be pair count returned (the hot-bucket cap — a stopword
     shingle of df=D would otherwise expand D(D-1)/2 pairs).  With
     `values`, per-doc int64 payloads ride along as (va, vb)."""
+    if len(d) and (int(d.max()) >= 1 << 31 or int(d.min()) < 0):
+        raise ValueError(
+            "pair-key packing requires 0 <= id < 2^31; re-key the corpus"
+        )
     starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
     bounds = np.append(starts, len(k))
     out_pk, out_va, out_vb = [], [], []

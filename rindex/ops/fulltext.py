@@ -596,7 +596,12 @@ def q_bm25_incremental_merge_documents(sf_dir: str):
     lo = rd.read_parquet(src).filter(expr=f"doc_id < {cut}")
     build_index(lo, idx, **kwargs)
     hi = rd.read_parquet(src).filter(expr=f"doc_id >= {cut}")
-    redo = rd.read_parquet(src).filter(expr=f"doc_id < {min(ids) + 50}")
+    # redo window must stay strictly inside the gen-0 half: on a corpus
+    # small enough that min+50 >= cut, an uncapped window would put the
+    # same doc TWICE in one generation, where supersession (which keys on
+    # generation) cannot dedupe it
+    redo_hi = min(int(min(ids)) + 50, cut)
+    redo = rd.read_parquet(src).filter(expr=f"doc_id < {redo_hi}")
     append_index(hi.union(redo), idx, mode="term_shuffle")
     run_merges(idx, force=True)
 

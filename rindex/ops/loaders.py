@@ -47,13 +47,16 @@ def _ensure_wire_files(sf_dir: str) -> tuple[str, str]:
             columns=["event_id", "event_type", "user_id", "value"],
         )
         df = t.to_pandas()
-        # double_precision=15: pandas' default 10 makes the JSON round-trip
-        # lossy (~1% of doubles come back 1 ulp off); pid-unique tmp names
-        # so concurrent first runs cannot interleave writes
+        # json.dumps formats floats with repr() -> EXACT float64
+        # round-trip (pandas to_json double_precision is decimal PLACES
+        # capped at 15, which still flips ~0.3% of doubles by 1 ulp);
+        # pid-unique tmp names so concurrent first runs cannot interleave
         tmp = f".tmp-{os.getpid()}"
-        df.to_json(
-            jpath + tmp, orient="records", lines=True, double_precision=15
-        )
+        import json as _json
+
+        with open(jpath + tmp, "w") as fh:
+            for rec in df.to_dict("records"):
+                fh.write(_json.dumps(rec) + "\n")
         os.replace(jpath + tmp, jpath)
         df.to_csv(cpath + tmp, index=False)
         os.replace(cpath + tmp, cpath)
@@ -149,11 +152,19 @@ def _ensure_sql_db(sf_dir: str) -> str:
     return dbpath
 
 
+SQL_SHARDS = 8
+
+
 def q_sql_loader_events(sf_dir: str):
     """JDBC-ingest analog: `ray.data.read_sql` with a per-task connection
-    factory against the cached DuckDB file, sharded into key-range queries
-    so the read parallelizes like a JDBC partitioned import (numPartitions/
-    partitionColumn semantics), then the standard facet pipeline."""
+    factory against the cached DuckDB file, sharded into EXPLICIT
+    numPartitions/partitionColumn key-range queries (`WHERE event_id % N =
+    i`, one read_sql per shard, unioned) so the read genuinely
+    parallelizes — Ray's built-in shard_keys probe uses
+    MOD(ABS(MD5(col))) which DuckDB cannot bind (md5 is VARCHAR-only), so
+    it silently fell back to ONE task; the explicit shards are the same
+    predicate a JDBC partitioned import issues.  Then the standard facet
+    pipeline."""
     import duckdb
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -163,9 +174,14 @@ def q_sql_loader_events(sf_dir: str):
     def factory():
         return duckdb.connect(dbpath, read_only=True)
 
-    ds = rd.read_sql(
-        "SELECT event_type, value FROM events", factory, shard_keys=["event_id"]
-    )
+    shards = [
+        rd.read_sql(
+            f"SELECT event_type, value FROM events WHERE event_id % {SQL_SHARDS} = {i}",
+            factory,
+        )
+        for i in range(SQL_SHARDS)
+    ]
+    ds = shards[0].union(*shards[1:])
     out = (
         ds.groupby("event_type")
         .aggregate(Count(), Sum("value"))

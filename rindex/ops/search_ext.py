@@ -151,15 +151,17 @@ def q_shortest_path_users(sf_dir: str):
             pc.floor_temporal(t["ts"], unit="hour"), pa.int64()
         ).to_numpy()
         hours = us // 3_600_000_000  # timestamp[us] -> hour ordinal
-        codes = np.array(
+        # md5 once per DISTINCT type (a handful), gathered by dictionary
+        # code — not one hash call per row
+        enc = pc.dictionary_encode(t["event_type"]).combine_chunks()
+        dict_hash = np.array(
             [
-                int.from_bytes(
-                    _h.md5(s.encode()).digest()[:4], "little"
-                )
-                for s in t["event_type"].to_pylist()
+                int.from_bytes(_h.md5(s.encode()).digest()[:4], "little")
+                for s in enc.dictionary.to_pylist()
             ],
             dtype=np.int64,
         )
+        codes = dict_hash[enc.indices.to_numpy()]
         key = (hours << np.int64(32)) | codes
         return pa.table(
             {
@@ -289,26 +291,10 @@ def q_suggest_prefix_documents(sf_dir: str):
     analyzing/AnalyzingSuggester.java` — weight-ordered FST completion; our
     term dict is the sorted postings.parquet term column, so prefix lookup
     is a row-group-pruned range read per segment + tiny df-sum reduce)."""
-    import pyarrow.parquet as pq
-
     from rindex.ops.fulltext import documents_index
-    from rindex.segments import read_manifest, seg_dir
 
-    prefix = "s"
     idx = documents_index(sf_dir)
-    man = read_manifest(idx)
-    acc: dict[str, int] = {}
-    for m in man["segments"]:
-        p = os.path.join(
-            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
-        )
-        t = pq.read_table(
-            p,
-            columns=["term", "df"],
-            filters=[("term", ">=", prefix), ("term", "<", prefix + "￿")],
-        )
-        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-            acc[term] = acc.get(term, 0) + int(df)
+    acc = _global_term_dfs(idx, prefix="s")
     out = pd.DataFrame(
         sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:10],
         columns=["suggestion", "weight"],

@@ -55,9 +55,11 @@ def q_token_count_documents(sf_dir: str):
 
 
 QUERIES["token_count_documents"] = q_token_count_documents
+# coalesce(text, ''): the Ray side tokenizes `x or ""`, so a NULL text
+# must count 0 tokens (not NULL) — latent on the null-free driver corpora
 ORACLE["token_count_documents"] = """
     SELECT doc_id,
-           len(regexp_extract_all(lower(text), '[0-9a-z]+'))::BIGINT AS n_tokens
+           len(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z]+'))::BIGINT AS n_tokens
     FROM documents
 """
 
@@ -96,7 +98,10 @@ def q_quality_score_documents(sf_dir: str):
 
 
 QUERIES["quality_score_documents"] = q_quality_score_documents
+# coalesce(text, '') everywhere: the Ray side computes over `x or ""`, so
+# a NULL text must score as an empty doc, not propagate NULL
 ORACLE["quality_score_documents"] = """
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     SELECT doc_id,
            length(text)::BIGINT AS n_chars,
            len(regexp_extract_all(lower(text), '[0-9a-z]+'))::BIGINT AS n_words,
@@ -104,7 +109,7 @@ ORACLE["quality_score_documents"] = """
            (len(regexp_extract_all(lower(text), '[0-9a-z]+')) BETWEEN 5 AND 2000
             AND (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
                 <= 0.1 * greatest(length(text), 1)) AS is_quality
-    FROM documents
+    FROM t
 """
 
 
@@ -127,9 +132,10 @@ def q_fingerprint_documents(sf_dir: str):
 
 
 QUERIES["fingerprint_documents"] = q_fingerprint_documents
+# coalesce: NULL text fingerprints as md5('') on the Ray side
 ORACLE["fingerprint_documents"] = """
     SELECT doc_id,
-           md5(array_to_string(regexp_extract_all(lower(text), '[0-9a-z]+'), ' ')) AS fingerprint
+           md5(array_to_string(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z]+'), ' ')) AS fingerprint
     FROM documents
 """
 
