@@ -82,8 +82,9 @@ def _merge_topk(parts: pd.DataFrame) -> pd.DataFrame:
 # persisted index plumbing (shared by the SRP-LSH and IVF variants)
 
 def _ann_cache_dir(sf_dir: str, kind: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join("/tmp", "rindex_cache", f"ann-{kind}-{key}")
+    from rindex.ops.util import cache_dir
+
+    return cache_dir(sf_dir, f"ann-{kind}")
 
 
 def _emb_fingerprint(sf_dir: str, params: str) -> str:
@@ -94,23 +95,31 @@ def _emb_fingerprint(sf_dir: str, params: str) -> str:
 
 
 def _ensure_index(path: str, fingerprint: str, build_fn) -> str:
-    """Fingerprint-gated build-once: same lineage discipline as the text
-    index (source mtime+size+params in the done-marker; pid-unique tmp dir
-    + atomic rename so concurrent builders cannot publish a torn index)."""
-    done = os.path.join(path, "_DONE")
+    """Fingerprint-gated build-once with FINGERPRINT-VERSIONED publish:
+    the live directory name embeds the fingerprint, so a stale rebuild
+    creates a NEW directory instead of rmtree-ing one that concurrent
+    readers may be mid-scan in, and two concurrent builders race only on
+    the final rename — the loser discards its tmp and adopts the winner's
+    dir (rename onto an existing non-empty dir fails, which IS the
+    detection).  Old generations linger under /tmp until regeneration
+    churn cleans them — the manifest-swap discipline of segments.py."""
+    final = f"{path}-{fingerprint}"
+    done = os.path.join(final, "_DONE")
     if os.path.exists(done):
-        with open(done) as fh:
-            if fh.read().strip() == fingerprint:
-                return path
-    tmp = f"{path}.tmp.{os.getpid()}"
+        return final
+    tmp = f"{final}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     build_fn(tmp)
     with open(os.path.join(tmp, "_DONE"), "w") as fh:
         fh.write(fingerprint)
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
-    return path
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(done):
+            raise
+    return final
 
 def q_ann_cosine_topk(sf_dir: str):
     """Exact brute-force cosine top-k: per-batch matmul partial top-k,
@@ -231,9 +240,30 @@ def srp_index(sf_dir: str) -> str:
                 }
             )
 
-        emb.map_batches(explode, batch_format="pyarrow").write_parquet(
-            tmp, partition_cols=["pt", "pg"]
+        # SORT BY BUCKET before the partitioned write: each output file is
+        # a contiguous bucket range, so row-group min/max stats are tight
+        # and _pruned_rg_specs actually prunes (corpus-order rows made
+        # every row group span ~the whole bucket space)
+        (
+            emb.map_batches(explode, batch_format="pyarrow")
+            .sort(["pt", "bucket"])
+            .write_parquet(tmp, partition_cols=["pt", "pg"])
         )
+        # row-group census once at build time — the per-query telemetry
+        # read was a full-index footer sweep per query
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        n_total = 0
+        for root, _dirs, files in os.walk(tmp):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_total += _pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_row_groups
+        with open(os.path.join(tmp, "_RG_TOTAL"), "w") as fh:
+            _json.dump({"rg_total": n_total}, fh)
 
     return _ensure_index(path, fp, build)
 
@@ -243,17 +273,18 @@ def _pruned_rg_specs(index_dir: str, wanted_by_part: dict):
     themselves are distributed tasks): open only hive dirs `pt=T/pg=G`
     whose bucket-group G contains a wanted bucket, then within each file
     keep only row groups whose bucket min/max stats intersect the wanted
-    set.  Returns (specs, rg_read, rg_total) where rg_total counts row
-    groups across ALL partitions of the index."""
+    set.  Returns (specs, rg_read, rg_total); rg_total (row groups across
+    ALL partitions) comes from the build-time census in _RG_TOTAL — a
+    per-query full-index footer sweep just for telemetry was driver-side
+    IO proportional to the INDEX, not the probe set."""
+    import json as _json
+
     import pyarrow.parquet as pq
 
-    def count_rgs(d: str) -> int:
-        return sum(
-            pq.ParquetFile(os.path.join(d, f)).metadata.num_row_groups
-            for f in os.listdir(d) if f.endswith(".parquet")
-        )
+    with open(os.path.join(index_dir, "_RG_TOTAL")) as fh:
+        n_total = int(_json.load(fh)["rg_total"])
 
-    specs, n_read, n_total = [], 0, 0
+    specs, n_read = [], 0
     for tdir in sorted(os.listdir(index_dir)):
         if not tdir.startswith("pt="):
             continue
@@ -265,7 +296,6 @@ def _pruned_rg_specs(index_dir: str, wanted_by_part: dict):
             if not gdir.startswith("pg="):
                 continue
             pdir = os.path.join(index_dir, tdir, gdir)
-            n_total += count_rgs(pdir)
             g = int(gdir.split("=")[1])
             in_group = wanted[(wanted >> SRP_BG_SHIFT) == g]
             if len(in_group) == 0:
@@ -540,7 +570,9 @@ def q_ann_ivf_topk(sf_dir: str):
     idx = ivf_index(sf_dir)
     C = np.load(os.path.join(idx, "centroids.npy"))
     # per-query probed lists
-    probes = np.argsort(-(Qn @ C.T), axis=1)[:, :IVF_NPROBE]
+    # stable sort: an exact centroid-score tie must probe the LOWER list
+    # id, matching the oracle's (s DESC, cid ASC) row_number ordering
+    probes = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :IVF_NPROBE]
     probes.sort(axis=1)
     wanted = np.unique(probes)
     paths = [

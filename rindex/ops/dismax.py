@@ -31,11 +31,11 @@ DISMAX_TIE = 0.3
 
 
 def _dirs(sf_dir: str) -> dict[str, str]:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    base = os.path.join("/tmp", "rindex_cache")
+    from rindex.ops.util import cache_dir
+
     return {
-        "title": os.path.join(base, f"dm-title-{key}"),
-        "body": os.path.join(base, f"dm-body-{key}"),
+        "title": cache_dir(sf_dir, "dm-title"),
+        "body": cache_dir(sf_dir, "dm-body"),
     }
 
 
@@ -90,12 +90,10 @@ def q_dismax_qf_documents(sf_dir: str):
 
 
 def _dismax_oracle_sql() -> str:
-    from rindex.ops.fulltext import NORM_DECODE_TABLE
+    from rindex.ops.fulltext import norm_vals_sql
     from rindex.schema import B, K1
 
-    norm_vals = ",".join(
-        str(int(v)) for v in sorted(set(NORM_DECODE_TABLE.tolist()))
-    )
+    norm_vals = norm_vals_sql()
     q_vals = ",".join(f"('{t}')" for t in DISMAX_QUERY.split())
 
     def field_ctes(fld: str, toks_expr: str) -> str:

@@ -94,12 +94,17 @@ def q_bm25_topk_documents(sf_dir: str):
     )
 
 
+def norm_vals_sql() -> str:
+    """SQL literal list of the decodable lossy norm lengths — ONE builder
+    for every oracle that inlines the norm table (fulltext, dismax,
+    livedocs); a norm-encoding change edits exactly one place."""
+    return ",".join(str(int(v)) for v in sorted(set(NORM_DECODE_TABLE.tolist())))
+
+
 def _bm25_ctes() -> str:
     """Shared oracle CTEs: tokenization, tf, lossy dl, df, stats — reused by
     the BM25 / rerank / MoreLikeThis oracles."""
-    norm_vals = ",".join(
-        str(int(v)) for v in sorted(set(NORM_DECODE_TABLE.tolist()))
-    )
+    norm_vals = norm_vals_sql()
     return f"""
     toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
@@ -122,7 +127,7 @@ def _bm25_ctes() -> str:
 
 
 def _bm25_oracle_sql() -> str:
-    norm_vals = ",".join(str(int(v)) for v in sorted(set(NORM_DECODE_TABLE.tolist())))
+    norm_vals = norm_vals_sql()
     q_rows = []
     for qid, qtype, text in DOC_QUERIES:
         terms = text.split()

@@ -52,8 +52,9 @@ def _prepare(sf_dir: str, variant: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     if not os.path.exists(src):
         raise FileNotFoundError(src)
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = os.path.join("/tmp", "rindex_cache", f"del-{variant}-{key}")
+    from rindex.ops.util import cache_dir
+
+    idx = cache_dir(sf_dir, f"del-{variant}")
     stamp = {
         "fingerprint": segio.input_fingerprint([src]),
         "variant": variant,
@@ -184,12 +185,10 @@ ORACLE["delete_expunge_search_documents"] = f"""
 """
 
 
-def _norm_vals() -> str:
-    from rindex.codec import NORM_DECODE_TABLE
+def _norm_vals() -> str:  # thin alias kept for the {norms} splice below
+    from rindex.ops.fulltext import norm_vals_sql
 
-    return ",".join(
-        str(int(v)) for v in sorted(set(NORM_DECODE_TABLE.tolist()))
-    )
+    return norm_vals_sql()
 
 
 ORACLE["delete_expunge_search_documents"] = ORACLE[

@@ -31,8 +31,9 @@ THREAD_SIZE = 8  # docs per synthetic parent block (deterministic: doc_id // 8)
 
 
 def _thread_index_dir(sf_dir: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join("/tmp", "rindex_cache", f"threads-{key}")
+    from rindex.ops.util import cache_dir
+
+    return cache_dir(sf_dir, "threads")
 
 
 def _add_thread_cols(t: pa.Table) -> pa.Table:

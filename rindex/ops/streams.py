@@ -83,6 +83,10 @@ def _boundaries(ds, on: str, num_partitions: int) -> np.ndarray:
         .to_pandas()[on]
         .to_numpy()
     )
+    if len(ks) == 0:
+        # empty sampled side: one partition, no boundaries (ks[qs] on an
+        # empty array would IndexError instead of producing an empty join)
+        return np.empty(0, dtype=np.int64)
     qs = np.linspace(0, len(ks) - 1, num_partitions + 1)[1:-1].astype(np.int64)
     return np.unique(ks[qs])
 

@@ -8,6 +8,16 @@ import pandas as pd
 import pyarrow as pa
 
 
+def cache_dir(sf_dir: str, tag: str) -> str:
+    """Per-(sf_dir, tag) scratch directory under the ONE cache root —
+    every op module keys private indexes/wire files this way (a cache-root
+    or key-scheme change edits exactly one place)."""
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join("/tmp", "rindex_cache", f"{tag}-{key}")
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
     """Pruned parquet read (columns pushed down to the scan)."""
     import ray.data as rd
