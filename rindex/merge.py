@@ -143,9 +143,16 @@ class TieredMergePolicy:
         merges = []
         for _slot, metas in sorted(slots.items()):
             if any(int(m.get("del_count", 0) or 0) > 0 for m in metas):
-                group = sorted(metas, key=self._size, reverse=True)[
-                    : self.max_merge_at_once
-                ]
+                # delete-BEARING members first (then size): capping a wide
+                # slot at max_merge_at_once by size alone could rewrite
+                # only clean segments and leave every delete in place
+                group = sorted(
+                    metas,
+                    key=lambda m: (
+                        -(int(m.get("del_count", 0) or 0) > 0),
+                        -self._size(m),
+                    ),
+                )[: self.max_merge_at_once]
                 merges.append(group)
         return merges
 

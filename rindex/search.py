@@ -138,7 +138,7 @@ def parse_query_string(
             weights[t] = 0.0
         weights[t] += boost
 
-    for m in re.finditer(r'([+-]?)(?:"([^"]*)"(?:\^([0-9.]+))?|(\S+))', qs):
+    for m in re.finditer(r'([+-]?)(?:"([^"]*)"(?:\^(\d+(?:\.\d+)?))?|(\S+))', qs):
         prefix, phrase, pboost, tok = m.groups()
         if phrase is not None:
             if prefix == "-":
@@ -159,7 +159,7 @@ def parse_query_string(
         boost = 1.0
         if "^" in body:
             head, _, tail = body.rpartition("^")
-            if head and re.fullmatch(r"[0-9.]+", tail):
+            if head and re.fullmatch(r"\d+(?:\.\d+)?", tail):
                 if prefix == "-":
                     raise ValueError(
                         f"boost on a MUST_NOT clause is meaningless: "
@@ -643,6 +643,7 @@ class IndexSearcher:
             if banned is not None and len(banned):
                 hits[banned] = -(10**9)
             cand = np.nonzero(hits >= need)[0]
+            cand = cand[acc[cand] > 0]  # the score>0 hit contract
         else:
             if banned is not None and len(banned):
                 acc[banned] = 0.0
@@ -695,6 +696,8 @@ class IndexSearcher:
             if banned is not None and len(banned) and len(d):
                 ok = ~np.isin(d, banned)
                 d, s = d[ok], s[ok]
+            pos = s > 0  # the score>0 hit contract (see the AND path)
+            d, s = d[pos], s[pos]
             d, s = _topk_preselect(d, s, k)
             sel = np.lexsort((d, -s))[:k]
             return d[sel], s[sel]
@@ -773,13 +776,20 @@ class IndexSearcher:
                 decoded[key] = (d, s)
             return decoded[key]
 
+        full_cache: dict[int, tuple] = {}  # term_i -> (docs, scores)
+
         def decode_all(ti: int):
+            # seeds full_cache: the driver term's whole-list decode was
+            # previously repeated inside score_candidates' lookup
+            hit = full_cache.get(ti)
+            if hit is not None:
+                return hit
             t, r = rows[ti]
             d, tf, nrm = reader.decoded(t, r)
             tff = tf.astype(np.float64)
-            return d, self.sim.score(idf_map[t] * mult[t], tff, self.cache[nrm])
-
-        full_cache: dict[int, tuple] = {}  # term_i -> (docs, scores)
+            out = (d, self.sim.score(idf_map[t] * mult[t], tff, self.cache[nrm]))
+            full_cache[ti] = out
+            return out
 
         def lookup(ti: int, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             """Contribution of term ti at the (sorted unique) candidate
@@ -834,7 +844,10 @@ class IndexSearcher:
             ta = int(np.argmin([int(r["df"]) for _, r in rows]))
             docs_a, _ = decode_all(ta)
             total, npres = score_candidates(docs_a)
-            keep = (npres == n_terms) & drop_banned(docs_a)
+            # total > 0: the engine-wide hit contract (a similarity with a
+            # max(0,.) clamp — LMDirichlet — can score a matched doc 0;
+            # every kernel and every oracle excludes it, WHERE s > 0)
+            keep = (npres == n_terms) & drop_banned(docs_a) & (total > 0)
             docs_a, total = docs_a[keep], total[keep]
             sel = np.lexsort((docs_a, -total))[:k]
             return docs_a[sel], total[sel]
@@ -867,6 +880,8 @@ class IndexSearcher:
                 total_b, _ = score_candidates(cand)
                 best_docs = np.concatenate([best_docs, cand])
                 best_scores = np.concatenate([best_scores, total_b])
+        pos = best_scores > 0  # the score>0 hit contract (see AND path)
+        best_docs, best_scores = best_docs[pos], best_scores[pos]
         sel = np.lexsort((best_docs, -best_scores))[:k]
         return best_docs[sel], best_scores[sel]
 
@@ -1582,7 +1597,12 @@ class DisMaxSearcher:
                     ssum += dense
                 if present:
                     acc += m + self.tie * (ssum - m)
-            cand = first.readers[seg_i].drop_deleted(np.nonzero(acc)[0])
+            # deletes may have been applied to ANY of the doc-aligned
+            # field indexes — a doc deleted in one field is deleted, so
+            # filter through every field's live-docs, not just the first's
+            cand = np.nonzero(acc)[0]
+            for f in self.fields:
+                cand = self.searchers[f].readers[seg_i].drop_deleted(cand)
             if len(cand) == 0:
                 continue
             scores = acc[cand]
@@ -1608,7 +1628,9 @@ class QuerySearcher:
                  similarity="bm25"):
         # warm in the constructor: segment loads happen once per ACTOR at
         # pool spin-up, not on the first served batch
-        self.searcher = IndexSearcher(index_dir, algo=algo).warm()
+        self.searcher = IndexSearcher(
+            index_dir, algo=algo, similarity=similarity
+        ).warm()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.searcher.search_table(batch)

@@ -138,6 +138,46 @@ def test_expression_similarity_replicates_bm25(small_index):
     assert w.equals(e)
 
 
+def test_wand_equals_exhaustive_lmdirichlet_and_zero_clamp(small_index):
+    """LMDirichlet's max(0,.) clamp can score a MATCHED doc exactly 0; the
+    engine-wide hit contract (score > 0, mirroring every oracle's WHERE
+    s > 0) must hold in EVERY kernel, keeping wand == exhaustive — the
+    dense kernel's nonzero(acc) used to drop such docs while WAND kept
+    them."""
+    idx, _ = small_index
+    s = IndexSearcher(idx, similarity="lmdirichlet")
+    queries = make_queries()
+    a = s.search_table(queries, algo="wand")
+    b = s.search_table(queries, algo="exhaustive")
+    assert a.equals(b)
+    import numpy as np
+
+    assert (a["score"].to_numpy() > 0).all()
+
+
+def test_query_searcher_honors_similarity(small_index):
+    """QuerySearcher must thread its similarity parameter through to the
+    inner IndexSearcher (it used to silently score with bm25)."""
+    from rindex.search import QuerySearcher
+
+    idx, _ = small_index
+    queries = make_queries()
+    via_pool = QuerySearcher(idx, "wand", "classic")(queries)
+    direct = IndexSearcher(idx, algo="wand", similarity="classic").search_table(
+        queries
+    )
+    assert via_pool.equals(direct)
+
+
+def test_malformed_boost_suffix_does_not_crash():
+    from rindex.search import parse_query_string
+
+    # '1.2.3' is not a float literal: must not raise an uncontrolled
+    # ValueError from inside the parser
+    q = parse_query_string("foo^1.2.3 bar")
+    assert "bar" in q.terms
+
+
 def test_similarities_actually_differ(small_index):
     idx, _ = small_index
     queries = make_queries()
