@@ -145,6 +145,40 @@ def _concat(*xs):
     return pc.binary_join_element_wise(*arrs, "")
 
 
+def _strdist(x, y):
+    """StringDistanceEvaluator (`solr/solrj/.../io/eval/
+    StringDistanceEvaluator.java`, edit-distance flavor): Levenshtein
+    distance, vectorized by dictionary-encoding the column and running the
+    whole-array DP (_levenshtein_vec) once per DISTINCT value — categorical
+    columns pay O(uniques), not O(rows).  Supports column-vs-literal and
+    column-vs-column (the latter grouped by distinct left value)."""
+    from rindex.ops.multiterm import _levenshtein_vec
+
+    xs = x if isinstance(x, str) else np.asarray(_str_arr(x)).astype(str)
+    ys = y if isinstance(y, str) else np.asarray(_str_arr(y)).astype(str)
+    if isinstance(xs, str) and isinstance(ys, str):
+        return float(_levenshtein_vec(xs, np.array([ys]))[0])
+    if isinstance(xs, str):
+        xs, ys = ys, xs  # symmetric
+    if isinstance(ys, str):
+        uniq, inv = np.unique(xs, return_inverse=True)
+        return _levenshtein_vec(ys, uniq).astype(np.float64)[inv]
+    # column vs column: distinct (left, right) CODE pairs (integer pair
+    # keys — numpy's fixed-width U dtype strips separator chars, so no
+    # string concatenation), grouped by left code
+    xu, xinv = np.unique(xs, return_inverse=True)
+    yu, yinv = np.unique(ys, return_inverse=True)
+    pair_u, pair_inv = np.unique(
+        xinv.astype(np.int64) * len(yu) + yinv, return_inverse=True
+    )
+    li, ri = pair_u // len(yu), pair_u % len(yu)
+    d = np.empty(len(pair_u), np.float64)
+    for code in np.unique(li):
+        m = li == code
+        d[m] = _levenshtein_vec(xu[code], yu[ri[m]])
+    return d[pair_inv]
+
+
 EVALUATORS: dict = {
     # arithmetic (AddEvaluator, SubtractEvaluator, MultiplyEvaluator, ...)
     "add": _variadic(np.add),
@@ -213,6 +247,7 @@ EVALUATORS: dict = {
     "matches": lambda x, p: pc.match_substring_regex(
         _str_arr(x), p if isinstance(p, str) else str(p)
     ),
+    "strdist": _strdist,
     "replace": lambda x, p, r: pc.replace_substring_regex(
         _str_arr(x), p if isinstance(p, str) else str(p),
         replacement=r if isinstance(r, str) else str(r),
@@ -559,4 +594,31 @@ ORACLE["eval_array_scale_lineitem"] = """
     FROM lineitem, b
     WHERE l_orderkey % 100 = 0
     ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_eval_strdist_events(sf_dir: str):
+    """select(events, strdist(event_type, "click")) -> rollup: the
+    StringDistanceEvaluator over a categorical column (distance computed
+    once per distinct value per batch), aggregated per event type.  Max()
+    over the per-row distances checks every row carried the right value."""
+    from ray.data.aggregate import Count, Max
+
+    ev = read_table(sf_dir, "events", ["event_type"])
+    sel = select_eval(ev, {"dist": 'strdist(event_type, "click")'})
+    out = (
+        sel.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Max("dist", alias_name="dist"))
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["eval_strdist_events"] = q_eval_strdist_events
+ORACLE["eval_strdist_events"] = """
+    SELECT event_type, count(*) AS n,
+           levenshtein(event_type, 'click')::DOUBLE AS dist
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
 """

@@ -51,6 +51,8 @@ _SAMPLE_FIRST = [
     "textprofile_signature_documents", "hll_distinct_users",
     "langid_documents",
     # new this round (r2, second half)
+    "dfr_topk_documents", "having_rollup_events",
+    "cartesian_product_embeddings", "eval_strdist_events",
     "boost_function_search_documents", "interval_facet_totalprice",
     "atomic_update_documents", "fuzzy_search_documents",
     "wildcard_search_documents", "query_elevation_documents",

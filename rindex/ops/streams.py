@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rindex.ops.util import read_table
 
@@ -232,4 +233,116 @@ ORACLE["merge_left_outer_customer_orders"] = """
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# having() — HavingStream
+# ---------------------------------------------------------------------------
+
+def having(ds, expr: str):
+    """HavingStream analog (`solr/solrj/src/java/org/apache/solr/client/
+    solrj/io/stream/HavingStream.java`): keep tuples where a BOOLEAN
+    evaluator expression is true.  The predicate is compiled once by the
+    evaluator-expression parser and applied per batch as a vectorized
+    mask — the same whole-array kernels Solr's boolean evaluators map to,
+    streaming with no materialization."""
+    from rindex.ops.evaluators import eval_node, parse_expr
+
+    ast = parse_expr(expr)
+
+    def _filter(b: pa.Table) -> pa.Table:
+        cols = {n: b[n].combine_chunks() for n in b.schema.names}
+        mask = np.asarray(eval_node(ast, cols), dtype=bool)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+HAVING_MIN_EVENTS = 67
+
+
+def q_having_rollup_events(sf_dir: str):
+    """having(rollup(events over user_id), gt(n, 67)): grouped count+sum
+    followed by the evaluator-predicate filter on the AGGREGATE row —
+    the classic post-rollup HAVING shape.  The rollup shuffles only
+    (user_id, partial) rows; having() streams over the tiny aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = read_table(sf_dir, "events", ["user_id", "value"])
+    agg = ev.groupby("user_id").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    out = having(agg, f"gt(n, {HAVING_MIN_EVENTS})").to_pandas()
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["having_rollup_events"] = q_having_rollup_events
+ORACLE["having_rollup_events"] = f"""
+    SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > {HAVING_MIN_EVENTS}
+    ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# cartesianProduct() — CartesianProductStream
+# ---------------------------------------------------------------------------
+
+def cartesian_product(ds, list_col: str, value_col: str, idx_col: str = "idx"):
+    """CartesianProductStream analog (`solr/solrj/src/java/org/apache/
+    solr/client/solrj/io/stream/CartesianProductStream.java`): one output
+    tuple per element of a multi-valued field, scalar fields replicated.
+    Vectorized per batch: list_flatten for the values, np.repeat over the
+    list lengths for the scalar columns, and a concatenated-arange for the
+    within-list ordinal (Solr preserves value order the same way)."""
+
+    def _explode(b: pa.Table) -> pa.Table:
+        lst = b[list_col].combine_chunks()
+        # null / empty lists emit no tuples (CartesianProductStream skips
+        # tuples without the field)
+        lens = pc.fill_null(pc.list_value_length(lst), 0).to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        # ordinal within each list: arange(total) minus each row's start
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        idx = np.arange(total, dtype=np.int64) - starts
+        cols: dict = {}
+        for n in b.schema.names:
+            if n == list_col:
+                continue
+            cols[n] = pa.array(np.repeat(b[n].combine_chunks().to_numpy(
+                zero_copy_only=False), lens))
+        cols[idx_col] = pa.array(idx)
+        cols[value_col] = pc.list_flatten(lst)
+        return pa.table(cols)
+
+    return ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CARTESIAN_MAX_VEC = 8
+
+
+def q_cartesian_product_embeddings(sf_dir: str):
+    """cartesianProduct(search(embeddings, vec_id < 8), embedding):
+    explode the list<float> embedding column into (vec_id, idx, val)
+    tuples — the multi-valued-field-to-stream shape Solr uses to feed
+    per-value downstream decorators."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = emb.filter(expr=f"vec_id < {CARTESIAN_MAX_VEC}")
+    out = cartesian_product(emb, "embedding", "val").to_pandas()
+    out["val"] = out["val"].astype(np.float64).round(6)
+    return out.sort_values(["vec_id", "idx"]).reset_index(drop=True)
+
+
+QUERIES["cartesian_product_embeddings"] = q_cartesian_product_embeddings
+ORACLE["cartesian_product_embeddings"] = f"""
+    SELECT vec_id,
+           unnest(range(len(embedding))) AS idx,
+           round(unnest(embedding)::DOUBLE, 6) AS val
+    FROM embeddings
+    WHERE vec_id < {CARTESIAN_MAX_VEC}
+    ORDER BY vec_id, idx
 """

@@ -132,6 +132,45 @@ class LMJelinekMercerSimilarity:
         return np.log1p(w * tf / cv)
 
 
+class DFRSimilarity:
+    """Lucene DFRSimilarity with basic model I(n), after-effect B and
+    normalization H2 (`lucene/core/src/java/org/apache/lucene/search/
+    similarities/{DFRSimilarity,BasicModelIn,AfterEffectB,
+    NormalizationH2}.java`, c=1 — the In/B/H2 combination the Lucene
+    javadoc uses as its worked example):
+
+      tfn   = tf * log2(1 + c * avgdl / dl)          (H2)
+      In    = log2((N + 1) / (df + 0.5))             (basic model I(n))
+      score = ((F + 1) / (df * (tfn + 1))) * tfn*In  (after-effect B)
+
+    with F = total term frequency (collection ttf), so it rides the
+    needs_cstats weight channel like the LM similarities.  Channel split:
+    w = ((F+1)/df) * In (per term), cv = log2(1 + avgdl/dl) (per norm
+    byte), score = w * tfn/(tfn+1) with tfn = tf*cv.  Monotone ↑tf
+    (tfn/(tfn+1) increases in tfn) and ↓dl (cv decreases in dl), and
+    In > 0 for every df <= N, so scores are strictly positive and the
+    recomputed WAND block bounds are valid with no clamp."""
+
+    name = "dfr"
+    needs_cstats = True
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def term_weight_cstats(self, df, ttf, n_docs, collection_len) -> float:
+        dff = np.asarray(df, np.float64)
+        i_n = np.log2((np.float64(n_docs) + 1.0) / (dff + 0.5))
+        return (np.asarray(ttf, np.float64) + 1.0) / dff * i_n
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = np.maximum(NORM_DECODE_TABLE.astype(np.float64), 1.0)
+        return np.log2(1.0 + self.c * np.float64(avgdl) / dl)
+
+    def score(self, w, tf, cv):
+        tfn = tf * cv
+        return w * tfn / (tfn + 1.0)
+
+
 class ExpressionSimilarity:
     """Similarity compiled from evaluator-expression strings — the Lucene
     expressions module's scoring use case (`lucene/expressions/src/java/
@@ -189,6 +228,7 @@ SIMILARITIES = {
     "classic": ClassicSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),
     "lmjelinekmercer": LMJelinekMercerSimilarity(),
+    "dfr": DFRSimilarity(),
     # lnc-style log-tf scheme (Salton & Buckley SMART ltc/lnc weighting):
     # monotone ↑tf and ↓dl, so WAND block bounds remain valid
     "expr_logtf": ExpressionSimilarity(

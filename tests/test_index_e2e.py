@@ -155,6 +155,21 @@ def test_wand_equals_exhaustive_lmdirichlet_and_zero_clamp(small_index):
     assert (a["score"].to_numpy() > 0).all()
 
 
+def test_wand_equals_exhaustive_dfr(small_index):
+    """DFR In/B/H2 rides the needs_cstats channel with a log2 norm cache;
+    the recomputed block bounds must keep the pruned path bit-identical,
+    and In > 0 must make every match a positive-score hit."""
+    idx, _ = small_index
+    s = IndexSearcher(idx, similarity="dfr")
+    queries = make_queries()
+    a = s.search_table(queries, algo="wand")
+    b = s.search_table(queries, algo="exhaustive")
+    assert a.equals(b)
+    import numpy as np
+
+    assert (a["score"].to_numpy() > 0).all()
+
+
 def test_query_searcher_honors_similarity(small_index):
     """QuerySearcher must thread its similarity parameter through to the
     inner IndexSearcher (it used to silently score with bm25)."""

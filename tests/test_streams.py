@@ -4,6 +4,7 @@ plain pandas join, key-sorted output, and loud rejection of unsorted input
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -68,3 +69,54 @@ def test_merge_join_rejects_unsorted_input(ray_session):
     )
     with pytest.raises(Exception, match="not sorted"):
         ds.to_pandas()
+
+
+def test_having_evaluator_predicate(ray_session):
+    import ray.data as rd
+
+    from rindex.ops.streams import having
+
+    df = pd.DataFrame({"g": ["a", "b", "c"], "n": [5, 70, 68]})
+    got = having(rd.from_pandas(df), "and(gt(n, 67), lt(n, 70))").to_pandas()
+    assert got["g"].tolist() == ["c"]
+
+
+def test_cartesian_product_ordinals_and_empty_lists(ray_session):
+    import ray.data as rd
+
+    from rindex.ops.streams import cartesian_product
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4]),
+            "vals": pa.array(
+                [[10.0, 11.0], [], None, [7.0]],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    got = (
+        cartesian_product(rd.from_arrow(tbl), "vals", "val")
+        .to_pandas()
+        .sort_values(["id", "idx"])
+        .reset_index(drop=True)
+    )
+    # empty and null lists emit nothing; order within a list is preserved
+    assert got["id"].tolist() == [1, 1, 4]
+    assert got["idx"].tolist() == [0, 1, 0]
+    assert got["val"].tolist() == [10.0, 11.0, 7.0]
+
+
+def test_strdist_kernel_shapes():
+    from rindex.ops.evaluators import EVALUATORS
+
+    sd = EVALUATORS["strdist"]
+    col = np.array(["kitten", "sitting", "click", "kitten"])
+    # column vs literal (and the symmetric literal vs column)
+    np.testing.assert_array_equal(sd(col, "sitting"), [3.0, 0.0, 6.0, 3.0])
+    np.testing.assert_array_equal(sd("sitting", col), [3.0, 0.0, 6.0, 3.0])
+    # column vs column
+    other = np.array(["kitten", "sitting", "clack", "mitten"])
+    np.testing.assert_array_equal(sd(col, other), [0.0, 0.0, 1.0, 1.0])
+    # scalar vs scalar
+    assert sd("flaw", "lawn") == 2.0
