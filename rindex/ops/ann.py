@@ -23,6 +23,7 @@ import shutil
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from rindex.ops.util import read_table
 
@@ -826,3 +827,93 @@ def _kmeans_oracle_sql() -> str:
 
 QUERIES["kmeans_clusters_embeddings"] = q_kmeans_clusters_embeddings
 ORACLE["kmeans_clusters_embeddings"] = _kmeans_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (vector compression for the 100-TB embedding path)
+# ---------------------------------------------------------------------------
+
+Q_BITS_MAX = 127.0
+
+
+def q_embedding_quantize_int8(sf_dir: str):
+    """Per-vector symmetric int8 scalar quantization (the
+    ScalarQuantizer shape of FAISS / Lucene 9 KnnVectorsFormat, applied
+    per vector): scale = 127/max(|x|), code = floor(x*scale + 0.5)
+    (explicit half-up — np.rint's half-to-even and SQL's round() disagree
+    on exact .5 products).  One vectorized pass: per-vector max|x| and
+    code sums via reduceat over the flattened list column, then a native
+    integer groupby per label — integer outputs make the oracle compare
+    exact end-to-end (no float accumulation order anywhere).  n_full is
+    the count of codes hitting ±127 (>= 1 per non-zero vector by
+    construction — the max element quantizes to full scale)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lst = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lst).to_numpy().astype(np.float64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        maxabs = np.maximum.reduceat(np.abs(flat), starts)
+        scale = np.where(maxabs > 0, Q_BITS_MAX / np.where(maxabs > 0, maxabs, 1.0), 0.0)
+        codes = np.floor(flat * np.repeat(scale, lens) + 0.5)
+        sum_abs = np.add.reduceat(np.abs(codes), starts).astype(np.int64)
+        full = np.add.reduceat(
+            (np.abs(codes) == Q_BITS_MAX).astype(np.int64), starts
+        )
+        return pa.table(
+            {
+                "label": t["label"],
+                "sum_abs_codes": pa.array(sum_abs),
+                "n_full": pa.array(full),
+            }
+        )
+
+    out = (
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(
+            Count(alias_name="n_vecs"),
+            Sum("sum_abs_codes", alias_name="sum_abs_codes"),
+            Sum("n_full", alias_name="n_full"),
+        )
+        .to_pandas()
+    )
+    out["label"] = out["label"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+QUERIES["embedding_quantize_int8"] = q_embedding_quantize_int8
+ORACLE["embedding_quantize_int8"] = """
+    WITH el AS (
+      SELECT vec_id, label,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, label, x,
+             CASE WHEN max(abs(x)) OVER (PARTITION BY vec_id) > 0
+                  THEN 127.0 / max(abs(x)) OVER (PARTITION BY vec_id)
+                  ELSE 0.0 END AS scale
+      FROM el
+    ),
+    codes AS (
+      SELECT vec_id, label, floor(x * scale + 0.5) AS code FROM scaled
+    ),
+    per_vec AS (
+      SELECT vec_id, max(label) AS label,
+             sum(abs(code))::BIGINT AS sum_abs,
+             sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END)::BIGINT AS n_full
+      FROM codes GROUP BY vec_id
+    )
+    SELECT label, count(*) AS n_vecs,
+           sum(sum_abs)::BIGINT AS sum_abs_codes,
+           sum(n_full)::BIGINT AS n_full
+    FROM per_vec
+    GROUP BY label
+    ORDER BY label
+"""

@@ -53,6 +53,7 @@ _SAMPLE_FIRST = [
     # new this round (r2, second half)
     "dfr_topk_documents", "having_rollup_events",
     "cartesian_product_embeddings", "eval_strdist_events",
+    "contamination_check_documents", "embedding_quantize_int8",
     "boost_function_search_documents", "interval_facet_totalprice",
     "atomic_update_documents", "fuzzy_search_documents",
     "wildcard_search_documents", "query_elevation_documents",

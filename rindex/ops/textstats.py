@@ -405,3 +405,125 @@ ORACLE["repetition_stats_documents"] = f"""
     LEFT JOIN bstats USING (doc_id)
     LEFT JOIN tstats USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check (training-data decontamination)
+# ---------------------------------------------------------------------------
+
+CONTAM_MOD = 29    # benchmark docs: doc_id % 29 == 0 (the held-out eval set)
+CONTAM_NGRAM = 4   # word 4-grams (GPT-3 appendix C uses 13-grams; 4 keeps
+                   # the synthetic corpus's overlap density testable)
+_CONTAM_P = np.int64(0x9E3779B1)
+
+
+def _gram_hashes(text: str, n: int = CONTAM_NGRAM) -> np.ndarray:
+    """Distinct word n-gram hashes: Horner combine of the memoized
+    per-token hashes (the dedup module's vectorized shingle shape,
+    generalized to any n)."""
+    from rindex.ops.dedup import _MASK63, _token_hashes, _tokens
+
+    th = _token_hashes(_tokens(text))
+    m = len(th) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    acc = th[:m].copy()
+    for j in range(1, n):
+        acc = (acc * _CONTAM_P + th[j : j + m]) & _MASK63
+    return np.unique(acc)
+
+
+def q_contamination_check_documents(sf_dir: str):
+    """Benchmark decontamination (the n-gram overlap filter of GPT-3
+    appendix C / The Pile: flag training docs sharing any word n-gram with
+    a held-out benchmark set).  Two streaming passes:
+
+      1. benchmark docs (doc_id % 29 == 0) -> distinct 4-gram hashes per
+         batch -> driver union.  The benchmark side is the DESIGNATED
+         small side (an eval suite, not the corpus), broadcast via
+         ray.put once — never re-shipped per batch.
+      2. full scan: per batch, membership of each doc's distinct grams in
+         the sorted broadcast set via ONE searchsorted over the batch's
+         concatenated grams + per-doc reduceat.  Emits the contaminated
+         non-benchmark docs.
+
+    All-integer output (doc_id, n_hit, n_grams), so the oracle compare is
+    exact; hashed-vs-string gram counting agrees absent 63-bit collisions
+    (the ngram_jaccard precedent)."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = ids % CONTAM_MOD == 0
+        texts = t["text"].to_pylist()
+        gs = [_gram_hashes(texts[i] or "") for i in np.flatnonzero(keep)]
+        flat = np.concatenate(gs) if gs else np.empty(0, np.int64)
+        return pa.table({"g": pa.array(np.unique(flat), pa.int64())})
+
+    parts = ds.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    bench = np.unique(parts["g"].to_numpy())
+    ref = ray.put(bench)
+
+    class _Check:
+        def __init__(self):
+            self.bench = ray.get(ref)  # sorted by construction
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            grams = [_gram_hashes(x or "") for x in t["text"].to_pylist()]
+            lens = np.fromiter((len(g) for g in grams), np.int64, len(grams))
+            flat = (
+                np.concatenate(grams) if grams else np.empty(0, np.int64)
+            )
+            b = self.bench
+            pos = np.searchsorted(b, flat)
+            hit = np.zeros(len(flat), dtype=np.int64)
+            if len(b):
+                inb = pos < len(b)
+                hit[inb] = (b[pos[inb]] == flat[inb]).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            n_hit = np.zeros(len(grams), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                sums = np.add.reduceat(hit, starts[nz])
+                n_hit[nz] = sums
+            out = (ids % CONTAM_MOD != 0) & (n_hit > 0)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[out]),
+                    "n_hit": pa.array(n_hit[out]),
+                    "n_grams": pa.array(lens[out]),
+                }
+            )
+
+    res = ds.map_batches(_Check, batch_format="pyarrow", concurrency=(1, 8))
+    return (
+        res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+QUERIES["contamination_check_documents"] = q_contamination_check_documents
+ORACLE["contamination_check_documents"] = f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(toks[i:i+{CONTAM_NGRAM - 1}], ' ')
+                FOR i IN range(1, len(toks) - {CONTAM_NGRAM - 2})])) AS gram
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[0-9a-z]+') AS toks
+            FROM documents)
+      WHERE len(toks) >= {CONTAM_NGRAM}
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {CONTAM_MOD} = 0),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1)
+    SELECT g.doc_id, count(*) AS n_hit, max(sizes.n_grams) AS n_grams
+    FROM g
+    JOIN bench USING (gram)
+    JOIN sizes ON g.doc_id = sizes.doc_id
+    WHERE g.doc_id % {CONTAM_MOD} <> 0
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+"""
