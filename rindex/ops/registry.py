@@ -10,13 +10,13 @@ def _modules():
     from rindex.ops import (
         analysis_ext, ann, atomic, dedup, dismax, evaluators, facets,
         fulltext, livedocs, loaders, multimodal, multiterm, nested,
-        relational, search_ext, sketches, streams, textstats,
+        relational, search_ext, sketches, streamlang, streams, textstats,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
-        nested, dismax, livedocs, facets, atomic, multiterm,
+        nested, dismax, livedocs, facets, atomic, multiterm, streamlang,
     ]
 
 
@@ -54,6 +54,7 @@ _SAMPLE_FIRST = [
     "dfr_topk_documents", "having_rollup_events",
     "cartesian_product_embeddings", "eval_strdist_events",
     "contamination_check_documents", "embedding_quantize_int8",
+    "stream_expr_having_rollup", "stream_expr_top_revenue",
     "boost_function_search_documents", "interval_facet_totalprice",
     "atomic_update_documents", "fuzzy_search_documents",
     "wildcard_search_documents", "query_elevation_documents",

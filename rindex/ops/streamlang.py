@@ -1,0 +1,355 @@
+"""Streaming-expression language: compile the reference's expression
+STRINGS into Ray Dataset pipelines (SURVEY.md §2.10).
+
+Reference: `solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+expr/{StreamExpressionParser,StreamFactory}.java` + `Lang.java`'s function
+registry — Solr users write pipelines as nested expression text
+(`having(rollup(hashJoin(...), over=..., count(*)), gt(...))`) that a
+factory resolves against registered stream classes.  Here the same shape
+compiles to the engine's existing Ray Data operators: every stream builder
+returns a lazy `ray.data.Dataset`, so a compiled expression is ONE
+streaming pipeline end-to-end (no materialization between decorators), and
+scalar sub-expressions (predicates, select columns) reuse the evaluator
+engine's AST + whole-array kernels (rindex/ops/evaluators.py).
+
+Registered streams (the v1 surface; STREAM_BUILDERS is the extension
+hook, like Lang.java):
+
+    table(name, fl="a,b")            parquet source with column pruning
+    select(stream, keep="a,b", out=expr, ...)
+    rollup(stream, over="k1,k2", alias=count(*)|sum(c)|min(c)|max(c)|avg(c))
+    having(stream, booleanExpr)
+    hashJoin(left, right, on="lkey=rkey")
+    sort(stream, by="col asc|desc[,col2 ...]")
+    top(stream, n=N, sort="col desc[,col2 asc]")
+    unique(stream, over="a,b")
+    cartesianProduct(stream, field, as="val")
+
+Grammar: `call := name '(' (arg (',' arg)*)? ')'`, `arg := name '=' value
+| value`, `value := call | identifier | number | "string" | *`.  Scalar
+sub-trees are plain evaluator nodes (3-tuples), so eval_node runs them
+unchanged; stream calls carry kwargs as a 4th slot.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rindex.ops.util import read_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<num>-?\d+\.?\d*(?:[eE][+-]?\d+)?) |
+        (?P<str>"[^"]*") |
+        (?P<ident>[A-Za-z_][A-Za-z0-9_]*) |
+        (?P<punct>[(),=*])
+    )""",
+    re.X,
+)
+
+
+def parse_stream_expr(s: str):
+    """Parse into ('call', name, args, kwargs) stream nodes; scalar
+    sub-expressions stay evaluator-compatible ('call', name, args) /
+    ('col', name) / ('lit', v) — plus ('star',) for count(*)."""
+    toks, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip():
+                raise ValueError(f"bad token at {s[pos:40]!r}")
+            break
+        pos = m.end()
+        toks.append((m.lastgroup, m.group(m.lastgroup)))
+
+    def value(i):
+        kind, val = toks[i]
+        if kind == "num":
+            return ("lit", float(val) if "." in val or "e" in val.lower()
+                    else int(val)), i + 1
+        if kind == "str":
+            return ("lit", val[1:-1]), i + 1
+        if kind == "punct" and val == "*":
+            return ("star",), i + 1
+        if kind == "ident":
+            if i + 1 < len(toks) and toks[i + 1] == ("punct", "("):
+                return call(i)
+            return ("col", val), i + 1
+        raise ValueError(f"unexpected {val!r}")
+
+    def call(i):
+        name = toks[i][1]
+        args, kwargs, j = [], {}, i + 2
+        if toks[j] == ("punct", ")"):
+            return _mk(name, args, kwargs), j + 1
+        while True:
+            if (toks[j][0] == "ident" and j + 1 < len(toks)
+                    and toks[j + 1] == ("punct", "=")):
+                key = toks[j][1]
+                node, j = value(j + 2)
+                kwargs[key] = node
+            else:
+                node, j = value(j)
+                args.append(node)
+            if toks[j] == ("punct", ")"):
+                return _mk(name, args, kwargs), j + 1
+            if toks[j] != ("punct", ","):
+                raise ValueError(f"expected ',' or ')' after arg in {name}")
+            j += 1
+
+    def _mk(name, args, kwargs):
+        # kwarg-free calls stay 3-tuples so eval_node runs scalar trees
+        return ("call", name, args, kwargs) if kwargs else ("call", name, args)
+
+    try:
+        node, end = value(0)
+    except IndexError:
+        raise ValueError(f"unexpected end of expression in {s!r}") from None
+    if end != len(toks):
+        raise ValueError(f"trailing tokens in {s!r}")
+    return node
+
+
+def _kwargs(node) -> dict:
+    return node[3] if len(node) > 3 else {}
+
+
+def _lit(node, what: str) -> str:
+    if node is None or node[0] != "lit":
+        raise ValueError(f"{what} must be a literal, got {node!r}")
+    return node[1]
+
+
+def _ident(node, what: str) -> str:
+    if node[0] != "col":
+        raise ValueError(f"{what} must be an identifier, got {node!r}")
+    return node[1]
+
+
+def _cols(s: str) -> list[str]:
+    return [c.strip() for c in s.split(",") if c.strip()]
+
+
+# ---------------------------------------------------------------------------
+# Stream builders
+# ---------------------------------------------------------------------------
+
+def _b_table(args, kwargs, ctx):
+    name = _ident(args[0], "table name")
+    fl = kwargs.get("fl")
+    return read_table(ctx["sf_dir"], name, _cols(_lit(fl, "fl")) if fl else None)
+
+
+def _b_select(args, kwargs, ctx):
+    from rindex.ops.evaluators import eval_node
+
+    ds = _build(args[0], ctx)
+    keep = _cols(_lit(kwargs.pop("keep"), "keep")) if "keep" in kwargs else None
+    exprs = dict(kwargs)
+
+    def f(b: pa.Table) -> pa.Table:
+        cols = {n: b[n].combine_chunks() for n in b.schema.names}
+        memo: dict = {}
+        out = {k: cols[k] for k in (keep if keep is not None else b.schema.names)}
+        for name, node in exprs.items():
+            v = eval_node(node, cols, memo)
+            out[name] = v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(
+                np.broadcast_to(np.asarray(v), (b.num_rows,)).copy()
+            )
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_AGG_KINDS = {"count", "sum", "min", "max", "avg"}
+
+
+def _b_rollup(args, kwargs, ctx):
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = _build(args[0], ctx)
+    over = _cols(_lit(kwargs.pop("over"), "over"))
+    aggs = []
+    for alias, node in kwargs.items():
+        kind = node[1]
+        if node[0] != "call" or kind not in _AGG_KINDS:
+            raise ValueError(f"rollup metric {alias}={node!r} not an aggregate")
+        if kind == "count":
+            aggs.append(Count(alias_name=alias))
+            continue
+        col = _ident(node[2][0], f"{kind}() column")
+        cls = {"sum": Sum, "min": Min, "max": Max, "avg": Mean}[kind]
+        aggs.append(cls(col, alias_name=alias))
+    if not aggs:
+        raise ValueError("rollup needs at least one alias=aggregate metric")
+    return ds.groupby(over if len(over) > 1 else over[0]).aggregate(*aggs)
+
+
+def _b_having(args, kwargs, ctx):
+    from rindex.ops.streams import having
+
+    return having(_build(args[0], ctx), args[1])
+
+
+def _b_hashjoin(args, kwargs, ctx):
+    left = _build(args[0], ctx)
+    right = _build(args[1], ctx)
+    lk, _, rk = _lit(kwargs["on"], "on").partition("=")
+    return left.join(
+        right, "inner", num_partitions=8,
+        on=(lk.strip(),), right_on=(rk.strip() or lk.strip(),),
+    )
+
+
+def _sort_spec(s: str):
+    keys, desc = [], []
+    for part in _cols(s):
+        bits = part.split()
+        keys.append(bits[0])
+        desc.append(len(bits) > 1 and bits[1].lower() == "desc")
+    return keys, desc
+
+
+def _b_sort(args, kwargs, ctx):
+    keys, desc = _sort_spec(_lit(kwargs["by"], "by"))
+    return _build(args[0], ctx).sort(keys, descending=desc)
+
+
+def _b_top(args, kwargs, ctx):
+    keys, desc = _sort_spec(_lit(kwargs["sort"], "sort"))
+    n = _lit(kwargs["n"], "n")
+    return _build(args[0], ctx).sort(keys, descending=desc).limit(int(n))
+
+
+def _b_unique(args, kwargs, ctx):
+    from ray.data.aggregate import Count
+
+    over = _cols(_lit(kwargs.pop("over"), "over"))
+    agg = _build(args[0], ctx).groupby(
+        over if len(over) > 1 else over[0]
+    ).aggregate(Count(alias_name="_u"))
+    return agg.map_batches(
+        lambda b: b.drop_columns(["_u"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _b_cartesian(args, kwargs, ctx):
+    from rindex.ops.streams import cartesian_product
+
+    ds = _build(args[0], ctx)
+    field = _ident(args[1], "cartesianProduct field")
+    out = _lit(kwargs["as"], "as") if "as" in kwargs else "val"
+    return cartesian_product(ds, field, out)
+
+
+STREAM_BUILDERS = {
+    "table": _b_table,
+    "select": _b_select,
+    "rollup": _b_rollup,
+    "having": _b_having,
+    "hashJoin": _b_hashjoin,
+    "sort": _b_sort,
+    "top": _b_top,
+    "unique": _b_unique,
+    "cartesianProduct": _b_cartesian,
+}
+
+
+def _build(node, ctx):
+    if node[0] != "call" or node[1] not in STREAM_BUILDERS:
+        raise ValueError(
+            f"not a registered stream: {node!r}; "
+            f"registered: {sorted(STREAM_BUILDERS)}"
+        )
+    return STREAM_BUILDERS[node[1]](node[2], dict(_kwargs(node)), ctx)
+
+
+def compile_stream(expr: str, sf_dir: str):
+    """Compile a streaming-expression string into a lazy Ray Dataset."""
+    return _build(parse_stream_expr(expr), {"sf_dir": sf_dir})
+
+
+# ---------------------------------------------------------------------------
+# Registered ops
+# ---------------------------------------------------------------------------
+
+HAVING_EXPR = """
+having(
+  rollup(
+    hashJoin(table(orders, fl="o_custkey,o_totalprice"),
+             table(customer, fl="c_custkey,c_mktsegment"),
+             on="o_custkey=c_custkey"),
+    over="c_mktsegment",
+    n_orders=count(*),
+    sum_price=sum(o_totalprice)),
+  eq(mod(n_orders, 2), 1))
+"""
+
+
+def q_stream_expr_having_rollup(sf_dir: str):
+    """A streaming-expression STRING compiled and executed end-to-end:
+    hashJoin -> rollup -> having with an odd-count evaluator predicate
+    (scale-independent split).  The whole pipeline is one lazy Dataset —
+    the text form of the reference's StreamFactory surface."""
+    out = compile_stream(HAVING_EXPR, sf_dir).to_pandas()
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+QUERIES["stream_expr_having_rollup"] = q_stream_expr_having_rollup
+ORACLE["stream_expr_having_rollup"] = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    HAVING count(*) % 2 = 1
+    ORDER BY c_mktsegment
+"""
+
+
+TOP_EXPR = """
+top(
+  select(
+    rollup(
+      select(table(lineitem, fl="l_orderkey,l_extendedprice,l_discount"),
+             keep="l_orderkey",
+             disc=mult(l_extendedprice, sub(1, l_discount))),
+      over="l_orderkey",
+      total=sum(disc)),
+    keep="l_orderkey",
+    total=round(total, 2)),
+  n=15, sort="total desc,l_orderkey asc")
+"""
+
+
+def q_stream_expr_top_revenue(sf_dir: str):
+    """Four-deep nested expression (select -> rollup -> select -> top):
+    per-order discounted revenue, rounded BEFORE ranking (the engine's
+    rounded-rank discipline, expressed in the language itself), global
+    top-15 with the docID-style orderkey tiebreak."""
+    out = compile_stream(TOP_EXPR, sf_dir).to_pandas()
+    return out.reset_index(drop=True)
+
+
+QUERIES["stream_expr_top_revenue"] = q_stream_expr_top_revenue
+ORACLE["stream_expr_top_revenue"] = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY total DESC, l_orderkey ASC
+    LIMIT 15
+"""

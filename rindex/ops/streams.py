@@ -249,7 +249,9 @@ def having(ds, expr: str):
     streaming with no materialization."""
     from rindex.ops.evaluators import eval_node, parse_expr
 
-    ast = parse_expr(expr)
+    # a pre-parsed evaluator node is accepted too (the streaming-expression
+    # compiler hands having() its already-parsed predicate sub-tree)
+    ast = parse_expr(expr) if isinstance(expr, str) else expr
 
     def _filter(b: pa.Table) -> pa.Table:
         cols = {n: b[n].combine_chunks() for n in b.schema.names}

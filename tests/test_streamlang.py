@@ -1,0 +1,82 @@
+"""Streaming-expression compiler contracts: parser shapes, named params,
+builder composition over in-memory datasets, loud unknown-stream failure."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rindex.ops.streamlang import (
+    STREAM_BUILDERS,
+    _build,
+    parse_stream_expr,
+)
+
+
+def test_parser_shapes():
+    n = parse_stream_expr('rollup(table(t), over="k", n=count(*), s=sum(v))')
+    assert n[0] == "call" and n[1] == "rollup"
+    assert n[2] == [("call", "table", [("col", "t")])]
+    kw = n[3]
+    assert kw["over"] == ("lit", "k")
+    assert kw["n"] == ("call", "count", [("star",)])
+    assert kw["s"] == ("call", "sum", [("col", "v")])
+    # kwarg-free scalar calls stay 3-tuples (evaluator-compatible)
+    p = parse_stream_expr("gt(mod(n, 2), 1)")
+    assert len(p) == 3
+
+
+def test_parser_rejects_garbage():
+    with pytest.raises(ValueError, match="trailing|bad token|unexpected"):
+        parse_stream_expr("table(t))")
+    with pytest.raises(ValueError, match="unexpected end"):
+        parse_stream_expr("table(t")
+
+
+def test_unknown_stream_fails_loud():
+    with pytest.raises(ValueError, match="not a registered stream"):
+        _build(parse_stream_expr("daemon(table(t))"), {"sf_dir": "/nope"})
+
+
+def _with_fake_table(df):
+    """Swap the table() builder for an in-memory source."""
+    import ray.data as rd
+
+    orig = STREAM_BUILDERS["table"]
+    STREAM_BUILDERS["table"] = lambda a, k, ctx: rd.from_pandas(df)
+    return orig
+
+
+def test_compiled_pipeline_unique_sort(ray_session):
+    df = pd.DataFrame({"k": [3, 1, 2, 1, 3], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    orig = _with_fake_table(df)
+    try:
+        got = _build(
+            parse_stream_expr('sort(unique(table(t), over="k"), by="k desc")'),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert got["k"].tolist() == [3, 2, 1]
+
+        got2 = _build(
+            parse_stream_expr(
+                'top(select(table(t), keep="k", w=mult(v, 10)),'
+                ' n=2, sort="w desc")'
+            ),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert got2["w"].tolist() == [50.0, 40.0]
+        assert list(got2.columns) == ["k", "w"]
+    finally:
+        STREAM_BUILDERS["table"] = orig
+
+
+def test_compiled_having_predicate(ray_session):
+    df = pd.DataFrame({"n": [1, 2, 3, 4]})
+    orig = _with_fake_table(df)
+    try:
+        got = _build(
+            parse_stream_expr("having(table(t), eq(mod(n, 2), 0))"),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert got["n"].tolist() == [2, 4]
+    finally:
+        STREAM_BUILDERS["table"] = orig
