@@ -55,6 +55,8 @@ _SAMPLE_FIRST = [
     "cartesian_product_embeddings", "eval_strdist_events",
     "contamination_check_documents", "embedding_quantize_int8",
     "stream_expr_having_rollup", "stream_expr_top_revenue",
+    "terms_regex_documents", "score_nodes_events",
+    "spellcheck_collate_documents",
     "boost_function_search_documents", "interval_facet_totalprice",
     "atomic_update_documents", "fuzzy_search_documents",
     "wildcard_search_documents", "query_elevation_documents",

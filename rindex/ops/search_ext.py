@@ -785,3 +785,267 @@ def _termvectors_oracle_sql() -> str:
 
 
 ORACLE["termvectors_documents"] = _termvectors_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# terms.regex / scoreNodes() / spellcheck collation
+# ---------------------------------------------------------------------------
+
+TERMS_RE = "a."         # partial-match semantics (Solr terms.regex)
+TERMS_RE_MINCOUNT = 5
+TERMS_RE_LIMIT = 8
+
+
+def q_terms_regex_documents(sf_dir: str):
+    """TermsComponent terms.regex (`solr/core/src/java/org/apache/solr/
+    handler/component/TermsComponent.java`): enumerate dictionary terms
+    matching a regex.  Unlike terms.prefix there is no range predicate to
+    prune row groups with, so this is the full-dictionary-scan shape —
+    but still only the (term, df, ttf) dictionary COLUMNS of each segment
+    (the postings blob column is never projected), one task per segment,
+    Arrow re2 kernel per batch, then a tiny groupby over matches."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    paths = [
+        os.path.join(seg_dir(idx, s["seg_id"], int(s.get("gen", 0))),
+                     "postings.parquet")
+        for s in man["segments"]
+    ]
+    ds = rd.read_parquet(paths, columns=["term", "df", "ttf"])
+
+    def match(t: pa.Table) -> pa.Table:
+        keep = pc.match_substring_regex(t["term"], TERMS_RE)
+        return t.filter(keep)
+
+    agg = (
+        ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .to_pandas()
+    )
+    agg = agg[agg["df"] >= TERMS_RE_MINCOUNT]
+    agg = agg.sort_values(["df", "term"], ascending=[False, True],
+                          kind="mergesort").head(TERMS_RE_LIMIT)
+    agg = agg.reset_index(drop=True)
+    agg["rank"] = np.arange(len(agg), dtype=np.int32)
+    agg["df"] = agg["df"].astype(np.int64)
+    agg["ttf"] = agg["ttf"].astype(np.int64)
+    return agg[["rank", "term", "df", "ttf"]]
+
+
+QUERIES["terms_regex_documents"] = q_terms_regex_documents
+ORACLE["terms_regex_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+      FROM toks
+      WHERE regexp_matches(term, '{TERMS_RE}')
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT (row_number() OVER (ORDER BY df DESC, term ASC) - 1)::INTEGER AS rank,
+             term, df, ttf
+      FROM stats WHERE df >= {TERMS_RE_MINCOUNT}
+    )
+    SELECT rank, term, df, ttf FROM ranked WHERE rank < {TERMS_RE_LIMIT}
+"""
+
+
+SCORE_NODES_SEED_MOD = 10
+SCORE_NODES_SEED_REM = 3
+
+
+def q_score_nodes_events(sf_dir: str):
+    """scoreNodes() (`solr/solrj/src/java/org/apache/solr/client/solrj/io/
+    graph/ScoreNodesStream.java`): tf-idf-score the nodes of a graph
+    gather so globally-common nodes stop dominating recommendations.
+    Gather: seed users (user_id % 10 == 3) -> their events' event_type
+    nodes; count = gathered-edge count per node (ScoreNodes' count(*)),
+    docFreq = the node's GLOBAL frequency, numDocs = total events.
+    nodeScore = count * ln((numDocs + 1) / (docFreq + 1)).
+
+    ONE distributed scan computes both the gathered counts and the global
+    frequencies as combiner partials (per-batch value_counts), shuffled as
+    tiny (event_type, n_all, n_seed) rows — the reference issues a second
+    terms request for docFreqs; here the same pass carries both."""
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", ["user_id", "event_type"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        codes = et.dictionary_encode()
+        idx = codes.indices.to_numpy()
+        vals = codes.dictionary.to_pylist()
+        uid = t["user_id"].to_numpy()
+        seed = uid % SCORE_NODES_SEED_MOD == SCORE_NODES_SEED_REM
+        n_all = np.bincount(idx, minlength=len(vals))
+        n_seed = np.bincount(idx[seed], minlength=len(vals))
+        return pa.table(
+            {
+                "event_type": pa.array(vals, pa.string()),
+                "n_all": pa.array(n_all.astype(np.int64)),
+                "n_seed": pa.array(n_seed.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n_all", alias_name="n_all"),
+                   Sum("n_seed", alias_name="n_seed"))
+        .to_pandas()
+    )
+    n_docs = int(agg["n_all"].sum())
+    agg = agg[agg["n_seed"] > 0].copy()
+    agg["node_score"] = (
+        agg["n_seed"].to_numpy(np.float64)
+        * np.log((n_docs + 1.0) / (agg["n_all"].to_numpy(np.float64) + 1.0))
+    ).round(6)
+    agg = agg.rename(columns={"n_seed": "count", "n_all": "doc_freq"})
+    agg["count"] = agg["count"].astype(np.int64)
+    agg["doc_freq"] = agg["doc_freq"].astype(np.int64)
+    return (
+        agg[["event_type", "count", "doc_freq", "node_score"]]
+        .sort_values(["node_score", "event_type"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["score_nodes_events"] = q_score_nodes_events
+ORACLE["score_nodes_events"] = f"""
+    WITH stats AS (
+      SELECT event_type,
+             count(*) FILTER (user_id % {SCORE_NODES_SEED_MOD}
+                              = {SCORE_NODES_SEED_REM})::BIGINT AS count,
+             count(*)::BIGINT AS doc_freq
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT event_type, count, doc_freq,
+           round(count * ln(((SELECT count(*) FROM events) + 1.0)
+                            / (doc_freq + 1.0)), 6) AS node_score
+    FROM stats
+    WHERE count > 0
+    ORDER BY node_score DESC, event_type ASC
+"""
+
+
+COLLATE_INPUT = ["spakr", "joni"]   # -> "spark join"
+
+
+def q_spellcheck_collate_documents(sf_dir: str):
+    """Spellcheck collation (spellcheck.collate —
+    `solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator.java`):
+    correct every word of the query from the term dictionary (min edit
+    distance <= 2, ties df-desc then term), assemble the collated query,
+    and verify it by counting the docs matching ALL corrected terms (the
+    collator re-issues the rewritten query the same way).  Corrections
+    come from the bounded vocab (driver-side, like spellcheck); the hit
+    count is a distributed scan with the corrected terms broadcast."""
+    from rindex.ops.fulltext import documents_index
+
+    idx = documents_index(sf_dir)
+    acc = _global_term_dfs(idx)
+    corrections = []
+    for w in COLLATE_INPUT:
+        best = None
+        for term, df in acc.items():
+            d = _levenshtein(w, term)
+            if d > 2:
+                continue
+            key = (d, -df, term)
+            if best is None or key < best[0]:
+                best = (key, term)
+        if best is None:
+            raise ValueError(f"no correction within 2 edits for {w!r}")
+        corrections.append(best[1])
+
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    # boundary-anchored Arrow re2 match per corrected term (vectorized;
+    # [^0-9a-z'] mirrors the analyzer's token alphabet so a term cannot
+    # match inside a longer token or across an apostrophe)
+    pats = [
+        rf"(^|[^0-9a-z']){_re.escape(term)}($|[^0-9a-z'])"
+        for term in corrections
+    ]
+
+    def count_hits(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.coalesce(t["text"].combine_chunks(), ""))
+        mask = np.ones(len(txt), dtype=bool)
+        for p in pats:
+            mask &= pc.match_substring_regex(txt, p).to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table({"hits": pa.array([int(mask.sum())], pa.int64())})
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    total = int(
+        ds.map_batches(count_hits, batch_format="pyarrow")
+        .to_pandas()["hits"].sum()
+    )
+    return pd.DataFrame(
+        {
+            "input": [" ".join(COLLATE_INPUT)],
+            "collation": [" ".join(corrections)],
+            "hits": np.array([total], dtype=np.int64),
+        }
+    )
+
+
+QUERIES["spellcheck_collate_documents"] = q_spellcheck_collate_documents
+_collate_values = ",".join(
+    f"({i}, '{w}')" for i, w in enumerate(COLLATE_INPUT)
+)
+ORACLE["spellcheck_collate_documents"] = f"""
+    WITH dict AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS weight
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
+        FROM documents
+      ) GROUP BY term
+    ),
+    inputs(pos, word) AS (VALUES {_collate_values}),
+    corr AS (
+      SELECT pos, word, correction FROM (
+        SELECT pos, word, term AS correction,
+               row_number() OVER (
+                 PARTITION BY pos
+                 ORDER BY levenshtein(word, term) ASC, weight DESC, term ASC
+               ) AS rn
+        FROM inputs CROSS JOIN dict
+        WHERE levenshtein(word, term) <= 2
+      ) WHERE rn = 1
+    ),
+    docs AS (
+      SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text),
+                           '[0-9a-z]+(?:''[0-9a-z]+)*')) AS l
+      FROM documents
+    ),
+    matched AS (
+      SELECT d.doc_id
+      FROM docs d JOIN corr c ON list_contains(d.l, c.correction)
+      GROUP BY d.doc_id
+      HAVING count(DISTINCT c.correction) = (SELECT count(*) FROM corr)
+    )
+    SELECT (SELECT string_agg(word, ' ' ORDER BY pos) FROM inputs) AS input,
+           (SELECT string_agg(correction, ' ' ORDER BY pos) FROM corr)
+             AS collation,
+           (SELECT count(*) FROM matched)::BIGINT AS hits
+"""
