@@ -917,3 +917,152 @@ ORACLE["embedding_quantize_int8"] = """
     GROUP BY label
     ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 x embedding-cosine blend
+# ---------------------------------------------------------------------------
+
+HYBRID_QUERY = "hash join"
+HYBRID_QVEC = 0       # the query's embedding = vec_id 0 (ANN convention)
+HYBRID_W = 10.0       # cosine weight in the linear blend
+HYBRID_K = 10
+
+
+def q_hybrid_bm25_cosine_topk(sf_dir: str):
+    """Hybrid lexical+dense retrieval (the RRF/linear-blend shape of
+    modern search stacks; Lucene anchor: a RankQuery re-scoring the
+    lexical match set): the DISTRIBUTED BM25 full match set
+    (score_matches_dataset — per-segment scoring tasks, bit-identical to
+    the exhaustive kernel) hash-joins the embeddings table on
+    doc_id = vec_id, each batch blends score = bm25 + W * cosine(query
+    vector) with the normalized query vector broadcast once, and only the
+    blended top-k reaches the driver.  Rounded-rank discipline as usual."""
+    import pyarrow as pa
+    import ray
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    bm = searcher.score_matches_dataset(HYBRID_QUERY, mode="or")
+
+    qrow = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr=f"vec_id == {HYBRID_QVEC}")
+        .to_pandas()
+    )
+    qv = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
+    qn = ray.put(qv / np.linalg.norm(qv))
+
+    # dense side: one vectorized cosine pass over the embedding scan
+    # (scalar output — Ray's hash join cannot carry list<float> payload
+    # columns, and shipping (id, float) pairs through the shuffle beats
+    # shipping vectors anyway; the ANN-pruned variant of this stage is
+    # the persisted IVF index above)
+    def cos_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        qn_ = ray.get(qn)
+        V = np.array(batch["embedding"].tolist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(), "cos": V @ qn_}
+        )
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cos_ds = emb.map_batches(cos_batch, batch_format="pandas",
+                             batch_size=1024)
+    joined = bm.join(
+        cos_ds, "inner", num_partitions=8,
+        on=("doc_id",), right_on=("vec_id",),
+    )
+
+    def blend(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "score": batch["score"].to_numpy(np.float64)
+                + HYBRID_W * batch["cos"].to_numpy(np.float64),
+            }
+        )
+        # per-batch partial top-k: only candidates cross the driver
+        if len(out) > HYBRID_K + 16:
+            out = out.sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(HYBRID_K + 16)
+        return out
+
+    parts = joined.map_batches(blend, batch_format="pandas").to_pandas()
+    parts["score"] = parts["score"].round(6)
+    parts = (
+        parts.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        .head(HYBRID_K)
+        .reset_index(drop=True)
+    )
+    parts["rank"] = np.arange(len(parts), dtype=np.int32)
+    parts["doc_id"] = parts["doc_id"].astype(np.int64)
+    return parts[["rank", "doc_id", "score"]]
+
+
+QUERIES["hybrid_bm25_cosine_topk"] = q_hybrid_bm25_cosine_topk
+
+
+def _hybrid_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE, norm_vals_sql
+    from rindex.schema import B, K1
+
+    terms = HYBRID_QUERY.split()
+    tvals = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+             (SELECT sum(dl) FROM dl)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    norm_table AS (SELECT unnest([{norm_vals_sql()}]) AS v),
+    lossy AS (
+      SELECT doc_id, (SELECT max(v) FROM norm_table WHERE v <= dl.dl)::DOUBLE AS ldl
+      FROM dl
+    ),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE term IN ({tvals})
+      GROUP BY tf.doc_id
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id = {HYBRID_QVEC}),
+    blended AS (
+      SELECT bm.doc_id,
+             bm.s + {HYBRID_W} * list_cosine_similarity(
+               q.qe, e.embedding::DOUBLE[]) AS s
+      FROM bm
+      JOIN embeddings e ON e.vec_id = bm.doc_id
+      CROSS JOIN q
+      WHERE bm.s > 0
+    ),
+    ranked AS (
+      SELECT doc_id, round(s, 6) AS s,
+             (row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM blended
+    )
+    SELECT rank, doc_id, s AS score FROM ranked WHERE rank < {HYBRID_K}
+    """
+
+
+ORACLE["hybrid_bm25_cosine_topk"] = _hybrid_oracle_sql()

@@ -1602,3 +1602,223 @@ ORACLE["realtime_get_documents"] = f"""
     SELECT doc_id, lang, source FROM documents
     WHERE doc_id IN {RTG_IDS} ORDER BY doc_id
 """
+
+
+SYN_GROUP = ("join", "merge")
+SYN_EXTRA_TERM = "hash"
+
+
+def q_synonym_query_documents(sf_dir: str):
+    """SynonymQuery (`lucene/core/src/java/org/apache/lucene/search/
+    SynonymQuery.java` — how analyzers score query-time synonym expansions
+    WITHOUT inflating the score): the group (join, merge) scores as ONE
+    pseudo-term with blended stats (per-doc tf = sum of member tfs,
+    docFreq = max of member global dfs), summed with a regular term clause.
+    Rounded-rank discipline: the engine adds term then group contributions,
+    SQL sums in its own order — genuine ulp ties resolved by doc_id."""
+    from rindex.search import IndexSearcher, Query
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="exhaustive")
+    slack = 16
+    q = Query(
+        terms=[SYN_EXTRA_TERM],
+        mode="or",
+        k=TOP_K + slack,
+        synonyms=[(list(SYN_GROUP), 1.0)],
+    )
+    hits = searcher.search_query(q)  # (rank, doc_id, score) tuples
+    out = pd.DataFrame(hits, columns=["_r", "doc_id", "score"])
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(len(out), dtype=np.int32)
+    return out[["rank", "doc_id", "score"]]
+
+
+def _synonym_oracle_sql() -> str:
+    members = ", ".join(f"'{t}'" for t in SYN_GROUP)
+    return f"""
+    WITH {_bm25_ctes()},
+    syn_tf AS (
+      SELECT doc_id, sum(tf) AS tf_s FROM tf
+      WHERE term IN ({members}) GROUP BY 1
+    ),
+    syn_df AS (SELECT max(df) AS df_s FROM df WHERE term IN ({members})),
+    parts AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl)) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE term = '{SYN_EXTRA_TERM}'
+      UNION ALL
+      SELECT st.doc_id,
+             ln(1.0 + (n_docs - df_s + 0.5) / (df_s + 0.5))
+               * tf_s / (tf_s + {K1} * (1.0 - {B} + {B} * ldl / avgdl)) AS s
+      FROM syn_tf st
+      JOIN lossy ON st.doc_id = lossy.doc_id
+      CROSS JOIN syn_df
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, round(sum(s), 6) AS s FROM parts GROUP BY 1
+    ),
+    ranked AS (
+      SELECT doc_id, s,
+             (row_number() OVER (ORDER BY s DESC, doc_id ASC) - 1)::INTEGER
+               AS rank
+      FROM scored WHERE s > 0
+    )
+    SELECT rank, doc_id, s AS score FROM ranked WHERE rank < {TOP_K}
+    """
+
+
+QUERIES["synonym_query_documents"] = q_synonym_query_documents
+ORACLE["synonym_query_documents"] = _synonym_oracle_sql()
+
+
+BOOL_QUERY = "(hash OR merge) AND join AND NOT window"
+
+
+def q_boolean_query_documents(sf_dir: str):
+    """Nested BooleanQuery via the parenthesized QueryParser grammar:
+    '(hash OR merge) AND join AND NOT window' — the tree decides the
+    match, the score sums EVERY matching positive leaf (hash + merge +
+    join where present; the MUST_NOT leaf never scores), Lucene
+    BooleanScorer semantics.  Rounded-rank discipline as usual."""
+    from rindex.search import IndexSearcher, parse_boolean_query
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    tree = parse_boolean_query(BOOL_QUERY)
+    hits = searcher.search_boolean(tree, k=TOP_K + 16)
+    out = pd.DataFrame(hits, columns=["_r", "doc_id", "score"])
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(len(out), dtype=np.int32)
+    return out[["rank", "doc_id", "score"]]
+
+
+def _boolean_oracle_sql() -> str:
+    return f"""
+    WITH {_bm25_ctes()},
+    flags AS (
+      SELECT doc_id,
+             bool_or(term = 'hash') AS f_hash,
+             bool_or(term = 'merge') AS f_merge,
+             bool_or(term = 'join') AS f_join,
+             bool_or(term = 'window') AS f_window
+      FROM tf GROUP BY doc_id
+    ),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE term IN ('hash', 'merge', 'join')
+      GROUP BY tf.doc_id
+    ),
+    sel AS (
+      SELECT doc_id FROM flags
+      WHERE (f_hash OR f_merge) AND f_join AND NOT f_window
+    ),
+    ranked AS (
+      SELECT s.doc_id, round(s.s, 6) AS s,
+             (row_number() OVER (ORDER BY round(s.s, 6) DESC, s.doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM scores s JOIN sel USING (doc_id)
+      WHERE s.s > 0
+    )
+    SELECT rank, doc_id, s AS score FROM ranked WHERE rank < {TOP_K}
+    """
+
+
+QUERIES["boolean_query_documents"] = q_boolean_query_documents
+ORACLE["boolean_query_documents"] = _boolean_oracle_sql()
+
+
+SPAN_A, SPAN_B, SPAN_SLOP = "hash", "join", 3
+SPAN_FIRST_TERM, SPAN_FIRST_END = "spark", 6
+
+
+def q_span_near_ordered_documents(sf_dir: str):
+    """Ordered SpanNearQuery: 'hash' then 'join' IN ORDER with
+    width - 2 <= slop (the spans-family ordered contract, vs the
+    symmetric-window proximity op) — greedy minimal chaining over
+    positional postings, one searchsorted per term over all starts."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_span_near(f"{SPAN_A} {SPAN_B}", slop=SPAN_SLOP)
+    return pd.DataFrame(
+        {
+            "doc_id": [h[0] for h in hits],
+            "min_width": pd.array([h[1] for h in hits], dtype="int64"),
+        }
+    )
+
+
+QUERIES["span_near_ordered_documents"] = q_span_near_ordered_documents
+ORACLE["span_near_ordered_documents"] = f"""
+    SELECT doc_id, min_width FROM (
+      SELECT doc_id,
+        list_min(list_filter(list_transform(
+          list_filter(range(1, len(l) + 1), i -> l[i] = '{SPAN_A}'),
+          i -> list_min(list_transform(
+                 list_filter(range(1, len(l) + 1),
+                             j -> l[j] = '{SPAN_B}' AND j > i),
+                 j -> j - i + 1))), x -> x IS NOT NULL))::BIGINT AS min_width
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents))
+    WHERE min_width IS NOT NULL AND min_width - 2 <= {SPAN_SLOP}
+"""
+
+
+def q_span_first_documents(sf_dir: str):
+    """SpanFirstQuery: docs whose FIRST occurrence of 'spark' is within the
+    first 6 positions (0-based pos < end — lead-paragraph matching).  The
+    first position per doc is the head of its stored position run; the op
+    reports it 0-based (the oracle's 1-based list_position minus 1)."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_span_first(SPAN_FIRST_TERM, end=SPAN_FIRST_END)
+    return pd.DataFrame(
+        {
+            "doc_id": [h[0] for h in hits],
+            "first_pos": pd.array([h[1] for h in hits], dtype="int64"),
+        }
+    )
+
+
+QUERIES["span_first_documents"] = q_span_first_documents
+ORACLE["span_first_documents"] = f"""
+    SELECT doc_id, (p - 1)::BIGINT AS first_pos
+    FROM (SELECT doc_id,
+                 list_position(regexp_extract_all(lower(text),
+                               '{TOKEN_SQL_RE}'), '{SPAN_FIRST_TERM}') AS p
+          FROM documents)
+    WHERE p > 0 AND p - 1 < {SPAN_FIRST_END}
+"""
+# (list_position returns 0, not NULL, for an absent term)

@@ -354,3 +354,191 @@ ORACLE["multimodal_frame_sample"] = f"""
            round(frame_idx / fps::DOUBLE, 6) AS ts_sec
     FROM idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE payloads with a REAL header-walking decode
+# ---------------------------------------------------------------------------
+
+AUDIO_CODEC_EVERY = 23      # doc_id % 23 == 0 -> compressed-codec mime row
+WAV_MIME = "audio/wav"
+WAV_RATE = 8000
+WAV_WINDOW = 100            # samples per energy window
+
+
+def _audio_params(doc_id: int) -> tuple:
+    """(a, b, c, n) from md5 lower-half bytes 11..15 (digest[11..15] —
+    disjoint from the image/video parameter bytes so the modalities are
+    independent): samples x[i] = (a*i*i + b*i + c) % 256, 8-bit unsigned
+    mono PCM."""
+    d = hashlib.md5(str(int(doc_id)).encode()).digest()
+    a = 1 + d[11] % 7
+    b = d[12]
+    c = d[13]
+    n = 400 + (d[14] | (d[15] << 8)) % 800
+    return a, b, c, n
+
+
+def _render_wav(doc_id: int) -> bytes:
+    import struct
+
+    a, b, c, n = _audio_params(doc_id)
+    i = np.arange(n, dtype=np.int64)
+    x = ((a * i * i + b * i + c) % 256).astype(np.uint8)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE, 1, 8)
+        + b"data" + struct.pack("<I", n)
+    )
+    return hdr + x.tobytes()
+
+
+def make_audio_payloads(sf_dir: str):
+    """Deterministic binary audio column (doc_id, payload:binary, mime);
+    every AUDIO_CODEC_EVERY-th doc carries a compressed mime + opaque
+    bytes for the quarantine path."""
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        payloads, mimes = [], []
+        for did in t["doc_id"].to_pylist():
+            if did % AUDIO_CODEC_EVERY == 0:
+                payloads.append(
+                    hashlib.sha256(b"mp3" + str(did).encode()).digest() * 16
+                )
+                mimes.append("audio/mpeg")
+            else:
+                payloads.append(_render_wav(did))
+                mimes.append(WAV_MIME)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(mimes, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class WavDecoder:
+    """Actor-pool audio decode: a REAL RIFF chunk walk (magic checks, fmt
+    field parse, data chunk located by iterating chunk headers — not a
+    fixed offset), then vectorized integer energy features.  All-integer
+    outputs make the oracle compare exact."""
+
+    def __init__(self, strict: bool = STRICT_DECODE):
+        self.strict = strict
+        self.skipped = 0
+
+    def decode_one(self, payload: bytes, mime: str):
+        import struct
+
+        if mime != WAV_MIME or payload[:4] != b"RIFF":
+            if self.strict:
+                raise NotImplementedError(
+                    f"codec {mime!r} unavailable in this container"
+                )
+            self.skipped += 1
+            return None
+        if payload[8:12] != b"WAVE":
+            raise ValueError("malformed RIFF: not a WAVE form")
+        pos, rate, bits, channels = 12, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            if cid == b"fmt ":
+                fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                    "<HHIIHH", payload, pos + 8
+                )
+                if fmt != 1:
+                    raise ValueError(f"non-PCM wav (fmt={fmt})")
+            elif cid == b"data":
+                if rate is None:
+                    raise ValueError("data chunk before fmt")
+                if bits != 8 or channels != 1:
+                    raise ValueError("only 8-bit mono PCM supported")
+                x = np.frombuffer(payload, np.uint8, count=size,
+                                  offset=pos + 8)
+                return rate, x
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        raise ValueError("no data chunk")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, p, m in zip(
+            batch["doc_id"], batch["payload"], batch["mime"]
+        ):
+            dec = self.decode_one(p, m)
+            if dec is None:
+                continue
+            rate, x8 = dec
+            x = x8.astype(np.int64)
+            n = len(x)
+            nw = -(-n // WAV_WINDOW)
+            pad = np.zeros(nw * WAV_WINDOW, np.int64)
+            pad[:n] = x  # zero-pad: max per window unaffected (x >= 0)
+            rows.append(
+                (did, n, rate, int(x.sum()), int((x * x).sum()),
+                 nw, int(pad.reshape(nw, WAV_WINDOW).max(axis=1).sum()))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_samples", "sample_rate", "sum_amp",
+                     "sum_sq", "n_windows", "sum_window_max"],
+        ).astype(np.int64)
+
+
+def q_multimodal_audio_energy(sf_dir: str):
+    """Binary audio payload -> actor-pool RIFF/WAVE decode -> integer
+    energy features (amplitude sum, energy sum, per-window peak sum —
+    the windowed-feature shape of a real audio pipeline).  Codec rows
+    quarantine like the image path."""
+    out = make_audio_payloads(sf_dir).map_batches(
+        WavDecoder,
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["multimodal_audio_energy"] = q_multimodal_audio_energy
+
+ORACLE["multimodal_audio_energy"] = f"""
+    WITH apar AS (
+      SELECT doc_id,
+             1 + {_byte(_DL, 3)} % 7 AS a,
+             {_byte(_DL, 4)} AS b,
+             {_byte(_DL, 5)} AS c,
+             400 + ({_byte(_DL, 6)} | ({_byte(_DL, 7)} << 8)) % 800 AS n
+      FROM documents WHERE doc_id % {AUDIO_CODEC_EVERY} <> 0
+    ),
+    samples AS (
+      SELECT p.doc_id, r.i AS i,
+             (p.a * r.i * r.i + p.b * r.i + p.c) % 256 AS x
+      FROM apar p, range(1200) r(i)
+      WHERE r.i < p.n
+    ),
+    wins AS (
+      SELECT doc_id, i // {WAV_WINDOW} AS w, max(x) AS wmax
+      FROM samples GROUP BY 1, 2
+    ),
+    wagg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_windows,
+             sum(wmax)::BIGINT AS sum_window_max
+      FROM wins GROUP BY 1
+    )
+    SELECT s.doc_id, max(p.n)::BIGINT AS n_samples,
+           {WAV_RATE}::BIGINT AS sample_rate,
+           sum(s.x)::BIGINT AS sum_amp,
+           sum(s.x * s.x)::BIGINT AS sum_sq,
+           max(w.n_windows) AS n_windows,
+           max(w.sum_window_max) AS sum_window_max
+    FROM samples s
+    JOIN apar p ON s.doc_id = p.doc_id
+    JOIN wagg w ON s.doc_id = w.doc_id
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+"""

@@ -32,13 +32,11 @@ _SAMPLE_FIRST = [
     "pivot_facet_orders", "json_facet_nested_events", "query_facets_orders",
     "terms_enum_documents", "termvectors_documents",
     "delete_soft_search_documents", "delete_expunge_search_documents",
-    "eval_temporal_events", "eval_regress_lineitem",
     "ann_srp_lsh_topk", "ann_ivf_topk",
     "block_join_topk_threads", "multivalued_filter_topk",
     "dismax_qf_documents", "highlight_documents",
-    "merge_join_orders_customers", "merge_left_outer_customer_orders",
     "expression_sim_topk_documents",
-    "query_string_extended_documents", "ascii_fold_topterms_documents",
+    "query_string_extended_documents",
     "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
     "minimal_stem_topterms_documents", "keyword_trim_documents",
     "classic_sim_topk_documents",
@@ -56,7 +54,10 @@ _SAMPLE_FIRST = [
     "contamination_check_documents", "embedding_quantize_int8",
     "stream_expr_having_rollup", "stream_expr_top_revenue",
     "terms_regex_documents", "score_nodes_events",
-    "spellcheck_collate_documents",
+    "spellcheck_collate_documents", "synonym_query_documents",
+    "multimodal_audio_energy", "boolean_query_documents",
+    "span_near_ordered_documents", "span_first_documents",
+    "hybrid_bm25_cosine_topk",
     "boost_function_search_documents", "interval_facet_totalprice",
     "atomic_update_documents", "fuzzy_search_documents",
     "wildcard_search_documents", "query_elevation_documents",
@@ -67,6 +68,9 @@ _SAMPLE_FIRST = [
     "multimodal_frame_sample",
     # displaced from the 50-slot window to make room (pytest-swept,
     # unchanged since their green r2 runs)
+    "eval_temporal_events", "eval_regress_lineitem",
+    "merge_join_orders_customers", "merge_left_outer_customer_orders",
+    "ascii_fold_topterms_documents",
     "eval_math_funcs_events", "eval_string_funcs_documents",
     "sql_loader_events", "eval_select_lineitem",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",

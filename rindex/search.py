@@ -78,6 +78,13 @@ class Query:
     # PhraseWeight (tf = phrase freq, df = docs containing the phrase) and
     # summed with the term clauses; in "and" mode each phrase is required.
     phrases: list[tuple[list[str], float]] | None = None
+    # synonym groups (SynonymQuery —
+    # `lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java`):
+    # each (terms, boost) group scores as ONE pseudo-term with blended
+    # stats — per-doc tf = SUM of the members' tfs, docFreq = MAX of the
+    # members' global dfs, ttf = sum (Lucene's SynonymWeight blending) —
+    # so scores stay comparable to a single un-expanded term.
+    synonyms: list[tuple[list[str], float]] | None = None
     # minimum-should-match (BooleanQuery#setMinimumNumberShouldMatch / the
     # dismax `mm` param): in "or" mode a doc must match at least this many
     # DISTINCT query terms.  0/None = no constraint; counts original
@@ -204,6 +211,97 @@ def parse_query_string(
         boosts=weights or None,
         phrases=phrases or None,
     )
+
+
+def parse_boolean_query(qs: str, analyzer_name: str = "standard"):
+    """Parse a nested boolean query — the QueryParser parenthesis surface
+    (`lucene/queryparser/.../classic/QueryParser.jj` operator grammar):
+
+        expr   := and_e (OR and_e)*
+        and_e  := unary (AND unary)*
+        unary  := NOT unary | '(' expr ')' | TERM
+
+    into ('or', [..]) / ('and', [..]) / ('not', node) / ('term', t) nodes.
+    Operators are upper-case keywords; terms run through the analyzer
+    (a term analyzing to 0 or >1 tokens is rejected — phrase syntax is the
+    quoted form in parse_query_string).  Lucene cannot match pure
+    negation, so NOT is only legal as an AND operand with at least one
+    positive sibling (\"a AND NOT b\"); a NOT anywhere else is rejected
+    loudly rather than silently matching nothing."""
+    toks = re.findall(r"\(|\)|[^\s()]+", qs)
+    analyzer = get_analyzer(analyzer_name)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def expr():
+        parts = [and_e()]
+        while peek() == "OR":
+            take()
+            parts.append(and_e())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def and_e():
+        parts = [unary()]
+        while peek() == "AND":
+            take()
+            parts.append(unary())
+        if len(parts) == 1:
+            return parts[0]
+        if all(p[0] == "not" for p in parts):
+            raise ValueError(f"pure-negative conjunction in {qs!r}")
+        return ("and", parts)
+
+    def unary():
+        t = peek()
+        if t is None:
+            raise ValueError(f"unexpected end of query in {qs!r}")
+        if t == "NOT":
+            take()
+            return ("not", unary())
+        if t == "(":
+            take()
+            node = expr()
+            if peek() != ")":
+                raise ValueError(f"missing ')' in {qs!r}")
+            take()
+            return node
+        if t in (")", "AND", "OR"):
+            raise ValueError(f"unexpected {t!r} in {qs!r}")
+        take()
+        terms = analyzer.tokens(t)
+        if len(terms) != 1:
+            raise ValueError(
+                f"term {t!r} analyzes to {len(terms)} tokens; "
+                f"boolean leaves must be single terms"
+            )
+        return ("term", terms[0])
+
+    tree = expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {qs!r}")
+
+    def check_not(node, parent_kind):
+        if node[0] == "not":
+            if parent_kind != "and":
+                raise ValueError(
+                    f"NOT is only legal as an AND operand (got it under "
+                    f"{parent_kind!r}) in {qs!r}"
+                )
+            check_not(node[1], "not")
+        elif node[0] in ("and", "or"):
+            for ch in node[1]:
+                check_not(ch, node[0])
+
+    check_not(tree, "root")
+    return tree
 
 
 class _SegmentReader:
@@ -935,9 +1033,9 @@ class IndexSearcher:
             return []  # a required term is absent corpus-wide
         mm = max(0, int(q.min_match or 0))
         if mm > 1:
-            if q.phrases:
+            if q.phrases or q.synonyms:
                 raise ValueError(
-                    "min_match with phrase clauses is not supported"
+                    "min_match with phrase/synonym clauses is not supported"
                 )
             if len(order) < mm:
                 return []  # fewer matchable clauses than the bar
@@ -949,7 +1047,7 @@ class IndexSearcher:
                     f"min_match requires the exhaustive kernel, got {algo!r}"
                 )
             algo = "exhaustive"
-        if q.phrases:
+        if q.phrases or q.synonyms:
             return self._search_with_phrases(q, order, mult, df)
         if not order:
             return []
@@ -1049,9 +1147,14 @@ class IndexSearcher:
         phrase-match count, times the parsed boost — the PhraseWeight
         contract: docFreq comes from the phrase's own matches) plus the
         per-segment sparse matches.  Returns None when an absent phrase
-        makes an AND query empty; OR-mode absent phrases are dropped."""
+        makes an AND query empty; OR-mode absent phrases are dropped.
+        Synonym groups (SynonymQuery) produce plan entries of the SAME
+        shape — (weight, per-segment sparse matches) — with per-doc tf
+        summed across members and the weight from blended stats (df = max
+        of members' global dfs, ttf = sum), so the downstream kernel
+        treats them identically."""
         plan = []
-        for pterms, boost in q.phrases:
+        for pterms, boost in q.phrases or []:
             seg: dict[int, tuple] = {}
             df_p = 0
             for si, reader in enumerate(self.readers):
@@ -1070,6 +1173,37 @@ class IndexSearcher:
             w = self._pseudo_term_weight(
                 df_p, sum(float(s[1].sum()) for s in seg.values())
             ) * boost
+            plan.append((w, seg))
+        for sterms, boost in q.synonyms or []:
+            gdf = self.global_df(sterms)
+            df_s = max(gdf[t] for t in sterms)
+            if df_s == 0:
+                if q.mode == "and":
+                    return None
+                continue
+            ttf_s = sum(self.global_ttf(sterms).values())
+            seg = {}
+            for si, reader in enumerate(self.readers):
+                posts = reader.postings_for(sterms)
+                dl, tl, nl = [], [], []
+                for t in sterms:
+                    row = posts.get(t)
+                    if row is None:
+                        continue
+                    d, tf_arr, nrm = reader.decoded(t, row)
+                    dl.append(np.asarray(d, dtype=np.int64))
+                    tl.append(np.asarray(tf_arr, dtype=np.float64))
+                    nl.append(np.asarray(nrm, dtype=np.uint8))
+                if not dl:
+                    continue
+                d_all = np.concatenate(dl)
+                u, inv = np.unique(d_all, return_inverse=True)
+                tf_u = np.zeros(len(u), dtype=np.float64)
+                np.add.at(tf_u, inv, np.concatenate(tl))
+                nrm_u = np.zeros(len(u), dtype=np.uint8)
+                nrm_u[inv] = np.concatenate(nl)  # same doc -> same norm
+                seg[si] = (u, tf_u, nrm_u)
+            w = self._pseudo_term_weight(df_s, float(ttf_s)) * boost
             plan.append((w, seg))
         return plan
 
@@ -1201,6 +1335,107 @@ class IndexSearcher:
                 return {"matched": False, "total": 0.0, "details": []}
             return {"matched": True, "total": total, "details": detail}
         return {"matched": False, "total": 0.0, "details": []}
+
+    def search_boolean(self, tree, k: int = 10) -> list[tuple]:
+        """Nested BooleanQuery tree search (Lucene QueryParser parentheses:
+        `(a OR b) AND c AND NOT d` — `lucene/core/src/java/org/apache/
+        lucene/search/BooleanQuery.java` + BooleanScorer).  Lucene
+        semantics: the TREE decides the match predicate; the score is the
+        sum of EVERY matching positive scorer (leaves under NOT never
+        score — MUST_NOT clauses are non-scoring).  Dense evaluation per
+        segment: one boolean mask per sub-tree (term masks scattered from
+        the decoded doc lists, NOT = complement, AND/OR = elementwise),
+        the score accumulator shared with the exhaustive kernel's
+        term-order summation.  Trees are validated by parse_boolean_query
+        (NOT only as an AND operand, never all operands)."""
+        leaves: dict[str, int] = {}
+
+        def collect(node, under_not):
+            if node[0] == "term":
+                if not under_not:
+                    leaves[node[1]] = leaves.get(node[1], 0) + 1
+            elif node[0] == "not":
+                collect(node[1], True)
+            else:
+                for ch in node[1]:
+                    collect(ch, under_not)
+
+        collect(tree, False)
+
+        def all_terms(node):
+            if node[0] == "term":
+                return [node[1]]
+            if node[0] == "not":
+                return all_terms(node[1])
+            out = []
+            for ch in node[1]:
+                out.extend(all_terms(ch))
+            return out
+
+        order = list(leaves)
+        df = self.global_df(order)
+        idf_map = self.term_weights([t for t in order if df[t] > 0], df)
+        cands = []
+        for reader in self.readers:
+            posts = reader.postings_for(sorted(set(all_terms(tree))))
+            acc = np.zeros(reader.max_doc, dtype=np.float64)
+            masks: dict[str, np.ndarray] = {}
+
+            def term_mask(t):
+                m = masks.get(t)
+                if m is None:
+                    m = np.zeros(reader.max_doc, dtype=bool)
+                    row = posts.get(t)
+                    if row is not None:
+                        d, _tf, _n = reader.decoded(t, row)
+                        m[d] = True
+                    masks[t] = m
+                return m
+
+            for t in order:
+                row = posts.get(t)
+                if row is None or df[t] == 0:
+                    continue
+                d, tf_arr, nrm = reader.decoded(t, row)
+                acc[d] += self.sim.score(
+                    idf_map[t] * leaves[t],
+                    tf_arr.astype(np.float64),
+                    self.cache[nrm],
+                )
+
+            def ev(node):
+                if node[0] == "term":
+                    return term_mask(node[1])
+                if node[0] == "not":
+                    return ~ev(node[1])
+                parts = [ev(ch) for ch in node[1]]
+                out = parts[0].copy()
+                for p in parts[1:]:
+                    if node[0] == "and":
+                        out &= p
+                    else:
+                        out |= p
+                return out
+
+            matched = ev(tree)
+            deleted = reader.deleted_docs()
+            if deleted is not None and len(deleted):
+                matched[deleted] = False
+            cand = np.nonzero(matched & (acc > 0))[0]
+            if len(cand) == 0:
+                continue
+            scores = acc[cand]
+            cand, scores = _topk_preselect(cand, scores, k)
+            sel = np.lexsort((cand, -scores))[:k]
+            cand, scores = cand[sel], scores[sel]
+            ids = reader.fetch_ids(cand, self.id_cols)
+            for d, s in zip(cand, scores):
+                cands.append((float(s), ids[int(d)]))
+        cands.sort(key=lambda x: (-x[0],) + tuple(x[1]))
+        return [
+            (rank, *idt, score)
+            for rank, (score, idt) in enumerate(cands[:k])
+        ]
 
     def search_phrase(self, text: str) -> list[tuple]:
         """Exact PhraseQuery (slop=0) evaluated on positional postings:
@@ -1375,6 +1610,108 @@ class IndexSearcher:
                 results.extend(
                     (*ids[d], s) for d, s in zip(match_docs, match_span)
                 )
+        results.sort(key=lambda r: r[:-1])
+        return results
+
+    def search_span_near(self, text: str, slop: int) -> list[tuple]:
+        """Ordered SpanNearQuery (`lucene/core/src/java/org/apache/lucene/
+        search/spans/SpanNearQuery.java`, inOrder=true): the query terms
+        must appear IN ORDER, and the minimal ordered span's width minus
+        the term count must be <= slop (Lucene's ordered-span slop
+        contract).  Per candidate doc the minimal chain is found greedily —
+        for every occurrence of term 1, chain each later term to its
+        smallest position strictly after the running end, ALL starts
+        advanced at once via one searchsorted per term (greedy chaining
+        yields the minimal end per start, so the min over starts is the
+        true minimum width).
+
+        Returns [( *id_cols, min_width )] sorted by id columns."""
+        terms = get_analyzer(self.analyzer_name).tokens(text)
+        if len(terms) < 2:
+            raise ValueError("span_near needs >= 2 terms")
+        uniq = list(dict.fromkeys(terms))
+        results: list[tuple] = []
+        for reader in self.readers:
+            posts = reader.positions_for(uniq)
+            if any(posts[t] is None for t in uniq):
+                continue
+            common = posts[uniq[0]][0]
+            for t in uniq[1:]:
+                common = np.intersect1d(common, posts[t][0])
+            common = reader.drop_deleted(common)
+            if len(common) == 0:
+                continue
+            runs = {}
+            for t in uniq:
+                docs, tfs, pos = posts[t][:3]
+                starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+                at = np.searchsorted(docs, common)
+                runs[t] = (starts[at], tfs[at], pos)
+            match_docs, match_width = [], []
+            for i, d in enumerate(common):
+                plists = [
+                    runs[t][2][runs[t][0][i] : runs[t][0][i] + runs[t][1][i]]
+                    for t in terms
+                ]
+                start = np.asarray(plists[0], dtype=np.int64)
+                end = start.copy()
+                ok = np.ones(len(start), dtype=bool)
+                for pl in plists[1:]:
+                    pl = np.asarray(pl, dtype=np.int64)
+                    nxt = np.searchsorted(pl, end, side="right")
+                    valid = nxt < len(pl)
+                    end = np.where(valid, pl[np.minimum(nxt, len(pl) - 1)], end)
+                    ok &= valid
+                if not ok.any():
+                    continue
+                width = int((end[ok] - start[ok]).min()) + 1
+                if width - len(terms) <= slop:
+                    match_docs.append(int(d))
+                    match_width.append(width)
+            if match_docs:
+                ids = reader.fetch_ids(
+                    np.asarray(match_docs, dtype=np.int64), self.id_cols
+                )
+                results.extend(
+                    (*ids[d], w) for d, w in zip(match_docs, match_width)
+                )
+        results.sort(key=lambda r: r[:-1])
+        return results
+
+    def search_span_first(self, text: str, end: int) -> list[tuple]:
+        """SpanFirstQuery (`lucene/core/src/java/org/apache/lucene/search/
+        spans/SpanFirstQuery.java`): the term must occur within the first
+        `end` positions of the field (span end <= end, i.e. 0-based
+        position < end).  One positional-postings read per segment; the
+        first position per doc is the head of its position run (positions
+        are stored in token order).
+
+        Returns [( *id_cols, first_pos )] (0-based) sorted by id cols."""
+        terms = get_analyzer(self.analyzer_name).tokens(text)
+        if len(terms) != 1:
+            raise ValueError("span_first takes exactly one term")
+        t = terms[0]
+        results: list[tuple] = []
+        for reader in self.readers:
+            got = reader.positions_for([t])[t]
+            if got is None:
+                continue
+            docs, tfs, pos = got[:3]
+            docs = np.asarray(docs, dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+            first = np.asarray(pos, dtype=np.int64)[starts]
+            keep = first < end
+            docs, first = docs[keep], first[keep]
+            docs_live = reader.drop_deleted(docs)
+            if len(docs_live) < len(docs):
+                m = np.isin(docs, docs_live)
+                docs, first = docs[m], first[m]
+            if len(docs) == 0:
+                continue
+            ids = reader.fetch_ids(docs, self.id_cols)
+            results.extend(
+                (*ids[int(d)], int(p)) for d, p in zip(docs, first)
+            )
         results.sort(key=lambda r: r[:-1])
         return results
 

@@ -158,3 +158,41 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     )).all()
     # determinism
     assert fs.equals(q_multimodal_frame_sample(sf).to_pandas())
+
+
+def test_wav_decoder_chunk_walk_and_strict():
+    """The RIFF walk must locate data past an unknown chunk (word-aligned),
+    reject non-PCM/missing-data forms, and quarantine codec mimes."""
+    import struct
+
+    import pytest
+
+    from rindex.ops.multimodal import (
+        WAV_MIME, WAV_RATE, WavDecoder, _audio_params, _render_wav,
+    )
+
+    wav = _render_wav(5)
+    dec = WavDecoder()
+    rate, x = dec.decode_one(wav, WAV_MIME)
+    a, b, c, n = _audio_params(5)
+    assert rate == WAV_RATE and len(x) == n
+    i = np.arange(n, dtype=np.int64)
+    np.testing.assert_array_equal(
+        x.astype(np.int64), (a * i * i + b * i + c) % 256
+    )
+    # inject an odd-sized LIST chunk between fmt and data: the walk must
+    # skip it (with the pad byte) and still find the samples
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    wav2 = wav[:fmt_end] + extra + wav[fmt_end:]
+    rate2, x2 = dec.decode_one(wav2, WAV_MIME)
+    np.testing.assert_array_equal(x2, x)
+    # strict mode: codec mime raises
+    with pytest.raises(NotImplementedError):
+        WavDecoder(strict=True).decode_one(b"xx", "audio/mpeg")
+    # non-strict: quarantined (None) and counted
+    assert dec.decode_one(b"xx", "audio/mpeg") is None
+    assert dec.skipped == 1
+    # data chunk missing -> loud
+    with pytest.raises(ValueError, match="no data chunk"):
+        dec.decode_one(wav[: fmt_end] , WAV_MIME)

@@ -312,3 +312,96 @@ def test_score_matches_dataset_equals_search(ray_session, small_index):
             for r in ds.to_pandas().to_dict("records")
         )
         assert got == ref, (text, mode, len(got), len(ref))
+
+
+def test_synonym_query_blended_stats(small_index, small_corpus):
+    """SynonymQuery semantics: per-doc tf = SUM of member tfs, docFreq =
+    MAX of member global dfs — a synonym-only query must equal the hand
+    computation over the oracle corpus, and an absent member must not
+    change the result (its df=0 never wins the max; its postings add
+    nothing)."""
+    import re as _re
+
+    import numpy as np
+
+    from rindex.bm25 import idf as bm25_idf
+    from rindex.codec import NORM_DECODE_TABLE, encode_norms
+    from rindex.schema import B, K1
+    from rindex.search import IndexSearcher, Query
+
+    idx, _ = small_index
+    s = IndexSearcher(idx, algo="exhaustive")
+    group = ["data", "query"]
+    got = s.search_query(Query(terms=[], mode="or", k=10**9,
+                               synonyms=[(group, 1.0)]))
+    # hand-compute over the raw corpus
+    tok = _re.compile(r"[0-9a-z]+")
+    docs = {}
+    dls = {}
+    dfs = {t: 0 for t in group}
+    corpus = pq.read_table(small_corpus).to_pandas()
+    for row in corpus.itertuples():
+        toks = tok.findall(row.text.lower())
+        dls[(row.conv_id, row.turn_idx)] = len(toks)
+        tf = sum(toks.count(t) for t in group)
+        for t in group:
+            if t in toks:
+                dfs[t] += 1
+        if tf:
+            docs[(row.conv_id, row.turn_idx)] = tf
+    n_docs = len(corpus)
+    avgdl = sum(dls.values()) / n_docs
+    df_max = max(dfs.values())
+    w = bm25_idf(df_max, n_docs)
+    want = {}
+    for key, tf in docs.items():
+        ldl = float(NORM_DECODE_TABLE[encode_norms(np.array([dls[key]]))[0]])
+        want[key] = w * tf / (tf + K1 * (1 - B + B * ldl / avgdl))
+    assert len(got) == len(want)
+    for _rank, conv_id, turn_idx, score in got:
+        np.testing.assert_allclose(
+            score, want[(conv_id, turn_idx)], rtol=1e-12
+        )
+    # absent member is a no-op
+    got2 = s.search_query(Query(terms=[], mode="or", k=10**9,
+                                synonyms=[(group + ["zzzmissing"], 1.0)]))
+    assert got == got2
+
+
+def test_boolean_query_parser_and_semantics(small_index):
+    """Parenthesized boolean trees: grammar shapes, loud rejection of
+    pure negation / NOT under OR, and match semantics vs a hand-computed
+    doc set (score = sum of matching positive leaves only)."""
+    from rindex.search import (
+        IndexSearcher, Query, parse_boolean_query,
+    )
+
+    t = parse_boolean_query("(data OR query) AND row AND NOT sort")
+    assert t[0] == "and"
+    assert t[1][0] == ("or", [("term", "data"), ("term", "query")])
+    assert t[1][2] == ("not", ("term", "sort"))
+    for bad in ["NOT data", "data OR NOT query", "NOT data AND NOT query",
+                "(data", "data)", "data AND"]:
+        with pytest.raises(ValueError):
+            parse_boolean_query(bad)
+
+    idx, _ = small_index
+    s = IndexSearcher(idx)
+    got = s.search_boolean(t, k=10**9)
+    got_ids = {r[1:-1] for r in got}
+    # reference sets from single-term queries (k unbounded)
+    def ids(term):
+        return {r[1:-1] for r in s.search_query(
+            Query(terms=[term], mode="or", k=10**9))}
+    want = (ids("data") | ids("query")) & ids("row") - ids("sort")
+    assert got_ids == want
+    # scores: sum of the positive leaves' per-doc scores
+    leaf = {}
+    for term in ["data", "query", "row"]:
+        for r in s.search_query(Query(terms=[term], mode="or", k=10**9)):
+            leaf[(term, r[1:-1])] = r[-1]
+    for r in got:
+        key = r[1:-1]
+        want_s = sum(leaf.get((term, key), 0.0)
+                     for term in ["data", "query", "row"])
+        np.testing.assert_allclose(r[-1], want_s, rtol=1e-9)

@@ -7,6 +7,7 @@ sum(run lengths) == ttf, phrase matching == ExactPhraseMatcher semantics
 (`lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java`).
 """
 
+import re
 import shutil
 
 import numpy as np
@@ -190,3 +191,50 @@ def test_proximity_three_terms(ray_session, tmp_path):
     terms = ["hash", "scan", "sort"]
     got = [(h[0], h[1]) for h in s.search_proximity(" ".join(terms), window=8)]
     assert got == _naive_proximity_k(SRC, terms, 8)
+
+
+def _naive_span_near(src, a, b, slop):
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    out = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = re.findall(r"[0-9a-z]+", (text or "").lower())
+        best = None
+        for i, x in enumerate(toks):
+            if x != a:
+                continue
+            for j in range(i + 1, len(toks)):
+                if toks[j] == b:
+                    w = j - i + 1
+                    best = w if best is None else min(best, w)
+                    break
+        if best is not None and best - 2 <= slop:
+            out.append((did, best))
+    out.sort()
+    return out
+
+
+def test_span_near_and_span_first_vs_naive(ray_session, tmp_path):
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    idx = str(tmp_path / "pos-span")
+    build_index(
+        SRC, idx, num_segments=4, mode="local", id_cols=("doc_id",),
+        text_col="text", keep_cols=("lang",), with_positions=True,
+    )
+    s = IndexSearcher(idx)
+    got = [(h[0], h[1]) for h in s.search_span_near("hash join", slop=3)]
+    assert got == _naive_span_near(SRC, "hash", "join", 3)
+    # ordered != symmetric: the reversed query matches a different set
+    rev = [(h[0], h[1]) for h in s.search_span_near("join hash", slop=3)]
+    assert rev == _naive_span_near(SRC, "join", "hash", 3)
+    assert got != rev
+    # span_first vs naive first-position scan
+    t = pq.read_table(SRC, columns=["doc_id", "text"])
+    want = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = re.findall(r"[0-9a-z]+", (text or "").lower())
+        if "spark" in toks and toks.index("spark") < 6:
+            want.append((did, toks.index("spark")))
+    want.sort()
+    assert [(h[0], h[1]) for h in s.search_span_first("spark", end=6)] == want
