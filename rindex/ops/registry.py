@@ -37,8 +37,6 @@ _SAMPLE_FIRST = [
     "dismax_qf_documents", "highlight_documents",
     "expression_sim_topk_documents",
     "query_string_extended_documents",
-    "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
-    "minimal_stem_topterms_documents", "keyword_trim_documents",
     "classic_sim_topk_documents",
     # ops whose implementation OR oracle changed this round — rewired onto
     # score_matches_dataset / distributed verify / newly SQL-oracled — need
@@ -57,7 +55,7 @@ _SAMPLE_FIRST = [
     "spellcheck_collate_documents", "synonym_query_documents",
     "multimodal_audio_energy", "boolean_query_documents",
     "span_near_ordered_documents", "span_first_documents",
-    "hybrid_bm25_cosine_topk",
+    "hybrid_bm25_cosine_topk", "group_facet_event_types",
     "boost_function_search_documents", "interval_facet_totalprice",
     "atomic_update_documents", "fuzzy_search_documents",
     "wildcard_search_documents", "query_elevation_documents",
@@ -71,6 +69,8 @@ _SAMPLE_FIRST = [
     "eval_temporal_events", "eval_regress_lineitem",
     "merge_join_orders_customers", "merge_left_outer_customer_orders",
     "ascii_fold_topterms_documents",
+    "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
+    "minimal_stem_topterms_documents", "keyword_trim_documents",
     "eval_math_funcs_events", "eval_string_funcs_documents",
     "sql_loader_events", "eval_select_lineitem",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",

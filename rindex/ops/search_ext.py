@@ -338,6 +338,24 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _best_correction(word: str, acc: dict) -> tuple | None:
+    """ONE correction-selection rule for spellcheck AND collation (min edit
+    distance <= 2, ties df-desc then term asc — DirectSpellChecker's
+    ranking), computed with the vectorized whole-dictionary DP
+    (multiterm._levenshtein_vec) instead of a per-term Python loop.
+    Returns (term, distance, df) or None."""
+    from rindex.ops.multiterm import _levenshtein_vec
+
+    terms = np.array(list(acc))
+    dfs = np.fromiter((acc[t] for t in terms), np.int64, len(terms))
+    d = _levenshtein_vec(word, terms)
+    m = d <= 2
+    if not m.any():
+        return None
+    sel = np.lexsort((terms[m], -dfs[m], d[m]))[0]
+    return (str(terms[m][sel]), int(d[m][sel]), int(dfs[m][sel]))
+
+
 def q_spellcheck_documents(sf_dir: str):
     """Spelling correction from the index term dictionary: candidate with
     min edit distance (<=2), ties by higher df then term order (reference:
@@ -352,16 +370,9 @@ def q_spellcheck_documents(sf_dir: str):
     acc = _global_term_dfs(idx)
     rows = []
     for w in SPELL_INPUTS:
-        best = None
-        for term, df in acc.items():
-            d = _levenshtein(w, term)
-            if d > 2:
-                continue
-            key = (d, -df, term)
-            if best is None or key < best[0]:
-                best = (key, term, d, df)
+        best = _best_correction(w, acc)
         if best is not None:
-            rows.append((w, best[1], best[2], best[3]))
+            rows.append((w, *best))
     return pd.DataFrame(
         rows, columns=["input", "correction", "distance", "weight"]
     )
@@ -960,29 +971,28 @@ def q_spellcheck_collate_documents(sf_dir: str):
     acc = _global_term_dfs(idx)
     corrections = []
     for w in COLLATE_INPUT:
-        best = None
-        for term, df in acc.items():
-            d = _levenshtein(w, term)
-            if d > 2:
-                continue
-            key = (d, -df, term)
-            if best is None or key < best[0]:
-                best = (key, term)
+        best = _best_correction(w, acc)
         if best is None:
             raise ValueError(f"no correction within 2 edits for {w!r}")
-        corrections.append(best[1])
+        corrections.append(best[0])
 
     import re as _re
 
     import pyarrow.compute as pc
 
-    # boundary-anchored Arrow re2 match per corrected term (vectorized;
-    # [^0-9a-z'] mirrors the analyzer's token alphabet so a term cannot
-    # match inside a longer token or across an apostrophe)
+    from rindex.analysis import get_analyzer
+
+    # boundary-anchored Arrow re2 match per corrected term (vectorized).
+    # [^0-9a-z'] under-matches around a BARE apostrophe (the analyzer
+    # treats ' as a word char only BETWEEN alphanumerics, re2 has no
+    # lookaround to express that), so apostrophe-bearing docs — rare —
+    # take the exact analyzer path instead of the regex fast path.
     pats = [
         rf"(^|[^0-9a-z']){_re.escape(term)}($|[^0-9a-z'])"
         for term in corrections
     ]
+    tokens_of = get_analyzer("standard").tokens
+    need = set(corrections)
 
     def count_hits(t: pa.Table) -> pa.Table:
         txt = pc.utf8_lower(pc.coalesce(t["text"].combine_chunks(), ""))
@@ -991,6 +1001,11 @@ def q_spellcheck_collate_documents(sf_dir: str):
             mask &= pc.match_substring_regex(txt, p).to_numpy(
                 zero_copy_only=False
             )
+        apos = pc.match_substring(txt, "'").to_numpy(zero_copy_only=False)
+        if apos.any():
+            vals = txt.to_pylist()
+            for i in np.flatnonzero(apos):
+                mask[i] = need.issubset(tokens_of(vals[i]))
         return pa.table({"hits": pa.array([int(mask.sum())], pa.int64())})
 
     ds = read_table(sf_dir, "documents", ["text"])

@@ -142,6 +142,22 @@ def _cols(s: str) -> list[str]:
     return [c.strip() for c in s.split(",") if c.strip()]
 
 
+def _check_scalar(node, where: str):
+    """Scalar evaluator sub-trees must be kwarg-free 3-tuples (eval_node's
+    node shape) — reject named params HERE with a clear message instead of
+    letting eval_node crash with 'too many values to unpack' deep inside a
+    map_batches task."""
+    if node[0] == "call":
+        if len(node) > 3:
+            raise ValueError(
+                f"named params are not valid in scalar evaluator "
+                f"expressions ({where}): {node[1]}(...)"
+            )
+        for ch in node[2]:
+            _check_scalar(ch, where)
+    return node
+
+
 # ---------------------------------------------------------------------------
 # Stream builders
 # ---------------------------------------------------------------------------
@@ -157,7 +173,7 @@ def _b_select(args, kwargs, ctx):
 
     ds = _build(args[0], ctx)
     keep = _cols(_lit(kwargs.pop("keep"), "keep")) if "keep" in kwargs else None
-    exprs = dict(kwargs)
+    exprs = {k: _check_scalar(v, f"select {k}=") for k, v in kwargs.items()}
 
     def f(b: pa.Table) -> pa.Table:
         cols = {n: b[n].combine_chunks() for n in b.schema.names}
@@ -200,7 +216,8 @@ def _b_rollup(args, kwargs, ctx):
 def _b_having(args, kwargs, ctx):
     from rindex.ops.streams import having
 
-    return having(_build(args[0], ctx), args[1])
+    pred = _check_scalar(args[1], "having")  # validate BEFORE building
+    return having(_build(args[0], ctx), pred)
 
 
 def _b_hashjoin(args, kwargs, ctx):

@@ -145,7 +145,9 @@ def parse_query_string(
             weights[t] = 0.0
         weights[t] += boost
 
-    for m in re.finditer(r'([+-]?)(?:"([^"]*)"(?:\^(\d+(?:\.\d+)?))?|(\S+))', qs):
+    for m in re.finditer(
+        r'([+-]?)(?:"([^"]*)"(?:\^(\d+\.?\d*|\.\d+))?|(\S+))', qs
+    ):
         prefix, phrase, pboost, tok = m.groups()
         if phrase is not None:
             if prefix == "-":
@@ -166,13 +168,18 @@ def parse_query_string(
         boost = 1.0
         if "^" in body:
             head, _, tail = body.rpartition("^")
-            if head and re.fullmatch(r"\d+(?:\.\d+)?", tail):
+            if head and re.fullmatch(r"\d+\.?\d*|\.\d+", tail):
                 if prefix == "-":
                     raise ValueError(
                         f"boost on a MUST_NOT clause is meaningless: "
                         f"{m.group(0)!r}"
                     )
                 body, boost = head, float(tail)
+            elif head and re.fullmatch(r"[\d.]+", tail):
+                # numeric-LOOKING but not a float literal ('1.2.3'): reject
+                # loudly — silently analyzing it would inject junk terms
+                # (Lucene's parser rejects malformed boosts the same way)
+                raise ValueError(f"malformed boost: {m.group(0)!r}")
         is_field = False
         if ":" in body and not body.startswith(":"):
             col_, val_ = body.split(":", 1)
@@ -1261,6 +1268,10 @@ class IndexSearcher:
                 if banned is not None and len(banned):
                     matched[banned] = False
                 cand = np.nonzero(matched)[0]
+            # engine-wide score>0 hit contract (a clamping similarity like
+            # LMDirichlet can score a MATCHED doc exactly 0; every kernel
+            # and every oracle's WHERE s > 0 excludes it)
+            cand = cand[acc[cand] > 0]
             if len(cand) == 0:
                 continue
             scores = acc[cand]
@@ -1538,6 +1549,7 @@ class IndexSearcher:
             cands.extend(
                 (float(s), ids[d], int(f))
                 for d, s, f in zip(docs, scores, freqs)
+                if s > 0  # score>0 hit contract (clamping similarities)
             )
         cands.sort(key=lambda x: (-x[0],) + tuple(x[1]))
         return [

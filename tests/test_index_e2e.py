@@ -184,13 +184,19 @@ def test_query_searcher_honors_similarity(small_index):
     assert via_pool.equals(direct)
 
 
-def test_malformed_boost_suffix_does_not_crash():
+def test_boost_suffix_forms():
     from rindex.search import parse_query_string
 
-    # '1.2.3' is not a float literal: must not raise an uncontrolled
-    # ValueError from inside the parser
-    q = parse_query_string("foo^1.2.3 bar")
-    assert "bar" in q.terms
+    # '.5'-style boosts are valid float literals
+    q = parse_query_string("foo^.5 bar^2")
+    assert q.boosts["foo"] == 0.5 and q.boosts["bar"] == 2.0
+    # numeric-looking but malformed ('1.2.3'): rejected LOUDLY with a
+    # clear message, never silently analyzed into junk terms
+    with pytest.raises(ValueError, match="malformed boost"):
+        parse_query_string("foo^1.2.3 bar")
+    # a caret inside a non-numeric token is plain text, not a boost
+    q2 = parse_query_string("a^b c")
+    assert "c" in q2.terms and not q2.boosts.get("a^b")
 
 
 def test_similarities_actually_differ(small_index):
@@ -405,3 +411,26 @@ def test_boolean_query_parser_and_semantics(small_index):
         want_s = sum(leaf.get((term, key), 0.0)
                      for term in ["data", "query", "row"])
         np.testing.assert_allclose(r[-1], want_s, rtol=1e-9)
+
+
+def test_phrase_synonym_kernel_honors_zero_clamp_contract(small_index):
+    """The score>0 hit contract must hold on the phrase/synonym kernel too:
+    under LMDirichlet (whose max(0,.) clamp can zero a matched doc) every
+    returned hit scores > 0, like every other kernel and every oracle's
+    WHERE s > 0."""
+    from rindex.search import Query
+
+    idx, _ = small_index
+    s = IndexSearcher(idx, similarity="lmdirichlet")
+    # a single-member synonym group must equal the plain term query
+    # BIT-FOR-BIT under the clamping similarity: both kernels must drop
+    # the same clamped-zero docs (the dense path used to keep zero-score
+    # hits on the phrase/synonym channel)
+    for term in ["data", "spark", "query"]:
+        via_term = s.search_query(Query(terms=[term], mode="or", k=10**9))
+        via_syn = s.search_query(
+            Query(terms=[], mode="or", k=10**9,
+                  synonyms=[([term], 1.0)])
+        )
+        assert via_term == via_syn, term
+        assert all(r[-1] > 0 for r in via_syn)

@@ -80,3 +80,11 @@ def test_compiled_having_predicate(ray_session):
         assert got["n"].tolist() == [2, 4]
     finally:
         STREAM_BUILDERS["table"] = orig
+
+
+def test_scalar_kwargs_rejected_at_build_time():
+    with pytest.raises(ValueError, match="named params are not valid"):
+        _build(
+            parse_stream_expr("having(table(t), gt(round(x, n=2), 1))"),
+            {"sf_dir": ""},
+        )
