@@ -881,3 +881,66 @@ ORACLE["geo_heatmap_facet_events"] = f"""
       AND lon BETWEEN {HEATMAP_BBOX[2]} AND {HEATMAP_BBOX[3]}
     GROUP BY 1, 2
 """
+
+
+def q_stratified_split_documents(sf_dir: str):
+    """STRATIFIED train/val/test split: exact 80/10/10 proportions WITHIN
+    each language (hash-bucket splits only approximate proportions; a
+    stratified split guarantees every stratum is represented at the exact
+    ratio — the class-balanced sampling a curriculum/eval pipeline needs).
+    Deterministic: docs rank by md5(doc_id) inside their stratum, ranks
+    cut at (n*8)//10 and (n*9)//10 (integer math, no float thresholds).
+    Ray shape: one groupby(lang).map_groups — few strata, large groups,
+    the blessed per-group pattern; at many-strata scale the same rank is
+    a sort by (lang, md5) + per-partition offsets."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        ids = g["doc_id"].to_numpy()
+        keys = np.array(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        )
+        order = np.lexsort((ids, keys))
+        n = len(ids)
+        split = np.empty(n, dtype=object)
+        rk = np.empty(n, dtype=np.int64)
+        rk[order] = np.arange(n)
+        split[rk < (n * 8) // 10] = "train"
+        split[(rk >= (n * 8) // 10) & (rk < (n * 9) // 10)] = "val"
+        split[rk >= (n * 9) // 10] = "test"
+        return pd.DataFrame({"lang": g["lang"], "split": split})
+
+    out = (
+        ds.groupby("lang")
+        .map_groups(assign, batch_format="pandas")
+        .groupby(["lang", "split"])
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+QUERIES["stratified_split_documents"] = q_stratified_split_documents
+ORACLE["stratified_split_documents"] = """
+    WITH r AS (
+      SELECT lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN rk < (n * 8) // 10 THEN 'train'
+                WHEN rk < (n * 9) // 10 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_docs
+    FROM r
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

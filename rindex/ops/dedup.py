@@ -821,3 +821,103 @@ ORACLE["embedding_cosine_neardup"] = f"""
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_TAU}
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster assignment (connected components over the near-dup graph)
+# ---------------------------------------------------------------------------
+
+CLUSTER_ROUNDS = 8  # min-label propagation rounds (bounds component diam)
+
+
+def q_dedup_clusters_documents(sf_dir: str):
+    """Connected components over the near-dup pair graph — the step that
+    turns PAIRS into droppable duplicates: every doc in a component gets
+    cluster = the component's min doc_id (the canonical representative a
+    pipeline keeps).  Pairs come from the fully distributed n-gram Jaccard
+    pipeline; the pair list is that op's designated SMALL side (the
+    near-dup subset, not the corpus), so min-label propagation runs
+    vectorized driver-side (np.minimum.at per round, CLUSTER_ROUNDS
+    bounds the diameter) — at 10^12-edge scale the same rounds run as the
+    shortestPath op's edge-Dataset + broadcast-labels shape.  A
+    convergence check raises loudly if CLUSTER_ROUNDS is ever too small
+    (rather than silently returning half-merged components)."""
+    pairs = q_ngram_jaccard_neardup(sf_dir)
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster": pd.Series([], dtype="int64")}
+        )
+    a = pairs["doc_a"].to_numpy(np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64)
+    docs = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(docs, a)
+    bi = np.searchsorted(docs, b)
+    lab = docs.copy()
+    converged = False
+    for _ in range(CLUSTER_ROUNDS):
+        m = np.minimum(lab[ai], lab[bi])
+        new = lab.copy()
+        np.minimum.at(new, ai, m)
+        np.minimum.at(new, bi, m)
+        if (new == lab).all():
+            converged = True
+            break
+        lab = new
+    if not converged:
+        # one extra probe round: unchanged == converged exactly AT the cap
+        m = np.minimum(lab[ai], lab[bi])
+        new = lab.copy()
+        np.minimum.at(new, ai, m)
+        np.minimum.at(new, bi, m)
+        if not (new == lab).all():
+            raise ValueError(
+                f"dedup_clusters: component diameter exceeds "
+                f"{CLUSTER_ROUNDS} rounds — raise CLUSTER_ROUNDS"
+            )
+    return pd.DataFrame({"doc_id": docs, "cluster": lab}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def _cluster_oracle_sql() -> str:
+    rounds = "".join(
+        f""",
+    l{k + 1} AS MATERIALIZED (
+      SELECT e.a AS doc, min(least(la.lbl, lb.lbl)) AS lbl
+      FROM e JOIN l{k} la ON la.doc = e.a JOIN l{k} lb ON lb.doc = e.b
+      GROUP BY e.a
+    )"""
+        for k in range(CLUSTER_ROUNDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+{NGRAM - 1}], ' ')
+                            FOR i IN range(1, len(toks) - {NGRAM - 2})]) AS shingles
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[0-9a-z]+') AS toks
+            FROM documents)
+      WHERE len(toks) >= {NGRAM}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_TAU}
+    ),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT a AS doc, a AS lbl FROM e){rounds}
+    SELECT doc AS doc_id, lbl AS cluster
+    FROM l{CLUSTER_ROUNDS}
+    ORDER BY doc
+    """
+
+
+QUERIES["dedup_clusters_documents"] = q_dedup_clusters_documents
+ORACLE["dedup_clusters_documents"] = _cluster_oracle_sql()

@@ -272,12 +272,51 @@ def _b_cartesian(args, kwargs, ctx):
     return cartesian_product(ds, field, out)
 
 
+def _b_innerjoin(args, kwargs, ctx):
+    """innerJoin = the SORTED merge join (InnerJoinStream contract: both
+    streams already sorted on the key; rejected loudly otherwise)."""
+    from rindex.ops.streams import merge_join
+
+    lk, _, rk = _lit(kwargs["on"], "on").partition("=")
+    lk, rk = lk.strip(), (rk.strip() or lk.strip())
+    return merge_join(
+        _build(args[0], ctx), _build(args[1], ctx), on=lk, right_on=rk,
+    )
+
+
+def _b_fetch(args, kwargs, ctx):
+    """fetch() enrichment: the right stream is the DESIGNATED small side
+    (FetchStream pulls it in one request the same way), broadcast once."""
+    from rindex.ops.util import broadcast_join
+
+    lk, _, rk = _lit(kwargs["on"], "on").partition("=")
+    lk, rk = lk.strip(), (rk.strip() or lk.strip())
+    small = _build(args[1], ctx).to_pandas()
+    if rk != lk:
+        small = small.rename(columns={rk: lk})
+    return broadcast_join(_build(args[0], ctx), small, on=lk)
+
+
+def _b_intersect(args, kwargs, ctx):
+    """intersect(left, right, on=): keep left tuples whose key appears in
+    the right stream (IntersectStream); the right key set broadcasts."""
+    from rindex.ops.util import broadcast_semi_filter
+
+    lk, _, rk = _lit(kwargs["on"], "on").partition("=")
+    lk, rk = lk.strip(), (rk.strip() or lk.strip())
+    keys = _build(args[1], ctx).unique(rk)
+    return broadcast_semi_filter(_build(args[0], ctx), keys, lk)
+
+
 STREAM_BUILDERS = {
     "table": _b_table,
     "select": _b_select,
     "rollup": _b_rollup,
     "having": _b_having,
     "hashJoin": _b_hashjoin,
+    "innerJoin": _b_innerjoin,
+    "fetch": _b_fetch,
+    "intersect": _b_intersect,
     "sort": _b_sort,
     "top": _b_top,
     "unique": _b_unique,

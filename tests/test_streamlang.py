@@ -88,3 +88,42 @@ def test_scalar_kwargs_rejected_at_build_time():
             parse_stream_expr("having(table(t), gt(round(x, n=2), 1))"),
             {"sf_dir": ""},
         )
+
+
+def test_fetch_intersect_innerjoin_builders(ray_session):
+    import ray.data as rd
+
+    tables = {
+        "l": pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]}),
+        "r": pd.DataFrame({"rk": [2, 4, 9], "extra": ["b", "d", "z"]}),
+    }
+    orig = STREAM_BUILDERS["table"]
+    STREAM_BUILDERS["table"] = (
+        lambda a, k, ctx: rd.from_pandas(tables[a[0][1]])
+    )
+    try:
+        got = _build(
+            parse_stream_expr('fetch(table(l), table(r), on="k=rk")'),
+            {"sf_dir": ""},
+        ).to_pandas().sort_values("k")
+        assert got["k"].tolist() == [2, 4]
+        assert got["extra"].tolist() == ["b", "d"]
+
+        got2 = _build(
+            parse_stream_expr('intersect(table(l), table(r), on="k=rk")'),
+            {"sf_dir": ""},
+        ).to_pandas().sort_values("k")
+        assert got2["k"].tolist() == [2, 4]
+        assert "extra" not in got2.columns  # semi join keeps left schema
+
+        got3 = _build(
+            parse_stream_expr(
+                'innerJoin(sort(table(l), by="k"),'
+                ' sort(table(r), by="rk"), on="k=rk")'
+            ),
+            {"sf_dir": ""},
+        ).to_pandas().sort_values("k")
+        assert got3["k"].tolist() == [2, 4]
+        assert got3["extra"].tolist() == ["b", "d"]
+    finally:
+        STREAM_BUILDERS["table"] = orig
