@@ -35,7 +35,6 @@ _SAMPLE_FIRST = [
     "ann_srp_lsh_topk", "ann_ivf_topk",
     "block_join_topk_threads", "multivalued_filter_topk",
     "dismax_qf_documents", "highlight_documents",
-    "expression_sim_topk_documents",
     # ops whose implementation OR oracle changed this round — rewired onto
     # score_matches_dataset / distributed verify / newly SQL-oracled — need
     # FRESH driver verification ahead of the no-oracle rows-only entries
@@ -55,6 +54,7 @@ _SAMPLE_FIRST = [
     "span_near_ordered_documents", "span_first_documents",
     "hybrid_bm25_cosine_topk", "group_facet_event_types",
     "stratified_split_documents", "dedup_clusters_documents",
+    "curation_pipeline_documents",
     "boost_function_search_documents", "interval_facet_totalprice",
     "atomic_update_documents", "fuzzy_search_documents",
     "wildcard_search_documents", "query_elevation_documents",
@@ -71,6 +71,7 @@ _SAMPLE_FIRST = [
     "mapping_charfilter_topterms_documents", "char_ngram_topterms_documents",
     "minimal_stem_topterms_documents", "keyword_trim_documents",
     "classic_sim_topk_documents", "query_string_extended_documents",
+    "expression_sim_topk_documents",
     "eval_math_funcs_events", "eval_string_funcs_documents",
     "sql_loader_events", "eval_select_lineitem",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",

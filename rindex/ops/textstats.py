@@ -527,3 +527,190 @@ ORACLE["contamination_check_documents"] = f"""
     GROUP BY g.doc_id
     ORDER BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (the flagship LLM-training-data flow)
+# ---------------------------------------------------------------------------
+
+CURATE_MIN_CHARS = 40
+
+
+def q_curation_pipeline_documents(sf_dir: str):
+    """The full training-data curation flow as ONE composition — what a
+    user of this engine actually runs before a training job:
+
+      1. quality gates: length >= 40 chars + the Gopher repetition cuts
+         (most-common-bigram / duplicate-trigram fractions), recomputed
+         inline in the final scan (no join needed — the stats are per-doc);
+      2. near-dup drop: the distributed n-gram-Jaccard pair graph resolves
+         each pair by keeping the SMALLER doc_id (drop set = distinct
+         doc_b — pairs are stored doc_a < doc_b), broadcast once;
+      3. decontamination: benchmark docs (doc_id % 29 == 0) AND docs
+         sharing any 4-gram with them (the contamination op's output,
+         broadcast) are dropped;
+      4. split assignment: the deterministic md5 hash bucket;
+      5. accounting: per (lang, split) doc + token totals.
+
+    Drop sets are the pipeline's designated small sides (near-dup /
+    contaminated subsets, never the corpus); the corpus is touched by
+    exactly TWO distributed scans (the pair/contamination derivations) +
+    ONE final curation scan."""
+    import ray
+
+    from rindex.ops.analysis_ext import SPLIT_FRACS
+    from rindex.ops.dedup import q_ngram_jaccard_neardup
+
+    pairs = q_ngram_jaccard_neardup(sf_dir)
+    dup_drop = set(pairs["doc_b"].astype(int)) if len(pairs) else set()
+    contam = q_contamination_check_documents(sf_dir)
+    contam_drop = set(contam["doc_id"].astype(int)) if len(contam) else set()
+    drop_ref = ray.put(
+        np.array(sorted(dup_drop | contam_drop), dtype=np.int64)
+    )
+    tr, va = SPLIT_FRACS["train"], SPLIT_FRACS["train"] + SPLIT_FRACS["val"]
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "text", "n_chars"])
+
+    def curate(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        import pyarrow.compute as pc
+
+        drop = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy()
+        keep = t["n_chars"].to_numpy() >= CURATE_MIN_CHARS
+        keep &= ids % CONTAM_MOD != 0  # benchmark docs never train
+        if len(drop):
+            pos = np.clip(np.searchsorted(drop, ids), 0, len(drop) - 1)
+            keep &= drop[pos] != ids
+        low = pc.utf8_lower(pc.coalesce(t["text"].combine_chunks(), ""))
+        toks_all = [
+            _TOKEN_RE.findall(x) for x in low.to_pylist()
+        ]
+        n_tok = np.fromiter((len(x) for x in toks_all), np.int64, len(ids))
+        for i in np.flatnonzero(keep):
+            toks = toks_all[i]
+            if len(toks) >= 2:
+                bgs = list(zip(toks, toks[1:]))
+                if max(Counter(bgs).values()) / len(bgs) > REP_TOP_BIGRAM_MAX:
+                    keep[i] = False
+                    continue
+            if len(toks) >= 3:
+                tgs = list(zip(toks, toks[1:], toks[2:]))
+                if 1.0 - len(set(tgs)) / len(tgs) > REP_DUP_TRIGRAM_MAX:
+                    keep[i] = False
+        b = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(int(i)).encode()).digest()[:4], "little"
+                ) % 100
+                for i in ids
+            ),
+            dtype=np.int64, count=len(ids),
+        )
+        split = np.where(b < tr, "train", np.where(b < va, "val", "test"))
+        return pa.table(
+            {
+                "lang": t["lang"].filter(pa.array(keep)),
+                "split": pa.array(split[keep]),
+                "n_tokens": pa.array(n_tok[keep]),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(curate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "split"])
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="sum_tokens"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_tokens"] = out["sum_tokens"].astype(np.int64)
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+def _curation_oracle_sql() -> str:
+    from rindex.ops.analysis_ext import SPLIT_FRACS
+    from rindex.ops.dedup import JACCARD_TAU, NGRAM
+
+    tr, va = SPLIT_FRACS["train"], SPLIT_FRACS["train"] + SPLIT_FRACS["val"]
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z]+') AS l
+      FROM documents
+    ),
+    bstats AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bg
+      FROM (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(l)),
+                                i -> l[i] || ' ' || l[i + 1])) AS g
+                  FROM t)
+            GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    tstats AS (
+      SELECT doc_id, 1.0 - count(DISTINCT g)::DOUBLE / count(*) AS dup_tg
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(l) - 1),
+                          i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+            FROM t)
+      GROUP BY 1
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(l[i:i+{NGRAM - 1}], ' ')
+                            FOR i IN range(1, len(l) - {NGRAM - 2})]) AS shingles
+      FROM t WHERE len(l) >= {NGRAM}
+    ),
+    dup_drop AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_TAU}
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(l[i:i+{CONTAM_NGRAM - 1}], ' ')
+                FOR i IN range(1, len(l) - {CONTAM_NGRAM - 2})])) AS gram
+      FROM t WHERE len(l) >= {CONTAM_NGRAM}
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {CONTAM_MOD} = 0),
+    contam_drop AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % {CONTAM_MOD} <> 0
+    ),
+    kept AS (
+      SELECT t.doc_id, lang, len(l) AS n_tokens,
+             (('0x' || substr(h,7,2) || substr(h,5,2)
+               || substr(h,3,2) || substr(h,1,2))::BIGINT % 100) AS b
+      FROM (SELECT *, md5(doc_id::VARCHAR) AS h FROM t) t
+      LEFT JOIN bstats USING (doc_id)
+      LEFT JOIN tstats USING (doc_id)
+      WHERE n_chars >= {CURATE_MIN_CHARS}
+        AND doc_id % {CONTAM_MOD} <> 0
+        AND coalesce(top_bg, 0.0) <= {REP_TOP_BIGRAM_MAX}
+        AND coalesce(dup_tg, 0.0) <= {REP_DUP_TRIGRAM_MAX}
+        AND doc_id NOT IN (SELECT doc_id FROM dup_drop)
+        AND doc_id NOT IN (SELECT doc_id FROM contam_drop)
+    )
+    SELECT lang,
+           CASE WHEN b < {tr} THEN 'train'
+                WHEN b < {va} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS sum_tokens
+    FROM kept
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+QUERIES["curation_pipeline_documents"] = q_curation_pipeline_documents
+ORACLE["curation_pipeline_documents"] = _curation_oracle_sql()

@@ -32,3 +32,60 @@ def test_int8_quantization_reconstruction_bound():
         assert np.abs(codes).max() == 127
         recon = codes / scale
         assert np.abs(x - recon).max() <= 0.5 / scale + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Boolean-tree property tests (hypothesis): parse -> evaluate vs a naive
+# Python reference over random token sets
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TERMS = ["alpha", "beta", "gamma", "delta"]
+
+
+def _rand_tree(draw, depth):
+    """Random VALID query string + its Python predicate (NOT only as an
+    AND operand with a positive sibling — the parser's legality rule)."""
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        t = draw(st.sampled_from(_TERMS))
+        return t, (lambda toks, t=t: t in toks)
+    kind = draw(st.sampled_from(["and", "or"]))
+    n = draw(st.integers(2, 3))
+    parts = [_rand_tree(draw, depth - 1) for _ in range(n)]
+    if kind == "and" and draw(st.booleans()):
+        # append a NOT operand (legal: positive siblings exist)
+        nt, nf = _rand_tree(draw, depth - 1)
+        s = " AND ".join(f"({p[0]})" for p in parts) + f" AND NOT ({nt})"
+        fns = [p[1] for p in parts]
+        return s, (lambda toks, fns=fns, nf=nf:
+                   all(f(toks) for f in fns) and not nf(toks))
+    op = " AND " if kind == "and" else " OR "
+    s = op.join(f"({p[0]})" for p in parts)
+    fns = [p[1] for p in parts]
+    agg = all if kind == "and" else any
+    return s, (lambda toks, fns=fns, agg=agg: agg(f(toks) for f in fns))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_boolean_tree_eval_matches_reference(data):
+    from rindex.search import parse_boolean_query
+
+    qs, ref = data.draw(st.composite(lambda draw: _rand_tree(draw, 3))())
+    tree = parse_boolean_query(qs)
+
+    def ev(node, toks):
+        if node[0] == "term":
+            return node[1] in toks
+        if node[0] == "not":
+            return not ev(node[1], toks)
+        parts = [ev(ch, toks) for ch in node[1]]
+        return all(parts) if node[0] == "and" else any(parts)
+
+    subsets = data.draw(
+        st.lists(st.sets(st.sampled_from(_TERMS)), min_size=4, max_size=8)
+    )
+    for toks in subsets:
+        assert ev(tree, toks) == ref(toks), (qs, toks)
