@@ -580,6 +580,43 @@ ORACLE["geo_radius_events"] = f"""
 
 SPLIT_FRACS = {"train": 90, "val": 5, "test": 5}  # percent buckets
 
+# the SQL twin of split_bucket100: h = md5(doc_id::VARCHAR), first 4
+# digest bytes little-endian mod 100 — ONE definition so the standalone
+# split op and the curation pipeline can never diverge
+SPLIT_BUCKET_SQL = (
+    "(('0x' || substr(h,7,2) || substr(h,5,2) || substr(h,3,2) "
+    "|| substr(h,1,2))::BIGINT % 100)"
+)
+
+
+def split_bucket100(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 0..99 bucket per doc_id: md5 digest[:4] little-endian
+    mod 100 (seed-free, stable across runs and cluster sizes)."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(str(int(i)).encode()).digest()[:4], "little"
+            ) % 100
+            for i in ids
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
+def split_of_buckets(buckets: np.ndarray) -> np.ndarray:
+    return np.where(
+        buckets < SPLIT_FRACS["train"],
+        "train",
+        np.where(
+            buckets < SPLIT_FRACS["train"] + SPLIT_FRACS["val"],
+            "val",
+            "test",
+        ),
+    )
+
 
 def q_train_test_split_documents(sf_dir: str):
     """Deterministic train/val/test split — the assignment every
@@ -592,29 +629,7 @@ def q_train_test_split_documents(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
 
     def f(t: pa.Table) -> pa.Table:
-        import hashlib
-
-        ids = t["doc_id"].to_numpy()
-        buckets = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(str(int(i)).encode()).digest()[:4], "little"
-                )
-                % 100
-                for i in ids
-            ),
-            dtype=np.int64,
-            count=len(ids),
-        )
-        split = np.where(
-            buckets < SPLIT_FRACS["train"],
-            "train",
-            np.where(
-                buckets < SPLIT_FRACS["train"] + SPLIT_FRACS["val"],
-                "val",
-                "test",
-            ),
-        )
+        split = split_of_buckets(split_bucket100(t["doc_id"].to_numpy()))
         return pa.table(
             {"split": pa.array(split), "n_chars": t["n_chars"]}
         )
@@ -634,8 +649,7 @@ ORACLE["train_test_split_documents"] = f"""
              ELSE 'test' END AS split,
            count(*) AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
-    FROM (SELECT n_chars,
-                 (('0x' || substr(h,7,2) || substr(h,5,2) || substr(h,3,2) || substr(h,1,2))::BIGINT % 100) AS b
+    FROM (SELECT n_chars, {SPLIT_BUCKET_SQL} AS b
           FROM (SELECT n_chars, md5(doc_id::VARCHAR) AS h FROM documents))
     GROUP BY 1
 """

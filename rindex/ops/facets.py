@@ -362,29 +362,15 @@ def q_group_facet_event_types(sf_dir: str):
     """Grouped faceting (group.facet=true — `solr/core/src/java/org/
     apache/solr/request/SimpleFacets.java` grouped-facet path): facet
     counts count GROUPS (here: users), not documents — each event_type's
-    count is how many DISTINCT users emitted it.  Two-stage distributed
-    distinct: per-batch (event_type, user_id) dedup partials, one groupby
-    over the pair collapses duplicates, a second tiny groupby counts
-    groups per facet value — no count-distinct state ever centralizes."""
-    from ray.data.aggregate import Count
+    count is how many DISTINCT users emitted it.  That quantity IS the
+    UniqueAgg the relational module already computes with its measured
+    coarse-bucket partial+combine shape, so this op is a thin delegation
+    (ONE distributed count-distinct implementation to keep correct), with
+    the group.facet column name."""
+    from rindex.ops.relational import q_exact_distinct_users_per_type
 
-    ev = read_table(sf_dir, "events", ["event_type", "user_id"])
-
-    def dedup_partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    pairs = (
-        ev.map_batches(dedup_partial, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_n"))
-    )
-    out = (
-        pairs.groupby("event_type")
-        .aggregate(Count(alias_name="n_groups"))
-        .to_pandas()
-    )
+    out = q_exact_distinct_users_per_type(sf_dir).to_pandas()
+    out = out.rename(columns={"n_users": "n_groups"})
     out["n_groups"] = out["n_groups"].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
 

@@ -324,30 +324,22 @@ ORACLE["suggest_prefix_documents"] = """
 SPELL_INPUTS = ["spakr", "joni", "windw", "stremm"]
 
 
-def _levenshtein(a: str, b: str) -> int:
-    if abs(len(a) - len(b)) > 2:
-        return 99
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            )
-        prev = cur
-    return prev[-1]
-
-
 def _best_correction(word: str, acc: dict) -> tuple | None:
     """ONE correction-selection rule for spellcheck AND collation (min edit
     distance <= 2, ties df-desc then term asc — DirectSpellChecker's
-    ranking), computed with the vectorized whole-dictionary DP
-    (multiterm._levenshtein_vec) instead of a per-term Python loop.
-    Returns (term, distance, df) or None."""
+    ranking), computed with the vectorized DP (multiterm._levenshtein_vec)
+    instead of a per-term Python loop.  Candidates are LENGTH-PRUNED first
+    (|len diff| <= 2 — distance >= length difference, so nothing prunable
+    can win), honoring _levenshtein_vec's caller-prunes contract: one long
+    outlier token must not set the DP matrix width for the whole dict."""
     from rindex.ops.multiterm import _levenshtein_vec
 
     terms = np.array(list(acc))
     dfs = np.fromiter((acc[t] for t in terms), np.int64, len(terms))
+    lp = np.abs(np.char.str_len(terms.astype(str)) - len(word)) <= 2
+    terms, dfs = terms[lp], dfs[lp]
+    if len(terms) == 0:
+        return None
     d = _levenshtein_vec(word, terms)
     m = d <= 2
     if not m.any():

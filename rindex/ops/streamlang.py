@@ -286,7 +286,9 @@ def _b_innerjoin(args, kwargs, ctx):
 
 def _b_fetch(args, kwargs, ctx):
     """fetch() enrichment: the right stream is the DESIGNATED small side
-    (FetchStream pulls it in one request the same way), broadcast once."""
+    (FetchStream pulls it in one request the same way), broadcast once.
+    LEFT join — FetchStream never filters: unmatched tuples pass through
+    un-enriched (null fields), only matched ones gain fields."""
     from rindex.ops.util import broadcast_join
 
     lk, _, rk = _lit(kwargs["on"], "on").partition("=")
@@ -294,7 +296,7 @@ def _b_fetch(args, kwargs, ctx):
     small = _build(args[1], ctx).to_pandas()
     if rk != lk:
         small = small.rename(columns={rk: lk})
-    return broadcast_join(_build(args[0], ctx), small, on=lk)
+    return broadcast_join(_build(args[0], ctx), small, on=lk, how="left")
 
 
 def _b_intersect(args, kwargs, ctx):

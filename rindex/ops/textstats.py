@@ -558,7 +558,7 @@ def q_curation_pipeline_documents(sf_dir: str):
     ONE final curation scan."""
     import ray
 
-    from rindex.ops.analysis_ext import SPLIT_FRACS
+    from rindex.ops.analysis_ext import split_bucket100, split_of_buckets
     from rindex.ops.dedup import q_ngram_jaccard_neardup
 
     pairs = q_ngram_jaccard_neardup(sf_dir)
@@ -568,7 +568,6 @@ def q_curation_pipeline_documents(sf_dir: str):
     drop_ref = ray.put(
         np.array(sorted(dup_drop | contam_drop), dtype=np.int64)
     )
-    tr, va = SPLIT_FRACS["train"], SPLIT_FRACS["train"] + SPLIT_FRACS["val"]
 
     ds = read_table(sf_dir, "documents", ["doc_id", "lang", "text", "n_chars"])
 
@@ -600,16 +599,7 @@ def q_curation_pipeline_documents(sf_dir: str):
                 tgs = list(zip(toks, toks[1:], toks[2:]))
                 if 1.0 - len(set(tgs)) / len(tgs) > REP_DUP_TRIGRAM_MAX:
                     keep[i] = False
-        b = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(str(int(i)).encode()).digest()[:4], "little"
-                ) % 100
-                for i in ids
-            ),
-            dtype=np.int64, count=len(ids),
-        )
-        split = np.where(b < tr, "train", np.where(b < va, "val", "test"))
+        split = split_of_buckets(split_bucket100(ids))
         return pa.table(
             {
                 "lang": t["lang"].filter(pa.array(keep)),
@@ -633,7 +623,7 @@ def q_curation_pipeline_documents(sf_dir: str):
 
 
 def _curation_oracle_sql() -> str:
-    from rindex.ops.analysis_ext import SPLIT_FRACS
+    from rindex.ops.analysis_ext import SPLIT_BUCKET_SQL, SPLIT_FRACS
     from rindex.ops.dedup import JACCARD_TAU, NGRAM
 
     tr, va = SPLIT_FRACS["train"], SPLIT_FRACS["train"] + SPLIT_FRACS["val"]
@@ -688,8 +678,7 @@ def _curation_oracle_sql() -> str:
     ),
     kept AS (
       SELECT t.doc_id, lang, len(l) AS n_tokens,
-             (('0x' || substr(h,7,2) || substr(h,5,2)
-               || substr(h,3,2) || substr(h,1,2))::BIGINT % 100) AS b
+             {SPLIT_BUCKET_SQL} AS b
       FROM (SELECT *, md5(doc_id::VARCHAR) AS h FROM t) t
       LEFT JOIN bstats USING (doc_id)
       LEFT JOIN tstats USING (doc_id)

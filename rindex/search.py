@@ -146,7 +146,7 @@ def parse_query_string(
         weights[t] += boost
 
     for m in re.finditer(
-        r'([+-]?)(?:"([^"]*)"(?:\^(\d+\.?\d*|\.\d+))?|(\S+))', qs
+        r'([+-]?)(?:"([^"]*)"(?:\^([\d.]+))?|(\S+))', qs
     ):
         prefix, phrase, pboost, tok = m.groups()
         if phrase is not None:
@@ -156,6 +156,11 @@ def parse_query_string(
                 )
             if prefix == "+":
                 has_required = True
+            if pboost and not re.fullmatch(r"\d+\.?\d*|\.\d+", pboost):
+                # the [\d.]+ group swallows the WHOLE numeric-looking
+                # suffix so '"a b"^1.2.3' cannot shed a junk '.3' token;
+                # reject it loudly like the term path
+                raise ValueError(f"malformed boost: {m.group(0)!r}")
             pterms = analyzer.tokens(phrase)
             if not pterms:
                 raise ValueError(f"empty phrase: {m.group(0)!r}")

@@ -194,6 +194,10 @@ def test_boost_suffix_forms():
     # clear message, never silently analyzed into junk terms
     with pytest.raises(ValueError, match="malformed boost"):
         parse_query_string("foo^1.2.3 bar")
+    # the phrase channel enforces the same contract (no shed '.3' term)
+    with pytest.raises(ValueError, match="malformed boost"):
+        parse_query_string('"big data"^1.2.3')
+    assert parse_query_string('"big data"^1.5').phrases[0][1] == 1.5
     # a caret inside a non-numeric token is plain text, not a boost
     q2 = parse_query_string("a^b c")
     assert "c" in q2.terms and not q2.boosts.get("a^b")

@@ -106,8 +106,10 @@ def test_fetch_intersect_innerjoin_builders(ray_session):
             parse_stream_expr('fetch(table(l), table(r), on="k=rk")'),
             {"sf_dir": ""},
         ).to_pandas().sort_values("k")
-        assert got["k"].tolist() == [2, 4]
-        assert got["extra"].tolist() == ["b", "d"]
+        # FetchStream never filters: unmatched tuples pass un-enriched
+        assert got["k"].tolist() == [1, 2, 3, 4]
+        assert got["extra"].tolist()[1] == "b" and got["extra"].tolist()[3] == "d"
+        assert pd.isna(got["extra"].tolist()[0]) and pd.isna(got["extra"].tolist()[2])
 
         got2 = _build(
             parse_stream_expr('intersect(table(l), table(r), on="k=rk")'),
