@@ -382,3 +382,57 @@ ORACLE["group_facet_event_types"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+RANGE_START, RANGE_END, RANGE_GAP = 10000, 400000, 120000
+
+
+def q_range_facet_hardend_orders(sf_dir: str):
+    """facet.range with the FULL parameter surface (FacetRange —
+    `solr/core/src/java/org/apache/solr/search/facet/FacetRange.java`):
+    start/end/gap with include=lower (lower-inclusive, upper-exclusive),
+    hardend=true (the last bucket is clamped to `end` instead of
+    extending a full gap past it — its START is still the last gap
+    multiple) and other=all (the 'before' and 'after' ranges).  Bucket
+    assignment is ONE vectorized searchsorted over the edge array per
+    batch; the shuffle carries only (label, count) partials."""
+    from ray.data.aggregate import Count
+
+    edges = np.arange(RANGE_START, RANGE_END, RANGE_GAP, dtype=np.float64)
+    edges_full = np.append(edges, float(RANGE_END))
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy()
+        idx = np.searchsorted(edges_full, v, side="right") - 1
+        label = np.empty(len(v), dtype=object)
+        label[idx < 0] = "before"
+        label[idx >= len(edges)] = "after"
+        inb = (idx >= 0) & (idx < len(edges))
+        label[inb] = edges[idx[inb]].astype(np.int64).astype(str)
+        return pa.table({"label": pa.array(label, pa.string())})
+
+    ds = read_table(sf_dir, "orders", ["o_totalprice"])
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+QUERIES["range_facet_hardend_orders"] = q_range_facet_hardend_orders
+ORACLE["range_facet_hardend_orders"] = f"""
+    SELECT label, count(*)::BIGINT AS n FROM (
+      SELECT CASE
+               WHEN o_totalprice < {RANGE_START} THEN 'before'
+               WHEN o_totalprice >= {RANGE_END} THEN 'after'
+               ELSE (({RANGE_START}
+                      + (floor((o_totalprice - {RANGE_START})
+                               / {RANGE_GAP}))::BIGINT * {RANGE_GAP}))::VARCHAR
+             END AS label
+      FROM orders)
+    GROUP BY label
+    ORDER BY label
+"""

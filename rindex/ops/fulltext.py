@@ -1822,3 +1822,74 @@ ORACLE["span_first_documents"] = f"""
     WHERE p > 0 AND p - 1 < {SPAN_FIRST_END}
 """
 # (list_position returns 0, not NULL, for an absent term)
+
+
+def q_axiomatic_topk_documents(sf_dir: str):
+    """Top-k with AxiomaticF2EXP (`lucene/core/src/java/org/apache/lucene/
+    search/similarities/AxiomaticF2EXP.java`, Fang & Zhai 2005, s=0.5
+    k=0.35: per-term (N/df)^k * tf/(tf + s + s*dl/avgdl)) — the sixth
+    similarity, served by an ExpressionSimilarity registration (no new
+    kernel code: the compiled expressions ride the same WAND/exhaustive
+    kernels with recomputed block bounds).  Rounded-rank discipline as for
+    the other ratio-form similarities."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand", similarity="axiomatic_f2exp")
+    slack = 16
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in LMD_QUERIES]),
+            "qtype": pa.array([q[1] for q in LMD_QUERIES]),
+            "text": pa.array([q[2] for q in LMD_QUERIES]),
+            "k": pa.array([TOP_K + slack] * len(LMD_QUERIES), pa.int32()),
+        }
+    )
+    out = searcher.search_table(qtbl).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=False)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32")
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _axiomatic_oracle_sql() -> str:
+    q_rows = []
+    for qid, _qtype, text in LMD_QUERIES:
+        for t in text.split():
+            q_rows.append(f"('{qid}', '{t}')")
+    q_values = ",".join(q_rows)
+    return f"""
+    WITH {_bm25_ctes()},
+    q(query_id, term) AS (VALUES {q_values}),
+    scores AS (
+      SELECT q.query_id,
+             tf.doc_id,
+             sum(pow(n_docs / df, 0.35)
+                 * tf / (tf + 0.5 + 0.5 * greatest(ldl, 1.0) / avgdl)) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(s, 6) AS s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 6) DESC, doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM scores
+    )
+    SELECT query_id, rank, doc_id, s AS score
+    FROM ranked WHERE rank < {TOP_K}
+    """
+
+
+QUERIES["axiomatic_topk_documents"] = q_axiomatic_topk_documents
+ORACLE["axiomatic_topk_documents"] = _axiomatic_oracle_sql()

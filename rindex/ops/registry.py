@@ -30,11 +30,9 @@ _SAMPLE_FIRST = [
     "repetition_stats_documents", "geo_heatmap_facet_events",
     "kmeans_clusters_embeddings",
     "pivot_facet_orders", "json_facet_nested_events", "query_facets_orders",
-    "terms_enum_documents", "termvectors_documents",
     "delete_soft_search_documents", "delete_expunge_search_documents",
     "ann_srp_lsh_topk", "ann_ivf_topk",
     "block_join_topk_threads", "multivalued_filter_topk",
-    "dismax_qf_documents", "highlight_documents",
     # ops whose implementation OR oracle changed this round — rewired onto
     # score_matches_dataset / distributed verify / newly SQL-oracled — need
     # FRESH driver verification ahead of the no-oracle rows-only entries
@@ -55,6 +53,8 @@ _SAMPLE_FIRST = [
     "hybrid_bm25_cosine_topk", "group_facet_event_types",
     "stratified_split_documents", "dedup_clusters_documents",
     "curation_pipeline_documents",
+    "range_facet_hardend_orders", "suggest_infix_documents",
+    "axiomatic_topk_documents",
     "boost_function_search_documents", "interval_facet_totalprice",
     "atomic_update_documents", "fuzzy_search_documents",
     "wildcard_search_documents", "query_elevation_documents",
@@ -72,6 +72,8 @@ _SAMPLE_FIRST = [
     "minimal_stem_topterms_documents", "keyword_trim_documents",
     "classic_sim_topk_documents", "query_string_extended_documents",
     "expression_sim_topk_documents",
+    "dismax_qf_documents", "highlight_documents",
+    "terms_enum_documents", "termvectors_documents",
     "eval_math_funcs_events", "eval_string_funcs_documents",
     "sql_loader_events", "eval_select_lineitem",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",

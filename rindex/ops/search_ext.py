@@ -1056,3 +1056,62 @@ ORACLE["spellcheck_collate_documents"] = f"""
              AS collation,
            (SELECT count(*) FROM matched)::BIGINT AS hits
 """
+
+
+INFIX_SUB = "ar"
+INFIX_LIMIT = 8
+
+
+def q_suggest_infix_documents(sf_dir: str):
+    """Infix completion (AnalyzingInfixSuggester —
+    `lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+    AnalyzingInfixSuggester.java`: suggestions matching the query ANYWHERE
+    in the term, not just the prefix, weight-ordered).  Like terms.regex
+    this cannot range-prune, so it is the dictionary-columns-only
+    distributed scan (one task per segment, Arrow match_substring per
+    batch, df-sum reduce)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    paths = [
+        os.path.join(seg_dir(idx, s["seg_id"], int(s.get("gen", 0))),
+                     "postings.parquet")
+        for s in man["segments"]
+    ]
+    ds = rd.read_parquet(paths, columns=["term", "df"])
+
+    def match(t: pa.Table) -> pa.Table:
+        return t.filter(pc.match_substring(t["term"], INFIX_SUB))
+
+    agg = (
+        ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="weight"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["weight", "term"], ascending=[False, True],
+                          kind="mergesort").head(INFIX_LIMIT)
+    agg = agg.rename(columns={"term": "suggestion"}).reset_index(drop=True)
+    agg["weight"] = agg["weight"].astype(np.int64)
+    return agg[["suggestion", "weight"]]
+
+
+QUERIES["suggest_infix_documents"] = q_suggest_infix_documents
+ORACLE["suggest_infix_documents"] = f"""
+    SELECT term AS suggestion, count(DISTINCT doc_id)::BIGINT AS weight
+    FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
+      FROM documents
+    )
+    WHERE contains(term, '{INFIX_SUB}')
+    GROUP BY term
+    ORDER BY weight DESC, suggestion ASC
+    LIMIT {INFIX_LIMIT}
+"""

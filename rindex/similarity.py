@@ -229,6 +229,17 @@ SIMILARITIES = {
     "lmdirichlet": LMDirichletSimilarity(),
     "lmjelinekmercer": LMJelinekMercerSimilarity(),
     "dfr": DFRSimilarity(),
+    # Axiomatic F2EXP (`lucene/core/src/java/org/apache/lucene/search/
+    # similarities/AxiomaticF2EXP.java`, Fang & Zhai 2005; s=0.5, k=0.35):
+    # w = (N/df)^k, score = w * tf / (tf + s + s*dl/avgdl) — expressed as
+    # an ExpressionSimilarity (it needs only the classic df/N/dl/avgdl
+    # channels); monotone ↑tf and ↓dl, so WAND block bounds remain valid
+    "axiomatic_f2exp": ExpressionSimilarity(
+        weight_expr="pow(div(n_docs, df), 0.35)",
+        norm_expr="add(0.5, mult(0.5, div(dl, avgdl)))",
+        score_expr="div(mult(w, tf), add(tf, cv))",
+        name="axiomatic_f2exp",
+    ),
     # lnc-style log-tf scheme (Salton & Buckley SMART ltc/lnc weighting):
     # monotone ↑tf and ↓dl, so WAND block bounds remain valid
     "expr_logtf": ExpressionSimilarity(
