@@ -438,3 +438,16 @@ def test_phrase_synonym_kernel_honors_zero_clamp_contract(small_index):
         )
         assert via_term == via_syn, term
         assert all(r[-1] > 0 for r in via_syn)
+
+
+def test_wand_equals_exhaustive_axiomatic(small_index):
+    """AxiomaticF2EXP is registered purely as an ExpressionSimilarity —
+    the compiled expressions must keep the pruned path bit-identical to
+    the exhaustive one, with strictly positive scores (ratio form)."""
+    idx, _ = small_index
+    s = IndexSearcher(idx, similarity="axiomatic_f2exp")
+    queries = make_queries()
+    a = s.search_table(queries, algo="wand")
+    b = s.search_table(queries, algo="exhaustive")
+    assert a.equals(b)
+    assert (a["score"].to_numpy() > 0).all()

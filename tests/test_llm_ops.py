@@ -89,3 +89,30 @@ def test_boolean_tree_eval_matches_reference(data):
     )
     for toks in subsets:
         assert ev(tree, toks) == ref(toks), (qs, toks)
+
+
+def test_range_facet_edge_semantics():
+    """facet.range bucket assignment: lower-inclusive, upper-exclusive,
+    hardend start arithmetic, before/after boundaries — exact values ON
+    the edges must land per include=lower."""
+    from rindex.ops.facets import RANGE_END, RANGE_GAP, RANGE_START
+
+    edges = np.arange(RANGE_START, RANGE_END, RANGE_GAP, dtype=np.float64)
+    edges_full = np.append(edges, float(RANGE_END))
+
+    def label_of(v):
+        idx = int(np.searchsorted(edges_full, [v], side="right")[0]) - 1
+        if idx < 0:
+            return "before"
+        if idx >= len(edges):
+            return "after"
+        return str(int(edges[idx]))
+
+    assert label_of(RANGE_START - 0.01) == "before"
+    assert label_of(RANGE_START) == str(RANGE_START)          # lower incl
+    assert label_of(RANGE_START + RANGE_GAP) == str(RANGE_START + RANGE_GAP)
+    assert label_of(RANGE_START + RANGE_GAP - 0.01) == str(RANGE_START)
+    assert label_of(RANGE_END - 0.01) == str(
+        RANGE_START + ((RANGE_END - RANGE_START - 1) // RANGE_GAP) * RANGE_GAP
+    )  # hardend: last bucket start is the last gap multiple
+    assert label_of(RANGE_END) == "after"                     # upper excl
