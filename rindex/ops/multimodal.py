@@ -542,3 +542,159 @@ ORACLE["multimodal_audio_energy"] = f"""
     GROUP BY s.doc_id
     ORDER BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Video: multi-frame container with a REAL frame-walking decode
+# ---------------------------------------------------------------------------
+
+VIDEO_CODEC_EVERY = 31   # doc_id % 31 == 0 -> compressed-codec mime row
+VID_MIME = "video/x-raw-ppm"
+VID_MAGIC = b"VID0"
+VID_FRAME_STEP = 7       # pixel formula shifts by 7*frame_idx per frame
+
+
+def _video_params(doc_id: int) -> int:
+    """n_frames from digest byte 7 (disjoint from image/audio bytes)."""
+    d = hashlib.md5(str(int(doc_id)).encode()).digest()
+    return 2 + d[7] % 4
+
+
+def _render_video(doc_id: int) -> bytes:
+    """VID0 container: magic + u16 frame count, then each frame as a FULL
+    embedded P6 PPM (header + raw RGB24) whose pixel formula shifts by
+    7*frame_idx — consecutive frames differ deterministically."""
+    import struct
+
+    w, h, ar, ac, s, _f, _d = _img_params(doc_id)
+    n_frames = _video_params(doc_id)
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    frames = []
+    for f in range(n_frames):
+        img = np.stack(
+            [(ar[k] * r + ac[k] * c + s[k] + VID_FRAME_STEP * f) % 256
+             for k in range(3)],
+            axis=-1,
+        ).astype(np.uint8)
+        frames.append(b"P6\n%d %d\n255\n" % (w, h) + img.tobytes())
+    return VID_MAGIC + struct.pack("<H", n_frames) + b"".join(frames)
+
+
+def make_video_payloads(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        payloads, mimes = [], []
+        for did in t["doc_id"].to_pylist():
+            if did % VIDEO_CODEC_EVERY == 0:
+                payloads.append(
+                    hashlib.sha256(b"h264" + str(did).encode()).digest() * 16
+                )
+                mimes.append("video/mp4")
+            else:
+                payloads.append(_render_video(did))
+                mimes.append(VID_MIME)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(mimes, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class VideoDecoder(PpmDecoder):
+    """Actor-pool video decode: container magic + frame-count parse, then a
+    frame WALK — each frame's P6 header is re-parsed (frames are not
+    assumed equal-sized) and the cursor advances by that frame's true
+    byte length.  Emits one row per frame with INTEGER pixel sums, so the
+    oracle compare is exact."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import re as _re
+        import struct
+
+        rows = []
+        for did, p, m in zip(
+            batch["doc_id"], batch["payload"], batch["mime"]
+        ):
+            if m != VID_MIME or p[:4] != VID_MAGIC:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"codec {m!r} unavailable in this container"
+                    )
+                self.skipped += 1
+                continue
+            (n_frames,) = struct.unpack_from("<H", p, 4)
+            pos = 6
+            for f in range(n_frames):
+                mm = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", p[pos:])
+                if mm is None:
+                    raise ValueError(f"malformed frame {f} in doc {did}")
+                w, h = int(mm.group(1)), int(mm.group(2))
+                px = np.frombuffer(
+                    p, dtype=np.uint8, offset=pos + mm.end(), count=w * h * 3
+                ).astype(np.int64)
+                rows.append((did, f, w, h, int(px.sum())))
+                pos += mm.end() + w * h * 3
+        return pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "width", "height", "sum_px"]
+        ).astype(np.int64)
+
+
+def q_multimodal_video_decode(sf_dir: str):
+    """Multi-frame video payload -> actor-pool container walk -> one row
+    per decoded frame with integer pixel sums (the image/audio decode
+    pattern completed for the video modality; codec mimes quarantine)."""
+    out = make_video_payloads(sf_dir).map_batches(
+        VideoDecoder,
+        batch_format="pandas",
+        batch_size=128,   # video rows are the widest payloads
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["multimodal_video_decode"] = q_multimodal_video_decode
+
+ORACLE["multimodal_video_decode"] = f"""
+    WITH par AS (
+      SELECT doc_id,
+             16 + {_byte(_D, 0)} % 48 AS w,
+             16 + {_byte(_D, 1)} % 48 AS h,
+             {_byte(_D, 2)} AS d2, {_byte(_D, 3)} AS d3,
+             {_byte(_D, 4)} AS s0, {_byte(_D, 5)} AS s1,
+             {_byte(_D, 6)} AS s2,
+             2 + {_byte(_D, 7)} % 4 AS n_frames
+      FROM documents WHERE doc_id % {VIDEO_CODEC_EVERY} <> 0
+    ),
+    frames AS (
+      SELECT p.*, fr.i AS frame_idx
+      FROM par p, range(6) fr(i)
+      WHERE fr.i < p.n_frames
+    ),
+    grid AS (
+      SELECT f.doc_id, f.frame_idx, f.w, f.h,
+             ((1 + (d2 + 0) % 5) * r.i + (1 + (d3 + 0) % 5) * c.j
+              + s0 + {VID_FRAME_STEP} * frame_idx) % 256
+             + ((1 + (d2 + 1) % 5) * r.i + (1 + (d3 + 1) % 5) * c.j
+                + s1 + {VID_FRAME_STEP} * frame_idx) % 256
+             + ((1 + (d2 + 2) % 5) * r.i + (1 + (d3 + 2) % 5) * c.j
+                + s2 + {VID_FRAME_STEP} * frame_idx) % 256 AS px3
+      FROM frames f, range(64) r(i), range(64) c(j)
+      WHERE r.i < f.h AND c.j < f.w
+    )
+    SELECT doc_id, frame_idx, max(w)::BIGINT AS width,
+           max(h)::BIGINT AS height, sum(px3)::BIGINT AS sum_px
+    FROM grid
+    GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx
+"""

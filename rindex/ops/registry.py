@@ -30,7 +30,6 @@ _SAMPLE_FIRST = [
     "repetition_stats_documents", "geo_heatmap_facet_events",
     "kmeans_clusters_embeddings",
     "pivot_facet_orders", "json_facet_nested_events", "query_facets_orders",
-    "delete_soft_search_documents", "delete_expunge_search_documents",
     "ann_srp_lsh_topk", "ann_ivf_topk",
     "block_join_topk_threads", "multivalued_filter_topk",
     # ops whose implementation OR oracle changed this round — rewired onto
@@ -54,7 +53,7 @@ _SAMPLE_FIRST = [
     "stratified_split_documents", "dedup_clusters_documents",
     "curation_pipeline_documents",
     "range_facet_hardend_orders", "suggest_infix_documents",
-    "axiomatic_topk_documents",
+    "axiomatic_topk_documents", "multimodal_video_decode",
     "boost_function_search_documents", "interval_facet_totalprice",
     "atomic_update_documents", "fuzzy_search_documents",
     "wildcard_search_documents", "query_elevation_documents",
@@ -74,6 +73,7 @@ _SAMPLE_FIRST = [
     "expression_sim_topk_documents",
     "dismax_qf_documents", "highlight_documents",
     "terms_enum_documents", "termvectors_documents",
+    "delete_soft_search_documents", "delete_expunge_search_documents",
     "eval_math_funcs_events", "eval_string_funcs_documents",
     "sql_loader_events", "eval_select_lineitem",
     "block_join_orders_lineitem", "graph_gather_orders_of_nation",

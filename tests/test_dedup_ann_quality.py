@@ -196,3 +196,44 @@ def test_wav_decoder_chunk_walk_and_strict():
     # data chunk missing -> loud
     with pytest.raises(ValueError, match="no data chunk"):
         dec.decode_one(wav[: fmt_end] , WAV_MIME)
+
+
+def test_video_decoder_frame_walk_and_strict():
+    """The container walk re-parses EVERY frame's own P6 header and advances by
+    the true byte length; codec mimes quarantine; truncated frames are
+    loud."""
+    import struct
+
+    import pytest
+
+    from rindex.ops.multimodal import (
+        VID_MIME, VideoDecoder, _img_params, _render_video, _video_params,
+    )
+    import pandas as pd
+
+    vid = _render_video(9)
+    n = _video_params(9)
+    w, h, ar, ac, s, _f, _d = _img_params(9)
+    dec = VideoDecoder()
+    out = dec(pd.DataFrame({"doc_id": [9], "payload": [vid],
+                            "mime": [VID_MIME]}))
+    assert len(out) == n
+    assert (out["width"] == w).all() and (out["height"] == h).all()
+    # frame 0 pixel sum matches a direct recomputation
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    want0 = sum(
+        int(((ar[k] * r + ac[k] * c + s[k]) % 256).sum()) for k in range(3)
+    )
+    assert int(out["sum_px"].iloc[0]) == want0
+    # frames differ (the 7*f shift)
+    assert out["sum_px"].nunique() > 1
+    # strict codec quarantine + truncated-frame loudness
+    with pytest.raises(NotImplementedError):
+        VideoDecoder(strict=True)(
+            pd.DataFrame({"doc_id": [1], "payload": [b"xx"],
+                          "mime": ["video/mp4"]})
+        )
+    with pytest.raises(ValueError, match="malformed frame"):
+        dec(pd.DataFrame({"doc_id": [9], "payload": [vid[:8]],
+                          "mime": [VID_MIME]}))
