@@ -782,36 +782,84 @@ ORACLE["simhash_neardup"] = """
 
 # ---------------------------------------------------------------------------
 
+# Rows per matmul tile of the exact all-pairs pass.  A (4096, d) float64
+# tile is ~4 MB at d=128; a tile-pair task multiplies two of them.
+EMB_TILE_ROWS = 4096
+# Loud bound: above this tile-pair count the exact op refuses to run the
+# quadratic pass and tells the caller to use the ANN path (ops/ann.py).
+EMB_MAX_TILE_PAIRS = 4096
+
+
+def _emb_tile(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, L2-normalized float64 matrix) from an embeddings block."""
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    col = t["embedding"].combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    M = flat.reshape(len(ids), -1)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    return ids, M
+
+
 def q_embedding_cosine_neardup(sf_dir: str):
-    """Embedding near-dup: pairs with cosine >= 0.45 over L2-normalized
-    vectors.  Blocked matmul per batch against the (broadcast) full matrix —
-    at 10^12 scale the matrix is replaced by LSH buckets (ops/ann.py)."""
+    """Embedding near-dup: ALL pairs with cosine >= 0.45 over L2-normalized
+    vectors (the exact-oracle variant; ANN in ops/ann.py is the recall<1
+    scale path).  Exact all-pairs is inherently O(n^2) compute, so the
+    shape distributes the QUADRATIC part instead of broadcasting: the
+    corpus is re-blocked into ~EMB_TILE_ROWS-row tiles that stay IN the
+    object store (driver holds refs only, never a full matrix), and one
+    Ray task per upper-triangle tile pair does a bounded (tile x tile)
+    matmul reading exactly two tiles.  Memory per task and per the driver
+    is O(tile), not O(corpus); pairs (the small output side) return as
+    Arrow refs.  A loud EMB_MAX_TILE_PAIRS bound refuses silly scales."""
+    import logging
+
     import ray
 
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    full = emb.to_pandas()
-    ids_all = full["vec_id"].to_numpy()
-    M = np.array(full["embedding"].tolist(), dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    ref = ray.put((ids_all, M))
+    n = emb.count()
+    n_tiles = max(1, -(-n // EMB_TILE_ROWS))
+    n_pairs = n_tiles * (n_tiles + 1) // 2
+    if n_pairs > EMB_MAX_TILE_PAIRS:
+        raise ValueError(
+            f"embedding_cosine_neardup: {n} rows -> {n_pairs} tile-pair "
+            f"tasks exceeds EMB_MAX_TILE_PAIRS={EMB_MAX_TILE_PAIRS}; exact "
+            "all-pairs is quadratic — use the ANN ops (ann_srp_lsh_topk / "
+            "ann_ivf_topk) at this scale"
+        )
+    if n_tiles > 1:
+        logging.getLogger(__name__).info(
+            "embedding_cosine_neardup: %d rows, %d tiles, %d tile-pair "
+            "tasks (exact quadratic pass)", n, n_tiles, n_pairs,
+        )
+    tiles = emb.repartition(n_tiles).materialize()
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        ids_all_, M_ = ray.get(ref)
-        ids = batch["vec_id"].to_numpy()
-        V = np.array(batch["embedding"].tolist(), dtype=np.float64)
-        V /= np.linalg.norm(V, axis=1, keepdims=True)
-        S = V @ M_.T
-        m = (S >= COSINE_TAU) & (ids_all_[None, :] > ids[:, None])
+    @ray.remote
+    def tile_pair(blk_a, blk_b, diagonal: bool) -> pa.Table:
+        ids_a, A = _emb_tile(blk_a)
+        ids_b, B = (ids_a, A) if diagonal else _emb_tile(blk_b)
+        S = A @ B.T
+        m = S >= COSINE_TAU
+        if diagonal:
+            # within a tile both (a,b) and (b,a) cells exist: take one
+            m &= ids_b[None, :] > ids_a[:, None]
         ri, cj = np.nonzero(m)
-        return pd.DataFrame(
+        a, b = ids_a[ri], ids_b[cj]
+        swap = a > b  # orient by vec_id, not by tile order
+        return pa.table(
             {
-                "vec_a": ids[ri].astype(np.int64),
-                "vec_b": ids_all_[cj].astype(np.int64),
+                "vec_a": np.where(swap, b, a),
+                "vec_b": np.where(swap, a, b),
                 "cosine": np.round(S[ri, cj], 6),
             }
         )
 
-    return emb.map_batches(f, batch_format="pandas", batch_size=512)
+    refs = tiles.get_internal_block_refs()
+    out = [
+        tile_pair.remote(refs[i], refs[j] if j > i else refs[i], j == i)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(out)
 
 
 QUERIES["embedding_cosine_neardup"] = q_embedding_cosine_neardup

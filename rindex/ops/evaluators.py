@@ -265,7 +265,102 @@ EVALUATORS: dict = {
     "arrayLength": lambda arr: np.full(
         len(np.asarray(arr)), np.asarray(arr).shape[1], dtype=np.int64
     ),
+    # matrix family (MatrixEvaluator, TransposeEvaluator,
+    # MatrixMultiplyEvaluator, RowAtEvaluator, ColumnAtEvaluator,
+    # SumRowsEvaluator, SumColumnsEvaluator, EBEAddEvaluator...,
+    # DotProductEvaluator, ScalarMultiplyEvaluator, UnitEvaluator) —
+    # Solr's matrix evaluators run inside let() over COLLECTED (small)
+    # streams, never per corpus row; same here: the wide aggregation is a
+    # distributed groupby, the matrix algebra runs on its small result
+    "matrix": lambda *rows: np.stack(
+        [np.asarray(r, np.float64) for r in rows]
+    ),
+    "transpose": lambda m: np.asarray(m, np.float64).T,
+    "matrixMult": lambda a, b: np.asarray(a, np.float64)
+    @ np.asarray(b, np.float64),
+    "rowAt": lambda m, i: np.asarray(m, np.float64)[int(i)],
+    "columnAt": lambda m, i: np.asarray(m, np.float64)[:, int(i)],
+    "sumRows": lambda m: np.asarray(m, np.float64).sum(axis=1),
+    "sumColumns": lambda m: np.asarray(m, np.float64).sum(axis=0),
+    "ebeAdd": lambda a, b: np.asarray(a, np.float64) + np.asarray(b, np.float64),
+    "ebeSubtract": lambda a, b: np.asarray(a, np.float64)
+    - np.asarray(b, np.float64),
+    "ebeMultiply": lambda a, b: np.asarray(a, np.float64)
+    * np.asarray(b, np.float64),
+    "ebeDivide": lambda a, b: np.asarray(a, np.float64)
+    / np.asarray(b, np.float64),
+    "dotProduct": lambda a, b: float(
+        np.dot(np.asarray(a, np.float64), np.asarray(b, np.float64))
+    ),
+    "scalarMultiply": lambda s, m: float(s) * np.asarray(m, np.float64),
+    "unitize": lambda v: np.asarray(v, np.float64)
+    / np.linalg.norm(np.asarray(v, np.float64)),
+    # probability distributions (NormalDistributionEvaluator,
+    # UniformRealDistributionEvaluator, EmpiricalDistributionEvaluator,
+    # CumulativeProbabilityEvaluator, KolmogorovSmirnovEvaluator) — a
+    # dist is a tagged tuple; ksTest takes the WEIGHTED sample (distinct
+    # values + counts) so the corpus-side reduction stays a tiny groupby
+    "normalDistribution": lambda mu, s: ("normal", float(mu), float(s)),
+    "uniformDistribution": lambda a, b: ("uniform", float(a), float(b)),
+    "empiricalDistribution": lambda v, c: (
+        "empirical",
+        np.asarray(v, np.float64),
+        np.asarray(c, np.float64),
+    ),
+    "cumulativeProbability": lambda d, x: _cum_prob(d, x),
+    "kolmogorovSmirnov": lambda d, v, c: _ks_d(d, v, c),
 }
+
+
+def _cum_prob(dist, x):
+    """CDF of a distribution node at x (scalar or array)."""
+    x = np.asarray(x, np.float64)
+    kind = dist[0]
+    if kind == "uniform":
+        _, a, b = dist
+        return np.clip((x - a) / (b - a), 0.0, 1.0)
+    if kind == "normal":
+        import math
+
+        _, mu, s = dist
+        z = (x - mu) / (s * math.sqrt(2.0))
+        erf = np.vectorize(math.erf, otypes=[np.float64])
+        return 0.5 * (1.0 + erf(z))
+    if kind == "empirical":
+        _, vals, cnts = dist
+        cum = np.cumsum(cnts)
+        pos = np.searchsorted(vals, x, side="right")
+        return np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0.0) / cum[-1]
+    raise KeyError(f"unknown distribution {kind!r}")
+
+
+def _ks_d(dist, values, counts) -> float:
+    """Kolmogorov-Smirnov D statistic of a weighted sample (distinct
+    `values` with `counts`) against a fitted distribution: the max over
+    step points of |ECDF± - F(x)| (both the pre- and post-step ECDF)."""
+    v = np.asarray(values, np.float64)
+    c = np.asarray(counts, np.float64)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = cum[-1]
+    f = np.asarray(_cum_prob(dist, v), np.float64)
+    return float(
+        np.maximum(np.abs(cum / n - f), np.abs((cum - c) / n - f)).max()
+    )
+
+
+def let_eval(bindings: dict[str, str], scope: dict) -> dict:
+    """LetStream analog (`solr/solrj/.../io/stream/LetStream.java`):
+    evaluate `name=expression` bindings SEQUENTIALLY, each result joining
+    the scope for later bindings (Solr's let() cell semantics).  Scope
+    values are numpy arrays / matrices / distribution nodes — the small
+    collected sides; corpus-scale reductions happen upstream as Dataset
+    aggregates."""
+    scope = dict(scope)
+    for name, expr in bindings.items():
+        scope[name] = eval_node(parse_expr(expr), scope)
+    return scope
 
 
 def _dtidx(x) -> pd.DatetimeIndex:
@@ -463,12 +558,12 @@ QUERIES["eval_temporal_events"] = q_eval_temporal_events
 ORACLE["eval_temporal_events"] = """
     SELECT year(ts) AS y, quarter(ts) AS q, month(ts) AS mo, day(ts) AS d,
            count(*) AS n,
-           sum(hour(ts)) AS sum_hour,
-           sum(minute(ts)) AS sum_min,
-           sum(cast(floor(second(ts)) AS BIGINT)) AS sum_sec,
+           sum(hour(ts))::BIGINT AS sum_hour,
+           sum(minute(ts))::BIGINT AS sum_min,
+           sum(cast(floor(second(ts)) AS BIGINT))::BIGINT AS sum_sec,
            min(dayofyear(ts)) AS min_doy,
            max(dayofyear(ts)) AS max_doy,
-           sum(weekofyear(ts)) AS sum_week,
+           sum(weekofyear(ts))::BIGINT AS sum_week,
            min(epoch_ms(ts)) AS min_epoch_ms,
            max(epoch_ms(ts)) AS max_epoch_ms
     FROM events

@@ -74,7 +74,7 @@ WITH leaf AS (
 ),
 ranked AS (
   SELECT o_orderstatus,
-         sum(pri_n) OVER (PARTITION BY o_orderstatus) AS status_n,
+         sum(pri_n) OVER (PARTITION BY o_orderstatus)::BIGINT AS status_n,
          o_orderpriority, pri_n,
          (row_number() OVER (PARTITION BY o_orderstatus
                              ORDER BY pri_n DESC, o_orderpriority ASC)
@@ -105,7 +105,12 @@ def q_json_facet_nested_events(sf_dir: str):
                 "event_type": t["event_type"],
                 # Arrow day_of_week: Monday=0 (matches DuckDB isodow-1)
                 "weekday": pc.day_of_week(t["ts"]),
-                "value": t["value"],
+                # value has 2-decimal precision in the corpus: sum exact
+                # integer cents so partial-sum ORDER cannot perturb the
+                # float result (driver hash is exact, not rtol)
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
             }
         ),
         batch_format="pyarrow",
@@ -113,18 +118,20 @@ def q_json_facet_nested_events(sf_dir: str):
     )
     leaf = (
         ds.groupby(["event_type", "weekday"])
-        .aggregate(Count(alias_name="wd_n"), Sum("value", alias_name="wd_sum"))
+        .aggregate(Count(alias_name="wd_n"), Sum("cents", alias_name="wd_cents"))
         .to_pandas()
     )
     parent = (
         leaf.groupby("event_type", as_index=False)
-        .agg(n=("wd_n", "sum"), sum_value=("wd_sum", "sum"))
-        .sort_values(["sum_value", "event_type"], ascending=[False, True],
+        .agg(n=("wd_n", "sum"), cents=("wd_cents", "sum"))
+        .sort_values(["cents", "event_type"], ascending=[False, True],
                      kind="mergesort")
         .head(JSON_FACET_PARENT_LIMIT)
     )
-    parent["avg_value"] = (parent["sum_value"] / parent["n"]).round(6)
-    parent["sum_value"] = parent["sum_value"].round(4)
+    # exact-int → double derivations, same operand order as the oracle SQL
+    parent["sum_value"] = parent["cents"] / 100.0
+    parent["avg_value"] = (parent["cents"] / parent["n"]) / 100.0
+    parent = parent.drop(columns=["cents"])
     sub = leaf[leaf["event_type"].isin(parent["event_type"])].copy()
     sub = sub.sort_values(
         ["event_type", "wd_n", "weekday"], ascending=[True, False, True],
@@ -147,14 +154,16 @@ QUERIES["json_facet_nested_events"] = q_json_facet_nested_events
 ORACLE["json_facet_nested_events"] = f"""
 WITH leaf AS (
   SELECT event_type, isodow(ts) - 1 AS weekday,
-         count(*) AS wd_n, sum(value) AS wd_sum
+         count(*) AS wd_n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS wd_cents
   FROM events GROUP BY 1, 2
 ),
 parent AS (
-  SELECT event_type, sum(wd_n) AS n,
-         round(sum(wd_sum), 4) AS sum_value,
-         round(sum(wd_sum) / sum(wd_n), 6) AS avg_value,
-         (row_number() OVER (ORDER BY sum(wd_sum) DESC, event_type ASC)
+  SELECT event_type, sum(wd_n)::BIGINT AS n,
+         sum(wd_cents)::BIGINT / 100.0 AS sum_value,
+         (sum(wd_cents)::BIGINT::DOUBLE / sum(wd_n)::BIGINT) / 100.0
+           AS avg_value,
+         (row_number() OVER (ORDER BY sum(wd_cents) DESC, event_type ASC)
           - 1) AS prank
   FROM leaf GROUP BY 1
 ),

