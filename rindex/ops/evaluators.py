@@ -717,3 +717,142 @@ ORACLE["eval_strdist_events"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+def q_eval_let_matrix_events(sf_dir: str):
+    """let() + matrix evaluator family (LetStream + MatrixEvaluator /
+    TransposeEvaluator / MatrixMultiplyEvaluator / SumRowsEvaluator,
+    `solr/solrj/.../io/{stream/LetStream,eval/Matrix*Evaluator}.java`):
+    the corpus reduces DISTRIBUTED to a (event_type x quarter) cell matrix
+    (sum of floor(value) — integer cells, so the float64 matmul is exact),
+    then the let() bindings run the matrix algebra on that small collected
+    side exactly as Solr's let() does over collected streams: the Gram
+    matrix P = M.M^T and row sums, emitted as (et_a, et_b) cells."""
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "q": pa.array(
+                    _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+                    .quarter.to_numpy()
+                    .astype(np.int64)
+                ),
+                "fl": pc.cast(pc.floor(t["value"]), pa.int64()),
+            }
+        )
+
+    leaf = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "q"])
+        .aggregate(Sum("fl", alias_name="c"))
+        .to_pandas()
+    )
+    ets = np.sort(leaf["event_type"].unique())
+    et_ix = {e: i for i, e in enumerate(ets)}
+    M = np.zeros((len(ets), 4), np.float64)
+    M[
+        leaf["event_type"].map(et_ix).to_numpy(),
+        leaf["q"].to_numpy(np.int64) - 1,
+    ] = leaf["c"].to_numpy(np.float64)
+    scope = let_eval(
+        {
+            "Mt": "transpose(M)",
+            "P": "matrixMult(M, Mt)",
+            "r": "sumRows(M)",
+        },
+        {"M": M},
+    )
+    n = len(ets)
+    ii, jj = np.divmod(np.arange(n * n), n)
+    return pd.DataFrame(
+        {
+            "et_a": ets[ii],
+            "et_b": ets[jj],
+            "p": scope["P"][ii, jj],
+            "row_sum_a": scope["r"][ii],
+        }
+    ).sort_values(["et_a", "et_b"]).reset_index(drop=True)
+
+
+QUERIES["eval_let_matrix_events"] = q_eval_let_matrix_events
+ORACLE["eval_let_matrix_events"] = """
+    WITH leaf AS (
+      SELECT event_type, quarter(ts) AS q,
+             sum(cast(floor(value) AS BIGINT))::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT et.event_type, qq.q, coalesce(leaf.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS q) qq
+      LEFT JOIN leaf ON leaf.event_type = et.event_type AND leaf.q = qq.q
+    ),
+    p AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             sum(a.c * b.c)::DOUBLE AS p
+      FROM grid a JOIN grid b ON a.q = b.q
+      GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, sum(c)::DOUBLE AS row_sum FROM grid GROUP BY 1)
+    SELECT et_a, et_b, p, r.row_sum AS row_sum_a
+    FROM p JOIN r ON p.et_a = r.event_type
+    ORDER BY et_a, et_b
+"""
+
+
+def q_eval_ks_uniform_lineitem(sf_dir: str):
+    """Distribution-fit evaluators (UniformRealDistributionEvaluator +
+    CumulativeProbabilityEvaluator + KolmogorovSmirnovEvaluator,
+    `solr/solrj/.../io/eval/{UniformRealDistribution,CumulativeProbability,
+    KolmogorovSmirnov}Evaluator.java`): l_quantity reduces distributed to
+    a (distinct value, count) weighted sample — the KS statistic needs
+    only that tiny side — then let() fits uniform(lo, hi) and evaluates
+    the D statistic and the CDF at 25."""
+    from ray.data.aggregate import Count
+
+    li = read_table(sf_dir, "lineitem", ["l_quantity"])
+    s = li.groupby("l_quantity").aggregate(Count(alias_name="c")).to_pandas()
+    v = s["l_quantity"].to_numpy(np.float64)
+    c = s["c"].to_numpy(np.float64)
+    scope = let_eval(
+        {
+            "dist": "uniformDistribution(lo, hi)",
+            "ks_d": "kolmogorovSmirnov(dist, v, c)",
+            "cdf_q25": "cumulativeProbability(dist, 25.0)",
+        },
+        {"v": v, "c": c, "lo": float(v.min()), "hi": float(v.max())},
+    )
+    return pd.DataFrame(
+        {
+            "lo": [float(v.min())],
+            "hi": [float(v.max())],
+            "n_distinct": [np.int64(len(v))],
+            "ks_d": [scope["ks_d"]],
+            "cdf_q25": [float(scope["cdf_q25"])],
+        }
+    )
+
+
+QUERIES["eval_ks_uniform_lineitem"] = q_eval_ks_uniform_lineitem
+ORACLE["eval_ks_uniform_lineitem"] = """
+    WITH s AS (
+      SELECT l_quantity AS x, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    b AS (
+      SELECT min(x)::DOUBLE AS lo, max(x)::DOUBLE AS hi,
+             sum(c)::DOUBLE AS n, count(*)::BIGINT AS n_distinct
+      FROM s
+    ),
+    e AS (SELECT x::DOUBLE AS x, c::DOUBLE AS c,
+                 sum(c) OVER (ORDER BY x)::DOUBLE AS cum
+          FROM s)
+    SELECT lo, hi, n_distinct,
+           max(greatest(abs(cum / n - (x - lo) / (hi - lo)),
+                        abs((cum - c) / n - (x - lo) / (hi - lo)))) AS ks_d,
+           (25.0 - lo) / (hi - lo) AS cdf_q25
+    FROM e, b
+    GROUP BY lo, hi, n_distinct
+"""

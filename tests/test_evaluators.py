@@ -121,3 +121,58 @@ def test_array_and_regex_kernels():
     s = np.array(["row", "Ride", "arrow"], dtype=object)
     assert list(_ev('matches(a, "^r")', a=s).to_pylist()) == [True, False, False]
     assert list(_ev('replace(a, "r", "R")', a=s).to_pylist()) == ["Row", "Ride", "aRRow"]
+
+
+def test_matrix_kernels_and_let():
+    from rindex.ops.evaluators import let_eval
+
+    M = np.array([[1.0, 2.0], [3.0, 4.0]])
+    scope = let_eval(
+        {"Mt": "transpose(M)", "P": "matrixMult(M, Mt)", "r": "sumRows(M)",
+         "cs": "sumColumns(M)", "d": "dotProduct(r, cs)"},
+        {"M": M},
+    )
+    assert np.array_equal(scope["P"], M @ M.T)
+    assert np.array_equal(scope["r"], [3.0, 7.0])
+    assert np.array_equal(scope["cs"], [4.0, 6.0])
+    # let() binds SEQUENTIALLY: d uses both earlier bindings
+    assert scope["d"] == 3.0 * 4.0 + 7.0 * 6.0
+    assert np.array_equal(_ev("rowAt(M, 1)", M=M), [3.0, 4.0])
+    assert np.array_equal(_ev("columnAt(M, 0)", M=M), [1.0, 3.0])
+    u = _ev("unitize(a)", a=np.array([3.0, 4.0]))
+    assert np.allclose(u, [0.6, 0.8])
+    e = _ev("ebeMultiply(a, b)", a=np.array([1.0, 2.0]), b=np.array([5.0, 6.0]))
+    assert np.array_equal(e, [5.0, 12.0])
+    # a stack built with matrix() from 1-D arrays
+    s = _ev("matrix(a, b)", a=np.array([1.0, 2.0]), b=np.array([3.0, 4.0]))
+    assert s.shape == (2, 2)
+
+
+def test_distribution_kernels():
+    import math
+
+    from rindex.ops.evaluators import _cum_prob, _ks_d
+
+    # uniform CDF: linear with clipping
+    d = ("uniform", 0.0, 10.0)
+    assert _cum_prob(d, 5.0) == 0.5
+    assert _cum_prob(d, -1.0) == 0.0 and _cum_prob(d, 11.0) == 1.0
+    # normal CDF vs math.erf goldens
+    n = ("normal", 0.0, 1.0)
+    assert abs(float(_cum_prob(n, 0.0)) - 0.5) < 1e-15
+    assert abs(float(_cum_prob(n, 1.96)) - 0.9750021048517795) < 1e-12
+    # empirical CDF step function over a weighted sample
+    e = EVALUATORS["empiricalDistribution"](
+        np.array([1.0, 2.0, 4.0]), np.array([1.0, 2.0, 1.0])
+    )
+    assert float(_cum_prob(e, 0.5)) == 0.0
+    assert float(_cum_prob(e, 2.0)) == 0.75
+    assert float(_cum_prob(e, 9.0)) == 1.0
+    # KS of a perfectly uniform weighted sample on integer steps 1..4,
+    # hand-computed: max at the post-step side of x=1: |1/4 - 0| = 0.25
+    ks = _ks_d(("uniform", 1.0, 4.0), np.array([1.0, 2.0, 3.0, 4.0]),
+               np.array([1.0, 1.0, 1.0, 1.0]))
+    assert abs(ks - 0.25) < 1e-15
+    # degenerate-but-loud: unknown distribution kind
+    with pytest.raises(KeyError):
+        _cum_prob(("weibull", 1.0, 2.0), 1.0)
