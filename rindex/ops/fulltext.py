@@ -1792,6 +1792,100 @@ ORACLE["span_near_ordered_documents"] = f"""
 """
 
 
+def q_span_near_unordered_documents(sf_dir: str):
+    """Unordered SpanNearQuery (`lucene/core/src/java/org/apache/lucene/
+    search/spans/SpanNearQuery.java`, inOrder=false /
+    NearSpansUnordered): 'join' and 'hash' in EITHER order, minimal
+    covering span width - 2 <= slop.  Superset of the ordered op (every
+    ordered chain is a covering span); the sweep kernel is the
+    search_proximity min-cover merge with the span-family slop
+    contract."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_span_near(
+        f"{SPAN_B} {SPAN_A}", slop=SPAN_SLOP, in_order=False
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": [h[0] for h in hits],
+            "min_width": pd.array([h[1] for h in hits], dtype="int64"),
+        }
+    )
+
+
+QUERIES["span_near_unordered_documents"] = q_span_near_unordered_documents
+ORACLE["span_near_unordered_documents"] = f"""
+    SELECT doc_id, min_width FROM (
+      SELECT doc_id,
+        list_min(list_filter(list_transform(
+          list_filter(range(1, len(l) + 1), i -> l[i] = '{SPAN_A}'),
+          i -> list_min(list_transform(
+                 list_filter(range(1, len(l) + 1), j -> l[j] = '{SPAN_B}'),
+                 j -> abs(j - i) + 1))), x -> x IS NOT NULL))::BIGINT
+          AS min_width
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents))
+    WHERE min_width IS NOT NULL AND min_width - 2 <= {SPAN_SLOP}
+"""
+
+
+SPAN_NOT_EXCLUDE = "spark"
+
+
+def q_span_not_documents(sf_dir: str):
+    """SpanNotQuery (`lucene/core/src/java/org/apache/lucene/search/spans/
+    SpanNotQuery.java`): ordered (hash, join) spans within slop whose
+    positions do NOT contain '{exclude}' — the include spans are the
+    per-start minimal ordered chains, and a span dies if any exclude
+    position lies inside [start, end].  Docs whose every qualifying span
+    overlaps the exclusion disappear vs the ordered op."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_span_not(
+        f"{SPAN_A} {SPAN_B}", exclude=SPAN_NOT_EXCLUDE, slop=SPAN_SLOP
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": [h[0] for h in hits],
+            "min_width": pd.array([h[1] for h in hits], dtype="int64"),
+        }
+    )
+
+
+QUERIES["span_not_documents"] = q_span_not_documents
+# Per start i of the include's first term: the singleton [jmin] list binds
+# the minimal chained end (DuckDB lambdas have no let), then the filter
+# applies the slop bound AND the no-exclude-inside-[i, j] overlap check on
+# THAT minimal span only (the per-start enumeration contract).
+ORACLE["span_not_documents"] = f"""
+    SELECT doc_id, min_width FROM (
+      SELECT doc_id,
+        list_min(list_filter(list_transform(
+          list_filter(range(1, len(l) + 1), i -> l[i] = '{SPAN_A}'),
+          i -> list_min(list_transform(
+                 list_filter(
+                   [list_min(list_transform(
+                      list_filter(range(1, len(l) + 1),
+                                  j -> l[j] = '{SPAN_B}' AND j > i),
+                      j -> j))],
+                   j -> j IS NOT NULL AND j - i + 1 - 2 <= {SPAN_SLOP}
+                        AND len(list_filter(range(i, j + 1),
+                                k -> l[k] = '{SPAN_NOT_EXCLUDE}')) = 0),
+                 j -> j - i + 1))), x -> x IS NOT NULL))::BIGINT AS min_width
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents))
+    WHERE min_width IS NOT NULL
+"""
+
+
 def q_span_first_documents(sf_dir: str):
     """SpanFirstQuery: docs whose FIRST occurrence of 'spark' is within the
     first 6 positions (0-based pos < end — lead-paragraph matching).  The

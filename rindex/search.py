@@ -1630,22 +1630,38 @@ class IndexSearcher:
         results.sort(key=lambda r: r[:-1])
         return results
 
-    def search_span_near(self, text: str, slop: int) -> list[tuple]:
-        """Ordered SpanNearQuery (`lucene/core/src/java/org/apache/lucene/
-        search/spans/SpanNearQuery.java`, inOrder=true): the query terms
-        must appear IN ORDER, and the minimal ordered span's width minus
-        the term count must be <= slop (Lucene's ordered-span slop
-        contract).  Per candidate doc the minimal chain is found greedily —
-        for every occurrence of term 1, chain each later term to its
-        smallest position strictly after the running end, ALL starts
-        advanced at once via one searchsorted per term (greedy chaining
-        yields the minimal end per start, so the min over starts is the
-        true minimum width).
+    def search_span_near(
+        self, text: str, slop: int, in_order: bool = True
+    ) -> list[tuple]:
+        """SpanNearQuery (`lucene/core/src/java/org/apache/lucene/search/
+        spans/SpanNearQuery.java`).  inOrder=True: the query terms must
+        appear IN ORDER, and the minimal ordered span's width minus the
+        term count must be <= slop (Lucene's ordered-span slop contract).
+        Per candidate doc the minimal chain is found greedily — for every
+        occurrence of term 1, chain each later term to its smallest
+        position strictly after the running end, ALL starts advanced at
+        once via one searchsorted per term (greedy chaining yields the
+        minimal end per start, so the min over starts is the true minimum
+        width).
+
+        inOrder=False: any arrangement counts — the minimal COVERING span
+        holding one occurrence of every term (the search_proximity
+        min-cover sweep) with the same width - n <= slop contract
+        (NearSpansUnordered's SpanTotalLengthEndPositionWindow).  Distinct
+        terms required (duplicate clauses need per-clause disjoint
+        matching, which the distinct-term corpus queries never hit —
+        loud, not wrong).
 
         Returns [( *id_cols, min_width )] sorted by id columns."""
         terms = get_analyzer(self.analyzer_name).tokens(text)
         if len(terms) < 2:
             raise ValueError("span_near needs >= 2 terms")
+        if not in_order:
+            if len(set(terms)) != len(terms):
+                raise ValueError(
+                    "span_near(in_order=False) requires distinct terms"
+                )
+            return self._span_near_unordered(terms, slop)
         uniq = list(dict.fromkeys(terms))
         results: list[tuple] = []
         for reader in self.readers:
@@ -1685,6 +1701,149 @@ class IndexSearcher:
                 if width - len(terms) <= slop:
                     match_docs.append(int(d))
                     match_width.append(width)
+            if match_docs:
+                ids = reader.fetch_ids(
+                    np.asarray(match_docs, dtype=np.int64), self.id_cols
+                )
+                results.extend(
+                    (*ids[d], w) for d, w in zip(match_docs, match_width)
+                )
+        results.sort(key=lambda r: r[:-1])
+        return results
+
+    def _span_near_unordered(self, terms: list[str], slop: int) -> list[tuple]:
+        """NearSpansUnordered: minimal covering span per doc (merged
+        position sweep, one-of-each-term window) filtered by
+        width - len(terms) <= slop; returns [( *id_cols, min_width )]."""
+        results: list[tuple] = []
+        need = len(terms)
+        for reader in self.readers:
+            posts = reader.positions_for(terms)
+            if any(posts[t] is None for t in terms):
+                continue
+            common = posts[terms[0]][0]
+            for t in terms[1:]:
+                common = np.intersect1d(common, posts[t][0])
+            common = reader.drop_deleted(common)
+            if len(common) == 0:
+                continue
+            runs = []
+            for t in terms:
+                docs, tfs, pos = posts[t][:3]
+                starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+                at = np.searchsorted(docs, common)
+                runs.append((starts[at], tfs[at], pos))
+            match_docs, match_width = [], []
+            for i, d in enumerate(common):
+                ps = [p[s[i]: s[i] + ln[i]] for s, ln, p in runs]
+                tags = np.repeat(np.arange(need), [len(x) for x in ps])
+                flat = np.concatenate(ps)
+                o = np.argsort(flat, kind="stable")
+                flat, tags = flat[o], tags[o]
+                count = np.zeros(need, dtype=np.int64)
+                covered, lo, best = 0, 0, None
+                for hi in range(len(flat)):
+                    if count[tags[hi]] == 0:
+                        covered += 1
+                    count[tags[hi]] += 1
+                    while covered == need:
+                        span = int(flat[hi] - flat[lo] + 1)
+                        if best is None or span < best:
+                            best = span
+                        count[tags[lo]] -= 1
+                        if count[tags[lo]] == 0:
+                            covered -= 1
+                        lo += 1
+                if best is not None and best - need <= slop:
+                    match_docs.append(int(d))
+                    match_width.append(best)
+            if match_docs:
+                ids = reader.fetch_ids(
+                    np.asarray(match_docs, dtype=np.int64), self.id_cols
+                )
+                results.extend(
+                    (*ids[d], w) for d, w in zip(match_docs, match_width)
+                )
+        results.sort(key=lambda r: r[:-1])
+        return results
+
+    def search_span_not(
+        self, include_text: str, exclude: str, slop: int
+    ) -> list[tuple]:
+        """SpanNotQuery (`lucene/core/src/java/org/apache/lucene/search/
+        spans/SpanNotQuery.java`): spans of the ordered include query that
+        do NOT overlap any occurrence of the exclude term.  Include spans
+        are the per-start minimal ordered chains (the same greedy
+        enumeration search_span_near uses) that meet width - n <= slop;
+        a span survives if no exclude position lies inside [start, end]
+        (two searchsorted's against the doc's sorted exclude positions —
+        overlap killing stays whole-array).  Docs where the exclude term
+        is absent keep all their spans.
+
+        Returns [( *id_cols, min_width )] over surviving spans."""
+        terms = get_analyzer(self.analyzer_name).tokens(include_text)
+        if len(terms) < 2:
+            raise ValueError("span_not include needs >= 2 terms")
+        exc = get_analyzer(self.analyzer_name).tokens(exclude)
+        if len(exc) != 1:
+            raise ValueError("span_not takes exactly one exclude term")
+        exc = exc[0]
+        uniq = list(dict.fromkeys(terms))
+        results: list[tuple] = []
+        for reader in self.readers:
+            posts = reader.positions_for(uniq + [exc])
+            if any(posts[t] is None for t in uniq):
+                continue
+            common = posts[uniq[0]][0]
+            for t in uniq[1:]:
+                common = np.intersect1d(common, posts[t][0])
+            common = reader.drop_deleted(common)
+            if len(common) == 0:
+                continue
+            runs = {}
+            for t in uniq:
+                docs, tfs, pos = posts[t][:3]
+                starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+                at = np.searchsorted(docs, common)
+                runs[t] = (starts[at], tfs[at], pos)
+            epost = posts[exc]
+            if epost is not None:
+                edocs, etfs, epos = epost[:3]
+                estarts = np.concatenate([[0], np.cumsum(etfs)[:-1]])
+            match_docs, match_width = [], []
+            for i, d in enumerate(common):
+                plists = [
+                    runs[t][2][runs[t][0][i]: runs[t][0][i] + runs[t][1][i]]
+                    for t in terms
+                ]
+                start = np.asarray(plists[0], dtype=np.int64)
+                end = start.copy()
+                ok = np.ones(len(start), dtype=bool)
+                for pl in plists[1:]:
+                    pl = np.asarray(pl, dtype=np.int64)
+                    nxt = np.searchsorted(pl, end, side="right")
+                    valid = nxt < len(pl)
+                    end = np.where(valid, pl[np.minimum(nxt, len(pl) - 1)], end)
+                    ok &= valid
+                ok &= (end - start + 1) - len(terms) <= slop
+                if not ok.any():
+                    continue
+                if epost is not None:
+                    at = np.searchsorted(edocs, d)
+                    if at < len(edocs) and edocs[at] == d:
+                        pe = np.asarray(
+                            epos[estarts[at]: estarts[at] + etfs[at]],
+                            dtype=np.int64,
+                        )
+                        inside = (
+                            np.searchsorted(pe, end, side="right")
+                            - np.searchsorted(pe, start, side="left")
+                        ) > 0
+                        ok &= ~inside
+                if not ok.any():
+                    continue
+                match_docs.append(int(d))
+                match_width.append(int((end[ok] - start[ok] + 1).min()))
             if match_docs:
                 ids = reader.fetch_ids(
                     np.asarray(match_docs, dtype=np.int64), self.id_cols

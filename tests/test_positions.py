@@ -238,3 +238,73 @@ def test_span_near_and_span_first_vs_naive(ray_session, tmp_path):
             want.append((did, toks.index("spark")))
     want.sort()
     assert [(h[0], h[1]) for h in s.search_span_first("spark", end=6)] == want
+
+
+def _naive_span_near_unordered(src, a, b, slop):
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    out = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = re.findall(r"[0-9a-z]+", (text or "").lower())
+        pa_ = [i for i, x in enumerate(toks) if x == a]
+        pb_ = [j for j, x in enumerate(toks) if x == b]
+        if not pa_ or not pb_:
+            continue
+        best = min(abs(i - j) + 1 for i in pa_ for j in pb_)
+        if best - 2 <= slop:
+            out.append((did, best))
+    out.sort()
+    return out
+
+
+def _naive_span_not(src, a, b, exclude, slop):
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    out = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = re.findall(r"[0-9a-z]+", (text or "").lower())
+        widths = []
+        for i, x in enumerate(toks):
+            if x != a:
+                continue
+            for j in range(i + 1, len(toks)):
+                if toks[j] == b:
+                    # minimal chain from this start only
+                    if j - i + 1 - 2 <= slop and exclude not in toks[i:j + 1]:
+                        widths.append(j - i + 1)
+                    break
+        if widths:
+            out.append((did, min(widths)))
+    out.sort()
+    return out
+
+
+def test_span_unordered_and_span_not_vs_naive(ray_session, tmp_path):
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    idx = str(tmp_path / "pos-span-u")
+    build_index(
+        SRC, idx, num_segments=4, mode="local", id_cols=("doc_id",),
+        text_col="text", keep_cols=(), with_positions=True,
+    )
+    s = IndexSearcher(idx)
+    # unordered: symmetric — both argument orders give the identical set
+    got = [(h[0], h[1])
+           for h in s.search_span_near("join hash", slop=3, in_order=False)]
+    assert got == _naive_span_near_unordered(SRC, "hash", "join", 3)
+    rev = [(h[0], h[1])
+           for h in s.search_span_near("hash join", slop=3, in_order=False)]
+    assert rev == got
+    # unordered is a superset of ordered at the same slop
+    ordered = {h[0] for h in s.search_span_near("hash join", slop=3)}
+    assert ordered <= {d for d, _ in got}
+    # span_not: per-start minimal chains with the exclusion overlap killed
+    sn = [(h[0], h[1])
+          for h in s.search_span_not("hash join", exclude="spark", slop=3)]
+    assert sn == _naive_span_not(SRC, "hash", "join", "spark", 3)
+    # non-vacuous: the exclusion must actually prune vs the ordered op
+    assert {d for d, _ in sn} < ordered
+    # duplicate terms rejected loudly in unordered mode
+    with pytest.raises(ValueError):
+        s.search_span_near("hash hash", slop=1, in_order=False)
+    with pytest.raises(ValueError):
+        s.search_span_not("hash join", exclude="big data", slop=3)
