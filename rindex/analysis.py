@@ -436,6 +436,94 @@ def porter2_stem_filter(toks: list[str]) -> list[str]:
     return [porter2_stem(t) for t in toks]
 
 
+# ---------------------------------------------------------------------------
+# KStem (Krovetz stemmer) — inflectional subset
+# ---------------------------------------------------------------------------
+
+# Dictionary-first inflectional stemming per Krovetz, "Viewing morphology
+# as an inference process" (SIGIR 1993); reference implementation
+# `lucene/analysis/common/src/java/org/apache/lucene/analysis/en/
+# KStemmer.java`.  KStem ONLY undoes inflectional morphology (plural,
+# past tense, present participle) and consults its lexicon BEFORE every
+# step — a word found in the dictionary is never stemmed further.  The
+# reference ships a ~30k-entry lexicon as Java resources; this subset
+# inlines the base forms that matter for the corpus + common English
+# false-suffix words (seed/speed/during/...), documented as the lexicon
+# stand-in.  The SQL oracle cascade in ops/analysis_ext.py is GENERATED
+# from these same constants, so the two sides cannot drift.
+
+KSTEM_LEX = frozenset("""
+as is was has his its this thus yes does goes news series species
+analysis basis axis status various previous alias bias gas bus canvas
+always perhaps
+seed speed need feed breed deed indeed hundred red bed shed sled fled
+wed embed exceed proceed succeed bleed greed
+thing something anything everything nothing king ring sing wing string
+spring during morning evening being sterling setting
+""".split())
+
+# base forms ending in 'e' whose -ed / -ing forms drop it (storing ->
+# store); the e-restoration list of the aspect/past steps
+KSTEM_E_WORDS = frozenset("""
+use store cache compute merge create update delete write make take parse
+scale tune remove improve reduce increase release share combine pipeline
+schedule encode decode include exclude provide require define note queue
+issue execute expire evaluate estimate aggregate iterate rotate mutate
+validate generate operate separate compare prepare profile enable disable
+handle bundle sample measure ensure configure capture feature time type
+pipe probe trace place replace slice reuse fuse close expose compose move
+prove serve observe reserve save solve resolve involve arrive drive like
+invoke revoke range change manage page stage
+""".split())
+
+KSTEM_SIBILANT_ES = ("sses", "ches", "shes", "xes", "zes")
+
+
+def kstem(w: str) -> str:
+    """Krovetz inflectional stem of a lowercase token.  Three steps —
+    plural, past tense, -ing — each entered only if the current form is
+    not in the lexicon (dictionary-first), with e-restoration and
+    doubled-consonant undo on the verbal suffixes."""
+    # plural
+    if len(w) <= 2 or w in KSTEM_LEX:
+        return w
+    if w.endswith("ies") and len(w) > 4:
+        w = w[:-3] + "y"
+    elif w.endswith(KSTEM_SIBILANT_ES):
+        w = w[:-2]
+    elif w.endswith("s") and len(w) > 3 and not w.endswith(("ss", "us", "is")):
+        w = w[:-1]
+    # past tense
+    if len(w) <= 2 or w in KSTEM_LEX:
+        return w
+    if w.endswith("ied") and len(w) > 4:
+        w = w[:-3] + "y"
+    elif w.endswith("ed") and len(w) > 3:
+        stem = w[:-2]
+        if stem + "e" in KSTEM_E_WORDS:
+            w = stem + "e"
+        elif len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+            w = stem[:-1]
+        else:
+            w = stem
+    # present participle
+    if len(w) <= 2 or w in KSTEM_LEX:
+        return w
+    if w.endswith("ing") and len(w) > 4:
+        stem = w[:-3]
+        if stem + "e" in KSTEM_E_WORDS:
+            w = stem + "e"
+        elif len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+            w = stem[:-1]
+        else:
+            w = stem
+    return w
+
+
+def kstem_filter(toks: list[str]) -> list[str]:
+    return [kstem(t) for t in toks]
+
+
 def ascii_fold(text: str) -> str:
     """ASCIIFoldingFilter analog (accent-folding subset: NFD decompose +
     drop combining marks — 'café' -> 'cafe', 'Åland' -> 'Aland').  Matches
@@ -538,6 +626,7 @@ ANALYZERS: dict[str, Analyzer] = {
     "en_snowball": Analyzer(
         name="en_snowball", token_filters=[porter2_stem_filter]
     ),
+    "en_kstem": Analyzer(name="en_kstem", token_filters=[kstem_filter]),
 }
 
 

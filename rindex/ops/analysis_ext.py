@@ -320,6 +320,126 @@ QUERIES["snowball_stem_documents"] = q_snowball_stem_documents
 # no ORACLE: see porter_stem_documents.
 
 
+KSTEM_TOP_N = 15
+
+
+def q_kstem_top_terms_documents(sf_dir: str):
+    """KStemFilterFactory (`lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/en/KStemFilter.java`): corpus top terms after Krovetz
+    inflectional stemming — per-batch partial (stem, n) counts (tokens
+    dictionary-encoded via np.unique, the stemmer runs once per DISTINCT
+    batch token), a distributed groupby sum, top KSTEM_TOP_N.  Unlike
+    Porter/Porter2 this IS oracle-backed: the DuckDB cascade below is
+    generated from the same KSTEM_LEX / KSTEM_E_WORDS constants the
+    Python stemmer uses, so the two sides cannot drift."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    class Stem:
+        def __init__(self):
+            from rindex.analysis import kstem
+
+            self.stem = kstem
+            self.rx = re.compile(TOKEN_SQL_RE)
+            self.cache: dict[str, str] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            toks: list[str] = []
+            for x in pc.utf8_lower(t["text"]).to_pylist():
+                toks.extend(self.rx.findall(x or ""))
+            if not toks:
+                return pa.table(
+                    {"stem": pa.array([], pa.string()),
+                     "pn": pa.array([], pa.int64())}
+                )
+            uniq, counts = np.unique(np.asarray(toks, object),
+                                     return_counts=True)
+            stems = []
+            for u in uniq:
+                s = self.cache.get(u)
+                if s is None:
+                    s = self.cache[u] = self.stem(u)
+                stems.append(s)
+            # collapse batch-local stem collisions before the shuffle
+            su, sinv = np.unique(np.asarray(stems, object),
+                                 return_inverse=True)
+            pn = np.zeros(len(su), np.int64)
+            np.add.at(pn, sinv, counts)
+            return pa.table({"stem": pa.array(su), "pn": pa.array(pn)})
+
+    out = (
+        ds.map_batches(Stem, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby("stem")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return (
+        out.sort_values(["n", "stem"], ascending=[False, True],
+                        kind="mergesort")
+        .head(KSTEM_TOP_N)
+        .reset_index(drop=True)
+    )
+
+
+def _kstem_oracle_sql() -> str:
+    from rindex.analysis import KSTEM_E_WORDS, KSTEM_LEX, KSTEM_SIBILANT_ES
+
+    lex = ", ".join(f"'{w}'" for w in sorted(KSTEM_LEX))
+    ew = ", ".join(f"'{w}'" for w in sorted(KSTEM_E_WORDS))
+    sib = "|".join(KSTEM_SIBILANT_ES)
+    return f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS t
+      FROM documents
+    ),
+    s1 AS (SELECT CASE
+        WHEN length(t) <= 2 OR t IN ({lex}) THEN t
+        WHEN t LIKE '%ies' AND length(t) > 4
+          THEN left(t, length(t) - 3) || 'y'
+        WHEN regexp_matches(t, '({sib})$') THEN left(t, length(t) - 2)
+        WHEN t LIKE '%s' AND length(t) > 3
+             AND NOT regexp_matches(t, '(ss|us|is)$')
+          THEN left(t, length(t) - 1)
+        ELSE t END AS w FROM toks),
+    s2 AS (SELECT CASE
+        WHEN length(w) <= 2 OR w IN ({lex}) THEN w
+        WHEN w LIKE '%ied' AND length(w) > 4
+          THEN left(w, length(w) - 3) || 'y'
+        WHEN w LIKE '%ed' AND length(w) > 3 THEN (CASE
+            WHEN left(w, length(w) - 2) || 'e' IN ({ew})
+              THEN left(w, length(w) - 2) || 'e'
+            WHEN length(w) > 4
+                 AND substr(w, length(w) - 2, 1) = substr(w, length(w) - 3, 1)
+                 AND substr(w, length(w) - 2, 1) NOT IN ('l', 's', 'z')
+              THEN left(w, length(w) - 3)
+            ELSE left(w, length(w) - 2) END)
+        ELSE w END AS w FROM s1),
+    s3 AS (SELECT CASE
+        WHEN length(w) <= 2 OR w IN ({lex}) THEN w
+        WHEN w LIKE '%ing' AND length(w) > 4 THEN (CASE
+            WHEN left(w, length(w) - 3) || 'e' IN ({ew})
+              THEN left(w, length(w) - 3) || 'e'
+            WHEN length(w) > 5
+                 AND substr(w, length(w) - 3, 1) = substr(w, length(w) - 4, 1)
+                 AND substr(w, length(w) - 3, 1) NOT IN ('l', 's', 'z')
+              THEN left(w, length(w) - 4)
+            ELSE left(w, length(w) - 3) END)
+        ELSE w END AS w FROM s2)
+    SELECT w AS stem, count(*)::BIGINT AS n
+    FROM s3 GROUP BY 1
+    ORDER BY n DESC, stem ASC LIMIT {KSTEM_TOP_N}
+    """
+
+
+QUERIES["kstem_top_terms_documents"] = q_kstem_top_terms_documents
+ORACLE["kstem_top_terms_documents"] = _kstem_oracle_sql()
+
+
 def q_urp_parse_props_events(sf_dir: str):
     """Field-mutating URP chain (ParseIntField analog): extract the integer
     `k` from the JSON-ish `props` string column, bucket by decade, count.

@@ -201,3 +201,45 @@ def test_keyword_trim_analyzer():
 
     an = get_analyzer("keyword_trim")
     assert an.tokens("  Hello World \n") == ["Hello World"]
+
+
+def test_kstem_goldens():
+    """Krovetz-stemmer contract: inflectional ONLY (plural / past / -ing),
+    dictionary-first at every step, e-restoration and doubling undo."""
+    from rindex.analysis import kstem
+
+    # plural
+    assert kstem("tables") == "table"
+    assert kstem("queries") == "query"
+    assert kstem("batches") == "batch"
+    assert kstem("passes") == "pass"
+    assert kstem("indexes") == "index"
+    # -s guards: ss / us / is endings and short words survive
+    assert kstem("process") == "process"
+    assert kstem("status") == "status"
+    assert kstem("basis") == "basis"
+    assert kstem("gas") == "gas"
+    # past tense: e-restore, doubling undo, plain strip
+    assert kstem("stored") == "store"
+    assert kstem("merged") == "merge"
+    assert kstem("planned") == "plan"
+    assert kstem("joined") == "join"
+    assert kstem("tried") == "try"
+    # -ing: e-restore, doubling undo, plain strip
+    assert kstem("using") == "use"
+    assert kstem("storing") == "store"
+    assert kstem("planning") == "plan"
+    assert kstem("falling") == "fall"   # 'll' doubling exception
+    assert kstem("joining") == "join"
+    # dictionary-first: lexicon words never stemmed, at ANY step
+    assert kstem("during") == "during"
+    assert kstem("seed") == "seed"      # not 'se'
+    assert kstem("seeds") == "seed"     # plural strips, THEN dict stops -ed
+    assert kstem("speed") == "speed"
+    assert kstem("nothing") == "nothing"
+    assert kstem("news") == "news"
+    # inflectional only: derivational suffixes untouched (vs Porter)
+    assert kstem("connection") == "connection"
+    assert kstem("national") == "national"
+    # chained: plural then participle never double-fires on one suffix
+    assert kstem("settings") == "setting"
