@@ -288,18 +288,22 @@ def _global_term_dfs(idx: str, prefix: str | None = None) -> dict[str, int]:
 def q_suggest_prefix_documents(sf_dir: str):
     """Prefix completion from the INDEX term dictionary ranked by global df
     (reference: `lucene/suggest/src/java/org/apache/lucene/search/suggest/
-    analyzing/AnalyzingSuggester.java` — weight-ordered FST completion; our
-    term dict is the sorted postings.parquet term column, so prefix lookup
-    is a row-group-pruned range read per segment + tiny df-sum reduce)."""
-    from rindex.ops.fulltext import documents_index
+    analyzing/AnalyzingSuggester.java` — weight-ordered FST completion).
+    Served by the RESIDENT SuggesterActor (rindex/suggester.py): the
+    segment-dictionary scan runs once in the actor's __init__ (the FST
+    build), this lookup is a binary-searched range + top-k — the high-QPS
+    autocomplete pattern; repeated suggest/spellcheck queries in one
+    session share the build."""
+    import ray
 
-    idx = documents_index(sf_dir)
-    acc = _global_term_dfs(idx, prefix="s")
-    out = pd.DataFrame(
-        sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:10],
-        columns=["suggestion", "weight"],
+    from rindex.ops.fulltext import documents_index
+    from rindex.suggester import get_suggester
+
+    sa = get_suggester(documents_index(sf_dir))
+    hits = ray.get(sa.suggest_prefix.remote("s", 10))
+    return pd.DataFrame(hits, columns=["suggestion", "weight"]).astype(
+        {"weight": np.int64}
     )
-    return out
 
 
 QUERIES["suggest_prefix_documents"] = q_suggest_prefix_documents
@@ -325,27 +329,14 @@ SPELL_INPUTS = ["spakr", "joni", "windw", "stremm"]
 
 
 def _best_correction(word: str, acc: dict) -> tuple | None:
-    """ONE correction-selection rule for spellcheck AND collation (min edit
-    distance <= 2, ties df-desc then term asc — DirectSpellChecker's
-    ranking), computed with the vectorized DP (multiterm._levenshtein_vec)
-    instead of a per-term Python loop.  Candidates are LENGTH-PRUNED first
-    (|len diff| <= 2 — distance >= length difference, so nothing prunable
-    can win), honoring _levenshtein_vec's caller-prunes contract: one long
-    outlier token must not set the DP matrix width for the whole dict."""
-    from rindex.ops.multiterm import _levenshtein_vec
+    """Correction from a term->df dict; the selection rule itself lives in
+    rindex.suggester.rank_correction (ONE definition for the dict path,
+    the resident-actor path, and collation)."""
+    from rindex.suggester import rank_correction
 
     terms = np.array(list(acc))
     dfs = np.fromiter((acc[t] for t in terms), np.int64, len(terms))
-    lp = np.abs(np.char.str_len(terms.astype(str)) - len(word)) <= 2
-    terms, dfs = terms[lp], dfs[lp]
-    if len(terms) == 0:
-        return None
-    d = _levenshtein_vec(word, terms)
-    m = d <= 2
-    if not m.any():
-        return None
-    sel = np.lexsort((terms[m], -dfs[m], d[m]))[0]
-    return (str(terms[m][sel]), int(d[m][sel]), int(dfs[m][sel]))
+    return rank_correction(word, terms, dfs)
 
 
 def q_spellcheck_documents(sf_dir: str):
@@ -353,18 +344,20 @@ def q_spellcheck_documents(sf_dir: str):
     min edit distance (<=2), ties by higher df then term order (reference:
     `lucene/suggest/src/java/org/apache/lucene/search/spell/
     DirectSpellChecker.java` — candidates from the term dict, ranked by
-    distance then docFreq).  The term dict with global dfs is a tiny
-    aggregate of the segment dictionaries; the scan is driver-side because
-    the dict is bounded (vocab), not corpus-sized."""
-    from rindex.ops.fulltext import documents_index
+    distance then docFreq).  Served by the resident SuggesterActor: the
+    dictionary aggregate builds once per session in the actor, each
+    correction is a length-pruned vectorized DP against the in-RAM
+    vocab."""
+    import ray
 
-    idx = documents_index(sf_dir)
-    acc = _global_term_dfs(idx)
-    rows = []
-    for w in SPELL_INPUTS:
-        best = _best_correction(w, acc)
-        if best is not None:
-            rows.append((w, *best))
+    from rindex.ops.fulltext import documents_index
+    from rindex.suggester import get_suggester
+
+    sa = get_suggester(documents_index(sf_dir))
+    found = ray.get([sa.correct.remote(w) for w in SPELL_INPUTS])
+    rows = [
+        (w, *best) for w, best in zip(SPELL_INPUTS, found) if best is not None
+    ]
     return pd.DataFrame(
         rows, columns=["input", "correction", "distance", "weight"]
     )
@@ -955,15 +948,19 @@ def q_spellcheck_collate_documents(sf_dir: str):
     distance <= 2, ties df-desc then term), assemble the collated query,
     and verify it by counting the docs matching ALL corrected terms (the
     collator re-issues the rewritten query the same way).  Corrections
-    come from the bounded vocab (driver-side, like spellcheck); the hit
-    count is a distributed scan with the corrected terms broadcast."""
-    from rindex.ops.fulltext import documents_index
+    come from the resident SuggesterActor (shared build with spellcheck /
+    suggest); the hit count is a distributed scan with the corrected
+    terms broadcast."""
+    import ray
 
-    idx = documents_index(sf_dir)
-    acc = _global_term_dfs(idx)
+    from rindex.ops.fulltext import documents_index
+    from rindex.suggester import get_suggester
+
+    sa = get_suggester(documents_index(sf_dir))
     corrections = []
-    for w in COLLATE_INPUT:
-        best = _best_correction(w, acc)
+    for w, best in zip(
+        COLLATE_INPUT, ray.get([sa.correct.remote(w) for w in COLLATE_INPUT])
+    ):
         if best is None:
             raise ValueError(f"no correction within 2 edits for {w!r}")
         corrections.append(best[0])
@@ -1066,40 +1063,22 @@ def q_suggest_infix_documents(sf_dir: str):
     """Infix completion (AnalyzingInfixSuggester —
     `lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/
     AnalyzingInfixSuggester.java`: suggestions matching the query ANYWHERE
-    in the term, not just the prefix, weight-ordered).  Like terms.regex
-    this cannot range-prune, so it is the dictionary-columns-only
-    distributed scan (one task per segment, Arrow match_substring per
-    batch, df-sum reduce)."""
-    import pyarrow.compute as pc
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    in the term, not just the prefix, weight-ordered).  Infix cannot
+    range-prune a sorted dictionary, so the resident SuggesterActor keeps
+    a char-TRIGRAM inverted index over the vocab (the reference's n-gram
+    sidecar): lookup = trigram postings intersect -> substring verify ->
+    top-k, all in actor RAM; the per-segment dictionary scan runs once as
+    the actor's build."""
+    import ray
 
     from rindex.ops.fulltext import documents_index
-    from rindex.segments import read_manifest, seg_dir
+    from rindex.suggester import get_suggester
 
-    idx = documents_index(sf_dir)
-    man = read_manifest(idx)
-    paths = [
-        os.path.join(seg_dir(idx, s["seg_id"], int(s.get("gen", 0))),
-                     "postings.parquet")
-        for s in man["segments"]
-    ]
-    ds = rd.read_parquet(paths, columns=["term", "df"])
-
-    def match(t: pa.Table) -> pa.Table:
-        return t.filter(pc.match_substring(t["term"], INFIX_SUB))
-
-    agg = (
-        ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="weight"))
-        .to_pandas()
+    sa = get_suggester(documents_index(sf_dir))
+    hits = ray.get(sa.suggest_infix.remote(INFIX_SUB, INFIX_LIMIT))
+    return pd.DataFrame(hits, columns=["suggestion", "weight"]).astype(
+        {"weight": np.int64}
     )
-    agg = agg.sort_values(["weight", "term"], ascending=[False, True],
-                          kind="mergesort").head(INFIX_LIMIT)
-    agg = agg.rename(columns={"term": "suggestion"}).reset_index(drop=True)
-    agg["weight"] = agg["weight"].astype(np.int64)
-    return agg[["suggestion", "weight"]]
 
 
 QUERIES["suggest_infix_documents"] = q_suggest_infix_documents
