@@ -23,6 +23,7 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -345,61 +346,170 @@ def _sum_by_pk(pairs_ds, n_coarse: int = 509):
     )
 
 
-def _doc_sizes_ref(st):
-    """Broadcast (sorted doc_ids, shingle-set sizes) from the shingle table.
-    8 bytes/doc — the designated small side at test scale; at 10^12 docs
-    this broadcast becomes a hash join of the pair table against the sizes
-    table on doc_a then doc_b (same two-phase shape, no new semantics)."""
+# Above this many distinct docs the per-doc shingle-size lookup switches
+# from a ray.put broadcast (8 B/doc — fine to ~10^8) to a hash join of the
+# pair table against the sizes Dataset on doc_a then doc_b (no driver /
+# per-task copy of the sizes at all).  Env-overridable so tests exercise
+# the join path at small scale.
+DEDUP_BCAST_MAX_DOCS = int(os.environ.get("RINDEX_DEDUP_BCAST_MAX",
+                                          4_000_000))
+
+
+def _arrow_mat(ds):
+    """Materialize with every block — INCLUDING empties — as Arrow.
+    Ray skips map UDFs on empty blocks, so an empty PANDAS block (sort
+    aggregates and repartition padding produce them) rides untyped into
+    downstream Arrow unions/sorts, whose sample builder asserts on mixed
+    block types.  to_arrow_refs converts blocks in place (zero-copy for
+    Arrow blocks); objects stay in the object store."""
+    import ray.data as rd
+
+    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+
+
+def _doc_sizes(st):
+    """(materialized sizes Dataset[(doc_id, count())], n_docs) from the
+    shingle table — stays in the object store; only the row COUNT reaches
+    the driver (it picks broadcast vs join below)."""
+    sizes = _arrow_mat(st.groupby("doc_id").count())
+    return sizes, sizes.count()
+
+
+_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("inter", pa.int64())]
+)
+
+
+def _unpack_pairs(t: pa.Table) -> pa.Table:
+    """(pk, sum(n)) -> (doc_a, doc_b, inter); drop-sentinel rows ride
+    through with doc_a == _DROP_SENTINEL.  Empty upstream groups arrive as
+    SCHEMA-LESS blocks (map_groups on an empty pandas frame) — they must
+    leave with the full pair schema or the downstream Acero join dies on
+    a missing key field."""
+    if t.num_columns == 0 or len(t) == 0:
+        return _PAIR_SCHEMA.empty_table()
+    pk = t["pk"].to_numpy()
+    inter = t["sum(n)"].to_numpy().astype(np.int64)
+    drop_m = pk == _DROP_SENTINEL
+    a = np.where(drop_m, _DROP_SENTINEL, pk >> 32)
+    b = np.where(drop_m, inter, pk & 0xFFFFFFFF)
+    inter = np.where(drop_m, 0, inter)
+    return pa.table(
+        {
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "inter": pa.array(inter, pa.int64()),
+        }
+    )
+
+
+def _jaccard_from_counts(counts, st, tau: float, log_label: str):
+    """Dataset[(pk, sum(n))] -> verified near-dup pairs.  The multiplicity
+    IS the intersection size (shingles are distinct per doc), so jaccard =
+    n / (|A| + |B| - n).  Sizes come from a ray.put broadcast below
+    DEDUP_BCAST_MAX_DOCS distinct docs, else from TWO hash joins of the
+    (small-by-construction) pair table against the sizes Dataset — either
+    way the filter runs per batch, distributed; only rows passing tau
+    (plus the tiny drop-count sentinel) ever reach the driver."""
     import ray
 
-    sizes = st.groupby("doc_id").count().to_pandas()
-    order = np.argsort(sizes["doc_id"].to_numpy())  # groupby output order
-    # is an implementation detail — make the searchsorted invariant explicit
-    size_ids = sizes["doc_id"].to_numpy()[order]
-    size_vals = sizes["count()"].to_numpy().astype(np.int64)[order]
-    if len(size_ids) and int(size_ids.max()) >= 1 << 31:
+    sizes_ds, n_docs = _doc_sizes(st)
+    if n_docs <= DEDUP_BCAST_MAX_DOCS:
+        sizes = sizes_ds.to_pandas()
+        order = np.argsort(sizes["doc_id"].to_numpy())  # groupby output
+        # order is an implementation detail — make searchsorted explicit
+        size_ids = sizes["doc_id"].to_numpy()[order]
+        size_vals = sizes["count()"].to_numpy().astype(np.int64)[order]
+        if len(size_ids) and int(size_ids.max()) >= 1 << 31:
+            raise ValueError(
+                "pair-key packing requires doc_id < 2^31; re-key the corpus"
+            )
+        sizes_ref = ray.put((size_ids, size_vals))
+
+        def finish(t: pa.Table) -> pa.Table:
+            size_ids_, size_vals_ = ray.get(sizes_ref)
+            tt = _unpack_pairs(t)
+            a = tt["doc_a"].to_numpy()
+            b = tt["doc_b"].to_numpy()
+            inter = tt["inter"].to_numpy()
+            drop_m = a == _DROP_SENTINEL
+            sa = size_vals_[
+                np.searchsorted(size_ids_, np.where(drop_m, size_ids_[0], a))
+            ]
+            sb = size_vals_[
+                np.searchsorted(size_ids_, np.where(drop_m, size_ids_[0], b))
+            ]
+            jac = np.where(drop_m, 0.0, inter / (sa + sb - inter))
+            keep = (jac >= tau) | drop_m
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep], pa.int64()),
+                    "doc_b": pa.array(b[keep], pa.int64()),
+                    "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+                }
+            )
+
+        res = counts.map_batches(finish, batch_format="pyarrow").to_pandas()
+        return _split_drop_rows(res, log_label)
+
+    # join path: sizes never leave the object store.  The pair-key packing
+    # contract (doc_id < 2^31, enforced driver-side on the broadcast path)
+    # still applies — check it with a distributed max, not a materialize.
+    # Joins are the union+groupby hash join (streams.hash_outer_join):
+    # Ray 2.49's native Dataset.join deadlocks its aggregator actor pool
+    # on small CPU budgets and dies on one-side-empty hash partitions
+    # (see hash_outer_join's docstring), and the pair table is sparse in
+    # doc-id space by construction.
+    from rindex.ops.streams import hash_outer_join
+
+    if n_docs and int(sizes_ds.max("doc_id")) >= 1 << 31:
         raise ValueError(
             "pair-key packing requires doc_id < 2^31; re-key the corpus"
         )
-    return ray.put((size_ids, size_vals))
+    # Sentinel rows would die in the inner join, so their count is folded
+    # out first (a tiny distributed sum).
+    pairs = _arrow_mat(counts.map_batches(
+        _unpack_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ))
+    _dd = pairs.filter(expr=f"doc_a == {_DROP_SENTINEL}").to_pandas()
+    dropped = int(_dd["doc_b"].sum()) if len(_dd) else 0
+    if dropped:
+        _log_drops(log_label, dropped)
+    clean = pairs.filter(expr=f"doc_a != {_DROP_SENTINEL}")
+    sa = sizes_ds.map_batches(
+        lambda t: t.rename_columns(["ka", "size_a"]),
+        batch_format="pyarrow",
+    )
+    sb = sizes_ds.map_batches(
+        lambda t: t.rename_columns(["kb", "size_b"]),
+        batch_format="pyarrow",
+    )
+    # the intermediate is materialized: hash_outer_join reads its input's
+    # schema, and schema() on a lazy all-to-all would re-run the inner
+    # join; the pair table is the small side, so this is cheap
+    joined = hash_outer_join(
+        hash_outer_join(
+            clean, sa, on="doc_a", right_on="ka", how="inner"
+        ).materialize(),
+        sb, on="doc_b", right_on="kb", how="inner",
+    )
 
-
-def _jaccard_from_counts(counts, sizes_ref, tau: float, log_label: str):
-    """Dataset[(pk, sum(n))] -> verified near-dup pairs.  The multiplicity
-    IS the intersection size (shingles are distinct per doc), so jaccard =
-    n / (|A| + |B| - n) with sizes from the broadcast lookup — computed per
-    batch, distributed; only rows passing tau (plus the tiny drop-count
-    sentinel) ever reach the driver."""
-    import ray
-
-    def finish(t: pa.Table) -> pa.Table:
-        size_ids, size_vals = ray.get(sizes_ref)
-        pk = t["pk"].to_numpy()
-        inter = t["sum(n)"].to_numpy().astype(np.int64)
-        drop_m = pk == _DROP_SENTINEL
-        dropped = int(inter[drop_m].sum())  # 0 unless the input was capped
-        pk, inter = pk[~drop_m], inter[~drop_m]
-        a = pk >> 32
-        b = pk & 0xFFFFFFFF
-        sa = size_vals[np.searchsorted(size_ids, a)]
-        sb = size_vals[np.searchsorted(size_ids, b)]
-        jac = inter / (sa + sb - inter)
+    def finish_joined(df: pd.DataFrame) -> pd.DataFrame:
+        inter = df["inter"].to_numpy()
+        jac = inter / (
+            df["size_a"].to_numpy() + df["size_b"].to_numpy() - inter
+        )
         keep = jac >= tau
-        a, b, jac = a[keep], b[keep], np.round(jac[keep], 6)
-        if dropped:  # ride the drop count back to the driver for logging
-            a = np.append(a, _DROP_SENTINEL)
-            b = np.append(b, dropped)
-            jac = np.append(jac, 0.0)
-        return pa.table(
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(a, pa.int64()),
-                "doc_b": pa.array(b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                "doc_a": df["doc_a"].to_numpy()[keep],
+                "doc_b": df["doc_b"].to_numpy()[keep],
+                "jaccard": np.round(jac[keep], 6),
             }
         )
 
-    res = counts.map_batches(finish, batch_format="pyarrow").to_pandas()
-    return _split_drop_rows(res, log_label)
+    res = joined.map_batches(finish_joined, batch_format="pandas").to_pandas()
+    return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def _split_drop_rows(res: pd.DataFrame, log_label: str) -> pd.DataFrame:
@@ -424,9 +534,8 @@ def q_ngram_jaccard_neardup(sf_dir: str):
     Runs UNCAPPED by design (this is the exact-oracle variant; the capped
     candidate generation lives in the LSH ops)."""
     st = _shingle_table(sf_dir).materialize()  # feeds sizes AND pairs
-    sizes_ref = _doc_sizes_ref(st)
     counts = _pair_counts(st, "shingle")
-    return _jaccard_from_counts(counts, sizes_ref, JACCARD_TAU, "ngram")
+    return _jaccard_from_counts(counts, st, JACCARD_TAU, "ngram")
 
 
 QUERIES["ngram_jaccard_neardup"] = q_ngram_jaccard_neardup
@@ -573,9 +682,8 @@ def q_minhash_lsh_neardup(sf_dir: str):
     # shrinks to its candidate members before expansion — bounded by the
     # candidate set, not by shingle df), then the same batchwise jaccard.
     st = _shingle_table(sf_dir).materialize()
-    sizes_ref = _doc_sizes_ref(st)
     counts = _pair_counts(st, "shingle", cand_ref=cand_ref)
-    return _jaccard_from_counts(counts, sizes_ref, JACCARD_TAU, "minhash_lsh")
+    return _jaccard_from_counts(counts, st, JACCARD_TAU, "minhash_lsh")
 
 
 QUERIES["minhash_lsh_neardup"] = q_minhash_lsh_neardup
@@ -878,26 +986,16 @@ ORACLE["embedding_cosine_neardup"] = f"""
 CLUSTER_ROUNDS = 8  # min-label propagation rounds (bounds component diam)
 
 
-def q_dedup_clusters_documents(sf_dir: str):
-    """Connected components over the near-dup pair graph — the step that
-    turns PAIRS into droppable duplicates: every doc in a component gets
-    cluster = the component's min doc_id (the canonical representative a
-    pipeline keeps).  Pairs come from the fully distributed n-gram Jaccard
-    pipeline; the pair list is that op's designated SMALL side (the
-    near-dup subset, not the corpus), so min-label propagation runs
-    vectorized driver-side (np.minimum.at per round, CLUSTER_ROUNDS
-    bounds the diameter) — at 10^12-edge scale the same rounds run as the
-    shortestPath op's edge-Dataset + broadcast-labels shape.  A
-    convergence check raises loudly if CLUSTER_ROUNDS is ever too small
-    (rather than silently returning half-merged components)."""
-    pairs = q_ngram_jaccard_neardup(sf_dir)
-    if len(pairs) == 0:
-        return pd.DataFrame(
-            {"doc_id": pd.Series([], dtype="int64"),
-             "cluster": pd.Series([], dtype="int64")}
-        )
-    a = pairs["doc_a"].to_numpy(np.int64)
-    b = pairs["doc_b"].to_numpy(np.int64)
+# Above this many edges the min-label propagation leaves the driver and
+# runs as edge-Dataset rounds (two hash joins + a min groupby per round).
+# Env-overridable so tests exercise the distributed rounds at small scale.
+CLUSTER_DRIVER_EDGE_MAX = int(os.environ.get("RINDEX_CLUSTER_EDGE_MAX",
+                                             8_000_000))
+
+
+def _cluster_labels_driver(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Vectorized driver-side min-label propagation (np.minimum.at per
+    round) — the small-edge-set fast path."""
     docs = np.unique(np.concatenate([a, b]))
     ai = np.searchsorted(docs, a)
     bi = np.searchsorted(docs, b)
@@ -923,9 +1021,136 @@ def q_dedup_clusters_documents(sf_dir: str):
                 f"dedup_clusters: component diameter exceeds "
                 f"{CLUSTER_ROUNDS} rounds — raise CLUSTER_ROUNDS"
             )
-    return pd.DataFrame({"doc_id": docs, "cluster": lab}).sort_values(
-        "doc_id"
-    ).reset_index(drop=True)
+    return pd.DataFrame({"doc_id": docs, "cluster": lab})
+
+
+def _cluster_labels_distributed(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Edge-Dataset min-label propagation: labels live in a Dataset, each
+    round is edges ⋈ labels(doc_a) ⋈ labels(doc_b) -> min-contribution
+    emit -> min groupby; nothing corpus-sized touches the driver.  The
+    change count per round doubles as the convergence probe (same loud
+    contract as the driver path).  Joins are the union+groupby hash join
+    (streams.hash_outer_join) — the native Dataset.join's aggregator
+    actor pools deadlock on small CPU budgets and multiply per round."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from rindex.ops.streams import hash_outer_join
+
+    # non-empty pandas chunks, converted to Arrow blocks up front: an
+    # EMPTY pandas block (repartition padding) would skip every map UDF
+    # and ride pandas-typed into the Arrow union/sort, which asserts on
+    # mixed block types in sample_boundaries
+    chunks = [
+        c for c in np.array_split(
+            pairs[["doc_a", "doc_b"]].reset_index(drop=True), 8
+        ) if len(c)
+    ]
+    edges = rd.from_pandas(chunks).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        d = np.concatenate(
+            [t["doc_a"].to_numpy(), t["doc_b"].to_numpy()]
+        )
+        return pa.table({"doc": pa.array(d, pa.int64()),
+                         "lbl": pa.array(d, pa.int64())})
+
+    labels = _arrow_mat(
+        edges.map_batches(seed, batch_format="pyarrow")
+        .groupby("doc").aggregate(Min("lbl", alias_name="lbl"))
+    )
+
+    def contrib(df: pd.DataFrame) -> pa.Table:
+        # pandas in (the join emits pandas groups), ARROW out — the result
+        # unions with the Arrow-blocked labels Dataset, schemas must match
+        m = np.minimum(df["la"].to_numpy(np.int64), df["lb"].to_numpy(np.int64))
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate(
+                    [df["doc_a"].to_numpy(np.int64),
+                     df["doc_b"].to_numpy(np.int64)]
+                ), pa.int64()),
+                "lbl": pa.array(np.concatenate([m, m]), pa.int64()),
+            }
+        )
+
+    for rnd in range(CLUSTER_ROUNDS + 1):
+        la = labels.map_batches(
+            lambda t: t.rename_columns(["ka", "la"]),
+            batch_format="pyarrow",
+        )
+        lb = labels.map_batches(
+            lambda t: t.rename_columns(["kb", "lb"]),
+            batch_format="pyarrow",
+        )
+        joined = hash_outer_join(
+            hash_outer_join(
+                edges, la, on="doc_a", right_on="ka", how="inner"
+            ).materialize(),  # see _jaccard_from_counts: schema() on a
+            lb, on="doc_b", right_on="kb", how="inner",  # lazy all-to-all
+        )                                                # re-runs the join
+        new_labels = _arrow_mat(
+            joined.map_batches(contrib, batch_format="pandas")
+            .union(labels)
+            .groupby("doc").aggregate(Min("lbl", alias_name="lbl"))
+        )
+        old = labels.map_batches(
+            lambda t: t.rename_columns(["ko", "old"]),
+            batch_format="pyarrow",
+        )
+        changed = int(
+            hash_outer_join(new_labels, old, on="doc", right_on="ko",
+                            how="inner")
+            .map_batches(
+                lambda df: pd.DataFrame({"c": [int(
+                    (df["lbl"].to_numpy() != df["old"].to_numpy()).sum()
+                )]}),
+                batch_format="pandas",
+            )
+            .to_pandas()["c"].sum()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise ValueError(
+            f"dedup_clusters: component diameter exceeds "
+            f"{CLUSTER_ROUNDS} rounds — raise CLUSTER_ROUNDS"
+        )
+    out = labels.to_pandas().rename(
+        columns={"doc": "doc_id", "lbl": "cluster"}
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["cluster"] = out["cluster"].astype(np.int64)
+    return out
+
+
+def q_dedup_clusters_documents(sf_dir: str):
+    """Connected components over the near-dup pair graph — the step that
+    turns PAIRS into droppable duplicates: every doc in a component gets
+    cluster = the component's min doc_id (the canonical representative a
+    pipeline keeps).  Pairs come from the fully distributed n-gram Jaccard
+    pipeline; below CLUSTER_DRIVER_EDGE_MAX edges the min-label
+    propagation runs vectorized driver-side (the pair list is small by
+    construction), above it the SAME rounds run distributed as
+    edge-Dataset joins (_cluster_labels_distributed) — both paths share
+    the loud non-convergence contract and are pinned equal in pytest."""
+    pairs = q_ngram_jaccard_neardup(sf_dir)
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster": pd.Series([], dtype="int64")}
+        )
+    if len(pairs) <= CLUSTER_DRIVER_EDGE_MAX:
+        out = _cluster_labels_driver(
+            pairs["doc_a"].to_numpy(np.int64),
+            pairs["doc_b"].to_numpy(np.int64),
+        )
+    else:
+        out = _cluster_labels_distributed(pairs)
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _cluster_oracle_sql() -> str:

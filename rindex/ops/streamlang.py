@@ -230,6 +230,36 @@ def _b_hashjoin(args, kwargs, ctx):
     )
 
 
+def _b_outerhashjoin(args, kwargs, ctx):
+    """outerHashJoin(left, right, on="lk=rk"): LEFT OUTER hash join
+    (OuterHashJoinStream.java) — every left tuple survives, matched
+    tuples gain the right stream's fields, unmatched right fields are
+    null tuple values.  Runs as the hash-bucketed union+groupby join
+    (streams.hash_outer_join) — no sortedness contract, one all-to-all."""
+    from rindex.ops.streams import hash_outer_join
+
+    left = _build(args[0], ctx)
+    right = _build(args[1], ctx)
+    lk, _, rk = _lit(kwargs["on"], "on").partition("=")
+    return hash_outer_join(
+        left, right, on=lk.strip(), right_on=(rk.strip() or lk.strip()),
+        how="left",
+    )
+
+
+def _b_complement(args, kwargs, ctx):
+    """complement(left, right, on=): left tuples whose key does NOT
+    appear in the right stream (ComplementStream.java).  The right key
+    set is the designated small side — distinct'd distributed, then
+    broadcast once into the left stream's filter."""
+    from rindex.ops.util import broadcast_semi_filter
+
+    lk, _, rk = _lit(kwargs["on"], "on").partition("=")
+    lk, rk = lk.strip(), (rk.strip() or lk.strip())
+    keys = _build(args[1], ctx).unique(rk)
+    return broadcast_semi_filter(_build(args[0], ctx), keys, lk, anti=True)
+
+
 def _sort_spec(s: str):
     keys, desc = [], []
     for part in _cols(s):
@@ -316,6 +346,8 @@ STREAM_BUILDERS = {
     "rollup": _b_rollup,
     "having": _b_having,
     "hashJoin": _b_hashjoin,
+    "outerHashJoin": _b_outerhashjoin,
+    "complement": _b_complement,
     "innerJoin": _b_innerjoin,
     "fetch": _b_fetch,
     "intersect": _b_intersect,
@@ -410,4 +442,70 @@ ORACLE["stream_expr_top_revenue"] = """
     GROUP BY l_orderkey
     ORDER BY total DESC, l_orderkey ASC
     LIMIT 15
+"""
+
+
+OUTER_EXPR = """
+rollup(
+  select(
+    outerHashJoin(table(customer, fl="c_custkey,c_mktsegment"),
+                  table(orders, fl="o_custkey,o_totalprice"),
+                  on="c_custkey=o_custkey"),
+    keep="c_mktsegment",
+    matched=if(gt(coalesce(o_totalprice, 0), 0), 1, 0)),
+  over="c_mktsegment",
+  n_rows=count(*),
+  n_matched=sum(matched))
+"""
+
+
+def q_stream_expr_outer_join(sf_dir: str):
+    """outerHashJoin() in the language (OuterHashJoinStream.java): every
+    customer survives the join; the select() stage turns the null tuple
+    values of unmatched rows into a 0/1 matched flag via the coalesce
+    evaluator, and the rollup counts both row classes per segment."""
+    out = compile_stream(OUTER_EXPR, sf_dir).to_pandas()
+    out["n_matched"] = out["n_matched"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+QUERIES["stream_expr_outer_join"] = q_stream_expr_outer_join
+ORACLE["stream_expr_outer_join"] = """
+    SELECT c_mktsegment, count(*) AS n_rows,
+           sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_matched
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+COMPLEMENT_EXPR = """
+rollup(
+  complement(table(customer, fl="c_custkey,c_nationkey"),
+             having(table(orders, fl="o_custkey,o_totalprice"),
+                    gt(o_totalprice, 250000)),
+             on="c_custkey=o_custkey"),
+  over="c_nationkey",
+  n_lonely=count(*))
+"""
+
+
+def q_stream_expr_complement(sf_dir: str):
+    """complement() in the language (ComplementStream.java): customers
+    with no BIG-TICKET orders (the right stream pre-filtered by a
+    having() evaluator so the complement is non-empty at every test
+    scale; its distinct key set broadcasts once), counted per nation."""
+    out = compile_stream(COMPLEMENT_EXPR, sf_dir).to_pandas()
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+QUERIES["stream_expr_complement"] = q_stream_expr_complement
+ORACLE["stream_expr_complement"] = """
+    SELECT c_nationkey::BIGINT AS c_nationkey, count(*) AS n_lonely
+    FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
 """

@@ -176,6 +176,94 @@ def merge_join(
     )
 
 
+def hash_outer_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    how: str = "left",
+    num_buckets: int = 64,
+):
+    """Hash-bucketed join via union + groupby + per-bucket pandas merge —
+    the OuterHashJoinStream family (`solr/solrj/.../io/stream/
+    OuterHashJoinStream.java` is the LEFT variant; `how` in {"inner",
+    "left", "right", "outer"}).
+
+    Why not `Dataset.join`: Ray 2.49's hash-shuffle join aggregator builds
+    a 0-column table for a partition that received NO shards from one side
+    (e.g. a sparse filtered left against a dense right) and the Acero join
+    then dies on the missing key field.  Bucketing by key hash into a
+    groupby sidesteps that: groups only exist where keys exist, and a
+    one-sided group is exactly the unmatched-row case pandas' merge
+    handles.  Same single all-to-all cost as a hash join; no sortedness
+    contract (unlike merge_join)."""
+    right_on = right_on or on
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lcols, rcols = lschema.names, rschema.names
+    dup = set(lcols) & set(rcols)
+    if dup:
+        raise ValueError(f"hash_outer_join: overlapping column names {dup}")
+
+    def tag(key: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            keys = t[key].to_numpy(zero_copy_only=False)
+            part = (pd.util.hash_array(keys) % num_buckets).astype(np.int32)
+            return t.append_column(_PART, pa.array(part)).append_column(
+                _SIDE, pa.array(np.full(len(t), side, dtype=np.int8))
+            )
+
+        return f
+
+    def align(cols_other, schema_other):
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            for name in cols_other:
+                t = t.append_column(
+                    name, pa.nulls(n, schema_other.field(name).type)
+                )
+            return t
+
+        return f
+
+    ltag = left.map_batches(tag(on, 0), batch_format="pyarrow").map_batches(
+        align(rcols, rschema), batch_format="pyarrow"
+    )
+    rtag = right.map_batches(
+        tag(right_on, 1), batch_format="pyarrow"
+    ).map_batches(align(lcols, lschema), batch_format="pyarrow")
+    order = lcols + rcols + [_PART, _SIDE]
+    ltag = ltag.select_columns(order)
+    rtag = rtag.select_columns(order)
+
+    # see merge_join: cast each side's own columns back to their dtypes —
+    # the typed-null union padding promotes them for the whole group
+    ldt = lschema.empty_table().to_pandas().dtypes.to_dict()
+    rdt = rschema.empty_table().to_pandas().dtypes.to_dict()
+    # one FIXED Arrow output schema: pandas merge promotes unmatched int
+    # columns to float64+NaN per group (so per-group schemas would
+    # diverge), and a 0-row pandas return would survive as a pandas block
+    # (Ray skips UDFs on empty blocks) poisoning Arrow-block downstream
+    # ops — from_pandas(schema=) restores typed NULLS instead
+    out_schema = pa.schema(
+        [lschema.field(c) for c in lcols] + [rschema.field(c) for c in rcols]
+    )
+
+    def merge_group(g: pd.DataFrame) -> pa.Table:
+        ldf = g.loc[g[_SIDE] == 0, lcols].astype(ldt)
+        rdf = g.loc[g[_SIDE] == 1, rcols].astype(rdt)
+        out = ldf.merge(
+            rdf, left_on=on, right_on=right_on, how=how, sort=False
+        )
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    return (
+        ltag.union(rtag)
+        .groupby(_PART)
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -241,6 +329,120 @@ ORACLE["merge_left_outer_customer_orders"] = """
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Outer HASH joins — OuterHashJoinStream + the right/full variants
+# ---------------------------------------------------------------------------
+
+def q_outer_hash_join_customer_orders(sf_dir: str):
+    """outerHashJoin(): LEFT OUTER hash join (reference:
+    `solr/solrj/.../io/stream/OuterHashJoinStream.java` — every left tuple
+    survives; matched tuples gain the right stream's fields).  Ray shape:
+    hash-bucketed `hash_outer_join` (one all-to-all, no sortedness
+    contract — see its docstring for why not the native Dataset.join).
+    Output restricted to a small high-balance customer slice so the row
+    payload stays bounded; unmatched right fields surface as the
+    reference's null tuple values (coalesced to -1 on BOTH sides for the
+    exact integer compare)."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 9900.0"
+    ).map_batches(lambda t: t.select(["c_custkey"]), batch_format="pyarrow")
+    big = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["o_totalprice"], pa.scalar(250000.0))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_outer_join(cust, big, on="c_custkey", right_on="o_custkey",
+                             how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].astype(np.int64),
+                "o_orderkey": df["o_orderkey"].fillna(-1).astype(np.int64),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values(["c_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+QUERIES["outer_hash_join_customer_orders"] = q_outer_hash_join_customer_orders
+ORACLE["outer_hash_join_customer_orders"] = """
+    SELECT c_custkey, coalesce(o_orderkey, -1) AS o_orderkey
+    FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9900.0) c
+    LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+               WHERE o_totalprice > 250000.0) o
+      ON c_custkey = o_custkey
+    ORDER BY c_custkey, o_orderkey
+"""
+
+
+def q_full_outer_join_customer_orders(sf_dir: str):
+    """FULL OUTER hash join — the reference composes it from two
+    outerHashJoin passes; `hash_outer_join(how="outer")` does it in one
+    shuffle.  Both inputs are disjoint-heavy slices (high-balance
+    customers vs big-ticket orders) so all three match classes
+    (left-only / right-only / both) are populated; the output is the
+    per-key match indicator pair, integer-exact."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 9000.0"
+    ).map_batches(
+        lambda t: t.select(["c_custkey"]), batch_format="pyarrow"
+    )
+    big = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["o_totalprice"], pa.scalar(250000.0))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_outer_join(cust, big, on="c_custkey", right_on="o_custkey",
+                             how="outer")
+
+    def indic(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["c_custkey"]
+        return pd.DataFrame(
+            {
+                "custkey": ck.fillna(df["o_custkey"]).astype(np.int64),
+                "has_cust": ck.notna().astype(np.int64),
+                "has_order": df["o_orderkey"].notna().astype(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (
+        joined.map_batches(indic, batch_format="pandas")
+        .groupby("custkey")
+        .aggregate(
+            Max("has_cust", alias_name="has_cust"),
+            Sum("has_order", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["has_cust"] = out["has_cust"].astype(np.int64)
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+QUERIES["full_outer_join_customer_orders"] = q_full_outer_join_customer_orders
+ORACLE["full_outer_join_customer_orders"] = """
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           max(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS has_cust,
+           sum(CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS n_orders
+    FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) c
+    FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+                     WHERE o_totalprice > 250000.0) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    ORDER BY 1
 """
 
 
