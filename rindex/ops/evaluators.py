@@ -17,8 +17,16 @@ identifiers = column refs, numbers = literals, double-quoted = string
 literals, `name(...)` = evaluator call.  Unknown evaluators and columns
 fail loudly at parse/eval time.
 
-The matrix/ML evaluator families (~100 of the reference's ~150) are out of
-scope per SURVEY.md §2.8 — the registry below is the extension hook.
+Covered families: arithmetic/trig/comparison/boolean/conditional/string/
+temporal/regex/array (r1), matrix + let() + distribution-fit (r3 first
+batch), timeseries (movingAvg/expMovingAvg/diff/sequence/rev), scaling
+(minMaxScale/standardize), scalar stats (mean/var/stddev), vector norms +
+distances (norm/l1norm/linfnorm/cosineSimilarity/euclidean/manhattan),
+spectral (fft as direct DFT), fits/tests (polyFit/ttest), and discrete
+distributions (poisson/binomial + probability) (r3 second batch) — ~85 of
+the reference's ~150 Lang.java registrations; the long tail (machine-
+learning wrappers, interpolation splines, phonic codecs) stays out of
+scope per SURVEY.md §2.8, and the registry below is the extension hook.
 """
 
 from __future__ import annotations
@@ -312,10 +320,56 @@ EVALUATORS: dict = {
 }
 
 
+def round_sql(x, nd: int = 6):
+    """Round HALF-AWAY-FROM-ZERO like DuckDB/SQL round() — np.round and
+    Python round() are banker's (half-to-even) and disagree on exact
+    decimal ties, which EMA-style dyadic recursions over integer series
+    actually produce (e.g. 32.5390625 at 6 decimals)."""
+    x = np.asarray(x, np.float64)
+    f = 10.0 ** nd
+    out = np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+    return float(out) if out.ndim == 0 else out
+
+
+def _lgamma_vec(x):
+    import math
+
+    return np.vectorize(math.lgamma, otypes=[np.float64])(
+        np.asarray(x, np.float64)
+    )
+
+
+def _log_pmf(dist, k):
+    """log PMF of a discrete distribution node, written as the SAME
+    lgamma-form expression the SQL oracles use (exp(k·ln λ − λ − lgammaΓ)
+    etc.) so both sides round identical doubles."""
+    k = np.asarray(k, np.float64)
+    if dist[0] == "poisson":
+        lam = dist[1]
+        return k * np.log(lam) - lam - _lgamma_vec(k + 1.0)
+    if dist[0] == "binomial":
+        _, n, p = dist
+        n = float(n)
+        return (
+            _lgamma_vec(n + 1.0) - _lgamma_vec(k + 1.0)
+            - _lgamma_vec(n - k + 1.0)
+            + k * np.log(p) + (n - k) * np.log(1.0 - p)
+        )
+    raise KeyError(f"not a discrete distribution: {dist[0]!r}")
+
+
+def _dist_prob(dist, k):
+    """ProbabilityEvaluator: PMF of a discrete distribution at k."""
+    return np.exp(_log_pmf(dist, k))
+
+
 def _cum_prob(dist, x):
     """CDF of a distribution node at x (scalar or array)."""
-    x = np.asarray(x, np.float64)
     kind = dist[0]
+    if kind in ("poisson", "binomial"):
+        ks = np.arange(int(np.floor(float(np.asarray(x)))) + 1)
+        return float(np.exp(_log_pmf(dist, ks)).sum())
+    x = np.asarray(x, np.float64)
     if kind == "uniform":
         _, a, b = dist
         return np.clip((x - a) / (b - a), 0.0, 1.0)
@@ -348,6 +402,173 @@ def _ks_d(dist, values, counts) -> float:
     return float(
         np.maximum(np.abs(cum / n - f), np.abs((cum - c) / n - f)).max()
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeseries / vector / fit evaluator families (round-3 breadth batch).
+# Reference: `solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# {MovingAverageEvaluator,ExponentialMovingAverageEvaluator,
+# ReverseEvaluator,SequenceEvaluator,MinMaxScaleEvaluator,
+# NormalizeEvaluator,MeanEvaluator,VarianceEvaluator,
+# StandardDeviationEvaluator,CosineSimilarityEvaluator,
+# EuclideanDistanceEvaluator,ManhattanDistanceEvaluator,
+# FFTEvaluator,PolyFitEvaluator,TTestEvaluator,
+# PoissonDistributionEvaluator,BinomialDistributionEvaluator,
+# ProbabilityEvaluator}.java`.  All operate on the SMALL collected sides
+# inside let() — the corpus-scale reduction feeding them is always a
+# distributed Dataset aggregate (same division of labor as Solr, whose
+# evaluators run over collected streams).  Scalar reducers use explicit
+# sum/sumsq FORMULAS (not np.var etc.) so the SQL oracles can evaluate the
+# byte-identical expression tree.
+# ---------------------------------------------------------------------------
+
+def _moving_avg(v, k):
+    """Full-window moving average: length n-k+1 like Solr's movingAvg."""
+    v = np.asarray(v, np.float64)
+    k = int(k)
+    c = np.concatenate(([0.0], np.cumsum(v)))
+    return (c[k:] - c[:-k]) / float(k)
+
+
+def _exp_moving_avg(v, k):
+    """EMA with smoothing alpha = 2/(k+1), seeded at the first element
+    (Solr's expMovingAvg): a strict recursion, evaluated in order so a
+    recursive-CTE oracle reproduces the identical doubles."""
+    v = np.asarray(v, np.float64)
+    a = 2.0 / (int(k) + 1.0)
+    out = np.empty(len(v), np.float64)
+    e = v[0]
+    out[0] = e
+    for i in range(1, len(v)):
+        e = a * v[i] + (1.0 - a) * e
+        out[i] = e
+    return out
+
+
+def _standardize(v):
+    v = np.asarray(v, np.float64)
+    n = float(len(v))
+    s = v.sum()
+    ss = (v * v).sum()
+    return (v - s / n) / np.sqrt((ss - s * s / n) / (n - 1.0))
+
+
+def _welch(n1, m1, v1, n2, m2, v2):
+    """Welch t statistic + Welch–Satterthwaite df from group moments.
+    ONE formula shared by the array-form ttest kernel and the
+    distributed-moments op so the expression tree cannot diverge."""
+    se1, se2 = v1 / n1, v2 / n2
+    se = se1 + se2
+    t = (m1 - m2) / np.sqrt(se)
+    df = (se * se) / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+    return float(t), float(df)
+
+
+def _ttest(a, b):
+    """TTestEvaluator (Welch): returns [t, df]."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    n1, n2 = float(len(a)), float(len(b))
+    s1, s2 = a.sum(), b.sum()
+    v1 = ((a * a).sum() - s1 * s1 / n1) / (n1 - 1.0)
+    v2 = ((b * b).sum() - s2 * s2 / n2) / (n2 - 1.0)
+    t, df = _welch(n1, s1 / n1, v1, n2, s2 / n2, v2)
+    return np.array([t, df])
+
+
+def _fft_mag(v):
+    """FFTEvaluator analog: magnitude spectrum by DIRECT DFT (the series
+    is a small collected side; the direct cos/sin sums are the exact
+    expression a SQL oracle can mirror, unlike an FFT butterfly)."""
+    v = np.asarray(v, np.float64)
+    n = len(v)
+    kk = np.arange(n, dtype=np.float64)[:, None]
+    tt = np.arange(n, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * kk * tt / float(n)
+    re = (np.cos(ang) * v).sum(axis=1)
+    im = (np.sin(ang) * v).sum(axis=1)
+    return np.sqrt(re * re + im * im)
+
+
+def _poly_fit(x, y, deg=2):
+    """PolyFitEvaluator: least-squares polynomial fit via the normal
+    equations solved by explicit Cramer expansion (deg 1 or 2) — the same
+    closed-form expression tree the SQL oracle evaluates, so integer-exact
+    power sums give bit-identical coefficients."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    deg = int(deg)
+    n = float(len(x))
+    s1, s2 = x.sum(), (x * x).sum()
+    t0, t1 = y.sum(), (x * y).sum()
+    if deg == 1:
+        b = (n * t1 - s1 * t0) / (n * s2 - s1 * s1)
+        return np.array([(t0 - b * s1) / n, b])
+    if deg != 2:
+        raise ValueError(f"polyFit: deg must be 1 or 2, got {deg}")
+    s3, s4 = (x * x * x).sum(), (x * x * x * x).sum()
+    t2 = (x * x * y).sum()
+    det = (n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+           + s2 * (s1 * s3 - s2 * s2))
+    da = (t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2)
+          + s2 * (t1 * s3 - s2 * t2))
+    db = (n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2)
+          + s2 * (s1 * t2 - t1 * s2))
+    dc = (n * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2)
+          + t0 * (s1 * s3 - s2 * s2))
+    return np.array([da / det, db / det, dc / det])
+
+
+EVALUATORS.update({
+    # timeseries family
+    "movingAvg": _moving_avg,
+    "expMovingAvg": _exp_moving_avg,
+    "diff": lambda v: np.diff(np.asarray(v, np.float64)),
+    "rev": lambda v: np.asarray(v)[::-1],
+    "sequence": lambda n, start, stride: (
+        np.arange(int(n), dtype=np.float64) * float(stride) + float(start)
+    ),
+    # scaling / scalar stats (explicit formulas — see module note)
+    "minMaxScale": lambda v: (
+        (np.asarray(v, np.float64) - np.asarray(v, np.float64).min())
+        / (np.asarray(v, np.float64).max()
+           - np.asarray(v, np.float64).min())
+    ),
+    "standardize": _standardize,
+    "mean": lambda v: float(np.asarray(v, np.float64).sum())
+    / float(len(np.asarray(v))),
+    "var": lambda v: float(
+        ((np.asarray(v, np.float64) ** 2).sum()
+         - np.asarray(v, np.float64).sum() ** 2 / float(len(np.asarray(v))))
+        / (float(len(np.asarray(v))) - 1.0)
+    ),
+    "stddev": lambda v: float(np.sqrt(EVALUATORS["var"](v))),
+    "grandSum": lambda m: float(np.asarray(m, np.float64).sum()),
+    # vector norms / distances
+    "norm": lambda v: float(np.linalg.norm(np.asarray(v, np.float64))),
+    "l1norm": lambda v: float(np.abs(np.asarray(v, np.float64)).sum()),
+    "linfnorm": lambda v: float(np.abs(np.asarray(v, np.float64)).max()),
+    "cosineSimilarity": lambda a, b: float(
+        np.dot(np.asarray(a, np.float64), np.asarray(b, np.float64))
+        / (np.linalg.norm(np.asarray(a, np.float64))
+           * np.linalg.norm(np.asarray(b, np.float64)))
+    ),
+    "euclideanDistance": lambda a, b: float(
+        np.sqrt(((np.asarray(a, np.float64)
+                  - np.asarray(b, np.float64)) ** 2).sum())
+    ),
+    "manhattanDistance": lambda a, b: float(
+        np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).sum()
+    ),
+    # spectral / fit / test
+    "fft": _fft_mag,
+    "polyFit": _poly_fit,
+    "ttest": _ttest,
+    # discrete distributions
+    "poissonDistribution": lambda lam: ("poisson", float(lam)),
+    "binomialDistribution": lambda n, p: ("binomial", int(n), float(p)),
+    "probability": _dist_prob,
+})
 
 
 def let_eval(bindings: dict[str, str], scope: dict) -> dict:
@@ -855,4 +1076,477 @@ ORACLE["eval_ks_uniform_lineitem"] = """
            (25.0 - lo) / (hi - lo) AS cdf_q25
     FROM e, b
     GROUP BY lo, hi, n_distinct
+"""
+
+
+def q_eval_timeseries_moving_events(sf_dir: str):
+    """Timeseries evaluator family (MovingAverageEvaluator,
+    ExponentialMovingAverageEvaluator, DiffEvaluator? -- Solr spells it
+    `diff()` in Lang.java -- MinMaxScaleEvaluator, StandardizeEvaluator?
+    `zscores`-style standardize): the corpus reduces DISTRIBUTED to the
+    daily event-count series (integer counts -- every downstream kernel is
+    exact or order-identical), then let() runs the series algebra on that
+    small side.  movingAvg(7) emits full windows only (NaN-padded to align
+    rows), expMovingAvg uses alpha=2/(k+1)=0.25 seeded at the first
+    element so a recursive-CTE oracle reproduces identical doubles."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["y", "doy"])
+        .reset_index(drop=True)
+    )
+    v = s["n"].to_numpy(np.float64)
+    scope = let_eval(
+        {
+            "mov7": "movingAvg(v, 7)",
+            "d1": "diff(v)",
+            "ema7": "expMovingAvg(v, 7)",
+            "scaled": "minMaxScale(v)",
+            "z": "standardize(v)",
+        },
+        {"v": v},
+    )
+
+    def pad(arr, k):
+        return np.concatenate([np.full(k, np.nan), arr])
+
+    return pd.DataFrame(
+        {
+            "y": s["y"].astype(np.int64),
+            "doy": s["doy"].astype(np.int64),
+            "n": s["n"].astype(np.int64),
+            "mov7": round_sql(pad(scope["mov7"], 6)),
+            "diff1": pad(scope["d1"], 1),
+            "ema7": round_sql(scope["ema7"]),
+            "scaled": round_sql(scope["scaled"]),
+            "z": round_sql(scope["z"]),
+        }
+    )
+
+
+QUERIES["eval_timeseries_moving_events"] = q_eval_timeseries_moving_events
+ORACLE["eval_timeseries_moving_events"] = """
+    WITH RECURSIVE s AS (
+      SELECT year(ts) AS y, dayofyear(ts) AS doy, count(*) AS n,
+             row_number() OVER (ORDER BY year(ts), dayofyear(ts)) AS rn
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT sum(n)::DOUBLE AS sm, sum(n * n)::DOUBLE AS ss,
+             count(*)::DOUBLE AS c,
+             min(n)::DOUBLE AS lo, max(n)::DOUBLE AS hi
+      FROM s
+    ),
+    ema AS (
+      SELECT rn, n::DOUBLE AS e FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, 0.25 * s.n + 0.75 * ema.e
+      FROM s JOIN ema ON s.rn = ema.rn + 1
+    )
+    SELECT y, doy, n,
+           CASE WHEN rn >= 7 THEN round(
+             (sum(n) OVER (ORDER BY rn
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) / 7.0,
+             6) END AS mov7,
+           (n - lag(n) OVER (ORDER BY rn))::DOUBLE AS diff1,
+           round(ema.e, 6) AS ema7,
+           round((n - st.lo) / (st.hi - st.lo), 6) AS scaled,
+           round((n - sm / c) / sqrt((ss - sm * sm / c) / (c - 1.0)), 6) AS z
+    FROM s JOIN ema USING (rn), st
+    ORDER BY y, doy
+"""
+
+
+def q_eval_distance_embeddings(sf_dir: str):
+    """Vector-distance evaluator family (CosineSimilarityEvaluator,
+    EuclideanDistanceEvaluator, ManhattanDistanceEvaluator + norm kernels)
+    over per-label embedding centroids: components quantize to
+    floor(x*1000) integers so the DISTRIBUTED centroid sums are exact (one
+    groupby over 64 partial-sum columns; the embedding table never leaves
+    the workers), then the k x k distance grid runs on the small collected
+    matrix inside let()-style kernel calls."""
+    from ray.data.aggregate import Count, Sum
+
+    DIM = 64
+    emb = read_table(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        m = _np.floor(
+            _np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+                _np.float64
+            ) * 1000.0
+        ).astype(_np.int64)
+        cols = {"label": lab}
+        for i in range(m.shape[1]):
+            cols[f"c{i}"] = m[:, i]
+        return pa.table(cols)
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Count(alias_name="n"),
+            *[Sum(f"c{i}", alias_name=f"s{i}") for i in range(DIM)],
+        )
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    labels = agg["label"].to_numpy()
+    n = agg["n"].to_numpy(np.float64)
+    sums = agg[[f"s{i}" for i in range(DIM)]].to_numpy(np.float64)
+    cent = sums / (1000.0 * n[:, None])
+    k = len(labels)
+    rows = []
+    for i in range(k):
+        for j in range(k):
+            rows.append(
+                (
+                    int(labels[i]), int(labels[j]),
+                    round_sql(EVALUATORS["cosineSimilarity"](cent[i], cent[j])),
+                    round_sql(EVALUATORS["euclideanDistance"](cent[i], cent[j])),
+                    round_sql(EVALUATORS["manhattanDistance"](cent[i], cent[j])),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["la", "lb", "cos", "euclid", "manhattan"]
+    ).sort_values(["la", "lb"]).reset_index(drop=True)
+
+
+QUERIES["eval_distance_embeddings"] = q_eval_distance_embeddings
+ORACLE["eval_distance_embeddings"] = """
+    WITH e AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS i,
+             cast(floor(unnest(embedding)::DOUBLE * 1000.0) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, i,
+             sum(q)::DOUBLE / (1000.0 * count(*)::DOUBLE) AS v
+      FROM e GROUP BY 1, 2
+    )
+    SELECT a.label::BIGINT AS la, b.label::BIGINT AS lb,
+           round(sum(a.v * b.v)
+                 / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 6) AS cos,
+           round(sqrt(sum((a.v - b.v) * (a.v - b.v))), 6) AS euclid,
+           round(sum(abs(a.v - b.v)), 6) AS manhattan
+    FROM c a JOIN c b ON a.i = b.i
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+def q_eval_fft_events(sf_dir: str):
+    """FFTEvaluator analog: magnitude spectrum of the hourly event-count
+    histogram.  The 24-bin integer histogram reduces distributed; the DFT
+    runs as DIRECT cos/sin sums (identical expression to the oracle's
+    cross-join form -- an FFT butterfly would compute different doubles)."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"h": pa.array(idx.hour.to_numpy().astype(np.int64))}
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    v = np.zeros(24, np.float64)
+    v[s["h"].to_numpy(np.int64)] = s["n"].to_numpy(np.float64)
+    scope = let_eval({"mag": "fft(v)"}, {"v": v})
+    return pd.DataFrame(
+        {
+            "k": np.arange(24, dtype=np.int64),
+            "mag": round_sql(scope["mag"]),
+        }
+    )
+
+
+QUERIES["eval_fft_events"] = q_eval_fft_events
+ORACLE["eval_fft_events"] = """
+    WITH hist AS (
+      SELECT hh.h, coalesce(cnt.n, 0) AS n
+      FROM (SELECT unnest(generate_series(0, 23)) AS h) hh
+      LEFT JOIN (SELECT hour(ts) AS h, count(*) AS n
+                 FROM events GROUP BY 1) cnt ON cnt.h = hh.h
+    ),
+    ks AS (SELECT unnest(generate_series(0, 23)) AS k)
+    SELECT k::BIGINT AS k,
+           round(sqrt(
+             pow(sum(n * cos(2 * pi() * k * h / 24.0)), 2)
+             + pow(sum(n * sin(2 * pi() * k * h / 24.0)), 2)), 6) AS mag
+    FROM ks, hist
+    GROUP BY k
+    ORDER BY k
+"""
+
+
+def q_eval_ttest_lineitem(sf_dir: str):
+    """TTestEvaluator (Welch two-sample t): l_quantity of returnflag 'R'
+    vs 'N' rows.  Group moments (n, sum, sum-of-squares -- integer-exact)
+    reduce DISTRIBUTED via per-batch partials + a 2-row groupby; the Welch
+    formulas run on those scalars through the SAME _welch expression tree
+    the array-form ttest kernel uses, mirrored verbatim in the oracle."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        out = {"flag": [], "n": [], "s": [], "ss": []}
+        for f in np.unique(flag):
+            m = flag == f
+            out["flag"].append(str(f))
+            out["n"].append(int(m.sum()))
+            out["s"].append(int(q[m].sum()))
+            out["ss"].append(int((q[m] * q[m]).sum()))
+        return pa.table(
+            {
+                "flag": pa.array(out["flag"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "s": pa.array(out["s"], pa.int64()),
+                "ss": pa.array(out["ss"], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("flag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+        .set_index("flag")
+    )
+    g = {}
+    for f in ("R", "N"):
+        n = float(agg.loc[f, "n"])
+        s = float(agg.loc[f, "s"])
+        ss = float(agg.loc[f, "ss"])
+        g[f] = (n, s / n, (ss - s * s / n) / (n - 1.0))
+    t, df = _welch(*g["R"], *g["N"])
+    return pd.DataFrame(
+        {
+            "n_r": [np.int64(agg.loc["R", "n"])],
+            "n_n": [np.int64(agg.loc["N", "n"])],
+            "mean_r": [round_sql(g["R"][1])],
+            "mean_n": [round_sql(g["N"][1])],
+            "t": [round_sql(t)],
+            "df": [round_sql(df)],
+        }
+    )
+
+
+QUERIES["eval_ttest_lineitem"] = q_eval_ttest_lineitem
+ORACLE["eval_ttest_lineitem"] = """
+    WITH m AS (
+      SELECT l_returnflag AS flag, count(*)::DOUBLE AS n,
+             sum(cast(l_quantity AS BIGINT))::DOUBLE AS s,
+             sum(cast(l_quantity AS BIGINT)
+                 * cast(l_quantity AS BIGINT))::DOUBLE AS ss
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+    ),
+    g AS (
+      SELECT flag, n, s / n AS mu, (ss - s * s / n) / (n - 1.0) AS v
+      FROM m
+    ),
+    w AS (
+      SELECT r.n AS n1, r.mu AS m1, r.v / r.n AS se1,
+             nn.n AS n2, nn.mu AS m2, nn.v / nn.n AS se2
+      FROM (SELECT * FROM g WHERE flag = 'R') r,
+           (SELECT * FROM g WHERE flag = 'N') nn
+    )
+    SELECT n1::BIGINT AS n_r, n2::BIGINT AS n_n,
+           round(m1, 6) AS mean_r, round(m2, 6) AS mean_n,
+           round((m1 - m2) / sqrt(se1 + se2), 6) AS t,
+           round(((se1 + se2) * (se1 + se2))
+                 / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)), 6)
+             AS df
+    FROM w
+"""
+
+
+def q_eval_poisson_orders(sf_dir: str):
+    """Discrete-distribution evaluators (PoissonDistributionEvaluator,
+    BinomialDistributionEvaluator, ProbabilityEvaluator,
+    CumulativeProbabilityEvaluator): lambda = exact mean orders/customer
+    and p = exact urgent-order fraction reduce distributed (integer
+    ratios); PMF/CDF evaluate through the lgamma log-form both sides
+    share."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        urgent = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "urgent": pa.array(
+                    [int(pc.sum(pc.cast(urgent, pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    totals = (
+        orders.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("one")
+        .aggregate(Sum("n", alias_name="n"), Sum("urgent", alias_name="u"))
+        .to_pandas()
+    )
+    n_orders = float(totals["n"].iloc[0])
+    n_urgent = float(totals["u"].iloc[0])
+    from ray.data.aggregate import Count
+
+    n_cust = (
+        orders.groupby("o_custkey").aggregate(Count(alias_name="c")).count()
+    )
+    lam = n_orders / float(n_cust)
+    p = n_urgent / n_orders
+    scope = let_eval(
+        {
+            "d": "poissonDistribution(lam)",
+            "cdf10": "cumulativeProbability(d, 10.0)",
+            "pmf10": "probability(d, 10.0)",
+            "bd": "binomialDistribution(20, p)",
+            "bcdf5": "cumulativeProbability(bd, 5.0)",
+            "bpmf5": "probability(bd, 5.0)",
+        },
+        {"lam": lam, "p": p},
+    )
+    return pd.DataFrame(
+        {
+            "lam": [round_sql(lam)],
+            "p_urgent": [round_sql(p)],
+            "pois_cdf_10": [round_sql(float(scope["cdf10"]))],
+            "pois_pmf_10": [round_sql(float(scope["pmf10"]))],
+            "binom_cdf_5": [round_sql(float(scope["bcdf5"]))],
+            "binom_pmf_5": [round_sql(float(scope["bpmf5"]))],
+        }
+    )
+
+
+QUERIES["eval_poisson_orders"] = q_eval_poisson_orders
+ORACLE["eval_poisson_orders"] = """
+    WITH c AS (
+      SELECT count(*)::DOUBLE / count(DISTINCT o_custkey)::DOUBLE AS lam,
+             sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                 END)::DOUBLE / count(*)::DOUBLE AS p
+      FROM orders
+    ),
+    ks AS (SELECT unnest(generate_series(0, 10))::DOUBLE AS i)
+    SELECT round(lam, 6) AS lam,
+           round(p, 6) AS p_urgent,
+           round(sum(exp(i * ln(lam) - lam - lgamma(i + 1.0))), 6)
+             AS pois_cdf_10,
+           round(max(CASE WHEN i = 10 THEN
+             exp(i * ln(lam) - lam - lgamma(i + 1.0)) END), 6)
+             AS pois_pmf_10,
+           round(sum(CASE WHEN i <= 5 THEN
+             exp(lgamma(21.0) - lgamma(i + 1.0) - lgamma(20.0 - i + 1.0)
+                 + i * ln(p) + (20.0 - i) * ln(1.0 - p)) ELSE 0 END), 6)
+             AS binom_cdf_5,
+           round(max(CASE WHEN i = 5 THEN
+             exp(lgamma(21.0) - lgamma(i + 1.0) - lgamma(20.0 - i + 1.0)
+                 + i * ln(p) + (20.0 - i) * ln(1.0 - p)) END), 6)
+             AS binom_pmf_5
+    FROM c, ks
+    GROUP BY lam, p
+"""
+
+
+def q_eval_polyfit_lineitem(sf_dir: str):
+    """PolyFitEvaluator: quadratic least-squares fit of lineitem-count vs
+    quantity.  The (x=quantity, y=count) series reduces distributed to 50
+    integer points; polyFit solves the normal equations by explicit Cramer
+    expansion -- integer-exact power sums + the identical expression tree
+    in the oracle give bit-identical coefficients."""
+    from ray.data.aggregate import Count
+
+    li = read_table(sf_dir, "lineitem", ["l_quantity"])
+    s = (
+        li.groupby("l_quantity")
+        .aggregate(Count(alias_name="y"))
+        .to_pandas()
+        .sort_values("l_quantity")
+        .reset_index(drop=True)
+    )
+    x = s["l_quantity"].to_numpy(np.float64)
+    y = s["y"].to_numpy(np.float64)
+    scope = let_eval({"coef": "polyFit(x, y, 2)"}, {"x": x, "y": y})
+    a, b, c = (float(v) for v in scope["coef"])
+    return pd.DataFrame(
+        {
+            "a": [round_sql(a)],
+            "b": [round_sql(b)],
+            "c": [round_sql(c)],
+            "pred25": [round_sql(a + b * 25.0 + c * 625.0)],
+        }
+    )
+
+
+QUERIES["eval_polyfit_lineitem"] = q_eval_polyfit_lineitem
+ORACLE["eval_polyfit_lineitem"] = """
+    WITH s AS (
+      SELECT cast(l_quantity AS BIGINT) AS x, count(*)::BIGINT AS y
+      FROM lineitem GROUP BY 1
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(x)::DOUBLE AS s1, sum(x * x)::DOUBLE AS s2,
+             sum(x * x * x)::DOUBLE AS s3,
+             sum(x * x * x * x)::DOUBLE AS s4,
+             sum(y)::DOUBLE AS t0, sum(x * y)::DOUBLE AS t1,
+             sum(x * x * y)::DOUBLE AS t2
+      FROM s
+    ),
+    d AS (
+      SELECT
+        n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+          + s2 * (s1 * s3 - s2 * s2) AS det,
+        t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2)
+          + s2 * (t1 * s3 - s2 * t2) AS da,
+        n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2)
+          + s2 * (s1 * t2 - t1 * s2) AS db,
+        n * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2)
+          + t0 * (s1 * s3 - s2 * s2) AS dc
+      FROM m
+    )
+    SELECT round(da / det, 6) AS a,
+           round(db / det, 6) AS b,
+           round(dc / det, 6) AS c,
+           round(da / det + db / det * 25.0 + dc / det * 625.0, 6) AS pred25
+    FROM d
 """

@@ -24,6 +24,13 @@ hook, like Lang.java):
     top(stream, n=N, sort="col desc[,col2 asc]")
     unique(stream, over="a,b")
     cartesianProduct(stream, field, as="val")
+    facet(stream, buckets="a,b", bucketSorts="count(*) desc",
+          bucketSizeLimit=N, count(*), sum(c), ...)
+    stats(stream, count(*), sum(c), avg(c), ...)
+    timeseries(stream, field=ts, gap="+1DAY", count(*), ...)
+    merge(s1, s2, on="k asc")
+    innerJoin / leftOuterJoin(left, right, on="lk=rk")   sorted merge joins
+    outerHashJoin / complement / fetch / intersect
 
 Grammar: `call := name '(' (arg (',' arg)*)? ')'`, `arg := name '=' value
 | value`, `value := call | identifier | number | "string" | *`.  Scalar
@@ -340,6 +347,130 @@ def _b_intersect(args, kwargs, ctx):
     return broadcast_semi_filter(_build(args[0], ctx), keys, lk)
 
 
+def _metric_aggs(metric_nodes, where: str):
+    """Positional metric calls (count(*)/sum(col)/avg/min/max) -> Ray
+    aggregates, output columns named with Solr's literal metric identity
+    (`count(*)`, `sum(value)`, ... — FacetStream/StatsStream name their
+    result fields the same way)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    aggs = []
+    for node in metric_nodes:
+        if node[0] != "call" or node[1] not in _AGG_KINDS:
+            raise ValueError(f"{where}: {node!r} is not a metric aggregate")
+        kind = node[1]
+        if kind == "count":
+            aggs.append(Count(alias_name="count(*)"))
+            continue
+        col = _ident(node[2][0], f"{kind}() column")
+        cls = {"sum": Sum, "min": Min, "max": Max, "avg": Mean}[kind]
+        aggs.append(cls(col, alias_name=f"{kind}({col})"))
+    if not aggs:
+        raise ValueError(f"{where} needs at least one metric aggregate")
+    return aggs
+
+
+def _b_facet(args, kwargs, ctx):
+    """facet(stream, buckets="a,b", bucketSorts="count(*) desc",
+    bucketSizeLimit=N, <metrics...>) — FacetStream.java: bucketed metrics
+    as ONE distributed groupby (the reference pushes the same rollup into
+    the JSON Facet API), sorted/limited on the bucket metrics."""
+    ds = _build(args[0], ctx)
+    buckets = _cols(_lit(kwargs["buckets"], "buckets"))
+    agg = ds.groupby(buckets if len(buckets) > 1 else buckets[0]).aggregate(
+        *_metric_aggs(args[1:], "facet")
+    )
+    if "bucketSorts" in kwargs:
+        keys, desc = _sort_spec(_lit(kwargs["bucketSorts"], "bucketSorts"))
+        agg = agg.sort(keys, descending=desc)
+    if "bucketSizeLimit" in kwargs:
+        agg = agg.limit(int(_lit(kwargs["bucketSizeLimit"], "bucketSizeLimit")))
+    return agg
+
+
+def _b_stats(args, kwargs, ctx):
+    """stats(stream, <metrics...>) — StatsStream.java: whole-stream
+    metrics as ONE lazy single-bucket groupby (a constant key keeps the
+    pipeline lazy; ds.aggregate() would execute at build time)."""
+    ds = _build(args[0], ctx)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_stats", pa.array(np.zeros(len(t), np.int64))
+        )
+
+    agg = ds.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_stats").aggregate(*_metric_aggs(args[1:], "stats"))
+    return agg.map_batches(
+        lambda b: b.drop_columns(["_stats"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+_TS_FMT = {"DAY": "%Y-%m-%d", "HOUR": "%Y-%m-%dT%H", "MONTH": "%Y-%m"}
+
+
+def _b_timeseries(args, kwargs, ctx):
+    """timeseries(stream, field=ts, gap="+1DAY", <metrics...>) —
+    TimeSeriesStream.java: date-bucketed metrics.  gap supports
+    +1DAY/+1HOUR/+1MONTH; the bucket column keeps the field's name and
+    holds the formatted bucket start (the reference's range-facet `other`
+    buckets are out of scope here)."""
+    ds = _build(args[0], ctx)
+    field = _ident(kwargs["field"], "field")
+    gap = _lit(kwargs.get("gap"), "gap") if "gap" in kwargs else "+1DAY"
+    unit = gap.lstrip("+1")
+    if unit not in _TS_FMT:
+        raise ValueError(f"timeseries: unsupported gap {gap!r} "
+                         f"(supported: +1DAY, +1HOUR, +1MONTH)")
+    fmt = _TS_FMT[unit]
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        idx = pd.DatetimeIndex(
+            t[field].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        )
+        cols = {field: pa.array(idx.strftime(fmt))}
+        for n in t.schema.names:
+            if n != field:
+                cols[n] = t[n]
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(field)
+        .aggregate(*_metric_aggs(args[1:], "timeseries"))
+        .sort(field)
+    )
+
+
+def _b_merge(args, kwargs, ctx):
+    """merge(s1, s2, on="k asc") — MergeStream.java: union of two streams
+    ordered on the merge key.  Ray's union does not interleave blocks, so
+    the order contract is re-established with one sort over the union
+    (same output, one exchange; the reference's zipper merge assumes
+    pre-sorted inputs that Dataset.union cannot preserve anyway)."""
+    keys, desc = _sort_spec(_lit(kwargs["on"], "on"))
+    return _build(args[0], ctx).union(_build(args[1], ctx)).sort(
+        keys, descending=desc
+    )
+
+
+def _b_leftouterjoin(args, kwargs, ctx):
+    """leftOuterJoin = the SORTED merge join, left-outer flavor
+    (LeftOuterJoinStream contract: both streams sorted on the key)."""
+    from rindex.ops.streams import merge_join
+
+    lk, _, rk = _lit(kwargs["on"], "on").partition("=")
+    lk, rk = lk.strip(), (rk.strip() or lk.strip())
+    return merge_join(
+        _build(args[0], ctx), _build(args[1], ctx), on=lk, right_on=rk,
+        how="left",
+    )
+
+
 STREAM_BUILDERS = {
     "table": _b_table,
     "select": _b_select,
@@ -349,6 +480,11 @@ STREAM_BUILDERS = {
     "outerHashJoin": _b_outerhashjoin,
     "complement": _b_complement,
     "innerJoin": _b_innerjoin,
+    "leftOuterJoin": _b_leftouterjoin,
+    "merge": _b_merge,
+    "facet": _b_facet,
+    "stats": _b_stats,
+    "timeseries": _b_timeseries,
     "fetch": _b_fetch,
     "intersect": _b_intersect,
     "sort": _b_sort,
@@ -508,4 +644,86 @@ ORACLE["stream_expr_complement"] = """
       (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
     GROUP BY c_nationkey
     ORDER BY c_nationkey
+"""
+
+
+FACET_EXPR = (
+    'facet(table(events, fl="event_type,value"),'
+    ' buckets="event_type",'
+    ' bucketSorts="count(*) desc, event_type asc",'
+    ' bucketSizeLimit=5,'
+    ' count(*), sum(value), avg(value), min(value), max(value))'
+)
+
+
+def q_stream_expr_facet_events(sf_dir: str):
+    """facet() stream compiled from expression text (FacetStream.java):
+    bucketed metrics over event_type as ONE distributed groupby, bucket
+    sort + size limit applied in-language.  Output columns carry Solr's
+    literal metric names (`count(*)`, `sum(value)`, ...)."""
+    out = compile_stream(FACET_EXPR, sf_dir).to_pandas()
+    for c in ("sum(value)", "avg(value)", "min(value)", "max(value)"):
+        out[c] = out[c].round(4)
+    return out.reset_index(drop=True)
+
+
+QUERIES["stream_expr_facet_events"] = q_stream_expr_facet_events
+ORACLE["stream_expr_facet_events"] = """
+    SELECT event_type,
+           count(*) AS "count(*)",
+           round(sum(value), 4) AS "sum(value)",
+           round(avg(value), 4) AS "avg(value)",
+           round(min(value), 4) AS "min(value)",
+           round(max(value), 4) AS "max(value)"
+    FROM events
+    GROUP BY event_type
+    ORDER BY count(*) DESC, event_type ASC
+    LIMIT 5
+"""
+
+
+# stats() cannot nest over timeseries() here: the inner metric's output
+# name (`sum(value)`) is not an identifier the scalar grammar accepts —
+# the two streams are exercised side by side instead.
+TIMESERIES_EXPR = (
+    'timeseries(table(events, fl="ts,value"),'
+    ' field=ts, gap="+1DAY", count(*), sum(value))'
+)
+STATS_EXPR = (
+    'stats(table(events, fl="value,user_id"),'
+    ' count(*), sum(value), avg(value), min(value), max(value))'
+)
+
+
+def q_stream_expr_timeseries_events(sf_dir: str):
+    """timeseries() + stats() streams compiled from expression text
+    (TimeSeriesStream.java / StatsStream.java): the daily series is a
+    date-bucketed distributed groupby (bucket column keeps the field
+    name, formatted bucket start); the stats() tuple rides along as
+    whole-stream metrics joined onto every row — both pipelines stay
+    lazy end-to-end."""
+    ts = compile_stream(TIMESERIES_EXPR, sf_dir).to_pandas()
+    ts["sum(value)"] = ts["sum(value)"].round(4)
+    st = compile_stream(STATS_EXPR, sf_dir).to_pandas()
+    out = ts.rename(
+        columns={"count(*)": "day_n", "sum(value)": "day_sum"}
+    )
+    out["total_n"] = np.int64(st["count(*)"].iloc[0])
+    out["total_avg"] = round(float(st["avg(value)"].iloc[0]), 6)
+    return out.sort_values("ts").reset_index(drop=True)
+
+
+QUERIES["stream_expr_timeseries_events"] = q_stream_expr_timeseries_events
+ORACLE["stream_expr_timeseries_events"] = """
+    WITH st AS (
+      SELECT count(*) AS total_n, round(avg(value), 6) AS total_avg
+      FROM events
+    )
+    SELECT strftime(ts, '%Y-%m-%d') AS ts,
+           count(*) AS day_n,
+           round(sum(value), 4) AS day_sum,
+           st.total_n, st.total_avg
+    FROM events, st
+    GROUP BY 1, st.total_n, st.total_avg
+    ORDER BY 1
 """

@@ -176,3 +176,92 @@ def test_distribution_kernels():
     # degenerate-but-loud: unknown distribution kind
     with pytest.raises(KeyError):
         _cum_prob(("weibull", 1.0, 2.0), 1.0)
+
+
+def test_timeseries_kernels():
+    from rindex.ops.evaluators import EVALUATORS
+
+    v = np.array([4.0, 8.0, 15.0, 16.0, 23.0, 42.0])
+    # movingAvg: full windows only, brute-force check
+    got = EVALUATORS["movingAvg"](v, 3)
+    want = np.array([v[i:i + 3].mean() for i in range(4)])
+    assert np.allclose(got, want, rtol=0, atol=1e-12) and len(got) == 4
+    # diff is the lag-1 difference
+    assert np.array_equal(EVALUATORS["diff"](v), np.diff(v))
+    # expMovingAvg: recursion with alpha=2/(k+1), seeded at v[0]
+    ema = EVALUATORS["expMovingAvg"](v, 3)
+    a, e = 0.5, v[0]
+    for i, x in enumerate(v):
+        if i:
+            e = a * x + (1 - a) * e
+        assert ema[i] == e
+    # sequence / rev
+    assert np.array_equal(EVALUATORS["sequence"](4, 10, 2),
+                          np.array([10.0, 12.0, 14.0, 16.0]))
+    assert np.array_equal(EVALUATORS["rev"](v), v[::-1])
+    # minMaxScale to [0,1]; standardize has mean ~0, sd ~1
+    mm = EVALUATORS["minMaxScale"](v)
+    assert mm.min() == 0.0 and mm.max() == 1.0
+    z = EVALUATORS["standardize"](v)
+    assert abs(z.mean()) < 1e-12
+    assert abs(np.std(z, ddof=1) - 1.0) < 1e-12
+
+
+def test_vector_and_fit_kernels():
+    from rindex.ops.evaluators import EVALUATORS
+
+    a = np.array([1.0, 2.0, 2.0])
+    b = np.array([2.0, 4.0, 4.0])
+    assert abs(EVALUATORS["cosineSimilarity"](a, b) - 1.0) < 1e-12
+    assert abs(EVALUATORS["euclideanDistance"](a, b) - 3.0) < 1e-12
+    assert abs(EVALUATORS["manhattanDistance"](a, b) - 5.0) < 1e-12
+    assert abs(EVALUATORS["norm"](a) - 3.0) < 1e-12
+    assert EVALUATORS["l1norm"](a) == 5.0
+    assert EVALUATORS["linfnorm"](a) == 2.0
+    assert EVALUATORS["grandSum"](np.array([[1.0, 2.0], [3.0, 4.0]])) == 10.0
+    # fft magnitude (direct DFT) vs numpy's FFT
+    v = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0])
+    assert np.allclose(EVALUATORS["fft"](v), np.abs(np.fft.fft(v)),
+                       rtol=1e-9, atol=1e-9)
+    # polyFit (Cramer) vs np.polyfit, deg 1 and 2
+    x = np.arange(10, dtype=np.float64)
+    y = 2.0 - 3.0 * x + 0.5 * x * x
+    c2 = EVALUATORS["polyFit"](x, y, 2)
+    assert np.allclose(c2, [2.0, -3.0, 0.5], rtol=1e-8)
+    c1 = EVALUATORS["polyFit"](x, 1.5 * x + 4.0, 1)
+    assert np.allclose(c1, [4.0, 1.5], rtol=1e-10)
+    with pytest.raises(ValueError):
+        EVALUATORS["polyFit"](x, y, 3)
+    # Welch ttest: equal samples give t=0; known asymmetric case
+    t0 = EVALUATORS["ttest"](a, a)
+    assert t0[0] == 0.0
+    t = EVALUATORS["ttest"](np.array([1.0, 2.0, 3.0, 4.0]),
+                            np.array([10.0, 12.0, 14.0, 16.0]))
+    # hand-computed Welch: m1=2.5 v1=5/3, m2=13 v2=20/3
+    se = (5.0 / 3) / 4 + (20.0 / 3) / 4
+    assert abs(t[0] - (2.5 - 13.0) / np.sqrt(se)) < 1e-12
+
+
+def test_discrete_distribution_kernels():
+    from rindex.ops.evaluators import EVALUATORS, _cum_prob, _dist_prob
+
+    pois = EVALUATORS["poissonDistribution"](3.0)
+    # pmf sums to ~1, cdf(large) ~ 1, pmf(0) = e^-3
+    assert abs(_dist_prob(pois, 0.0) - np.exp(-3.0)) < 1e-12
+    assert abs(_cum_prob(pois, 60.0) - 1.0) < 1e-12
+    binom = EVALUATORS["binomialDistribution"](10, 0.5)
+    # symmetric: pmf(k) == pmf(n-k); cdf(n) == 1
+    for k in range(5):
+        assert abs(_dist_prob(binom, float(k))
+                   - _dist_prob(binom, float(10 - k))) < 1e-12
+    assert abs(_cum_prob(binom, 10.0) - 1.0) < 1e-12
+    assert abs(_dist_prob(binom, 5.0) - 0.24609375) < 1e-10
+
+
+def test_round_sql_half_away():
+    from rindex.ops.evaluators import round_sql
+
+    # the exact dyadic tie that banker's rounding gets wrong vs SQL
+    assert round_sql(32.5390625) == 32.539063
+    assert round_sql(-32.5390625) == -32.539063
+    assert round_sql(np.array([1.0000005, 2.0])).tolist() == [1.000001, 2.0]

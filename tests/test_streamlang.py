@@ -129,3 +129,115 @@ def test_fetch_intersect_innerjoin_builders(ray_session):
         assert got3["extra"].tolist() == ["b", "d"]
     finally:
         STREAM_BUILDERS["table"] = orig
+
+
+def test_facet_stats_timeseries_builders(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    t = pd.DataFrame(
+        {
+            "g": ["a", "a", "b", "b", "b", "c"],
+            "v": [1.0, 3.0, 2.0, 2.0, 2.0, 9.0],
+            "ts": pd.to_datetime(
+                ["2024-01-01 05:00", "2024-01-01 09:00", "2024-01-02 01:00",
+                 "2024-01-02 02:00", "2024-02-01 00:00", "2024-02-01 12:00"]
+            ),
+        }
+    )
+    orig = STREAM_BUILDERS["table"]
+    STREAM_BUILDERS["table"] = lambda a, k, ctx: rd.from_pandas(t)
+    try:
+        got = _build(
+            parse_stream_expr(
+                'facet(table(t), buckets="g",'
+                ' bucketSorts="count(*) desc, g asc", bucketSizeLimit=2,'
+                ' count(*), sum(v), avg(v))'
+            ),
+            {"sf_dir": ""},
+        ).to_pandas()
+        # b(3 rows) then a(2 rows); c cut by bucketSizeLimit
+        assert got["g"].tolist() == ["b", "a"]
+        assert got["count(*)"].tolist() == [3, 2]
+        assert got["sum(v)"].tolist() == [6.0, 4.0]
+        assert got["avg(v)"].tolist() == [2.0, 2.0]
+
+        st = _build(
+            parse_stream_expr(
+                "stats(table(t), count(*), sum(v), min(v), max(v))"
+            ),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert len(st) == 1 and "_stats" not in st.columns
+        assert st["count(*)"].iloc[0] == 6
+        assert st["sum(v)"].iloc[0] == 19.0
+        assert (st["min(v)"].iloc[0], st["max(v)"].iloc[0]) == (1.0, 9.0)
+
+        # daily buckets keep the field name; MONTH gap coarsens
+        ts = _build(
+            parse_stream_expr(
+                'timeseries(table(t), field=ts, gap="+1DAY", count(*))'
+            ),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert ts["ts"].tolist() == ["2024-01-01", "2024-01-02", "2024-02-01"]
+        assert ts["count(*)"].tolist() == [2, 2, 2]
+        tm = _build(
+            parse_stream_expr(
+                'timeseries(table(t), field=ts, gap="+1MONTH", count(*))'
+            ),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert tm["ts"].tolist() == ["2024-01", "2024-02"]
+        assert tm["count(*)"].tolist() == [4, 2]
+        with pytest.raises(ValueError):
+            _build(
+                parse_stream_expr(
+                    'timeseries(table(t), field=ts, gap="+1WEEK", count(*))'
+                ),
+                {"sf_dir": ""},
+            )
+        # metric-free facet fails loud
+        with pytest.raises(ValueError):
+            _build(
+                parse_stream_expr('facet(table(t), buckets="g")'),
+                {"sf_dir": ""},
+            )
+    finally:
+        STREAM_BUILDERS["table"] = orig
+
+
+def test_merge_and_leftouterjoin_builders(ray_session):
+    import ray.data as rd
+
+    tables = {
+        "l": pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]}),
+        "r": pd.DataFrame({"rk": [2, 4, 9], "extra": ["b", "d", "z"]}),
+    }
+    orig = STREAM_BUILDERS["table"]
+    STREAM_BUILDERS["table"] = (
+        lambda a, k, ctx: rd.from_pandas(tables[a[0][1]])
+    )
+    try:
+        got = _build(
+            parse_stream_expr(
+                'leftOuterJoin(sort(table(l), by="k"),'
+                ' sort(table(r), by="rk"), on="k=rk")'
+            ),
+            {"sf_dir": ""},
+        ).to_pandas().sort_values("k")
+        # every left tuple survives; unmatched right fields are null
+        assert got["k"].tolist() == [1, 2, 3, 4]
+        assert got["extra"].tolist()[1] == "b" and got["extra"].tolist()[3] == "d"
+        assert pd.isna(got["extra"].iloc[0]) and pd.isna(got["extra"].iloc[2])
+
+        m = _build(
+            parse_stream_expr(
+                'merge(select(table(l), keep="k"),'
+                ' select(table(l), keep="k"), on="k desc")'
+            ),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert m["k"].tolist() == [4, 4, 3, 3, 2, 2, 1, 1]
+    finally:
+        STREAM_BUILDERS["table"] = orig
