@@ -1078,3 +1078,206 @@ ORACLE["stratified_split_documents"] = """
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter / CommonGramsFilter / PhoneticFilter (Soundex)
+# (r3 analysis-factory batch)
+# ---------------------------------------------------------------------------
+
+# WordDelimiterGraphFilter's split rules as an ordered regex chain —
+# uppercase-run boundary FIRST ("HTMLParser" -> "HTML Parser"), then
+# camelCase, then letter<->digit transitions; identical chain on both the
+# pandas side (re) and the oracle side (RE2) so the subword streams match.
+_WDGF_CHAIN = [
+    ("([A-Z]+)([A-Z][a-z])", r"\1 \2"),
+    ("([a-z])([A-Z])", r"\1 \2"),
+    ("([A-Za-z])([0-9])", r"\1 \2"),
+    ("([0-9])([A-Za-z])", r"\1 \2"),
+]
+
+
+def q_word_delimiter_topterms_documents(sf_dir: str):
+    """WordDelimiterGraphFilter (`lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/miscellaneous/WordDelimiterGraphFilter.java`,
+    generateWordParts=generateNumberParts=splitOnCaseChange=
+    splitOnNumerics=1, catenate=0): top subword terms.  The corpus text is
+    all-lowercase, so the op derives TWO camelCase identifiers per doc
+    from real columns ('Conv{doc_id%1000}{Lang}X2b', 'HTML{Source}') —
+    uppercase runs, camel humps and letter<->digit seams all exercised —
+    and splits them with the documented regex chain, fully vectorized
+    (pandas str kernels, no per-row Python)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def count(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cap = lambda s: s.str[:1].str.upper() + s.str[1:]
+        raw = pd.concat(
+            [
+                "Conv" + (df["doc_id"] % 1000).astype(str)
+                + cap(df["lang"]) + "X2b",
+                "HTML" + cap(df["source"]),
+            ],
+            ignore_index=True,
+        )
+        for pat, rep in _WDGF_CHAIN:
+            raw = raw.str.replace(pat, rep, regex=True)
+        terms = raw.str.lower().str.split(" ").explode()
+        vc = terms.value_counts()
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy().astype(str)),
+                "cnt": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    return _sum_sort_limit(
+        ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True),
+        TOP_TERMS,
+    )
+
+
+QUERIES["word_delimiter_topterms_documents"] = (
+    q_word_delimiter_topterms_documents
+)
+ORACLE["word_delimiter_topterms_documents"] = f"""
+    WITH raw AS (
+      SELECT 'Conv' || (doc_id % 1000)::VARCHAR
+             || upper(substr(lang, 1, 1)) || substr(lang, 2)
+             || 'X2b' AS s
+      FROM documents
+      UNION ALL
+      SELECT 'HTML' || upper(substr(source, 1, 1)) || substr(source, 2)
+      FROM documents
+    )
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(string_split(lower(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+          '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+          '([a-z])([A-Z])', '\\1 \\2', 'g'),
+          '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+          '([0-9])([A-Za-z])', '\\1 \\2', 'g')), ' ')) AS term
+      FROM raw)
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+_COMMON_WORDS = ("the", "a")
+
+
+def q_common_grams_documents(sf_dir: str):
+    """CommonGramsFilter (`lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java`): bigrams formed when either neighbor is a
+    common word (joined with '_' like the reference's GRAM_TYPE tokens);
+    top gram counts.  Unigrams pass through the real filter too — the op
+    counts the grams, which is the part the filter ADDS."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    common = frozenset(_COMMON_WORDS)
+
+    def count(texts):
+        c = Counter()
+        for x in texts:
+            toks = _TOKEN_RE.findall(x or "")
+            c.update(
+                f"{toks[i]}_{toks[i + 1]}"
+                for i in range(len(toks) - 1)
+                if toks[i] in common or toks[i + 1] in common
+            )
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_BIGRAMS)
+
+
+QUERIES["common_grams_documents"] = q_common_grams_documents
+ORACLE["common_grams_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(list_transform(
+        list_filter(range(1, len(l)),
+                    i -> l[i] IN ('the', 'a') OR l[i + 1] IN ('the', 'a')),
+        i -> l[i] || '_' || l[i + 1])) AS term
+      FROM (SELECT regexp_extract_all(lower(text), '{{TOKEN_RE}}') AS l
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_BIGRAMS}
+""".replace("{TOKEN_RE}", TOKEN_SQL_RE)
+
+
+def soundex(token: str) -> str:
+    """American Soundex (the PhoneticFilterFactory's default encoder,
+    `lucene/analysis/phonetic/.../PhoneticFilterFactory.java` +
+    commons-codec Soundex): keep the first letter; H/W are transparent
+    (removed before coding, so codes that meet across them collapse);
+    consonant classes 1-6; vowels code 0 and break runs; adjacent equal
+    codes collapse INCLUDING against the first letter's code; strip
+    zeros; pad/truncate to 4 chars."""
+    from itertools import groupby
+
+    u = token.upper()
+    rest = u[1:].replace("H", "").replace("W", "")
+    codes = (u[0] + rest).translate(_SOUNDEX_MAP)
+    collapsed = "".join(k for k, _ in groupby(codes))
+    digits = collapsed[1:].replace("0", "")
+    return u[0] + (digits + "000")[:3]
+
+
+_SOUNDEX_MAP = str.maketrans(
+    "BFPVCGJKQSXZDTLMNRAEIOUY", "111122222222334556000000"
+)
+
+
+def _soundex_sql(col: str) -> str:
+    """The same Soundex as a DuckDB expression.  Adjacent-duplicate
+    collapse is 5 nested replace() passes per digit (handles runs <= 32;
+    the Python side collapses fully — identical on any real token)."""
+    u = f"upper({col})"
+    rest = f"replace(replace(substr({u}, 2), 'H', ''), 'W', '')"
+    codes = (
+        f"translate(substr({u}, 1, 1) || {rest},"
+        f" 'BFPVCGJKQSXZDTLMNRAEIOUY', '111122222222334556000000')"
+    )
+    collapsed = codes
+    for d in "0123456":
+        for _ in range(5):
+            collapsed = f"replace({collapsed}, '{d}{d}', '{d}')"
+    return (
+        f"substr({u}, 1, 1) || substr("
+        f"replace(substr({collapsed}, 2), '0', '') || '000', 1, 3)"
+    )
+
+
+def q_soundex_topterms_documents(sf_dir: str):
+    """PhoneticFilter with the Soundex encoder: top phonetic codes over
+    the corpus vocabulary (each token replaced by its code, like
+    inject=false).  Codes computed once per DISTINCT term per batch
+    (dictionary-encode first), not per occurrence."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def count(texts):
+        c = Counter()
+        memo: dict = {}
+        for x in texts:
+            for t in _TOKEN_RE.findall(x or ""):
+                code = memo.get(t)
+                if code is None:
+                    code = memo[t] = soundex(t)
+                c[code] += 1
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+QUERIES["soundex_topterms_documents"] = q_soundex_topterms_documents
+ORACLE["soundex_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT {_soundex_sql('t')} AS term FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS t
+        FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""

@@ -48,6 +48,8 @@ _SAMPLE_FIRST = [
     "eval_fft_events", "eval_ttest_lineitem",
     "eval_poisson_orders", "eval_polyfit_lineitem",
     "stream_expr_facet_events", "stream_expr_timeseries_events",
+    "word_delimiter_topterms_documents", "common_grams_documents",
+    "soundex_topterms_documents",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",

@@ -243,3 +243,36 @@ def test_kstem_goldens():
     assert kstem("national") == "national"
     # chained: plural then participle never double-fires on one suffix
     assert kstem("settings") == "setting"
+
+
+def test_soundex_classic_vectors():
+    """Classic American-Soundex goldens (the commons-codec test set)."""
+    from rindex.ops.analysis_ext import soundex
+
+    vectors = {
+        "Robert": "R163", "Rupert": "R163", "Rubin": "R150",
+        "Ashcraft": "A261", "Ashcroft": "A261",   # H transparency
+        "Tymczak": "T522",                          # vowel breaks runs
+        "Pfister": "P236",   # first letter's code collapses with next
+        "Honeyman": "H555",
+        "a": "A000", "wright": "W623",
+    }
+    for word, code in vectors.items():
+        assert soundex(word) == code, (word, soundex(word), code)
+
+
+def test_word_delimiter_chain():
+    import re
+
+    from rindex.ops.analysis_ext import _WDGF_CHAIN
+
+    def split(s):
+        for pat, rep in _WDGF_CHAIN:
+            s = re.sub(pat, rep, s)
+        return s.lower().split(" ")
+
+    assert split("HTMLParser") == ["html", "parser"]
+    assert split("Conv42EnX2b") == ["conv", "42", "en", "x", "2", "b"]
+    assert split("aBcD") == ["a", "bc", "d"]
+    assert split("PowerShot500") == ["power", "shot", "500"]
+    assert split("plain") == ["plain"]
