@@ -44,6 +44,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rindex.ops.analysis_ext import TOKEN_SQL_RE
 from rindex.ops.util import read_table
 
 QUERIES: dict = {}
@@ -387,3 +388,51 @@ def _elevation_oracle() -> str:
 
 
 ORACLE["query_elevation_documents"] = _elevation_oracle()
+
+
+TERMS_SET = ("fast", "merge", "vector")
+TERMS_LIMIT = 100
+
+
+def q_terms_set_filter_documents(sf_dir: str):
+    """TermInSetQuery / the {!terms f=text} query parser
+    (`lucene/core/src/java/org/apache/lucene/search/TermInSetQuery.java`,
+    `solr/core/.../search/TermsQParserPlugin.java`): constant-score doc
+    set matching ANY of the listed terms — no dictionary expansion pass
+    at all (the terms are given), ONE OR-query match-set pipeline over
+    the index with scores discarded, doc_id-asc first 100."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    ds = s.score_matches_dataset(" ".join(TERMS_SET), mode="or")
+    out = (
+        ds.groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .sort("doc_id")
+        .limit(TERMS_LIMIT)
+        .to_pandas()
+    )
+    out["score"] = 1.0
+    return out[["doc_id", "score"]]
+
+
+QUERIES["terms_set_filter_documents"] = q_terms_set_filter_documents
+ORACLE["terms_set_filter_documents"] = """
+    SELECT doc_id, 1.0 AS score
+    FROM documents
+    WHERE {conds}
+    ORDER BY doc_id LIMIT {lim}
+""".format(
+    conds=" OR ".join(
+        "list_contains(regexp_extract_all(lower(text), '"
+        + TOKEN_SQL_RE + "'), '" + t + "')"
+        for t in TERMS_SET
+    ),
+    lim=TERMS_LIMIT,
+)
