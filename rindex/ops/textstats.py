@@ -618,9 +618,17 @@ def q_curation_pipeline_documents(sf_dir: str):
     from rindex.ops.analysis_ext import split_bucket100, split_of_buckets
     from rindex.ops.dedup import q_ngram_jaccard_neardup
 
-    pairs = q_ngram_jaccard_neardup(sf_dir)
+    # the two drop-set derivations are INDEPENDENT distributed pipelines —
+    # overlap them on the cluster instead of serializing two full corpus
+    # scans on the driver (at cluster scale these are concurrent stages of
+    # one DAG; results are deterministic either way)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_pairs = ex.submit(q_ngram_jaccard_neardup, sf_dir)
+        f_contam = ex.submit(q_contamination_check_documents, sf_dir)
+        pairs, contam = f_pairs.result(), f_contam.result()
     dup_drop = set(pairs["doc_b"].astype(int)) if len(pairs) else set()
-    contam = q_contamination_check_documents(sf_dir)
     contam_drop = set(contam["doc_id"].astype(int)) if len(contam) else set()
     drop_ref = ray.put(
         np.array(sorted(dup_drop | contam_drop), dtype=np.int64)

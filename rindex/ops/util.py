@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import threading
 
 import pandas as pd
 import pyarrow as pa
@@ -18,13 +19,24 @@ def cache_dir(sf_dir: str, tag: str) -> str:
     return os.path.join("/tmp", "rindex_cache", f"{tag}-{key}")
 
 
+_READ_LOCK = threading.Lock()
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
-    """Pruned parquet read (columns pushed down to the scan)."""
+    """Pruned parquet read (columns pushed down to the scan).
+
+    Datasource CONSTRUCTION is serialized: Ray's ParquetDatasource probes
+    fsspec's lazily-imported http module, whose import FAILS here (no
+    aiohttp) and therefore never caches — two threads racing that import
+    see a partially-initialized module and die with a plain ImportError
+    Ray doesn't catch.  Construction is milliseconds (schema inference);
+    execution stays fully concurrent."""
     import ray.data as rd
 
-    return rd.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
-    )
+    with _READ_LOCK:
+        return rd.read_parquet(
+            os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+        )
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
