@@ -761,3 +761,96 @@ def _curation_oracle_sql() -> str:
 
 QUERIES["curation_pipeline_documents"] = q_curation_pipeline_documents
 ORACLE["curation_pipeline_documents"] = _curation_oracle_sql()
+
+
+SEQ_LEN = 2048        # training context window (tokens)
+PACK_SHARD = 128      # docs per prefix-sum shard (small so the
+                      # multi-shard base path is exercised at test scale)
+
+
+def q_sequence_packing_documents(sf_dir: str):
+    """GPT-style sequence packing: concatenate every doc's tokens (+1 EOS
+    each) in doc_id order and cut the stream into SEQ_LEN-token training
+    chunks; emit each doc's global token offset and the chunk range it
+    lands in.  The global offsets come from a DISTRIBUTED parallel prefix
+    sum — per-shard stride totals reduce via one groupby, the driver
+    prefix-sums the tiny shard-base vector (n_docs/PACK_SHARD entries,
+    the designated small side), and a per-shard map_groups adds the local
+    cumulative sums; at 10^12 docs the shard bases stay millions of rows,
+    never the corpus.  All-integer outputs — exact compare."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.utf8_lower(pc.coalesce(
+            t["text"].combine_chunks(), "")).to_pylist()
+        n = np.fromiter(
+            (len(_TOKEN_RE.findall(x)) for x in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": ids, "n": n, "shard": ids // PACK_SHARD}
+        )
+
+    cnt = ds.map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two consumers; 3 ints/doc, far below corpus size
+    tot = (
+        cnt.groupby("shard")
+        .aggregate(Sum("n", alias_name="s"), Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("shard")
+    )
+    strides = (tot["s"] + tot["c"]).to_numpy(np.int64)  # +1 EOS per doc
+    bases = np.concatenate([[0], np.cumsum(strides)[:-1]]).astype(np.int64)
+    base_ref = ray.put(
+        dict(zip(tot["shard"].astype(int), (int(b) for b in bases)))
+    )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["n"].to_numpy(np.int64)
+        local = np.concatenate([[0], np.cumsum(n + 1)[:-1]]).astype(np.int64)
+        off = local + ray.get(base_ref)[int(g["shard"].iloc[0])]
+        last = off + n  # the doc's EOS position
+        cf, cl = off // SEQ_LEN, last // SEQ_LEN
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "tok_offset": off,
+                "chunk_first": cf,
+                "chunk_last": cl,
+                "n_chunks": cl - cf + 1,
+            }
+        )
+
+    return cnt.groupby("shard").map_groups(pack, batch_format="pandas")
+
+
+QUERIES["sequence_packing_documents"] = q_sequence_packing_documents
+ORACLE["sequence_packing_documents"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '[0-9a-z]+'))::BIGINT AS n
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n,
+             coalesce(sum(n + 1) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS off
+      FROM t
+    )
+    SELECT doc_id, n AS n_tokens, off AS tok_offset,
+           off // {SEQ_LEN} AS chunk_first,
+           (off + n) // {SEQ_LEN} AS chunk_last,
+           ((off + n) // {SEQ_LEN} - off // {SEQ_LEN} + 1) AS n_chunks
+    FROM o ORDER BY doc_id
+"""
