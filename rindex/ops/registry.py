@@ -50,7 +50,7 @@ _SAMPLE_FIRST = [
     "stream_expr_facet_events", "stream_expr_timeseries_events",
     "word_delimiter_topterms_documents", "common_grams_documents",
     "soundex_topterms_documents", "terms_set_filter_documents",
-    "sequence_packing_documents",
+    "sequence_packing_documents", "mixture_sample_documents",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",

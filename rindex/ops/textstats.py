@@ -26,6 +26,7 @@ ORACLE: dict = {}
 
 _TOKEN_RE = re.compile(r"[0-9a-z]+")
 _PUNCT_RE = re.compile(r"[.!?,;:]")
+_NUM_RE = re.compile(r"[0-9]+")
 
 STOPSETS = {
     "en": {"the", "a", "of", "to", "and", "in", "is", "it"},
@@ -854,3 +855,100 @@ ORACLE["sequence_packing_documents"] = f"""
            ((off + n) // {SEQ_LEN} - off // {SEQ_LEN} + 1) AS n_chunks
     FROM o ORDER BY doc_id
 """
+
+
+MIXTURE_RATES = {0: 100, 1: 50, 2: 25, 3: 10}  # percent kept per domain
+
+
+def q_mixture_sample_documents(sf_dir: str):
+    """Deterministic domain-mixture resampling (the static data-remix
+    stage of a training-data pipeline — DoReMi/The-Pile-style mixture
+    weights applied as per-domain keep rates): domain = source number
+    mod 4, keep a doc iff its seed-free md5 bucket (the SAME
+    split_bucket100 definition the split ops use — one hash, never a
+    second sampling scheme) falls under the domain's rate.  ONE corpus
+    scan emitting per-batch integer partials, one tiny groupby; exact
+    integer outputs per domain: docs in, docs kept, tokens kept."""
+    from ray.data.aggregate import Sum
+
+    from rindex.ops.analysis_ext import split_bucket100
+
+    rates = np.array([MIXTURE_RATES[d] for d in range(4)], np.int64)
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy()
+        src = t["source"].to_pylist()
+        # FIRST digit run, mirroring the oracle's regexp_extract('[0-9]+')
+        # (an all-digits re.sub would diverge on multi-run source names)
+        def first_num(s: str) -> int:
+            m = _NUM_RE.search(s)
+            return int(m.group(0)) if m else 0
+
+        domain = np.fromiter(
+            (first_num(s) % 4 for s in src), np.int64, len(src)
+        )
+        keep = split_bucket100(ids) < rates[domain]
+        texts = pc.utf8_lower(pc.coalesce(
+            t["text"].combine_chunks(), "")).to_pylist()
+        ntok = np.fromiter(
+            (len(_TOKEN_RE.findall(x)) for x in texts),
+            np.int64, len(texts),
+        )
+        out = {"domain": [], "n_in": [], "n_kept": [], "tokens_kept": []}
+        for d in np.unique(domain):
+            m = domain == d
+            out["domain"].append(int(d))
+            out["n_in"].append(int(m.sum()))
+            out["n_kept"].append(int((m & keep).sum()))
+            out["tokens_kept"].append(int(ntok[m & keep].sum()))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in out.items()}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("domain")
+        .aggregate(
+            Sum("n_in", alias_name="n_in"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("tokens_kept", alias_name="tokens_kept"),
+        )
+        .sort("domain")
+    )
+
+
+QUERIES["mixture_sample_documents"] = q_mixture_sample_documents
+
+
+def _mixture_oracle() -> str:
+    from rindex.ops.analysis_ext import SPLIT_BUCKET_SQL
+
+    rate_case = " ".join(
+        f"WHEN {d} THEN {r}" for d, r in sorted(MIXTURE_RATES.items())
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             (regexp_extract(source, '[0-9]+')::BIGINT % 4) AS domain,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '[0-9a-z]+'))::BIGINT AS ntok,
+             md5(doc_id::VARCHAR) AS h
+      FROM documents
+    ),
+    k AS (
+      SELECT domain, ntok,
+             ({SPLIT_BUCKET_SQL}
+              < CASE domain {rate_case} END) AS keep
+      FROM t
+    )
+    SELECT domain, count(*)::BIGINT AS n_in,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN keep THEN ntok ELSE 0 END)::BIGINT AS tokens_kept
+    FROM k GROUP BY domain ORDER BY domain
+    """
+
+
+ORACLE["mixture_sample_documents"] = _mixture_oracle()
