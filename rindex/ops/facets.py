@@ -445,3 +445,62 @@ ORACLE["range_facet_hardend_orders"] = f"""
     GROUP BY label
     ORDER BY label
 """
+
+
+def q_json_facet_allbuckets_events(sf_dir: str):
+    """JSON Facet API allBuckets/numBuckets (`solr/core/src/java/org/
+    apache/solr/search/facet/FacetFieldProcessor.java#allBucketsAcc`):
+    terms facet on event_type, limit 3 by count desc, with the two
+    summary accumulators the API adds — allBuckets (stats over the WHOLE
+    domain regardless of limit) and numBuckets (total distinct buckets).
+    ONE distributed groupby feeds the buckets, the summaries derive from
+    its (small) result; integer cents keep the sums exact."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    g = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    top = g.sort_values(
+        ["n", "event_type"], ascending=[False, True], kind="mergesort"
+    ).head(3).copy()
+    top["sum_value"] = top["cents"] / 100.0
+    top = top.drop(columns=["cents"])
+    top["num_buckets"] = np.int64(len(g))
+    top["all_n"] = np.int64(g["n"].sum())
+    top["all_sum_value"] = int(g["cents"].sum()) / 100.0
+    return top.reset_index(drop=True)
+
+
+QUERIES["json_facet_allbuckets_events"] = q_json_facet_allbuckets_events
+ORACLE["json_facet_allbuckets_events"] = """
+    WITH g AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(cast(round(value * 100.0) AS BIGINT))::BIGINT AS cents
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT count(*)::BIGINT AS num_buckets, sum(n)::BIGINT AS all_n,
+             sum(cents)::BIGINT AS all_cents
+      FROM g
+    )
+    SELECT event_type, n, cents / 100.0 AS sum_value,
+           num_buckets, all_n, all_cents / 100.0 AS all_sum_value
+    FROM g, a
+    ORDER BY n DESC, event_type ASC
+    LIMIT 3
+"""

@@ -51,6 +51,7 @@ _SAMPLE_FIRST = [
     "word_delimiter_topterms_documents", "common_grams_documents",
     "soundex_topterms_documents", "terms_set_filter_documents",
     "sequence_packing_documents", "mixture_sample_documents",
+    "json_facet_allbuckets_events",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",
