@@ -1550,3 +1550,238 @@ ORACLE["eval_polyfit_lineitem"] = """
            round(da / det + db / det * 25.0 + dc / det * 625.0, 6) AS pred25
     FROM d
 """
+
+
+def _mann_whitney(v, c1, c2):
+    """MannWhitneyUTestEvaluator (weighted form, like the KS kernel): the
+    samples arrive as (distinct value, count-in-group-1, count-in-group-2)
+    — the tiny side of a distributed groupby — and the U statistic comes
+    from tie-averaged ranks computed on counts, never on expanded rows.
+    Returns [U1, z] with the tie-corrected normal approximation; every
+    expression mirrors the SQL oracle verbatim."""
+    v = np.asarray(v, np.float64)
+    c1 = np.asarray(c1, np.float64)
+    c2 = np.asarray(c2, np.float64)
+    order = np.argsort(v)
+    c1, c2 = c1[order], c2[order]
+    t = c1 + c2
+    cum = np.cumsum(t)
+    # average rank of a tied block ending at cum: (start + end) / 2
+    avg_rank = (cum - t + 1.0 + cum) / 2.0
+    n1, n2 = c1.sum(), c2.sum()
+    n = n1 + n2
+    u1 = (c1 * avg_rank).sum() - n1 * (n1 + 1.0) / 2.0
+    mu = n1 * n2 / 2.0
+    tie = (t * t * t - t).sum()
+    sigma = np.sqrt(
+        n1 * n2 / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0)))
+    )
+    return np.array([u1, (u1 - mu) / sigma])
+
+
+def _chi_square_gof(observed):
+    """ChiSquareDataSetEvaluator (goodness-of-fit vs the uniform
+    expectation): chi2 = sum((o - e)^2 / e), df = k - 1."""
+    o = np.asarray(observed, np.float64)
+    e = o.sum() / float(len(o))
+    return np.array([(((o - e) * (o - e)) / e).sum(), float(len(o) - 1)])
+
+
+EVALUATORS.update({
+    "mannWhitney": _mann_whitney,
+    "chiSquareGoF": _chi_square_gof,
+})
+
+
+def q_eval_describe_daily_events(sf_dir: str):
+    """DescribeEvaluator over a collected stream (Solr shape:
+    let(a=search(...), describe(col(a, n)))): summary stats of the daily
+    event-count series — the series reduces DISTRIBUTED, describe() runs
+    its mean/var/stddev/norm kernels on the small side.  Integer counts
+    make every formula exact."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    v = s["n"].to_numpy(np.float64)
+    scope = let_eval(
+        {
+            "m": "mean(v)", "sd": "stddev(v)", "vv": "var(v)",
+            "l2": "norm(v)", "l1": "l1norm(v)", "li": "linfnorm(v)",
+            "gs": "grandSum(v)",
+        },
+        {"v": v},
+    )
+    return pd.DataFrame(
+        {
+            "n_days": [np.int64(len(v))],
+            "total": [np.int64(scope["gs"])],
+            "mean": [round_sql(scope["m"])],
+            "variance": [round_sql(scope["vv"])],
+            "stddev": [round_sql(scope["sd"])],
+            "l2norm": [round_sql(scope["l2"])],
+            "max_day": [np.int64(scope["li"])],
+        }
+    )
+
+
+QUERIES["eval_describe_daily_events"] = q_eval_describe_daily_events
+ORACLE["eval_describe_daily_events"] = """
+    WITH s AS (
+      SELECT year(ts) AS y, dayofyear(ts) AS doy, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS c, sum(n)::DOUBLE AS sm,
+             sum(n * n)::DOUBLE AS ss, max(n)::BIGINT AS mx
+      FROM s
+    )
+    SELECT c::BIGINT AS n_days, sm::BIGINT AS total,
+           round(sm / c, 6) AS mean,
+           round((ss - sm * sm / c) / (c - 1.0), 6) AS variance,
+           round(sqrt((ss - sm * sm / c) / (c - 1.0)), 6) AS stddev,
+           round(sqrt(ss), 6) AS l2norm,
+           mx AS max_day
+    FROM m
+"""
+
+
+def q_eval_mannwhitney_lineitem(sf_dir: str):
+    """Mann-Whitney U (MannWhitneyUTestEvaluator): l_quantity of
+    returnflag 'R' vs 'N'.  The corpus reduces to ~50 (value, count_R,
+    count_N) rows via ONE distributed groupby; tie-averaged ranks, U and
+    the tie-corrected z derive from those integer counts — identical
+    expression tree in the oracle's window-function form."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (flag == "R") | (flag == "N")
+        q, flag = q[m], flag[m]
+        isr = (flag == "R").astype(np.int64)
+        vals, inv = np.unique(q, return_inverse=True)
+        cr = np.zeros(len(vals), np.int64)
+        cn = np.zeros(len(vals), np.int64)
+        np.add.at(cr, inv, isr)
+        np.add.at(cn, inv, 1 - isr)
+        return pa.table(
+            {
+                "val": pa.array(vals),
+                "c_r": pa.array(cr),
+                "c_n": pa.array(cn),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("val")
+        .aggregate(Sum("c_r", alias_name="c_r"), Sum("c_n", alias_name="c_n"))
+        .to_pandas()
+        .sort_values("val")
+    )
+    scope = let_eval(
+        {"uz": "mannWhitney(v, cr, cn)"},
+        {
+            "v": agg["val"].to_numpy(np.float64),
+            "cr": agg["c_r"].to_numpy(np.float64),
+            "cn": agg["c_n"].to_numpy(np.float64),
+        },
+    )
+    u1, z = (float(x) for x in scope["uz"])
+    return pd.DataFrame(
+        {
+            "n_r": [np.int64(agg["c_r"].sum())],
+            "n_n": [np.int64(agg["c_n"].sum())],
+            "u1": [round_sql(u1)],
+            "z": [round_sql(z)],
+        }
+    )
+
+
+QUERIES["eval_mannwhitney_lineitem"] = q_eval_mannwhitney_lineitem
+ORACLE["eval_mannwhitney_lineitem"] = """
+    WITH g AS (
+      SELECT cast(l_quantity AS BIGINT) AS val,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE
+               AS c1,
+             sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)::DOUBLE
+               AS c2
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+    ),
+    r AS (
+      SELECT c1, c2, c1 + c2 AS t,
+             sum(c1 + c2) OVER (ORDER BY val) AS cum
+      FROM g
+    ),
+    k AS (
+      SELECT sum(c1 * ((cum - t + 1.0 + cum) / 2.0)) AS rank_sum,
+             sum(c1) AS n1, sum(c2) AS n2,
+             sum(t * t * t - t) AS tie
+      FROM r
+    )
+    SELECT n1::BIGINT AS n_r, n2::BIGINT AS n_n,
+           round(rank_sum - n1 * (n1 + 1.0) / 2.0, 6) AS u1,
+           round(((rank_sum - n1 * (n1 + 1.0) / 2.0) - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)
+                        - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
+    FROM k
+"""
+
+
+def q_eval_chisquare_events(sf_dir: str):
+    """Chi-square goodness-of-fit (ChiSquareDataSetEvaluator shape):
+    event_type counts vs the uniform expectation.  One distributed
+    groupby; the statistic runs on the k-row collected side."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["event_type"])
+    s = (
+        ev.groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    scope = let_eval(
+        {"cs": "chiSquareGoF(o)"}, {"o": s["n"].to_numpy(np.float64)}
+    )
+    chi2, df = (float(x) for x in scope["cs"])
+    return pd.DataFrame(
+        {
+            "k": [np.int64(len(s))],
+            "n": [np.int64(s["n"].sum())],
+            "chi2": [round_sql(chi2)],
+            "df": [np.int64(df)],
+        }
+    )
+
+
+QUERIES["eval_chisquare_events"] = q_eval_chisquare_events
+ORACLE["eval_chisquare_events"] = """
+    WITH g AS (SELECT event_type, count(*)::DOUBLE AS n
+               FROM events GROUP BY 1),
+    m AS (SELECT count(*)::DOUBLE AS k, sum(n) AS total FROM g)
+    SELECT k::BIGINT AS k, total::BIGINT AS n,
+           round(sum((n - total / k) * (n - total / k) / (total / k)), 6)
+             AS chi2,
+           (k - 1)::BIGINT AS df
+    FROM g, m
+    GROUP BY k, total
+"""

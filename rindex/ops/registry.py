@@ -52,6 +52,8 @@ _SAMPLE_FIRST = [
     "soundex_topterms_documents", "terms_set_filter_documents",
     "sequence_packing_documents", "mixture_sample_documents",
     "json_facet_allbuckets_events",
+    "eval_describe_daily_events", "eval_mannwhitney_lineitem",
+    "eval_chisquare_events",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",

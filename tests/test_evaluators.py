@@ -265,3 +265,24 @@ def test_round_sql_half_away():
     assert round_sql(32.5390625) == 32.539063
     assert round_sql(-32.5390625) == -32.539063
     assert round_sql(np.array([1.0000005, 2.0])).tolist() == [1.000001, 2.0]
+
+
+def test_mannwhitney_and_chisquare_kernels():
+    from rindex.ops.evaluators import _chi_square_gof, _mann_whitney
+
+    # hand-checked: a = [1,2], b = [3,4] -> all b above a: U1 = 0,
+    # ranks 1,2 vs 3,4, no ties
+    u = _mann_whitney(np.array([1.0, 2.0, 3.0, 4.0]),
+                      np.array([1.0, 1.0, 0.0, 0.0]),
+                      np.array([0.0, 0.0, 1.0, 1.0]))
+    assert u[0] == 0.0 and u[1] < 0
+    # identical weighted distributions -> U1 = n1*n2/2 exactly, z = 0
+    u2 = _mann_whitney(np.array([1.0, 2.0]),
+                       np.array([3.0, 3.0]), np.array([3.0, 3.0]))
+    assert u2[0] == 6.0 * 6.0 / 2.0
+    assert abs(u2[1]) < 1e-12
+    # uniform observed -> chi2 == 0; known asymmetric case
+    c = _chi_square_gof(np.array([10.0, 10.0, 10.0]))
+    assert c[0] == 0.0 and c[1] == 2.0
+    c2 = _chi_square_gof(np.array([12.0, 8.0]))
+    assert abs(c2[0] - (4.0 + 4.0) / 10.0) < 1e-12
