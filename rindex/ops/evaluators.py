@@ -1785,3 +1785,80 @@ ORACLE["eval_chisquare_events"] = """
     FROM g, m
     GROUP BY k, total
 """
+
+
+def _analyze(x, name="standard"):
+    """AnalyzeEvaluator (`solr/solrj/.../io/eval/AnalyzeEvaluator.java`):
+    run a REGISTERED analyzer as a scalar function — each input string
+    becomes its token list.  Returns a Python list-of-lists (variable
+    length; the fixed-arity array kernels don't apply)."""
+    from rindex.analysis import get_analyzer
+
+    an = get_analyzer(name if isinstance(name, str) else str(name))
+    xs = x if isinstance(x, np.ndarray) else np.asarray(_str_arr(x))
+    return [an.tokens(s if isinstance(s, str) else str(s)) for s in xs]
+
+
+EVALUATORS.update({
+    "analyze": _analyze,
+    # variable-length list helpers (ListSize / valueAt over analyze())
+    "listLength": lambda ls: np.fromiter(
+        (len(l) for l in ls), np.int64, len(ls)
+    ),
+    "listAt": lambda ls, i: np.array(
+        [
+            (l[int(i)] if -len(l) <= int(i) < len(l) else None)
+            for l in ls
+        ],
+        dtype=object,
+    ),
+})
+
+
+def q_eval_analyze_documents(sf_dir: str):
+    """analyze() as a scalar evaluator inside select(): tokenize each doc
+    with the registered 'standard' analyzer and emit token count + first
+    + last token — the reference runs the same analyzer chain as a
+    column function."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {"text": t["text"].combine_chunks()}
+        memo: dict = {}
+        toks = eval_node(parse_expr('analyze(text, "standard")'), cols, memo)
+        n = EVALUATORS["listLength"](toks)
+        first = EVALUATORS["listAt"](toks, 0)
+        last = EVALUATORS["listAt"](toks, -1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pa.array(n),
+                "first_tok": pa.array(
+                    [x if x is not None else None for x in first],
+                    pa.string(),
+                ),
+                "last_tok": pa.array(
+                    [x if x is not None else None for x in last],
+                    pa.string(),
+                ),
+            }
+        )
+
+    out = docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return out.filter(expr="doc_id < 3000")
+
+
+QUERIES["eval_analyze_documents"] = q_eval_analyze_documents
+# standard analyzer = lowercase alnum runs with word-internal apostrophes
+ORACLE["eval_analyze_documents"] = """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')),
+               '[0-9a-z]+(?:''[0-9a-z]+)*') AS l
+      FROM documents WHERE doc_id < 3000
+    )
+    SELECT doc_id, len(l)::BIGINT AS n_tok,
+           CASE WHEN len(l) > 0 THEN l[1] END AS first_tok,
+           CASE WHEN len(l) > 0 THEN l[len(l)] END AS last_tok
+    FROM t
+"""
