@@ -286,3 +286,43 @@ def test_mannwhitney_and_chisquare_kernels():
     assert c[0] == 0.0 and c[1] == 2.0
     c2 = _chi_square_gof(np.array([12.0, 8.0]))
     assert abs(c2[0] - (4.0 + 4.0) / 10.0) < 1e-12
+
+
+def test_timeseries_kernels_property():
+    """Property check over random integer series: movingAvg/diff/EMA/
+    minMaxScale/standardize agree with naive per-element references."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rindex.ops.evaluators import EVALUATORS
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10**6),
+                 min_size=8, max_size=40),
+        st.integers(min_value=2, max_value=7),
+    )
+    def check(xs, k):
+        v = np.array(xs, np.float64)
+        mov = EVALUATORS["movingAvg"](v, k)
+        assert len(mov) == len(v) - k + 1
+        for i in range(len(mov)):
+            assert mov[i] == v[i:i + k].sum() / float(k)  # integer-exact
+        d = EVALUATORS["diff"](v)
+        assert np.array_equal(d, v[1:] - v[:-1])
+        ema = EVALUATORS["expMovingAvg"](v, k)
+        a, e = 2.0 / (k + 1.0), v[0]
+        for i, x in enumerate(v):
+            if i:
+                e = a * x + (1.0 - a) * e
+            assert ema[i] == e
+        if v.max() > v.min():
+            mm = EVALUATORS["minMaxScale"](v)
+            assert mm.min() == 0.0 and mm.max() == 1.0
+            assert np.all((mm >= 0.0) & (mm <= 1.0))
+        if len(np.unique(v)) > 1:
+            z = EVALUATORS["standardize"](v)
+            assert abs(z.mean()) < 1e-9
+            assert abs(np.std(z, ddof=1) - 1.0) < 1e-9
+
+    check()
