@@ -1066,3 +1066,324 @@ def _hybrid_oracle_sql() -> str:
 
 
 ORACLE["hybrid_bm25_cosine_topk"] = _hybrid_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — vector compression for the 100-TB embedding
+# path (FAISS IndexPQ shape; Lucene 9's vector quantization is the scalar
+# variant already implemented above as embedding_quantize_int8)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4        # subspaces
+PQ_DSUB = 16    # dims per subspace (4 x 16 = 64)
+PQ_K = 16       # codewords per subspace (4-bit codes)
+PQ_TRAIN = 128  # training sample: the lowest vec_ids (bounded, id-keyed)
+PQ_ITERS = 5    # unrolled Lloyd steps
+PQ_OUT = 200    # vec_ids emitted by the op
+
+
+def _pq_codebooks(sf_dir: str) -> np.ndarray:
+    """Deterministic PQ training: per-subspace EUCLIDEAN Lloyd k-means on
+    the lowest PQ_TRAIN vec_ids, init = the lowest PQ_K vectors' slices,
+    empty clusters carry the previous codeword.  Same bounded-sample
+    contract as the IVF coarse quantizer: training cost is constant in
+    corpus size, only encoding scales."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", PQ_TRAIN)],
+    )
+    order = np.argsort(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    books = np.empty((PQ_M, PQ_K, PQ_DSUB), np.float64)
+    for m in range(PQ_M):
+        S = X[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+        C = S[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest cid, like SQL
+            for k in range(PQ_K):
+                sel = assign == k
+                if sel.any():
+                    C[k] = S[sel].mean(axis=0)
+        books[m] = C
+    return books
+
+
+def q_embedding_pq_codes(sf_dir: str):
+    """Product-quantization encoding: every embedding splits into PQ_M
+    subvectors, each mapped to its nearest per-subspace codeword —
+    64 floats become 4 4-bit codes (64x compression).  Training is the
+    bounded deterministic sample; ENCODING is the distributed stage
+    (codebooks broadcast once via ray.put, one argmin matmul per batch).
+    Integer code outputs compare exact; the oracle re-derives the entire
+    training with unrolled Lloyd CTEs keyed by (subspace, codeword)."""
+    import ray
+
+    books = _pq_codebooks(sf_dir)
+    bref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        B = ray.get(bref)
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        cols = {"vec_id": t["vec_id"]}
+        for m in range(PQ_M):
+            S = V[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+            d2 = ((S[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+            cols[f"code{m}"] = pa.array(
+                np.argmin(d2, axis=1).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = emb.map_batches(encode, batch_format="pyarrow")
+    return out.filter(expr=f"vec_id < {PQ_OUT}")
+
+
+def _pq_oracle_sql() -> str:
+    it = []
+    for n in range(PQ_ITERS):
+        it.append(f"""
+    d{n} AS MATERIALIZED (
+      SELECT x.vec_id, x.m, c.cid,
+             sum((x.v - c.cv) * (x.v - c.cv)) AS d2
+      FROM xt x JOIN c{n} c ON c.m = x.m AND c.j = x.j
+      GROUP BY 1, 2, 3
+    ),
+    a{n} AS MATERIALIZED (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM d{n}) WHERE rn = 1
+    ),
+    m{n} AS MATERIALIZED (
+      SELECT a.m, a.cid, x.j, avg(x.v) AS mv
+      FROM a{n} a JOIN xt x ON x.vec_id = a.vec_id AND x.m = a.m
+      GROUP BY 1, 2, 3
+    ),
+    c{n + 1} AS MATERIALIZED (
+      SELECT c.m, c.cid, c.j, coalesce(m.mv, c.cv) AS cv
+      FROM c{n} c
+      LEFT JOIN m{n} m ON m.m = c.m AND m.cid = c.cid AND m.j = c.j
+    )""")
+    final = f"c{PQ_ITERS}"
+    return f"""
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS MATERIALIZED (  -- long form, keyed by (subspace m, local dim j)
+      SELECT vec_id,
+             (i - 1) // {PQ_DSUB} AS m, (i - 1) % {PQ_DSUB} AS j, v
+      FROM (SELECT vec_id, unnest(range(1, len(e) + 1)) AS i,
+                   unnest(e) AS v FROM emb)
+    ),
+    xt AS MATERIALIZED (SELECT * FROM sub WHERE vec_id < {PQ_TRAIN}),
+    c0 AS MATERIALIZED (  -- init: the lowest PQ_K vectors' slices
+      SELECT m, vec_id AS cid, j, v AS cv FROM xt WHERE vec_id < {PQ_K}
+    ),{",".join(it)},
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY sum((s.v - c.cv) * (s.v - c.cv)) ASC, c.cid ASC)
+                 AS rn
+        FROM sub s JOIN {final} c ON c.m = s.m AND c.j = s.j
+        GROUP BY s.vec_id, s.m, c.cid)
+      WHERE rn = 1
+    )
+    SELECT vec_id,
+           max(CASE WHEN m = 0 THEN cid END)::BIGINT AS code0,
+           max(CASE WHEN m = 1 THEN cid END)::BIGINT AS code1,
+           max(CASE WHEN m = 2 THEN cid END)::BIGINT AS code2,
+           max(CASE WHEN m = 3 THEN cid END)::BIGINT AS code3
+    FROM codes WHERE vec_id < {PQ_OUT}
+    GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+QUERIES["embedding_pq_codes"] = q_embedding_pq_codes
+ORACLE["embedding_pq_codes"] = _pq_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion — the rank-based hybrid combiner (Cormack et al.
+# 2009; the shape Solr >=9 exposes as the "combiner" for hybrid search —
+# anchor: the RankQuery SPI, `solr/core/src/java/org/apache/solr/search/
+# RankQuery.java`).  Linear-blend hybrid above fuses SCORES; RRF fuses
+# RANKS, so the two systems need no score calibration.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the standard RRF damping constant
+RRF_POOL = 50     # per-system candidate pool (top-POOL each side)
+RRF_TOPK = 10
+
+
+def q_rrf_fusion_topk(sf_dir: str):
+    """Reciprocal rank fusion of the BM25 ranking and the embedding-cosine
+    ranking: each system contributes 1/(RRF_K + rank) for its top-RRF_POOL
+    docs, fused score = sum of contributions (0 when absent from a pool).
+    Both pools reduce DISTRIBUTED: per-batch partial top-POOL under the
+    rounded-score total order (round 6, doc_id tiebreak), so only
+    2*RRF_POOL scalar rows ever reach the driver; the fuse itself is an
+    outer merge over those constant-size pools.  Rank discipline matches
+    the oracle's row_number ordering exactly."""
+    import ray
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    bm = searcher.score_matches_dataset(HYBRID_QUERY, mode="or")
+
+    def bm_part(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "s": batch["score"].to_numpy(np.float64).round(6),
+            }
+        )
+        return out.sort_values(
+            ["s", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(RRF_POOL)
+
+    bm_pool = (
+        bm.map_batches(bm_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["s", "doc_id"], ascending=[False, True],
+                     kind="mergesort")
+        .head(RRF_POOL)
+        .reset_index(drop=True)
+    )
+    bm_pool["r_bm"] = np.arange(1, len(bm_pool) + 1, dtype=np.int64)
+
+    qrow = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr=f"vec_id == {HYBRID_QVEC}")
+        .to_pandas()
+    )
+    qv = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
+    qn = ray.put(qv / np.linalg.norm(qv))
+
+    def cos_part(batch: pd.DataFrame) -> pd.DataFrame:
+        qn_ = ray.get(qn)
+        V = np.array(batch["embedding"].tolist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        out = pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "c": (V @ qn_).round(6),
+            }
+        )
+        return out.sort_values(
+            ["c", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(RRF_POOL)
+
+    cos_pool = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(cos_part, batch_format="pandas", batch_size=1024)
+        .to_pandas()
+        .sort_values(["c", "vec_id"], ascending=[False, True],
+                     kind="mergesort")
+        .head(RRF_POOL)
+        .reset_index(drop=True)
+    )
+    cos_pool["r_cos"] = np.arange(1, len(cos_pool) + 1, dtype=np.int64)
+
+    m = bm_pool[["doc_id", "r_bm"]].merge(
+        cos_pool[["vec_id", "r_cos"]],
+        how="outer", left_on="doc_id", right_on="vec_id",
+    )
+    ids = m["doc_id"].fillna(m["vec_id"]).to_numpy(np.int64)
+    c_bm = np.where(
+        m["r_bm"].notna(), 1.0 / (RRF_K + m["r_bm"].fillna(0.0)), 0.0
+    )
+    c_cos = np.where(
+        m["r_cos"].notna(), 1.0 / (RRF_K + m["r_cos"].fillna(0.0)), 0.0
+    )
+    out = pd.DataFrame(
+        {"doc_id": ids, "rrf": np.round(c_bm + c_cos, 9)}
+    )
+    out = (
+        out.sort_values(["rrf", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+        .head(RRF_TOPK)
+        .reset_index(drop=True)
+    )
+    out.insert(0, "rank", np.arange(len(out), dtype=np.int64))
+    return out
+
+
+QUERIES["rrf_fusion_topk"] = q_rrf_fusion_topk
+
+
+def _rrf_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE, norm_vals_sql
+    from rindex.schema import B, K1
+
+    terms = HYBRID_QUERY.split()
+    tvals = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+             (SELECT sum(dl) FROM dl)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    norm_table AS (SELECT unnest([{norm_vals_sql()}]) AS v),
+    lossy AS (
+      SELECT doc_id, (SELECT max(v) FROM norm_table WHERE v <= dl.dl)::DOUBLE AS ldl
+      FROM dl
+    ),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE term IN ({tvals})
+      GROUP BY tf.doc_id
+    ),
+    bm_pool AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY round(s, 6) DESC, doc_id ASC)::BIGINT AS r
+      FROM bm WHERE s > 0
+      QUALIFY r <= {RRF_POOL}
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id = {HYBRID_QVEC}),
+    cos_pool AS (
+      SELECT vec_id, row_number() OVER (
+               ORDER BY round(c, 6) DESC, vec_id ASC)::BIGINT AS r
+      FROM (SELECT e.vec_id,
+                   list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c
+            FROM embeddings e CROSS JOIN q)
+      QUALIFY r <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, c.vec_id) AS doc_id,
+             round(coalesce(1.0 / ({RRF_K} + b.r), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + c.r), 0.0), 9) AS rrf
+      FROM bm_pool b FULL OUTER JOIN cos_pool c ON c.vec_id = b.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, rrf,
+             (row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+              - 1)::BIGINT AS rank
+      FROM fused
+    )
+    SELECT rank, doc_id, rrf FROM ranked WHERE rank < {RRF_TOPK}
+    """
+
+
+ORACLE["rrf_fusion_topk"] = _rrf_oracle_sql()

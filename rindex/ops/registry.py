@@ -54,6 +54,7 @@ _SAMPLE_FIRST = [
     "json_facet_allbuckets_events",
     "eval_describe_daily_events", "eval_mannwhitney_lineitem",
     "eval_chisquare_events", "eval_analyze_documents",
+    "embedding_pq_codes", "rrf_fusion_topk", "c4_line_clean_documents",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",

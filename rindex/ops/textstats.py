@@ -952,3 +952,113 @@ def _mixture_oracle() -> str:
 
 
 ORACLE["mixture_sample_documents"] = _mixture_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the "colossal
+# clean crawled corpus" rules: per-LINE word-count minimum + blocklist,
+# then a document-level keep flag).  Reference anchor: the reference has
+# no line cleaner (Solr's URP chain is the hook: `solr/core/src/java/org/
+# apache/solr/update/processor/`); this is a first-class training-data op.
+# ---------------------------------------------------------------------------
+
+C4_LINE_W = 7        # derived-line width (tokens) — the corpus is one
+                     # physical line, so lines derive deterministically
+C4_MIN_WORDS = 5     # C4 rule: drop lines with fewer than 5 words
+C4_BAD_WORDS = ("spark", "dup")   # blocklist analog (words in-corpus so
+                                  # the filter provably splits)
+C4_MIN_LINES = 2     # doc-level keep: at least 2 surviving lines
+_C4_BAD_RE = r"(^| )(" + "|".join(C4_BAD_WORDS) + r")( |$)"
+
+
+def q_c4_line_clean_documents(sf_dir: str):
+    """C4 line cleaning: chunk each document into deterministic
+    C4_LINE_W-token lines, drop lines under C4_MIN_WORDS words or
+    containing a blocklist word, reassemble the survivors with newline
+    joins, and flag docs keeping >= C4_MIN_LINES lines.  Fully
+    vectorized: ONE split_pattern per batch, then a bounded loop over
+    LINE SLOTS (max ~tokens/W iterations of whole-column Arrow kernels
+    — list_slice / binary_join / regex match / if_else), zero per-row
+    Python.  Streams end to end; output is one row per input doc."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        toks = pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("")), pattern=" "
+        )
+        ntok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        max_lines = int(np.ceil(ntok.max() / C4_LINE_W)) if n else 0
+        acc = pa.array([""] * n, pa.string())
+        acc_empty = np.ones(n, dtype=bool)
+        n_kept = np.zeros(n, dtype=np.int64)
+        n_drop = np.zeros(n, dtype=np.int64)
+        for k in range(max_lines):
+            seg = pc.list_slice(
+                toks, start=k * C4_LINE_W, stop=(k + 1) * C4_LINE_W
+            )
+            line = pc.binary_join(seg, " ")
+            nw = np.clip(ntok - k * C4_LINE_W, 0, C4_LINE_W)
+            exists = nw > 0
+            bad = pc.match_substring_regex(line, _C4_BAD_RE).to_numpy(
+                zero_copy_only=False
+            )
+            keep = exists & (nw >= C4_MIN_WORDS) & ~bad
+            n_kept += keep
+            n_drop += exists & ~keep
+            keep_a = pa.array(keep)
+            joined = pc.binary_join_element_wise(acc, line, "\n")
+            acc = pc.if_else(
+                keep_a,
+                pc.if_else(pa.array(acc_empty), line, joined),
+                acc,
+            )
+            acc_empty &= ~keep
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": acc,
+                "n_kept": pa.array(n_kept),
+                "n_dropped": pa.array(n_drop),
+                "kept": pa.array(
+                    (n_kept >= C4_MIN_LINES).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["c4_line_clean_documents"] = q_c4_line_clean_documents
+_C4_BADLIST_SQL = "[" + ", ".join(f"'{w}'" for w in C4_BAD_WORDS) + "]"
+ORACLE["c4_line_clean_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(string_split(coalesce(text, ''), ' '))
+                             + 1)) AS i,
+             unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, (i - 1) // {C4_LINE_W} AS ln,
+             string_agg(tok, ' ' ORDER BY i) AS line,
+             count(*)::BIGINT AS nw
+      FROM toks GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT doc_id, ln, line,
+             (nw >= {C4_MIN_WORDS} AND NOT list_has_any(
+                string_split(line, ' '), {_C4_BADLIST_SQL})) AS keep
+      FROM lines
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY ln), '') AS clean_text,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+           (sum(CASE WHEN keep THEN 1 ELSE 0 END)
+              >= {C4_MIN_LINES})::BIGINT AS kept
+    FROM flagged GROUP BY doc_id
+"""

@@ -80,3 +80,40 @@ def test_srp_results_unchanged_by_persistence(ray_session):
     shutil.rmtree(ann._ann_cache_dir(SF, "srp"), ignore_errors=True)
     r2 = ann.q_ann_srp_lsh_topk(SF)
     assert r1.equals(r2)
+
+
+def test_pq_codes_deterministic_and_compressive(ray_session):
+    """Product-quantization contract: 4 int64 codes in [0, PQ_K) per
+    vector, deterministic across runs, and the trained codebooks
+    reconstruct with lower MSE than a single-codeword (code 0) baseline
+    — i.e. the Lloyd iterations actually fit the data."""
+    import pyarrow.parquet as pq
+
+    from rindex.ops import ann
+
+    df1 = ann.q_embedding_pq_codes(SF).to_pandas().sort_values("vec_id")
+    df2 = ann.q_embedding_pq_codes(SF).to_pandas().sort_values("vec_id")
+    assert list(df1.columns) == ["vec_id", "code0", "code1", "code2", "code3"]
+    assert len(df1) == ann.PQ_OUT
+    for m in range(ann.PQ_M):
+        c = df1[f"code{m}"].to_numpy()
+        assert c.dtype == np.int64 and c.min() >= 0 and c.max() < ann.PQ_K
+    assert df1.reset_index(drop=True).equals(df2.reset_index(drop=True))
+
+    books = ann._pq_codebooks(SF)
+    t = pq.read_table(
+        os.path.join(SF, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", ann.PQ_OUT)],
+    )
+    order = np.argsort(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    codes = df1[[f"code{m}" for m in range(ann.PQ_M)]].to_numpy()
+    recon = np.concatenate(
+        [books[m][codes[:, m]] for m in range(ann.PQ_M)], axis=1
+    )
+    base = np.concatenate(
+        [np.broadcast_to(books[m][0], (len(X), ann.PQ_DSUB))
+         for m in range(ann.PQ_M)], axis=1
+    )
+    assert ((X - recon) ** 2).mean() < ((X - base) ** 2).mean()
