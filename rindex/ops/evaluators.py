@@ -355,6 +355,16 @@ def _log_pmf(dist, k):
             - _lgamma_vec(n - k + 1.0)
             + k * np.log(p) + (n - k) * np.log(1.0 - p)
         )
+    if dist[0] == "geometric":
+        # failures before the first success (Commons Math support k >= 0)
+        p = dist[1]
+        return k * np.log(1.0 - p) + np.log(p)
+    if dist[0] == "zipf":
+        _, nmax, s = dist
+        h = np.exp(
+            -s * np.log(np.arange(1.0, float(nmax) + 1.0))
+        ).sum()
+        return -s * np.log(k) - np.log(h)
     raise KeyError(f"not a discrete distribution: {dist[0]!r}")
 
 
@@ -368,6 +378,19 @@ def _cum_prob(dist, x):
     kind = dist[0]
     if kind in ("poisson", "binomial"):
         ks = np.arange(int(np.floor(float(np.asarray(x)))) + 1)
+        return float(np.exp(_log_pmf(dist, ks)).sum())
+    if kind == "geometric":
+        # closed form (mirrored verbatim in the SQL oracles):
+        # 1 - (1-p)^(floor(x)+1), written through exp/ln
+        p = dist[1]
+        return float(
+            1.0 - np.exp((np.floor(float(np.asarray(x))) + 1.0)
+                         * np.log(1.0 - p))
+        )
+    if kind == "zipf":
+        # support starts at 1 — the generic 0..floor(x) pmf sum would
+        # blow up on ln(0)
+        ks = np.arange(1.0, np.floor(float(np.asarray(x))) + 1.0)
         return float(np.exp(_log_pmf(dist, ks)).sum())
     x = np.asarray(x, np.float64)
     if kind == "uniform":
@@ -385,6 +408,18 @@ def _cum_prob(dist, x):
         cum = np.cumsum(cnts)
         pos = np.searchsorted(vals, x, side="right")
         return np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0.0) / cum[-1]
+    if kind == "weibull":
+        # 1 - exp(-(x/lam)^k), the power written exp(k*ln(x/lam)) so the
+        # SQL oracle's expression tree is identical
+        _, k, lam = dist
+        return 1.0 - np.exp(-np.exp(k * np.log(x / lam)))
+    if kind == "triangular":
+        _, a, c, b = dist
+        return np.where(
+            x <= c,
+            ((x - a) * (x - a)) / ((b - a) * (c - a)),
+            1.0 - ((b - x) * (b - x)) / ((b - a) * (b - c)),
+        )
     raise KeyError(f"unknown distribution {kind!r}")
 
 
@@ -568,7 +603,52 @@ EVALUATORS.update({
     "poissonDistribution": lambda lam: ("poisson", float(lam)),
     "binomialDistribution": lambda n, p: ("binomial", int(n), float(p)),
     "probability": _dist_prob,
+    # round-3 batch 4 (GeometricDistributionEvaluator,
+    # ZipFDistributionEvaluator, WeibullDistributionEvaluator,
+    # TriangularDistributionEvaluator, PercentileEvaluator,
+    # HistogramEvaluator — `solr/solrj/.../io/eval/*.java`); the
+    # continuous picks are the elementary-CDF family so the DuckDB
+    # oracles mirror the exact expression trees (no erf in SQL)
+    "geometricDistribution": lambda p: ("geometric", float(p)),
+    "zipFDistribution": lambda n, s: ("zipf", int(n), float(s)),
+    "weibullDistribution": lambda k, lam: ("weibull", float(k),
+                                           float(lam)),
+    "triangularDistribution": lambda a, c, b: ("triangular", float(a),
+                                               float(c), float(b)),
+    "percentile": lambda v, p: _percentile_r7(v, float(p)),
+    "hist": lambda v, b: _hist_counts(v, int(b)),
 })
+
+
+def _percentile_r7(v, p: float) -> float:
+    """PercentileEvaluator with the R-7 linear-interpolation estimator:
+    h = (n-1)*p/100, val = y[lo] + (y[lo+1]-y[lo])*(h-lo) over the sorted
+    sample — the exact expression the SQL oracle re-derives from a
+    list(... ORDER BY ...) (quantile_cont's internal fp order is not
+    specified, so the oracle does NOT use it)."""
+    y = np.sort(np.asarray(v, np.float64))
+    n = len(y)
+    h = ((n - 1.0) * p) / 100.0
+    lo = int(np.floor(h))
+    hi = min(lo + 1, n - 1)
+    return float(y[lo] + (y[hi] - y[lo]) * (h - lo))
+
+
+def _hist_counts(v, bins: int) -> np.ndarray:
+    """HistogramEvaluator (counts-only form): equal-width bins over
+    [min, max], idx = floor(((x-min)*bins)/(max-min)) clamped to the last
+    bin — the identical arithmetic the oracle's CASE sums use.  Integer
+    counts, so the comparison is exact."""
+    x = np.asarray(v, np.float64)
+    mn, mx = float(x.min()), float(x.max())
+    if mx == mn:
+        idx = np.zeros(len(x), np.int64)
+    else:
+        idx = np.minimum(
+            np.floor(((x - mn) * float(bins)) / (mx - mn)),
+            bins - 1,
+        ).astype(np.int64)
+    return np.bincount(idx, minlength=bins).astype(np.int64)
 
 
 def let_eval(bindings: dict[str, str], scope: dict) -> dict:
@@ -1861,4 +1941,138 @@ ORACLE["eval_analyze_documents"] = """
            CASE WHEN len(l) > 0 THEN l[1] END AS first_tok,
            CASE WHEN len(l) > 0 THEN l[len(l)] END AS last_tok
     FROM t
+"""
+
+
+def q_eval_dist_fits_lineitem(sf_dir: str):
+    """Distribution-fit evaluator batch 4 (GeometricDistribution,
+    ZipFDistribution, WeibullDistribution, TriangularDistribution,
+    Percentile, Histogram evaluators): l_quantity reduces DISTRIBUTED to
+    the (distinct value, count) weighted sample (one tiny groupby — the
+    only corpus-scale stage), then let() fits the four distributions from
+    exact integer ratios and runs percentile/hist over the counts array.
+    Every CDF is an elementary-function closed form mirrored verbatim in
+    the oracle; percentile is R-7 with the explicit interpolation
+    expression on both sides; hist emits integer bin counts."""
+    from ray.data.aggregate import Count
+
+    li = read_table(sf_dir, "lineitem", ["l_quantity"])
+    s = (
+        li.groupby("l_quantity")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("l_quantity")
+        .reset_index(drop=True)
+    )
+    x = s["l_quantity"].to_numpy(np.float64)
+    c = s["c"].to_numpy(np.float64)
+    n = float(c.sum())
+    lam = float((x * c).sum()) / n          # exact integer ratio
+    p1 = float(c[x == 1.0].sum()) / n       # P(quantity == 1)
+    lo, hi = float(x.min()), float(x.max())
+    # mode = the quantity with the max count, ties to the LOWER value
+    # (mirrors the oracle's row_number ORDER BY c DESC, x ASC)
+    mode = float(x[np.lexsort((x, -c))[0]])
+    scope = let_eval(
+        {
+            "wd": "weibullDistribution(1.5, lam)",
+            "w_cdf25": "cumulativeProbability(wd, 25.0)",
+            "td": "triangularDistribution(lo, mode, hi)",
+            "t_cdf25": "cumulativeProbability(td, 25.0)",
+            "gd": "geometricDistribution(p1)",
+            "g_pmf3": "probability(gd, 3.0)",
+            "g_cdf3": "cumulativeProbability(gd, 3.0)",
+            "zd": "zipFDistribution(50, 1.5)",
+            "z_pmf1": "probability(zd, 1.0)",
+            "z_cdf10": "cumulativeProbability(zd, 10.0)",
+            "pct90": "percentile(cnts, 90.0)",
+            "bins": "hist(cnts, 5)",
+        },
+        {"lam": lam, "lo": lo, "mode": mode, "hi": hi, "p1": p1,
+         "cnts": c},
+    )
+    bins = np.asarray(scope["bins"], np.int64)
+    return pd.DataFrame(
+        {
+            "lam": [round_sql(lam)],
+            "p1": [round_sql(p1)],
+            "mode_qty": [np.int64(mode)],
+            "weib_cdf25": [round_sql(float(scope["w_cdf25"]))],
+            "tri_cdf25": [round_sql(float(scope["t_cdf25"]))],
+            "geo_pmf3": [round_sql(float(scope["g_pmf3"]))],
+            "geo_cdf3": [round_sql(float(scope["g_cdf3"]))],
+            "zipf_pmf1": [round_sql(float(scope["z_pmf1"]))],
+            "zipf_cdf10": [round_sql(float(scope["z_cdf10"]))],
+            "pct90": [round_sql(float(scope["pct90"]))],
+            **{f"h{i}": [bins[i]] for i in range(5)},
+        }
+    )
+
+
+QUERIES["eval_dist_fits_lineitem"] = q_eval_dist_fits_lineitem
+ORACLE["eval_dist_fits_lineitem"] = """
+    WITH s AS (
+      SELECT l_quantity AS x, count(*)::BIGINT AS c
+      FROM lineitem GROUP BY 1
+    ),
+    b AS (
+      SELECT sum(c)::DOUBLE AS n,
+             sum(x * c)::DOUBLE / sum(c)::DOUBLE AS lam,
+             (SELECT coalesce(sum(c), 0) FROM s WHERE x = 1)::DOUBLE
+               / sum(c)::DOUBLE AS p1,
+             min(x)::DOUBLE AS lo, max(x)::DOUBLE AS hi,
+             count(*)::BIGINT AS nd
+      FROM s
+    ),
+    md AS (
+      SELECT x::DOUBLE AS mode FROM s
+      QUALIFY row_number() OVER (ORDER BY c DESC, x ASC) = 1
+    ),
+    zh AS (
+      SELECT sum(exp(-1.5 * ln(i::DOUBLE))) AS h
+      FROM (SELECT unnest(generate_series(1, 50)) AS i)
+    ),
+    ys AS (SELECT list(c::DOUBLE ORDER BY c::DOUBLE) AS l,
+                  min(c)::DOUBLE AS cmn, max(c)::DOUBLE AS cmx FROM s),
+    pct AS (
+      SELECT l[CAST(floor(((nd - 1.0) * 90.0) / 100.0) AS BIGINT) + 1]
+             + (l[least(CAST(floor(((nd - 1.0) * 90.0) / 100.0) AS BIGINT)
+                        + 2, nd::BIGINT)]
+                - l[CAST(floor(((nd - 1.0) * 90.0) / 100.0) AS BIGINT)
+                    + 1])
+               * ((((nd - 1.0) * 90.0) / 100.0)
+                  - floor(((nd - 1.0) * 90.0) / 100.0)) AS v
+      FROM ys, b
+    ),
+    hb AS (
+      SELECT sum(CASE WHEN idx = 0 THEN 1 ELSE 0 END)::BIGINT AS h0,
+             sum(CASE WHEN idx = 1 THEN 1 ELSE 0 END)::BIGINT AS h1,
+             sum(CASE WHEN idx = 2 THEN 1 ELSE 0 END)::BIGINT AS h2,
+             sum(CASE WHEN idx = 3 THEN 1 ELSE 0 END)::BIGINT AS h3,
+             sum(CASE WHEN idx = 4 THEN 1 ELSE 0 END)::BIGINT AS h4
+      FROM (
+        SELECT CASE WHEN cmx = cmn THEN 0
+               ELSE least(floor(((c::DOUBLE - cmn) * 5.0) / (cmx - cmn)),
+                          4.0) END AS idx
+        FROM s, ys
+      )
+    )
+    SELECT round(lam, 6) AS lam,
+           round(p1, 6) AS p1,
+           md.mode::BIGINT AS mode_qty,
+           round(1.0 - exp(-exp(1.5 * ln(25.0 / lam))), 6) AS weib_cdf25,
+           round(CASE WHEN 25.0 <= md.mode
+             THEN ((25.0 - lo) * (25.0 - lo))
+                  / ((hi - lo) * (md.mode - lo))
+             ELSE 1.0 - ((hi - 25.0) * (hi - 25.0))
+                  / ((hi - lo) * (hi - md.mode)) END, 6) AS tri_cdf25,
+           round(exp(3.0 * ln(1.0 - p1) + ln(p1)), 6) AS geo_pmf3,
+           round(1.0 - exp(4.0 * ln(1.0 - p1)), 6) AS geo_cdf3,
+           round(exp(-1.5 * ln(1.0) - ln(zh.h)), 6) AS zipf_pmf1,
+           round((SELECT sum(exp(-1.5 * ln(i::DOUBLE) - ln(zh.h)))
+                  FROM (SELECT unnest(generate_series(1, 10)) AS i)), 6)
+             AS zipf_cdf10,
+           round(pct.v, 6) AS pct90,
+           hb.h0, hb.h1, hb.h2, hb.h3, hb.h4
+    FROM b, md, zh, pct, hb
 """

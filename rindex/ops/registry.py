@@ -55,6 +55,7 @@ _SAMPLE_FIRST = [
     "eval_describe_daily_events", "eval_mannwhitney_lineitem",
     "eval_chisquare_events", "eval_analyze_documents",
     "embedding_pq_codes", "rrf_fusion_topk", "c4_line_clean_documents",
+    "eval_dist_fits_lineitem",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",

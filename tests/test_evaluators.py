@@ -326,3 +326,44 @@ def test_timeseries_kernels_property():
             assert abs(np.std(z, ddof=1) - 1.0) < 1e-9
 
     check()
+
+
+def test_dist_fit_batch4_kernels():
+    """Batch-4 kernels: closed-form CDFs against naive references,
+    percentile against np.percentile (R-7 is numpy's default 'linear'),
+    hist against np.histogram on interior points."""
+    from rindex.ops.evaluators import _cum_prob, _dist_prob
+
+    # geometric: cdf(k) == sum of pmf(0..k); pmf matches (1-p)^k * p
+    gd = EVALUATORS["geometricDistribution"](0.3)
+    pm = np.array([_dist_prob(gd, float(k)) for k in range(4)])
+    np.testing.assert_allclose(pm, [0.3 * 0.7**k for k in range(4)])
+    np.testing.assert_allclose(_cum_prob(gd, 3.0), pm.sum())
+
+    # zipf: pmf normalizes over its support; cdf(N) == 1
+    zd = EVALUATORS["zipFDistribution"](50, 1.5)
+    np.testing.assert_allclose(_cum_prob(zd, 50.0), 1.0, rtol=1e-12)
+
+    # weibull: k=1 degenerates to exponential(lam)
+    wd = EVALUATORS["weibullDistribution"](1.0, 2.0)
+    np.testing.assert_allclose(_cum_prob(wd, np.float64(3.0)),
+                               1.0 - np.exp(-1.5))
+
+    # triangular: CDF at the mode = (c-a)/(b-a); at b = 1
+    td = EVALUATORS["triangularDistribution"](0.0, 1.0, 4.0)
+    np.testing.assert_allclose(_cum_prob(td, np.float64(1.0)), 0.25)
+    np.testing.assert_allclose(_cum_prob(td, np.float64(4.0)), 1.0)
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 1000, 97).astype(np.float64)
+    np.testing.assert_allclose(
+        EVALUATORS["percentile"](v, 90.0), np.percentile(v, 90.0)
+    )
+    h = EVALUATORS["hist"](v, 8)
+    assert h.sum() == len(v) and h.dtype == np.int64
+    # interior points bucket identically to np.histogram's equal-width
+    # bins (edges differ only in the max-value inclusion rule, which the
+    # clamp handles)
+    np.testing.assert_array_equal(
+        h, np.histogram(v, bins=8, range=(v.min(), v.max()))[0]
+    )
