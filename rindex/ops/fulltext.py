@@ -1918,6 +1918,52 @@ ORACLE["span_first_documents"] = f"""
 # (list_position returns 0, not NULL, for an absent term)
 
 
+SPAN_OR_GROUP = ("hash", "sort")
+
+
+def q_span_or_near_documents(sf_dir: str):
+    """SpanOrQuery inside an ordered SpanNearQuery
+    (`lucene/core/src/java/org/apache/lucene/search/spans/SpanOrQuery
+    .java`): spanNear([spanOr(hash, sort), join], slop, inOrder=true) —
+    the OR group's merged position union feeds the ordered chain, so a
+    doc matches if EITHER group member is followed by 'join' within the
+    span slop contract (width - 2 <= slop)."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_span_or_near(
+        " ".join(SPAN_OR_GROUP), SPAN_B, slop=SPAN_SLOP
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": [h[0] for h in hits],
+            "min_width": pd.array([h[1] for h in hits], dtype="int64"),
+        }
+    )
+
+
+QUERIES["span_or_near_documents"] = q_span_or_near_documents
+ORACLE["span_or_near_documents"] = f"""
+    SELECT doc_id, min_width FROM (
+      SELECT doc_id,
+        list_min(list_filter(list_transform(
+          list_filter(range(1, len(l) + 1),
+                      i -> l[i] = '{SPAN_OR_GROUP[0]}'
+                           OR l[i] = '{SPAN_OR_GROUP[1]}'),
+          i -> list_min(list_transform(
+                 list_filter(range(1, len(l) + 1),
+                             j -> l[j] = '{SPAN_B}' AND j > i),
+                 j -> j - i + 1))), x -> x IS NOT NULL))::BIGINT
+          AS min_width
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents))
+    WHERE min_width IS NOT NULL AND min_width - 2 <= {SPAN_SLOP}
+"""
+
+
 def q_axiomatic_topk_documents(sf_dir: str):
     """Top-k with AxiomaticF2EXP (`lucene/core/src/java/org/apache/lucene/
     search/similarities/AxiomaticF2EXP.java`, Fang & Zhai 2005, s=0.5

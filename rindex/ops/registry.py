@@ -55,7 +55,7 @@ _SAMPLE_FIRST = [
     "eval_describe_daily_events", "eval_mannwhitney_lineitem",
     "eval_chisquare_events", "eval_analyze_documents",
     "embedding_pq_codes", "rrf_fusion_topk", "c4_line_clean_documents",
-    "eval_dist_fits_lineitem",
+    "eval_dist_fits_lineitem", "span_or_near_documents",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",

@@ -1891,6 +1891,81 @@ class IndexSearcher:
         results.sort(key=lambda r: r[:-1])
         return results
 
+    def search_span_or_near(
+        self, or_text: str, then_text: str, slop: int
+    ) -> list[tuple]:
+        """SpanOrQuery composed inside an ordered SpanNearQuery
+        (`lucene/core/src/java/org/apache/lucene/search/spans/
+        SpanOrQuery.java` — spanNear([spanOr(a, b, ...), c], slop,
+        inOrder=true), the canonical compositional use): the first leg's
+        start positions are the MERGED position union of the OR group's
+        members present in the doc, then the greedy minimal chain to the
+        second leg exactly as search_span_near's ordered kernel
+        (width - 2 <= slop, two top-level clauses).
+
+        Returns [( *id_cols, min_width )] sorted by id columns."""
+        az = get_analyzer(self.analyzer_name)
+        or_terms = list(dict.fromkeys(az.tokens(or_text)))
+        then_terms = az.tokens(then_text)
+        if len(or_terms) < 2 or len(then_terms) != 1:
+            raise ValueError(
+                "span_or_near takes >= 2 OR terms and exactly one "
+                "then-term"
+            )
+        then = then_terms[0]
+        results: list[tuple] = []
+        for reader in self.readers:
+            posts = reader.positions_for(or_terms + [then])
+            if posts[then] is None:
+                continue
+            avail = [t for t in or_terms if posts[t] is not None]
+            if not avail:
+                continue
+            union_docs = posts[avail[0]][0]
+            for t in avail[1:]:
+                union_docs = np.union1d(union_docs, posts[t][0])
+            common = np.intersect1d(union_docs, posts[then][0])
+            common = reader.drop_deleted(common)
+            if len(common) == 0:
+                continue
+            runs = {}
+            for t in avail + [then]:
+                docs, tfs, pos = posts[t][:3]
+                starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+                runs[t] = (np.asarray(docs, np.int64), starts,
+                           np.asarray(tfs, np.int64),
+                           np.asarray(pos, np.int64))
+            match_docs, match_width = [], []
+            for d in common:
+                segs = []
+                for t in avail:
+                    docs, starts, tfs, pos = runs[t]
+                    at = int(np.searchsorted(docs, d))
+                    if at < len(docs) and docs[at] == d:
+                        segs.append(pos[starts[at]: starts[at] + tfs[at]])
+                start = np.sort(np.concatenate(segs))
+                docs, starts, tfs, pos = runs[then]
+                at = int(np.searchsorted(docs, d))
+                pl = pos[starts[at]: starts[at] + tfs[at]]
+                nxt = np.searchsorted(pl, start, side="right")
+                ok = nxt < len(pl)
+                if not ok.any():
+                    continue
+                end = pl[np.minimum(nxt, len(pl) - 1)]
+                width = int((end[ok] - start[ok]).min()) + 1
+                if width - 2 <= slop:
+                    match_docs.append(int(d))
+                    match_width.append(width)
+            if match_docs:
+                ids = reader.fetch_ids(
+                    np.asarray(match_docs, dtype=np.int64), self.id_cols
+                )
+                results.extend(
+                    (*ids[d], w) for d, w in zip(match_docs, match_width)
+                )
+        results.sort(key=lambda r: r[:-1])
+        return results
+
     def search_table(self, queries: pa.Table, algo: str | None = None) -> pa.Table:
         """Run a QUERY_SCHEMA table, return a TOPK_SCHEMA-shaped table whose
         id columns are the index's configured id_cols."""

@@ -308,3 +308,35 @@ def test_span_unordered_and_span_not_vs_naive(ray_session, tmp_path):
         s.search_span_near("hash hash", slop=1, in_order=False)
     with pytest.raises(ValueError):
         s.search_span_not("hash join", exclude="big data", slop=3)
+
+
+def test_span_or_near_vs_naive(ray_session, tmp_path):
+    """spanNear([spanOr(a, b), c]): the OR group's merged starts chain to
+    the then-term; equals the UNION of the two single-start span_near
+    result sets with per-doc min width."""
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    idx = str(tmp_path / "pos-spanor")
+    build_index(
+        SRC, idx, num_segments=4, mode="local", id_cols=("doc_id",),
+        text_col="text", keep_cols=("lang",), with_positions=True,
+    )
+    s = IndexSearcher(idx)
+    got = [(h[0], h[1]) for h in s.search_span_or_near(
+        "hash sort", "join", slop=3)]
+
+    # naive: per doc take min width over both group members, same slop
+    a = dict(_naive_span_near(SRC, "hash", "join", 10**9))
+    b = dict(_naive_span_near(SRC, "sort", "join", 10**9))
+    want = []
+    for did in sorted(set(a) | set(b)):
+        w = min(a.get(did, 10**9), b.get(did, 10**9))
+        if w - 2 <= 3:
+            want.append((did, w))
+    assert got == want
+    # strict superset relationship with each single-member query
+    single = dict(_naive_span_near(SRC, "hash", "join", 3))
+    assert set(single) <= {d for d, _ in got}
+    with pytest.raises(ValueError):
+        s.search_span_or_near("hash", "join", slop=3)
