@@ -56,6 +56,7 @@ _SAMPLE_FIRST = [
     "eval_chisquare_events", "eval_analyze_documents",
     "embedding_pq_codes", "rrf_fusion_topk", "c4_line_clean_documents",
     "eval_dist_fits_lineitem", "span_or_near_documents",
+    "stream_expr_knn_embeddings",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",
@@ -76,10 +77,10 @@ _SAMPLE_FIRST = [
     # significant_terms, json/csv/xml loaders, stopword/synonym/shingle/
     # edge_ngram/porter/snowball topterms, urp_parse_props, fetch_enrich,
     # ltr_score, geo_radius, train_test_split, percentile_tdigest,
-    # eval_array_scale, terms_facet_missing, plus the six entries above
-    # slot 50 (eval_math/eval_string/sql_loader/eval_select/
-    # block_join_orders_lineitem/graph_gather displaced by this session's
-    # new ops)
+    # eval_array_scale, terms_facet_missing, plus every entry below
+    # slot 50 in THIS list (shortest_path_users onward — the late-r3 ops
+    # embedding_pq_codes..span_or_near_documents displaced them; they
+    # stay listed here so the r4 rotation can promote them)
 ]
 
 

@@ -31,6 +31,7 @@ hook, like Lang.java):
     merge(s1, s2, on="k asc")
     innerJoin / leftOuterJoin(left, right, on="lk=rk")   sorted merge joins
     outerHashJoin / complement / fetch / intersect
+    knn(stream, field=vec, id=idcol, qid=N, k=K)   dense cosine top-k
 
 Grammar: `call := name '(' (arg (',' arg)*)? ')'`, `arg := name '=' value
 | value`, `value := call | identifier | number | "string" | *`.  Scalar
@@ -471,8 +472,55 @@ def _b_leftouterjoin(args, kwargs, ctx):
     )
 
 
+def _b_knn(args, kwargs, ctx):
+    """knn(stream, field=<vector col>, id=<id col>, qid=N, k=K) — the
+    dense-vector top-k stream (Solr 9's {!knn} KnnQParser surfaced as a
+    stream decorator): brute-force cosine of every stream row's vector
+    against the qid row's vector.  The query vector is pulled with ONE
+    pruned filter scan and broadcast via ray.put; per-batch cosine is a
+    single matmul and only each batch's rounded-score top-k survives to
+    the final (lazy) global sort+limit — the vector column never crosses
+    the exchange."""
+    import ray
+
+    ds = _build(args[0], ctx)
+    field = _ident(kwargs["field"], "field")
+    idc = _ident(kwargs["id"], "id")
+    qid = int(_lit(kwargs["qid"], "qid"))
+    k = int(_lit(kwargs["k"], "k"))
+
+    qrow = ds.filter(expr=f"{idc} == {qid}").to_pandas()
+    if len(qrow) != 1:
+        raise ValueError(f"knn: qid={qid} matched {len(qrow)} rows")
+    qv = np.asarray(qrow[field].iloc[0], dtype=np.float64)
+    qn = ray.put(qv / np.linalg.norm(qv))
+
+    def cos_part(batch):
+        import pandas as pd
+
+        qn_ = ray.get(qn)
+        V = np.array(batch[field].tolist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        out = pd.DataFrame(
+            {
+                idc: batch[idc].to_numpy(),
+                "score": (V @ qn_).round(6),
+            }
+        )
+        return out.sort_values(
+            ["score", idc], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return (
+        ds.map_batches(cos_part, batch_format="pandas", batch_size=1024)
+        .sort(["score", idc], descending=[True, False])
+        .limit(k)
+    )
+
+
 STREAM_BUILDERS = {
     "table": _b_table,
+    "knn": _b_knn,
     "select": _b_select,
     "rollup": _b_rollup,
     "having": _b_having,
@@ -726,4 +774,37 @@ ORACLE["stream_expr_timeseries_events"] = """
     FROM events, st
     GROUP BY 1, st.total_n, st.total_avg
     ORDER BY 1
+"""
+
+
+KNN_EXPR = """
+knn(table(embeddings, fl="vec_id,embedding"),
+    field=embedding, id=vec_id, qid=0, k=10)
+"""
+
+
+def q_stream_expr_knn_embeddings(sf_dir: str):
+    """knn() in the language (Solr 9 {!knn} as a stream decorator): dense
+    top-10 by cosine against vec_id 0's vector, compiled into ONE lazy
+    pipeline — pruned read, per-batch matmul + partial top-k, global
+    sort+limit; rounded-rank discipline with the vec_id tiebreak."""
+    out = compile_stream(KNN_EXPR, sf_dir).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES["stream_expr_knn_embeddings"] = q_stream_expr_knn_embeddings
+ORACLE["stream_expr_knn_embeddings"] = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id = 0)
+    SELECT vec_id, score FROM (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]),
+                   6) AS score,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(
+                 q.qe, e.embedding::DOUBLE[]), 6) DESC, e.vec_id ASC)
+               AS rn
+      FROM embeddings e CROSS JOIN q)
+    WHERE rn <= 10
 """

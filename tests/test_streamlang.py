@@ -241,3 +241,41 @@ def test_merge_and_leftouterjoin_builders(ray_session):
         assert m["k"].tolist() == [4, 4, 3, 3, 2, 2, 1, 1]
     finally:
         STREAM_BUILDERS["table"] = orig
+
+
+def test_knn_builder(ray_session):
+    """knn() stream: exact brute-force cosine top-k with the vec_id
+    tiebreak; loud on a qid that matches zero rows."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from rindex.ops.streamlang import STREAM_BUILDERS, _build, parse_stream_expr
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)]
+    orig = STREAM_BUILDERS["table"]
+    STREAM_BUILDERS["table"] = lambda a, k, ctx: ray.data.from_items(rows)
+    try:
+        got = _build(
+            parse_stream_expr(
+                "knn(table(e), field=embedding, id=vec_id, qid=5, k=7)"
+            ),
+            {"sf_dir": ""},
+        ).to_pandas()
+        qn = vecs[5] / np.linalg.norm(vecs[5])
+        V = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cos = np.round(V @ qn, 6)
+        want = sorted(range(40), key=lambda i: (-cos[i], i))[:7]
+        assert got["vec_id"].tolist() == want
+        assert got["vec_id"].iloc[0] == 5  # self is the top hit
+        with pytest.raises(ValueError, match="matched 0 rows"):
+            _build(
+                parse_stream_expr(
+                    "knn(table(e), field=embedding, id=vec_id, qid=99, k=7)"
+                ),
+                {"sf_dir": ""},
+            )
+    finally:
+        STREAM_BUILDERS["table"] = orig
