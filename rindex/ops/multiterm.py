@@ -436,3 +436,70 @@ ORACLE["terms_set_filter_documents"] = """
     ),
     lim=TERMS_LIMIT,
 )
+
+
+# ---------------------------------------------------------------------------
+# RegexpQuery (`lucene/core/src/java/org/apache/lucene/search/
+# RegexpQuery.java`): regex term expansion under CONSTANT_SCORE_REWRITE.
+# Lucene compiles the regex to an automaton intersected with the terms FST;
+# the Ray shape is the same distributed dictionary scan the wildcard op
+# uses — an anchored RE2 match per segment-dictionary batch (DuckDB is
+# also RE2, so the oracle shares the pattern verbatim).
+# ---------------------------------------------------------------------------
+
+REGEXP_PATTERN = "s(ort|can|tream)"
+REGEXP_LIMIT = 100
+
+
+def q_regexp_search_documents(sf_dir: str):
+    """RegexpQuery('{REGEXP_PATTERN}'): distinct docs containing any
+    dictionary term fully matching the regex, constant score 1.0,
+    doc_id-asc, first {REGEXP_LIMIT}.  Expansion scans ONLY the (term, df)
+    dictionary columns per segment; the doc set is one OR-query match-set
+    pipeline over the expanded terms (scores discarded), deduped by a
+    distributed groupby."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    rx = "^(?:" + REGEXP_PATTERN + ")$"
+
+    def match(terms: np.ndarray) -> tuple[np.ndarray, None]:
+        m = pc.match_substring_regex(
+            pa.array(terms.tolist(), pa.string()), rx
+        ).to_numpy(zero_copy_only=False)
+        return m, None
+
+    exp = _expand_terms(sf_dir, match, "regexp")
+    if not len(exp):
+        return pd.DataFrame({"doc_id": [], "score": []})
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    ds = s.score_matches_dataset(" ".join(sorted(exp["term"])), mode="or")
+    out = (
+        ds.groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .sort("doc_id")
+        .limit(REGEXP_LIMIT)
+        .to_pandas()
+    )
+    out["score"] = 1.0
+    return out[["doc_id", "score"]]
+
+
+QUERIES["regexp_search_documents"] = q_regexp_search_documents
+ORACLE["regexp_search_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+                    '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
+      FROM documents
+    )
+    SELECT doc_id, 1.0 AS score
+    FROM (SELECT DISTINCT doc_id FROM toks
+          WHERE regexp_full_match(term, '{REGEXP_PATTERN}'))
+    ORDER BY doc_id LIMIT {REGEXP_LIMIT}
+"""

@@ -56,7 +56,8 @@ _SAMPLE_FIRST = [
     "eval_chisquare_events", "eval_analyze_documents",
     "embedding_pq_codes", "rrf_fusion_topk", "c4_line_clean_documents",
     "eval_dist_fits_lineitem", "span_or_near_documents",
-    "stream_expr_knn_embeddings",
+    "stream_expr_knn_embeddings", "vocab_oov_documents",
+    "regexp_search_documents",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",

@@ -13,6 +13,7 @@ implementations and the DuckDB oracles.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -1062,3 +1063,113 @@ ORACLE["c4_line_clean_documents"] = f"""
               >= {C4_MIN_LINES})::BIGINT AS kept
     FROM flagged GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary builder + OOV rate — the tokenizer-prep step of an LLM data
+# pipeline (fixed top-V vocabulary, per-doc out-of-vocabulary fraction).
+# Reference anchor: the term dictionary IS Lucene's terms index
+# (`lucene/core/src/java/org/apache/lucene/index/Terms.java` — ttf =
+# totalTermFreq); the OOV pass is the decontamination op's
+# searchsorted+reduceat corpus-scan shape.
+# ---------------------------------------------------------------------------
+
+VOCAB_V = 64
+
+
+def q_vocab_oov_documents(sf_dir: str):
+    """Top-VOCAB_V vocabulary by total term frequency from the INDEX term
+    dictionary (ttf summed over live segments — dictionary columns only,
+    postings blobs never projected; the dictionary is the designated
+    small side), hashed + sorted + ray.put-broadcast once; the corpus
+    pass counts per-doc OOV tokens via ONE searchsorted over the batch's
+    concatenated token hashes + per-doc reduceat.  All-integer outputs
+    compare exact."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from rindex.analysis import get_analyzer
+    from rindex.ops.dedup import _stable_hash64, _token_hashes
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    acc: dict[str, int] = {}
+    for m in man["segments"]:
+        p = os.path.join(
+            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
+        )
+        t = pq.read_table(p, columns=["term", "ttf"])
+        for term, ttf in zip(t["term"].to_pylist(), t["ttf"].to_pylist()):
+            acc[term] = acc.get(term, 0) + int(ttf)
+    vocab = sorted(acc, key=lambda t: (-acc[t], t))[:VOCAB_V]
+    vh = np.sort(
+        np.array([_stable_hash64(t.encode()) for t in vocab], np.int64)
+    )
+    vref = ray.put(vh)
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        vh_ = ray.get(vref)
+        toks_per = [az.tokens(x or "") for x in t["text"].to_pylist()]
+        lens = np.fromiter(
+            (len(x) for x in toks_per), np.int64, count=len(toks_per)
+        )
+        oov = np.zeros(len(lens), np.int64)
+        if lens.sum():
+            th = _token_hashes([tok for lst in toks_per for tok in lst])
+            at = np.searchsorted(vh_, th)
+            hit = (at < len(vh_)) & (
+                vh_[np.minimum(at, len(vh_) - 1)] == th
+            )
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            nz = lens > 0
+            oov[nz] = np.add.reduceat(
+                (~hit).astype(np.int64), starts[nz]
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pa.array(lens),
+                "n_oov": pa.array(oov),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["vocab_oov_documents"] = q_vocab_oov_documents
+
+
+def _vocab_oov_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS c FROM toks GROUP BY 1)
+      QUALIFY row_number() OVER (ORDER BY c DESC, term ASC) <= {VOCAB_V}
+    ),
+    per AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tok,
+             sum(CASE WHEN term IN (SELECT term FROM vocab)
+                 THEN 0 ELSE 1 END)::BIGINT AS n_oov
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_tok, 0)::BIGINT AS n_tok,
+           coalesce(per.n_oov, 0)::BIGINT AS n_oov
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """
+
+
+ORACLE["vocab_oov_documents"] = _vocab_oov_oracle_sql()
