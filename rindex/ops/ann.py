@@ -1387,3 +1387,155 @@ def _rrf_oracle_sql() -> str:
 
 
 ORACLE["rrf_fusion_topk"] = _rrf_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (Carbonell & Goldstein 1998 — the diversity
+# pass a retrieval-augmented training pipeline runs over a dense top-k;
+# Solr anchor: the RankQuery re-scoring hook, `solr/core/src/java/org/
+# apache/solr/search/RankQuery.java`)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.5
+MMR_POOL = 20
+MMR_K = 5
+
+
+def q_mmr_rerank_embeddings(sf_dir: str):
+    """Maximal Marginal Relevance: the candidate pool is the distributed
+    rounded-cosine top-MMR_POOL vs vec 0 (per-batch partial top-k, scalar
+    rows only through the exchange), then the MMR selection loop runs
+    driver-side over the POOL x POOL sim matrix (constant size by
+    construction; pool vectors come back via ONE row-group-pruned
+    filtered read).  score = LAMBDA*rel - (1-LAMBDA)*max_sim_to_selected,
+    rel/sims rounded 6 BEFORE the objective so both sides derive
+    identical doubles; ties to the lower vec_id."""
+    import pyarrow.parquet as pq
+    import ray
+
+    qrow = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr=f"vec_id == {HYBRID_QVEC}")
+        .to_pandas()
+    )
+    qv = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
+    qn = ray.put(qv / np.linalg.norm(qv))
+
+    def cos_part(batch: pd.DataFrame) -> pd.DataFrame:
+        qn_ = ray.get(qn)
+        V = np.array(batch["embedding"].tolist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        out = pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "rel": (V @ qn_).round(6),
+            }
+        )
+        return out.sort_values(
+            ["rel", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(MMR_POOL)
+
+    pool = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(cos_part, batch_format="pandas", batch_size=1024)
+        .to_pandas()
+        .sort_values(["rel", "vec_id"], ascending=[False, True],
+                     kind="mergesort")
+        .head(MMR_POOL)
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", pool["vec_id"].tolist())],
+    ).to_pandas().set_index("vec_id").loc[pool["vec_id"]]
+    V = np.array(t["embedding"].tolist(), dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    sim = np.round(V @ V.T, 6)
+
+    ids = pool["vec_id"].to_numpy(np.int64)
+    rel = pool["rel"].to_numpy(np.float64)
+    chosen: list[int] = []
+    scores: list[float] = []
+    remaining = np.ones(len(ids), dtype=bool)
+    for _ in range(MMR_K):
+        if chosen:
+            max_sim = sim[:, chosen].max(axis=1)
+        else:
+            max_sim = np.zeros(len(ids))
+        obj = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * max_sim
+        obj[~remaining] = -np.inf
+        # argmax with the lower-vec_id tiebreak (ids are pool-ordered by
+        # (rel desc, vec_id asc), which is NOT vec_id order)
+        best_val = obj[remaining].max()
+        cand = np.flatnonzero(remaining & (obj == best_val))
+        pick = cand[np.argmin(ids[cand])]
+        chosen.append(pick)
+        scores.append(float(obj[pick]))
+        remaining[pick] = False
+    return pd.DataFrame(
+        {
+            "rank": np.arange(MMR_K, dtype=np.int64),
+            "vec_id": ids[chosen],
+            "mmr": np.asarray(scores),
+        }
+    )
+
+
+QUERIES["mmr_rerank_embeddings"] = q_mmr_rerank_embeddings
+
+
+def _mmr_oracle_sql() -> str:
+    lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    rounds = []
+    prev_union = "SELECT vec_id FROM sel0"
+    for i in range(1, MMR_K):
+        rounds.append(f"""
+    sel{i} AS MATERIALIZED (
+      SELECT vec_id, {i}::BIGINT AS rank, score AS mmr FROM (
+        SELECT c.vec_id,
+               {lam} * c.rel - {om} * max(s.s) AS score
+        FROM pv c
+        JOIN sim s ON s.ia = c.vec_id
+                  AND s.ib IN ({prev_union})
+        WHERE c.vec_id NOT IN ({prev_union})
+        GROUP BY c.vec_id, c.rel)
+      QUALIFY row_number() OVER (ORDER BY score DESC, vec_id ASC) = 1
+    )""")
+        prev_union += f" UNION ALL SELECT vec_id FROM sel{i}"
+    sels = " UNION ALL ".join(
+        f"SELECT rank, vec_id, mmr FROM sel{i}" for i in range(MMR_K)
+    )
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id = {HYBRID_QVEC}),
+    rel AS MATERIALIZED (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+               AS rel
+      FROM embeddings e CROSS JOIN q
+    ),
+    pool AS MATERIALIZED (
+      SELECT vec_id, rel FROM rel
+      QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id ASC)
+        <= {MMR_POOL}
+    ),
+    pv AS MATERIALIZED (
+      SELECT p.vec_id, p.rel, e.embedding::DOUBLE[] AS v
+      FROM pool p JOIN embeddings e USING (vec_id)
+    ),
+    sim AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_cosine_similarity(a.v, b.v), 6) AS s
+      FROM pv a JOIN pv b ON a.vec_id <> b.vec_id
+    ),
+    sel0 AS MATERIALIZED (
+      SELECT vec_id, 0::BIGINT AS rank, {lam} * rel AS mmr FROM pv
+      QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id ASC) = 1
+    ),{",".join(rounds)}
+    SELECT rank, vec_id, mmr FROM ({sels}) ORDER BY rank
+    """
+
+
+ORACLE["mmr_rerank_embeddings"] = _mmr_oracle_sql()

@@ -175,7 +175,7 @@ def test_distribution_kernels():
     assert abs(ks - 0.25) < 1e-15
     # degenerate-but-loud: unknown distribution kind
     with pytest.raises(KeyError):
-        _cum_prob(("weibull", 1.0, 2.0), 1.0)
+        _cum_prob(("cauchy", 1.0, 2.0), 1.0)
 
 
 def test_timeseries_kernels():
