@@ -617,7 +617,36 @@ EVALUATORS.update({
                                                float(c), float(b)),
     "percentile": lambda v, p: _percentile_r7(v, float(p)),
     "hist": lambda v, b: _hist_counts(v, int(b)),
+    # round-3 batch 5 (ConvolutionEvaluator, OscillateEvaluator,
+    # NormalizeSumEvaluator, the matrix overload of CovarianceEvaluator)
+    # — oscillate takes an explicit length n (the reference samples an
+    # implicit domain; an explicit n keeps the kernel pure)
+    "convolution": lambda a, b: np.convolve(
+        np.asarray(a, np.float64), np.asarray(b, np.float64)
+    ),
+    "oscillate": lambda amp, om, phi, n: float(amp) * np.sin(
+        float(om) * np.arange(int(n), dtype=np.float64) + float(phi)
+    ),
+    "normalizeSum": lambda v: np.asarray(v, np.float64)
+    / np.asarray(v, np.float64).sum(),
+    "covMatrix": lambda m: _cov_matrix(m),
 })
+
+
+def _cov_matrix(m) -> np.ndarray:
+    """Sample covariance matrix (rows = variables) written as the exact
+    moment expression the SQL oracles mirror:
+    (sxy - (sx * sy) / n) / (n - 1) — integer-series inputs make every
+    sum exact, so both sides derive identical doubles."""
+    M = np.asarray(m, np.float64)
+    k, n = M.shape
+    out = np.empty((k, k), np.float64)
+    for i in range(k):
+        for j in range(k):
+            sx, sy = M[i].sum(), M[j].sum()
+            sxy = (M[i] * M[j]).sum()
+            out[i, j] = (sxy - (sx * sy) / n) / (n - 1.0)
+    return out
 
 
 def _percentile_r7(v, p: float) -> float:
@@ -2075,4 +2104,98 @@ ORACLE["eval_dist_fits_lineitem"] = """
            round(pct.v, 6) AS pct90,
            hb.h0, hb.h1, hb.h2, hb.h3, hb.h4
     FROM b, md, zh, pct, hb
+"""
+
+
+def q_eval_signal_events(sf_dir: str):
+    """Signal-evaluator batch 5 (Convolution, Oscillate, NormalizeSum,
+    the matrix Covariance overload): the corpus reduces DISTRIBUTED to
+    the integer daily event-count series, then let() convolves it with
+    the [1,2,1] smoothing kernel (integer outputs — exact), normalizes
+    to sum 1 (exact integer ratios), samples an oscillate() sine at the
+    day index (round-6), and computes the 2x2 covariance matrix of
+    (count, day-index) via the mirrored moment expression.  One row per
+    day index i < 15; the covariances ride as constant columns."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["y", "doy"])
+        .reset_index(drop=True)
+    )
+    v = s["n"].to_numpy(np.float64)
+    t_idx = np.arange(len(v), dtype=np.float64)
+    scope = let_eval(
+        {
+            "conv": "convolution(v, k)",
+            "norm": "normalizeSum(v)",
+            "osc": "oscillate(1.0, 0.25, 0.5, m)",
+            "C": "covMatrix(matrix(v, t))",
+        },
+        {"v": v, "t": t_idx, "k": np.array([1.0, 2.0, 1.0]), "m": len(v)},
+    )
+    C = np.asarray(scope["C"])
+    nrows = min(15, len(v))
+    return pd.DataFrame(
+        {
+            "i": np.arange(nrows, dtype=np.int64),
+            "conv": np.asarray(scope["conv"])[:nrows].astype(np.int64),
+            "norm_c": [round_sql(x, 9) for x in
+                       np.asarray(scope["norm"])[:nrows]],
+            "osc": [round_sql(x) for x in np.asarray(scope["osc"])[:nrows]],
+            "cov_nn": [round_sql(float(C[0, 0]))] * nrows,
+            "cov_nt": [round_sql(float(C[0, 1]))] * nrows,
+            "cov_tt": [round_sql(float(C[1, 1]))] * nrows,
+        }
+    )
+
+
+QUERIES["eval_signal_events"] = q_eval_signal_events
+ORACLE["eval_signal_events"] = """
+    WITH daily AS (
+      SELECT date_part('year', ts) AS y, date_part('doy', ts) AS doy,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS MATERIALIZED (
+      SELECT (row_number() OVER (ORDER BY y, doy) - 1)::BIGINT AS i, n
+      FROM daily
+    ),
+    b AS (
+      SELECT count(*)::DOUBLE AS m, sum(n)::DOUBLE AS sv,
+             sum(n * i)::DOUBLE AS svt, sum(n * n)::DOUBLE AS svv,
+             sum(i)::DOUBLE AS st, sum(i * i)::DOUBLE AS stt
+      FROM s
+    ),
+    k AS (SELECT unnest([0, 1, 2]) AS j, unnest([1, 2, 1]) AS w),
+    conv AS (
+      SELECT t.i, sum(k.w * s.n)::BIGINT AS conv
+      FROM (SELECT unnest(range(0, 15)) AS i) t
+      JOIN k ON TRUE
+      JOIN s ON s.i = t.i - k.j
+      GROUP BY t.i
+    )
+    SELECT s.i, conv.conv,
+           round(s.n::DOUBLE / b.sv, 9) AS norm_c,
+           round(sin(0.25 * s.i::DOUBLE + 0.5), 6) AS osc,
+           round((b.svv - (b.sv * b.sv) / b.m) / (b.m - 1.0), 6) AS cov_nn,
+           round((b.svt - (b.sv * b.st) / b.m) / (b.m - 1.0), 6) AS cov_nt,
+           round((b.stt - (b.st * b.st) / b.m) / (b.m - 1.0), 6) AS cov_tt
+    FROM s JOIN conv ON conv.i = s.i CROSS JOIN b
+    WHERE s.i < 15
+    ORDER BY s.i
 """

@@ -367,3 +367,23 @@ def test_dist_fit_batch4_kernels():
     np.testing.assert_array_equal(
         h, np.histogram(v, bins=8, range=(v.min(), v.max()))[0]
     )
+
+
+def test_signal_batch5_kernels():
+    """Batch-5 kernels vs naive references: convolution == np.convolve
+    by construction so check the definition directly; normalizeSum sums
+    to 1; oscillate matches amp*sin(om*t+phi); covMatrix matches np.cov
+    (sample covariance)."""
+    v = np.array([1.0, 3.0, 2.0, 5.0])
+    k = np.array([1.0, 2.0, 1.0])
+    got = EVALUATORS["convolution"](v, k)
+    want = [sum(v[i - j] * k[j] for j in range(3) if 0 <= i - j < len(v))
+            for i in range(len(v) + 2)]
+    np.testing.assert_allclose(got, want)
+    ns = EVALUATORS["normalizeSum"](v)
+    assert abs(ns.sum() - 1.0) < 1e-15 and np.allclose(ns, v / v.sum())
+    osc = EVALUATORS["oscillate"](2.0, 0.5, 1.0, 6)
+    np.testing.assert_allclose(osc, 2.0 * np.sin(0.5 * np.arange(6) + 1.0))
+    M = np.array([[1.0, 2.0, 4.0, 7.0], [3.0, 1.0, 5.0, 2.0]])
+    np.testing.assert_allclose(EVALUATORS["covMatrix"](M), np.cov(M),
+                               rtol=1e-12)
