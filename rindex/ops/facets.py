@@ -504,3 +504,108 @@ ORACLE["json_facet_allbuckets_events"] = """
     ORDER BY n DESC, event_type ASC
     LIMIT 3
 """
+
+
+# ---------------------------------------------------------------------------
+# facet.prefix + facet.sort=index (SimpleFacets term-filter params)
+# ---------------------------------------------------------------------------
+
+FACET_PREFIX = "src1"
+FACET_PREFIX_LIMIT = 10
+
+
+def q_facet_prefix_documents(sf_dir: str):
+    """facet.prefix + facet.sort=index + facet.limit (`solr/core/src/java/
+    org/apache/solr/request/SimpleFacets.java` — the term-filter params of
+    the classic facet API): term buckets restricted to a prefix, ordered
+    lexically (sort=index, vs the default count ordering), first N.  The
+    prefix filter is a vectorized starts_with BEFORE the shuffle, so only
+    matching (term, partial-count) rows move."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", ["source"])
+
+    def pf(t: pa.Table) -> pa.Table:
+        m = pc.starts_with(t["source"], FACET_PREFIX)
+        return t.filter(m)
+
+    return (
+        ds.map_batches(pf, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .sort("source")
+        .limit(FACET_PREFIX_LIMIT)
+    )
+
+
+QUERIES["facet_prefix_documents"] = q_facet_prefix_documents
+ORACLE["facet_prefix_documents"] = f"""
+    SELECT source, count(*)::BIGINT AS n
+    FROM documents
+    WHERE source LIKE '{FACET_PREFIX}%'
+    GROUP BY source
+    ORDER BY source
+    LIMIT {FACET_PREFIX_LIMIT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON Facet API percentile aggregator — the EXACT variant (the scale path
+# is the mergeable t-digest already registered as
+# percentile_tdigest_value_per_type; reference: `solr/core/src/java/org/
+# apache/solr/search/facet/PercentileAgg.java`, which is t-digest too).
+# ---------------------------------------------------------------------------
+
+
+def q_json_facet_percentile_events(sf_dir: str):
+    """Per-bucket exact percentiles: percentile(value, 50/90) per
+    event_type via map_groups (the group's value multiset must be whole
+    for an exact quantile — this is the documented exact-oracle variant;
+    t-digest is the 100-TB path).  R-7 interpolation with the explicit
+    expression mirrored in the oracle; round-6 outputs."""
+    from rindex.ops.evaluators import _percentile_r7, round_sql
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def grp(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n": [np.int64(len(v))],
+                "pct50": [round_sql(_percentile_r7(v, 50.0))],
+                "pct90": [round_sql(_percentile_r7(v, 90.0))],
+            }
+        )
+
+    return (
+        ds.groupby("event_type")
+        .map_groups(grp, batch_format="pandas")
+        .sort("event_type")
+    )
+
+
+QUERIES["json_facet_percentile_events"] = q_json_facet_percentile_events
+# R-7: h = (n-1)*p/100, val = l[floor(h)+1] + (l[floor(h)+2] - ...) * (h -
+# floor(h)) over the per-bucket ORDER BY value list (1-based, upper index
+# clamped) — quantile_cont's internal fp expression is unspecified, so the
+# oracle re-derives the interpolation explicitly.
+_PCT_SQL = """
+      l[CAST(floor(h{p}) AS BIGINT) + 1]
+      + (l[least(CAST(floor(h{p}) AS BIGINT) + 2, n::BIGINT)]
+         - l[CAST(floor(h{p}) AS BIGINT) + 1]) * (h{p} - floor(h{p}))
+"""
+ORACLE["json_facet_percentile_events"] = f"""
+    WITH g AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             list(value ORDER BY value) AS l,
+             ((count(*) - 1.0) * 50.0) / 100.0 AS h50,
+             ((count(*) - 1.0) * 90.0) / 100.0 AS h90
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round({_PCT_SQL.format(p='50')}, 6) AS pct50,
+           round({_PCT_SQL.format(p='90')}, 6) AS pct90
+    FROM g
+    ORDER BY event_type
+"""

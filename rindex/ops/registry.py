@@ -58,7 +58,8 @@ _SAMPLE_FIRST = [
     "eval_dist_fits_lineitem", "span_or_near_documents",
     "stream_expr_knn_embeddings", "vocab_oov_documents",
     "regexp_search_documents", "mmr_rerank_embeddings",
-    "eval_signal_events",
+    "eval_signal_events", "facet_prefix_documents",
+    "json_facet_percentile_events",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",
