@@ -982,54 +982,59 @@ def q_c4_line_clean_documents(sf_dir: str):
     — list_slice / binary_join / regex match / if_else), zero per-row
     Python.  Streams end to end; output is one row per input doc."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        c4_clean_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
 
-    def f(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
 
-        n = t.num_rows
-        toks = pc.split_pattern(
-            pc.coalesce(t["text"], pa.scalar("")), pattern=" "
+def c4_clean_batch(t: pa.Table) -> pa.Table:
+    """The C4 cleaner's per-batch kernel (module-level so edge cases —
+    empty text, all-dropped docs, exact-boundary widths — unit-test
+    directly)."""
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    toks = pc.split_pattern(
+        pc.coalesce(t["text"], pa.scalar("")), pattern=" "
+    )
+    ntok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    max_lines = int(np.ceil(ntok.max() / C4_LINE_W)) if n else 0
+    acc = pa.array([""] * n, pa.string())
+    acc_empty = np.ones(n, dtype=bool)
+    n_kept = np.zeros(n, dtype=np.int64)
+    n_drop = np.zeros(n, dtype=np.int64)
+    for k in range(max_lines):
+        seg = pc.list_slice(
+            toks, start=k * C4_LINE_W, stop=(k + 1) * C4_LINE_W
         )
-        ntok = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        max_lines = int(np.ceil(ntok.max() / C4_LINE_W)) if n else 0
-        acc = pa.array([""] * n, pa.string())
-        acc_empty = np.ones(n, dtype=bool)
-        n_kept = np.zeros(n, dtype=np.int64)
-        n_drop = np.zeros(n, dtype=np.int64)
-        for k in range(max_lines):
-            seg = pc.list_slice(
-                toks, start=k * C4_LINE_W, stop=(k + 1) * C4_LINE_W
-            )
-            line = pc.binary_join(seg, " ")
-            nw = np.clip(ntok - k * C4_LINE_W, 0, C4_LINE_W)
-            exists = nw > 0
-            bad = pc.match_substring_regex(line, _C4_BAD_RE).to_numpy(
-                zero_copy_only=False
-            )
-            keep = exists & (nw >= C4_MIN_WORDS) & ~bad
-            n_kept += keep
-            n_drop += exists & ~keep
-            keep_a = pa.array(keep)
-            joined = pc.binary_join_element_wise(acc, line, "\n")
-            acc = pc.if_else(
-                keep_a,
-                pc.if_else(pa.array(acc_empty), line, joined),
-                acc,
-            )
-            acc_empty &= ~keep
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "clean_text": acc,
-                "n_kept": pa.array(n_kept),
-                "n_dropped": pa.array(n_drop),
-                "kept": pa.array(
-                    (n_kept >= C4_MIN_LINES).astype(np.int64)
-                ),
-            }
+        line = pc.binary_join(seg, " ")
+        nw = np.clip(ntok - k * C4_LINE_W, 0, C4_LINE_W)
+        exists = nw > 0
+        bad = pc.match_substring_regex(line, _C4_BAD_RE).to_numpy(
+            zero_copy_only=False
         )
-
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        keep = exists & (nw >= C4_MIN_WORDS) & ~bad
+        n_kept += keep
+        n_drop += exists & ~keep
+        keep_a = pa.array(keep)
+        joined = pc.binary_join_element_wise(acc, line, "\n")
+        acc = pc.if_else(
+            keep_a,
+            pc.if_else(pa.array(acc_empty), line, joined),
+            acc,
+        )
+        acc_empty &= ~keep
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "clean_text": acc,
+            "n_kept": pa.array(n_kept),
+            "n_dropped": pa.array(n_drop),
+            "kept": pa.array(
+                (n_kept >= C4_MIN_LINES).astype(np.int64)
+            ),
+        }
+    )
 
 
 QUERIES["c4_line_clean_documents"] = q_c4_line_clean_documents

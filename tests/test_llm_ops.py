@@ -116,3 +116,44 @@ def test_range_facet_edge_semantics():
         RANGE_START + ((RANGE_END - RANGE_START - 1) // RANGE_GAP) * RANGE_GAP
     )  # hardend: last bucket start is the last gap multiple
     assert label_of(RANGE_END) == "after"                     # upper excl
+
+
+def test_c4_clean_batch_edge_cases():
+    """C4 line-cleaner kernel vs a naive per-row reference on edge
+    shapes the corpus never hits: empty text, every-line-dropped docs,
+    exact width boundaries, blocklist hits in first/middle/last line."""
+    import pyarrow as pa
+
+    from rindex.ops.textstats import (
+        C4_BAD_WORDS, C4_LINE_W, C4_MIN_LINES, C4_MIN_WORDS, c4_clean_batch,
+    )
+
+    def naive(text):
+        toks = text.split(" ") if text else [""]
+        lines = [toks[i:i + C4_LINE_W]
+                 for i in range(0, len(toks), C4_LINE_W)]
+        kept = [" ".join(ln) for ln in lines
+                if len(ln) >= C4_MIN_WORDS
+                and not any(w in C4_BAD_WORDS for w in ln)]
+        return ("\n".join(kept), len(kept), len(lines) - len(kept),
+                int(len(kept) >= C4_MIN_LINES))
+
+    w = C4_LINE_W
+    texts = [
+        "",                                     # empty -> 1 empty line
+        " ".join(["tok"] * w),                  # exactly one full line
+        " ".join(["tok"] * (w + 1)),            # full line + 1-word tail
+        " ".join(["tok"] * (2 * w)),            # two full lines
+        " ".join([C4_BAD_WORDS[0]] * (3 * w)),  # all lines blocklisted
+        " ".join(["tok"] * (w - 1) + [C4_BAD_WORDS[1]] + ["tok"] * w),
+        " ".join(["a"] * (C4_MIN_WORDS - 1)),   # single short line
+        " ".join(["tok"] * w + ["b"] * (C4_MIN_WORDS - 1)),
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = c4_clean_batch(t).to_pandas()
+    for i, text in enumerate(texts):
+        ct, nk, nd, kp = naive(text)
+        row = got.iloc[i]
+        assert row["clean_text"] == ct, (i, text)
+        assert row["n_kept"] == nk and row["n_dropped"] == nd
+        assert row["kept"] == kp
