@@ -472,6 +472,52 @@ def _b_leftouterjoin(args, kwargs, ctx):
     )
 
 
+def _b_search(args, kwargs, ctx):
+    """search(collection, q="...", mode="or"|"and", rows=N) — the
+    INDEX-backed stream SOURCE (`solr/solrj/src/java/org/apache/solr/
+    client/solrj/io/stream/CloudSolrStream.java`; every reference
+    streaming expression starts here).  Two shapes, mirroring the
+    reference's rows-bounded /select fetch vs the full-stream /export
+    handler (qt=/export):
+
+      rows=N   driver top-k through the warmed searcher (bounded, tiny),
+               wrapped as a Dataset so it composes with any downstream
+               stream; output (rank, doc_id, score).
+      no rows  the FULL match set as a distributed Dataset — one scoring
+               task per segment (IndexSearcher.score_matches_dataset),
+               match rows land in the object store and never gather on
+               the driver; this is the shape to join/rollup at 100 TB.
+               Output (doc_id, score), score>0 hit contract, scores
+               bit-identical to search(algo="exhaustive")."""
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    coll = _ident(args[0], "search collection")
+    if coll != "documents":
+        raise ValueError(
+            f"search: unknown collection {coll!r} (indexed: documents)"
+        )
+    text = _lit(kwargs["q"], "q")
+    mode = _lit(kwargs["mode"], "mode") if "mode" in kwargs else "or"
+    if mode not in ("or", "and"):
+        raise ValueError(f"search: mode must be or|and, got {mode!r}")
+    searcher = IndexSearcher(documents_index(ctx["sf_dir"]), algo="wand")
+    if "rows" in kwargs:
+        import ray.data as rd
+
+        k = int(_lit(kwargs["rows"], "rows"))
+        qtbl = pa.table(
+            {
+                "query_id": pa.array(["q"]),
+                "qtype": pa.array([mode]),
+                "text": pa.array([text]),
+                "k": pa.array([k], pa.int32()),
+            }
+        )
+        return rd.from_arrow(searcher.search_table(qtbl).drop_columns(["query_id"]))
+    return searcher.score_matches_dataset(text, mode=mode)
+
+
 def _b_knn(args, kwargs, ctx):
     """knn(stream, field=<vector col>, id=<id col>, qid=N, k=K) — the
     dense-vector top-k stream (Solr 9's {!knn} KnnQParser surfaced as a
@@ -520,6 +566,7 @@ def _b_knn(args, kwargs, ctx):
 
 STREAM_BUILDERS = {
     "table": _b_table,
+    "search": _b_search,
     "knn": _b_knn,
     "select": _b_select,
     "rollup": _b_rollup,
@@ -791,6 +838,62 @@ def q_stream_expr_knn_embeddings(sf_dir: str):
     out = compile_stream(KNN_EXPR, sf_dir).to_pandas()
     out["vec_id"] = out["vec_id"].astype("int64")
     return out.reset_index(drop=True)
+
+
+SEARCH_EXPR = """
+rollup(
+  hashJoin(
+    select(search(documents, q="spark join", mode="or"),
+           keep="doc_id", score=round(score, 6)),
+    table(documents, fl="doc_id,lang"),
+    on="doc_id"),
+  over="lang",
+  n_hits=count(*),
+  best=max(score),
+  worst=min(score))
+"""
+
+
+def q_stream_expr_search_rollup(sf_dir: str):
+    """search() as the stream SOURCE (CloudSolrStream / qt=/export): the
+    FULL BM25 match set for "spark join" streams out of per-segment
+    scoring tasks (rows never gather on the driver), hash-joins against
+    the documents table for the lang field, and rolls up hit count +
+    best/worst rounded score per language — one lazy pipeline compiled
+    from expression text, the reference's canonical search→join→rollup
+    composition."""
+    out = compile_stream(SEARCH_EXPR, sf_dir).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _search_rollup_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES ('spark'), ('join')),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    hits AS (SELECT doc_id, round(s, 6) AS score FROM scores WHERE s > 0)
+    SELECT lang, count(*) AS n_hits, max(score) AS best, min(score) AS worst
+    FROM hits JOIN documents USING (doc_id)
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+QUERIES["stream_expr_search_rollup"] = q_stream_expr_search_rollup
+ORACLE["stream_expr_search_rollup"] = _search_rollup_oracle()
 
 
 QUERIES["stream_expr_knn_embeddings"] = q_stream_expr_knn_embeddings

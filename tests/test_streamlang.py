@@ -279,3 +279,53 @@ def test_knn_builder(ray_session):
             )
     finally:
         STREAM_BUILDERS["table"] = orig
+
+
+def test_search_builder(ray_session):
+    """search() stream source: the export-shaped (no rows) form streams
+    the full match set and composes with select/rollup; the rows=N form
+    is rank-ordered and bounded; unknown collections and bad modes fail
+    loud at build time."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from rindex.ops.fulltext import TOKEN_PY_RE
+    from rindex.ops.streamlang import compile_stream
+
+    sf = "/root/testdata/sf0.001"
+    full = compile_stream(
+        'search(documents, q="spark join", mode="or")', sf
+    ).to_pandas()
+    # score>0 hit contract + full match set: every doc containing either
+    # term (tokenizer-identical check) appears exactly once
+    import re
+
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    tok = re.compile(TOKEN_PY_RE)
+    want = {
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if {"spark", "join"} & set(tok.findall(r.text.lower()))
+    }
+    assert set(full["doc_id"].astype(int)) == want
+    assert (full["score"] > 0).all()
+    assert len(full) == len(set(full["doc_id"]))
+
+    topk = compile_stream(
+        'search(documents, q="spark join", mode="or", rows=5)', sf
+    ).to_pandas()
+    assert topk["rank"].tolist() == list(range(min(5, len(want))))
+    # rows= form agrees with the head of the full stream's score order
+    full_sorted = full.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(len(topk))
+    assert np.allclose(
+        np.sort(topk["score"]), np.sort(full_sorted["score"]), rtol=1e-9
+    )
+
+    with pytest.raises(ValueError, match="unknown collection"):
+        compile_stream('search(nope, q="x")', sf)
+    with pytest.raises(ValueError, match="mode must be"):
+        compile_stream('search(documents, q="x", mode="xor")', sf)
