@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     "regexp_search_documents", "mmr_rerank_embeddings",
     "eval_signal_events", "facet_prefix_documents",
     "json_facet_percentile_events", "stream_expr_search_rollup",
+    "stream_expr_update_search", "stream_expr_random_sample",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",

@@ -41,6 +41,7 @@ unchanged; stream calls carry kwargs as a 4th slot.
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -472,6 +473,71 @@ def _b_leftouterjoin(args, kwargs, ctx):
     )
 
 
+# collections built by update() this process: (sf_dir, dest) -> index dir.
+# A process-local registry, like the reference's in-memory collection list
+# on the coordinating node — the index itself is on (shared) disk and any
+# worker re-opens it from the manifest path alone.
+_STREAM_COLLECTIONS: dict[tuple, str] = {}
+
+
+def _b_update(args, kwargs, ctx):
+    """update(dest, stream, id="doc_id", text="text", keep="lang,source")
+    — the stream SINK (`solr/solrj/.../io/stream/UpdateStream.java`):
+    index the inner stream's tuples into a NEW collection and emit the
+    reference's summary tuple (batchIndexed / collection).  The build is
+    the engine's own distributed build_index over the lazy inner Dataset
+    (tokenize partials -> salted shuffle -> writer actor pool); the index
+    dir is fingerprinted by (sf_dir, expression, field config) so a
+    repeated compile resumes from the checkpoint lineage instead of
+    re-indexing (DirectUpdateHandler2 commit idempotence analog).
+    search()/random() resolve the collection by name afterwards."""
+    import hashlib
+    import ray.data as rd
+
+    from rindex.build import build_index
+
+    dest = _ident(args[0], "update destination")
+    inner = args[1]
+    id_col = _lit(kwargs["id"], "id") if "id" in kwargs else "doc_id"
+    text_col = _lit(kwargs["text"], "text") if "text" in kwargs else "text"
+    keep = _cols(_lit(kwargs["keep"], "keep")) if "keep" in kwargs else []
+    ds = _build(inner, ctx)
+    fp = hashlib.md5(
+        repr((os.path.abspath(ctx["sf_dir"]), inner, id_col, text_col, keep))
+        .encode()
+    ).hexdigest()[:10]
+    idx = os.path.join("/tmp", "rindex_cache", f"stream-{dest}-{fp}")
+    man = build_index(
+        ds, idx, num_segments=4, mode="local",
+        id_cols=(id_col,), text_col=text_col, keep_cols=tuple(keep),
+        input_files=[os.path.join(ctx["sf_dir"], "documents.parquet")],
+    )
+    _STREAM_COLLECTIONS[(os.path.abspath(ctx["sf_dir"]), dest)] = idx
+    return rd.from_items(
+        [{
+            "collection": dest,
+            "batchIndexed": int(man["totals"]["doc_count"]),
+            "segments": int(man["totals"]["n_segments"]),
+        }]
+    )
+
+
+def _collection_index(coll: str, ctx) -> str:
+    """Resolve a collection name to an index dir: update()-built
+    collections first, then the built-in documents index."""
+    from rindex.ops.fulltext import documents_index
+
+    key = (os.path.abspath(ctx["sf_dir"]), coll)
+    if key in _STREAM_COLLECTIONS:
+        return _STREAM_COLLECTIONS[key]
+    if coll == "documents":
+        return documents_index(ctx["sf_dir"])
+    raise ValueError(
+        f"search: unknown collection {coll!r} (indexed: documents"
+        f" + update()-built: {sorted(k[1] for k in _STREAM_COLLECTIONS)})"
+    )
+
+
 def _b_search(args, kwargs, ctx):
     """search(collection, q="...", mode="or"|"and", rows=N) — the
     INDEX-backed stream SOURCE (`solr/solrj/src/java/org/apache/solr/
@@ -489,19 +555,14 @@ def _b_search(args, kwargs, ctx):
                the driver; this is the shape to join/rollup at 100 TB.
                Output (doc_id, score), score>0 hit contract, scores
                bit-identical to search(algo="exhaustive")."""
-    from rindex.ops.fulltext import documents_index
     from rindex.search import IndexSearcher
 
     coll = _ident(args[0], "search collection")
-    if coll != "documents":
-        raise ValueError(
-            f"search: unknown collection {coll!r} (indexed: documents)"
-        )
     text = _lit(kwargs["q"], "q")
     mode = _lit(kwargs["mode"], "mode") if "mode" in kwargs else "or"
     if mode not in ("or", "and"):
         raise ValueError(f"search: mode must be or|and, got {mode!r}")
-    searcher = IndexSearcher(documents_index(ctx["sf_dir"]), algo="wand")
+    searcher = IndexSearcher(_collection_index(coll, ctx), algo="wand")
     if "rows" in kwargs:
         import ray.data as rd
 
@@ -516,6 +577,43 @@ def _b_search(args, kwargs, ctx):
         )
         return rd.from_arrow(searcher.search_table(qtbl).drop_columns(["query_id"]))
     return searcher.score_matches_dataset(text, mode=mode)
+
+
+def _b_random(args, kwargs, ctx):
+    """random(collection, q="...", mode=, rows=N) — RandomStream
+    (`solr/solrj/.../io/stream/RandomStream.java`): a pseudo-random
+    sample of the query's match set.  Seed-FREE determinism instead of
+    the reference's per-request RNG: the sample is the first N matches
+    in md5(doc_id) order (the repo-wide split-hash convention), so the
+    same expression returns the same tuples at any parallelism level /
+    cluster size — the property a resumable 100-TB pipeline actually
+    needs.  The match set streams from per-segment scoring tasks; the
+    hash rides each batch and only sort+limit(N) crosses the exchange."""
+    import hashlib
+
+    coll = _ident(args[0], "random collection")
+    text = _lit(kwargs["q"], "q")
+    mode = _lit(kwargs["mode"], "mode") if "mode" in kwargs else "or"
+    n = int(_lit(kwargs["rows"], "rows"))
+    from rindex.search import IndexSearcher
+
+    searcher = IndexSearcher(_collection_index(coll, ctx), algo="wand")
+    ds = searcher.score_matches_dataset(text, mode=mode)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        return t.append_column("_r", pa.array(h, pa.string()))
+
+    sampled = (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("_r")
+        .limit(n)
+    )
+    return sampled.map_batches(
+        lambda b: b.drop_columns(["_r"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 def _b_knn(args, kwargs, ctx):
@@ -567,6 +665,8 @@ def _b_knn(args, kwargs, ctx):
 STREAM_BUILDERS = {
     "table": _b_table,
     "search": _b_search,
+    "update": _b_update,
+    "random": _b_random,
     "knn": _b_knn,
     "select": _b_select,
     "rollup": _b_rollup,
@@ -894,6 +994,114 @@ def _search_rollup_oracle() -> str:
 
 QUERIES["stream_expr_search_rollup"] = q_stream_expr_search_rollup
 ORACLE["stream_expr_search_rollup"] = _search_rollup_oracle()
+
+
+UPDATE_EXPR = """
+update(bigdocs,
+       having(table(documents, fl="doc_id,text,lang,n_chars"),
+              gt(n_chars, 250)),
+       id="doc_id", text="text", keep="lang")
+"""
+UPDATE_SEARCH_EXPR = (
+    'select(search(bigdocs, q="join", mode="or", rows=12),'
+    ' keep="rank,doc_id", score=round(score, 6))'
+)
+
+
+def q_stream_expr_update_search(sf_dir: str):
+    """update() as the stream SINK (UpdateStream.java): a filtered stream
+    of documents is indexed into a NEW collection by the engine's own
+    distributed build (tokenize partials -> salted shuffle -> writer
+    actors), then search() resolves that collection by name and ranks
+    against the SUBSET's OWN corpus statistics (n_docs / avgdl / df of
+    the new index — the point of a separate collection).  The summary
+    tuple's batchIndexed count rides along as n_indexed."""
+    summary = compile_stream(UPDATE_EXPR, sf_dir).to_pandas()
+    out = compile_stream(UPDATE_SEARCH_EXPR, sf_dir).to_pandas()
+    out["n_indexed"] = np.int64(summary["batchIndexed"].iloc[0])
+    return out.reset_index(drop=True)
+
+
+def _update_search_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    ctes = _bm25_ctes()
+    n = ctes.count("FROM documents")
+    assert n == 3, f"_bm25_ctes changed shape ({n} FROM documents refs)"
+    ctes = ctes.replace("FROM documents", "FROM sub")
+    return f"""
+    WITH sub AS (SELECT doc_id, text FROM documents WHERE n_chars > 250),
+    {ctes},
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.term = 'join'
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, round(s, 6) AS score,
+             (row_number() OVER (ORDER BY s DESC, doc_id ASC) - 1)::INTEGER
+               AS rank
+      FROM scores WHERE s > 0
+    )
+    SELECT rank, doc_id, score,
+           (SELECT count(*) FROM sub)::BIGINT AS n_indexed
+    FROM ranked WHERE rank < 12
+    """
+
+
+QUERIES["stream_expr_update_search"] = q_stream_expr_update_search
+ORACLE["stream_expr_update_search"] = _update_search_oracle()
+
+
+RANDOM_EXPR = """
+select(random(documents, q="merge sort", mode="or", rows=25),
+       keep="doc_id", score=round(score, 6))
+"""
+
+
+def q_stream_expr_random_sample(sf_dir: str):
+    """random() in the language (RandomStream.java): a deterministic
+    pseudo-random sample of the "merge sort" match set — first 25 hits
+    in md5(doc_id) order (the repo-wide split-hash convention), stable
+    across runs and parallelism levels, streamed from the per-segment
+    scoring tasks."""
+    out = compile_stream(RANDOM_EXPR, sf_dir).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _random_sample_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES ('merge'), ('sort')),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    hits AS (SELECT doc_id, round(s, 6) AS score FROM scores WHERE s > 0)
+    SELECT doc_id, score FROM hits
+    ORDER BY md5(doc_id::VARCHAR) LIMIT 25
+    """
+
+
+QUERIES["stream_expr_random_sample"] = q_stream_expr_random_sample
+ORACLE["stream_expr_random_sample"] = _random_sample_oracle()
 
 
 QUERIES["stream_expr_knn_embeddings"] = q_stream_expr_knn_embeddings

@@ -329,3 +329,58 @@ def test_search_builder(ray_session):
         compile_stream('search(nope, q="x")', sf)
     with pytest.raises(ValueError, match="mode must be"):
         compile_stream('search(documents, q="x", mode="xor")', sf)
+
+
+def test_update_and_random_builders(ray_session):
+    """update() sinks a filtered stream into a NEW collection (summary
+    tuple counts match the filter), search() resolves it by name and
+    ranks against the subset's own stats; random() is a deterministic
+    md5-ordered sample of the match set."""
+    import pyarrow.parquet as pq
+
+    from rindex.ops.streamlang import compile_stream
+
+    sf = "/root/testdata/sf0.001"
+    upd = (
+        'update(tinybig, having(table(documents, '
+        'fl="doc_id,text,lang,n_chars"), gt(n_chars, 400)), '
+        'id="doc_id", text="text", keep="lang")'
+    )
+    s1 = compile_stream(upd, sf).to_pandas()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas()
+    want_n = int((docs["n_chars"] > 400).sum())
+    assert int(s1["batchIndexed"].iloc[0]) == want_n
+    # idempotent re-run (checkpoint lineage resume)
+    s2 = compile_stream(upd, sf).to_pandas()
+    assert int(s2["batchIndexed"].iloc[0]) == want_n
+
+    hits = compile_stream(
+        'search(tinybig, q="join", mode="or")', sf
+    ).to_pandas()
+    assert set(hits["doc_id"]) <= set(
+        docs.loc[docs["n_chars"] > 400, "doc_id"]
+    )
+    assert (hits["score"] > 0).all()
+
+    full = compile_stream(
+        'search(documents, q="merge sort", mode="or")', sf
+    ).to_pandas()
+    r1 = compile_stream(
+        'random(documents, q="merge sort", mode="or", rows=9)', sf
+    ).to_pandas()
+    r2 = compile_stream(
+        'random(documents, q="merge sort", mode="or", rows=9)', sf
+    ).to_pandas()
+    assert len(r1) == 9
+    assert sorted(r1["doc_id"]) == sorted(r2["doc_id"])  # seed-free stable
+    assert set(r1["doc_id"]) <= set(full["doc_id"])
+    # md5-order contract: the sample IS the 9 smallest md5(doc_id) hits
+    import hashlib
+
+    order = sorted(
+        full["doc_id"].astype(int),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+    )
+    assert sorted(r1["doc_id"].astype(int)) == sorted(order[:9])
