@@ -61,6 +61,7 @@ _SAMPLE_FIRST = [
     "eval_signal_events", "facet_prefix_documents",
     "json_facet_percentile_events", "stream_expr_search_rollup",
     "stream_expr_update_search", "stream_expr_random_sample",
+    "unigram_nll_documents", "domain_cap_documents",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",

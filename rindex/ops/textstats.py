@@ -1178,3 +1178,202 @@ def _vocab_oov_oracle_sql() -> str:
 
 
 ORACLE["vocab_oov_documents"] = _vocab_oov_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity filter (CCNet-style; Wenzek et al. 2019 "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data" uses a
+# KenLM perplexity over a reference corpus to split head/middle/tail).
+# Here the LM *is the index*: unigram log-probs derive from the term
+# dictionary's ttf (dictionary columns only — postings blobs never
+# projected), so "train the LM on the reference corpus" is the build the
+# engine already ran.  The LM table is the designated small side (a
+# bounded vocab at 100 TB, exactly like CCNet's fixed LM), ray.put once;
+# the corpus pass is ONE searchsorted over each batch's concatenated token
+# hashes + per-doc reduceat.  Bucket cutoffs are CONSTANTS, faithful to
+# CCNet (its thresholds are percentiles of the LM's training corpus —
+# fixed at filter time, not recomputed per input).
+# ---------------------------------------------------------------------------
+
+NLL_HEAD_MAX = 3.4     # rounded nll < this  -> "head"
+NLL_MIDDLE_MAX = 3.41  # rounded nll < this  -> "middle", else "tail"
+
+
+def q_unigram_nll_documents(sf_dir: str):
+    """Per-doc unigram negative log-likelihood from the INDEX's ttf table
+    + CCNet head/middle/tail bucketing with fixed cutoffs."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from rindex.analysis import get_analyzer
+    from rindex.ops.dedup import _stable_hash64, _token_hashes
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    acc: dict[str, int] = {}
+    for m in man["segments"]:
+        p = os.path.join(
+            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
+        )
+        t = pq.read_table(p, columns=["term", "ttf"])
+        for term, ttf in zip(t["term"].to_pylist(), t["ttf"].to_pylist()):
+            acc[term] = acc.get(term, 0) + int(ttf)
+    total = float(sum(acc.values()))
+    th = np.array([_stable_hash64(t.encode()) for t in acc], np.int64)
+    order = np.argsort(th)
+    lm_h = th[order]
+    # IDENTICAL scalar tree to the oracle: ln(ttf / T), division first
+    lm_lp = np.log(
+        np.array([float(acc[t]) for t in acc], np.float64)[order] / total
+    )
+    lm_ref = ray.put((lm_h, lm_lp))
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        lm_h_, lm_lp_ = ray.get(lm_ref)
+        toks_per = [az.tokens(x or "") for x in t["text"].to_pylist()]
+        lens = np.fromiter(
+            (len(x) for x in toks_per), np.int64, count=len(toks_per)
+        )
+        nz = lens > 0
+        nll = np.zeros(len(lens), np.float64)
+        if lens.sum():
+            h = _token_hashes([tok for lst in toks_per for tok in lst])
+            at = np.searchsorted(lm_h_, h)
+            ok = (at < len(lm_h_)) & (lm_h_[np.minimum(at, len(lm_h_) - 1)] == h)
+            if not ok.all():
+                # the LM is trained on THIS index; an unseen token means
+                # the filter is being served a different corpus — loud
+                raise ValueError(
+                    f"unigram_nll: {int((~ok).sum())} tokens missing from "
+                    "the index LM (corpus/index mismatch)"
+                )
+            lp = lm_lp_[at]
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            nll[nz] = -(np.add.reduceat(lp, starts[nz]) / lens[nz])
+        nll_r = np.round(nll, 6)
+        bucket = np.where(
+            nll_r < NLL_HEAD_MAX, "head",
+            np.where(nll_r < NLL_MIDDLE_MAX, "middle", "tail"),
+        )
+        keep = nz  # CCNet skips empty docs (no tokens -> no LM score)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_tok": pa.array(lens[keep]),
+                "nll": pa.array(nll_r[keep]),
+                "ppl_bucket": pa.array(bucket[keep].tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["unigram_nll_documents"] = q_unigram_nll_documents
+
+
+def _unigram_nll_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    ttf AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+    tot AS (SELECT sum(c) AS T FROM ttf),
+    per AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tok,
+             round(avg(-ln(c / T)), 6) AS nll
+      FROM toks JOIN ttf USING (term) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, nll,
+           CASE WHEN nll < {NLL_HEAD_MAX} THEN 'head'
+                WHEN nll < {NLL_MIDDLE_MAX} THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM per
+    """
+
+
+ORACLE["unigram_nll_documents"] = _unigram_nll_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap (Common-Crawl curation: bound any one domain's share of
+# the training set).  Deterministic and cluster-size-stable: within each
+# source, keep the DOMAIN_CAP docs with the smallest md5(doc_id) (the
+# repo-wide split-hash convention) — no RNG, so a resumed/re-sharded run
+# keeps the same docs.  Scale shape: a distributed SELECTION, not a
+# per-domain gather — stage 1 emits each batch's per-source top-CAP
+# candidate hashes (bounded: sources x CAP per batch), stage 2 reduces
+# candidates to one cutoff hash per source (groupby over a tiny table),
+# the cutoffs broadcast as the small side, stage 3 filters the corpus
+# scan.  A hot domain with 10^9 docs never lands in one task.
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 10
+
+
+def q_domain_cap_documents(sf_dir: str):
+    """Keep at most DOMAIN_CAP docs per source (smallest md5(doc_id))."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def candidates(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "h": [
+                    hashlib.md5(str(int(i)).encode()).hexdigest()
+                    for i in t["doc_id"].to_numpy()
+                ],
+            }
+        )
+        top = df.sort_values(["source", "h"]).groupby("source").head(DOMAIN_CAP)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def cutoff(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.sort(g["h"].to_numpy())
+        cut = hs[DOMAIN_CAP - 1] if len(hs) >= DOMAIN_CAP else hs[-1]
+        return pd.DataFrame({"source": [g["source"].iloc[0]], "cut": [cut]})
+
+    cuts = (
+        ds.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(cutoff, batch_format="pandas")
+        .to_pandas()
+    )
+    cut_ref = ray.put(dict(zip(cuts["source"], cuts["cut"])))
+
+    def keep(t: pa.Table) -> pa.Table:
+        cm = ray.get(cut_ref)
+        src = t["source"].to_pylist()
+        ids = t["doc_id"].to_numpy()
+        mask = np.array(
+            [
+                hashlib.md5(str(int(i)).encode()).hexdigest() <= cm[s]
+                for i, s in zip(ids, src)
+            ]
+        )
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["domain_cap_documents"] = q_domain_cap_documents
+ORACLE["domain_cap_documents"] = f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR)) AS rn
+      FROM documents)
+    WHERE rn <= {DOMAIN_CAP}
+"""

@@ -157,3 +157,54 @@ def test_c4_clean_batch_edge_cases():
         assert row["clean_text"] == ct, (i, text)
         assert row["n_kept"] == nk and row["n_dropped"] == nd
         assert row["kept"] == kp
+
+
+def test_unigram_nll_and_domain_cap(ray_session):
+    """CCNet-style unigram LM: every bucket non-vacuous on the driver
+    corpus, nll matches a naive per-doc recompute; domain cap keeps
+    exactly CAP per source (all, when a source is smaller)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rindex.ops.textstats import (
+        DOMAIN_CAP,
+        q_domain_cap_documents,
+        q_unigram_nll_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_unigram_nll_documents(sf).to_pandas().set_index("doc_id")
+    assert set(got["ppl_bucket"]) == {"head", "middle", "tail"}
+
+    # naive reference on a sample of docs
+    import re
+
+    from rindex.ops.fulltext import TOKEN_PY_RE
+
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    tok = re.compile(TOKEN_PY_RE)
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    per_doc = {}
+    for r in docs.itertuples():
+        ts = tok.findall(r.text.lower())
+        per_doc[int(r.doc_id)] = ts
+        cnt.update(ts)
+    T = float(sum(cnt.values()))
+    for did in list(per_doc)[:25]:
+        ts = per_doc[did]
+        want = -np.mean([np.log(cnt[t] / T) for t in ts])
+        assert abs(got.loc[did, "nll"] - round(want, 6)) < 2e-6
+        assert got.loc[did, "n_tok"] == len(ts)
+
+    kept = q_domain_cap_documents(sf).to_pandas()
+    sizes = docs.join(
+        pq.read_table(f"{sf}/documents.parquet", columns=["source"])
+        .to_pandas()
+    ).groupby("source").size()
+    per_src = kept.groupby("source").size()
+    for src, n in per_src.items():
+        assert n == min(DOMAIN_CAP, sizes[src])
