@@ -609,3 +609,68 @@ ORACLE["json_facet_percentile_events"] = f"""
     FROM g
     ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Date-range facet: facet.range over a DATE field with a DateMath gap
+# (`solr/core/src/java/org/apache/solr/search/facet/FacetRange.java` +
+# `util/DateMathParser.java` — the range-facet machinery is shared with
+# the numeric form; what's date-specific is gap arithmetic in calendar
+# units and bucket labels at the bucket START instant).  Same engine
+# shape as the numeric op: the edge array (epoch-us) is computed once on
+# the driver, bucket assignment is ONE searchsorted per batch, and only
+# (label, count) partials cross the shuffle.  other=all emits the
+# 'before'/'after' ranges; include=lower (lower-inclusive,
+# upper-exclusive), the facet.range default.
+# ---------------------------------------------------------------------------
+
+DR_START = np.datetime64("2024-01-05")
+DR_END = np.datetime64("2024-01-25")
+DR_GAP_DAYS = 5
+
+
+def q_date_range_facet_events(sf_dir: str):
+    """facet.range on events.ts: start=2024-01-05, end=2024-01-25,
+    gap=+5DAYS, other=all."""
+    from ray.data.aggregate import Count
+
+    starts = np.arange(DR_START, DR_END, np.timedelta64(DR_GAP_DAYS, "D"))
+    edges_us = np.append(starts, DR_END).astype("datetime64[us]").astype(np.int64)
+    labels = np.datetime_as_string(starts, unit="D")
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        idx = np.searchsorted(edges_us, v, side="right") - 1
+        label = np.empty(len(v), dtype=object)
+        label[idx < 0] = "before"
+        label[idx >= len(labels)] = "after"
+        inb = (idx >= 0) & (idx < len(labels))
+        label[inb] = labels[idx[inb]]
+        return pa.table({"label": pa.array(label, pa.string())})
+
+    ds = read_table(sf_dir, "events", ["ts"])
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+QUERIES["date_range_facet_events"] = q_date_range_facet_events
+ORACLE["date_range_facet_events"] = f"""
+    SELECT label, count(*)::BIGINT AS n FROM (
+      SELECT CASE
+               WHEN ts < TIMESTAMP '2024-01-05' THEN 'before'
+               WHEN ts >= TIMESTAMP '2024-01-25' THEN 'after'
+               ELSE (DATE '2024-01-05'
+                     + ({DR_GAP_DAYS} * (date_diff('day',
+                         TIMESTAMP '2024-01-05', ts) // {DR_GAP_DAYS})
+                        )::INTEGER)::VARCHAR
+             END AS label
+      FROM events)
+    GROUP BY label
+    ORDER BY label
+"""

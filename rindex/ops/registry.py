@@ -38,7 +38,11 @@ _SAMPLE_FIRST = [
     "eval_temporal_events",
     "suggest_prefix_documents", "suggest_infix_documents",
     "spellcheck_documents", "spellcheck_collate_documents",
-    # (3) new this round
+    # (3) new this round — newest (least-verified) first
+    "stream_expr_search_rollup", "stream_expr_update_search",
+    "stream_expr_random_sample",
+    "unigram_nll_documents", "domain_cap_documents",
+    "stream_expr_parallel_rollup", "date_range_facet_events",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",
@@ -59,9 +63,7 @@ _SAMPLE_FIRST = [
     "stream_expr_knn_embeddings", "vocab_oov_documents",
     "regexp_search_documents", "mmr_rerank_embeddings",
     "eval_signal_events", "facet_prefix_documents",
-    "json_facet_percentile_events", "stream_expr_search_rollup",
-    "stream_expr_update_search", "stream_expr_random_sample",
-    "unigram_nll_documents", "domain_cap_documents",
+    "json_facet_percentile_events",
     # (4) never driver-sampled (registry order)
     "wildcard_search_documents", "query_elevation_documents",
     "expand_collapsed_events", "shortest_path_users",

@@ -616,6 +616,30 @@ def _b_random(args, kwargs, ctx):
     )
 
 
+def _b_parallel(args, kwargs, ctx):
+    """parallel(inner, workers=N, sort="k asc") — ParallelStream
+    (`solr/solrj/.../io/stream/ParallelStream.java`): the reference
+    SHARDS the inner expression onto N workers by a partitioning hash
+    and zipper-merges their sorted outputs (its streams are single-node
+    otherwise).  Ray Data's streaming executor already runs every stage
+    of the compiled inner pipeline data-parallel across the cluster, so
+    the faithful mapping is: honor workers=N as a repartition hint
+    (useful when the inner stream collapsed to few blocks, e.g. after a
+    groupby), and re-establish the decorator's output-order contract
+    with one sort.  Semantics are unchanged by construction — the same
+    tuples, ordered."""
+    ds = _build(args[0], ctx)
+    if "workers" in kwargs:
+        n = int(_lit(kwargs["workers"], "workers"))
+        if n <= 0:
+            raise ValueError(f"parallel: workers must be positive, got {n}")
+        ds = ds.repartition(n)
+    if "sort" in kwargs:
+        keys, desc = _sort_spec(_lit(kwargs["sort"], "sort"))
+        ds = ds.sort(keys, descending=desc)
+    return ds
+
+
 def _b_knn(args, kwargs, ctx):
     """knn(stream, field=<vector col>, id=<id col>, qid=N, k=K) — the
     dense-vector top-k stream (Solr 9's {!knn} KnnQParser surfaced as a
@@ -667,6 +691,7 @@ STREAM_BUILDERS = {
     "search": _b_search,
     "update": _b_update,
     "random": _b_random,
+    "parallel": _b_parallel,
     "knn": _b_knn,
     "select": _b_select,
     "rollup": _b_rollup,
@@ -1102,6 +1127,37 @@ def _random_sample_oracle() -> str:
 
 QUERIES["stream_expr_random_sample"] = q_stream_expr_random_sample
 ORACLE["stream_expr_random_sample"] = _random_sample_oracle()
+
+
+PARALLEL_EXPR = """
+parallel(
+  rollup(
+    hashJoin(table(orders, fl="o_custkey,o_orderpriority"),
+             table(customer, fl="c_custkey,c_mktsegment"),
+             on="o_custkey=c_custkey"),
+    over="c_mktsegment,o_orderpriority",
+    n=count(*)),
+  workers=4, sort="c_mktsegment asc,o_orderpriority asc")
+"""
+
+
+def q_stream_expr_parallel_rollup(sf_dir: str):
+    """parallel() decorator (ParallelStream.java): the inner
+    join->rollup runs data-parallel under the streaming executor, the
+    decorator re-shards the (post-groupby) output to 4 blocks and
+    re-establishes the zipper-merge order contract with one sort —
+    same tuples, ordered."""
+    out = compile_stream(PARALLEL_EXPR, sf_dir).to_pandas()
+    return out.reset_index(drop=True)
+
+
+QUERIES["stream_expr_parallel_rollup"] = q_stream_expr_parallel_rollup
+ORACLE["stream_expr_parallel_rollup"] = """
+    SELECT c_mktsegment, o_orderpriority, count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderpriority
+    ORDER BY c_mktsegment, o_orderpriority
+"""
 
 
 QUERIES["stream_expr_knn_embeddings"] = q_stream_expr_knn_embeddings

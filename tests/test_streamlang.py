@@ -384,3 +384,34 @@ def test_update_and_random_builders(ray_session):
         key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
     )
     assert sorted(r1["doc_id"].astype(int)) == sorted(order[:9])
+
+
+def test_parallel_builder(ray_session):
+    """parallel() passthrough contract: same tuples as the undecorated
+    inner stream, ordered per the sort kwarg; loud on workers<=0."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from rindex.ops.streamlang import STREAM_BUILDERS, _build, parse_stream_expr
+
+    df = pd.DataFrame({"k": [2, 1, 3, 1, 2, 2], "v": [1, 2, 3, 4, 5, 6]})
+    orig = STREAM_BUILDERS["table"]
+    STREAM_BUILDERS["table"] = lambda a, k, ctx: rd.from_pandas(df)
+    try:
+        got = _build(
+            parse_stream_expr(
+                'parallel(rollup(table(t), over="k", n=count(*)),'
+                ' workers=3, sort="k desc")'
+            ),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert got["k"].tolist() == [3, 2, 1]
+        assert got["n"].tolist() == [1, 3, 2]
+        with pytest.raises(ValueError, match="workers must be positive"):
+            _build(
+                parse_stream_expr('parallel(table(t), workers=0)'),
+                {"sf_dir": ""},
+            )
+    finally:
+        STREAM_BUILDERS["table"] = orig
