@@ -1377,3 +1377,144 @@ ORACLE["domain_cap_documents"] = f"""
       FROM documents)
     WHERE rn <= {DOMAIN_CAP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Repeated-boilerplate span removal (RefinedWeb / MassiveText repetition
+# removal at the LINE level: spans that recur VERBATIM across many
+# documents are nav bars / footers / license blurbs — strip them from
+# every doc while keeping the doc).  Line derivation reuses the C4
+# cleaner's exact convention (raw space-split, BP_W-token slots) so the
+# two ops' notions of "line" can never diverge on a corpus with real
+# newlines vs this one-physical-line corpus.  Scale shape: scan 1 emits
+# per-batch (line, 1) partials deduped per doc (a doc is one row, so
+# per-batch dedupe IS per-doc dedupe), ONE distributed groupby sums doc
+# frequencies, and only lines with df >= BP_DF — boilerplate is rare by
+# definition — come back as the broadcast small side; scan 2 filters
+# each doc's slots with one Arrow is_in per slot.  No driver-side corpus
+# pass, no per-row Python.
+# ---------------------------------------------------------------------------
+
+BP_W = 3    # boilerplate span width (tokens)
+BP_DF = 5   # spans in >= this many distinct docs are boilerplate
+
+
+def _bp_slot_lines(t: pa.Table):
+    """Shared slot walk: yields (k, line_array, exists_mask) per slot."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(
+        pc.coalesce(t["text"], pa.scalar("")), pattern=" "
+    )
+    ntok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    max_lines = int(np.ceil(ntok.max() / BP_W)) if t.num_rows else 0
+    for k in range(max_lines):
+        seg = pc.list_slice(toks, start=k * BP_W, stop=(k + 1) * BP_W)
+        line = pc.binary_join(seg, " ")
+        exists = np.clip(ntok - k * BP_W, 0, BP_W) > 0
+        yield k, line, exists
+
+
+def q_boilerplate_removal_documents(sf_dir: str):
+    """Strip lines (BP_W-token spans) occurring in >= BP_DF distinct
+    docs; one row per doc with the cleaned text + kept/dropped counts."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        rows_doc, rows_line = [], []
+        for _, line, exists in _bp_slot_lines(t):
+            ln = line.to_numpy(zero_copy_only=False)
+            idx = np.nonzero(exists)[0]
+            rows_doc.append(idx)
+            rows_line.append(ln[idx])
+        if not rows_doc:
+            return pa.table(
+                {"line": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame(
+            {"d": np.concatenate(rows_doc),
+             "line": np.concatenate(rows_line)}
+        ).drop_duplicates()  # per-doc distinct (a doc lives in ONE batch)
+        vc = df["line"].value_counts()
+        return pa.table(
+            {"line": pa.array(vc.index.to_numpy(), pa.string()),
+             "c": pa.array(vc.to_numpy().astype(np.int64))}
+        )
+
+    freq = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("line")
+        .aggregate(Sum("c", alias_name="df"))
+        .filter(expr=f"df >= {BP_DF}")
+        .to_pandas()
+    )
+    bad_ref = ray.put(pa.array(freq["line"].tolist(), pa.string()))
+
+    def clean(t: pa.Table) -> pa.Table:
+        bad = ray.get(bad_ref)
+        n = t.num_rows
+        acc = pa.array([""] * n, pa.string())
+        acc_empty = np.ones(n, dtype=bool)
+        n_kept = np.zeros(n, dtype=np.int64)
+        n_drop = np.zeros(n, dtype=np.int64)
+        for _, line, exists in _bp_slot_lines(t):
+            is_bad = pc.is_in(line, value_set=bad).to_numpy(
+                zero_copy_only=False
+            )
+            keep = exists & ~is_bad
+            n_kept += keep
+            n_drop += exists & ~keep
+            keep_a = pa.array(keep)
+            joined = pc.binary_join_element_wise(acc, line, "\n")
+            acc = pc.if_else(
+                keep_a, pc.if_else(pa.array(acc_empty), line, joined), acc
+            )
+            acc_empty &= ~keep
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": acc,
+                "n_kept": pa.array(n_kept),
+                "n_dropped": pa.array(n_drop),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["boilerplate_removal_documents"] = q_boilerplate_removal_documents
+ORACLE["boilerplate_removal_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(string_split(coalesce(text, ''), ' '))
+                             + 1)) AS i,
+             unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, (i - 1) // {BP_W} AS ln,
+             string_agg(tok, ' ' ORDER BY i) AS line
+      FROM toks GROUP BY 1, 2
+    ),
+    freq AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+      WHERE df >= {BP_DF}
+    ),
+    flagged AS (
+      SELECT doc_id, ln, line,
+             line NOT IN (SELECT line FROM freq) AS keep
+      FROM lines
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY ln), '') AS clean_text,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+    FROM flagged GROUP BY doc_id
+"""

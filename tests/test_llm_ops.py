@@ -208,3 +208,47 @@ def test_unigram_nll_and_domain_cap(ray_session):
     per_src = kept.groupby("source").size()
     for src, n in per_src.items():
         assert n == min(DOMAIN_CAP, sizes[src])
+
+
+def test_boilerplate_removal_binds_and_reassembles(ray_session):
+    """The df>=BP_DF filter provably binds on the driver corpus, kept +
+    dropped re-adds to the doc's slot count, and clean_text holds
+    exactly the surviving lines in order."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rindex.ops.textstats import (
+        BP_DF,
+        BP_W,
+        q_boilerplate_removal_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_boilerplate_removal_documents(sf).to_pandas().set_index("doc_id")
+    assert (got["n_dropped"] > 0).any()          # binds
+    assert (got["n_kept"] > 0).all()             # never empties a doc here
+
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    from collections import Counter
+
+    def lines_of(text):
+        toks = (text or "").split(" ")
+        return [
+            " ".join(toks[k: k + BP_W]) for k in range(0, len(toks), BP_W)
+        ]
+
+    df_cnt: Counter = Counter()
+    for r in docs.itertuples():
+        for ln in set(lines_of(r.text)):
+            df_cnt[ln] += 1
+    bad = {ln for ln, c in df_cnt.items() if c >= BP_DF}
+    assert bad  # the corpus really has boilerplate at this width
+    for r in docs.sample(30, random_state=7).itertuples():
+        ls = lines_of(r.text)
+        keep = [ln for ln in ls if ln not in bad]
+        row = got.loc[int(r.doc_id)]
+        assert row["clean_text"] == "\n".join(keep)
+        assert row["n_kept"] == len(keep)
+        assert row["n_dropped"] == len(ls) - len(keep)
