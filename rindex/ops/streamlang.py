@@ -616,6 +616,117 @@ def _b_random(args, kwargs, ctx):
     )
 
 
+def _b_significant(args, kwargs, ctx):
+    """significantTerms(collection, q="...", limit=N, minDocFreq=m) —
+    SignificantTermsStream (`solr/solrj/.../io/stream/
+    SignificantTermsStream.java`): terms over-represented in the q match
+    set (foreground) vs the whole collection (background); score =
+    ln((df_fg/n_fg)/(df_bg/n_bg)), rounded BEFORE ranking (the repo's
+    rounded-rank discipline), ties by term asc.
+
+    Scale shape: background df comes from the INDEX term dictionary
+    (df summed over segments — dictionary columns only, the designated
+    small side, same as the reference's per-shard terms enum); the
+    foreground doc set broadcasts as a sorted id array (8 B/doc —
+    bounded by the q match set, the same contract as the dedup ops'
+    broadcast sides); foreground df is ONE corpus scan with per-batch
+    (term, count) partials and a tiny groupby.  Only the per-term table
+    (vocabulary-sized) ever reaches the driver."""
+    import pyarrow.parquet as ppq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from rindex.search import IndexSearcher
+    from rindex.segments import read_manifest, seg_dir
+
+    coll = _ident(args[0], "significantTerms collection")
+    text = _lit(kwargs["q"], "q")
+    mode = _lit(kwargs["mode"], "mode") if "mode" in kwargs else "or"
+    limit = int(_lit(kwargs["limit"], "limit")) if "limit" in kwargs else 10
+    min_df = (
+        int(_lit(kwargs["minDocFreq"], "minDocFreq"))
+        if "minDocFreq" in kwargs else 1
+    )
+    idx = _collection_index(coll, ctx)
+    searcher = IndexSearcher(idx, algo="wand")
+
+    fg = np.sort(
+        searcher.score_matches_dataset(text, mode=mode)
+        .to_pandas()["doc_id"].to_numpy().astype(np.int64)
+    )
+    n_fg = float(len(fg))
+    man = read_manifest(idx)
+    n_bg = float(man["totals"]["doc_count"])
+    if n_fg == 0:
+        return rd.from_arrow(
+            pa.table({"term": pa.array([], pa.string()),
+                      "df_fg": pa.array([], pa.int64()),
+                      "df_bg": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    acc: dict[str, int] = {}
+    for m in man["segments"]:
+        p = os.path.join(
+            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
+        )
+        t = ppq.read_table(p, columns=["term", "df"])
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            acc[term] = acc.get(term, 0) + int(df)
+    fg_ref = ray.put(fg)
+    sf_dir = ctx["sf_dir"]
+
+    def fg_partials(t: pa.Table) -> pa.Table:
+        from rindex.analysis import get_analyzer
+
+        fg_ = ray.get(fg_ref)
+        ids = t["doc_id"].to_numpy()
+        at = np.searchsorted(fg_, ids)
+        isfg = (at < len(fg_)) & (fg_[np.minimum(at, len(fg_) - 1)] == ids)
+        az = get_analyzer("standard")
+        doc_rows, term_rows = [], []
+        for i in np.nonzero(isfg)[0]:
+            toks = az.tokens(t["text"][int(i)].as_py() or "")
+            doc_rows.extend([int(i)] * len(toks))
+            term_rows.extend(toks)
+        if not term_rows:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        df = pd.DataFrame({"d": doc_rows, "term": term_rows}).drop_duplicates()
+        vc = df["term"].value_counts()
+        return pa.table(
+            {"term": pa.array(vc.index.to_numpy(), pa.string()),
+             "c": pa.array(vc.to_numpy().astype(np.int64))}
+        )
+
+    counts = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fg_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="df_fg"))
+        .to_pandas()
+    )
+    counts = counts[counts["df_fg"] >= min_df].copy()
+    counts["df_bg"] = counts["term"].map(acc).astype(np.int64)
+    counts["df_fg"] = counts["df_fg"].astype(np.int64)
+    counts["score"] = np.round(
+        np.log(
+            (counts["df_fg"].to_numpy(np.float64) / n_fg)
+            / (counts["df_bg"].to_numpy(np.float64) / n_bg)
+        ),
+        6,
+    )
+    counts = counts.sort_values(
+        ["score", "term"], ascending=[False, True], kind="mergesort"
+    ).head(limit)
+    return rd.from_arrow(
+        pa.Table.from_pandas(
+            counts[["term", "df_fg", "df_bg", "score"]],
+            preserve_index=False,
+        )
+    )
+
+
 def _b_parallel(args, kwargs, ctx):
     """parallel(inner, workers=N, sort="k asc") — ParallelStream
     (`solr/solrj/.../io/stream/ParallelStream.java`): the reference
@@ -692,6 +803,7 @@ STREAM_BUILDERS = {
     "update": _b_update,
     "random": _b_random,
     "parallel": _b_parallel,
+    "significantTerms": _b_significant,
     "knn": _b_knn,
     "select": _b_select,
     "rollup": _b_rollup,
@@ -1149,6 +1261,59 @@ def q_stream_expr_parallel_rollup(sf_dir: str):
     same tuples, ordered."""
     out = compile_stream(PARALLEL_EXPR, sf_dir).to_pandas()
     return out.reset_index(drop=True)
+
+
+SIGTERMS_EXPR = (
+    'significantTerms(documents, q="spark", limit=8, minDocFreq=2)'
+)
+
+
+def q_stream_expr_significant_terms(sf_dir: str):
+    """significantTerms() in the language: foreground = the q match set
+    (score>0 hit contract), background df from the index dictionary,
+    log-ratio score rounded before ranking, term-asc tiebreak."""
+    out = compile_stream(SIGTERMS_EXPR, sf_dir).to_pandas()
+    return out.reset_index(drop=True)
+
+
+QUERIES["stream_expr_significant_terms"] = q_stream_expr_significant_terms
+ORACLE["stream_expr_significant_terms"] = None  # set below
+
+
+def _significant_terms_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    tdoc AS (SELECT DISTINCT doc_id, term FROM toks),
+    fg AS (SELECT DISTINCT doc_id FROM tdoc WHERE term = 'spark'),
+    st AS (
+      SELECT (SELECT count(*) FROM fg)::DOUBLE AS n_fg,
+             (SELECT count(*) FROM documents)::DOUBLE AS n_bg
+    ),
+    dfbg AS (SELECT term, count(*)::BIGINT AS df_bg FROM tdoc GROUP BY 1),
+    dffg AS (
+      SELECT term, count(*)::BIGINT AS df_fg
+      FROM tdoc JOIN fg USING (doc_id) GROUP BY 1
+    ),
+    scored AS (
+      SELECT term, df_fg, df_bg,
+             round(ln((df_fg / n_fg) / (df_bg / n_bg)), 6) AS score
+      FROM dffg JOIN dfbg USING (term) CROSS JOIN st
+      WHERE df_fg >= 2
+    )
+    SELECT term, df_fg, df_bg, score FROM scored
+    ORDER BY score DESC, term ASC
+    LIMIT 8
+    """
+
+
+ORACLE["stream_expr_significant_terms"] = _significant_terms_oracle()
 
 
 QUERIES["stream_expr_parallel_rollup"] = q_stream_expr_parallel_rollup

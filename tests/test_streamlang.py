@@ -415,3 +415,21 @@ def test_parallel_builder(ray_session):
             )
     finally:
         STREAM_BUILDERS["table"] = orig
+
+
+def test_significant_terms_builder(ray_session):
+    """significantTerms(): fg df never exceeds bg df, scores are
+    rank-sorted desc with term-asc ties, limit and minDocFreq hold,
+    and the q term itself tops the ranking (fg_rate = 1)."""
+    from rindex.ops.streamlang import compile_stream
+
+    sf = "/root/testdata/sf0.001"
+    got = compile_stream(
+        'significantTerms(documents, q="spark", limit=8, minDocFreq=2)', sf
+    ).to_pandas()
+    assert len(got) == 8
+    assert (got["df_fg"] <= got["df_bg"]).all()
+    assert (got["df_fg"] >= 2).all()
+    s = got["score"].tolist()
+    assert s == sorted(s, reverse=True)
+    assert got["term"].iloc[0] == "spark"
