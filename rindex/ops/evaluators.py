@@ -2199,3 +2199,132 @@ ORACLE["eval_signal_events"] = """
     WHERE s.i < 15
     ORDER BY s.i
 """
+
+
+# ---------------------------------------------------------------------------
+# Evaluator batch 7: robust-window + calculus kernels
+# (`solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# {MovingMedianEvaluator,MovingMADEvaluator,IntegrateEvaluator}.java`).
+# movingMedian/movingMAD emit FULL windows only (length n-k+1, the
+# movingAvg convention); integrate is the trapezoid rule on the unit
+# index grid.  All three are exact on integer-valued series: an odd-width
+# median picks a stored element, MAD medians integer gaps, and trapezoid
+# terms are half-integers — every double is representable, so the oracle
+# compares UNROUNDED.
+# ---------------------------------------------------------------------------
+
+def _moving_median(v, k):
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    v = np.asarray(v, np.float64)
+    return np.median(sliding_window_view(v, int(k)), axis=1)
+
+
+def _moving_mad(v, k):
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    v = np.asarray(v, np.float64)
+    w = sliding_window_view(v, int(k))
+    return np.median(np.abs(w - np.median(w, axis=1, keepdims=True)), axis=1)
+
+
+def _integrate(v):
+    v = np.asarray(v, np.float64)
+    return float(np.sum((v[1:] + v[:-1]) / 2.0))
+
+
+EVALUATORS.update({
+    "movingMedian": _moving_median,
+    "movingMAD": _moving_mad,
+    "integrate": _integrate,
+})
+
+
+def q_eval_calculus_events(sf_dir: str):
+    """movingMedian(7)/movingMAD(7)/integrate over the daily event-count
+    series: the corpus reduces DISTRIBUTED to integer daily counts, the
+    window/calculus algebra runs on that small side via let(), full
+    windows NaN-pad to align rows, and the trapezoid area rides along as
+    a constant column — all three kernels exact (no rounding)."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["y", "doy"])
+        .reset_index(drop=True)
+    )
+    v = s["n"].to_numpy(np.float64)
+    scope = let_eval(
+        {
+            "med7": "movingMedian(v, 7)",
+            "mad7": "movingMAD(v, 7)",
+            "auc": "integrate(v)",
+        },
+        {"v": v},
+    )
+
+    def pad(arr, k):
+        return np.concatenate([np.full(k, np.nan), arr])
+
+    return pd.DataFrame(
+        {
+            "y": s["y"].astype(np.int64),
+            "doy": s["doy"].astype(np.int64),
+            "n": s["n"].astype(np.int64),
+            "med7": pad(scope["med7"], 6),
+            "mad7": pad(scope["mad7"], 6),
+            "auc": np.full(len(s), float(scope["auc"])),
+        }
+    )
+
+
+QUERIES["eval_calculus_events"] = q_eval_calculus_events
+ORACLE["eval_calculus_events"] = """
+    WITH d AS (
+      SELECT year(ts) AS y, dayofyear(ts) AS doy, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT y, doy, n, row_number() OVER (ORDER BY y, doy) AS i FROM d
+    ),
+    medw AS (
+      SELECT a.i AS i, median(b.n::DOUBLE) AS m
+      FROM s a JOIN s b ON b.i BETWEEN a.i - 6 AND a.i
+      WHERE a.i >= 7 GROUP BY a.i
+    ),
+    mad AS (
+      SELECT a.i AS i, median(abs(b.n::DOUBLE - m.m)) AS v
+      FROM s a
+      JOIN s b ON b.i BETWEEN a.i - 6 AND a.i
+      JOIN medw m ON m.i = a.i
+      WHERE a.i >= 7 GROUP BY a.i
+    ),
+    auc AS (
+      SELECT sum((n0 + n1) / 2.0) AS v FROM (
+        SELECT n::DOUBLE AS n0,
+               lead(n::DOUBLE) OVER (ORDER BY i) AS n1
+        FROM s)
+      WHERE n1 IS NOT NULL
+    )
+    SELECT s.y, s.doy, s.n,
+           medw.m AS med7, mad.v AS mad7, auc.v AS auc
+    FROM s
+    LEFT JOIN medw ON medw.i = s.i
+    LEFT JOIN mad ON mad.i = s.i
+    CROSS JOIN auc
+    ORDER BY s.y, s.doy
+"""

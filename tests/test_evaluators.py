@@ -387,3 +387,24 @@ def test_signal_batch5_kernels():
     M = np.array([[1.0, 2.0, 4.0, 7.0], [3.0, 1.0, 5.0, 2.0]])
     np.testing.assert_allclose(EVALUATORS["covMatrix"](M), np.cov(M),
                                rtol=1e-12)
+
+
+def test_moving_median_mad_integrate_vs_naive():
+    """Batch-7 kernels against naive references: full-window count,
+    element-exact medians on integer series, trapezoid area."""
+    import numpy as np
+
+    from rindex.ops.evaluators import EVALUATORS
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 50, size=37).astype(np.float64)
+    k = 7
+    med = EVALUATORS["movingMedian"](v, k)
+    mad = EVALUATORS["movingMAD"](v, k)
+    assert len(med) == len(v) - k + 1 == len(mad)
+    for i in range(len(med)):
+        w = np.sort(v[i: i + k])
+        assert med[i] == w[k // 2]
+        assert mad[i] == np.sort(np.abs(v[i: i + k] - w[k // 2]))[k // 2]
+    auc = EVALUATORS["integrate"](v)
+    assert auc == sum((v[i] + v[i + 1]) / 2.0 for i in range(len(v) - 1))
