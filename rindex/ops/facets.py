@@ -674,3 +674,75 @@ ORACLE["date_range_facet_events"] = f"""
     GROUP BY label
     ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-select faceting: JSON Facet domain {excludeTags} (`solr/core/src/
+# java/org/apache/solr/search/facet/FacetRequest.java` domain filter
+# exclusion + `solr/core/.../request/SimpleFacets.java` tagged-fq
+# handling).  The UI pattern: the user ticks event_type=click, the
+# type facet must still show counts for ALL types (the click filter is
+# tagged and EXCLUDED from that facet's domain) while other facets honor
+# it.  Engine shape: ONE corpus scan computes both facets as boolean
+# masks per batch — base filter, tagged filter, bucket keys — emitting
+# (facet, bucket, n) partials; one tiny groupby.  No second read.
+# ---------------------------------------------------------------------------
+
+MS_VALUE_MIN = 10.0        # the untagged base filter: value > 10
+MS_TAGGED_TYPE = "click"   # the tagged fq: event_type = click
+
+
+def q_json_facet_multiselect_events(sf_dir: str):
+    """Two facets, one scan: `types` over event_type with the tagged
+    type-filter excluded (multi-select), `values` over value deciles
+    with every filter applied."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def masks(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        v = t["value"].to_numpy()
+        base = v > MS_VALUE_MIN
+        tagged = et == MS_TAGGED_TYPE
+        # facet A: event_type buckets, click-filter EXCLUDED
+        fa = base
+        # facet B: value decile buckets, ALL filters applied
+        fb = base & tagged
+        dec = np.floor(v / 10.0).astype(np.int64).astype(str)
+        facet = np.concatenate(
+            [np.repeat("types", fa.sum()), np.repeat("values", fb.sum())]
+        )
+        bucket = np.concatenate([et[fa], dec[fb]])
+        return pa.table(
+            {
+                "facet": pa.array(facet, pa.string()),
+                "bucket": pa.array(bucket, pa.string()),
+                "c": pa.array(np.ones(len(facet), np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(masks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["facet", "bucket"])
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["facet", "bucket"]).reset_index(drop=True)
+
+
+QUERIES["json_facet_multiselect_events"] = q_json_facet_multiselect_events
+ORACLE["json_facet_multiselect_events"] = f"""
+    SELECT 'types' AS facet, event_type AS bucket, count(*)::BIGINT AS n
+    FROM events WHERE value > {MS_VALUE_MIN}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'values' AS facet,
+           (floor(value / 10.0)::BIGINT)::VARCHAR AS bucket,
+           count(*)::BIGINT AS n
+    FROM events
+    WHERE value > {MS_VALUE_MIN} AND event_type = '{MS_TAGGED_TYPE}'
+    GROUP BY 2
+    ORDER BY facet, bucket
+"""
