@@ -1094,3 +1094,87 @@ ORACLE["suggest_infix_documents"] = f"""
     ORDER BY weight DESC, suggestion ASC
     LIMIT {INFIX_LIMIT}
 """
+
+
+# ---------------------------------------------------------------------------
+# Luke handler analog (`solr/core/src/java/org/apache/solr/handler/admin/
+# LukeRequestHandler.java` — /admin/luke reports per-field stats straight
+# from the INDEX: docs-with-value, distinct terms/values, plus totals).
+# Served from index artifacts only, never the source table: stored-field
+# stats stream from the per-segment docs.parquet files (a distributed
+# read over the segment set — at 100 TB that's the same sharded scan the
+# engine writes), term stats from the dictionary columns (small side by
+# design; postings blobs never projected).
+# ---------------------------------------------------------------------------
+
+def q_luke_index_documents(sf_dir: str):
+    """Per-field index stats: docs-with-value + distinct value/term
+    counts for the indexed text field and each stored field."""
+    import pyarrow.parquet as ppq
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    sdirs = [
+        seg_dir(idx, m["seg_id"], m.get("gen", 0)) for m in man["segments"]
+    ]
+    # text field: distinct terms across segment dictionaries (term column
+    # only — the dictionary is the designated small side)
+    terms = np.unique(
+        np.concatenate(
+            [
+                ppq.read_table(
+                    os.path.join(d, "postings.parquet"), columns=["term"]
+                )["term"].to_numpy(zero_copy_only=False)
+                for d in sdirs
+            ]
+        )
+    )
+    n_docs = int(man["totals"]["doc_count"])
+    rows = [("text", n_docs, int(len(terms)))]
+    # stored fields: one distributed scan of the segment doc stores
+    docs_files = [os.path.join(d, "docs.parquet") for d in sdirs]
+    for field in ("lang", "source"):
+        ds = rd.read_parquet(docs_files, columns=[field])
+        withv = int(
+            ds.map_batches(
+                lambda t, f=field: pa.table(
+                    {"nv": pa.array([t.num_rows - t[f].null_count], pa.int64())}
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).to_pandas()["nv"].sum()
+        )
+        nd = len(
+            ds.groupby(field).aggregate(Count(alias_name="_c")).to_pandas()
+        )
+        rows.append((field, int(withv), int(nd)))
+    return pd.DataFrame(rows, columns=["field", "n_docs", "n_distinct"])
+
+
+QUERIES["luke_index_documents"] = q_luke_index_documents
+
+
+def _luke_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    )
+    SELECT 'text' AS field, (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(DISTINCT term) FROM toks) AS n_distinct
+    UNION ALL
+    SELECT 'lang', count(lang), count(DISTINCT lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(source), count(DISTINCT source) FROM documents
+    ORDER BY field
+    """
+
+
+ORACLE["luke_index_documents"] = _luke_oracle_sql()

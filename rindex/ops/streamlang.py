@@ -727,6 +727,38 @@ def _b_significant(args, kwargs, ctx):
     )
 
 
+def _b_drill(args, kwargs, ctx):
+    """drill(collection, q="...", mode=, over="a,b", alias=agg(), ...) —
+    DrillStream (`solr/solrj/.../io/stream/DrillStream.java`): push a
+    rollup INTO the /export handler so each shard aggregates its own
+    slice and only partials travel.  That push-down is exactly Ray's
+    groupby().aggregate() over the per-segment export stream — partial
+    aggregation happens inside each block before the (tiny) exchange.
+    Fields beyond (doc_id, score) that the rollup needs are enriched
+    with one hash join against the collection's stored table (the
+    reference's /export fl= does the same stored-field fetch
+    segment-side)."""
+    sargs = {k: kwargs.pop(k) for k in ("q", "mode") if k in kwargs}
+    ds = _b_search([args[0]], sargs, ctx)
+    over = _cols(_lit(kwargs["over"], "over"))
+    mcols = [
+        _ident(node[2][0], "drill metric column")
+        for node in kwargs.values()
+        if node[0] == "call" and node[1] in _AGG_KINDS and node[1] != "count"
+    ]
+    need = sorted(
+        {c for c in over + mcols if c not in ("doc_id", "score")}
+    )
+    if need:
+        right = read_table(
+            ctx["sf_dir"], _ident(args[0], "drill collection"),
+            ["doc_id"] + need,
+        )
+        ds = ds.join(right, "inner", num_partitions=8, on=("doc_id",))
+    inner_done = ("done", ds)
+    return _b_rollup([inner_done], kwargs, ctx)
+
+
 def _b_parallel(args, kwargs, ctx):
     """parallel(inner, workers=N, sort="k asc") — ParallelStream
     (`solr/solrj/.../io/stream/ParallelStream.java`): the reference
@@ -803,6 +835,7 @@ STREAM_BUILDERS = {
     "update": _b_update,
     "random": _b_random,
     "parallel": _b_parallel,
+    "drill": _b_drill,
     "significantTerms": _b_significant,
     "knn": _b_knn,
     "select": _b_select,
@@ -827,6 +860,8 @@ STREAM_BUILDERS = {
 
 
 def _build(node, ctx):
+    if node[0] == "done":  # pre-built Dataset threaded by a composite builder
+        return node[1]
     if node[0] != "call" or node[1] not in STREAM_BUILDERS:
         raise ValueError(
             f"not a registered stream: {node!r}; "
@@ -1314,6 +1349,52 @@ def _significant_terms_oracle() -> str:
 
 
 ORACLE["stream_expr_significant_terms"] = _significant_terms_oracle()
+
+
+DRILL_EXPR = """
+drill(documents, q="window filter", mode="or",
+      over="lang", n_hits=count(*), chars=sum(n_chars))
+"""
+
+
+def q_stream_expr_drill(sf_dir: str):
+    """drill() in the language (DrillStream): the rollup pushes into the
+    export stream — per-block partial aggregation, one tiny exchange —
+    with the n_chars stored field enriched by a hash join, grouped per
+    language over the "window filter" match set."""
+    out = compile_stream(DRILL_EXPR, sf_dir).to_pandas()
+    out["chars"] = out["chars"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _drill_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES ('window'), ('filter')),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    hits AS (SELECT doc_id FROM scores WHERE s > 0)
+    SELECT lang, count(*) AS n_hits, sum(n_chars)::BIGINT AS chars
+    FROM hits JOIN documents USING (doc_id)
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+QUERIES["stream_expr_drill"] = q_stream_expr_drill
+ORACLE["stream_expr_drill"] = _drill_oracle()
 
 
 QUERIES["stream_expr_parallel_rollup"] = q_stream_expr_parallel_rollup
