@@ -684,9 +684,10 @@ def _b_significant(args, kwargs, ctx):
         at = np.searchsorted(fg_, ids)
         isfg = (at < len(fg_)) & (fg_[np.minimum(at, len(fg_) - 1)] == ids)
         az = get_analyzer("standard")
+        texts = t["text"].to_pylist()
         doc_rows, term_rows = [], []
         for i in np.nonzero(isfg)[0]:
-            toks = az.tokens(t["text"][int(i)].as_py() or "")
+            toks = az.tokens(texts[int(i)] or "")
             doc_rows.extend([int(i)] * len(toks))
             term_rows.extend(toks)
         if not term_rows:
