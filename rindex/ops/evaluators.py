@@ -227,7 +227,15 @@ EVALUATORS: dict = {
     "upper": lambda x: pc.utf8_upper(_str_arr(x)),
     "lower": lambda x: pc.utf8_lower(_str_arr(x)),
     "trim": lambda x: pc.utf8_trim_whitespace(_str_arr(x)),
-    "length": lambda x: pc.utf8_length(_str_arr(x)).to_numpy(),
+    # polymorphic like the reference: over a numeric ARRAY it is Solr's
+    # LengthEvaluator (the list size, a scalar); over strings the utf8
+    # per-element length (the string-funcs surface this repo oracles)
+    "length": lambda x: (
+        int(len(np.asarray(x)))
+        if not isinstance(x, (pa.Array, pa.ChunkedArray))
+        and np.asarray(x).dtype.kind not in ("U", "S", "O")
+        else pc.utf8_length(_str_arr(x)).to_numpy()
+    ),
     # temporal (TemporalEvaluatorYear ... TemporalEvaluatorEpoch — Solr's
     # `year(col)` family over datetime columns; epoch() returns millis,
     # week() is the ISO week-of-week-based-year, both as in the reference)
@@ -267,11 +275,26 @@ EVALUATORS: dict = {
         [np.asarray(c, np.float64) for c in cols], axis=1
     ),
     "valueAt": lambda arr, i: np.asarray(arr)[:, int(i)],
-    "arrayMax": lambda arr: np.asarray(arr).max(axis=1),
-    "arrayMin": lambda arr: np.asarray(arr).min(axis=1),
-    "arrayMean": lambda arr: np.asarray(arr).mean(axis=1),
-    "arrayLength": lambda arr: np.full(
-        len(np.asarray(arr)), np.asarray(arr).shape[1], dtype=np.int64
+    # polymorphic like the reference's array evaluators: over the
+    # column-stacked (n, k) matrix the reducers stay row-wise (the
+    # per-row shape every existing oracle pins); over a plain 1-D array
+    # (a let()/col() cell) they reduce to the scalar
+    "arrayMax": lambda arr: (
+        np.asarray(arr).max(axis=1) if np.asarray(arr).ndim == 2
+        else float(np.asarray(arr).max())
+    ),
+    "arrayMin": lambda arr: (
+        np.asarray(arr).min(axis=1) if np.asarray(arr).ndim == 2
+        else float(np.asarray(arr).min())
+    ),
+    "arrayMean": lambda arr: (
+        np.asarray(arr).mean(axis=1) if np.asarray(arr).ndim == 2
+        else float(np.asarray(arr).mean())
+    ),
+    "arrayLength": lambda arr: (
+        np.full(len(np.asarray(arr)), np.asarray(arr).shape[1],
+                dtype=np.int64)
+        if np.asarray(arr).ndim == 2 else int(len(np.asarray(arr)))
     ),
     # matrix family (MatrixEvaluator, TransposeEvaluator,
     # MatrixMultiplyEvaluator, RowAtEvaluator, ColumnAtEvaluator,

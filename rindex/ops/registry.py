@@ -45,7 +45,7 @@ _SAMPLE_FIRST = [
     "stream_expr_parallel_rollup", "date_range_facet_events",
     "boilerplate_removal_documents", "stream_expr_significant_terms",
     "eval_calculus_events", "json_facet_multiselect_events",
-    "stream_expr_drill", "luke_index_documents",
+    "stream_expr_drill", "luke_index_documents", "stream_expr_let_col",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",

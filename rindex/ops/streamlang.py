@@ -728,6 +728,51 @@ def _b_significant(args, kwargs, ctx):
     )
 
 
+def _b_let(args, kwargs, ctx):
+    """let(a=col(<stream>, field), b=<evaluator expr>, ..., echo="a,b")
+    — LetStream + ColumnEvaluator (`solr/solrj/.../io/stream/LetStream
+    .java`, `.../io/eval/ColumnEvaluator.java`): the bridge between
+    STREAMS and the evaluator's array algebra.  Bindings evaluate
+    SEQUENTIALLY, each joining the scope of later ones (Solr's cell
+    semantics); col() collects one column of a compiled stream into an
+    in-memory array — the reference holds let() cells in the coordinating
+    node's RAM the same way, so a col() over an UNBOUNDED stream is the
+    user's contract to keep it small (top-k/rollup first).  echo picks
+    the emitted variables (default: all); the result is a one-tuple
+    stream — scalars as columns, arrays as list columns."""
+    import ray.data as rd
+
+    from rindex.ops.evaluators import eval_node
+
+    scope: dict = {}
+    echo = None
+    for name, node in kwargs.items():
+        if name == "echo":
+            echo = _cols(_lit(node, "echo"))
+            continue
+        if node[0] == "call" and node[1] == "col":
+            fld = _ident(node[2][1], "col field")
+            scope[name] = _build(node[2][0], ctx).to_pandas()[fld].to_numpy()
+            continue
+        _check_scalar(node, f"let {name}=")
+        scope[name] = eval_node(node, scope)
+    names = echo if echo is not None else list(scope)
+    cols = {}
+    for n in names:
+        if n not in scope:
+            raise ValueError(f"let: echo names unbound variable {n!r}")
+        v = scope[n]
+        if isinstance(v, np.ndarray):
+            cols[n] = pa.array([v.tolist()])
+        elif isinstance(v, (bool, np.bool_)):
+            cols[n] = pa.array([bool(v)], pa.bool_())
+        elif isinstance(v, (int, np.integer)):
+            cols[n] = pa.array([int(v)], pa.int64())
+        else:
+            cols[n] = pa.array([float(v)], pa.float64())
+    return rd.from_arrow(pa.table(cols))
+
+
 def _b_drill(args, kwargs, ctx):
     """drill(collection, q="...", mode=, over="a,b", alias=agg(), ...) —
     DrillStream (`solr/solrj/.../io/stream/DrillStream.java`): push a
@@ -837,6 +882,7 @@ STREAM_BUILDERS = {
     "random": _b_random,
     "parallel": _b_parallel,
     "drill": _b_drill,
+    "let": _b_let,
     "significantTerms": _b_significant,
     "knn": _b_knn,
     "select": _b_select,
@@ -1396,6 +1442,57 @@ def _drill_oracle() -> str:
 
 QUERIES["stream_expr_drill"] = q_stream_expr_drill
 ORACLE["stream_expr_drill"] = _drill_oracle()
+
+
+LET_COL_EXPR = """
+let(s=col(sort(search(documents, q="spark join", mode="or"),
+               by="doc_id asc"), score),
+    n=length(s),
+    m=round(mean(s), 6),
+    hi=round(arrayMax(s), 6),
+    lo=round(arrayMin(s), 6),
+    echo="n,m,hi,lo")
+"""
+
+
+def q_stream_expr_let_col(sf_dir: str):
+    """let()/col() in the language: the "spark join" match set's score
+    column collects into an evaluator array (sorted by doc_id so the
+    driver-side mean is order-deterministic run to run), then scalar
+    bindings reduce it; echo emits the one-tuple result."""
+    out = compile_stream(LET_COL_EXPR, sf_dir).to_pandas()
+    return out.reset_index(drop=True)
+
+
+def _let_col_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES ('spark'), ('join')),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    hits AS (SELECT s FROM scores WHERE s > 0)
+    SELECT count(*)::BIGINT AS n,
+           round(avg(s), 6) AS m,
+           round(max(s), 6) AS hi,
+           round(min(s), 6) AS lo
+    FROM hits
+    """
+
+
+QUERIES["stream_expr_let_col"] = q_stream_expr_let_col
+ORACLE["stream_expr_let_col"] = _let_col_oracle()
 
 
 QUERIES["stream_expr_parallel_rollup"] = q_stream_expr_parallel_rollup

@@ -433,3 +433,34 @@ def test_significant_terms_builder(ray_session):
     s = got["score"].tolist()
     assert s == sorted(s, reverse=True)
     assert got["term"].iloc[0] == "spark"
+
+
+def test_let_col_builder(ray_session):
+    """let()/col(): sequential binding scope, echo selection, loud on
+    unbound echo names; scalars typed int64/float64."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from rindex.ops.streamlang import STREAM_BUILDERS, _build, parse_stream_expr
+
+    df = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0]})
+    orig = STREAM_BUILDERS["table"]
+    STREAM_BUILDERS["table"] = lambda a, k, ctx: rd.from_pandas(df)
+    try:
+        got = _build(
+            parse_stream_expr(
+                'let(a=col(table(t), v), n=length(a), m=mean(a),'
+                ' m2=mult(m, 2), echo="n,m,m2")'
+            ),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert got["n"].iloc[0] == 4 and str(got["n"].dtype) == "int64"
+        assert got["m"].iloc[0] == 2.5 and got["m2"].iloc[0] == 5.0
+        with pytest.raises(ValueError, match="unbound"):
+            _build(
+                parse_stream_expr('let(a=col(table(t), v), echo="zz")'),
+                {"sf_dir": ""},
+            )
+    finally:
+        STREAM_BUILDERS["table"] = orig
