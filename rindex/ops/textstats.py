@@ -1518,3 +1518,98 @@ ORACLE["boilerplate_removal_documents"] = f"""
            sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
     FROM flagged GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking with overlap — the RAG / training-prep step that
+# splits each document into fixed-width token windows on a stride (window
+# k covers tokens [k*CHUNK_STRIDE, k*CHUNK_STRIDE + CHUNK_W)), emitting
+# one row per chunk.  Same raw space-split token convention as the C4 /
+# boilerplate ops.  Engine shape: a pure per-batch explode (list_slice +
+# binary_join per slot — bounded loop over SLOTS of whole-column Arrow
+# kernels, zero per-row Python), so it streams at any corpus size and
+# chunk rows flow straight into downstream embed/index stages.
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 16      # window width (tokens)
+CHUNK_STRIDE = 8  # stride (< W -> 50% overlap)
+
+
+def q_chunk_windows_documents(sf_dir: str):
+    """One row per overlapping token window: (doc_id, chunk_idx,
+    chunk_text, n_tok).  The LAST window of a doc may be short; a doc
+    shorter than one stride still emits its chunk 0."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("")), pattern=" "
+        )
+        ntok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": t["doc_id"], "chunk_idx": pa.array([], pa.int64()),
+                 "chunk_text": pa.array([], pa.string()),
+                 "n_tok": pa.array([], pa.int64())}
+            )
+        # chunk k exists while k*stride < ntok (chunk 0 always exists)
+        n_chunks = np.maximum(
+            1, np.ceil(ntok / CHUNK_STRIDE).astype(np.int64)
+        )
+        # a trailing window that would START at/after ntok-? and be fully
+        # covered by the previous one is still emitted iff its start < ntok
+        parts = []
+        for k in range(int(n_chunks.max())):
+            has = k * CHUNK_STRIDE < np.maximum(ntok, 1)
+            if not has.any():
+                break
+            seg = pc.list_slice(
+                toks, start=k * CHUNK_STRIDE, stop=k * CHUNK_STRIDE + CHUNK_W
+            )
+            line = pc.binary_join(seg, " ")
+            nw = np.clip(ntok - k * CHUNK_STRIDE, 0, CHUNK_W)
+            keep = pa.array(has)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": t["doc_id"].filter(keep),
+                        "chunk_idx": pa.array(
+                            np.full(int(has.sum()), k, np.int64)
+                        ),
+                        "chunk_text": pc.filter(line, keep),
+                        "n_tok": pa.array(nw[has]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["chunk_windows_documents"] = q_chunk_windows_documents
+ORACLE["chunk_windows_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(string_split(coalesce(text, ''), ' '))
+                             + 1)) AS i,
+             unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      FROM documents
+    ),
+    nt AS (SELECT doc_id, max(i) AS ntok FROM toks GROUP BY 1),
+    ks AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(1,
+               ceil(ntok / {CHUNK_STRIDE}.0)::BIGINT))) AS k
+      FROM nt
+    )
+    SELECT ks.doc_id, ks.k AS chunk_idx,
+           string_agg(t.tok, ' ' ORDER BY t.i) AS chunk_text,
+           count(*)::BIGINT AS n_tok
+    FROM ks JOIN toks t
+      ON t.doc_id = ks.doc_id
+     AND t.i > ks.k * {CHUNK_STRIDE}
+     AND t.i <= ks.k * {CHUNK_STRIDE} + {CHUNK_W}
+    GROUP BY 1, 2
+"""

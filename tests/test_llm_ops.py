@@ -252,3 +252,33 @@ def test_boilerplate_removal_binds_and_reassembles(ray_session):
         assert row["clean_text"] == "\n".join(keep)
         assert row["n_kept"] == len(keep)
         assert row["n_dropped"] == len(ls) - len(keep)
+
+
+def test_chunk_windows_edge_cases(ray_session):
+    """Overlap chunking: stride coverage, short-tail windows, tiny-doc
+    chunk-0 guarantee, and overlap reconstruction."""
+    from rindex.ops.textstats import (
+        CHUNK_STRIDE,
+        CHUNK_W,
+        q_chunk_windows_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_chunk_windows_documents(sf).to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")
+    g = got.groupby("doc_id")
+    for did, grp in list(g)[:40]:
+        toks = docs.loc[did, "text"].split(" ")
+        n = len(toks)
+        want_chunks = max(1, -(-n // CHUNK_STRIDE))
+        grp = grp.sort_values("chunk_idx")
+        assert grp["chunk_idx"].tolist() == list(range(want_chunks))
+        for r in grp.itertuples():
+            seg = toks[r.chunk_idx * CHUNK_STRIDE:
+                       r.chunk_idx * CHUNK_STRIDE + CHUNK_W]
+            assert r.chunk_text == " ".join(seg)
+            assert r.n_tok == len(seg)
