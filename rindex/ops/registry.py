@@ -89,9 +89,11 @@ _SAMPLE_FIRST = [
     # edge_ngram/porter/snowball topterms, urp_parse_props, fetch_enrich,
     # ltr_score, geo_radius, train_test_split, percentile_tdigest,
     # eval_array_scale, terms_facet_missing, plus every entry below
-    # slot 50 in THIS list (shortest_path_users onward — the late-r3 ops
-    # embedding_pq_codes..span_or_near_documents displaced them; they
-    # stay listed here so the r4 rotation can promote them)
+    # slot 50 in THIS list — the 14 session-2 r3 ops (stream_expr_search_
+    # rollup .. chunk_windows_documents, inserted at the head of group 3
+    # as newest-least-verified) displaced roughly word_delimiter_topterms
+    # onward; everything below the window keeps judge-sweep credit and
+    # stays listed so the r4 rotation can promote the oldest first
 ]
 
 
