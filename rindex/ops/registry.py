@@ -9,7 +9,7 @@ def _modules():
     # would pass vacuously on the remainder
     from rindex.ops import (
         analysis_ext, ann, atomic, dedup, dismax, evaluators, facets,
-        fulltext, livedocs, loaders, multimodal, multiterm, nested,
+        fulltext, livedocs, loaders, ml, multimodal, multiterm, nested,
         relational, search_ext, sketches, streamlang, streams, textstats,
     )
 
@@ -17,6 +17,7 @@ def _modules():
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
         nested, dismax, livedocs, facets, atomic, multiterm, streamlang,
+        ml,
     ]
 
 
@@ -46,7 +47,7 @@ _SAMPLE_FIRST = [
     "boilerplate_removal_documents", "stream_expr_significant_terms",
     "eval_calculus_events", "json_facet_multiselect_events",
     "stream_expr_drill", "luke_index_documents", "stream_expr_let_col",
-    "chunk_windows_documents",
+    "chunk_windows_documents", "train_classify_documents",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",
