@@ -195,3 +195,152 @@ def q_train_classify_documents(sf_dir: str):
 QUERIES["train_classify_documents"] = q_train_classify_documents
 # rows-only by design: iterative model fitting is not SQL-expressible;
 # determinism/quality contracts live in tests/test_ml.py
+
+
+# ---------------------------------------------------------------------------
+# features() — FeaturesSelectionStream (`solr/solrj/.../io/stream/
+# FeaturesSelectionStream.java`): rank terms by INFORMATION GAIN against
+# the training outcome (the reference scores per-term IG from document
+# counts exactly like this).  Distributed shape: one corpus pass emits
+# per-batch (term, pos-doc, neg-doc) partial counts deduped per doc, one
+# vocabulary-sized groupby, and the IG algebra runs on that small result
+# with the SAME expression tree as the SQL oracle (entropy in nats,
+# 0·ln0 = 0), rounded before ranking.
+# ---------------------------------------------------------------------------
+
+FEATURES_TOP = 10
+FEATURES_MIN_DF = 3
+
+
+def _entropy(p: np.ndarray) -> np.ndarray:
+    """Binary entropy in nats with the 0 ln 0 = 0 convention."""
+    p = np.asarray(p, np.float64)
+    out = np.zeros_like(p)
+    for q in (p, 1.0 - p):
+        nz = q > 0
+        out[nz] -= q[nz] * np.log(q[nz])
+    return out
+
+
+def q_features_ig_documents(sf_dir: str):
+    """Top-FEATURES_TOP terms by information gain for the outcome
+    y = doc contains POS_TERM; (term, df, ig) rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        from rindex.analysis import get_analyzer
+
+        az = get_analyzer("standard")
+        texts = t["text"].to_pylist()
+        doc_rows, term_rows, y_rows = [], [], []
+        for i, x in enumerate(texts):
+            toks = az.tokens(x or "")
+            y = 1 if POS_TERM in (x or "").split(" ") else 0
+            doc_rows.extend([i] * len(toks))
+            term_rows.extend(toks)
+            y_rows.extend([y] * len(toks))
+        df = pd.DataFrame(
+            {"d": doc_rows, "term": term_rows, "y": y_rows}
+        ).drop_duplicates(["d", "term"])
+        g = df.groupby("term", as_index=False).agg(
+            n_pos=("y", "sum"), n_doc=("y", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(
+            Sum("n_pos", alias_name="n11"),
+            Sum("n_doc", alias_name="df"),
+        )
+        .to_pandas()
+    )
+    # global totals (N, P) with one tiny pass — per-term partials cannot
+    # carry them (they'd sum only over batches where the term appears)
+    n_total = ds.count()
+    pos_total = int(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"p": pa.array([sum(
+                    1 for x in t["text"].to_pylist()
+                    if POS_TERM in (x or "").split(" ")
+                )], pa.int64())}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()["p"].sum()
+    )
+    a = agg[agg["df"] >= FEATURES_MIN_DF].copy()
+    n11 = a["n11"].to_numpy(np.float64)          # term & pos
+    n1 = a["df"].to_numpy(np.float64)            # term
+    N = float(n_total)
+    P = float(pos_total)
+    n01 = P - n11                                # pos w/o term
+    n0 = N - n1                                  # docs w/o term
+    h_y = _entropy(np.array([P / N]))[0]
+    with np.errstate(invalid="ignore"):
+        cond = (n1 / N) * _entropy(n11 / n1) + np.where(
+            n0 > 0, (n0 / N) * _entropy(np.where(n0 > 0, n01 / np.maximum(n0, 1.0), 0.0)), 0.0
+        )
+    a["ig"] = np.round(h_y - cond, 6)
+    a["df"] = a["df"].astype(np.int64)
+    a = a.sort_values(["ig", "term"], ascending=[False, True],
+                      kind="mergesort").head(FEATURES_TOP)
+    return a[["term", "df", "ig"]].reset_index(drop=True)
+
+
+QUERIES["features_ig_documents"] = q_features_ig_documents
+
+
+def _features_ig_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    # same expression tree: H in nats with 0 ln 0 = 0 via CASE
+    H = ("(CASE WHEN {p} > 0 THEN -({p}) * ln({p}) ELSE 0 END"
+         " + CASE WHEN 1.0 - ({p}) > 0 THEN -(1.0 - ({p})) * ln(1.0 - ({p}))"
+         " ELSE 0 END)")
+    return f"""
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN list_contains(string_split(coalesce(text, ''), ' '),
+                                     '{POS_TERM}') THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    tdoc AS (SELECT DISTINCT doc_id, term FROM toks),
+    st AS (
+      SELECT (SELECT count(*) FROM documents)::DOUBLE AS N,
+             (SELECT sum(y) FROM lab)::DOUBLE AS P
+    ),
+    per AS (
+      SELECT term, count(*)::DOUBLE AS n1, sum(y)::DOUBLE AS n11
+      FROM tdoc JOIN lab USING (doc_id)
+      GROUP BY term
+      HAVING count(*) >= {FEATURES_MIN_DF}
+    ),
+    scored AS (
+      SELECT term, n1::BIGINT AS df,
+             round(
+               {H.format(p='P / N')}
+               - ((n1 / N) * {H.format(p='n11 / n1')}
+                  + CASE WHEN N - n1 > 0 THEN
+                      ((N - n1) / N) * {H.format(p='(P - n11) / (N - n1)')}
+                    ELSE 0 END),
+               6) AS ig
+      FROM per CROSS JOIN st
+    )
+    SELECT term, df, ig FROM scored
+    ORDER BY ig DESC, term ASC
+    LIMIT {FEATURES_TOP}
+    """
+
+
+ORACLE["features_ig_documents"] = _features_ig_oracle()
