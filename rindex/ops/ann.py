@@ -1539,3 +1539,89 @@ def _mmr_oracle_sql() -> str:
 
 
 ORACLE["mmr_rerank_embeddings"] = _mmr_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means-cluster the
+# embedding space, then drop near-duplicate members WITHIN each cluster
+# (cosine >= SEMDEDUP_TAU to an earlier-kept member; keep-lowest-id, the
+# paper's "keep one representative per epsilon-ball" rule made
+# deterministic).  Engine shape: cluster assignment comes FREE from the
+# persisted IVF layout (the same partitioned artifact the ANN ops probe),
+# the pairwise pass runs per cluster via groupby(lid).map_groups — the
+# paper's exact computation; cluster sizes are bounded by construction
+# (at 10^12 vectors you raise IVF_K so clusters stay ~|X|/K, which is the
+# paper's knob too).  Only (vec_id, lid, dropped) rows leave the workers.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """Per-vector SemDeDup verdict: (vec_id, lid, dropped) — dropped=1
+    iff some same-cluster vector with a SMALLER vec_id has rounded
+    cosine >= SEMDEDUP_TAU."""
+    import ray.data as rd
+
+    idx = ivf_index(sf_dir)
+    paths = [
+        os.path.join(p, f)
+        for d in sorted(os.listdir(idx))
+        if d.startswith("lid_part=")
+        and os.path.isdir(p := os.path.join(idx, d))
+        for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+    ]
+    ds = rd.read_parquet(paths, columns=["vec_id", "lid", "embedding"])
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        V = np.array(g["embedding"].tolist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        cos = np.round(V @ V.T, 6)
+        # dropped_i = any j < i with cos >= tau (keep-lowest-id; matches
+        # the oracle's a.vec_id < b.vec_id pair rule)
+        dom = np.tril(cos >= SEMDEDUP_TAU, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].to_numpy(np.int64),
+                "lid": g["lid"].to_numpy(np.int64),
+                "dropped": dom.astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.groupby("lid")
+        .map_groups(dedup_cluster, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+QUERIES["semdedup_embeddings"] = q_semdedup_embeddings
+
+
+def _semdedup_oracle_sql() -> str:
+    body, final = _ivf_kmeans_ctes()
+    return f"""
+    WITH {body},
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(sum(ea.v * eb.v), 6) AS cos
+      FROM lists a
+      JOIN lists b ON a.lid = b.lid AND a.vec_id < b.vec_id
+      JOIN el ea ON ea.vec_id = a.vec_id
+      JOIN el eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT vb AS vec_id FROM pairs WHERE cos >= {SEMDEDUP_TAU}
+    )
+    SELECT l.vec_id::BIGINT AS vec_id, l.lid::BIGINT AS lid,
+           (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS dropped
+    FROM lists l LEFT JOIN dropped d USING (vec_id)
+    ORDER BY l.vec_id
+    """
+
+
+ORACLE["semdedup_embeddings"] = _semdedup_oracle_sql()

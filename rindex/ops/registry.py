@@ -48,7 +48,7 @@ _SAMPLE_FIRST = [
     "eval_calculus_events", "json_facet_multiselect_events",
     "stream_expr_drill", "luke_index_documents", "stream_expr_let_col",
     "chunk_windows_documents", "train_classify_documents",
-    "features_ig_documents",
+    "features_ig_documents", "semdedup_embeddings",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",

@@ -237,3 +237,39 @@ def test_video_decoder_frame_walk_and_strict():
     with pytest.raises(ValueError, match="malformed frame"):
         dec(pd.DataFrame({"doc_id": [9], "payload": [vid[:8]],
                           "mime": [VID_MIME]}))
+
+
+def test_semdedup_keep_lowest_id_rule(ray_session):
+    """SemDeDup: never drops a cluster's lowest member; every dropped
+    vector really has an earlier same-cluster member at cos >= tau."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rindex.ops.ann import (
+        SEMDEDUP_TAU,
+        ivf_index,
+        q_semdedup_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_semdedup_embeddings(sf).set_index("vec_id")
+    assert out["dropped"].sum() > 0  # binds on the driver corpus
+    firsts = out.reset_index().groupby("lid")["vec_id"].min()
+    assert (out.loc[firsts.to_numpy(), "dropped"] == 0).all()
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    X = np.array(emb["embedding"].tolist(), np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    vid = emb["vec_id"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(vid)}
+    by_lid = out.reset_index().groupby("lid")
+    checked = 0
+    for _, grp in list(by_lid)[:6]:
+        ids = np.sort(grp["vec_id"].to_numpy())
+        V = X[[pos[int(i)] for i in ids]]
+        cos = np.round(V @ V.T, 6)
+        dom = np.tril(cos >= SEMDEDUP_TAU, k=-1).any(axis=1)
+        got = out.loc[ids, "dropped"].to_numpy().astype(bool)
+        assert (got == dom).all()
+        checked += len(ids)
+    assert checked > 50
