@@ -1625,3 +1625,80 @@ def _semdedup_oracle_sql() -> str:
 
 
 ORACLE["semdedup_embeddings"] = _semdedup_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search — metadata-constrained top-k (the `{!knn}` +
+# fq composition every vector store ships; Lucene 9's
+# KnnFloatVectorQuery(acceptDocs) applies the filter DURING graph
+# search the same way).  Pre-filtering semantics: the candidate set is
+# restricted to label == FILTER_LABEL BEFORE ranking, so top-k is exact
+# under the filter (post-filtering k results then dropping would
+# under-fill).  Same partial-topk shape as the unfiltered op; the label
+# column rides the pruned read, the mask is one vectorized compare per
+# batch.
+# ---------------------------------------------------------------------------
+
+FILTER_LABEL = 3
+
+
+def q_ann_filtered_topk(sf_dir: str):
+    """Exact filtered cosine top-k: neighbors restricted to
+    label == FILTER_LABEL (queries themselves are unrestricted)."""
+    import ray
+
+    qids, Q = _query_matrix(sf_dir)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qids, Qn))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qids_, Qn_ = ray.get(ref)
+        keep = batch["label"].to_numpy() == FILTER_LABEL
+        batch = batch[keep]
+        if not len(batch):
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "cosine"]
+            ).astype({"query_id": np.int64, "neighbor_id": np.int64,
+                      "cosine": np.float64})
+        ids = batch["vec_id"].to_numpy()
+        V = np.array(batch["embedding"].tolist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = Qn_ @ V.T
+        rows = []
+        for qi in range(len(qids_)):
+            s = S[qi]
+            m = ids != qids_[qi]
+            cand_ids, cand_s = ids[m], s[m]
+            if len(cand_ids) > TOP_K:
+                sel = np.lexsort((cand_ids, -cand_s))[:TOP_K]
+                cand_ids, cand_s = cand_ids[sel], cand_s[sel]
+            for i, sc in zip(cand_ids, cand_s):
+                rows.append((int(qids_[qi]), int(i), float(sc)))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    parts = emb.map_batches(
+        partial, batch_format="pandas", batch_size=1024
+    ).to_pandas()
+    return _merge_topk(parts)
+
+
+QUERIES["ann_filtered_topk"] = q_ann_filtered_topk
+ORACLE["ann_filtered_topk"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS s
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.query_id AND e.label = {FILTER_LABEL}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id ASC) - 1)::BIGINT AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, round(s, 6) AS cosine
+    FROM ranked WHERE rank < {TOP_K}
+"""
