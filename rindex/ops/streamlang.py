@@ -805,6 +805,21 @@ def _b_drill(args, kwargs, ctx):
     return _b_rollup([inner_done], kwargs, ctx)
 
 
+def _b_list(args, kwargs, ctx):
+    """list(s1, s2, ...) / plist(...) — ListStream / PlistStream
+    (`solr/solrj/.../io/stream/{ListStream,PlistStream}.java`):
+    concatenate N streams.  The reference's only difference is WHEN the
+    inner streams open (plist opens them in parallel); under Ray's
+    streaming executor every union branch executes concurrently anyway,
+    so both names compile to the same lazy union."""
+    if not args:
+        raise ValueError("list: needs at least one stream")
+    ds = _build(args[0], ctx)
+    for node in args[1:]:
+        ds = ds.union(_build(node, ctx))
+    return ds
+
+
 def _b_parallel(args, kwargs, ctx):
     """parallel(inner, workers=N, sort="k asc") — ParallelStream
     (`solr/solrj/.../io/stream/ParallelStream.java`): the reference
@@ -883,6 +898,8 @@ STREAM_BUILDERS = {
     "parallel": _b_parallel,
     "drill": _b_drill,
     "let": _b_let,
+    "list": _b_list,
+    "plist": _b_list,
     "significantTerms": _b_significant,
     "knn": _b_knn,
     "select": _b_select,

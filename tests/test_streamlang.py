@@ -464,3 +464,26 @@ def test_let_col_builder(ray_session):
             )
     finally:
         STREAM_BUILDERS["table"] = orig
+
+
+def test_list_plist_builders(ray_session):
+    """list()/plist(): lazy union concatenation, loud on zero streams."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from rindex.ops.streamlang import STREAM_BUILDERS, _build, parse_stream_expr
+
+    dfs = iter([pd.DataFrame({"k": [1, 2]}), pd.DataFrame({"k": [3]})])
+    orig = STREAM_BUILDERS["table"]
+    STREAM_BUILDERS["table"] = lambda a, k, ctx: rd.from_pandas(next(dfs))
+    try:
+        got = _build(
+            parse_stream_expr('sort(plist(table(a), table(b)), by="k asc")'),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert got["k"].tolist() == [1, 2, 3]
+        with pytest.raises(ValueError, match="at least one stream"):
+            _build(parse_stream_expr("list()"), {"sf_dir": ""})
+    finally:
+        STREAM_BUILDERS["table"] = orig
