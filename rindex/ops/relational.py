@@ -167,25 +167,36 @@ _register(
 
 def q_timeseries_events_daily(sf_dir: str):
     """timeseries(): date-truncated buckets + metrics (reference:
-    `solr/solrj/.../io/stream/TimeSeriesStream.java`)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    `solr/solrj/.../io/stream/TimeSeriesStream.java`).  value has
+    2-decimal precision in the corpus, so the bucket sums run as EXACT
+    integer cents — a float Mean's partial-sum ORDER once flipped one
+    bucket's 6th decimal vs the oracle (caught by the full sf0.001 exact
+    sweep in r3); the avg derives from the same cents/n quotient tree on
+    both sides with the repo's half-away round_sql."""
+    from ray.data.aggregate import Count, Sum
+
+    from rindex.ops.evaluators import round_sql
 
     ds = read_table(sf_dir, "events", ["ts", "value"])
     ds = ds.map_batches(
         lambda t: pa.table(
-            {"day": pc.floor_temporal(t["ts"], unit="day"), "value": t["value"]}
+            {
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
         ),
         batch_format="pyarrow",
     )
     out = ds.groupby("day").aggregate(
         Count(alias_name="n"),
-        Sum("value", alias_name="sum_value"),
-        Mean("value", alias_name="avg_value"),
+        Sum("cents", alias_name="cents"),
     )
     df = out.to_pandas()
-    df["sum_value"] = df["sum_value"].round(4)
-    df["avg_value"] = df["avg_value"].round(6)
-    return df
+    df["sum_value"] = (df["cents"] / 100.0).round(4)
+    df["avg_value"] = round_sql((df["cents"] / df["n"]) / 100.0, 6)
+    return df.drop(columns=["cents"])
 
 
 _register(
@@ -193,7 +204,10 @@ _register(
     q_timeseries_events_daily,
     """
     SELECT date_trunc('day', ts) AS day, count(*) AS n,
-           round(sum(value), 4) AS sum_value, round(avg(value), 6) AS avg_value
+           round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4)
+             AS sum_value,
+           round((sum(CAST(round(value * 100, 0) AS BIGINT))::DOUBLE
+                  / count(*)) / 100.0, 6) AS avg_value
     FROM events GROUP BY 1
     """,
 )
