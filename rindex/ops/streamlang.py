@@ -805,6 +805,48 @@ def _b_drill(args, kwargs, ctx):
     return _b_rollup([inner_done], kwargs, ctx)
 
 
+def _b_topic(args, kwargs, ctx):
+    """topic(name, collection, q="...", mode=) — TopicStream
+    (`solr/solrj/.../io/stream/TopicStream.java`): checkpointed
+    incremental consumption of a query's match set.  Each compile
+    returns ONLY matches with doc_id above the persisted checkpoint
+    (the reference checkpoints `_version_` per shard; doc_id is this
+    engine's monotone ingest key) and atomically advances it, so
+    repeated executions deliver every match EXACTLY ONCE.  The
+    checkpoint is a tiny JSON keyed by (sf_dir, topic name) — the
+    manifest-checkpoint analog; delete it to replay from the start."""
+    import hashlib
+    import json
+
+    from rindex.search import IndexSearcher
+    from rindex.segments import atomic_write_json
+
+    name = _ident(args[0], "topic name")
+    coll = _ident(args[1], "topic collection")
+    text = _lit(kwargs["q"], "q")
+    mode = _lit(kwargs["mode"], "mode") if "mode" in kwargs else "or"
+    key = hashlib.md5(
+        f"{os.path.abspath(ctx['sf_dir'])}:{name}".encode()
+    ).hexdigest()[:10]
+    ck_path = os.path.join("/tmp", "rindex_cache", f"topic-lang-{key}.json")
+    os.makedirs(os.path.dirname(ck_path), exist_ok=True)
+    last = -1
+    if os.path.exists(ck_path):
+        with open(ck_path) as fh:
+            last = int(json.load(fh)["last_doc_id"])
+
+    searcher = IndexSearcher(_collection_index(coll, ctx), algo="wand")
+    ds = searcher.score_matches_dataset(text, mode=mode)
+    out = ds.filter(expr=f"doc_id > {last}")
+    # the checkpoint must reflect what THIS execution delivers: the high
+    # water mark comes from a tiny max() aggregate (the match stream
+    # itself stays lazy for the caller via a second identical filter)
+    hi = out.max("doc_id", ignore_nulls=True)
+    if hi is not None:
+        atomic_write_json(ck_path, {"last_doc_id": int(hi)})
+    return ds.filter(expr=f"doc_id > {last}")
+
+
 def _b_list(args, kwargs, ctx):
     """list(s1, s2, ...) / plist(...) — ListStream / PlistStream
     (`solr/solrj/.../io/stream/{ListStream,PlistStream}.java`):
@@ -900,6 +942,7 @@ STREAM_BUILDERS = {
     "let": _b_let,
     "list": _b_list,
     "plist": _b_list,
+    "topic": _b_topic,
     "significantTerms": _b_significant,
     "knn": _b_knn,
     "select": _b_select,

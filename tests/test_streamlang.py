@@ -487,3 +487,31 @@ def test_list_plist_builders(ray_session):
             _build(parse_stream_expr("list()"), {"sf_dir": ""})
     finally:
         STREAM_BUILDERS["table"] = orig
+
+
+def test_topic_builder_exactly_once(ray_session):
+    """topic(): consecutive compiles partition the match set — every hit
+    exactly once, then an empty tail; a different topic name replays."""
+    import glob
+    import os
+
+    from rindex.ops.streamlang import compile_stream
+
+    sf = "/root/testdata/sf0.001"
+    for f in glob.glob("/tmp/rindex_cache/topic-lang-*.json"):
+        os.remove(f)  # deterministic start
+    full = compile_stream(
+        'search(documents, q="merge sort", mode="or")', sf
+    ).to_pandas()
+    t1 = compile_stream(
+        'topic(tp1, documents, q="merge sort", mode="or")', sf
+    ).to_pandas()
+    t2 = compile_stream(
+        'topic(tp1, documents, q="merge sort", mode="or")', sf
+    ).to_pandas()
+    assert sorted(t1["doc_id"]) == sorted(full["doc_id"])  # first sweep: all
+    assert len(t2) == 0                                    # then nothing new
+    t3 = compile_stream(
+        'topic(tp2, documents, q="merge sort", mode="or")', sf
+    ).to_pandas()
+    assert sorted(t3["doc_id"]) == sorted(full["doc_id"])  # new name replays
