@@ -698,3 +698,80 @@ ORACLE["multimodal_video_decode"] = f"""
     GROUP BY doc_id, frame_idx
     ORDER BY doc_id, frame_idx
 """
+
+
+class PpmBoxDownsampler(PpmDecoder):
+    """Actor-pool 2x2 box-filter downsample (area averaging — the
+    classic antialiased half-resolution step; PIL's Image.resize(...,
+    BOX) computes the same cell sums).  Stays INTEGER-exact end to end:
+    the op emits each channel's position-weighted checksum over the
+    per-cell pixel SUMS (weight = (i*down_w + j) % 97), which pins both
+    the cell values AND their grid alignment, and the SQL oracle
+    re-derives it pixel-by-pixel from the md5 image formula.  Odd edges
+    crop (h//2, w//2 cells), the standard box-downsample convention."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, p, m in zip(
+            batch["doc_id"], batch["payload"], batch["mime"]
+        ):
+            img = self.decode_one(p, m)
+            if img is None:
+                continue
+            h, w, _ = img.shape
+            h2, w2 = h // 2, w // 2
+            cells = (
+                img[: 2 * h2, : 2 * w2]
+                .astype(np.int64)
+                .reshape(h2, 2, w2, 2, 3)
+                .sum(axis=(1, 3))
+            )  # (h2, w2, 3) integer cell sums
+            wgt = (
+                (np.arange(h2, dtype=np.int64)[:, None] * w2
+                 + np.arange(w2, dtype=np.int64)[None, :]) % 97
+            )
+            ck = (cells * wgt[:, :, None]).sum(axis=(0, 1))
+            rows.append(
+                (did, w2, h2, int(ck[0]), int(ck[1]), int(ck[2]))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "down_w", "down_h", "ck_r", "ck_g", "ck_b"],
+        ).astype({c: np.int64 for c in
+                  ["doc_id", "down_w", "down_h", "ck_r", "ck_g", "ck_b"]})
+
+
+def q_multimodal_box_downsample(sf_dir: str):
+    """Binary payload -> actor-pool decode -> 2x2 box downsample ->
+    integer checksums of the cell-sum grid (exact compare)."""
+    return make_payloads(sf_dir).map_batches(
+        PpmBoxDownsampler,
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+
+QUERIES["multimodal_box_downsample"] = q_multimodal_box_downsample
+ORACLE["multimodal_box_downsample"] = f"""
+    WITH {_PAR},
+    grid AS (
+      SELECT p.*, (p.w // 2) AS w2, (p.h // 2) AS h2, r.i AS r, c.j AS c
+      FROM par p, range(64) r(i), range(64) c(j)
+      WHERE r.i < 2 * (p.h // 2) AND c.j < 2 * (p.w // 2)
+    ),
+    px AS (
+      SELECT doc_id, w2, h2,
+             (((r // 2) * w2 + (c // 2)) % 97)::BIGINT AS wgt,
+             ((1 + (d2 + 0) % 5) * r + (1 + (d3 + 0) % 5) * c + s0) % 256 AS pr,
+             ((1 + (d2 + 1) % 5) * r + (1 + (d3 + 1) % 5) * c + s1) % 256 AS pg,
+             ((1 + (d2 + 2) % 5) * r + (1 + (d3 + 2) % 5) * c + s2) % 256 AS pb
+      FROM grid
+    )
+    SELECT doc_id, max(w2)::BIGINT AS down_w, max(h2)::BIGINT AS down_h,
+           sum(wgt * pr)::BIGINT AS ck_r,
+           sum(wgt * pg)::BIGINT AS ck_g,
+           sum(wgt * pb)::BIGINT AS ck_b
+    FROM px GROUP BY doc_id
+"""

@@ -49,7 +49,7 @@ _SAMPLE_FIRST = [
     "stream_expr_drill", "luke_index_documents", "stream_expr_let_col",
     "chunk_windows_documents", "train_classify_documents",
     "features_ig_documents", "semdedup_embeddings",
-    "ann_filtered_topk",
+    "ann_filtered_topk", "multimodal_box_downsample",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",
