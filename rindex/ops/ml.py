@@ -109,6 +109,27 @@ def train_logit(sf_dir: str):
     vh, _ = _feature_space(sf_dir)
     ds = read_table(sf_dir, "documents", ["text"])
     n_total = ds.count()
+
+    # featurize ONCE, iterate over the materialized numeric blocks —
+    # TextLogitStream likewise trains over stored term vectors, never
+    # re-analyzing text per iteration.  The featurized corpus is
+    # (V+1) doubles + a label per doc (~0.5 KB/doc), object-store
+    # resident; 50 gradient passes then touch no text at all.
+    def featurize(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        X = _batch_features(texts, vh)
+        y = np.fromiter(
+            (POS_TERM in (x or "").split(" ") for x in texts),
+            np.float64, count=len(texts),
+        )
+        return pa.table(
+            {"x": pa.array(list(X)), "y": pa.array(y)}
+        )
+
+    feat = ds.map_batches(
+        featurize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
     w = np.zeros(len(vh) + 1, np.float64)
     vel = np.zeros_like(w)
     losses = []
@@ -117,12 +138,8 @@ def train_logit(sf_dir: str):
 
         def grad_part(t: pa.Table) -> pa.Table:
             w_ = ray.get(w_ref)
-            texts = t["text"].to_pylist()
-            X = _batch_features(texts, vh)
-            y = np.fromiter(
-                (POS_TERM in (x or "").split(" ") for x in texts),
-                np.float64, count=len(texts),
-            )
+            X = np.array(t["x"].to_pylist(), dtype=np.float64)
+            y = t["y"].to_numpy(zero_copy_only=False)
             z = X @ w_
             p = 1.0 / (1.0 + np.exp(-z))
             g = X.T @ (p - y)
@@ -136,7 +153,7 @@ def train_logit(sf_dir: str):
                 }
             )
 
-        parts = ds.map_batches(
+        parts = feat.map_batches(
             grad_part, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()
         g = np.sum(np.stack(parts["g"].to_numpy()), axis=0)
