@@ -195,3 +195,89 @@ def _multivalued_oracle_sql() -> str:
 
 QUERIES["multivalued_filter_topk"] = q_multivalued_filter_topk
 ORACLE["multivalued_filter_topk"] = _multivalued_oracle_sql()
+
+
+def q_block_join_children_threads(sf_dir: str):
+    """ToChildBlockJoinQuery (`lucene/join/src/java/org/apache/lucene/
+    search/join/ToChildBlockJoinQuery.java`): the parent query (top-10
+    threads by child 'spark join' ScoreMode.Max) selects parent blocks,
+    then EVERY child of a matched block is returned carrying its
+    parent's score — ToChild propagates the parent score to all
+    children, matching or not.  The matched-parent map is the designated
+    small side (top-k by construction), broadcast once; the child
+    expansion is one filtered corpus scan."""
+    import ray
+
+    from rindex.ops.util import read_table
+    from rindex.search import IndexSearcher
+
+    idx = thread_block_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand")
+    rows = searcher.search_block_join(
+        "spark join", parent_col="thread_id", k=10, score_mode="max"
+    )
+    pmap = {int(r[1]): round(float(r[2]), 6) for r in rows}
+    pref = ray.put(pmap)
+
+    def expand(t: pa.Table) -> pa.Table:
+        pm = ray.get(pref)
+        ids = t["doc_id"].to_numpy()
+        tid = ids // THREAD_SIZE
+        keep = np.fromiter((int(x) in pm for x in tid), bool, count=len(tid))
+        ids, tid = ids[keep], tid[keep]
+        return pa.table(
+            {
+                "thread_id": pa.array(tid.astype(np.int64)),
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "score": pa.array(
+                    np.array([pm[int(x)] for x in tid], np.float64)
+                ),
+            }
+        )
+
+    out = (
+        read_table(sf_dir, "documents", ["doc_id"])
+        .map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return out.sort_values(["thread_id", "doc_id"]).reset_index(drop=True)
+
+
+def _block_join_children_oracle_sql() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES ('spark'), ('join')),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    parents AS (
+      SELECT doc_id // {THREAD_SIZE} AS thread_id, max(s) AS score
+      FROM scores GROUP BY 1
+    ),
+    top_parents AS (
+      SELECT thread_id, round(score, 6) AS score,
+             (row_number() OVER (ORDER BY score DESC, thread_id ASC)
+              - 1) AS rank
+      FROM parents
+    )
+    SELECT p.thread_id, d.doc_id, p.score
+    FROM top_parents p
+    JOIN documents d ON d.doc_id // {THREAD_SIZE} = p.thread_id
+    WHERE p.rank < 10
+    ORDER BY p.thread_id, d.doc_id
+    """
+
+
+QUERIES["block_join_children_threads"] = q_block_join_children_threads
+ORACLE["block_join_children_threads"] = _block_join_children_oracle_sql()
