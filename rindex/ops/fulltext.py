@@ -2033,3 +2033,149 @@ def _axiomatic_oracle_sql() -> str:
 
 QUERIES["axiomatic_topk_documents"] = q_axiomatic_topk_documents
 ORACLE["axiomatic_topk_documents"] = _axiomatic_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Scored passages — the UnifiedHighlighter's distinguishing feature over
+# the snippet assembler above (`lucene/highlighter/src/java/org/apache/
+# lucene/search/uhighlight/{UnifiedHighlighter,PassageScorer}.java`):
+# passages are RANKED, each scored by the idf of the distinct query
+# terms it covers, and the best passage per doc is returned.  Window
+# derivation uses the repo's raw space-split slot convention (the C4 /
+# chunking ops' lines); term idf comes from the INDEX dictionary on the
+# Ray side and the regex-token derivation in SQL (proven equal by every
+# BM25 oracle).  One corpus scan; the idf pair is a broadcast constant.
+# ---------------------------------------------------------------------------
+
+HL_PASSAGE_W = 8
+HL_PASSAGE_TERMS = ("spark", "join")
+
+
+def q_top_passage_documents(sf_dir: str):
+    """Best passage per matching doc for the 'spark join' query:
+    (doc_id, best_chunk, passage_score, passage); ties break to the
+    earliest window (PassageScorer's document-order tiebreak)."""
+    import pyarrow.compute as pcc
+    import pyarrow.parquet as ppq
+
+    from rindex.ops.util import read_table
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    n_docs = float(man["totals"]["doc_count"])
+    dfs = {t: 0 for t in HL_PASSAGE_TERMS}
+    for m in man["segments"]:
+        p = os.path.join(
+            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
+        )
+        t = ppq.read_table(p, columns=["term", "df"])
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            if term in dfs:
+                dfs[term] += int(df)
+    idf = {
+        t: np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in HL_PASSAGE_TERMS
+    }
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def best_passage(t: pa.Table) -> pa.Table:
+        toks = pcc.split_pattern(
+            pcc.coalesce(t["text"], pa.scalar("")), pattern=" "
+        )
+        ntok = pcc.list_value_length(toks).to_numpy().astype(np.int64)
+        n = t.num_rows
+        best_score = np.full(n, -1.0)
+        best_k = np.full(n, -1, np.int64)
+        best_txt = pa.array([""] * n, pa.string())
+        max_k = int(np.ceil(ntok.max() / HL_PASSAGE_W)) if n else 0
+        for k in range(max_k):
+            seg = pcc.list_slice(
+                toks, start=k * HL_PASSAGE_W, stop=(k + 1) * HL_PASSAGE_W
+            )
+            line = pcc.binary_join(seg, " ")
+            exists = np.clip(ntok - k * HL_PASSAGE_W, 0, HL_PASSAGE_W) > 0
+            score = np.zeros(n)
+            for term in HL_PASSAGE_TERMS:
+                has = pcc.match_substring_regex(
+                    line, rf"(^| ){term}( |$)"
+                ).to_numpy(zero_copy_only=False)
+                score += np.where(has, idf[term], 0.0)
+            score = np.round(score, 6)
+            better = exists & (score > best_score)
+            best_k = np.where(better, k, best_k)
+            best_score = np.where(better, score, best_score)
+            best_txt = pcc.if_else(pa.array(better), line, best_txt)
+        hit = best_score > 0  # docs with at least one query term
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(hit)),
+                "best_chunk": pa.array(best_k[hit]),
+                "passage_score": pa.array(best_score[hit]),
+                "passage": pcc.filter(best_txt, pa.array(hit)),
+            }
+        )
+
+    out = ds.map_batches(
+        best_passage, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["top_passage_documents"] = q_top_passage_documents
+
+
+def _top_passage_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in HL_PASSAGE_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    tdoc AS (SELECT DISTINCT doc_id, term FROM toks),
+    st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+    qidf AS (
+      SELECT q.term,
+             ln(1.0 + (n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf
+      FROM (VALUES {terms}) q(term)
+      JOIN (SELECT term, count(*)::DOUBLE AS df FROM tdoc GROUP BY 1) d
+        USING (term)
+      CROSS JOIN st
+    ),
+    wtoks AS (
+      SELECT doc_id,
+             unnest(range(1, len(string_split(coalesce(text, ''), ' '))
+                             + 1)) AS i,
+             unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      FROM documents
+    ),
+    windows AS (
+      SELECT doc_id, (i - 1) // {HL_PASSAGE_W} AS k,
+             string_agg(tok, ' ' ORDER BY i) AS line
+      FROM wtoks GROUP BY 1, 2
+    ),
+    wscore AS (
+      SELECT w.doc_id, w.k, w.line,
+             round(coalesce(sum(q.idf), 0.0), 6) AS score
+      FROM windows w
+      LEFT JOIN qidf q
+        ON list_contains(string_split(w.line, ' '), q.term)
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT doc_id, k, line, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, k ASC) AS rn
+      FROM wscore
+    )
+    SELECT doc_id, k::BIGINT AS best_chunk, score AS passage_score,
+           line AS passage
+    FROM best WHERE rn = 1 AND score > 0
+    ORDER BY doc_id
+    """
+
+
+ORACLE["top_passage_documents"] = _top_passage_oracle()

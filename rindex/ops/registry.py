@@ -50,7 +50,7 @@ _SAMPLE_FIRST = [
     "chunk_windows_documents", "train_classify_documents",
     "features_ig_documents", "semdedup_embeddings",
     "ann_filtered_topk", "multimodal_box_downsample",
-    "block_join_children_threads",
+    "block_join_children_threads", "top_passage_documents",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",
