@@ -10,14 +10,15 @@ def _modules():
     from rindex.ops import (
         analysis_ext, ann, atomic, dedup, dismax, evaluators, facets,
         fulltext, livedocs, loaders, ml, multimodal, multiterm, nested,
-        relational, search_ext, sketches, streamlang, streams, textstats,
+        relational, search_ext, sketches, sqlhandler, streamlang, streams,
+        textstats,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
         nested, dismax, livedocs, facets, atomic, multiterm, streamlang,
-        ml,
+        ml, sqlhandler,
     ]
 
 
@@ -51,6 +52,7 @@ _SAMPLE_FIRST = [
     "features_ig_documents", "semdedup_embeddings",
     "ann_filtered_topk", "multimodal_box_downsample",
     "block_join_children_threads", "top_passage_documents",
+    "sql_handler_orders",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",

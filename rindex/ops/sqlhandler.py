@@ -1,0 +1,167 @@
+"""Parallel SQL handler — Solr's /sql interface (`solr/core/src/java/org/
+apache/solr/handler/SQLHandler.java` + the Calcite rules in
+`solr/core/src/java/org/apache/solr/handler/sql/*.java`): SQL text
+compiles onto the STREAMING EXPRESSION operators, never a bespoke
+executor.  Same here — the planner below maps a SQL subset onto the
+repo's streamlang builders, so a /sql query runs as the identical lazy
+Ray pipeline a hand-written expression would:
+
+    SELECT a, b, agg(c) AS x   ->  rollup(..., over="a,b", x=agg(c))
+    WHERE col <op> literal     ->  having(table(...), <evaluator pred>)
+                                   (pushed BELOW the rollup: a per-batch
+                                   vectorized mask, the Calcite
+                                   filter-pushdown rule)
+    ORDER BY x DESC, a ASC     ->  sort(..., by="x desc,a asc")
+    LIMIT n                    ->  top(... n=...) / limit
+
+Supported subset (rejects loudly otherwise): single table, WHERE as an
+AND-chain of `col <op> literal` (op in = != <> < <= > >=), optional
+GROUP BY with count(*)/sum/avg/min/max aggregates (aliases required,
+like the reference's field-naming contract), ORDER BY over output
+columns, LIMIT.  No joins (the expression language has them; the
+reference's SQL join support routes through the same stream operators).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+_SQL_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+    re.I | re.S,
+)
+_AGG_RE = re.compile(
+    r"^(count)\(\s*\*\s*\)\s+AS\s+(\w+)$|^(sum|avg|min|max)\((\w+)\)\s+AS\s+(\w+)$",
+    re.I,
+)
+_PRED_RE = re.compile(
+    r"^(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*('[^']*'|[-0-9.]+)$"
+)
+_CMP_FN = {"=": "eq", "!=": "neq", "<>": "neq", "<": "lt",
+           "<=": "lteq", ">": "gt", ">=": "gteq"}
+
+
+def compile_sql(sql: str, sf_dir: str, views: dict | None = None):
+    """Compile the SQL subset into a lazy Ray Dataset via streamlang
+    builders; returns (dataset, output column order).  `views` maps
+    table names to ctx->Dataset factories (streaming views)."""
+    from rindex.ops.streamlang import parse_stream_expr
+
+    m = _SQL_RE.match(sql)
+    if not m:
+        raise ValueError(f"unsupported SQL shape: {sql!r}")
+    table = m.group("table")
+
+    select_items = [s.strip() for s in m.group("select").split(",")]
+    group_cols = (
+        [c.strip() for c in m.group("group").split(",")]
+        if m.group("group") else []
+    )
+    plain_cols, aggs = [], {}
+    for item in select_items:
+        am = _AGG_RE.match(item)
+        if am:
+            if am.group(1):  # count(*) AS alias
+                aggs[am.group(2)] = "count(*)"
+            else:
+                aggs[am.group(5)] = f"{am.group(3).lower()}({am.group(4)})"
+        elif re.fullmatch(r"\w+", item):
+            plain_cols.append(item)
+        else:
+            raise ValueError(
+                f"unsupported SELECT item {item!r} (aggregates need AS)"
+            )
+    if aggs and sorted(plain_cols) != sorted(group_cols):
+        raise ValueError("non-aggregated SELECT columns must = GROUP BY")
+
+    # source with column pruning
+    need = set(plain_cols) | set(group_cols)
+    for expr in aggs.values():
+        cm = re.match(r"\w+\((\w+)\)", expr)
+        if cm and cm.group(1) != "*":
+            need.add(cm.group(1))
+    preds = []
+    if m.group("where"):
+        for part in re.split(r"\s+AND\s+", m.group("where"), flags=re.I):
+            pm = _PRED_RE.match(part.strip())
+            if not pm:
+                raise ValueError(f"unsupported WHERE predicate {part!r}")
+            col, op, lit = pm.groups()
+            need.add(col)
+            lit_expr = lit if not lit.startswith("'") else f'"{lit[1:-1]}"'
+            preds.append(f"{_CMP_FN[op]}({col}, {lit_expr})")
+
+    expr = f'table({table}, fl="{",".join(sorted(need))}")'
+    for p in preds:  # filter pushdown below the rollup
+        expr = f"having({expr}, {p})"
+    if aggs:
+        metrics = ", ".join(f"{a}={e}" for a, e in aggs.items())
+        expr = f'rollup({expr}, over="{",".join(group_cols)}", {metrics})'
+    elif plain_cols:
+        expr = f'select({expr}, keep="{",".join(plain_cols)}")'
+    if m.group("order"):
+        expr = f'sort({expr}, by="{m.group("order").strip()}")'
+    node = parse_stream_expr(expr)
+    from rindex.ops.streamlang import _build
+
+    ds = _build(node, {"sf_dir": sf_dir, "views": views})
+    if m.group("limit"):
+        ds = ds.limit(int(m.group("limit")))
+    return ds, plain_cols + list(aggs)
+
+
+SQL_TEXT = (
+    "SELECT c_mktsegment, o_orderpriority, count(*) AS n, "
+    "min(o_totalprice) AS lo, max(o_totalprice) AS hi "
+    "FROM orders_seg "
+    "WHERE o_totalprice > 150000 AND o_orderstatus = 'O' "
+    "GROUP BY c_mktsegment, o_orderpriority "
+    "ORDER BY n DESC, c_mktsegment ASC, o_orderpriority ASC "
+    "LIMIT 12"
+)
+
+
+def q_sql_handler_orders(sf_dir: str):
+    """/sql end-to-end: the SQL string compiles onto streamlang
+    (having-pushdown -> rollup -> sort -> limit, ONE lazy pipeline).
+    The source 'table' is itself a streamlang-resolved view — here a
+    pre-joined orders+customer table registered as orders_seg through
+    the thread-safe ctx view registry, the way the reference's SQL
+    collections are streaming views too."""
+
+    def orders_seg(ctx):
+        from rindex.ops.streamlang import _build, parse_stream_expr
+
+        inner = parse_stream_expr(
+            'hashJoin(table(orders, fl="o_custkey,o_totalprice,'
+            'o_orderstatus,o_orderpriority"),'
+            ' table(customer, fl="c_custkey,c_mktsegment"),'
+            ' on="o_custkey=c_custkey")'
+        )
+        return _build(inner, ctx)
+
+    ds, _cols = compile_sql(SQL_TEXT, sf_dir, views={"orders_seg": orders_seg})
+    out = ds.to_pandas()
+    return out.reset_index(drop=True)
+
+
+QUERIES["sql_handler_orders"] = q_sql_handler_orders
+ORACLE["sql_handler_orders"] = """
+    SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+    GROUP BY c_mktsegment, o_orderpriority
+    ORDER BY n DESC, c_mktsegment ASC, o_orderpriority ASC
+    LIMIT 12
+"""

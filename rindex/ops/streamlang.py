@@ -173,6 +173,9 @@ def _check_scalar(node, where: str):
 
 def _b_table(args, kwargs, ctx):
     name = _ident(args[0], "table name")
+    views = ctx.get("views") or {}
+    if name in views:  # registered streaming view (SQL handler, tests)
+        return views[name](ctx)
     fl = kwargs.get("fl")
     return read_table(ctx["sf_dir"], name, _cols(_lit(fl, "fl")) if fl else None)
 
@@ -977,9 +980,12 @@ def _build(node, ctx):
     return STREAM_BUILDERS[node[1]](node[2], dict(_kwargs(node)), ctx)
 
 
-def compile_stream(expr: str, sf_dir: str):
-    """Compile a streaming-expression string into a lazy Ray Dataset."""
-    return _build(parse_stream_expr(expr), {"sf_dir": sf_dir})
+def compile_stream(expr: str, sf_dir: str, views: dict | None = None):
+    """Compile a streaming-expression string into a lazy Ray Dataset.
+    `views` maps table names to `ctx -> Dataset` factories consulted by
+    table() before the parquet source (a streaming-view registry —
+    thread-safe, no global builder mutation)."""
+    return _build(parse_stream_expr(expr), {"sf_dir": sf_dir, "views": views})
 
 
 # ---------------------------------------------------------------------------

@@ -515,3 +515,38 @@ def test_topic_builder_exactly_once(ray_session):
         'topic(tp2, documents, q="merge sort", mode="or")', sf
     ).to_pandas()
     assert sorted(t3["doc_id"]) == sorted(full["doc_id"])  # new name replays
+
+
+def test_sql_handler_compile_contracts(ray_session):
+    """/sql planner: filter pushdown + rollup + sort + limit compile and
+    run; unsupported shapes reject loudly; views resolve thread-safely
+    through ctx (no global builder mutation)."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from rindex.ops.sqlhandler import compile_sql
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "b", "b", "b"], "v": [1.0, 5.0, 2.0, 4.0, 9.0]}
+    )
+    views = {"t": lambda ctx: rd.from_pandas(df)}
+    ds, cols = compile_sql(
+        "SELECT k, count(*) AS n, max(v) AS hi FROM t WHERE v > 1 "
+        "GROUP BY k ORDER BY n DESC, k ASC LIMIT 5",
+        "", views=views,
+    )
+    got = ds.to_pandas()
+    assert got["k"].tolist() == ["b", "a"]
+    assert got["n"].tolist() == [3, 1]
+    assert got["hi"].tolist() == [9.0, 5.0]
+    assert cols == ["k", "n", "hi"]
+
+    with pytest.raises(ValueError, match="unsupported SQL shape"):
+        compile_sql("DELETE FROM t", "", views=views)
+    with pytest.raises(ValueError, match="unsupported WHERE predicate"):
+        compile_sql("SELECT k FROM t WHERE v BETWEEN 1 AND 2", "",
+                    views=views)
+    with pytest.raises(ValueError, match="must = GROUP BY"):
+        compile_sql("SELECT k, v, count(*) AS n FROM t GROUP BY k", "",
+                    views=views)
