@@ -1613,3 +1613,76 @@ ORACLE["chunk_windows_documents"] = f"""
      AND t.i <= ks.k * {CHUNK_STRIDE} + {CHUNK_W}
     GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Word-dropout augmentation — the classic text data-augmentation step
+# (drop each token independently with probability p; Bowman et al. 2016
+# use it for decoder regularization, EDA-style pipelines for corpus
+# augmentation).  Seed-FREE determinism, the repo's split-hash
+# convention: token i of doc d drops iff md5("d:i") byte0 % 10 == 0
+# (p = 10%), so a resumed/re-sharded run regenerates the identical
+# augmented corpus and the SQL oracle re-derives every gate.  Per-token
+# hashing is inherent to the op (each token needs its own coin); the
+# gate is the only per-token Python and is bounded by doc length.
+# ---------------------------------------------------------------------------
+
+DROPOUT_PCT = 10  # drop when md5 byte0 % 10 == 0 -> 10%
+
+
+def q_word_dropout_documents(sf_dir: str):
+    """(doc_id, n_orig, n_kept, aug_text) with the deterministic
+    10% token dropout applied to the raw space-split tokens."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        n_orig = np.zeros(len(ids), np.int64)
+        n_kept = np.zeros(len(ids), np.int64)
+        outs = []
+        for r, (did, x) in enumerate(zip(ids, texts)):
+            toks = (x or "").split(" ")
+            keep = [
+                tok for i, tok in enumerate(toks)
+                if int(hashlib.md5(f"{int(did)}:{i}".encode())
+                       .hexdigest()[:2], 16) % DROPOUT_PCT != 0
+            ]
+            n_orig[r] = len(toks)
+            n_kept[r] = len(keep)
+            outs.append(" ".join(keep))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_orig": pa.array(n_orig),
+                "n_kept": pa.array(n_kept),
+                "aug_text": pa.array(outs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(aug, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["word_dropout_documents"] = q_word_dropout_documents
+ORACLE["word_dropout_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(string_split(coalesce(text, ''), ' '))
+                             + 1)) AS i,
+             unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, i, tok,
+             (('0x' || substr(md5(doc_id::VARCHAR || ':'
+                                  || (i - 1)::VARCHAR), 1, 2))::BIGINT
+              % {DROPOUT_PCT}) <> 0 AS keep
+      FROM toks
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_orig,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN tok END, ' '
+                               ORDER BY i), '') AS aug_text
+    FROM gated GROUP BY doc_id
+"""
