@@ -1178,3 +1178,126 @@ def _luke_oracle_sql() -> str:
 
 
 ORACLE["luke_index_documents"] = _luke_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# FreeTextSuggester — the n-gram language-model suggester
+# (`lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+# FreeTextSuggester.java`: suggests the next word from an ngram LM with
+# Jelinek-Mercer-style backoff; Lucene builds the LM from the analyzed
+# corpus).  Engine shape: ONE corpus pass emits per-batch bigram partial
+# counts RESTRICTED to the query context word (the vectorized shift-and-
+# mask — no per-token Python), a tiny groupby sums them, and the unigram
+# denominator comes from the index dictionary's ttf.  Score = bigram
+# count / context ttf (the conditional MLE the reference's top level
+# uses), rounded before ranking, count-desc/token-asc ties.
+# ---------------------------------------------------------------------------
+
+FREETEXT_CONTEXT = "hash"
+FREETEXT_TOP = 8
+
+
+def q_freetext_suggest_documents(sf_dir: str):
+    """Next-word suggestions after FREETEXT_CONTEXT: (suggestion, n,
+    score) — top-FREETEXT_TOP bigram continuations."""
+    import pyarrow.parquet as ppq
+    from ray.data.aggregate import Sum
+
+    from rindex.analysis import get_analyzer
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    # context unigram ttf from the index dictionary (the LM denominator)
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    ctx_ttf = 0
+    for m in man["segments"]:
+        p = os.path.join(
+            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
+        )
+        t = ppq.read_table(p, columns=["term", "ttf"])
+        for term, ttf in zip(t["term"].to_pylist(), t["ttf"].to_pylist()):
+            if term == FREETEXT_CONTEXT:
+                ctx_ttf += int(ttf)
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        toks_per = [az.tokens(x or "") for x in t["text"].to_pylist()]
+        lens = np.fromiter(
+            (len(x) for x in toks_per), np.int64, count=len(toks_per)
+        )
+        flat = np.array(
+            [tok for lst in toks_per for tok in lst], dtype=object
+        )
+        if not len(flat):
+            return pa.table({"suggestion": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        # bigrams never cross doc boundaries: position of each doc's LAST
+        # token is excluded from the context mask
+        ends = np.cumsum(lens) - 1
+        is_ctx = flat == FREETEXT_CONTEXT
+        is_ctx[ends[lens > 0]] = is_ctx[ends[lens > 0]] & False
+        nxt = flat[1:][is_ctx[:-1]]
+        if not len(nxt):
+            return pa.table({"suggestion": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        vals, counts = np.unique(nxt.astype(str), return_counts=True)
+        return pa.table(
+            {"suggestion": pa.array(vals, pa.string()),
+             "c": pa.array(counts.astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("suggestion")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["score"] = np.round(
+        agg["n"].to_numpy(np.float64) / float(ctx_ttf), 6
+    )
+    agg = agg.sort_values(["n", "suggestion"], ascending=[False, True],
+                          kind="mergesort").head(FREETEXT_TOP)
+    return agg[["suggestion", "n", "score"]].reset_index(drop=True)
+
+
+QUERIES["freetext_suggest_documents"] = q_freetext_suggest_documents
+
+
+def _freetext_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(regexp_extract_all(lower(coalesce(text,
+                    '')), '{TOKEN_SQL_RE}')) + 1)) AS i,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, i, term,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM toks
+    ),
+    ctxttf AS (
+      SELECT count(*)::DOUBLE AS t FROM toks
+      WHERE term = '{FREETEXT_CONTEXT}'
+    ),
+    cand AS (
+      SELECT nxt AS suggestion, count(*)::BIGINT AS n
+      FROM big WHERE term = '{FREETEXT_CONTEXT}' AND nxt IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT suggestion, n, round(n / ctxttf.t, 6) AS score
+    FROM cand CROSS JOIN ctxttf
+    ORDER BY n DESC, suggestion ASC
+    LIMIT {FREETEXT_TOP}
+    """
+
+
+ORACLE["freetext_suggest_documents"] = _freetext_oracle_sql()
