@@ -53,7 +53,7 @@ _SAMPLE_FIRST = [
     "ann_filtered_topk", "multimodal_box_downsample",
     "block_join_children_threads", "top_passage_documents",
     "sql_handler_orders", "word_dropout_documents",
-    "freetext_suggest_documents",
+    "freetext_suggest_documents", "bpe_train_documents",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",

@@ -1686,3 +1686,131 @@ ORACLE["word_dropout_documents"] = f"""
                                ORDER BY i), '') AS aug_text
     FROM gated GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units") — the tokenizer-fit
+# step of an LLM data pipeline: greedily merge the most frequent
+# adjacent symbol pair for BPE_MERGES rounds.  Engine shape: the ONLY
+# corpus-scale step is the distributed (word, count) vocabulary groupby
+# (standard BPE trains on exactly that reduced table); the merge rounds
+# run on the vocab small side, as every reference implementation does.
+# Determinism: ties break by pair string ascending.  The SQL oracle
+# re-derives ALL rounds, unrolled — words live as char-spaced strings so
+# a merge is one left-to-right non-overlapping replace() (Python
+# str.replace and DuckDB replace share that exact semantic, pinned by
+# the edge-case pytest).
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6
+
+
+def bpe_merge_rounds(vocab: dict[str, int], k: int) -> list[tuple]:
+    """[(round, 'a b', 'ab', count)] for k greedy merges over a
+    {word: count} vocabulary; char-spaced symbol representation."""
+    words = {" ".join(w): int(c) for w, c in vocab.items()}
+    out = []
+    for r in range(k):
+        from collections import Counter
+
+        pc_: Counter = Counter()
+        for w, c in words.items():
+            syms = w.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pc_[f"{a} {b}"] += c
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, n = best
+        merged = pair.replace(" ", "")
+        out.append((r, pair, merged, int(n)))
+        words = {w.replace(pair, merged): c for w, c in words.items()}
+    return out
+
+
+def q_bpe_train_documents(sf_dir: str):
+    """First BPE_MERGES BPE merges over the corpus vocabulary:
+    (round, pair, merged, n)."""
+    from ray.data.aggregate import Sum
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for x in t["text"].to_pylist():
+            cnt.update(az.tokens(x or ""))
+        return pa.table(
+            {"w": pa.array(list(cnt.keys()), pa.string()),
+             "c": pa.array(np.fromiter(cnt.values(), np.int64,
+                                       count=len(cnt)))}
+        )
+
+    vocab_df = (
+        ds.map_batches(wc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    vocab = dict(zip(vocab_df["w"], vocab_df["c"].astype(int)))
+    rows = bpe_merge_rounds(vocab, BPE_MERGES)
+    return pd.DataFrame(
+        rows, columns=["round", "pair", "merged", "n"]
+    ).astype({"round": np.int64, "n": np.int64})
+
+
+QUERIES["bpe_train_documents"] = q_bpe_train_documents
+
+
+def _bpe_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    parts = [f"""
+    toks AS (
+      SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS w
+      FROM documents
+    ),
+    w0 AS (
+      SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS w,
+             count(*)::BIGINT AS c
+      FROM toks GROUP BY w
+    )"""]
+    selects = []
+    for r in range(BPE_MERGES):
+        parts.append(f"""
+    s{r} AS (
+      SELECT w, c,
+             unnest(string_split(w, ' ')) AS sym,
+             unnest(range(1, len(string_split(w, ' ')) + 1)) AS i
+      FROM w{r}
+    ),
+    p{r} AS (
+      SELECT sym || ' ' || nxt AS pair, sum(c)::BIGINT AS n
+      FROM (SELECT w, c, i, sym,
+                   lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt
+            FROM s{r})
+      WHERE nxt IS NOT NULL
+      GROUP BY 1
+    ),
+    b{r} AS (
+      SELECT pair, replace(pair, ' ', '') AS merged, n
+      FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1
+    ),
+    w{r + 1} AS (
+      SELECT replace(w0_.w, b.pair, b.merged) AS w, w0_.c
+      FROM w{r} w0_ CROSS JOIN b{r} b
+    )""")
+        selects.append(
+            f"SELECT {r}::BIGINT AS round, pair, merged, n FROM b{r}"
+        )
+    return ("WITH " + ",".join(parts) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY round")
+
+
+ORACLE["bpe_train_documents"] = _bpe_oracle_sql()

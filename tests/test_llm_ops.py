@@ -282,3 +282,21 @@ def test_chunk_windows_edge_cases(ray_session):
                        r.chunk_idx * CHUNK_STRIDE + CHUNK_W]
             assert r.chunk_text == " ".join(seg)
             assert r.n_tok == len(seg)
+
+
+def test_bpe_merge_rounds_reference_semantics():
+    """BPE kernel vs hand-worked example: greedy max-count merges,
+    pair-asc ties, left-to-right non-overlapping replace (the 'aaa'
+    case), multi-char symbols in later rounds."""
+    from rindex.ops.textstats import bpe_merge_rounds
+
+    rows = bpe_merge_rounds({"aaa": 2, "aab": 1}, 2)
+    # round 0: pairs 'a a' = 2*2 + 1 = 5, 'a b' = 1 -> merge 'a a'
+    assert rows[0] == (0, "a a", "aa", 5)
+    # 'a a a' -> 'aa a' (non-overlapping), 'a a b' -> 'aa b'
+    # round 1: 'aa a' = 2, 'aa b' = 1 -> merge 'aa a'
+    assert rows[1] == (1, "aa a", "aaa", 2)
+
+    # tie: 'ab'(x1) and 'cd'(x1) -> 'a b' vs 'c d' both 1; pair-asc wins
+    rows = bpe_merge_rounds({"ab": 1, "cd": 1}, 1)
+    assert rows[0][1] == "a b"
