@@ -1814,3 +1814,121 @@ def _bpe_oracle_sql() -> str:
 
 
 ORACLE["bpe_train_documents"] = _bpe_oracle_sql()
+
+
+def q_bpe_encode_documents(sf_dir: str):
+    """Encode the corpus with the BPE_MERGES-round tokenizer trained by
+    bpe_train: per-doc (n_tok, n_subwords).  The merge list and the
+    word -> subword-count map are vocabulary-sized small sides (the
+    encode map is exactly what a real BPE tokenizer ships); the corpus
+    pass is one scan mapping each token to its subword count via a dict
+    lookup per DISTINCT batch token."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for x in t["text"].to_pylist():
+            cnt.update(az.tokens(x or ""))
+        return pa.table(
+            {"w": pa.array(list(cnt.keys()), pa.string()),
+             "c": pa.array(np.fromiter(cnt.values(), np.int64,
+                                       count=len(cnt)))}
+        )
+
+    vocab_df = (
+        ds.map_batches(wc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    vocab = dict(zip(vocab_df["w"], vocab_df["c"].astype(int)))
+    merges = bpe_merge_rounds(vocab, BPE_MERGES)
+    enc = {}
+    for w in vocab:
+        s = " ".join(w)
+        for _, pair, merged, _n in merges:
+            s = s.replace(pair, merged)
+        enc[w] = len(s.split(" "))
+    enc_ref = ray.put(enc)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        e = ray.get(enc_ref)
+        n_tok = np.zeros(t.num_rows, np.int64)
+        n_sub = np.zeros(t.num_rows, np.int64)
+        for i, x in enumerate(t["text"].to_pylist()):
+            toks = az.tokens(x or "")
+            n_tok[i] = len(toks)
+            n_sub[i] = sum(e[w] for w in toks)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tok": pa.array(n_tok),
+             "n_subwords": pa.array(n_sub)}
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+QUERIES["bpe_encode_documents"] = q_bpe_encode_documents
+
+
+def _bpe_encode_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    parts = [f"""
+    dtoks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS orig
+      FROM documents
+    ),
+    w0 AS (
+      SELECT orig, array_to_string(regexp_extract_all(orig, '.'), ' ') AS w,
+             count(*)::BIGINT AS c
+      FROM dtoks GROUP BY orig
+    )"""]
+    for r in range(BPE_MERGES):
+        parts.append(f"""
+    s{r} AS (
+      SELECT w, c,
+             unnest(string_split(w, ' ')) AS sym,
+             unnest(range(1, len(string_split(w, ' ')) + 1)) AS i
+      FROM w{r}
+    ),
+    p{r} AS (
+      SELECT sym || ' ' || nxt AS pair, sum(c)::BIGINT AS n
+      FROM (SELECT w, c, i, sym,
+                   lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt
+            FROM s{r})
+      WHERE nxt IS NOT NULL
+      GROUP BY 1
+    ),
+    b{r} AS (
+      SELECT pair, replace(pair, ' ', '') AS merged, n
+      FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1
+    ),
+    w{r + 1} AS (
+      SELECT w0_.orig, replace(w0_.w, b.pair, b.merged) AS w, w0_.c
+      FROM w{r} w0_ CROSS JOIN b{r} b
+    )""")
+    k = BPE_MERGES
+    return ("WITH " + ",".join(parts) + f""",
+    enc AS (
+      SELECT orig, len(string_split(w, ' '))::BIGINT AS n_sub FROM w{k}
+    )
+    SELECT d.doc_id, count(*)::BIGINT AS n_tok,
+           sum(e.n_sub)::BIGINT AS n_subwords
+    FROM dtoks d JOIN enc e USING (orig)
+    GROUP BY d.doc_id
+    """)
+
+
+ORACLE["bpe_encode_documents"] = _bpe_encode_oracle_sql()
