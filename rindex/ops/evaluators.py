@@ -2351,3 +2351,140 @@ ORACLE["eval_calculus_events"] = """
     CROSS JOIN auc
     ORDER BY s.y, s.doy
 """
+
+
+# ---------------------------------------------------------------------------
+# Evaluator batch 8: continuous-density family
+# (`solr/solrj/.../io/eval/{GammaDistributionEvaluator,
+# LogNormalDistributionEvaluator,DensityEvaluator}.java`).  CDFs of these
+# two need the incomplete gamma / erf, which SQL lacks — the reference's
+# density() surface is the analytic one, and the log-pdf trees below are
+# written EXACTLY as the DuckDB oracles spell them (lgamma is available
+# in SQL)."""
+# ---------------------------------------------------------------------------
+
+def _density(dist, x):
+    import math
+
+    x = np.asarray(x, np.float64)
+    kind = dist[0]
+    if kind == "gamma":
+        _, k, theta = dist
+        return np.exp(
+            (k - 1.0) * np.log(x) - x / theta - k * np.log(theta)
+            - math.lgamma(k)
+        )
+    if kind == "lognormal":
+        _, mu, s = dist
+        return np.exp(
+            -((np.log(x) - mu) ** 2) / (2.0 * s * s)
+        ) / (x * s * np.sqrt(2.0 * np.pi))
+    if kind == "weibull":
+        _, k, lam = dist
+        return (k / lam) * np.exp((k - 1.0) * np.log(x / lam)) * np.exp(
+            -np.exp(k * np.log(x / lam))
+        )
+    if kind == "uniform":
+        _, a, b = dist
+        return np.where((x >= a) & (x <= b), 1.0 / (b - a), 0.0)
+    raise ValueError(f"density: unsupported distribution {kind!r}")
+
+
+EVALUATORS.update({
+    "gammaDistribution": lambda k, theta: ("gamma", float(k), float(theta)),
+    "logNormalDistribution": lambda mu, s: ("lognormal", float(mu),
+                                            float(s)),
+    "density": _density,
+})
+
+
+def q_eval_density_fits_lineitem(sf_dir: str):
+    """Method-of-moments gamma fit + log-space logNormal fit of
+    l_quantity, with density() evaluated at fixed points — moments come
+    from EXACT integer sums over the per-value histogram (ONE small
+    distributed groupby; l_quantity is integer-valued), the density
+    algebra runs through the batch-8 kernels with oracle-identical
+    expression trees."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "lineitem", ["l_quantity"])
+    hist = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {"v": pc.cast(t["l_quantity"], pa.int64())}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("v")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    v = hist["v"].to_numpy(np.float64)
+    c = hist["c"].to_numpy(np.float64)
+    n = c.sum()
+    s1 = float((v * c).sum())          # exact: integer-valued
+    s2 = float((v * v * c).sum())      # exact
+    m = s1 / n
+    var = s2 / n - m * m
+    k = m * m / var
+    theta = var / m
+    sl = float((np.log(v) * c).sum())
+    sl2 = float((np.log(v) ** 2 * c).sum())
+    mu = sl / n
+    sig = np.sqrt(sl2 / n - mu * mu)
+    scope = let_eval(
+        {
+            "g": f"gammaDistribution({k!r}, {theta!r})",
+            "ln": f"logNormalDistribution({mu!r}, {sig!r})",
+            "gd": "density(g, xs)",
+            "ld": "density(ln, xs)",
+        },
+        {"xs": np.array([10.0, 25.0, 40.0])},
+    )
+    return pd.DataFrame(
+        {
+            "x": np.array([10.0, 25.0, 40.0]),
+            "k": round_sql(np.full(3, k)),
+            "theta": round_sql(np.full(3, theta)),
+            "mu": round_sql(np.full(3, mu)),
+            "sigma": round_sql(np.full(3, sig)),
+            "gamma_pdf": round_sql(scope["gd"]),
+            "lognormal_pdf": round_sql(scope["ld"]),
+        }
+    )
+
+
+QUERIES["eval_density_fits_lineitem"] = q_eval_density_fits_lineitem
+ORACLE["eval_density_fits_lineitem"] = """
+    WITH h AS (
+      SELECT l_quantity::BIGINT AS v, count(*)::BIGINT AS c
+      FROM lineitem GROUP BY 1
+    ),
+    mo AS (
+      SELECT sum(c)::DOUBLE AS n,
+             sum(v * c)::DOUBLE AS s1,
+             sum(v * v * c)::DOUBLE AS s2,
+             sum(ln(v::DOUBLE) * c) AS sl,
+             sum(ln(v::DOUBLE) * ln(v::DOUBLE) * c) AS sl2
+      FROM h
+    ),
+    fit AS (
+      SELECT (s1 / n) * (s1 / n)
+               / (s2 / n - (s1 / n) * (s1 / n)) AS k,
+             (s2 / n - (s1 / n) * (s1 / n)) / (s1 / n) AS theta,
+             sl / n AS mu,
+             sqrt(sl2 / n - (sl / n) * (sl / n)) AS sigma
+      FROM mo
+    )
+    SELECT x.x,
+           round(f.k, 6) AS k, round(f.theta, 6) AS theta,
+           round(f.mu, 6) AS mu, round(f.sigma, 6) AS sigma,
+           round(exp((f.k - 1.0) * ln(x.x) - x.x / f.theta
+                     - f.k * ln(f.theta) - lgamma(f.k)), 6) AS gamma_pdf,
+           round(exp(-((ln(x.x) - f.mu) * (ln(x.x) - f.mu))
+                     / (2.0 * f.sigma * f.sigma))
+                 / (x.x * f.sigma * sqrt(2.0 * pi())), 6) AS lognormal_pdf
+    FROM fit f, (VALUES (10.0), (25.0), (40.0)) x(x)
+    ORDER BY x.x
+"""
