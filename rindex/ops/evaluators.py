@@ -2433,6 +2433,9 @@ def q_eval_density_fits_lineitem(sf_dir: str):
     sl2 = float((np.log(v) ** 2 * c).sum())
     mu = sl / n
     sig = np.sqrt(sl2 / n - mu * mu)
+    # float() before formatting: numpy>=2 repr of np.float64 is
+    # 'np.float64(x)', which the expression tokenizer rejects
+    k, theta, mu, sig = float(k), float(theta), float(mu), float(sig)
     scope = let_eval(
         {
             "g": f"gammaDistribution({k!r}, {theta!r})",

@@ -106,7 +106,15 @@ def compile_sql(sql: str, sf_dir: str, views: dict | None = None):
         expr = f"having({expr}, {p})"
     if aggs:
         metrics = ", ".join(f"{a}={e}" for a, e in aggs.items())
-        expr = f'rollup({expr}, over="{",".join(group_cols)}", {metrics})'
+        if group_cols:
+            expr = f'rollup({expr}, over="{",".join(group_cols)}", {metrics})'
+        else:
+            # global aggregate: SQLHandler plans it as a one-bucket rollup
+            # (Calcite's Aggregate with no group key) — synthesize a
+            # constant key, then strip it
+            expr = f"select({expr}, _g=1)"
+            expr = f'rollup({expr}, over="_g", {metrics})'
+            expr = f'select({expr}, keep="{",".join(aggs)}")'
     elif plain_cols:
         expr = f'select({expr}, keep="{",".join(plain_cols)}")'
     if m.group("order"):

@@ -510,10 +510,28 @@ def _b_update(args, kwargs, ctx):
         .encode()
     ).hexdigest()[:10]
     idx = os.path.join("/tmp", "rindex_cache", f"stream-{dest}-{fp}")
+
+    # resume lineage = the parquet files the inner expression actually
+    # reads (a regenerated source table must invalidate the checkpoint;
+    # hardcoding one table would silently serve stale segments)
+    def _tables(node, acc):
+        if isinstance(node, tuple) and node and node[0] == "call":
+            if node[1] == "table" and node[2] and node[2][0][0] == "col":
+                acc.add(node[2][0][1])
+            for ch in node[2]:
+                _tables(ch, acc)
+            for v in _kwargs(node).values():
+                _tables(v, acc)
+        return acc
+
+    input_files = sorted(
+        p for t in _tables(inner, set())
+        if os.path.exists(p := os.path.join(ctx["sf_dir"], f"{t}.parquet"))
+    )
     man = build_index(
         ds, idx, num_segments=4, mode="local",
         id_cols=(id_col,), text_col=text_col, keep_cols=tuple(keep),
-        input_files=[os.path.join(ctx["sf_dir"], "documents.parquet")],
+        input_files=input_files or None,
     )
     _STREAM_COLLECTIONS[(os.path.abspath(ctx["sf_dir"]), dest)] = idx
     return rd.from_items(
@@ -787,6 +805,12 @@ def _b_drill(args, kwargs, ctx):
     with one hash join against the collection's stored table (the
     reference's /export fl= does the same stored-field fetch
     segment-side)."""
+    import pyarrow.parquet as ppq
+    import ray.data as rd
+
+    from rindex.segments import read_manifest, seg_dir
+
+    coll = _ident(args[0], "drill collection")
     sargs = {k: kwargs.pop(k) for k in ("q", "mode") if k in kwargs}
     ds = _b_search([args[0]], sargs, ctx)
     over = _cols(_lit(kwargs["over"], "over"))
@@ -799,10 +823,27 @@ def _b_drill(args, kwargs, ctx):
         {c for c in over + mcols if c not in ("doc_id", "score")}
     )
     if need:
-        right = read_table(
-            ctx["sf_dir"], _ident(args[0], "drill collection"),
-            ["doc_id"] + need,
-        )
+        # stored fields come from the COLLECTION's segment doc stores
+        # (what /export fl= reads) — works for update()-built collections
+        # too; only the built-in documents collection may fall back to
+        # its source table for fields the index does not store
+        idxdir = _collection_index(coll, ctx)
+        man = read_manifest(idxdir)
+        docs_files = [
+            os.path.join(seg_dir(idxdir, m["seg_id"], m.get("gen", 0)),
+                         "docs.parquet")
+            for m in man["segments"]
+        ]
+        stored = set(ppq.read_schema(docs_files[0]).names)
+        if set(need) <= stored:
+            right = rd.read_parquet(docs_files, columns=["doc_id"] + need)
+        elif coll == "documents":
+            right = read_table(ctx["sf_dir"], coll, ["doc_id"] + need)
+        else:
+            raise ValueError(
+                f"drill: fields {sorted(set(need) - stored)} are not "
+                f"stored in collection {coll!r}"
+            )
         ds = ds.join(right, "inner", num_partitions=8, on=("doc_id",))
     inner_done = ("done", ds)
     return _b_rollup([inner_done], kwargs, ctx)
@@ -840,14 +881,15 @@ def _b_topic(args, kwargs, ctx):
 
     searcher = IndexSearcher(_collection_index(coll, ctx), algo="wand")
     ds = searcher.score_matches_dataset(text, mode=mode)
-    out = ds.filter(expr=f"doc_id > {last}")
-    # the checkpoint must reflect what THIS execution delivers: the high
-    # water mark comes from a tiny max() aggregate (the match stream
-    # itself stays lazy for the caller via a second identical filter)
+    # execute ONCE and deliver the materialized slice: the checkpoint
+    # must describe exactly the tuples the caller receives (TopicStream
+    # advances its checkpoints as it reads each batch the same way), and
+    # a second lazy execution could double the corpus-scale scoring work
+    out = ds.filter(expr=f"doc_id > {last}").materialize()
     hi = out.max("doc_id", ignore_nulls=True)
     if hi is not None:
         atomic_write_json(ck_path, {"last_doc_id": int(hi)})
-    return ds.filter(expr=f"doc_id > {last}")
+    return out
 
 
 def _b_list(args, kwargs, ctx):

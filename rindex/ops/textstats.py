@@ -1706,6 +1706,17 @@ ORACLE["word_dropout_documents"] = f"""
 BPE_MERGES = 6
 
 
+def _bpe_apply(w: str, pair: str, merged: str) -> str:
+    """Apply ONE merge to a char-spaced word with Sennrich's boundary
+    rule: the pair must match WHOLE symbols (never glue across a
+    multi-char symbol like 'bc' when merging 'a b').  Symbols are alnum,
+    so RE2/re word boundaries \b are exactly that rule — zero-width, so
+    consecutive occurrences ('a b a b') all merge, matching the
+    reference's (?<!\\S)pair(?!\\S) substitution.  The SQL oracles run
+    the same regexp_replace(..., 'g')."""
+    return re.sub(rf"\b{pair}\b", merged, w)
+
+
 def bpe_merge_rounds(vocab: dict[str, int], k: int) -> list[tuple]:
     """[(round, 'a b', 'ab', count)] for k greedy merges over a
     {word: count} vocabulary; char-spaced symbol representation."""
@@ -1725,7 +1736,7 @@ def bpe_merge_rounds(vocab: dict[str, int], k: int) -> list[tuple]:
         pair, n = best
         merged = pair.replace(" ", "")
         out.append((r, pair, merged, int(n)))
-        words = {w.replace(pair, merged): c for w, c in words.items()}
+        words = {_bpe_apply(w, pair, merged): c for w, c in words.items()}
     return out
 
 
@@ -1803,7 +1814,8 @@ def _bpe_oracle_sql() -> str:
       FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1
     ),
     w{r + 1} AS (
-      SELECT replace(w0_.w, b.pair, b.merged) AS w, w0_.c
+      SELECT regexp_replace(w0_.w, '\\b' || b.pair || '\\b',
+                            b.merged, 'g') AS w, w0_.c
       FROM w{r} w0_ CROSS JOIN b{r} b
     )""")
         selects.append(
@@ -1855,7 +1867,7 @@ def q_bpe_encode_documents(sf_dir: str):
     for w in vocab:
         s = " ".join(w)
         for _, pair, merged, _n in merges:
-            s = s.replace(pair, merged)
+            s = _bpe_apply(s, pair, merged)
         enc[w] = len(s.split(" "))
     enc_ref = ray.put(enc)
 
@@ -1916,7 +1928,9 @@ def _bpe_encode_oracle_sql() -> str:
       FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1
     ),
     w{r + 1} AS (
-      SELECT w0_.orig, replace(w0_.w, b.pair, b.merged) AS w, w0_.c
+      SELECT w0_.orig,
+             regexp_replace(w0_.w, '\\b' || b.pair || '\\b',
+                            b.merged, 'g') AS w, w0_.c
       FROM w{r} w0_ CROSS JOIN b{r} b
     )""")
     k = BPE_MERGES

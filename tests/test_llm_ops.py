@@ -300,3 +300,16 @@ def test_bpe_merge_rounds_reference_semantics():
     # tie: 'ab'(x1) and 'cd'(x1) -> 'a b' vs 'c d' both 1; pair-asc wins
     rows = bpe_merge_rounds({"ab": 1, "cd": 1}, 1)
     assert rows[0][1] == "a b"
+
+
+def test_bpe_boundary_rule_no_glue():
+    """Sennrich boundary rule: a merge pair must match whole symbols —
+    'a b' never glues into the multi-char symbol 'bc'; zero-width
+    boundaries let chained occurrences all merge."""
+    from rindex.ops.textstats import _bpe_apply, bpe_merge_rounds
+
+    assert _bpe_apply("x a bc", "a b", "ab") == "x a bc"
+    assert _bpe_apply("a b a b", "a b", "ab") == "ab ab"
+    rows = bpe_merge_rounds({"ab": 5, "xabc": 1, "bc": 6}, 2)
+    assert rows[0] == (0, "b c", "bc", 7)
+    assert rows[1] == (1, "a b", "ab", 5)  # only whole-symbol sites

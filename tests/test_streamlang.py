@@ -550,3 +550,29 @@ def test_sql_handler_compile_contracts(ray_session):
     with pytest.raises(ValueError, match="must = GROUP BY"):
         compile_sql("SELECT k, v, count(*) AS n FROM t GROUP BY k", "",
                     views=views)
+
+
+def test_drill_over_update_built_collection(ray_session):
+    """drill() enriches from the COLLECTION's stored fields, so it works
+    on an update()-built collection (finding from the r3 code review);
+    unstored fields reject loudly."""
+    import pytest
+
+    from rindex.ops.streamlang import compile_stream
+
+    sf = "/root/testdata/sf0.001"
+    compile_stream(
+        'update(drilldocs, having(table(documents, '
+        'fl="doc_id,text,lang,n_chars"), gt(n_chars, 300)), '
+        'id="doc_id", text="text", keep="lang")', sf
+    ).to_pandas()
+    got = compile_stream(
+        'drill(drilldocs, q="join", mode="or", over="lang", n=count(*))',
+        sf,
+    ).to_pandas()
+    assert len(got) >= 1 and (got["n"] > 0).all()
+    with pytest.raises(ValueError, match="not\\s+stored"):
+        compile_stream(
+            'drill(drilldocs, q="join", mode="or", over="n_chars",'
+            ' n=count(*))', sf,
+        )
