@@ -2056,23 +2056,17 @@ def q_top_passage_documents(sf_dir: str):
     (doc_id, best_chunk, passage_score, passage); ties break to the
     earliest window (PassageScorer's document-order tiebreak)."""
     import pyarrow.compute as pcc
-    import pyarrow.parquet as ppq
 
-    from rindex.ops.util import read_table
-    from rindex.segments import read_manifest, seg_dir
+    from rindex.ops.util import dictionary_stats, read_table
+    from rindex.segments import read_manifest
 
     idx = documents_index(sf_dir)
     man = read_manifest(idx)
     n_docs = float(man["totals"]["doc_count"])
+    dd = dictionary_stats(idx, ["df"])
+    dd = dd[dd["term"].isin(HL_PASSAGE_TERMS)]
     dfs = {t: 0 for t in HL_PASSAGE_TERMS}
-    for m in man["segments"]:
-        p = os.path.join(
-            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
-        )
-        t = ppq.read_table(p, columns=["term", "df"])
-        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-            if term in dfs:
-                dfs[term] += int(df)
+    dfs.update(zip(dd["term"], dd["df"].astype(int)))
     idf = {
         t: np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
         for t in HL_PASSAGE_TERMS
@@ -2081,21 +2075,13 @@ def q_top_passage_documents(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def best_passage(t: pa.Table) -> pa.Table:
-        toks = pcc.split_pattern(
-            pcc.coalesce(t["text"], pa.scalar("")), pattern=" "
-        )
-        ntok = pcc.list_value_length(toks).to_numpy().astype(np.int64)
+        from rindex.ops.textstats import _bp_slot_lines
+
         n = t.num_rows
         best_score = np.full(n, -1.0)
         best_k = np.full(n, -1, np.int64)
         best_txt = pa.array([""] * n, pa.string())
-        max_k = int(np.ceil(ntok.max() / HL_PASSAGE_W)) if n else 0
-        for k in range(max_k):
-            seg = pcc.list_slice(
-                toks, start=k * HL_PASSAGE_W, stop=(k + 1) * HL_PASSAGE_W
-            )
-            line = pcc.binary_join(seg, " ")
-            exists = np.clip(ntok - k * HL_PASSAGE_W, 0, HL_PASSAGE_W) > 0
+        for k, line, exists in _bp_slot_lines(t, width=HL_PASSAGE_W):
             score = np.zeros(n)
             for term in HL_PASSAGE_TERMS:
                 has = pcc.match_substring_regex(

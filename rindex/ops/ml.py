@@ -53,25 +53,14 @@ POS_TERM = "spark"  # binary outcome: doc contains this term
 def _feature_space(sf_dir: str):
     """Top-FEAT_V terms by index ttf -> (sorted token-hash array, dense
     column index aligned to it).  The dictionary is the small side."""
-    import os
-
-    import pyarrow.parquet as pq
-
     from rindex.ops.dedup import _stable_hash64
     from rindex.ops.fulltext import documents_index
-    from rindex.segments import read_manifest, seg_dir
+    from rindex.ops.util import dictionary_stats
 
-    idx = documents_index(sf_dir)
-    man = read_manifest(idx)
-    acc: dict[str, int] = {}
-    for m in man["segments"]:
-        p = os.path.join(
-            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
-        )
-        t = pq.read_table(p, columns=["term", "ttf"])
-        for term, ttf in zip(t["term"].to_pylist(), t["ttf"].to_pylist()):
-            acc[term] = acc.get(term, 0) + int(ttf)
-    vocab = sorted(acc, key=lambda t: (-acc[t], t))[:FEAT_V]
+    d = dictionary_stats(documents_index(sf_dir), ["ttf"])
+    d = d.sort_values(["ttf", "term"], ascending=[False, True],
+                      kind="mergesort").head(FEAT_V)
+    vocab = d["term"].tolist()
     h = np.array([_stable_hash64(t.encode()) for t in vocab], np.int64)
     order = np.argsort(h)
     return h[order], np.arange(FEAT_V, dtype=np.int64)[np.argsort(order)]
@@ -265,6 +254,19 @@ def q_features_ig_documents(sf_dir: str):
         g = df.groupby("term", as_index=False).agg(
             n_pos=("y", "sum"), n_doc=("y", "size")
         )
+        # global totals ride the SAME pass as a reserved row ("\t" can
+        # never be a corpus token): n_doc accumulates batch row counts,
+        # n_pos the batch's positive-label count — no extra corpus scans
+        g = pd.concat(
+            [g, pd.DataFrame(
+                {"term": ["\tTOTALS"],
+                 "n_pos": [int(sum(
+                     1 for x in texts
+                     if POS_TERM in (x or "").split(" ")))],
+                 "n_doc": [len(texts)]}
+            )],
+            ignore_index=True,
+        )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
@@ -276,20 +278,10 @@ def q_features_ig_documents(sf_dir: str):
         )
         .to_pandas()
     )
-    # global totals (N, P) with one tiny pass — per-term partials cannot
-    # carry them (they'd sum only over batches where the term appears)
-    n_total = ds.count()
-    pos_total = int(
-        ds.map_batches(
-            lambda t: pa.table(
-                {"p": pa.array([sum(
-                    1 for x in t["text"].to_pylist()
-                    if POS_TERM in (x or "").split(" ")
-                )], pa.int64())}
-            ),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ).to_pandas()["p"].sum()
-    )
+    totals = agg[agg["term"] == "\tTOTALS"]
+    n_total = int(totals["df"].iloc[0])
+    pos_total = int(totals["n11"].iloc[0])
+    agg = agg[agg["term"] != "\tTOTALS"]
     a = agg[agg["df"] >= FEATURES_MIN_DF].copy()
     n11 = a["n11"].to_numpy(np.float64)          # term & pos
     n1 = a["df"].to_numpy(np.float64)            # term

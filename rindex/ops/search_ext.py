@@ -1110,11 +1110,11 @@ ORACLE["suggest_infix_documents"] = f"""
 def q_luke_index_documents(sf_dir: str):
     """Per-field index stats: docs-with-value + distinct value/term
     counts for the indexed text field and each stored field."""
-    import pyarrow.parquet as ppq
     import ray.data as rd
     from ray.data.aggregate import Count
 
     from rindex.ops.fulltext import documents_index
+    from rindex.ops.util import dictionary_stats
     from rindex.segments import read_manifest, seg_dir
 
     idx = documents_index(sf_dir)
@@ -1122,18 +1122,9 @@ def q_luke_index_documents(sf_dir: str):
     sdirs = [
         seg_dir(idx, m["seg_id"], m.get("gen", 0)) for m in man["segments"]
     ]
-    # text field: distinct terms across segment dictionaries (term column
-    # only — the dictionary is the designated small side)
-    terms = np.unique(
-        np.concatenate(
-            [
-                ppq.read_table(
-                    os.path.join(d, "postings.parquet"), columns=["term"]
-                )["term"].to_numpy(zero_copy_only=False)
-                for d in sdirs
-            ]
-        )
-    )
+    # text field: distinct terms across segment dictionaries (the ONE
+    # shared dictionary reader — columns only, small side)
+    terms = dictionary_stats(idx, [])["term"]
     n_docs = int(man["totals"]["doc_count"])
     rows = [("text", n_docs, int(len(terms)))]
     # stored fields: one distributed scan of the segment doc stores
@@ -1200,25 +1191,16 @@ FREETEXT_TOP = 8
 def q_freetext_suggest_documents(sf_dir: str):
     """Next-word suggestions after FREETEXT_CONTEXT: (suggestion, n,
     score) — top-FREETEXT_TOP bigram continuations."""
-    import pyarrow.parquet as ppq
     from ray.data.aggregate import Sum
 
     from rindex.analysis import get_analyzer
     from rindex.ops.fulltext import documents_index
-    from rindex.segments import read_manifest, seg_dir
+    from rindex.ops.util import dictionary_stats
 
     # context unigram ttf from the index dictionary (the LM denominator)
-    idx = documents_index(sf_dir)
-    man = read_manifest(idx)
-    ctx_ttf = 0
-    for m in man["segments"]:
-        p = os.path.join(
-            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
-        )
-        t = ppq.read_table(p, columns=["term", "ttf"])
-        for term, ttf in zip(t["term"].to_pylist(), t["ttf"].to_pylist()):
-            if term == FREETEXT_CONTEXT:
-                ctx_ttf += int(ttf)
+    d = dictionary_stats(documents_index(sf_dir), ["ttf"])
+    row = d.loc[d["term"] == FREETEXT_CONTEXT, "ttf"]
+    ctx_ttf = int(row.iloc[0]) if len(row) else 0
 
     ds = read_table(sf_dir, "documents", ["text"])
 

@@ -653,13 +653,13 @@ def _b_significant(args, kwargs, ctx):
     broadcast sides); foreground df is ONE corpus scan with per-batch
     (term, count) partials and a tiny groupby.  Only the per-term table
     (vocabulary-sized) ever reaches the driver."""
-    import pyarrow.parquet as ppq
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    from rindex.ops.util import dictionary_stats
     from rindex.search import IndexSearcher
-    from rindex.segments import read_manifest, seg_dir
+    from rindex.segments import read_manifest
 
     coll = _ident(args[0], "significantTerms collection")
     text = _lit(kwargs["q"], "q")
@@ -686,14 +686,8 @@ def _b_significant(args, kwargs, ctx):
                       "df_bg": pa.array([], pa.int64()),
                       "score": pa.array([], pa.float64())})
         )
-    acc: dict[str, int] = {}
-    for m in man["segments"]:
-        p = os.path.join(
-            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
-        )
-        t = ppq.read_table(p, columns=["term", "df"])
-        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-            acc[term] = acc.get(term, 0) + int(df)
+    dd = dictionary_stats(idx, ["df"])
+    acc = dict(zip(dd["term"], dd["df"].astype(int)))
     fg_ref = ray.put(fg)
     sf_dir = ctx["sf_dir"]
 

@@ -1202,31 +1202,23 @@ NLL_MIDDLE_MAX = 3.41  # rounded nll < this  -> "middle", else "tail"
 def q_unigram_nll_documents(sf_dir: str):
     """Per-doc unigram negative log-likelihood from the INDEX's ttf table
     + CCNet head/middle/tail bucketing with fixed cutoffs."""
-    import pyarrow.parquet as pq
     import ray
 
     from rindex.analysis import get_analyzer
     from rindex.ops.dedup import _stable_hash64, _token_hashes
     from rindex.ops.fulltext import documents_index
-    from rindex.segments import read_manifest, seg_dir
+    from rindex.ops.util import dictionary_stats
 
-    idx = documents_index(sf_dir)
-    man = read_manifest(idx)
-    acc: dict[str, int] = {}
-    for m in man["segments"]:
-        p = os.path.join(
-            seg_dir(idx, m["seg_id"], m.get("gen", 0)), "postings.parquet"
-        )
-        t = pq.read_table(p, columns=["term", "ttf"])
-        for term, ttf in zip(t["term"].to_pylist(), t["ttf"].to_pylist()):
-            acc[term] = acc.get(term, 0) + int(ttf)
-    total = float(sum(acc.values()))
-    th = np.array([_stable_hash64(t.encode()) for t in acc], np.int64)
+    d = dictionary_stats(documents_index(sf_dir), ["ttf"])
+    total = float(d["ttf"].sum())
+    th = np.array(
+        [_stable_hash64(t.encode()) for t in d["term"]], np.int64
+    )
     order = np.argsort(th)
     lm_h = th[order]
     # IDENTICAL scalar tree to the oracle: ln(ttf / T), division first
     lm_lp = np.log(
-        np.array([float(acc[t]) for t in acc], np.float64)[order] / total
+        d["ttf"].to_numpy(np.float64)[order] / total
     )
     lm_ref = ray.put((lm_h, lm_lp))
 
@@ -1399,19 +1391,23 @@ BP_W = 3    # boilerplate span width (tokens)
 BP_DF = 5   # spans in >= this many distinct docs are boilerplate
 
 
-def _bp_slot_lines(t: pa.Table):
-    """Shared slot walk: yields (k, line_array, exists_mask) per slot."""
+def _bp_slot_lines(t: pa.Table, width: int | None = None):
+    """Shared slot walk (the repo's ONE raw-space-split line convention):
+    yields (k, line_array, exists_mask) per `width`-token slot.  Used by
+    the boilerplate remover (BP_W) and the scored-passage highlighter
+    (HL width) — one definition, so the conventions cannot diverge."""
     import pyarrow.compute as pc
 
+    w = BP_W if width is None else int(width)
     toks = pc.split_pattern(
         pc.coalesce(t["text"], pa.scalar("")), pattern=" "
     )
     ntok = pc.list_value_length(toks).to_numpy().astype(np.int64)
-    max_lines = int(np.ceil(ntok.max() / BP_W)) if t.num_rows else 0
+    max_lines = int(np.ceil(ntok.max() / w)) if t.num_rows else 0
     for k in range(max_lines):
-        seg = pc.list_slice(toks, start=k * BP_W, stop=(k + 1) * BP_W)
+        seg = pc.list_slice(toks, start=k * w, stop=(k + 1) * w)
         line = pc.binary_join(seg, " ")
-        exists = np.clip(ntok - k * BP_W, 0, BP_W) > 0
+        exists = np.clip(ntok - k * w, 0, w) > 0
         yield k, line, exists
 
 
@@ -1740,9 +1736,9 @@ def bpe_merge_rounds(vocab: dict[str, int], k: int) -> list[tuple]:
     return out
 
 
-def q_bpe_train_documents(sf_dir: str):
-    """First BPE_MERGES BPE merges over the corpus vocabulary:
-    (round, pair, merged, n)."""
+def _bpe_vocab(sf_dir: str) -> dict[str, int]:
+    """The distributed (word -> count) vocabulary both BPE ops train on:
+    per-batch Counter partials, ONE small groupby."""
     from ray.data.aggregate import Sum
 
     from rindex.analysis import get_analyzer
@@ -1768,8 +1764,13 @@ def q_bpe_train_documents(sf_dir: str):
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
     )
-    vocab = dict(zip(vocab_df["w"], vocab_df["c"].astype(int)))
-    rows = bpe_merge_rounds(vocab, BPE_MERGES)
+    return dict(zip(vocab_df["w"], vocab_df["c"].astype(int)))
+
+
+def q_bpe_train_documents(sf_dir: str):
+    """First BPE_MERGES BPE merges over the corpus vocabulary:
+    (round, pair, merged, n)."""
+    rows = bpe_merge_rounds(_bpe_vocab(sf_dir), BPE_MERGES)
     return pd.DataFrame(
         rows, columns=["round", "pair", "merged", "n"]
     ).astype({"round": np.int64, "n": np.int64})
@@ -1836,32 +1837,11 @@ def q_bpe_encode_documents(sf_dir: str):
     pass is one scan mapping each token to its subword count via a dict
     lookup per DISTINCT batch token."""
     import ray
-    from ray.data.aggregate import Sum
 
     from rindex.analysis import get_analyzer
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def wc(t: pa.Table) -> pa.Table:
-        az = get_analyzer("standard")
-        from collections import Counter
-
-        cnt: Counter = Counter()
-        for x in t["text"].to_pylist():
-            cnt.update(az.tokens(x or ""))
-        return pa.table(
-            {"w": pa.array(list(cnt.keys()), pa.string()),
-             "c": pa.array(np.fromiter(cnt.values(), np.int64,
-                                       count=len(cnt)))}
-        )
-
-    vocab_df = (
-        ds.map_batches(wc, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("w")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-    )
-    vocab = dict(zip(vocab_df["w"], vocab_df["c"].astype(int)))
+    vocab = _bpe_vocab(sf_dir)
     merges = bpe_merge_rounds(vocab, BPE_MERGES)
     enc = {}
     for w in vocab:

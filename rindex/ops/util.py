@@ -87,3 +87,35 @@ def broadcast_semi_filter(ds, keys, col: str, anti: bool = False):
 def to_pandas_sorted(ds, by: list[str]) -> pd.DataFrame:
     df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
     return df.sort_values(by).reset_index(drop=True)
+
+
+def dictionary_stats(index_dir: str, columns: list[str]) -> pd.DataFrame:
+    """Aggregate the index TERM DICTIONARY across live segments: one row
+    per term with the requested stat columns summed (df/ttf are additive
+    across segments).  Dictionary columns only — postings blobs never
+    projected; accumulation is ONE vectorized pandas groupby, no
+    per-term Python.  The dictionary is the designated small side
+    (vocabulary-sized) — every op that needs corpus df/ttf reads it
+    through this ONE helper so a segment-layout change edits one place."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rindex.segments import read_manifest, seg_dir
+
+    man = read_manifest(index_dir)
+    parts = [
+        pq.read_table(
+            os.path.join(
+                seg_dir(index_dir, m["seg_id"], m.get("gen", 0)),
+                "postings.parquet",
+            ),
+            columns=["term"] + columns,
+        )
+        for m in man["segments"]
+    ]
+    df = pa.concat_tables(parts).to_pandas()
+    if not columns:
+        return df.drop_duplicates("term").reset_index(drop=True)
+    return df.groupby("term", as_index=False)[columns].sum()
