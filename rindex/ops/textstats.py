@@ -1926,3 +1926,99 @@ def _bpe_encode_oracle_sql() -> str:
 
 
 ORACLE["bpe_encode_documents"] = _bpe_encode_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card redaction — the precision upgrade every production
+# PII scrubber applies to card-number hits (ISO/IEC 7812 check digit;
+# a bare \d{16} regex redacts tracking numbers and ids, the Luhn gate
+# keeps only checksum-valid sequences).  Like pii_redact above, a card
+# string derives DETERMINISTICALLY from doc_id (the corpus has no PII) —
+# ~10% of derived numbers pass the checksum, so the gate provably binds
+# both ways.  The checksum is pure integer arithmetic on both sides
+# (identical digit/weight trees, no float anywhere).
+# ---------------------------------------------------------------------------
+
+def q_pii_luhn_documents(sf_dir: str):
+    """(doc_id, card, valid, redacted): 16-digit derived card, Luhn
+    verdict, and the contact line with ONLY checksum-valid cards
+    replaced by [CARD]."""
+    import pyarrow.compute as pcc
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        v = (ids * 7919) % 10**15  # 15 digits after the leading '4'
+        # Luhn over the 16-digit number '4' + zfill(v, 15), right to left:
+        # double every second digit starting at the second-rightmost,
+        # subtracting 9 when the double exceeds 9
+        total = np.zeros(len(ids), np.int64)
+        for k in range(15):
+            d = (v // 10**k) % 10
+            if k % 2 == 1:  # second-rightmost, fourth-rightmost, ...
+                dd = 2 * d
+                total += dd - np.where(dd > 9, 9, 0)
+            else:
+                total += d
+        # leading '4' sits at position 16 from the right -> doubled
+        total += 2 * 4
+        valid = (total % 10 == 0).astype(np.int64)
+        card = np.char.add(
+            "4", np.char.zfill(np.char.mod("%d", v), 15)
+        )
+        aug = pcc.binary_join_element_wise(
+            t["text"], pa.array(card.tolist(), pa.string()), " card "
+        )
+        red = pcc.if_else(
+            pa.array(valid.astype(bool)),
+            pcc.replace_substring_regex(aug, r"4[0-9]{15}", "[CARD]"),
+            aug,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "card": pa.array(card.tolist(), pa.string()),
+                "valid": pa.array(valid),
+                "redacted": red,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["pii_luhn_documents"] = q_pii_luhn_documents
+
+
+def _pii_luhn_oracle_sql() -> str:
+    digit_terms = []
+    for k in range(15):
+        d = f"((v // {10**k}) % 10)"
+        if k % 2 == 1:
+            digit_terms.append(
+                f"(2 * {d} - CASE WHEN 2 * {d} > 9 THEN 9 ELSE 0 END)"
+            )
+        else:
+            digit_terms.append(d)
+    total = " + ".join(digit_terms) + " + 8"
+    return f"""
+    WITH c AS (
+      SELECT doc_id, text, (doc_id * 7919) % 1000000000000000 AS v
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text,
+             '4' || lpad(v::VARCHAR, 15, '0') AS card,
+             (CASE WHEN ({total}) % 10 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS valid
+      FROM c
+    )
+    SELECT doc_id, card, valid,
+           CASE WHEN valid = 1
+                THEN text || ' card ' || '[CARD]'
+                ELSE text || ' card ' || card END AS redacted
+    FROM g
+    """
+
+
+ORACLE["pii_luhn_documents"] = _pii_luhn_oracle_sql()
