@@ -2491,3 +2491,71 @@ ORACLE["eval_density_fits_lineitem"] = """
     FROM fit f, (VALUES (10.0), (25.0), (40.0)) x(x)
     ORDER BY x.x
 """
+
+
+def q_eval_outliers_events(sf_dir: str):
+    """OutliersEvaluator (`solr/solrj/.../io/eval/OutliersEvaluator.java`
+    surfaces distribution-based outlier picking; the robust standard is
+    Iglewicz-Hoaglin 1993's modified z-score): over the daily
+    event-count series, z = 0.6745 * (x - median) / MAD, flag |z| > 3.5.
+    The series reduces DISTRIBUTED to integer counts; median/MAD are
+    exact (integer or half-integer) so both sides compute identical
+    doubles before the one rounding."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["y", "doy"])
+        .reset_index(drop=True)
+    )
+    v = s["n"].to_numpy(np.float64)
+    med = float(np.median(v))
+    mad = float(np.median(np.abs(v - med)))
+    if mad == 0.0:
+        raise ValueError("eval_outliers: MAD = 0 (degenerate series)")
+    z = np.round(0.6745 * (v - med) / mad, 6)
+    return pd.DataFrame(
+        {
+            "y": s["y"].astype(np.int64),
+            "doy": s["doy"].astype(np.int64),
+            "n": s["n"].astype(np.int64),
+            "mz": z,
+            "outlier": (np.abs(z) > 3.5).astype(np.int64),
+        }
+    )
+
+
+QUERIES["eval_outliers_events"] = q_eval_outliers_events
+ORACLE["eval_outliers_events"] = """
+    WITH d AS (
+      SELECT year(ts) AS y, dayofyear(ts) AS doy, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT median(n::DOUBLE) AS med FROM d
+    ),
+    st2 AS (
+      SELECT median(abs(n::DOUBLE - st.med)) AS mad, st.med
+      FROM d, st GROUP BY st.med
+    )
+    SELECT y, doy, n,
+           round(0.6745 * (n::DOUBLE - med) / mad, 6) AS mz,
+           (CASE WHEN abs(round(0.6745 * (n::DOUBLE - med) / mad, 6)) > 3.5
+                 THEN 1 ELSE 0 END)::BIGINT AS outlier
+    FROM d, st2
+    ORDER BY y, doy
+"""
