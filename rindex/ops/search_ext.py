@@ -1283,3 +1283,131 @@ def _freetext_oracle_sql() -> str:
 
 
 ORACLE["freetext_suggest_documents"] = _freetext_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Collocation extraction — PMI-ranked bigrams (Church & Hanks 1990,
+# "Word Association Norms, Mutual Information, and Lexicography"; the
+# ShingleFilter gives the bigrams, PMI ranks them).  One corpus pass
+# emits per-batch bigram partials (doc boundaries excluded by the same
+# shift-and-mask as the FreeText suggester) plus the reserved total-
+# bigram row; unigram probabilities come from the index dictionary's
+# ttf.  PMI = ln((c_ab / T_bi) / ((c_a / T_uni) * (c_b / T_uni))),
+# identical trees both sides, rounded before ranking, bigram-asc ties.
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_N = 25
+COLLOC_TOP = 10
+
+
+def q_collocations_documents(sf_dir: str):
+    """Top-COLLOC_TOP bigrams by PMI with count >= COLLOC_MIN_N:
+    (bigram, n, pmi)."""
+    from ray.data.aggregate import Sum
+
+    from rindex.analysis import get_analyzer
+    from rindex.ops.fulltext import documents_index
+    from rindex.ops.util import dictionary_stats
+
+    d = dictionary_stats(documents_index(sf_dir), ["ttf"])
+    uni = dict(zip(d["term"], d["ttf"].astype(int)))
+    t_uni = float(d["ttf"].sum())
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        toks_per = [az.tokens(x or "") for x in t["text"].to_pylist()]
+        lens = np.fromiter(
+            (len(x) for x in toks_per), np.int64, count=len(toks_per)
+        )
+        flat = np.array(
+            [tok for lst in toks_per for tok in lst], dtype=object
+        )
+        t_bi = int(np.maximum(lens - 1, 0).sum())
+        if len(flat) < 2:
+            return pa.table(
+                {"bigram": pa.array(["\tT_BI"], pa.string()),
+                 "c": pa.array([t_bi], pa.int64())}
+            )
+        ends = np.cumsum(lens) - 1
+        left_ok = np.ones(len(flat), bool)
+        left_ok[ends[lens > 0]] = False  # bigrams never cross docs
+        a = flat[:-1][left_ok[:-1]]
+        b = flat[1:][left_ok[:-1]]
+        pairs = np.char.add(np.char.add(a.astype(str), " "), b.astype(str))
+        vals, counts = np.unique(pairs, return_counts=True)
+        return pa.table(
+            {"bigram": pa.array(
+                np.concatenate([vals, ["\tT_BI"]]), pa.string()),
+             "c": pa.array(np.concatenate(
+                 [counts, [t_bi]]).astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    t_bi = float(agg.loc[agg["bigram"] == "\tT_BI", "n"].iloc[0])
+    agg = agg[agg["bigram"] != "\tT_BI"]
+    agg = agg[agg["n"] >= COLLOC_MIN_N].copy()
+    parts = agg["bigram"].str.split(" ", n=1, expand=True)
+    ca = parts[0].map(uni).to_numpy(np.float64)
+    cb = parts[1].map(uni).to_numpy(np.float64)
+    n = agg["n"].to_numpy(np.float64)
+    agg["pmi"] = np.round(
+        np.log((n / t_bi) / ((ca / t_uni) * (cb / t_uni))), 6
+    )
+    agg["n"] = agg["n"].astype(np.int64)
+    agg = agg.sort_values(["pmi", "bigram"], ascending=[False, True],
+                          kind="mergesort").head(COLLOC_TOP)
+    return agg[["bigram", "n", "pmi"]].reset_index(drop=True)
+
+
+QUERIES["collocations_documents"] = q_collocations_documents
+
+
+def _collocations_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(regexp_extract_all(lower(coalesce(text,
+                    '')), '{TOKEN_SQL_RE}')) + 1)) AS i,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    uni AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+    tot AS (SELECT sum(c) AS t_uni FROM uni),
+    big AS (
+      SELECT term AS a,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY i) AS b
+      FROM toks
+    ),
+    bc AS (
+      SELECT a || ' ' || b AS bigram, a, b, count(*)::BIGINT AS n
+      FROM big WHERE b IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    tbi AS (SELECT sum(n)::DOUBLE AS t_bi FROM bc),
+    scored AS (
+      SELECT bigram, n,
+             round(ln((n / t_bi)
+                      / ((ua.c / t_uni) * (ub.c / t_uni))), 6) AS pmi
+      FROM bc
+      JOIN uni ua ON ua.term = bc.a
+      JOIN uni ub ON ub.term = bc.b
+      CROSS JOIN tot CROSS JOIN tbi
+      WHERE n >= {COLLOC_MIN_N}
+    )
+    SELECT bigram, n, pmi FROM scored
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT {COLLOC_TOP}
+    """
+
+
+ORACLE["collocations_documents"] = _collocations_oracle_sql()
