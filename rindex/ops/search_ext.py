@@ -1411,3 +1411,141 @@ def _collocations_oracle_sql() -> str:
 
 
 ORACLE["collocations_documents"] = _collocations_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over the
+# term co-occurrence graph — nodes = terms, undirected edges = adjacent-
+# bigram counts, damping 0.85, TEXTRANK_ITERS power-iteration rounds from
+# the uniform vector.  Engine shape: edge weights are the SAME
+# distributed bigram partials as the collocation op; the graph is
+# vocabulary-sized (the bounded small side), so iteration runs on the
+# driver exactly like the IVF/ BPE trainers.  The oracle unrolls every
+# round in SQL (the dedup_clusters label-propagation discipline), scores
+# round once at the end.
+# ---------------------------------------------------------------------------
+
+TEXTRANK_ITERS = 4
+TEXTRANK_D = 0.85
+TEXTRANK_TOP = 10
+
+
+def q_textrank_keywords_documents(sf_dir: str):
+    """Top-TEXTRANK_TOP terms by TextRank score: (term, score)."""
+    from ray.data.aggregate import Sum
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        toks_per = [az.tokens(x or "") for x in t["text"].to_pylist()]
+        lens = np.fromiter(
+            (len(x) for x in toks_per), np.int64, count=len(toks_per)
+        )
+        flat = np.array(
+            [tok for lst in toks_per for tok in lst], dtype=object
+        )
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        ends = np.cumsum(lens) - 1
+        left_ok = np.ones(len(flat), bool)
+        left_ok[ends[lens > 0]] = False
+        a = flat[:-1][left_ok[:-1]]
+        b = flat[1:][left_ok[:-1]]
+        pairs = np.char.add(np.char.add(a.astype(str), " "), b.astype(str))
+        vals, counts = np.unique(pairs, return_counts=True)
+        return pa.table(
+            {"bigram": pa.array(vals, pa.string()),
+             "c": pa.array(counts.astype(np.int64))}
+        )
+
+    bc = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    parts = bc["bigram"].str.split(" ", n=1, expand=True)
+    a = parts[0].to_numpy(object)
+    b = parts[1].to_numpy(object)
+    w = bc["n"].to_numpy(np.float64)
+    nodes = sorted(set(a) | set(b))
+    pos = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    ai = np.array([pos[x] for x in a])
+    bi = np.array([pos[x] for x in b])
+    # undirected: each bigram contributes weight both ways
+    W = np.zeros((n, n))
+    np.add.at(W, (bi, ai), w)
+    np.add.at(W, (ai, bi), w)
+    outw = W.sum(axis=0)  # column sums = each src node's total out-weight
+    p = np.full(n, 1.0 / n)
+    for _ in range(TEXTRANK_ITERS):
+        p = (1.0 - TEXTRANK_D) / n + TEXTRANK_D * (W @ (p / outw))
+    out = pd.DataFrame({"term": nodes, "score": np.round(p, 6)})
+    return out.sort_values(["score", "term"], ascending=[False, True],
+                           kind="mergesort").head(TEXTRANK_TOP) \
+              .reset_index(drop=True)
+
+
+QUERIES["textrank_keywords_documents"] = q_textrank_keywords_documents
+
+
+def _textrank_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    d, it = TEXTRANK_D, TEXTRANK_ITERS
+    rounds = []
+    for r in range(it):
+        rounds.append(f"""
+    p{r + 1} AS (
+      SELECT n.term,
+             (1.0 - {d}) / st.n_nodes
+             + {d} * coalesce(sum(p{r}.p * e.w / o.ow), 0.0) AS p
+      FROM nodes n
+      CROSS JOIN st
+      LEFT JOIN edges e ON e.dst = n.term
+      LEFT JOIN p{r} ON p{r}.term = e.src
+      LEFT JOIN outw o ON o.src = e.src
+      GROUP BY n.term, st.n_nodes
+    )""")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(regexp_extract_all(lower(coalesce(text,
+                    '')), '{TOKEN_SQL_RE}')) + 1)) AS i,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    big AS (
+      SELECT term AS a,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY i) AS b
+      FROM toks
+    ),
+    bc AS (
+      SELECT a, b, count(*)::DOUBLE AS n FROM big
+      WHERE b IS NOT NULL GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst, sum(n) AS w FROM (
+        SELECT a, b, n FROM bc
+        UNION ALL
+        SELECT b AS a, a AS b, n FROM bc)
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT src AS term FROM edges),
+    st AS (SELECT count(*)::DOUBLE AS n_nodes FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    p0 AS (SELECT term, 1.0 / st.n_nodes AS p FROM nodes, st),
+    {",".join(rounds)}
+    SELECT term, round(p, 6) AS score FROM p{it}
+    ORDER BY score DESC, term ASC
+    LIMIT {TEXTRANK_TOP}
+    """
+
+
+ORACLE["textrank_keywords_documents"] = _textrank_oracle_sql()
