@@ -2022,3 +2022,107 @@ def _pii_luhn_oracle_sql() -> str:
 
 
 ORACLE["pii_luhn_documents"] = _pii_luhn_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Term dispersion across domains — Gries 2008's DP ("Dispersions and
+# adjusted frequencies in corpus linguistics"): for each term, how far
+# its observed distribution over sources deviates from the sources'
+# token-share expectation; DP = sum_s |obs_s - exp_s| / 2, 0 = perfectly
+# even, ->1 = concentrated in one source.  The domain-balance companion
+# to significantTerms: high-DP terms mark source-specific vocabulary a
+# mixture-resampling step should watch.  One corpus pass of (term,
+# source) partials; per-source token totals derive from the SAME
+# aggregated table (no second scan).
+# ---------------------------------------------------------------------------
+
+DISP_MIN_C = 100
+DISP_TOP = 10
+
+
+def q_term_dispersion_documents(sf_dir: str):
+    """Top-DISP_TOP most source-concentrated terms with count >=
+    DISP_MIN_C: (term, c, dp)."""
+    from ray.data.aggregate import Sum
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["text", "source"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for x, s in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+            for tok in az.tokens(x or ""):
+                cnt[(tok, s)] += 1
+        ks = list(cnt.keys())
+        return pa.table(
+            {"term": pa.array([k[0] for k in ks], pa.string()),
+             "source": pa.array([k[1] for k in ks], pa.string()),
+             "c": pa.array(np.fromiter(cnt.values(), np.int64,
+                                       count=len(cnt)))}
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["term", "source"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    piv = agg.pivot_table(index="term", columns="source", values="c",
+                          aggfunc="sum", fill_value=0)
+    M = piv.to_numpy(np.float64)            # (terms, sources)
+    src_tot = M.sum(axis=0)                 # tokens per source
+    exp = src_tot / src_tot.sum()
+    c_t = M.sum(axis=1)
+    obs = M / c_t[:, None]
+    dp = np.round(np.abs(obs - exp[None, :]).sum(axis=1) / 2.0, 6)
+    out = pd.DataFrame(
+        {"term": piv.index, "c": c_t.astype(np.int64), "dp": dp}
+    )
+    out = out[out["c"] >= DISP_MIN_C]
+    return out.sort_values(["dp", "term"], ascending=[False, True],
+                           kind="mergesort").head(DISP_TOP) \
+              .reset_index(drop=True)
+
+
+QUERIES["term_dispersion_documents"] = q_term_dispersion_documents
+
+
+def _dispersion_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    ts AS (SELECT term, source, count(*)::DOUBLE AS c FROM toks
+           GROUP BY 1, 2),
+    srct AS (SELECT source, sum(c) AS st FROM ts GROUP BY 1),
+    tot AS (SELECT sum(st) AS t FROM srct),
+    ct AS (SELECT term, sum(c) AS c_t FROM ts GROUP BY 1),
+    cells AS (
+      -- the full term x source grid (missing cells observe 0)
+      SELECT ct.term, s.source, coalesce(ts.c, 0.0) AS c,
+             ct.c_t, s.st, tot.t
+      FROM ct CROSS JOIN srct s CROSS JOIN tot
+      LEFT JOIN ts ON ts.term = ct.term AND ts.source = s.source
+    ),
+    dp AS (
+      SELECT term, max(c_t)::BIGINT AS c,
+             round(sum(abs(c / c_t - st / t)) / 2.0, 6) AS dp
+      FROM cells GROUP BY term
+    )
+    SELECT term, c, dp FROM dp
+    WHERE c >= {DISP_MIN_C}
+    ORDER BY dp DESC, term ASC
+    LIMIT {DISP_TOP}
+    """
+
+
+ORACLE["term_dispersion_documents"] = _dispersion_oracle_sql()
