@@ -2165,3 +2165,78 @@ def _top_passage_oracle() -> str:
 
 
 ORACLE["top_passage_documents"] = _top_passage_oracle()
+
+
+# ---------------------------------------------------------------------------
+# KWIC concordance — keyword-in-context (the classic concordancer view;
+# Luke/Solr admin expose the same positional slices via term vectors
+# with positions+offsets, `lucene/core/.../index/TermVectors*`): one row
+# per OCCURRENCE of the query term with the KWIC_CTX tokens of left and
+# right context.  One corpus scan; per-match context slicing is bounded
+# by the match count (positions come from the same analyzer token
+# stream the index stores).
+# ---------------------------------------------------------------------------
+
+KWIC_TERM = "spark"
+KWIC_CTX = 3
+
+
+def q_kwic_documents(sf_dir: str):
+    """(doc_id, pos, left, right) for every occurrence of KWIC_TERM."""
+    from rindex.analysis import get_analyzer
+    from rindex.ops.util import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        ids_out, pos_out, left_out, right_out = [], [], [], []
+        for did, x in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
+            toks = az.tokens(x or "")
+            for i, tok in enumerate(toks):
+                if tok == KWIC_TERM:
+                    ids_out.append(int(did))
+                    pos_out.append(i)
+                    left_out.append(" ".join(toks[max(0, i - KWIC_CTX):i]))
+                    right_out.append(" ".join(toks[i + 1:i + 1 + KWIC_CTX]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "pos": pa.array(pos_out, pa.int64()),
+                "left": pa.array(left_out, pa.string()),
+                "right": pa.array(right_out, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+QUERIES["kwic_documents"] = q_kwic_documents
+ORACLE["kwic_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(regexp_extract_all(lower(coalesce(text,
+                    '')), '{TOKEN_SQL_RE}')) + 1)) AS i,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, i FROM toks WHERE term = '{KWIC_TERM}'
+    )
+    SELECT h.doc_id, (h.i - 1)::BIGINT AS pos,
+           coalesce((SELECT string_agg(t.term, ' ' ORDER BY t.i)
+                     FROM toks t
+                     WHERE t.doc_id = h.doc_id
+                       AND t.i BETWEEN h.i - {KWIC_CTX} AND h.i - 1), '')
+             AS "left",
+           coalesce((SELECT string_agg(t.term, ' ' ORDER BY t.i)
+                     FROM toks t
+                     WHERE t.doc_id = h.doc_id
+                       AND t.i BETWEEN h.i + 1 AND h.i + {KWIC_CTX}), '')
+             AS "right"
+    FROM hits h
+    ORDER BY h.doc_id, pos
+"""

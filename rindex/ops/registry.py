@@ -57,7 +57,7 @@ _SAMPLE_FIRST = [
     "bpe_encode_documents", "eval_density_fits_lineitem",
     "pii_luhn_documents", "eval_outliers_events",
     "collocations_documents", "textrank_keywords_documents",
-    "term_dispersion_documents",
+    "term_dispersion_documents", "kwic_documents",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",
