@@ -1549,3 +1549,79 @@ def _textrank_oracle_sql() -> str:
 
 
 ORACLE["textrank_keywords_documents"] = _textrank_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit — the vocabulary diagnostic (Zipf 1949; a
+# healthy natural-language corpus shows ln(freq) ~ a - s*ln(rank) with
+# s near 1, and tokenizer/dedup bugs bend the curve).  Served ENTIRELY
+# from the index dictionary (ttf via the shared dictionary_stats reader
+# — no corpus pass at all); OLS in closed form with oracle-identical
+# expression trees.
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 30
+
+
+def q_zipf_fit_documents(sf_dir: str):
+    """OLS fit of ln(ttf) against ln(rank) over the top-ZIPF_TOP terms:
+    one row (n_terms, slope, intercept, r2)."""
+    from rindex.ops.fulltext import documents_index
+    from rindex.ops.util import dictionary_stats
+
+    d = dictionary_stats(documents_index(sf_dir), ["ttf"])
+    d = d.sort_values(["ttf", "term"], ascending=[False, True],
+                      kind="mergesort").head(ZIPF_TOP)
+    n = float(len(d))
+    x = np.log(np.arange(1, len(d) + 1, dtype=np.float64))
+    y = np.log(d["ttf"].to_numpy(np.float64))
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) ** 2
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return pd.DataFrame(
+        {"n_terms": np.array([int(n)], np.int64),
+         "slope": [round(float(slope), 6)],
+         "intercept": [round(float(intercept), 6)],
+         "r2": [round(float(r2), 6)]}
+    )
+
+
+QUERIES["zipf_fit_documents"] = q_zipf_fit_documents
+
+
+def _zipf_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    ttf AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT ln(row_number() OVER (ORDER BY c DESC, term ASC)::DOUBLE)
+               AS x,
+             ln(c::DOUBLE) AS y
+      FROM ttf
+      QUALIFY row_number() OVER (ORDER BY c DESC, term ASC) <= {ZIPF_TOP}
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM ranked
+    )
+    SELECT n::BIGINT AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """
+
+
+ORACLE["zipf_fit_documents"] = _zipf_oracle_sql()
