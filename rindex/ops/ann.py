@@ -1702,3 +1702,69 @@ ORACLE["ann_filtered_topk"] = f"""
     SELECT query_id, rank, neighbor_id, round(s, 6) AS cosine
     FROM ranked WHERE rank < {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality metrics as a FIRST-CLASS op — recall@k and MRR of
+# the SRP-LSH approximate index against the exact brute-force ranking
+# (the evaluation loop every ANN deployment runs; Lucene's own
+# KnnGraphTester reports the same two numbers).  Both rankings come
+# from the registered pipelines above; the oracle re-derives BOTH in
+# SQL (nested-WITH subqueries over the existing oracle texts) and joins
+# them — so the metric itself is exact-checked, not just the inputs.
+# ---------------------------------------------------------------------------
+
+def q_ann_recall_mrr(sf_dir: str):
+    """(query_id, recall, mrr): overlap@TOP_K and reciprocal rank of the
+    true nearest neighbor within the SRP-LSH list."""
+    ex = q_ann_cosine_topk(sf_dir)
+    ap = q_ann_srp_lsh_topk(sf_dir)
+    hit = ex.merge(ap, on=["query_id", "neighbor_id"], how="inner")
+    n_hit = hit.groupby("query_id").size()
+    top1 = ex[ex["rank"] == 0][["query_id", "neighbor_id"]]
+    t1 = top1.merge(ap, on=["query_id", "neighbor_id"], how="left")
+    mrr = (
+        (1.0 / (t1["rank"] + 1.0))
+        .fillna(0.0)
+        .groupby(t1["query_id"])
+        .max()
+    )
+    qids = sorted(ex["query_id"].unique())
+    return pd.DataFrame(
+        {
+            "query_id": np.array(qids, np.int64),
+            "recall": np.round(
+                [n_hit.get(q, 0) / float(TOP_K) for q in qids], 6
+            ),
+            "mrr": np.round([float(mrr.get(q, 0.0)) for q in qids], 6),
+        }
+    )
+
+
+QUERIES["ann_recall_mrr"] = q_ann_recall_mrr
+ORACLE["ann_recall_mrr"] = f"""
+    WITH ex AS ({ORACLE["ann_cosine_topk"]}),
+    ap AS ({ORACLE["ann_srp_lsh_topk"]}),
+    hits AS (
+      SELECT e.query_id, count(*)::DOUBLE AS n_hit
+      FROM ex e JOIN ap a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    ),
+    top1 AS (SELECT query_id, neighbor_id FROM ex WHERE rank = 0),
+    m AS (
+      SELECT t.query_id,
+             coalesce(max(1.0 / (a.rank + 1.0)), 0.0) AS mrr
+      FROM top1 t
+      LEFT JOIN ap a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           round(coalesce(h.n_hit, 0.0) / {TOP_K}.0, 6) AS recall,
+           round(m.mrr, 6) AS mrr
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN hits h USING (query_id)
+    JOIN m USING (query_id)
+    ORDER BY q.query_id
+"""
