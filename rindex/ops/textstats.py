@@ -2126,3 +2126,122 @@ def _dispersion_oracle_sql() -> str:
 
 
 ORACLE["term_dispersion_documents"] = _dispersion_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift detection — the data-ops monitor for a continuously
+# ingested training corpus: chi-square test of per-term frequencies
+# between two corpus slices (here the deterministic md5 halves, the
+# stand-in for yesterday-vs-today); a drifting pipeline (new source,
+# broken scraper, tokenizer change) shows up as mass on unexpected
+# terms.  Per-(term, half) counts are one distributed pass; the
+# chi-square runs on the vocabulary-sized table with oracle-identical
+# expression trees (expected counts from row/column marginals).
+# ---------------------------------------------------------------------------
+
+DRIFT_TOP = 10
+
+
+def q_corpus_drift_documents(sf_dir: str):
+    """Top-DRIFT_TOP terms by chi-square contribution between the two
+    md5-split halves + the total statistic: (term, n_a, n_b, chi2,
+    chi2_total)."""
+    from ray.data.aggregate import Sum
+
+    from rindex.analysis import get_analyzer
+    from rindex.ops.analysis_ext import split_bucket100
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        from collections import Counter
+
+        half = split_bucket100(t["doc_id"].to_numpy()) < 50
+        cnt: Counter = Counter()
+        for h, x in zip(half, t["text"].to_pylist()):
+            for tok in az.tokens(x or ""):
+                cnt[(tok, bool(h))] += 1
+        ks = list(cnt.keys())
+        return pa.table(
+            {"term": pa.array([k[0] for k in ks], pa.string()),
+             "in_a": pa.array([int(k[1]) for k in ks], pa.int64()),
+             "c": pa.array(np.fromiter(cnt.values(), np.int64,
+                                       count=len(cnt)))}
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["term", "in_a"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    piv = agg.pivot_table(index="term", columns="in_a", values="c",
+                          aggfunc="sum", fill_value=0)
+    n_a = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    n_b = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    ta, tb = n_a.sum(), n_b.sum()
+    row = n_a + n_b
+    tot = ta + tb
+    ea = row * ta / tot
+    eb = row * tb / tot
+    chi = (n_a - ea) ** 2 / ea + (n_b - eb) ** 2 / eb
+    out = pd.DataFrame(
+        {"term": piv.index,
+         "n_a": n_a.astype(np.int64), "n_b": n_b.astype(np.int64),
+         "chi2": np.round(chi, 6)}
+    )
+    out["chi2_total"] = np.round(float(chi.sum()), 6)
+    return out.sort_values(["chi2", "term"], ascending=[False, True],
+                           kind="mergesort").head(DRIFT_TOP) \
+              .reset_index(drop=True)
+
+
+QUERIES["corpus_drift_documents"] = q_corpus_drift_documents
+
+
+def _corpus_drift_oracle_sql() -> str:
+    from rindex.ops.analysis_ext import SPLIT_BUCKET_SQL
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH lab AS (
+      SELECT doc_id, text,
+             (CASE WHEN (SELECT {SPLIT_BUCKET_SQL}
+                         FROM (SELECT md5(doc_id::VARCHAR) AS h)) < 50
+                   THEN 1 ELSE 0 END) AS in_a
+      FROM documents
+    ),
+    toks AS (
+      SELECT in_a,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM lab
+    ),
+    tc AS (
+      SELECT term,
+             sum(CASE WHEN in_a = 1 THEN 1 ELSE 0 END)::DOUBLE AS n_a,
+             sum(CASE WHEN in_a = 0 THEN 1 ELSE 0 END)::DOUBLE AS n_b
+      FROM toks GROUP BY 1
+    ),
+    m AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM tc),
+    chi AS (
+      SELECT term, n_a, n_b,
+             (n_a - (n_a + n_b) * ta / (ta + tb))
+               * (n_a - (n_a + n_b) * ta / (ta + tb))
+               / ((n_a + n_b) * ta / (ta + tb))
+             + (n_b - (n_a + n_b) * tb / (ta + tb))
+               * (n_b - (n_a + n_b) * tb / (ta + tb))
+               / ((n_a + n_b) * tb / (ta + tb)) AS v
+      FROM tc CROSS JOIN m
+    ),
+    tot AS (SELECT round(sum(v), 6) AS chi2_total FROM chi)
+    SELECT term, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           round(v, 6) AS chi2, tot.chi2_total
+    FROM chi CROSS JOIN tot
+    ORDER BY round(v, 6) DESC, term ASC
+    LIMIT {DRIFT_TOP}
+    """
+
+
+ORACLE["corpus_drift_documents"] = _corpus_drift_oracle_sql()
