@@ -1768,3 +1768,57 @@ ORACLE["ann_recall_mrr"] = f"""
     JOIN m USING (query_id)
     ORDER BY q.query_id
 """
+
+
+def q_ann_ndcg(sf_dir: str):
+    """nDCG@TOP_K of the SRP-LSH ranking against the exact ranking
+    (graded relevance rel = TOP_K - exact_rank for neighbors inside the
+    exact top-k, 0 otherwise; DCG positions discounted log2(i+2)) — the
+    third standard retrieval metric next to recall/MRR above, same
+    oracle-checked composition."""
+    ex = q_ann_cosine_topk(sf_dir)
+    ap = q_ann_srp_lsh_topk(sf_dir)
+    rel = ex[["query_id", "neighbor_id", "rank"]].rename(
+        columns={"rank": "ex_rank"}
+    )
+    a = ap.merge(rel, on=["query_id", "neighbor_id"], how="left")
+    a["rel"] = (TOP_K - a["ex_rank"]).fillna(0.0)
+    a["gain"] = a["rel"] / np.log2(a["rank"].to_numpy(np.float64) + 2.0)
+    dcg = a.groupby("query_id")["gain"].sum()
+    idcg = float(
+        sum((TOP_K - j) / np.log2(j + 2.0) for j in range(TOP_K))
+    )
+    qids = sorted(ex["query_id"].unique())
+    return pd.DataFrame(
+        {
+            "query_id": np.array(qids, np.int64),
+            "ndcg": np.round(
+                [float(dcg.get(q, 0.0)) / idcg for q in qids], 6
+            ),
+        }
+    )
+
+
+QUERIES["ann_ndcg"] = q_ann_ndcg
+ORACLE["ann_ndcg"] = f"""
+    WITH ex AS ({ORACLE["ann_cosine_topk"]}),
+    ap AS ({ORACLE["ann_srp_lsh_topk"]}),
+    g AS (
+      SELECT a.query_id,
+             coalesce({TOP_K} - e.rank, 0.0) / log2(a.rank + 2.0) AS gain
+      FROM ap a
+      LEFT JOIN ex e
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    ),
+    idcg AS (
+      SELECT sum(({TOP_K} - j) / log2(j + 2.0)) AS v
+      FROM range({TOP_K}) t(j)
+    )
+    SELECT q.query_id,
+           round(coalesce(sum(g.gain), 0.0) / idcg.v, 6) AS ndcg
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN g USING (query_id)
+    CROSS JOIN idcg
+    GROUP BY q.query_id, idcg.v
+    ORDER BY q.query_id
+"""

@@ -58,7 +58,7 @@ _SAMPLE_FIRST = [
     "pii_luhn_documents", "eval_outliers_events",
     "collocations_documents", "textrank_keywords_documents",
     "term_dispersion_documents", "kwic_documents",
-    "zipf_fit_documents", "ann_recall_mrr", "corpus_drift_documents",
+    "zipf_fit_documents", "ann_recall_mrr", "corpus_drift_documents", "ann_ndcg",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",
