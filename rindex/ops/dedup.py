@@ -1194,3 +1194,189 @@ def _cluster_oracle_sql() -> str:
 
 QUERIES["dedup_clusters_documents"] = q_dedup_clusters_documents
 ORACLE["dedup_clusters_documents"] = _cluster_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr variant): flag token
+# spans of length >= SUBSTR_K that occur more than once ANYWHERE in the
+# corpus, and report per-doc duplicated-span coverage.  Reference anchor
+# for the dedup family: SignatureUpdateProcessorFactory (SURVEY.md §2.7);
+# the suffix-array algorithm itself is from the paper — here re-expressed
+# as the Ray-native k-gram form: every K-token window is a key, a window
+# key seen >= 2 times marks its K positions as duplicated, and per-doc
+# coverage is the union of the marked windows.
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 16        # span length in tokens (the paper uses 50 BPE tokens;
+                     # 16 matches this corpus's 10-99-token docs)
+SUBSTR_KEEP_MAX = 0.5  # drop docs with > half their tokens inside dup spans
+_SS_P = np.int64(0x9E3779B1)
+
+
+def _window_hashes(toks: list[str], k: int = SUBSTR_K) -> np.ndarray:
+    """In-order (NON-unique) k-gram window hashes: Horner combine of the
+    memoized per-token hashes.  Position i of the output is the window
+    starting at token i."""
+    th = _token_hashes(toks)
+    m = len(th) - k + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    acc = th[:m].copy()
+    for j in range(1, k):
+        acc = (acc * _SS_P + th[j : j + m]) & _MASK63
+    return acc
+
+
+def _span_coverage(starts: np.ndarray, doc_of: np.ndarray, k: int):
+    """Union size of intervals [s, s+k) grouped by doc.
+
+    `starts` must be ascending within each doc (window order guarantees
+    it).  Per element the union contribution is min(k, next_start - start)
+    except the last start of each doc, which contributes k.  Returns
+    (docs, coverage) for docs with >= 1 interval."""
+    if len(starts) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    last = np.r_[doc_of[1:] != doc_of[:-1], True]
+    gaps = np.empty(len(starts), np.int64)
+    gaps[:-1] = starts[1:] - starts[:-1]
+    gaps[-1] = k
+    contrib = np.where(last, k, np.minimum(k, gaps))
+    doc_start = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
+    return doc_of[doc_start], np.add.reduceat(contrib, doc_start)
+
+
+def q_substring_dedup_documents(sf_dir: str):
+    """Exact substring dedup (Lee et al. 2021): per doc, how many tokens
+    sit inside a >=SUBSTR_K-token span that also occurs elsewhere in the
+    corpus (or again in the same doc), plus the keep flag.
+
+    Two streaming passes, no corpus-sized driver state:
+      1. per-batch PARTIAL window-hash counts -> ONE groupby("g") sum ->
+         hashes with total count >= 2.  That duplicated-gram set is the
+         designated small side (835 grams at sf0.01; it scales with the
+         amount of DUPLICATED text, not the corpus) — ray.put once,
+         sorted.  At 10^12-turn scale with a large dup set, swap the
+         broadcast for a hash join of the window table against the dup
+         grams on g (the ngram_jaccard sizes-lookup precedent,
+         DEDUP_BCAST_MAX_DOCS) — the op logs the dup-set size so the
+         switchover is observable, never silent.
+      2. full scan: per batch, ONE searchsorted of the concatenated
+         window hashes against the broadcast set, then the vectorized
+         interval-union kernel (`_span_coverage`) turns duplicated window
+         starts into per-doc covered-token counts.
+
+    Hashed windows stand in for the gram strings the SQL oracle compares
+    (the contamination_check precedent: counts agree absent 63-bit md5
+    collisions)."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        hs = [_window_hashes(_tokens(x)) for x in t["text"].to_pylist()]
+        flat = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        g, c = np.unique(flat, return_counts=True)
+        return pa.table({"g": pa.array(g), "c": pa.array(c)})
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("g")
+        .sum("c")
+    )
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["sum(c)"], 2)).select(["g"])
+
+    dup = np.sort(
+        totals.map_batches(only_dups, batch_format="pyarrow")
+        .to_pandas()["g"]
+        .to_numpy()
+    )
+    print(f"[substring_dedup] duplicated {SUBSTR_K}-gram set: {len(dup)}")
+    ref = ray.put(dup)
+
+    class _Mark:
+        def __init__(self):
+            self.dup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            toks = [_tokens(x) for x in texts]
+            n_tok = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+            hs = [_window_hashes(x) for x in toks]
+            m = np.fromiter((len(h) for h in hs), np.int64, len(hs))
+            flat = np.concatenate(hs) if hs else np.empty(0, np.int64)
+            doc_of = np.repeat(np.arange(len(hs), dtype=np.int64), m)
+            starts_base = np.concatenate([[0], np.cumsum(m)[:-1]])
+            local_pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+                starts_base, m
+            )
+            b = self.dup
+            hit = np.zeros(len(flat), dtype=bool)
+            if len(b) and len(flat):
+                p = np.searchsorted(b, flat)
+                inb = p < len(b)
+                hit[inb] = b[p[inb]] == flat[inb]
+            docs, cov = _span_coverage(
+                local_pos[hit], doc_of[hit], SUBSTR_K
+            )
+            dup_tokens = np.zeros(len(hs), np.int64)
+            dup_tokens[docs] = cov
+            frac = np.divide(
+                dup_tokens,
+                n_tok,
+                out=np.zeros(len(hs), np.float64),
+                where=n_tok > 0,
+            )
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pa.array(n_tok),
+                    "dup_tokens": pa.array(dup_tokens),
+                    "dup_frac": pa.array(np.round(frac, 6)),
+                    "keep": pa.array(frac <= SUBSTR_KEEP_MAX),
+                }
+            )
+
+    return ds.map_batches(_Mark, batch_format="pyarrow", concurrency=(1, 8))
+
+
+QUERIES["substring_dedup_documents"] = q_substring_dedup_documents
+# string grams in SQL vs 63-bit hashed grams in Ray: identical counts
+# absent md5 collisions (the contamination_check precedent).  The keep
+# flag compares the RAW double ratio on both sides (same operands ->
+# same float64 -> same comparison); the reported dup_frac is round(.,6)
+# of that same double.
+ORACLE["substring_dedup_documents"] = f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, pos,
+             array_to_string(l[pos:pos + {SUBSTR_K} - 1], ' ') AS gram
+      FROM (SELECT doc_id, unnest(range(1, len(l) - {SUBSTR_K} + 2)) AS pos,
+                   l
+            FROM t WHERE len(l) >= {SUBSTR_K})
+    ),
+    dup AS (SELECT gram FROM g2 GROUP BY 1 HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id, count(DISTINCT p) AS dup_tokens
+      FROM (SELECT doc_id, unnest(range(pos, pos + {SUBSTR_K})) AS p
+            FROM g2 WHERE gram IN (SELECT gram FROM dup))
+      GROUP BY 1
+    )
+    SELECT t.doc_id,
+           len(l)::BIGINT AS n_tokens,
+           coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+           CASE WHEN len(l) = 0 THEN 0.0
+                ELSE round(coalesce(dup_tokens, 0)::DOUBLE / len(l), 6)
+           END AS dup_frac,
+           CASE WHEN len(l) = 0 THEN 0.0
+                ELSE coalesce(dup_tokens, 0)::DOUBLE / len(l)
+           END <= {SUBSTR_KEEP_MAX} AS keep
+    FROM t LEFT JOIN cov USING (doc_id)
+"""

@@ -41,6 +41,7 @@ _SAMPLE_FIRST = [
     "suggest_prefix_documents", "suggest_infix_documents",
     "spellcheck_documents", "spellcheck_collate_documents",
     # (3) new this round — newest (least-verified) first
+    "substring_dedup_documents",
     "stream_expr_search_rollup", "stream_expr_update_search",
     "stream_expr_random_sample",
     "unigram_nll_documents", "domain_cap_documents",

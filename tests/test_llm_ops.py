@@ -313,3 +313,31 @@ def test_bpe_boundary_rule_no_glue():
     rows = bpe_merge_rounds({"ab": 5, "xabc": 1, "bc": 6}, 2)
     assert rows[0] == (0, "b c", "bc", 7)
     assert rows[1] == (1, "a b", "ab", 5)  # only whole-symbol sites
+
+
+def test_substring_dedup_span_coverage_kernel():
+    """Interval-union kernel: overlapping, touching, disjoint and
+    cross-doc window starts."""
+    import numpy as np
+
+    from rindex.ops.dedup import _span_coverage, _window_hashes
+
+    k = 4
+    # doc 0: starts 0,2 overlap -> union [0,6) = 6; doc 1: disjoint
+    # 0 and 10 -> 8; doc 2: touching 0 and 4 -> 8; doc 3: single -> 4
+    starts = np.array([0, 2, 0, 10, 0, 4, 7], dtype=np.int64)
+    docs = np.array([0, 0, 1, 1, 2, 2, 3], dtype=np.int64)
+    d, cov = _span_coverage(starts, docs, k)
+    np.testing.assert_array_equal(d, [0, 1, 2, 3])
+    np.testing.assert_array_equal(cov, [6, 8, 8, 4])
+    d, cov = _span_coverage(
+        np.empty(0, np.int64), np.empty(0, np.int64), k
+    )
+    assert len(d) == 0 and len(cov) == 0
+    # window hashes: in-order, one per start, shift shares k-1 windows
+    toks = list("abcdefgh")
+    h = _window_hashes(toks, k=4)
+    assert len(h) == 5
+    h2 = _window_hashes(list("bcdefgh"), k=4)
+    np.testing.assert_array_equal(h[1:], h2)
+    assert len(_window_hashes(list("abc"), k=4)) == 0
