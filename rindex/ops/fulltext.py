@@ -2240,3 +2240,102 @@ ORACLE["kwic_documents"] = f"""
     FROM hits h
     ORDER BY h.doc_id, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# CommonTermsQuery — df-adaptive required/optional clause split
+# ---------------------------------------------------------------------------
+
+CTQ_QUERY = "dup table scan"
+CTQ_MAX_FREQ = 0.3  # terms with df/N above this are "common" (optional)
+CTQ_K = 10
+
+
+def q_common_terms_query_documents(sf_dir: str):
+    """CommonTermsQuery (`lucene/queries/src/java/org/apache/lucene/
+    queries/CommonTermsQuery.java`): query terms are split by document
+    frequency — terms with df/N <= maxTermFrequency are LOW-frequency and
+    become MUST clauses; the rest are HIGH-frequency (stopword-like) and
+    become SHOULD clauses that contribute score but cannot gate the match.
+    Scores are the BM25 sum over every matching query term; a doc
+    qualifies iff it matches ALL low-frequency terms.
+
+    Engine shape: the term split reads only the term DICTIONARY df
+    (global_df — dictionary columns, no posting bodies), then one dense
+    per-segment accumulator pass scores all terms while counting
+    low-frequency hits (the _segment_match_scores kernel shape with the
+    hit counter restricted to the MUST subset).  On 'dup table scan' with
+    maxTermFrequency=0.3 the split is rare={dup}, common={table, scan} at
+    both driver scales."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx)
+    terms = CTQ_QUERY.split()
+    df = s.global_df(terms)
+    rare = [t for t in terms if df[t] / s.n_docs <= CTQ_MAX_FREQ]
+    idf = s.term_weights(terms, df)
+    rows = []
+    for r in s.readers:
+        posts = r.postings_for(terms)
+        acc = np.zeros(r.max_doc, dtype=np.float64)
+        hits = np.zeros(r.max_doc, dtype=np.int64)
+        for t in terms:  # fixed query-term order: deterministic float sum
+            row = posts.get(t)
+            if row is None:
+                continue
+            d, tf_arr, nrm = r.decoded(t, row)
+            acc[d] += s.sim.score(
+                idf[t], tf_arr.astype(np.float64), s.cache[nrm]
+            )
+            if t in rare:
+                hits[d] += 1
+        cand = np.nonzero(hits >= len(rare))[0]
+        cand = cand[acc[cand] > 0]
+        if len(cand) == 0:
+            continue
+        ids = r.fetch_ids(cand.astype(np.int64), ["doc_id"])
+        for local, vals in ids.items():
+            rows.append((vals[0], acc[local]))
+    out = pd.DataFrame(rows, columns=["doc_id", "score"])
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(CTQ_K).reset_index(drop=True)
+    out["rank"] = np.arange(len(out), dtype=np.int32)
+    return out[["rank", "doc_id", "score"]]
+
+
+def _ctq_oracle_sql() -> str:
+    terms = ",".join(f"('{t}')" for t in CTQ_QUERY.split())
+    return f"""
+    WITH {_bm25_ctes()},
+    qt(term) AS (VALUES {terms}),
+    n_req AS (
+      SELECT count(*) AS n FROM qt JOIN df USING (term) CROSS JOIN stats
+      WHERE df / n_docs <= {CTQ_MAX_FREQ}
+    ),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s,
+             count(DISTINCT CASE WHEN df / n_docs <= {CTQ_MAX_FREQ}
+                                 THEN tf.term END) AS rare_matched
+      FROM qt
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT (row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC)
+            - 1)::INTEGER AS rank,
+           doc_id, round(s, 6) AS score
+    FROM scores, n_req
+    WHERE rare_matched = n_req.n
+    ORDER BY rank LIMIT {CTQ_K}
+    """
+
+
+QUERIES["common_terms_query_documents"] = q_common_terms_query_documents
+ORACLE["common_terms_query_documents"] = _ctq_oracle_sql()

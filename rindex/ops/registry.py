@@ -9,16 +9,16 @@ def _modules():
     # would pass vacuously on the remainder
     from rindex.ops import (
         analysis_ext, ann, atomic, dedup, dismax, evaluators, facets,
-        fulltext, livedocs, loaders, ml, multimodal, multiterm, nested,
-        relational, search_ext, sketches, sqlhandler, streamlang, streams,
-        textstats,
+        fulltext, livedocs, loaders, ml, monitor, multimodal, multiterm,
+        nested, relational, search_ext, sketches, sqlhandler, streamlang,
+        streams, textstats,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
         nested, dismax, livedocs, facets, atomic, multiterm, streamlang,
-        ml, sqlhandler,
+        ml, sqlhandler, monitor,
     ]
 
 
@@ -41,7 +41,9 @@ _SAMPLE_FIRST = [
     "suggest_prefix_documents", "suggest_infix_documents",
     "spellcheck_documents", "spellcheck_collate_documents",
     # (3) new this round — newest (least-verified) first
-    "substring_dedup_documents",
+    "substring_dedup_documents", "monitor_percolate_documents",
+    "common_terms_query_documents", "complex_phrase_documents",
+    "dsir_weights_documents",
     "stream_expr_search_rollup", "stream_expr_update_search",
     "stream_expr_random_sample",
     "unigram_nll_documents", "domain_cap_documents",

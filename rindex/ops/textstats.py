@@ -2245,3 +2245,147 @@ def _corpus_drift_oracle_sql() -> str:
 
 
 ORACLE["corpus_drift_documents"] = _corpus_drift_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_MOD = 29  # target distribution = the doc_id % 29 == 0 docs
+                      # (the contamination op's held-out-set convention:
+                      # a small curated sample standing in for the
+                      # "high-quality target domain")
+
+
+def q_dsir_weights_documents(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per RAW doc, the log
+    importance weight  sum_tokens[ ln p_target(tok) - ln p_raw(tok) ]
+    under add-1-smoothed unigram LMs fit on the target sample vs the rest
+    of the corpus.  Docs with positive log-weight look more like the
+    target domain than the raw pool and survive the resampling gate.
+
+    Shape: ONE distributed count pass emits (term, is_target) partials ->
+    one groupby builds both LMs; the per-term log-ratio table is
+    vocabulary-sized (the designated small side), ray.put once; the
+    scoring pass is one searchsorted + reduceat per batch (the
+    unigram_nll kernel).  Scalar tree matches the oracle exactly:
+    ln((c+1)/(T+V)) per side, ratio-of-logs difference per token, round 6
+    after the per-doc sum."""
+    import ray
+
+    from rindex.analysis import get_analyzer
+    from rindex.ops.dedup import _token_hashes
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        ids = t["doc_id"].to_numpy()
+        is_t = ids % DSIR_TARGET_MOD == 0
+        toks_per = [az.tokens(x or "") for x in t["text"].to_pylist()]
+        lens = np.fromiter((len(x) for x in toks_per), np.int64,
+                           count=len(toks_per))
+        if not lens.sum():
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "ct": pa.array([], pa.int64()),
+                             "cr": pa.array([], pa.int64())})
+        h = _token_hashes([tok for lst in toks_per for tok in lst])
+        tgt = np.repeat(is_t, lens)
+        out = []
+        for side, mask in (("ct", tgt), ("cr", ~tgt)):
+            u, c = np.unique(h[mask], return_counts=True)
+            out.append((u, c))
+        allh = np.union1d(out[0][0], out[1][0])
+        ct = np.zeros(len(allh), np.int64)
+        cr = np.zeros(len(allh), np.int64)
+        ct[np.searchsorted(allh, out[0][0])] = out[0][1]
+        cr[np.searchsorted(allh, out[1][0])] = out[1][1]
+        return pa.table({"h": pa.array(allh), "ct": pa.array(ct),
+                         "cr": pa.array(cr)})
+
+    lm = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("h")
+        .sum(["ct", "cr"])
+        .to_pandas()
+    )
+    hs = lm["h"].to_numpy()  # groupby output is key-sorted
+    ct = lm["sum(ct)"].to_numpy(np.float64)
+    cr = lm["sum(cr)"].to_numpy(np.float64)
+    V = float(len(hs))
+    Tt, Tr = float(ct.sum()), float(cr.sum())
+    lr = np.log((ct + 1.0) / (Tt + V)) - np.log((cr + 1.0) / (Tr + V))
+    ref = ray.put((hs, lr))
+
+    def score(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        hs_, lr_ = ray.get(ref)
+        ids = t["doc_id"].to_numpy()
+        raw = ids % DSIR_TARGET_MOD != 0
+        toks_per = [az.tokens(x or "") for x in t["text"].to_pylist()]
+        lens = np.fromiter((len(x) for x in toks_per), np.int64,
+                           count=len(toks_per))
+        w = np.zeros(len(lens), np.float64)
+        nz = lens > 0
+        if lens.sum():
+            h = _token_hashes([tok for lst in toks_per for tok in lst])
+            at = np.searchsorted(hs_, h)
+            ok = (at < len(hs_)) & (hs_[np.minimum(at, len(hs_) - 1)] == h)
+            if not ok.all():
+                raise ValueError(
+                    "dsir: token missing from the corpus LM "
+                    "(corpus changed between passes?)"
+                )
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            w[nz] = np.add.reduceat(lr_[at], starts[nz])
+        keep = raw & nz
+        w_r = np.round(w, 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_tok": pa.array(lens[keep]),
+                "log_w": pa.array(w_r[keep]),
+                "selected": pa.array(w_r[keep] > 0.0),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+QUERIES["dsir_weights_documents"] = q_dsir_weights_documents
+
+
+def _dsir_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {DSIR_TARGET_MOD} = 0 AS is_t,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    lm AS (
+      SELECT term,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE AS ct,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END)::DOUBLE AS cr
+      FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(ct) AS Tt, sum(cr) AS Tr, count(*)::DOUBLE AS V FROM lm
+    ),
+    per AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tok,
+             round(sum(ln((ct + 1.0) / (Tt + V))
+                       - ln((cr + 1.0) / (Tr + V))), 6) AS log_w
+      FROM toks JOIN lm USING (term) CROSS JOIN tot
+      WHERE NOT is_t
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, log_w, log_w > 0.0 AS selected FROM per
+    """
+
+
+ORACLE["dsir_weights_documents"] = _dsir_oracle_sql()
