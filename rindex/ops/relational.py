@@ -1014,3 +1014,84 @@ _register(
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based per-user session assignment
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 28800  # 8h: splits this corpus's ~7.7h median user gap
+
+
+def q_sessionize_events(sf_dir: str):
+    """Gap-based sessionization: per user, events ordered by (ts,
+    event_id) belong to one session until an inter-event gap exceeds
+    SESSION_GAP_S; emit one row per session with count, bounds and
+    duration.  The per-entity-ordered-state shape of the reference's
+    topic()/daemon() incremental consumers (SURVEY.md §2.9 — the nearest
+    windowing the reference has is date-range faceting; true sessions are
+    the pipeline op every event/transcript corpus needs).
+
+    Ray shape: hash-partition by user_id (`groupby.map_groups`) — the
+    per-group sort + cumulative break-sum is vectorized inside the group.
+    Sessions never span users, so this is embarrassingly parallel in the
+    partition key with ONE shuffle; per-user event counts bound group
+    memory (the hot-key story is per-user volume, not corpus size)."""
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        if len(g) > 1:
+            gap[1:] = (
+                (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
+            ) > SESSION_GAP_S
+        sess = np.cumsum(gap) - 1
+        out = (
+            pd.DataFrame(
+                {"user_id": g["user_id"].to_numpy(), "session_idx": sess,
+                 "ts": ts}
+            )
+            .groupby(["user_id", "session_idx"], as_index=False)
+            .agg(n_events=("ts", "size"), start_ts=("ts", "min"),
+                 end_ts=("ts", "max"))
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["session_idx"] = out["session_idx"].astype(np.int64)
+        out["duration_s"] = (
+            (out["end_ts"] - out["start_ts"]) // pd.Timedelta(seconds=1)
+        ).astype(np.int64)
+        return out
+
+    return ds.groupby("user_id").map_groups(
+        sessionize, batch_format="pandas"
+    )
+
+
+_register(
+    "sessionize_events",
+    q_sessionize_events,
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM o
+    )
+    SELECT user_id, session_idx::BIGINT AS session_idx,
+           count(*)::BIGINT AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           (epoch_us(max(ts) - min(ts)) // 1000000)::BIGINT AS duration_s
+    FROM s GROUP BY 1, 2
+    """,
+)

@@ -341,3 +341,40 @@ def test_substring_dedup_span_coverage_kernel():
     h2 = _window_hashes(list("bcdefgh"), k=4)
     np.testing.assert_array_equal(h[1:], h2)
     assert len(_window_hashes(list("abc"), k=4)) == 0
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Two users, crafted gaps: session breaks strictly-greater than the
+    gap, ties on ts keep one session, per-user independence."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rindex.ops.relational import SESSION_GAP_S, q_sessionize_events
+
+    base = pd.Timestamp("2026-01-01")
+    g = pd.Timedelta(seconds=SESSION_GAP_S)
+    rows = [
+        # user 1: exactly-gap stays, gap+1s breaks
+        (1, 1, base), (2, 1, base + g), (3, 1, base + 2 * g + pd.Timedelta(seconds=1)),
+        # user 2: tied timestamps in one session
+        (4, 2, base), (5, 2, base), (6, 2, base + pd.Timedelta(seconds=5)),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="sess_")
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = q_sessionize_events(d).to_pandas().sort_values(
+        ["user_id", "session_idx"]).reset_index(drop=True)
+    u1 = out[out.user_id == 1]
+    assert list(u1.n_events) == [2, 1]          # gap==threshold stays
+    assert list(u1.duration_s) == [SESSION_GAP_S, 0]
+    u2 = out[out.user_id == 2]
+    assert list(u2.n_events) == [3] and list(u2.duration_s) == [5]
