@@ -280,71 +280,7 @@ def merge_segments(
     for m in members:
         g = int(m.get("gen", 0))
         sdir = segio.seg_dir(index_dir, seg_id, g)
-        p = _decode_segment_postings(sdir)
-        has_pos = "pos" in p.columns
-        remap = remaps[g]
-        n_terms = len(p)
-        dfs = p["df"].to_numpy().astype(np.int64)
-        all_docs = np.frombuffer(b"".join(p["docs"]), dtype=np.int32)
-        all_tfs = np.frombuffer(b"".join(p["tfs"]), dtype=np.int32)
-        all_norms = np.frombuffer(b"".join(p["norms"]), dtype=np.uint8)
-        term_idx = np.repeat(np.arange(n_terms, dtype=np.int64), dfs)
-        nd = remap[all_docs]
-        ok = nd >= 0
-        ti_k = term_idx[ok]
-        order = np.lexsort((nd[ok], ti_k))  # (term, new_doc) ascending
-        ti_s = ti_k[order]
-        nd_s = nd[ok][order].astype(np.int32)
-        tf_s = all_tfs[ok][order]
-        n_s = all_norms[ok][order]
-        new_df = np.bincount(ti_s, minlength=n_terms).astype(np.int64)
-        new_ttf = np.bincount(
-            ti_s, weights=tf_s.astype(np.float64), minlength=n_terms
-        ).astype(np.int64)
-        bounds = np.concatenate([[0], np.cumsum(new_df)])
-        if has_pos:
-            # positions are within-doc (unchanged by the docID remap):
-            # gather surviving runs in the new (term, doc) order with one
-            # ragged-gather index build — no per-run slicing
-            all_pos = np.frombuffer(b"".join(p["pos"]), dtype=np.int32)
-            run_starts = np.concatenate(
-                [[0], np.cumsum(all_tfs.astype(np.int64))[:-1]]
-            )
-            sel_runs = np.flatnonzero(ok)[order]
-            L = all_tfs[sel_runs].astype(np.int64)
-            S = run_starts[sel_runs]
-            offs_in_run = (
-                np.arange(int(L.sum()), dtype=np.int64)
-                - np.repeat(np.cumsum(L) - L, L)
-            )
-            pos_s = all_pos[np.repeat(S, L) + offs_in_run]
-            pos_lens = np.bincount(
-                ti_s, weights=L.astype(np.float64), minlength=n_terms
-            ).astype(np.int64)
-            pos_bounds = np.concatenate([[0], np.cumsum(pos_lens)])
-        keep = np.flatnonzero(new_df > 0)
-        cols = {
-            "term": p["term"].to_numpy()[keep],
-            "first_doc": nd_s[bounds[keep]].astype(np.int64),
-            "df": new_df[keep],
-            "ttf": new_ttf[keep],
-            # per-surviving-term repack: contiguous slice + tobytes (memcpy)
-            "docs": [
-                nd_s[bounds[i]: bounds[i + 1]].tobytes() for i in keep
-            ],
-            "tfs": [
-                tf_s[bounds[i]: bounds[i + 1]].tobytes() for i in keep
-            ],
-            "norms": [
-                n_s[bounds[i]: bounds[i + 1]].tobytes() for i in keep
-            ],
-        }
-        if has_pos:
-            cols["pos"] = [
-                pos_s[pos_bounds[i]: pos_bounds[i + 1]].tobytes()
-                for i in keep
-            ]
-        parts.append(pd.DataFrame(cols))
+        parts.append(_remap_postings_partials(sdir, remaps[g]))
     partials = pd.concat(parts, ignore_index=True)
 
     # ---- write the merged segment through the standard writer path
@@ -376,6 +312,79 @@ def merge_segments(
     meta["version"] = max(_ver(m) for m in members)
     segio.atomic_write_json(os.path.join(new_sdir, "meta.json"), meta)
     return segio.read_meta(new_sdir)
+
+
+def _remap_postings_partials(sdir: str, remap: np.ndarray) -> pd.DataFrame:
+    """Decode one segment's postings, remap docIDs through `remap`
+    (old_doc -> new_doc, -1 drops the posting) and repack to the partials
+    frame `merge_partials_to_postings` consumes.  One repeat/gather/
+    lexsort over the segment's concatenated posting arrays — no per-term
+    Python.  Shared by segment MERGE (members -> one segment) and shard
+    SPLIT (one segment -> per-part remaps)."""
+    p = _decode_segment_postings(sdir)
+    has_pos = "pos" in p.columns
+    n_terms = len(p)
+    dfs = p["df"].to_numpy().astype(np.int64)
+    all_docs = np.frombuffer(b"".join(p["docs"]), dtype=np.int32)
+    all_tfs = np.frombuffer(b"".join(p["tfs"]), dtype=np.int32)
+    all_norms = np.frombuffer(b"".join(p["norms"]), dtype=np.uint8)
+    term_idx = np.repeat(np.arange(n_terms, dtype=np.int64), dfs)
+    nd = remap[all_docs]
+    ok = nd >= 0
+    ti_k = term_idx[ok]
+    order = np.lexsort((nd[ok], ti_k))  # (term, new_doc) ascending
+    ti_s = ti_k[order]
+    nd_s = nd[ok][order].astype(np.int32)
+    tf_s = all_tfs[ok][order]
+    n_s = all_norms[ok][order]
+    new_df = np.bincount(ti_s, minlength=n_terms).astype(np.int64)
+    new_ttf = np.bincount(
+        ti_s, weights=tf_s.astype(np.float64), minlength=n_terms
+    ).astype(np.int64)
+    bounds = np.concatenate([[0], np.cumsum(new_df)])
+    if has_pos:
+        # positions are within-doc (unchanged by the docID remap):
+        # gather surviving runs in the new (term, doc) order with one
+        # ragged-gather index build — no per-run slicing
+        all_pos = np.frombuffer(b"".join(p["pos"]), dtype=np.int32)
+        run_starts = np.concatenate(
+            [[0], np.cumsum(all_tfs.astype(np.int64))[:-1]]
+        )
+        sel_runs = np.flatnonzero(ok)[order]
+        L = all_tfs[sel_runs].astype(np.int64)
+        S = run_starts[sel_runs]
+        offs_in_run = (
+            np.arange(int(L.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(L) - L, L)
+        )
+        pos_s = all_pos[np.repeat(S, L) + offs_in_run]
+        pos_lens = np.bincount(
+            ti_s, weights=L.astype(np.float64), minlength=n_terms
+        ).astype(np.int64)
+        pos_bounds = np.concatenate([[0], np.cumsum(pos_lens)])
+    keep = np.flatnonzero(new_df > 0)
+    cols = {
+        "term": p["term"].to_numpy()[keep],
+        "first_doc": nd_s[bounds[keep]].astype(np.int64),
+        "df": new_df[keep],
+        "ttf": new_ttf[keep],
+        # per-surviving-term repack: contiguous slice + tobytes (memcpy)
+        "docs": [
+            nd_s[bounds[i]: bounds[i + 1]].tobytes() for i in keep
+        ],
+        "tfs": [
+            tf_s[bounds[i]: bounds[i + 1]].tobytes() for i in keep
+        ],
+        "norms": [
+            n_s[bounds[i]: bounds[i + 1]].tobytes() for i in keep
+        ],
+    }
+    if has_pos:
+        cols["pos"] = [
+            pos_s[pos_bounds[i]: pos_bounds[i + 1]].tobytes()
+            for i in keep
+        ]
+    return pd.DataFrame(cols)
 
 
 def run_merges(
@@ -456,3 +465,93 @@ def run_merges(
         sdir = segio.seg_dir(index_dir, int(group[0]["seg_id"]), next_gen + i)
         live.append(segio.read_meta(sdir))
     return segio.write_manifest(index_dir, live, cfg)
+
+
+def split_index(index_dir: str, out_dirs: list[str]) -> list[dict]:
+    """Shard split: partition an index into len(out_dirs) disjoint child
+    indexes by a stable hash of the uniqueKey columns — the semantics of
+    SPLITSHARD (`solr/core/src/java/org/apache/solr/cloud/api/collections/
+    SplitShardCmd.java`: hash-range halves routed by CompositeIdRouter)
+    executed the way `lucene/misc/src/java/org/apache/lucene/index/
+    PKIndexSplitter.java` splits at the segment level: every source
+    segment is rewritten per child with the out-of-range docs dropped.
+
+    Reuses the merge path's vectorized docID-remap kernel
+    (`_remap_postings_partials`) with one remap per child: doc order (and
+    therefore the id-sorted docID invariant) is preserved within each
+    child, live-deletes are expunged during the split (as merges do), and
+    each child gets its own lineage-stamped manifest.  The md5 route hash
+    stands in for CompositeIdRouter's murmur3 ranges (repo-wide stable-
+    hash convention — python hash() is seed-randomized across workers)."""
+    from rindex.ops.dedup import _stable_hash64
+
+    man = segio.read_manifest(index_dir)
+    cfg = man["config"]
+    id_cols = list(cfg["id_cols"])
+    n = len(out_dirs)
+    metas_per: list[list[dict]] = [[] for _ in range(n)]
+    for d in out_dirs:
+        os.makedirs(d, exist_ok=True)
+    for m in man["segments"]:
+        seg_id = int(m["seg_id"])
+        gen = int(m.get("gen", 0))
+        sdir = segio.seg_dir(index_dir, seg_id, gen)
+        docs = pq.read_table(os.path.join(sdir, "docs.parquet"))
+        dg = int(m.get("del_gen", 0) or 0)
+        if dg > 0:  # expunge soft deletes, the merge-path contract
+            dd = pq.read_table(
+                os.path.join(sdir, f"_liv-g{dg}.parquet")
+            )["doc"].to_numpy()
+            docs = docs.filter(
+                pa.array(np.isin(docs["doc"].to_numpy(), dd, invert=True))
+            )
+        dv = docs.to_pandas()
+        keys = (
+            dv[id_cols].astype(str).agg("|".join, axis=1)
+            if len(id_cols) > 1
+            else dv[id_cols[0]].astype(str)
+        )
+        part = np.fromiter(
+            (_stable_hash64(k.encode()) % n for k in keys),
+            np.int64,
+            len(dv),
+        )
+        for pi in range(n):
+            sel = np.flatnonzero(part == pi)  # doc order == id order
+            if len(sel) == 0:
+                continue
+            remap = np.full(int(m["doc_count"]), -1, np.int64)
+            old_docs = dv["doc"].to_numpy()[sel]
+            remap[old_docs] = np.arange(len(sel), dtype=np.int64)
+            child_sdir = segio.seg_dir(out_dirs[pi], seg_id, gen)
+            os.makedirs(child_sdir, exist_ok=True)
+            child_docs = dv.iloc[sel].copy()
+            child_docs["doc"] = np.arange(len(sel), dtype=np.int32)
+            tmp = os.path.join(child_sdir, "docs.parquet") + (
+                f".tmp-{os.getpid()}"
+            )
+            pq.write_table(
+                pa.Table.from_pandas(child_docs, preserve_index=False), tmp
+            )
+            segio.atomic_rename_file(
+                tmp, os.path.join(child_sdir, "docs.parquet")
+            )
+            partials = _remap_postings_partials(sdir, remap)
+            writer = SegmentWriter(
+                out_dirs[pi],
+                cfg,
+                fingerprint=f"split:{index_dir}:s{seg_id}g{gen}p{pi}/{n}",
+                gen=gen,
+            )
+            table, stats = merge_partials_to_postings(partials)
+            writer._write(seg_id, table, stats, n_partials=1)
+            meta = segio.read_meta(child_sdir)
+            meta["version"] = int(m.get("version", gen))
+            segio.atomic_write_json(
+                os.path.join(child_sdir, "meta.json"), meta
+            )
+            metas_per[pi].append(meta)
+    out = []
+    for pi, d in enumerate(out_dirs):
+        out.append(segio.write_manifest(d, metas_per[pi], cfg))
+    return out

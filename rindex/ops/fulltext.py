@@ -2339,3 +2339,52 @@ def _ctq_oracle_sql() -> str:
 
 QUERIES["common_terms_query_documents"] = q_common_terms_query_documents
 ORACLE["common_terms_query_documents"] = _ctq_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# SPLITSHARD — hash-range split, then scatter the query across children
+# ---------------------------------------------------------------------------
+
+
+def q_shard_split_search_documents(sf_dir: str):
+    """SPLITSHARD then distributed search: split the documents index into
+    two hash-range children (`solr/core/src/java/org/apache/solr/cloud/
+    api/collections/SplitShardCmd.java` routed by CompositeIdRouter;
+    segment rewrite per `lucene/misc/.../index/PKIndexSplitter.java`),
+    scatter a TermQuery to BOTH children, and merge the doc sets — the
+    shard fan-out of `HttpShardHandler` with the split as the data-move.
+    The op self-checks the shard contract LOUDLY: a doc served by both
+    children means the hash ranges overlap."""
+    from rindex.merge import split_index
+    from rindex.search import IndexSearcher
+    from rindex.codec import decode_posting
+
+    idx = documents_index(sf_dir)
+    children = [idx + "-split0", idx + "-split1"]
+    split_index(idx, children)
+
+    def term_docs(index_dir: str) -> list[int]:
+        s = IndexSearcher(index_dir)
+        out = []
+        for r in s.readers:
+            row = r.postings_for(["dup"]).get("dup")
+            if row is not None:
+                d, _, _ = decode_posting(row)
+                ids = r.fetch_ids(d.astype(np.int64), ["doc_id"])
+                out.extend(v[0] for v in ids.values())
+        return out
+
+    a, b = term_docs(children[0]), term_docs(children[1])
+    overlap = set(a) & set(b)
+    if overlap:
+        raise AssertionError(
+            f"split children share {len(overlap)} docs — hash ranges overlap"
+        )
+    return pd.DataFrame({"doc_id": sorted(a + b)})
+
+
+QUERIES["shard_split_search_documents"] = q_shard_split_search_documents
+ORACLE["shard_split_search_documents"] = f"""
+    SELECT doc_id FROM documents
+    WHERE list_contains(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}'), 'dup')
+"""

@@ -116,3 +116,33 @@ def write_manifest(index_dir: str, segments: list[dict], config: dict) -> dict:
 def read_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         return json.load(fh)
+
+
+def backup_index(index_dir: str, dest: str) -> dict:
+    """Snapshot the index's COMMITTED state: copy only the files the
+    manifest references (segment dirs of listed (seg_id, gen) + their
+    live-docs sidecars), manifest written LAST so a torn backup is never
+    restorable — the CoreAdmin BACKUP contract (`solr/core/src/java/org/
+    apache/solr/handler/admin/CoreAdminHandler.java` backup via
+    `lucene/replicator`-style file-list snapshots: uncommitted segments
+    and superseded generations are not part of the commit point and are
+    not copied)."""
+    import shutil
+
+    man = read_manifest(index_dir)
+    os.makedirs(dest, exist_ok=True)
+    for m in man["segments"]:
+        src = seg_dir(index_dir, int(m["seg_id"]), int(m.get("gen", 0)))
+        dst = seg_dir(dest, int(m["seg_id"]), int(m.get("gen", 0)))
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+    atomic_write_json(os.path.join(dest, "manifest.json"), man)
+    return man
+
+
+def restore_index(backup_dir: str, dest: str) -> dict:
+    """Restore a backup into a fresh index dir (RESTORE: the backup IS a
+    complete commit point, so restore is a verbatim copy with the
+    manifest last)."""
+    return backup_index(backup_dir, dest)
