@@ -353,3 +353,191 @@ def _features_ig_oracle() -> str:
 
 
 ORACLE["features_ig_documents"] = _features_ig_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes classification (the lucene/classification module)
+# ---------------------------------------------------------------------------
+
+NB_TEST_MOD = 5   # doc_id % 5 == 0 is the held-out set; the rest trains
+NB_TOP = 3        # report the top-3 classes per test doc
+
+
+def q_naive_bayes_classify_documents(sf_dir: str):
+    """SimpleNaiveBayesClassifier (`lucene/classification/src/java/org/
+    apache/lucene/classification/SimpleNaiveBayesClassifier.java`):
+    multinomial naive Bayes whose statistics ARE the index's term stats —
+    class priors from per-class doc counts, p(term|class) from per-class
+    term frequencies with add-1 smoothing over the training vocabulary.
+    Classes are the `source` field; test docs (doc_id % 5 == 0) get their
+    top-3 classes by log posterior.
+
+    Ray shape: ONE training pass emits per-batch (class, term) partial
+    counts -> one groupby sum; the (vocab x classes) log-prob matrix is
+    tiny by construction (it scales with vocabulary, not corpus) and
+    broadcasts once.  Scoring is one pass: per-batch doc-term count
+    matrices via a single searchsorted + bincount, then one matmul
+    against the broadcast matrix.  Tokens outside the training
+    vocabulary are dropped on both sides (the reference ignores terms
+    with no index stats).  Scores round to 6dp before ranking (the
+    repo's rounded-rank discipline: partial-sum order is not part of the
+    contract)."""
+    import ray
+
+    from rindex.analysis import get_analyzer
+    from rindex.ops.dedup import _token_hashes
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        ids = t["doc_id"].to_numpy()
+        train = ids % NB_TEST_MOD != 0
+        srcs = t["source"].to_pylist()
+        toks_per = [az.tokens(x or "") for x in t["text"].to_pylist()]
+        cs, hs, tfs, docs = [], [], [], []
+        for i in np.flatnonzero(train):
+            th = _token_hashes(toks_per[i])
+            u, c = np.unique(th, return_counts=True)
+            hs.append(u)
+            tfs.append(c)
+            cs.extend([srcs[i]] * len(u))
+            docs.append((srcs[i], 1))
+        h = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        tf = np.concatenate(tfs) if tfs else np.empty(0, np.int64)
+        tbl = pa.table(
+            {
+                "c": pa.array(cs, pa.string()),
+                "h": pa.array(h),
+                "tf": pa.array(tf),
+            }
+        )
+        return tbl
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["c", "h"])
+        .sum("tf")
+        .to_pandas()
+    )
+    # priors come from per-class train-doc counts (tiny second aggregate
+    # over the already-pruned id/source columns)
+    import pandas as pd
+
+    meta = read_table(sf_dir, "documents", ["doc_id", "source"]).to_pandas()
+    train_meta = meta[meta["doc_id"] % NB_TEST_MOD != 0]
+    nd_c = train_meta.groupby("source").size()
+    classes = sorted(nd_c.index)
+    priors = np.log(nd_c.loc[classes].to_numpy(np.float64)
+                    / float(len(train_meta)))
+    vocab = np.sort(counts["h"].unique())
+    V = float(len(vocab))
+    tf_mat = np.zeros((len(vocab), len(classes)), np.float64)
+    ci = {c: j for j, c in enumerate(classes)}
+    vi = np.searchsorted(vocab, counts["h"].to_numpy())
+    tf_mat[vi, [ci[c] for c in counts["c"]]] = counts["sum(tf)"].to_numpy(
+        np.float64
+    )
+    Tc = tf_mat.sum(axis=0)
+    lp = np.log((tf_mat + 1.0) / (Tc + V))  # (V x C), identical SQL tree
+    ref = ray.put((vocab, lp, np.asarray(classes, object), priors))
+
+    def score(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        vocab_, lp_, classes_, priors_ = ray.get(ref)
+        ids = t["doc_id"].to_numpy()
+        test = ids % NB_TEST_MOD == 0
+        out_doc, out_rank, out_cls, out_s = [], [], [], []
+        toks_per = [az.tokens(x or "") for x in t["text"].to_pylist()]
+        for i in np.flatnonzero(test):
+            th = _token_hashes(toks_per[i])
+            at = np.searchsorted(vocab_, th)
+            ok = (at < len(vocab_)) & (
+                vocab_[np.minimum(at, len(vocab_) - 1)] == th
+            )
+            if not ok.any():
+                continue
+            cnt = np.bincount(at[ok], minlength=len(vocab_)).astype(
+                np.float64
+            )
+            s = np.round(priors_ + cnt @ lp_, 6)
+            order = np.lexsort((classes_, -s))[:NB_TOP]
+            for rank, j in enumerate(order):
+                out_doc.append(ids[i])
+                out_rank.append(rank)
+                out_cls.append(classes_[j])
+                out_s.append(s[j])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(out_doc, np.int64)),
+                "rank": pa.array(np.asarray(out_rank, np.int32)),
+                "class": pa.array(out_cls, pa.string()),
+                "score": pa.array(np.asarray(out_s, np.float64)),
+            }
+        )
+
+    res = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return res.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+QUERIES["naive_bayes_classify_documents"] = q_naive_bayes_classify_documents
+
+
+def _nb_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, doc_id % {NB_TEST_MOD} = 0 AS is_test,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT DISTINCT term FROM toks WHERE NOT is_test),
+    vtot AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+    pri AS (
+      SELECT source AS c,
+             ln(count(DISTINCT doc_id)::DOUBLE
+                / (SELECT count(DISTINCT doc_id) FROM toks WHERE NOT is_test))
+               AS prior
+      FROM toks WHERE NOT is_test GROUP BY 1
+    ),
+    tfc AS (
+      SELECT source AS c, term, count(*)::DOUBLE AS tf
+      FROM toks WHERE NOT is_test GROUP BY 1, 2
+    ),
+    tc AS (SELECT c, sum(tf) AS T FROM tfc GROUP BY 1),
+    lp AS (
+      SELECT v.term, tc.c,
+             ln((coalesce(tfc.tf, 0) + 1.0) / (tc.T + vtot.v)) AS lp
+      FROM vocab v
+      CROSS JOIN tc
+      CROSS JOIN vtot
+      LEFT JOIN tfc ON tfc.term = v.term AND tfc.c = tc.c
+    ),
+    dt AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM toks WHERE is_test GROUP BY 1, 2
+    ),
+    scores AS (
+      SELECT dt.doc_id, lp.c,
+             round(max(pri.prior) + sum(dt.tf * lp.lp), 6) AS s
+      FROM dt
+      JOIN lp USING (term)
+      JOIN pri ON pri.c = lp.c
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, c, s,
+             (row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY s DESC, c ASC) - 1)::INTEGER
+               AS rank
+      FROM scores
+    )
+    SELECT doc_id, rank, c AS class, s AS score
+    FROM ranked WHERE rank < {NB_TOP}
+    ORDER BY doc_id, rank
+    """
+
+
+ORACLE["naive_bayes_classify_documents"] = _nb_oracle_sql()

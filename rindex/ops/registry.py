@@ -43,6 +43,7 @@ _SAMPLE_FIRST = [
     # (3) new this round — newest (least-verified) first
     "substring_dedup_documents", "monitor_percolate_documents",
     "sessionize_events", "shard_split_search_documents",
+    "naive_bayes_classify_documents",
     "common_terms_query_documents", "complex_phrase_documents",
     "dsir_weights_documents",
     "stream_expr_search_rollup", "stream_expr_update_search",
