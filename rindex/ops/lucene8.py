@@ -1,0 +1,454 @@
+"""Lucene-8-era query/index features: FunctionRangeQuery (frange),
+PayloadScoreQuery, FeatureField rank features, ReversedWildcard leading
+wildcards, and index-time sorting with early-terminating top-k.
+
+Reference surfaces:
+- frange QParser: `solr/core/src/java/org/apache/solr/search/
+  FunctionRangeQParserPlugin.java` + `FunctionRangeQuery.java` — filter
+  docs by a function-query value range.
+- PayloadScoreQuery: `lucene/queries/src/java/org/apache/lucene/queries/
+  payloads/PayloadScoreQuery.java` + Solr's `{!payload_score}` —
+  aggregate per-occurrence payloads at matching positions.
+- FeatureField: `lucene/core/src/java/org/apache/lucene/document/
+  FeatureField.java` (Lucene 8's static-rank channel) — a per-doc feature
+  combined into the score through a saturation function
+  `S(f) = f / (f + pivot)`.
+- ReversedWildcardFilterFactory: `solr/core/src/java/org/apache/solr/
+  analysis/ReversedWildcardFilterFactory.java` — leading wildcards served
+  as PREFIX scans over a reversed term dictionary instead of a full
+  dictionary regex scan.
+- Index sorting + early termination: `lucene/core/src/java/org/apache/
+  lucene/index/IndexWriterConfig.java#setIndexSort` +
+  `search/TopFieldCollector.java` (canEarlyTerminate) — segments sorted by
+  the query sort let each leaf collector stop after k docs.
+
+Scale notes: frange is ONE pruned-column scan with a vectorized Arrow
+expression per batch.  Payload scoring reads ONLY the queried term's
+positional postings per segment (never the corpus) and reduces runs with
+np.add.reduceat.  The rank-feature op keeps the full match set distributed
+(score tasks per segment) and joins the feature column with a
+hash-partitioned Dataset.join — no corpus-sized broadcast.  The reversed
+dictionary is a PERSISTED artifact (fingerprint-keyed like the ANN
+layouts), sorted by reversed term so parquet row-group stats prune the
+prefix probe; building it is one dictionary-columns-only pass.  The
+index-sort layout sorts each segment file internally by the sort key with
+small row groups; the top-k query reads row groups SEQUENTIALLY per file
+and stops at k rows (Lucene's per-leaf early termination), so IO per
+segment is ceil(k / rows_per_rg) row groups regardless of segment size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from rindex.ops.analysis_ext import TOKEN_SQL_RE
+from rindex.ops.util import cache_dir, read_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# frange — FunctionRangeQuery
+# ---------------------------------------------------------------------------
+
+FRANGE_L, FRANGE_U = 0.70, 0.80  # recip(n_chars,1,1000,1000) in [l, u]
+
+
+def q_frange_filter_documents(sf_dir: str):
+    """{!frange l=0.70 u=0.80}recip(n_chars,1,1000,1000): docs whose
+    function value 1000/(n_chars+1000) lies in [l, u] (both ends included,
+    Solr's default incl=true), returning doc_id + the function value.
+    ONE pruned scan; the function and range test are Arrow kernels."""
+
+    def f(t: pa.Table) -> pa.Table:
+        fval = pc.divide(1000.0, pc.add(pc.cast(t["n_chars"], pa.float64()),
+                                        1000.0))
+        keep = pc.and_(pc.greater_equal(fval, FRANGE_L),
+                       pc.less_equal(fval, FRANGE_U))
+        return pa.table(
+            {"doc_id": pc.filter(t["doc_id"], keep),
+             "fval": pc.round(pc.filter(fval, keep), 6)}
+        )
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["frange_filter_documents"] = q_frange_filter_documents
+ORACLE["frange_filter_documents"] = f"""
+    SELECT doc_id, round(1000.0 / (n_chars + 1000.0), 6) AS fval
+    FROM documents
+    WHERE 1000.0 / (n_chars + 1000.0) BETWEEN {FRANGE_L} AND {FRANGE_U}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PayloadScoreQuery — payload = 1/(1+position), func=sum
+# ---------------------------------------------------------------------------
+
+PAYLOAD_TERM = "spark"
+
+
+def q_payload_score_documents(sf_dir: str):
+    """PayloadScoreQuery({!payload_score f=text v=spark func=sum}):
+    index-time payload at each position p is 1/(1+p) (a position-decay
+    payload assigned by the indexing chain — DelimitedPayload with a
+    derived weight); the query sums payloads over the term's occurrences
+    per doc.  Reads ONLY the term's positional postings per segment;
+    per-doc run sums via ONE np.add.reduceat over the concatenated
+    position array."""
+    from rindex.ops.fulltext import documents_index_pos
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    rows: list[tuple] = []
+    for reader in s.readers:
+        got = reader.positions_for([PAYLOAD_TERM])[PAYLOAD_TERM]
+        if got is None:
+            continue
+        docs, tfs, pos = got[:3]
+        docs = np.asarray(docs, dtype=np.int64)
+        tfs = np.asarray(tfs, dtype=np.int64)
+        payload = 1.0 / (1.0 + np.asarray(pos, dtype=np.float64))
+        starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+        sums = np.add.reduceat(payload, starts)
+        live = reader.drop_deleted(docs)
+        if len(live) < len(docs):
+            m = np.isin(docs, live)
+            docs, sums = docs[m], sums[m]
+        if len(docs) == 0:
+            continue
+        ids = reader.fetch_ids(docs, s.id_cols)
+        rows.extend(
+            (*ids[int(d)], round(float(v), 6)) for d, v in zip(docs, sums)
+        )
+    rows.sort(key=lambda r: r[:-1])
+    return pd.DataFrame(
+        {"doc_id": [r[0] for r in rows],
+         "payload_score": pd.array([r[1] for r in rows], dtype="float64")}
+    )
+
+
+QUERIES["payload_score_documents"] = q_payload_score_documents
+# generate_subscripts is 1-based: ord = pos + 1, payload = 1/(1+pos) = 1/ord
+ORACLE["payload_score_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents)
+    )
+    SELECT doc_id, round(sum(1.0 / ord), 6) AS payload_score
+    FROM toks WHERE term = '{PAYLOAD_TERM}'
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# FeatureField — BM25 + w * saturation(feature)
+# ---------------------------------------------------------------------------
+
+FEATURE_QUERY = "hash join"
+FEATURE_PIVOT = 6.0
+FEATURE_WEIGHT = 2.0
+FEATURE_K = 10
+
+
+def q_rank_feature_topk_documents(sf_dir: str):
+    """FeatureField static-rank scoring: final = BM25(q) + w * f/(f+pivot)
+    with f = ln(1+n_chars) (the doc's stored rank feature).  The full OR
+    match set stays distributed (per-segment score tasks); the feature
+    column joins in via a hash-partitioned Dataset.join on doc_id (pruned
+    2-column read of the feature side — no corpus broadcast); top-k is a
+    small sort on the combined score."""
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    matches = s.score_matches_dataset(FEATURE_QUERY, mode="or")
+    feats = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    joined = matches.join(
+        feats, "inner", num_partitions=8, on=("doc_id",)
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        f = pc.ln(pc.add(pc.cast(t["n_chars"], pa.float64()), 1.0))
+        sat = pc.divide(f, pc.add(f, FEATURE_PIVOT))
+        total = pc.add(t["score"], pc.multiply(sat, FEATURE_WEIGHT))
+        return pa.table(
+            {"doc_id": t["doc_id"], "rf_score": pc.round(total, 6)}
+        )
+
+    out = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .sort(["rf_score", "doc_id"], descending=[True, False])
+        .limit(FEATURE_K)
+        .to_pandas()
+    )
+    out["rank"] = np.arange(len(out), dtype=np.int32)
+    return out[["rank", "doc_id", "rf_score"]]
+
+
+def _rank_feature_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    terms = FEATURE_QUERY.split()
+    tlist = ",".join(f"('{t}')" for t in dict.fromkeys(terms))
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES {tlist}),
+    bm25 AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q JOIN tf USING (term) JOIN df USING (term)
+      JOIN lossy USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    combined AS (
+      SELECT b.doc_id,
+             round(b.s + {FEATURE_WEIGHT} *
+                   (ln(1.0 + d.n_chars) /
+                    (ln(1.0 + d.n_chars) + {FEATURE_PIVOT})), 6) AS rf_score
+      FROM bm25 b JOIN documents d USING (doc_id)
+      WHERE b.s > 0
+    )
+    SELECT (row_number() OVER (ORDER BY rf_score DESC, doc_id ASC)
+            - 1)::INTEGER AS rank, doc_id, rf_score
+    FROM combined
+    ORDER BY rf_score DESC, doc_id ASC LIMIT {FEATURE_K}
+    """
+
+
+QUERIES["rank_feature_topk_documents"] = q_rank_feature_topk_documents
+ORACLE["rank_feature_topk_documents"] = _rank_feature_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ReversedWildcard — leading wildcard as a reversed-dictionary prefix scan
+# ---------------------------------------------------------------------------
+
+LEADING_SUFFIX = "er"   # *er -> customer, filter, order
+LEADING_LIMIT = 100
+
+
+def _reversed_dict_path(sf_dir: str) -> str:
+    """Build (once, manifest-fingerprint-keyed) the reversed term
+    dictionary: distinct index terms reversed, SORTED by the reversed
+    form, written with small row groups so a prefix probe prunes via
+    row-group stats — the persisted analog of indexing reversed tokens."""
+    import hashlib
+    import json
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    fp = hashlib.md5(json.dumps(
+        [(s["seg_id"], int(s.get("gen", 0))) for s in man["segments"]]
+    ).encode()).hexdigest()[:12]
+    out_dir = cache_dir(sf_dir, "revdict") + f"-{fp}"
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    import ray.data as rd
+
+    paths = [
+        os.path.join(seg_dir(idx, s["seg_id"], int(s.get("gen", 0))),
+                     "postings.parquet")
+        for s in man["segments"]
+    ]
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(paths, columns=["term"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"rterm": pc.utf8_reverse(t["term"]),
+                         "term": t["term"]})
+
+    tbl = (
+        ds.groupby("term")  # distinct across segments (partial+final agg)
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(rev, batch_format="pyarrow")
+        .sort("rterm")
+        .to_pandas()[["rterm", "term"]]
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(tbl, preserve_index=False),
+        os.path.join(out_dir, "revdict.parquet"),
+        row_group_size=4096,
+    )
+    with open(marker, "w") as fh:
+        fh.write(fp)
+    return out_dir
+
+
+def q_leading_wildcard_documents(sf_dir: str):
+    """ReversedWildcardFilter leading wildcard '*{suffix}': the reversed
+    dictionary turns the suffix into the PREFIX '{xiffus}' — a sorted
+    range probe ([p, p + chr(0x10FFFF)]) that parquet row-group stats
+    prune, never a full-dictionary regex scan.  Matched terms feed the
+    same constant-score OR match-set pipeline as WildcardQuery."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    rev_dir = _reversed_dict_path(sf_dir)
+    pref = LEADING_SUFFIX[::-1]
+    hi = pref + chr(0x10FFFF)
+    probe = rd.read_parquet(
+        os.path.join(rev_dir, "revdict.parquet"),
+        filter=(pc.field("rterm") >= pref) & (pc.field("rterm") < hi),
+    )
+    terms = sorted(probe.to_pandas()["term"].tolist())
+    if not terms:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    ds = s.score_matches_dataset(" ".join(terms), mode="or")
+    out = (
+        ds.groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .sort("doc_id")
+        .limit(LEADING_LIMIT)
+        .to_pandas()
+    )
+    out["score"] = 1.0
+    return out[["doc_id", "score"]]
+
+
+QUERIES["leading_wildcard_documents"] = q_leading_wildcard_documents
+ORACLE["leading_wildcard_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    )
+    SELECT doc_id, 1.0 AS score
+    FROM (SELECT DISTINCT doc_id FROM toks
+          WHERE term LIKE '%{LEADING_SUFFIX}')
+    ORDER BY doc_id LIMIT {LEADING_LIMIT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Index sorting + early-terminating top-k
+# ---------------------------------------------------------------------------
+
+SORT_K = 50
+SORT_RG = 4096  # rows per row group in the sorted layout
+SORT_SEGMENTS = 8
+
+
+def _sorted_layout_path(sf_dir: str) -> str:
+    """Build (once) the index-sorted events layout: {SORT_SEGMENTS} segment
+    files, each internally sorted by (ts, event_id) with {SORT_RG}-row row
+    groups — IndexWriterConfig.setIndexSort's on-disk shape.  Segment
+    assignment is hash(event_id) % n (doc-partitioned, like the text
+    index), sort holds WITHIN a segment, so per-leaf early termination
+    applies independently per file."""
+    out_dir = cache_dir(sf_dir, "sorted-events")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        seg = pc.cast(
+            pc.bit_wise_and(t["event_id"], SORT_SEGMENTS - 1), pa.int32()
+        )
+        return t.append_column("seg", seg)
+
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    def write_seg(df: pd.DataFrame) -> pd.DataFrame:
+        seg = int(df["seg"].iloc[0])
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        pq.write_table(
+            pa.Table.from_pandas(df[["event_id", "ts"]],
+                                 preserve_index=False),
+            os.path.join(tmp, f"seg{seg}.parquet"),
+            row_group_size=SORT_RG,
+        )
+        return pd.DataFrame({"seg": [seg], "rows": [len(df)]})
+
+    (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("seg")
+        .map_groups(write_seg, batch_format="pandas")
+        .materialize()
+    )
+    if os.path.exists(out_dir):  # stale partial build: replace atomically
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir
+
+
+def sorted_topk_events(sf_dir: str, k: int = SORT_K):
+    """Early-terminating top-k by the index sort key: per segment file,
+    read row groups IN ORDER and stop once k rows are in hand (reads
+    ceil(k / SORT_RG) row groups per segment — 1 for the defaults —
+    regardless of segment size), then one tiny merge of n_seg * k rows.
+    Returns (DataFrame, rgs_read, rgs_total) so tests can assert the IO
+    pruning."""
+    import ray
+
+    layout = _sorted_layout_path(sf_dir)
+    files = sorted(
+        os.path.join(layout, f) for f in os.listdir(layout)
+        if f.endswith(".parquet")
+    )
+
+    @ray.remote
+    def head_k(path: str, k: int):
+        pf = pq.ParquetFile(path)
+        parts, got, rgs = [], 0, 0
+        for rg in range(pf.num_row_groups):
+            t = pf.read_row_group(rg, columns=["event_id", "ts"])
+            parts.append(t)
+            got += t.num_rows
+            rgs += 1
+            if got >= k:
+                break  # early termination: segment is index-sorted
+        return pa.concat_tables(parts).slice(0, k), rgs, pf.num_row_groups
+
+    outs = ray.get([head_k.remote(p, k) for p in files])
+    merged = pa.concat_tables([o[0] for o in outs]).to_pandas()
+    merged = merged.sort_values(["ts", "event_id"], kind="mergesort").head(k)
+    return merged.reset_index(drop=True), sum(o[1] for o in outs), sum(
+        o[2] for o in outs
+    )
+
+
+def q_index_sort_topk_events(sf_dir: str):
+    """TopFieldCollector with canEarlyTerminate over the index-sorted
+    layout: oldest {SORT_K} events by (ts, event_id)."""
+    df, _rgs_read, _rgs_total = sorted_topk_events(sf_dir)
+    return df
+
+
+QUERIES["index_sort_topk_events"] = q_index_sort_topk_events
+ORACLE["index_sort_topk_events"] = f"""
+    SELECT event_id, ts FROM events
+    ORDER BY ts, event_id LIMIT {SORT_K}
+"""
