@@ -9,16 +9,16 @@ def _modules():
     # would pass vacuously on the remainder
     from rindex.ops import (
         analysis_ext, ann, atomic, dedup, dismax, evaluators, facets,
-        fulltext, livedocs, loaders, lucene8, ml, monitor, multimodal,
-        multiterm, nested, relational, search_ext, sketches, sqlhandler,
-        streamlang, streams, textstats,
+        fulltext, intervals, livedocs, loaders, lucene8, ml, monitor,
+        multimodal, multiterm, nested, relational, search_ext, sketches,
+        sqlhandler, streamlang, streams, textstats,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
         nested, dismax, livedocs, facets, atomic, multiterm, streamlang,
-        ml, sqlhandler, monitor, lucene8,
+        ml, sqlhandler, monitor, lucene8, intervals,
     ]
 
 
