@@ -66,6 +66,7 @@ _SAMPLE_FIRST = [
     "zipf_fit_documents", "ann_recall_mrr", "corpus_drift_documents", "ann_ndcg",
     "span_near_unordered_documents", "span_not_documents",
     "kstem_top_terms_documents",
+    "blended_term_topk_documents", "bm25f_combined_topk_documents",
     "outer_hash_join_customer_orders", "full_outer_join_customer_orders",
     "eval_let_matrix_events", "eval_ks_uniform_lineitem",
     "stream_expr_outer_join", "stream_expr_complement",

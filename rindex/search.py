@@ -2104,6 +2104,7 @@ class DisMaxSearcher:
         qf: dict[str, float] | None = None,
         tie: float = 0.0,
         similarity: str = "bm25",
+        blend_df: bool = False,
     ):
         if not field_dirs:
             raise ValueError("DisMaxSearcher needs at least one field")
@@ -2114,6 +2115,13 @@ class DisMaxSearcher:
         }
         self.qf = {f: float((qf or {}).get(f, 1.0)) for f in self.fields}
         self.tie = float(tie)
+        # BlendedTermQuery (`lucene/core/src/java/org/apache/lucene/search/
+        # BlendedTermQuery.java#blend`): adjust every field's per-term df up
+        # to the MAX df across the fields before idf, so a term scores with
+        # the same rarity everywhere and no field dominates just because
+        # the term is sparse there (the ES cross_fields problem).  A field
+        # still only contributes where it actually CONTAINS the term.
+        self.blend_df = bool(blend_df)
         first = self.searchers[self.fields[0]]
         self.id_cols = first.id_cols
         self.analyzer_name = first.analyzer_name
@@ -2143,12 +2151,19 @@ class DisMaxSearcher:
                 order.append(t)
             mult[t] = mult.get(t, 0) + 1
         # per-field stats: idf from the FIELD's df and doc count
+        # (blend_df=True replaces each field's df with the cross-field max,
+        # keeping the present-in-field gate on the FIELD's own df)
+        dfs = {f: self.searchers[f].global_df(order) for f in self.fields}
+        bdf = {t: max(dfs[f][t] for f in self.fields) for t in order}
         idf: dict[str, dict[str, float]] = {}
         for f in self.fields:
             s = self.searchers[f]
-            df = s.global_df(order)
+            df = dfs[f]
             idf[f] = {
-                t: float(s.sim.term_weight(df[t], s.n_docs)) * self.qf[f]
+                t: float(
+                    s.sim.term_weight(bdf[t] if self.blend_df else df[t],
+                                      s.n_docs)
+                ) * self.qf[f]
                 for t in order
                 if df[t] > 0
             }

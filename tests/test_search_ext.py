@@ -262,3 +262,89 @@ def test_explain_matches_search_score(ray_session, tmp_path):
     # non-matching doc
     miss = s.explain("spark", (10**9,))
     assert not miss["matched"] and miss["total"] == 0.0
+
+
+def test_blended_term_df_blend(ray_session, tmp_path):
+    """BlendedTermQuery df blending: (1) when both fields are the SAME
+    index the blend is a no-op (df already equal) — bit-identical results;
+    (2) when the fields' dfs differ, blending lowers the sparse field's
+    idf to the max-df field's, so the blended score is <= the unblended
+    one wherever the sparse field provided the max."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rindex.build import build_index
+    from rindex.search import DisMaxSearcher
+
+    body = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "apple banana banana",
+                    "banana cherry",
+                    "apple cherry",
+                    "cherry cherry date",
+                ]
+            ),
+        }
+    )
+    title = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["apple", "banana", "cherry", "date"]),
+        }
+    )
+    dirs = {}
+    for name, t in (("body", body), ("title", title)):
+        idx = str(tmp_path / f"blend-{name}")
+        build_index(
+            rd.from_arrow(t), idx, num_segments=2, mode="local",
+            id_cols=("doc_id",), text_col="text", keep_cols=(),
+        )
+        dirs[name] = idx
+
+    # (1) same index on both slots: blend must change nothing
+    same = {"a": dirs["body"], "b": dirs["body"]}
+    r_plain = DisMaxSearcher(same, tie=0.3).search("apple banana", k=4)
+    r_blend = DisMaxSearcher(same, tie=0.3, blend_df=True).search(
+        "apple banana", k=4
+    )
+    assert r_plain == r_blend
+
+    # (2) df(title, apple)=1 < df(body, apple)=2 -> blended df=2 lowers
+    # the title idf; with tie=0 the per-doc score is the max over fields,
+    # so no doc's blended score may exceed its unblended score, and doc 0
+    # (title match 'apple', the sparse-field max) must strictly drop
+    plain = dict()
+    for _r, did, sc in DisMaxSearcher(dirs, tie=0.0).search("apple", k=4):
+        plain[did] = sc
+    blend = dict()
+    for _r, did, sc in DisMaxSearcher(dirs, tie=0.0, blend_df=True).search(
+        "apple", k=4
+    ):
+        blend[did] = sc
+    assert set(blend) == set(plain)
+    for did, sc in blend.items():
+        assert sc <= plain[did] + 1e-12
+    assert blend[0] < plain[0]
+
+
+def test_bm25f_combined_derivation():
+    """The BM25F pseudo-field encodes integer field weights as token
+    repetition: title (first 8 tokens) x2 + body (all tokens) x1."""
+    import pyarrow as pa
+
+    from rindex.ops.dismax import _add_combined
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array(["One two three four five six seven eight nine ten"]),
+        }
+    )
+    out = _add_combined(t)
+    toks = "one two three four five six seven eight".split()
+    body = toks + ["nine", "ten"]
+    assert out["ftext"].to_pylist() == [" ".join(toks + toks + body)]
+    assert out["doc_id"].to_pylist() == [7]
