@@ -11,14 +11,14 @@ def _modules():
         analysis_ext, ann, atomic, dedup, dismax, evaluators, facets,
         fulltext, intervals, livedocs, loaders, lucene8, ml, monitor,
         multimodal, multiterm, nested, relational, search_ext, sketches,
-        sqlhandler, streamlang, streams, textstats,
+        sqlhandler, streamlang, streams, textstats, transcripts,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
         nested, dismax, livedocs, facets, atomic, multiterm, streamlang,
-        ml, sqlhandler, monitor, lucene8, intervals,
+        ml, sqlhandler, monitor, lucene8, intervals, transcripts,
     ]
 
 

@@ -1,0 +1,536 @@
+"""Conversation-level operators over the transcripts-shaped view.
+
+The engine's north-star input is a Parquet table of multi-turn transcripts
+with columns (conv_id, turn_idx, role, text, tool, ts) — the shape
+rindex/fixtures.py synthesizes and rindex/build.py indexes.  The driver's
+oracle views expose only the ten TPC-H-ish tables, so these ops derive the
+SAME deterministic transcript structure from `documents` on BOTH sides
+(Ray and DuckDB) — pure arithmetic on doc_id, no randomness:
+
+    conv_id  = doc_id // 5                 (5-turn conversations)
+    turn_idx = doc_id % 5
+    role     = turn_idx even ? 'user' : 'assistant'
+    tool     = doc_id%7==0 ? 'search' : doc_id%7==3 ? 'bash' : ''
+
+Every transform below is the conversation-granularity analog of an
+operation the reference applies at document granularity:
+
+ * flatten   — stored-field assembly / ExportWriter row render
+   (`solr/core/src/java/org/apache/solr/handler/export/ExportWriter.java`)
+   as a chat-template render `role + ': ' + text` joined by turn order.
+ * stats     — per-group StatsComponent
+   (`solr/core/src/java/org/apache/solr/handler/component/
+   StatsComponent.java`) keyed by conversation.
+ * window    — positional context assembly: each assistant turn paired
+   with its preceding turn (lag-1 within conversation, stable turn order).
+ * dedup     — SignatureUpdateProcessor at conversation granularity
+   (`solr/core/src/java/org/apache/solr/update/processor/
+   SignatureUpdateProcessorFactory.java`): md5 over the turn-ordered
+   lowercased text stream.
+ * search    — conversation retrieval by max-turn pooling of BM25 turn
+   scores (MaxP passage pooling, Dai & Callan 2019; the reference analog
+   is block-join score mode ScoreMode.Max,
+   `lucene/join/src/java/org/apache/lucene/search/join/
+   ToParentBlockJoinQuery.java`).
+ * renumber  — stable turn re-ordering invariant: drop tool-bearing turns,
+   renumber densely per conversation with turn order preserved.
+
+Partitioning: conversations are tiny groups, so every group step buckets
+conv_id % 127 first (one reduce task owns ~1/127 of the CONVERSATIONS, per
+the repo's coarse-bucket convention) — at 10^12 turns raise the modulus,
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rindex.ops.util import read_table
+from rindex.schema import B, K1
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+TURNS_PER_CONV = 5
+N_BUCKETS = 127
+
+# Shared CTE — the documents -> transcripts mapping, verbatim mirror of
+# _derive() below.  Any edit must change both.
+T_CTE = f"""transcripts AS (
+      SELECT doc_id,
+             doc_id // {TURNS_PER_CONV} AS conv_id,
+             (doc_id % {TURNS_PER_CONV})::INT AS turn_idx,
+             CASE WHEN (doc_id % {TURNS_PER_CONV}) % 2 = 0
+                  THEN 'user' ELSE 'assistant' END AS role,
+             CASE WHEN doc_id % 7 = 0 THEN 'search'
+                  WHEN doc_id % 7 = 3 THEN 'bash'
+                  ELSE '' END AS tool,
+             text
+      FROM documents
+    )"""
+
+
+def _derive(t: pa.Table) -> pa.Table:
+    """Append conv_id/turn_idx/role/tool derived from doc_id (the Ray-side
+    mirror of T_CTE).  Vectorized numpy on the zero-copy doc_id column."""
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    conv = did // TURNS_PER_CONV
+    ti = (did % TURNS_PER_CONV).astype(np.int32)
+    role = np.where(ti % 2 == 0, "user", "assistant")
+    m7 = did % 7
+    tool = np.where(m7 == 0, "search", np.where(m7 == 3, "bash", ""))
+    t = t.append_column("conv_id", pa.array(conv, pa.int64()))
+    t = t.append_column("turn_idx", pa.array(ti, pa.int32()))
+    t = t.append_column("role", pa.array(role, pa.string()))
+    t = t.append_column("tool", pa.array(tool, pa.string()))
+    return t
+
+
+def _conv_bucket(t: pa.Table) -> pa.Table:
+    """Coarse shuffle key: conv_id % N_BUCKETS (int key — direct modulus is
+    stable across workers, no hashing needed)."""
+    gb = (t["conv_id"].to_numpy(zero_copy_only=False) % N_BUCKETS).astype(
+        np.int32
+    )
+    return t.append_column("_gb", pa.array(gb))
+
+
+def _conv_view(sf_dir: str, columns=("doc_id", "text")):
+    ds = read_table(sf_dir, "documents", list(columns))
+    return ds.map_batches(_derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- conversation flatten: chat-template render ---------------------------
+
+
+def q_conv_flatten_documents(sf_dir: str):
+    """Per-conversation chat render: 'role: text' lines joined by turn
+    order, plus turn count and rendered length.  One shuffle (conv bucket);
+    each reduce task renders ~1/127 of the conversations vectorized."""
+    ds = _conv_view(sf_dir).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def flatten(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        line = g["role"] + ": " + g["text"].fillna("")
+        grp = line.groupby(g["conv_id"].to_numpy(), sort=True)
+        rendered = grp.agg("\n".join)
+        n_turns = grp.size()
+        return pd.DataFrame(
+            {
+                "conv_id": rendered.index.to_numpy(np.int64),
+                "n_turns": n_turns.to_numpy(np.int64),
+                "rendered": rendered.to_numpy(object),
+                "n_chars": np.fromiter(
+                    (len(x) for x in rendered), np.int64, len(rendered)
+                ),
+            }
+        )
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: flatten(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_flatten_documents"] = q_conv_flatten_documents
+ORACLE["conv_flatten_documents"] = f"""
+    WITH {T_CTE},
+    flat AS (
+      SELECT conv_id,
+             count(*)::BIGINT AS n_turns,
+             string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                        ORDER BY turn_idx) AS rendered
+      FROM transcripts GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, rendered, length(rendered)::BIGINT AS n_chars
+    FROM flat
+"""
+
+
+# --- per-conversation stats ------------------------------------------------
+
+
+def _stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+    return df.groupby("conv_id", as_index=False).agg(
+        n_turns=("conv_id", "size"),
+        n_user=("is_user", "sum"),
+        n_assistant=("is_assistant", "sum"),
+        n_tool_calls=("is_tool", "sum"),
+        total_chars=("n_chars", "sum"),
+    )
+
+
+def q_conv_stats_documents(sf_dir: str):
+    """Per-conversation stats (StatsComponent keyed by conversation):
+    turn/role counts, tool-call count, char totals, mean turn length.
+    Partial aggregation inside map_batches, ONE small combine shuffle."""
+    import pyarrow.compute as pc
+
+    def indicators(t: pa.Table) -> pa.Table:
+        t = _derive(t)
+        role = t["role"]
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "is_user": pc.cast(pc.equal(role, "user"), pa.int64()),
+                "is_assistant": pc.cast(
+                    pc.equal(role, "assistant"), pa.int64()
+                ),
+                "is_tool": pc.cast(pc.not_equal(t["tool"], ""), pa.int64()),
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.coalesce(t["text"], "")), pa.int64()
+                ),
+            }
+        )
+
+    ds = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(indicators, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_stats_partial, batch_format="pandas")
+        .map_batches(_conv_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"),
+            n_user=("n_user", "sum"),
+            n_assistant=("n_assistant", "sum"),
+            n_tool_calls=("n_tool_calls", "sum"),
+            total_chars=("total_chars", "sum"),
+        )
+        out["avg_turn_chars"] = (
+            out["total_chars"].to_numpy(np.float64)
+            / out["n_turns"].to_numpy(np.int64)
+        )
+        return out
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: combine(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_stats_documents"] = q_conv_stats_documents
+ORACLE["conv_stats_documents"] = f"""
+    WITH {T_CTE}
+    SELECT conv_id,
+           count(*)::BIGINT AS n_turns,
+           sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+           sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+             AS n_assistant,
+           sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)::BIGINT
+             AS n_tool_calls,
+           sum(length(coalesce(text, '')))::BIGINT AS total_chars,
+           sum(length(coalesce(text, '')))::DOUBLE / count(*)
+             AS avg_turn_chars
+    FROM transcripts GROUP BY conv_id
+"""
+
+
+# --- turn-window context assembly ------------------------------------------
+
+
+def q_conv_window_context_documents(sf_dir: str):
+    """Each assistant turn paired with its immediately preceding turn
+    (lag-1 within the conversation under stable turn order) — the context-
+    assembly step of a training-data pipeline over transcripts."""
+    ds = _conv_view(sf_dir).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        same = g["conv_id"].eq(g["conv_id"].shift(1))
+        prev_role = g["role"].shift(1).where(same)
+        prev_text = g["text"].shift(1).where(same)
+        m = g["role"].eq("assistant").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64)[m],
+                "conv_id": g["conv_id"].to_numpy(np.int64)[m],
+                "turn_idx": g["turn_idx"].to_numpy(np.int32)[m],
+                "prev_role": prev_role.to_numpy(object)[m],
+                "prev_text": prev_text.to_numpy(object)[m],
+                "text": g["text"].to_numpy(object)[m],
+            }
+        )
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: window(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_window_context_documents"] = q_conv_window_context_documents
+ORACLE["conv_window_context_documents"] = f"""
+    WITH {T_CTE},
+    w AS (
+      SELECT doc_id, conv_id, turn_idx, role, text,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev_role,
+             lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev_text
+      FROM transcripts
+    )
+    SELECT doc_id, conv_id, turn_idx, prev_role, prev_text, text
+    FROM w WHERE role = 'assistant'
+"""
+
+
+# --- conversation-level exact dedup -----------------------------------------
+
+
+def q_conv_dedup_documents(sf_dir: str):
+    """Conversation-granularity exact dedup: md5 over the turn-ordered
+    lowercased text stream (chr(31) joints), keep the lowest conv_id per
+    fingerprint.  Two small shuffles: conv bucket to assemble fingerprints,
+    fingerprint bucket to elect survivors."""
+    ds = _conv_view(sf_dir).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fingerprint(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        low = g["text"].fillna("").str.lower()
+        joined = low.groupby(g["conv_id"].to_numpy(), sort=True).agg(
+            "\x1f".join
+        )
+        fps = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in joined
+        ]
+        return pd.DataFrame(
+            {
+                "conv_id": joined.index.to_numpy(np.int64),
+                "fp": np.array(fps, dtype=object),
+            }
+        )
+
+    fp = ds.groupby("_gb").map_groups(
+        lambda g: fingerprint(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+    def fp_bucket(t: pa.Table) -> pa.Table:
+        gb = np.array(
+            [
+                int(f[:8], 16) % N_BUCKETS
+                for f in t["fp"].to_pylist()
+            ],
+            dtype=np.int32,
+        )
+        return t.append_column("_gb", pa.array(gb))
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("fp", as_index=False).agg(
+            keep_conv_id=("conv_id", "min"), n_convs=("conv_id", "size")
+        )
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        return out
+
+    return (
+        fp.map_batches(fp_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(lambda g: elect(g.drop(columns=["_gb"])),
+                    batch_format="pandas")
+    )
+
+
+QUERIES["conv_dedup_documents"] = q_conv_dedup_documents
+ORACLE["conv_dedup_documents"] = f"""
+    WITH {T_CTE},
+    fp AS (
+      SELECT conv_id,
+             md5(string_agg(lower(coalesce(text, '')), chr(31)
+                            ORDER BY turn_idx)) AS fp
+      FROM transcripts GROUP BY conv_id
+    )
+    SELECT fp, min(conv_id)::BIGINT AS keep_conv_id,
+           count(*)::BIGINT AS n_convs
+    FROM fp GROUP BY fp
+"""
+
+
+# --- conversation retrieval: max-turn BM25 pooling --------------------------
+
+CONV_QUERIES: list[tuple[str, str]] = [
+    ("v00", "spark hash"),
+    ("v01", "filter"),
+    ("v02", "scan join"),
+]
+CONV_TOP_K = 10
+
+
+def q_conv_search_topk_documents(sf_dir: str):
+    """Conversation retrieval: BM25 turn scores max-pooled per conversation
+    (MaxP pooling / block-join ScoreMode.Max), top-10 conversations per
+    query.  Exact: score_matches_dataset streams ALL matching turn scores
+    as a Dataset (never the driver), the max-pool is a per-batch partial
+    max + one tiny combine, and only pooled rows reach the ranking."""
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand")
+    frames = []
+    for qid, text in CONV_QUERIES:
+        ds = searcher.score_matches_dataset(text, mode="or")
+
+        def pool(df: pd.DataFrame, _qid=qid) -> pd.DataFrame:
+            conv = df["doc_id"].to_numpy(np.int64) // TURNS_PER_CONV
+            out = (
+                pd.DataFrame({"conv_id": conv, "s": df["score"].to_numpy()})
+                .groupby("conv_id", as_index=False)["s"]
+                .max()
+            )
+            out.insert(0, "query_id", _qid)
+            return out
+
+        pooled = ds.map_batches(pool, batch_format="pandas")
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(["query_id", "conv_id"], as_index=False)["s"].max()
+            # partial top-k per bucket: the global top-10 pooled convs are
+            # contained in the union of per-bucket top-10s
+            out = out.sort_values(
+                ["s", "conv_id"], ascending=[False, True], kind="mergesort"
+            ).head(CONV_TOP_K)
+            return out
+
+        top = (
+            pooled.map_batches(
+                _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("_gb")
+            .map_groups(
+                lambda g: combine(g.drop(columns=["_gb"])),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+        frames.append(top)
+
+    allq = pd.concat(frames, ignore_index=True)
+    allq = allq.sort_values(
+        ["query_id", "s", "conv_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    allq = allq.groupby("query_id", sort=False).head(CONV_TOP_K)
+    allq["rank"] = (
+        allq.groupby("query_id", sort=False).cumcount().astype(np.int32)
+    )
+    allq["score"] = allq["s"].round(6)
+    return allq[["query_id", "rank", "conv_id", "score"]].reset_index(
+        drop=True
+    )
+
+
+def _conv_search_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE, norm_vals_sql
+
+    norm_vals = norm_vals_sql()
+    q_rows = ",".join(
+        f"('{qid}', '{t}')"
+        for qid, text in CONV_QUERIES
+        for t in text.split()
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+             (SELECT sum(dl) FROM dl)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    norm_table AS (SELECT unnest([{norm_vals}]) AS v),
+    lossy AS (
+      SELECT doc_id, (SELECT max(v) FROM norm_table WHERE v <= dl.dl)::DOUBLE AS ldl
+      FROM dl
+    ),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {q_rows}),
+    scores AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    ),
+    pooled AS (
+      SELECT query_id, doc_id // {TURNS_PER_CONV} AS conv_id, max(s) AS s
+      FROM scores GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, conv_id, s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, conv_id ASC) - 1)::INTEGER
+               AS rank
+      FROM pooled
+    )
+    SELECT query_id, rank, conv_id, round(s, 6) AS score
+    FROM ranked WHERE rank < {CONV_TOP_K}
+    """
+
+
+QUERIES["conv_search_topk_documents"] = q_conv_search_topk_documents
+ORACLE["conv_search_topk_documents"] = _conv_search_oracle_sql()
+
+
+# --- stable turn renumbering after tool-turn removal ------------------------
+
+
+def q_conv_renumber_documents(sf_dir: str):
+    """Stable turn compaction: drop tool-bearing turns, renumber the
+    remaining turns densely per conversation with the original order
+    preserved (the per-turn stable-ordering invariant of the input
+    contract)."""
+    import pyarrow.compute as pc
+
+    ds = (
+        _conv_view(sf_dir, columns=("doc_id",))
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["tool"], "")),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(_conv_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def renumber(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        new_idx = g.groupby("conv_id", sort=False).cumcount().astype(np.int32)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "conv_id": g["conv_id"].to_numpy(np.int64),
+                "turn_idx": g["turn_idx"].to_numpy(np.int32),
+                "new_turn_idx": new_idx.to_numpy(np.int32),
+            }
+        )
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: renumber(g.drop(columns=["_gb", "role", "text"],
+                                  errors="ignore")),
+        batch_format="pandas",
+    )
+
+
+QUERIES["conv_renumber_documents"] = q_conv_renumber_documents
+ORACLE["conv_renumber_documents"] = f"""
+    WITH {T_CTE}
+    SELECT doc_id, conv_id, turn_idx,
+           (row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1)::INT
+             AS new_turn_idx
+    FROM transcripts WHERE tool = ''
+"""
