@@ -32,6 +32,10 @@ def _modules():
 _SAMPLE_FIRST = [
     # (1) r2 hash_match fails, fixed (oracle ::BIGINT + integer-cents)
     "pivot_facet_orders", "json_facet_nested_events",
+    # (1b) conversation-level ops over the transcripts-shaped view (newest)
+    "conv_flatten_documents", "conv_stats_documents",
+    "conv_window_context_documents", "conv_dedup_documents",
+    "conv_search_topk_documents", "conv_renumber_documents",
     # (2) changed this round — need fresh driver verification
     "embedding_cosine_neardup", "ngram_jaccard_neardup",
     "dedup_clusters_documents",

@@ -526,6 +526,204 @@ def q_conv_renumber_documents(sf_dir: str):
     )
 
 
+# --- agent echo-loop detection ----------------------------------------------
+
+_TOKEN_RE = None  # compiled lazily per worker
+
+
+def _token_set(text: str):
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        import re
+
+        _TOKEN_RE = re.compile(r"[0-9a-z]+")
+    return set(_TOKEN_RE.findall((text or "").lower()))
+
+
+def q_conv_echo_loop_documents(sf_dir: str):
+    """Agent echo-loop detector: Jaccard similarity between CONSECUTIVE
+    assistant turns in a conversation (token sets, shared [0-9a-z]+ regex);
+    a conversation whose max consecutive-assistant Jaccard >= 0.5 is a
+    suspected loop — the transcript-granularity analog of the Gopher
+    repetition gates (repetition_stats_documents).  Jaccard is ONE integer
+    division per pair, so values match the oracle bit-exactly."""
+    ds = _conv_view(sf_dir).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def loops(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["role"].eq("assistant")].sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        )
+        conv = g["conv_id"].to_numpy(np.int64)
+        sets = [_token_set(t) for t in g["text"]]
+        rows: dict[int, tuple[int, float]] = {}
+        for i in range(len(conv) - 1):
+            if conv[i] != conv[i + 1]:
+                continue
+            a, b = sets[i], sets[i + 1]
+            uni = len(a | b)
+            jac = (len(a & b) / uni) if uni else 0.0
+            n, mx = rows.get(conv[i], (0, 0.0))
+            rows[conv[i]] = (n + 1, max(mx, jac))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.array([], dtype=np.int64),
+                    "n_pairs": pd.array([], dtype=np.int64),
+                    "max_jaccard": pd.array([], dtype=np.float64),
+                    "is_loop": pd.array([], dtype=np.int32),
+                }
+            )
+        cids = np.fromiter(rows, np.int64, len(rows))
+        n_pairs = np.array([rows[c][0] for c in cids], np.int64)
+        mj = np.array([rows[c][1] for c in cids], np.float64)
+        return pd.DataFrame(
+            {
+                "conv_id": cids,
+                "n_pairs": n_pairs,
+                "max_jaccard": mj,
+                "is_loop": (mj >= 0.5).astype(np.int32),
+            }
+        )
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: loops(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_echo_loop_documents"] = q_conv_echo_loop_documents
+ORACLE["conv_echo_loop_documents"] = f"""
+    WITH {T_CTE},
+    a_turns AS (
+      SELECT conv_id, turn_idx, text FROM transcripts
+      WHERE role = 'assistant'
+    ),
+    pairs AS (
+      SELECT x.conv_id, x.turn_idx,
+             lower(coalesce(x.text, '')) AS t1,
+             lower(coalesce(y.text, '')) AS t2
+      FROM a_turns x
+      JOIN a_turns y
+        ON x.conv_id = y.conv_id AND y.turn_idx = x.turn_idx + 2
+    ),
+    tok1 AS (
+      SELECT DISTINCT conv_id, turn_idx,
+             unnest(regexp_extract_all(t1, '[0-9a-z]+')) AS tok
+      FROM pairs
+    ),
+    tok2 AS (
+      SELECT DISTINCT conv_id, turn_idx,
+             unnest(regexp_extract_all(t2, '[0-9a-z]+')) AS tok
+      FROM pairs
+    ),
+    sizes AS (
+      SELECT p.conv_id, p.turn_idx,
+             (SELECT count(*) FROM tok1
+              WHERE tok1.conv_id = p.conv_id
+                AND tok1.turn_idx = p.turn_idx) AS n1,
+             (SELECT count(*) FROM tok2
+              WHERE tok2.conv_id = p.conv_id
+                AND tok2.turn_idx = p.turn_idx) AS n2,
+             (SELECT count(*) FROM tok1
+              JOIN tok2 USING (conv_id, turn_idx, tok)
+              WHERE tok1.conv_id = p.conv_id
+                AND tok1.turn_idx = p.turn_idx) AS ninter
+      FROM pairs p
+    ),
+    jac AS (
+      SELECT conv_id,
+             CASE WHEN n1 + n2 - ninter = 0 THEN 0.0
+                  ELSE ninter::DOUBLE / (n1 + n2 - ninter) END AS j
+      FROM sizes
+    )
+    SELECT conv_id,
+           count(*)::BIGINT AS n_pairs,
+           max(j) AS max_jaccard,
+           (max(j) >= 0.5)::INT AS is_loop
+    FROM jac GROUP BY conv_id
+"""
+
+
+# --- tool transition counts ---------------------------------------------------
+
+
+def q_conv_tool_transitions_documents(sf_dir: str):
+    """Tool-call transition matrix: within each conversation order the
+    tool-bearing turns and count (from_tool -> to_tool) adjacencies
+    corpus-wide — the Markov-chain summary of agent tool usage.  Partial
+    counts per conversation bucket; the final combine sees at most
+    n_buckets x |tools|^2 tiny rows."""
+    import pyarrow.compute as pc
+
+    ds = (
+        _conv_view(sf_dir, columns=("doc_id",))
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t["tool"], "")),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(_conv_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        same = g["conv_id"].eq(g["conv_id"].shift(-1))
+        nxt = g["tool"].shift(-1)
+        m = same.to_numpy()
+        df = pd.DataFrame(
+            {
+                "from_tool": g["tool"].to_numpy(object)[m],
+                "to_tool": nxt.to_numpy(object)[m],
+            }
+        )
+        out = df.groupby(["from_tool", "to_tool"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        # return a TYPED arrow table: single-tool conversations yield EMPTY
+        # partials, and size-0 pandas object columns trip Ray's block-size
+        # estimator (np.vectorize on 0 rows) — arrow schemas don't
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [
+                    ("from_tool", pa.string()),
+                    ("to_tool", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    partials = ds.groupby("_gb").map_groups(
+        lambda g: partial(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["from_tool", "to_tool"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return partials.repartition(1).map_batches(final, batch_format="pandas")
+
+
+QUERIES["conv_tool_transitions_documents"] = q_conv_tool_transitions_documents
+ORACLE["conv_tool_transitions_documents"] = f"""
+    WITH {T_CTE},
+    tl AS (
+      SELECT conv_id, turn_idx, tool FROM transcripts WHERE tool <> ''
+    ),
+    tr AS (
+      SELECT conv_id, tool AS from_tool,
+             lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS to_tool
+      FROM tl
+    )
+    SELECT from_tool, to_tool, count(*)::BIGINT AS n
+    FROM tr WHERE to_tool IS NOT NULL
+    GROUP BY from_tool, to_tool
+"""
+
+
 QUERIES["conv_renumber_documents"] = q_conv_renumber_documents
 ORACLE["conv_renumber_documents"] = f"""
     WITH {T_CTE}
