@@ -1,0 +1,109 @@
+"""Behavioral tests for the conversation-level ops (rindex/ops/transcripts.py).
+
+The driver corpora are random text, so the echo-loop detector's positive
+branch (max consecutive-assistant Jaccard >= 0.5) never fires there — these
+tests engineer a corpus where it must, and pin the window op's
+no-cross-conversation-leak invariant.  doc_id -> (conv_id, turn_idx, role,
+tool) derivation: see transcripts.T_CTE.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def loop_dir(tmp_path_factory):
+    """15 docs = 3 conversations of 5 turns.  Conversation 0's assistant
+    turns (doc 1, doc 3) are identical -> Jaccard 1.0 (a loop).
+    Conversation 1's assistant turns (doc 6, doc 8) share half their
+    4-token union -> Jaccard 2/6 = 0.333 (not a loop).  Conversation 2's
+    share nothing -> 0.0."""
+    d = tmp_path_factory.mktemp("loopcorpus")
+    texts = [
+        "intro words here",          # 0 user
+        "run the same command",      # 1 assistant  } identical
+        "ok",                        # 2 user
+        "run the same command",      # 3 assistant  } identical
+        "done",                      # 4 user
+        "hello",                     # 5 user
+        "alpha beta gamma delta",    # 6 assistant  } |inter|=2 |union|=6
+        "mid",                       # 7 user
+        "alpha beta xx yy",          # 8 assistant  }
+        "bye",                       # 9 user
+        "q",                         # 10 user
+        "one two",                   # 11 assistant } disjoint
+        "m",                         # 12 user
+        "three four",                # 13 assistant }
+        "end",                       # 14 user
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(15, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_echo_loop_flags_identical_assistant_turns(ray_session, loop_dir):
+    from rindex.ops.transcripts import q_conv_echo_loop_documents
+
+    df = (
+        q_conv_echo_loop_documents(loop_dir)
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert df.loc[0, "max_jaccard"] == 1.0 and df.loc[0, "is_loop"] == 1
+    assert abs(df.loc[1, "max_jaccard"] - 2.0 / 6.0) < 1e-12
+    assert df.loc[1, "is_loop"] == 0
+    assert df.loc[2, "max_jaccard"] == 0.0 and df.loc[2, "is_loop"] == 0
+    assert (df["n_pairs"] == 1).all()
+
+
+def test_window_context_never_leaks_across_conversations(ray_session, loop_dir):
+    from rindex.ops.transcripts import q_conv_window_context_documents
+
+    df = q_conv_window_context_documents(loop_dir).to_pandas()
+    # assistant turns are odd turn_idx (1, 3) -> 2 per full conversation
+    assert len(df) == 6
+    # lag-1 within the conversation: prev doc is doc_id - 1, same conv
+    assert (df["doc_id"] // 5 == df["conv_id"]).all()
+    assert (df["turn_idx"] % 2 == 1).all()
+    assert (df["prev_role"] == "user").all()
+    # the previous turn's text, never another conversation's
+    prev_expected = {1: "intro words here", 3: "ok", 6: "hello",
+                     8: "mid", 11: "q", 13: "m"}
+    got = dict(zip(df["doc_id"], df["prev_text"]))
+    assert got == prev_expected
+
+
+def test_conv_dedup_keeps_lowest_conv_id(ray_session, loop_dir):
+    from rindex.ops.transcripts import q_conv_dedup_documents
+
+    df = q_conv_dedup_documents(loop_dir).to_pandas()
+    # three distinct conversations -> three fingerprints, each kept once
+    assert len(df) == 3
+    assert sorted(df["keep_conv_id"]) == [0, 1, 2]
+    assert (df["n_convs"] == 1).all()
+
+
+def test_renumber_is_dense_and_order_preserving(ray_session, loop_dir):
+    from rindex.ops.transcripts import q_conv_renumber_documents
+
+    df = (
+        q_conv_renumber_documents(loop_dir)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    # tool turns (doc_id % 7 in {0, 3}) are dropped; per conv the new index
+    # is dense 0..n-1 in the original turn order
+    assert not set(df["doc_id"]) & {0, 3, 7, 10, 14}
+    for _, g in df.groupby("conv_id"):
+        assert list(g["new_turn_idx"]) == list(range(len(g)))
+        assert list(g["turn_idx"]) == sorted(g["turn_idx"])
