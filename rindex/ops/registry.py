@@ -36,6 +36,7 @@ _SAMPLE_FIRST = [
     "conv_flatten_documents", "conv_stats_documents",
     "conv_window_context_documents", "conv_dedup_documents",
     "conv_search_topk_documents", "conv_renumber_documents",
+    "fuzzy_suggest_documents",
     # (2) changed this round — need fresh driver verification
     "embedding_cosine_neardup", "ngram_jaccard_neardup",
     "dedup_clusters_documents",

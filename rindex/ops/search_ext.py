@@ -1097,6 +1097,66 @@ ORACLE["suggest_infix_documents"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# FuzzySuggester — typo-tolerant completion (`lucene/suggest/src/java/org/
+# apache/lucene/search/suggest/analyzing/FuzzySuggester.java`): intersect
+# the query's Levenshtein automaton with the FST, i.e. complete any term
+# one of whose PREFIXES is within maxEdits of the query.  Served by the
+# resident SuggesterActor; the lookup is one binary-searched first-char
+# range (nonFuzzyPrefix=1) + a vectorized prefix-edit DP.
+# ---------------------------------------------------------------------------
+
+FUZZY_INPUTS = ["strem", "filtr"]
+FUZZY_K = 10
+
+
+def q_fuzzy_suggest_documents(sf_dir: str):
+    """Typo-tolerant completion: terms with SOME prefix within edit
+    distance 1 of the query (first char fixed), weight-ordered."""
+    import ray
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.suggester import get_suggester
+
+    sa = get_suggester(documents_index(sf_dir))
+    refs = [sa.suggest_fuzzy.remote(w, FUZZY_K, 1) for w in FUZZY_INPUTS]
+    frames = []
+    for w, hits in zip(FUZZY_INPUTS, ray.get(refs)):
+        df = pd.DataFrame(hits, columns=["suggestion", "weight", "dist"])
+        df.insert(0, "word", w)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"weight": np.int64, "dist": np.int64})
+
+
+QUERIES["fuzzy_suggest_documents"] = q_fuzzy_suggest_documents
+ORACLE["fuzzy_suggest_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
+      FROM documents
+    ),
+    dict AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS weight
+      FROM toks GROUP BY term
+    ),
+    q(word) AS (VALUES {",".join(f"('{w}')" for w in FUZZY_INPUTS)}),
+    pe AS (
+      SELECT q.word, d.term, d.weight,
+             (SELECT min(levenshtein(q.word, substr(d.term, 1, j)))
+              FROM unnest(range(0, length(d.term) + 1)) AS t(j)) AS dist
+      FROM q JOIN dict d ON substr(d.term, 1, 1) = substr(q.word, 1, 1)
+    ),
+    ranked AS (
+      SELECT word, term AS suggestion, weight, dist::BIGINT AS dist,
+             row_number() OVER (PARTITION BY word
+                                ORDER BY weight DESC, term ASC) AS rn
+      FROM pe WHERE dist <= 1
+    )
+    SELECT word, suggestion, weight, dist FROM ranked WHERE rn <= {FUZZY_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Luke handler analog (`solr/core/src/java/org/apache/solr/handler/admin/
 # LukeRequestHandler.java` — /admin/luke reports per-field stats straight
 # from the INDEX: docs-with-value, distinct terms/values, plus totals).

@@ -52,6 +52,36 @@ def rank_correction(
     return (str(terms[m][sel]), int(d[m][sel]), int(dfs[m][sel]))
 
 
+def _prefix_edit_vec(q: str, terms: np.ndarray) -> np.ndarray:
+    """Vectorized PREFIX edit distance: min over j of lev(q, t[:j]) — the
+    quantity FuzzySuggester's Levenshtein-automaton x FST intersection
+    computes (`lucene/suggest/src/java/org/apache/lucene/search/suggest/
+    analyzing/FuzzySuggester.java`): how close q is to SOME prefix of t.
+    Same whole-array DP as _levenshtein_vec, but the answer is the masked
+    min of the final row over valid columns j <= len(t)."""
+    if len(terms) == 0:
+        return np.zeros(0, dtype=np.int64)
+    terms = terms.astype(str)
+    lens = np.char.str_len(terms)
+    L = int(lens.max())
+    buf = np.zeros((len(terms), L), dtype=np.uint32)
+    for i, t in enumerate(terms):
+        buf[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (len(terms), 1))
+    for qi, qc in enumerate(q, 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = qi
+        ne = (buf != ord(qc)).astype(np.int64)
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + ne[:, j - 1],
+            )
+        prev = cur
+    valid = np.arange(L + 1) <= lens[:, None]
+    return np.where(valid, prev, np.iinfo(np.int64).max).min(axis=1)
+
+
 class Suggester:
     """Compiled term-dictionary lookup: build once, serve from RAM."""
 
@@ -119,6 +149,33 @@ class Suggester:
         """DirectSpellChecker lookup against the resident dictionary."""
         return rank_correction(word, self.terms, self.weights, max_dist)
 
+    def suggest_fuzzy(
+        self,
+        word: str,
+        k: int = 10,
+        max_edits: int = 1,
+        min_fuzzy_len: int = 3,
+    ) -> list[tuple]:
+        """FuzzySuggester lookup: typo-tolerant completion.  Candidates
+        share the first character (nonFuzzyPrefix=1 — one binary-searched
+        range, like the exact path) and match when their PREFIX edit
+        distance to the query is <= max_edits; ranked weight-desc, term
+        asc.  Queries shorter than min_fuzzy_len fall back to exact prefix
+        completion (FuzzySuggester's minFuzzyLength)."""
+        if len(word) < min_fuzzy_len:
+            return [
+                (t, w, 0) for t, w in self.suggest_prefix(word, k)
+            ]
+        lo = int(np.searchsorted(self.terms, word[0]))
+        hi = int(np.searchsorted(self.terms, word[0] + "￿"))
+        ids = np.arange(lo, hi)
+        d = _prefix_edit_vec(word, self.terms[ids])
+        m = d <= max_edits
+        ids, d = ids[m], d[m]
+        t, w = self.terms[ids], self.weights[ids]
+        sel = np.lexsort((t, -w))[:k]
+        return [(str(t[i]), int(w[i]), int(d[i])) for i in sel]
+
 
 def get_suggester(idx: str):
     """Per-index named SuggesterActor handle (get_if_exists): every
@@ -138,6 +195,9 @@ def get_suggester(idx: str):
 
         def correct(self, word: str, max_dist: int = 2):
             return self.s.correct(word, max_dist)
+
+        def suggest_fuzzy(self, word: str, k: int = 10, max_edits: int = 1):
+            return self.s.suggest_fuzzy(word, k, max_edits)
 
     name = "rindex-suggester-" + hashlib.md5(idx.encode()).hexdigest()[:10]
     return SuggesterActor.options(

@@ -87,3 +87,59 @@ def test_empty_and_miss_paths(sugg):
     assert s.suggest_prefix("nosuchprefix123", 10) == []
     assert s.suggest_infix("qqqqq", 10) == []
     assert s.correct("zzzzzzzzzzzz") is None
+
+
+def _brute_prefix_edit(q: str, t: str) -> int:
+    # textbook DP, min over all prefixes of t
+    import itertools
+
+    best = len(q)
+    for j in range(len(t) + 1):
+        p = t[:j]
+        D = list(range(len(p) + 1))
+        for i, qc in enumerate(q, 1):
+            nD = [i]
+            for jj, tc in enumerate(p, 1):
+                nD.append(min(D[jj] + 1, nD[jj - 1] + 1,
+                              D[jj - 1] + (qc != tc)))
+            D = nD
+        best = min(best, D[len(p)])
+    return best
+
+
+def test_prefix_edit_vec_matches_brute_force():
+    from rindex.suggester import _prefix_edit_vec
+
+    rng = np.random.default_rng(11)
+    syll = np.array(list("abcd"))  # tiny alphabet -> many near-collisions
+    terms = np.array(
+        ["".join(rng.choice(syll, size=int(k)))
+         for k in rng.integers(1, 9, 300)],
+        dtype=str,
+    )
+    for q in ["abc", "dcba", "aaaa", "bd", "cabd"]:
+        got = _prefix_edit_vec(q, terms)
+        want = np.array([_brute_prefix_edit(q, t) for t in terms])
+        assert (got == want).all(), q
+
+
+def test_suggest_fuzzy_matches_brute_force(sugg):
+    from rindex.suggester import _prefix_edit_vec
+
+    s, terms, weights, _ = sugg
+    for q in ["abcde", "quart", "zzyx"]:
+        got = s.suggest_fuzzy(q, 10, 1)
+        first = np.char.startswith(terms, q[0])
+        d = _prefix_edit_vec(q, terms[first])
+        m = d <= 1
+        t, w, dd = terms[first][m], weights[first][m], d[m]
+        sel = np.lexsort((t, -w))[:10]
+        want = [(str(t[i]), int(w[i]), int(dd[i])) for i in sel]
+        assert got == want, q
+
+
+def test_suggest_fuzzy_short_query_falls_back_to_prefix(sugg):
+    s, terms, weights, _ = sugg
+    got = s.suggest_fuzzy("ab", 10, 1)
+    want = [(t, w, 0) for t, w in s.suggest_prefix("ab", 10)]
+    assert got == want
