@@ -1281,3 +1281,85 @@ ORACLE["soundex_topterms_documents"] = f"""
         FROM documents))
     GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
 """
+
+
+# ---------------------------------------------------------------------------
+# Field-analysis debug handler (`solr/core/src/java/org/apache/solr/handler/
+# FieldAnalysisRequestHandler.java`, the /analysis/field endpoint): show the
+# token stream AFTER EACH STAGE of the chain.  Stage outputs keep the
+# ORIGINAL token position (StopFilter's positionIncrement semantics: removed
+# tokens leave position holes, they don't shift their successors).
+# ---------------------------------------------------------------------------
+
+_DEBUG_CASE_RE = re.compile(r"[0-9A-Za-z]+")
+_DEBUG_DOCS = 5
+_DEBUG_MIN_LEN = 2
+
+
+def q_analysis_debug_documents(sf_dir: str):
+    """Per-stage token debug over the first few documents: tokenize (case
+    preserved) -> lowercase -> stop (position holes) -> length>=2."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr=f"doc_id < {_DEBUG_DOCS}"
+    )
+    sw = frozenset(STOPWORDS)
+
+    def stages(t: pa.Table) -> pa.Table:
+        dids, stg, pos, tok = [], [], [], []
+        for did, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            toks = _DEBUG_CASE_RE.findall(text or "")
+            for p, x in enumerate(toks):
+                dids.append(did); stg.append("10_tokenize")
+                pos.append(p); tok.append(x)
+            low = [x.lower() for x in toks]
+            for p, x in enumerate(low):
+                dids.append(did); stg.append("20_lowercase")
+                pos.append(p); tok.append(x)
+            kept = [(p, x) for p, x in enumerate(low) if x not in sw]
+            for p, x in kept:
+                dids.append(did); stg.append("30_stop")
+                pos.append(p); tok.append(x)
+            for p, x in kept:
+                if len(x) >= _DEBUG_MIN_LEN:
+                    dids.append(did); stg.append("40_length")
+                    pos.append(p); tok.append(x)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "stage": pa.array(stg, pa.string()),
+                "pos": pa.array(pos, pa.int64()),
+                "token": pa.array(tok, pa.string()),
+            }
+        )
+
+    return ds.map_batches(stages, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["analysis_debug_documents"] = q_analysis_debug_documents
+ORACLE["analysis_debug_documents"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z]+') AS toks
+      FROM documents WHERE doc_id < {_DEBUG_DOCS}
+    ),
+    t0 AS (
+      SELECT doc_id, unnest(toks) AS token,
+             unnest(range(0, len(toks))) AS pos
+      FROM d
+    ),
+    low AS (SELECT doc_id, lower(token) AS token, pos FROM t0),
+    stop AS (
+      SELECT doc_id, token, pos FROM low
+      WHERE token NOT IN {tuple(STOPWORDS)}
+    )
+    SELECT doc_id, '10_tokenize' AS stage, pos, token FROM t0
+    UNION ALL
+    SELECT doc_id, '20_lowercase' AS stage, pos, token FROM low
+    UNION ALL
+    SELECT doc_id, '30_stop' AS stage, pos, token FROM stop
+    UNION ALL
+    SELECT doc_id, '40_length' AS stage, pos, token FROM stop
+    WHERE length(token) >= {_DEBUG_MIN_LEN}
+"""
