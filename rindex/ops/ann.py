@@ -1822,3 +1822,110 @@ ORACLE["ann_ndcg"] = f"""
     GROUP BY q.query_id, idcg.v
     ORDER BY q.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Search-result clustering (`solr/contrib/clustering/src/java/org/apache/
+# solr/handler/clustering/ClusteringComponent.java` — the Carrot2 contract:
+# cluster the TOP-K results of a query, not the corpus).  Here the cluster
+# structure comes from the persisted IVF quantizer (the corpus-trained
+# centroids), so clustering a result page is a 50-row lookup against the
+# hive-partitioned layout — no per-query training, which is what makes the
+# pattern serve at query time.
+# ---------------------------------------------------------------------------
+
+RC_QUERY = "window merge"
+RC_TOPN = 50
+
+
+def q_result_clustering_documents(sf_dir: str):
+    """Cluster the top-50 BM25 results by their IVF list: per cluster the
+    member count, the lowest-id exemplar and the best BM25 score.  The
+    lid lookup reads ONLY (vec_id, lid) columns with the top-id set
+    broadcast once — result-page-sized work end to end."""
+    import ray
+    import ray.data as rd
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand")
+    hits = searcher.search(RC_QUERY, k=RC_TOPN, mode="or")
+    top = pd.DataFrame(
+        {
+            "doc_id": np.array([h[1] for h in hits], np.int64),
+            "s": np.array([h[2] for h in hits], np.float64),
+        }
+    )
+
+    ivf = ivf_index(sf_dir)
+    paths = [
+        os.path.join(p, f)
+        for d in sorted(os.listdir(ivf))
+        if d.startswith("lid_part=")
+        and os.path.isdir(p := os.path.join(ivf, d))
+        for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+    ]
+    idref = ray.put(top["doc_id"].to_numpy())
+
+    def pick(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids = _ray.get(idref)
+        m = np.isin(t["vec_id"].to_numpy(), ids)
+        return t.filter(pa.array(m))
+
+    lid_df = (
+        rd.read_parquet(paths, columns=["vec_id", "lid"])
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    merged = top.merge(lid_df, left_on="doc_id", right_on="vec_id")
+    out = merged.groupby("lid", as_index=False).agg(
+        n=("doc_id", "size"), exemplar=("doc_id", "min"), max_s=("s", "max")
+    )
+    out["lid"] = out["lid"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["exemplar"] = out["exemplar"].astype(np.int64)
+    out["max_score"] = out["max_s"].round(6)
+    return out[["lid", "n", "exemplar", "max_score"]]
+
+
+def _result_clustering_oracle_sql() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    body, _final = _ivf_kmeans_ctes()
+    q_rows = ",".join(f"('{t}')" for t in RC_QUERY.split())
+    return f"""
+    WITH {_bm25_ctes()},
+    {body},
+    q(term) AS (VALUES {q_rows}),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+        FROM scores) WHERE rn <= {RC_TOPN}
+    )
+    SELECT l.lid::BIGINT AS lid, count(*)::BIGINT AS n,
+           min(t.doc_id)::BIGINT AS exemplar,
+           round(max(t.s), 6) AS max_score
+    FROM top t JOIN lists l ON l.vec_id = t.doc_id
+    GROUP BY 1
+    """
+
+
+QUERIES["result_clustering_documents"] = q_result_clustering_documents
+ORACLE["result_clustering_documents"] = _result_clustering_oracle_sql()
