@@ -597,3 +597,60 @@ ORACLE["complex_phrase_documents"] = f"""
                    AND l[i + 1] LIKE '{CPX_PREFIX}%')) > 0
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TermRangeQuery — lexicographic term-dictionary range (`lucene/core/src/
+# java/org/apache/lucene/search/TermRangeQuery.java`, constant-score
+# rewrite).  Same distributed dictionary expansion as wildcard/fuzzy: the
+# range mask is one vectorized comparison per segment dictionary, the doc
+# set one OR match pipeline over the expanded terms.
+# ---------------------------------------------------------------------------
+
+TERM_RANGE_LO, TERM_RANGE_HI = "sc", "sp"   # [lo, hi)
+TERM_RANGE_LIMIT = 100
+
+
+def q_term_range_search_documents(sf_dir: str):
+    """Docs containing any dictionary term in ['sc', 'sp') — constant
+    score 1.0, doc-asc, first 100 (TermRangeQuery under
+    CONSTANT_SCORE_REWRITE)."""
+    from ray.data.aggregate import Count
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    def match(terms: np.ndarray) -> tuple[np.ndarray, None]:
+        t = terms.astype(str)
+        return (t >= TERM_RANGE_LO) & (t < TERM_RANGE_HI), None
+
+    exp = _expand_terms(sf_dir, match, "term_range")
+    if not len(exp):
+        return pd.DataFrame({"doc_id": [], "score": []})
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    ds = s.score_matches_dataset(" ".join(sorted(exp["term"])), mode="or")
+    out = (
+        ds.groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .sort("doc_id")
+        .limit(TERM_RANGE_LIMIT)
+        .to_pandas()
+    )
+    out["score"] = 1.0
+    return out[["doc_id", "score"]]
+
+
+QUERIES["term_range_search_documents"] = q_term_range_search_documents
+ORACLE["term_range_search_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+                    '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
+      FROM documents
+    )
+    SELECT doc_id, 1.0 AS score
+    FROM (SELECT DISTINCT doc_id FROM toks
+          WHERE term >= '{TERM_RANGE_LO}' AND term < '{TERM_RANGE_HI}')
+    ORDER BY doc_id LIMIT {TERM_RANGE_LIMIT}
+"""
