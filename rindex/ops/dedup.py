@@ -1380,3 +1380,105 @@ ORACLE["substring_dedup_documents"] = f"""
            END <= {SUBSTR_KEEP_MAX} AS keep
     FROM t LEFT JOIN cov USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-k set-similarity SEARCH (exact Jaccard against a query document) —
+# the search form of the near-dup family (cf. "Highly Efficient String
+# Similarity Search and Join over Compressed Indexes", ICDE 2022; the
+# classic AllPairs/PPJoin candidate argument).  Any document with
+# Jaccard > 0 shares a token with the query, so ONE corpus scan with the
+# query's token set broadcast computes every non-zero score exactly;
+# per-batch partial top-k means only k rows per batch reach the combine.
+# ---------------------------------------------------------------------------
+
+SETSIM_QDOC = 7
+SETSIM_K = 10
+
+
+def q_setsim_topk_documents(sf_dir: str):
+    """Top-10 documents by exact token-set Jaccard to doc SETSIM_QDOC
+    (self excluded), ties doc-asc.  Jaccard is ONE integer division per
+    doc — oracle-exact with no rounding discipline needed."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    qdf = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .filter(expr=f"doc_id == {SETSIM_QDOC}")
+        .to_pandas()
+    )
+    qset = np.unique(np.array(_tokens(qdf["text"].iloc[0]), dtype=str))
+    qref = ray.put(qset)
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        q = ray.get(qref)
+        nq = len(q)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        jac = np.zeros(len(dids), np.float64)
+        nonempty = np.ones(len(dids), bool)
+        for i, text in enumerate(t["text"].to_pylist()):
+            toks = np.unique(np.array(_tokens(text), dtype=str))
+            if len(toks) == 0:
+                nonempty[i] = False  # token-less docs have no Jaccard
+                continue
+            inter = int(np.isin(toks, q, assume_unique=True).sum())
+            jac[i] = inter / (len(toks) + nq - inter)
+        m = (dids != SETSIM_QDOC) & nonempty
+        df = pd.DataFrame({"doc_id": dids[m], "jaccard": jac[m]})
+        return df.sort_values(
+            ["jaccard", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(SETSIM_K)
+
+    top = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(
+            lambda df: df.sort_values(
+                ["jaccard", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(SETSIM_K),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(len(top), dtype=np.int32)
+    top["jaccard"] = top["jaccard"].round(6)
+    return top[["rank", "doc_id", "jaccard"]]
+
+
+QUERIES["setsim_topk_documents"] = q_setsim_topk_documents
+ORACLE["setsim_topk_documents"] = f"""
+    WITH dtok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+      FROM documents
+    ),
+    q AS (SELECT term FROM dtok WHERE doc_id = {SETSIM_QDOC}),
+    qn AS (SELECT count(*)::BIGINT AS nq FROM q),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM dtok GROUP BY 1),
+    inter AS (
+      SELECT d.doc_id, count(*)::BIGINT AS i
+      FROM dtok d JOIN q USING (term)
+      WHERE d.doc_id != {SETSIM_QDOC}
+      GROUP BY 1
+    ),
+    jac AS (
+      SELECT s.doc_id,
+             coalesce(i.i, 0)::DOUBLE
+               / (s.n + qn.nq - coalesce(i.i, 0)) AS j
+      FROM sizes s
+      LEFT JOIN inter i USING (doc_id)
+      CROSS JOIN qn
+      WHERE s.doc_id != {SETSIM_QDOC}
+    ),
+    ranked AS (
+      SELECT doc_id, j,
+             (row_number() OVER (ORDER BY j DESC, doc_id ASC) - 1)::INTEGER
+               AS rank
+      FROM jac
+    )
+    SELECT rank, doc_id, round(j, 6) AS jaccard
+    FROM ranked WHERE rank < {SETSIM_K}
+"""
