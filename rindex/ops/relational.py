@@ -1095,3 +1095,109 @@ _register(
     FROM s GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Continuous top-k over tumbling windows (the streaming-top-k shape of
+# "SAP: Improving Continuous Top-K Queries over Streaming Data", ICDE
+# 2018; reference streaming analog: topic() + NRT micro-batching, SURVEY
+# §2.9).  The time range splits into NB tumbling windows; after each
+# window the query RE-EMITS the top-k over everything seen so far.  The
+# distributed pass computes per-window partial top-ks (the prefix top-k is
+# contained in the union of its windows' top-ks); only NB*k rows reach the
+# prefix merge.
+# ---------------------------------------------------------------------------
+
+CTK_WINDOWS = 5
+CTK_K = 10
+
+
+def q_continuous_topk_events(sf_dir: str):
+    """Top-10 events by value after each of 5 tumbling time windows —
+    emitted per window over the stream prefix (continuous semantics)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "events", ["event_id", "value", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        return pa.table(
+            {"event_id": t["event_id"], "value": t["value"], "us": us}
+        )
+
+    us_ds = ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    b = us_ds.aggregate(Min("us", alias_name="mn"), Max("us", alias_name="mx"))
+    mn, mx = int(b["mn"]), int(b["mx"])
+    width = (mx - mn) // CTK_WINDOWS + 1
+
+    def win_top(t: pa.Table) -> pd.DataFrame:
+        win = (t["us"].to_numpy() - mn) // width
+        df = pd.DataFrame(
+            {
+                "win": win.astype(np.int64),
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "value": t["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return (
+            df.sort_values(["win", "value", "event_id"],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("win", sort=False)
+            .head(CTK_K)
+        )
+
+    tops = (
+        us_ds.map_batches(win_top, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("win")
+        .map_groups(
+            lambda g: g.sort_values(
+                ["value", "event_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(CTK_K),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    frames = []
+    for w in range(CTK_WINDOWS):
+        pre = (
+            tops[tops["win"] <= w]
+            .sort_values(["value", "event_id"], ascending=[False, True],
+                         kind="mergesort")
+            .head(CTK_K)
+            .reset_index(drop=True)
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "win": np.full(len(pre), w, np.int64),
+                    "rank": np.arange(len(pre), dtype=np.int32),
+                    "event_id": pre["event_id"].to_numpy(np.int64),
+                    "value": pre["value"].to_numpy(np.float64),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+QUERIES["continuous_topk_events"] = q_continuous_topk_events
+ORACLE["continuous_topk_events"] = f"""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+    ),
+    w AS (
+      SELECT event_id, value,
+             ((epoch_us(ts) - mn) // ((mx - mn) // {CTK_WINDOWS} + 1))::BIGINT
+               AS win
+      FROM events CROSS JOIN b
+    ),
+    wins(win) AS (VALUES {",".join(f"({i})" for i in range(CTK_WINDOWS))}),
+    ranked AS (
+      SELECT wins.win::BIGINT AS win, w.event_id, w.value,
+             row_number() OVER (PARTITION BY wins.win
+                                ORDER BY w.value DESC, w.event_id ASC) AS rn
+      FROM wins JOIN w ON w.win <= wins.win
+    )
+    SELECT win, (rn - 1)::INTEGER AS rank, event_id, value
+    FROM ranked WHERE rn <= {CTK_K}
+"""
