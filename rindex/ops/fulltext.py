@@ -1886,6 +1886,95 @@ ORACLE["span_not_documents"] = f"""
 """
 
 
+SPAN_LITTLE = "the"
+SPAN_WC_SLOP = 6  # wider than SPAN_SLOP: enclosure needs room to be non-trivial
+
+
+def q_span_within_documents(sf_dir: str):
+    """SpanWithinQuery (`lucene/core/src/java/org/apache/lucene/search/
+    spans/SpanWithinQuery.java`): occurrences of '{SPAN_LITTLE}' enclosed
+    by an ordered ({SPAN_A}, {SPAN_B}) span within slop {SPAN_WC_SLOP} —
+    per doc the count of enclosed occurrences."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_span_within(SPAN_LITTLE, SPAN_A, SPAN_B, SPAN_WC_SLOP)
+    return pd.DataFrame(
+        {
+            "doc_id": [h[0] for h in hits],
+            "n_within": pd.array([h[1] for h in hits], dtype="int64"),
+        }
+    )
+
+
+QUERIES["span_within_documents"] = q_span_within_documents
+ORACLE["span_within_documents"] = f"""
+    SELECT doc_id, n_within FROM (
+      SELECT doc_id,
+        len(list_filter(
+          list_filter(range(1, len(l) + 1), p -> l[p] = '{SPAN_LITTLE}'),
+          p -> len(list_filter(
+                 list_filter(range(1, len(l) + 1),
+                             i -> l[i] = '{SPAN_A}' AND i <= p),
+                 i -> len(list_filter(
+                        [list_min(list_transform(
+                           list_filter(range(1, len(l) + 1),
+                                       j -> l[j] = '{SPAN_B}' AND j > i),
+                           j -> j))],
+                        j -> j IS NOT NULL AND j - i + 1 - 2 <= {SPAN_WC_SLOP}
+                             AND j >= p)) > 0
+               )) > 0
+        ))::BIGINT AS n_within
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents))
+    WHERE n_within > 0
+"""
+
+
+def q_span_containing_documents(sf_dir: str):
+    """SpanContainingQuery (`lucene/core/src/java/org/apache/lucene/search/
+    spans/SpanContainingQuery.java`): ordered ({SPAN_A}, {SPAN_B}) spans
+    within slop {SPAN_WC_SLOP} that contain '{SPAN_LITTLE}' — per doc the
+    count of containing spans (the dual of span_within)."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_span_containing(SPAN_A, SPAN_B, SPAN_LITTLE, SPAN_WC_SLOP)
+    return pd.DataFrame(
+        {
+            "doc_id": [h[0] for h in hits],
+            "n_containing": pd.array([h[1] for h in hits], dtype="int64"),
+        }
+    )
+
+
+QUERIES["span_containing_documents"] = q_span_containing_documents
+ORACLE["span_containing_documents"] = f"""
+    SELECT doc_id, n_containing FROM (
+      SELECT doc_id,
+        len(list_filter(
+          list_filter(range(1, len(l) + 1), i -> l[i] = '{SPAN_A}'),
+          i -> len(list_filter(
+                 [list_min(list_transform(
+                    list_filter(range(1, len(l) + 1),
+                                j -> l[j] = '{SPAN_B}' AND j > i),
+                    j -> j))],
+                 j -> j IS NOT NULL AND j - i + 1 - 2 <= {SPAN_WC_SLOP}
+                      AND len(list_filter(range(i, j + 1),
+                              k -> l[k] = '{SPAN_LITTLE}')) > 0)) > 0
+        ))::BIGINT AS n_containing
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents))
+    WHERE n_containing > 0
+"""
+
+
 def q_span_first_documents(sf_dir: str):
     """SpanFirstQuery: docs whose FIRST occurrence of 'spark' is within the
     first 6 positions (0-based pos < end — lead-paragraph matching).  The

@@ -36,7 +36,9 @@ _SAMPLE_FIRST = [
     "conv_flatten_documents", "conv_stats_documents",
     "conv_window_context_documents", "conv_dedup_documents",
     "conv_search_topk_documents", "conv_renumber_documents",
-    "fuzzy_suggest_documents",
+    "fuzzy_suggest_documents", "analysis_debug_documents",
+    "result_clustering_documents", "term_range_search_documents",
+    "setsim_topk_documents", "continuous_topk_events",
     # (2) changed this round — need fresh driver verification
     "embedding_cosine_neardup", "ngram_jaccard_neardup",
     "dedup_clusters_documents",

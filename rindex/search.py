@@ -1891,6 +1891,140 @@ class IndexSearcher:
         results.sort(key=lambda r: r[:-1])
         return results
 
+    def _valid_chains2(self, reader, a: str, b: str, slop: int):
+        """Per-segment minimal ordered (a, b) chains within slop: yields
+        (doc, s, e) with s = a-positions whose FIRST b after them closes a
+        span of width - 2 <= slop (the same per-start greedy enumeration
+        the other span kernels use).  s is ascending and e nondecreasing
+        (first-b-after is monotone in the start), which SpanWithin's
+        coverage test relies on."""
+        posts = reader.positions_for([a, b])
+        if posts[a] is None or posts[b] is None:
+            return
+        adocs, atfs, apos = posts[a][:3]
+        bdocs, btfs, bpos = posts[b][:3]
+        common = reader.drop_deleted(np.intersect1d(adocs, bdocs))
+        if len(common) == 0:
+            return
+        astarts = np.concatenate([[0], np.cumsum(atfs)[:-1]])
+        bstarts = np.concatenate([[0], np.cumsum(btfs)[:-1]])
+        ai = np.searchsorted(adocs, common)
+        bi = np.searchsorted(bdocs, common)
+        for k, d in enumerate(common):
+            pa_ = np.asarray(
+                apos[astarts[ai[k]]: astarts[ai[k]] + atfs[ai[k]]],
+                dtype=np.int64,
+            )
+            pb = np.asarray(
+                bpos[bstarts[bi[k]]: bstarts[bi[k]] + btfs[bi[k]]],
+                dtype=np.int64,
+            )
+            nxt = np.searchsorted(pb, pa_, side="right")
+            valid = nxt < len(pb)
+            s = pa_[valid]
+            e = pb[nxt[valid]]
+            ok = (e - s + 1) - 2 <= slop
+            if ok.any():
+                yield int(d), s[ok], e[ok]
+
+    def search_span_within(
+        self, little: str, big_a: str, big_b: str, slop: int
+    ) -> list[tuple]:
+        """SpanWithinQuery (`lucene/core/src/java/org/apache/lucene/search/
+        spans/SpanWithinQuery.java`): occurrences of `little` that lie
+        INSIDE some ordered (big_a, big_b) span within slop.  Coverage per
+        little position is one searchsorted against the chain starts —
+        with e nondecreasing, the latest chain starting at or before p is
+        the only one that can cover p.
+
+        Returns [( *id_cols, n_within )] over docs with >= 1 enclosed
+        occurrence."""
+        lt = get_analyzer(self.analyzer_name).tokens(little)
+        if len(lt) != 1:
+            raise ValueError("span_within takes exactly one little term")
+        lt = lt[0]
+        results: list[tuple] = []
+        for reader in self.readers:
+            lpost = reader.positions_for([lt])[lt]
+            if lpost is None:
+                continue
+            ldocs, ltfs, lpos = lpost[:3]
+            ldocs = np.asarray(ldocs, dtype=np.int64)
+            lstarts = np.concatenate([[0], np.cumsum(ltfs)[:-1]])
+            match_docs, match_n = [], []
+            for d, s, e in self._valid_chains2(reader, big_a, big_b, slop):
+                at = np.searchsorted(ldocs, d)
+                if at >= len(ldocs) or ldocs[at] != d:
+                    continue
+                pl = np.asarray(
+                    lpos[lstarts[at]: lstarts[at] + ltfs[at]],
+                    dtype=np.int64,
+                )
+                idx = np.searchsorted(s, pl, side="right") - 1
+                covered = (idx >= 0) & (e[np.maximum(idx, 0)] >= pl)
+                n = int(covered.sum())
+                if n:
+                    match_docs.append(d)
+                    match_n.append(n)
+            if match_docs:
+                ids = reader.fetch_ids(
+                    np.asarray(match_docs, dtype=np.int64), self.id_cols
+                )
+                results.extend(
+                    (*ids[d], n) for d, n in zip(match_docs, match_n)
+                )
+        results.sort(key=lambda r: r[:-1])
+        return results
+
+    def search_span_containing(
+        self, big_a: str, big_b: str, little: str, slop: int
+    ) -> list[tuple]:
+        """SpanContainingQuery (`lucene/core/src/java/org/apache/lucene/
+        search/spans/SpanContainingQuery.java`): ordered (big_a, big_b)
+        spans within slop that CONTAIN an occurrence of `little` — the
+        dual of span_within; the containment test per chain is two
+        searchsorted's against the doc's sorted little positions.
+
+        Returns [( *id_cols, n_containing )]."""
+        lt = get_analyzer(self.analyzer_name).tokens(little)
+        if len(lt) != 1:
+            raise ValueError("span_containing takes exactly one little term")
+        lt = lt[0]
+        results: list[tuple] = []
+        for reader in self.readers:
+            lpost = reader.positions_for([lt])[lt]
+            if lpost is None:
+                continue
+            ldocs, ltfs, lpos = lpost[:3]
+            ldocs = np.asarray(ldocs, dtype=np.int64)
+            lstarts = np.concatenate([[0], np.cumsum(ltfs)[:-1]])
+            match_docs, match_n = [], []
+            for d, s, e in self._valid_chains2(reader, big_a, big_b, slop):
+                at = np.searchsorted(ldocs, d)
+                if at >= len(ldocs) or ldocs[at] != d:
+                    continue
+                pl = np.asarray(
+                    lpos[lstarts[at]: lstarts[at] + ltfs[at]],
+                    dtype=np.int64,
+                )
+                has = (
+                    np.searchsorted(pl, e, side="right")
+                    - np.searchsorted(pl, s, side="left")
+                ) > 0
+                n = int(has.sum())
+                if n:
+                    match_docs.append(d)
+                    match_n.append(n)
+            if match_docs:
+                ids = reader.fetch_ids(
+                    np.asarray(match_docs, dtype=np.int64), self.id_cols
+                )
+                results.extend(
+                    (*ids[d], n) for d, n in zip(match_docs, match_n)
+                )
+        results.sort(key=lambda r: r[:-1])
+        return results
+
     def search_span_or_near(
         self, or_text: str, then_text: str, slop: int
     ) -> list[tuple]:
