@@ -2389,3 +2389,172 @@ def _dsir_oracle_sql() -> str:
 
 
 ORACLE["dsir_weights_documents"] = _dsir_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM scoring (the KenLM-shaped quality filter one step
+# up from the unigram CCNet op): P(w2|w1) = 0.7*c2(w1,w2)/c1(w1) +
+# 0.3*cu(w2)/T, NLL per doc = mean -ln P over its bigram positions.  The
+# LM is trained on THIS corpus in one distributed counting pass; the
+# (bigram, logprob) table is vocabulary^2-bounded — the designated small
+# side (ray.put once, searchsorted per batch; at a vocabulary where it no
+# longer fits, the lookup becomes a hash join, same as the unigram op's
+# documented swap).  Works entirely in the dedup module's stable 63-bit
+# hash space — no term strings move after tokenization.
+# ---------------------------------------------------------------------------
+
+BG_L2, BG_L1 = 0.7, 0.3
+_BG_PRIME = np.int64(1000003)
+
+
+def q_bigram_nll_documents(sf_dir: str):
+    """Per-doc interpolated bigram NLL (round 6), docs with >= 2 tokens."""
+    import ray
+
+    from rindex.analysis import get_analyzer
+    from rindex.ops.dedup import _token_hashes
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    # pass 1 — distributed counting: per-batch distinct (kind,k1,k2,cnt)
+    # partials; the combine is over vocabulary-bounded rows
+    def count_part(t: pa.Table) -> pd.DataFrame:
+        az = get_analyzer("standard")
+        h1s, h2s, us = [], [], []
+        for x in t["text"].to_pylist():
+            h = _token_hashes(az.tokens(x or ""))
+            us.append(h)
+            if len(h) >= 2:
+                h1s.append(h[:-1])
+                h2s.append(h[1:])
+        uni = np.concatenate(us) if us else np.empty(0, np.int64)
+        uk, uc = np.unique(uni, return_counts=True)
+        if h1s:
+            b1 = np.concatenate(h1s)
+            b2 = np.concatenate(h2s)
+            bh = b1 * _BG_PRIME + b2
+            order = np.argsort(bh, kind="stable")
+            bh_s = bh[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], bh_s[1:] != bh_s[:-1]])
+            )
+            bc = np.diff(np.append(starts, len(bh_s)))
+            sel = order[starts]
+            bk1, bk2 = b1[sel], b2[sel]
+        else:
+            bk1 = bk2 = np.empty(0, np.int64)
+            bc = np.empty(0, np.int64)
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate(
+                    [np.zeros(len(uk), np.int8), np.ones(len(bk1), np.int8)]
+                ),
+                "k1": np.concatenate([uk, bk1]),
+                "k2": np.concatenate([np.zeros(len(uk), np.int64), bk2]),
+                "cnt": np.concatenate([uc, bc]).astype(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(count_part, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    agg = parts.groupby(["kind", "k1", "k2"], as_index=False)["cnt"].sum()
+    uni = agg[agg["kind"] == 0]
+    bgr = agg[agg["kind"] == 1]
+    T = float(uni["cnt"].sum())
+    uh = uni["k1"].to_numpy(np.int64)
+    uo = np.argsort(uh)
+    uh, ucnt = uh[uo], uni["cnt"].to_numpy(np.float64)[uo]
+    b1 = bgr["k1"].to_numpy(np.int64)
+    b2 = bgr["k2"].to_numpy(np.int64)
+    c2 = bgr["cnt"].to_numpy(np.float64)
+    # context counts c1(w1) = sum of its bigram counts
+    c1o = np.argsort(b1, kind="stable")
+    b1s = b1[c1o]
+    cstarts = np.flatnonzero(np.concatenate([[True], b1s[1:] != b1s[:-1]]))
+    ctx_h = b1s[cstarts]
+    ctx_c = np.add.reduceat(c2[c1o], cstarts)
+    c1 = ctx_c[np.searchsorted(ctx_h, b1)]
+    cu2 = ucnt[np.searchsorted(uh, b2)]
+    # IDENTICAL scalar tree to the oracle: (0.7*c2)/c1 + (0.3*cu)/T
+    lp = -np.log(BG_L2 * c2 / c1 + BG_L1 * cu2 / T)
+    bh = b1 * _BG_PRIME + b2
+    lo = np.argsort(bh)
+    lm_ref = ray.put((bh[lo], lp[lo]))
+
+    # pass 2 — score every doc against the broadcast LM
+    def score(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        bh_, lp_ = ray.get(lm_ref)
+        per = [_token_hashes(az.tokens(x or "")) for x in t["text"].to_pylist()]
+        nb = np.fromiter(
+            (max(len(h) - 1, 0) for h in per), np.int64, count=len(per)
+        )
+        keep = nb > 0
+        nll = np.zeros(len(per), np.float64)
+        if nb.sum():
+            hb = np.concatenate(
+                [h[:-1] * _BG_PRIME + h[1:] for h in per if len(h) >= 2]
+            )
+            at = np.searchsorted(bh_, hb)
+            ok = (at < len(bh_)) & (bh_[np.minimum(at, len(bh_) - 1)] == hb)
+            if not ok.all():
+                raise ValueError(
+                    f"bigram_nll: {int((~ok).sum())} bigrams missing from "
+                    "the corpus LM (corpus mismatch)"
+                )
+            vals = lp_[at]
+            starts = np.concatenate([[0], np.cumsum(nb[keep])[:-1]])
+            nll[keep] = np.add.reduceat(vals, starts) / nb[keep]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_bigrams": pa.array(nb[keep]),
+                "nll": pa.array(np.round(nll[keep], 6)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["bigram_nll_documents"] = q_bigram_nll_documents
+
+
+def _bigram_nll_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH tokp AS (
+      SELECT doc_id, unnest(l) AS term, unnest(range(0, len(l))) AS pos
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_SQL_RE}') AS l
+            FROM documents)
+    ),
+    bg AS (
+      SELECT doc_id, term AS w1,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tokp
+    ),
+    bgn AS (
+      SELECT w1, w2, count(*)::DOUBLE AS c2
+      FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ),
+    ctx AS (SELECT w1, sum(c2) AS c1 FROM bgn GROUP BY 1),
+    uni AS (SELECT term, count(*)::DOUBLE AS cu FROM tokp GROUP BY 1),
+    tot AS (SELECT sum(cu) AS T FROM uni)
+    SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln({BG_L2} * n.c2 / x.c1 + {BG_L1} * u.cu / T)), 6)
+             AS nll
+    FROM bg b
+    JOIN bgn n ON n.w1 = b.w1 AND n.w2 = b.w2
+    JOIN ctx x ON x.w1 = b.w1
+    JOIN uni u ON u.term = b.w2
+    CROSS JOIN tot
+    WHERE b.w2 IS NOT NULL
+    GROUP BY 1
+    """
+
+
+ORACLE["bigram_nll_documents"] = _bigram_nll_oracle_sql()
