@@ -732,3 +732,85 @@ ORACLE["conv_renumber_documents"] = f"""
              AS new_turn_idx
     FROM transcripts WHERE tool = ''
 """
+
+
+# --- response-latency analytics ----------------------------------------------
+
+# Deterministic per-turn timestamp (microseconds): strictly increasing in
+# doc_id (jitter < the 1 s base step), mirrored verbatim in SQL below.
+_TS_BASE_US = 1_767_225_600_000_000  # epoch_us('2026-01-01 00:00:00')
+
+
+def q_conv_latency_documents(sf_dir: str):
+    """Per-conversation latency analytics: wall duration and the mean
+    assistant response latency (gap from the previous turn), from the
+    derived monotone turn timestamps.  Integer microsecond arithmetic end
+    to end; the only floats are the two final divisions, computed with the
+    identical scalar tree on both sides."""
+    ds = _conv_view(sf_dir, columns=("doc_id",)).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def lat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        did = g["doc_id"].to_numpy(np.int64)
+        ts = _TS_BASE_US + did * 1_000_000 + ((did * 37) % 4) * 200_000
+        conv = g["conv_id"].to_numpy(np.int64)
+        first = np.concatenate([[True], conv[1:] != conv[:-1]])
+        gap = np.where(first, 0, ts - np.roll(ts, 1))
+        is_assist = g["role"].eq("assistant").to_numpy()
+        df = pd.DataFrame(
+            {"conv_id": conv, "ts": ts, "gap": gap,
+             "a_gap": np.where(is_assist & ~first, gap, 0),
+             "n_a": (is_assist & ~first).astype(np.int64)}
+        )
+        out = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("conv_id", "size"),
+            t_min=("ts", "min"), t_max=("ts", "max"),
+            sum_a=("a_gap", "sum"), n_a=("n_a", "sum"),
+        )
+        res = pd.DataFrame({"conv_id": out["conv_id"].to_numpy(np.int64)})
+        res["n_turns"] = out["n_turns"].to_numpy(np.int64)
+        res["duration_s"] = (
+            (out["t_max"] - out["t_min"]).to_numpy(np.float64) / 1000000.0
+        )
+        n_a = out["n_a"].to_numpy(np.int64)
+        with np.errstate(invalid="ignore"):
+            mean_gap = np.where(
+                n_a > 0,
+                out["sum_a"].to_numpy(np.float64) / np.maximum(n_a, 1),
+                np.nan,
+            )
+        res["avg_assistant_latency_s"] = mean_gap / 1000000.0
+        return res
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: lat(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_latency_documents"] = q_conv_latency_documents
+ORACLE["conv_latency_documents"] = f"""
+    WITH {T_CTE},
+    ts AS (
+      SELECT conv_id, turn_idx, role,
+             {_TS_BASE_US} + doc_id * 1000000 + ((doc_id * 37) % 4) * 200000
+               AS t_us
+      FROM transcripts
+    ),
+    g AS (
+      SELECT conv_id, role, t_us,
+             t_us - lag(t_us) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS gap
+      FROM ts
+    )
+    SELECT conv_id,
+           count(*)::BIGINT AS n_turns,
+           (max(t_us) - min(t_us))::DOUBLE / 1000000.0 AS duration_s,
+           (sum(CASE WHEN role = 'assistant' AND gap IS NOT NULL
+                     THEN gap ELSE 0 END)::DOUBLE
+            / nullif(sum(CASE WHEN role = 'assistant' AND gap IS NOT NULL
+                              THEN 1 ELSE 0 END), 0)) / 1000000.0
+             AS avg_assistant_latency_s
+    FROM g GROUP BY conv_id
+"""
