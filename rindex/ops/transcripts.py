@@ -814,3 +814,217 @@ ORACLE["conv_latency_documents"] = f"""
              AS avg_assistant_latency_s
     FROM g GROUP BY conv_id
 """
+
+
+# --- end-to-end conversation curation pipeline -------------------------------
+
+CONV_MIN_CHARS = 1100  # length gate: ~P10 of the driver corpus
+CONV_LOOP_JAC = 0.9    # drop gate: near-identical consecutive assistant turns
+                       # (stricter than the echo op's 0.5 LABEL threshold —
+                       # the tiny synthetic vocabulary makes random turns
+                       # overlap heavily, median consecutive Jaccard ~0.62)
+
+
+def q_conv_curation_pipeline_documents(sf_dir: str):
+    """Flagship conversation-granularity curation: dedup (fingerprint
+    election) -> echo-loop gate -> length gate -> deterministic
+    train/val/test split, with per-stage accounting.  ONE corpus scan
+    computes every per-conversation signal (fingerprint, char volume,
+    max consecutive-assistant Jaccard); one fingerprint-bucket shuffle
+    elects dedup survivors; each conversation is then labeled with its
+    drop reason or split and ONE tiny groupby yields the accounting —
+    no stage re-scans the corpus (the conv-level mirror of
+    curation_pipeline_documents)."""
+    from rindex.ops.analysis_ext import split_bucket100, split_of_buckets
+
+    ds = _conv_view(sf_dir).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def signals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(np.int64)
+        low = g["text"].fillna("").str.lower()
+        joined = low.groupby(conv, sort=True).agg("\x1f".join)
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in joined]
+        chars = (
+            g["text"].fillna("").str.len().groupby(conv, sort=True).sum()
+        )
+        # max consecutive-assistant Jaccard per conv (echo-loop signal)
+        a = g[g["role"].eq("assistant")]
+        aconv = a["conv_id"].to_numpy(np.int64)
+        sets = [_token_set(t) for t in a["text"]]
+        mj: dict[int, float] = {}
+        for i in range(len(aconv) - 1):
+            if aconv[i] != aconv[i + 1]:
+                continue
+            x, y = sets[i], sets[i + 1]
+            uni = len(x | y)
+            j = (len(x & y) / uni) if uni else 0.0
+            if j > mj.get(aconv[i], 0.0):
+                mj[aconv[i]] = j
+        cids = joined.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "conv_id": cids,
+                "fp": np.array(fps, dtype=object),
+                "chars": chars.to_numpy(np.int64),
+                "max_jac": np.array(
+                    [mj.get(c, 0.0) for c in cids], np.float64
+                ),
+            }
+        )
+
+    per = ds.groupby("_gb").map_groups(
+        lambda g: signals(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+    def fp_bucket(t: pa.Table) -> pa.Table:
+        gb = np.array(
+            [int(f[:8], 16) % N_BUCKETS for f in t["fp"].to_pylist()],
+            dtype=np.int32,
+        )
+        return t.append_column("_gb", pa.array(gb))
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("fp")["conv_id"].transform("min")
+        cid = g["conv_id"].to_numpy(np.int64)
+        cat = np.where(
+            cid != keep.to_numpy(np.int64),
+            "dup",
+            np.where(
+                g["max_jac"].to_numpy() >= CONV_LOOP_JAC,
+                "loop",
+                np.where(
+                    g["chars"].to_numpy() < CONV_MIN_CHARS,
+                    "short",
+                    split_of_buckets(split_bucket100(cid)),
+                ),
+            ),
+        )
+        return pd.DataFrame({"cat": cat.astype(object)})
+
+    cats = (
+        per.map_batches(fp_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(lambda g: label(g.drop(columns=["_gb"])),
+                    batch_format="pandas")
+        .groupby("cat")
+        .count()
+        .to_pandas()
+        .set_index("cat")["count()"]
+    )
+    n = {k: int(cats.get(k, 0)) for k in
+         ("dup", "loop", "short", "train", "val", "test")}
+    total = sum(n.values())
+    rows = [
+        ("total", total),
+        ("after_dedup", total - n["dup"]),
+        ("after_loop_filter", total - n["dup"] - n["loop"]),
+        ("after_length_gate", n["train"] + n["val"] + n["test"]),
+        ("train", n["train"]),
+        ("val", n["val"]),
+        ("test", n["test"]),
+    ]
+    return pd.DataFrame(
+        {
+            "stage": [r[0] for r in rows],
+            "n_convs": np.array([r[1] for r in rows], np.int64),
+        }
+    )
+
+
+QUERIES["conv_curation_pipeline_documents"] = q_conv_curation_pipeline_documents
+
+
+def _conv_curation_oracle_sql() -> str:
+    from rindex.ops.analysis_ext import SPLIT_BUCKET_SQL, SPLIT_FRACS
+
+    return f"""
+    WITH {T_CTE},
+    per AS (
+      SELECT conv_id,
+             md5(string_agg(lower(coalesce(text, '')), chr(31)
+                            ORDER BY turn_idx)) AS fp,
+             sum(length(coalesce(text, '')))::BIGINT AS chars
+      FROM transcripts GROUP BY conv_id
+    ),
+    a_turns AS (
+      SELECT conv_id, turn_idx, text FROM transcripts
+      WHERE role = 'assistant'
+    ),
+    pairs AS (
+      SELECT x.conv_id, x.turn_idx,
+             lower(coalesce(x.text, '')) AS t1,
+             lower(coalesce(y.text, '')) AS t2
+      FROM a_turns x
+      JOIN a_turns y
+        ON x.conv_id = y.conv_id AND y.turn_idx = x.turn_idx + 2
+    ),
+    tok1 AS (
+      SELECT DISTINCT conv_id, turn_idx,
+             unnest(regexp_extract_all(t1, '[0-9a-z]+')) AS tok
+      FROM pairs
+    ),
+    tok2 AS (
+      SELECT DISTINCT conv_id, turn_idx,
+             unnest(regexp_extract_all(t2, '[0-9a-z]+')) AS tok
+      FROM pairs
+    ),
+    sizes AS (
+      SELECT p.conv_id, p.turn_idx,
+             (SELECT count(*) FROM tok1
+              WHERE tok1.conv_id = p.conv_id
+                AND tok1.turn_idx = p.turn_idx) AS n1,
+             (SELECT count(*) FROM tok2
+              WHERE tok2.conv_id = p.conv_id
+                AND tok2.turn_idx = p.turn_idx) AS n2,
+             (SELECT count(*) FROM tok1
+              JOIN tok2 USING (conv_id, turn_idx, tok)
+              WHERE tok1.conv_id = p.conv_id
+                AND tok1.turn_idx = p.turn_idx) AS ninter
+      FROM pairs p
+    ),
+    jac AS (
+      SELECT conv_id,
+             max(CASE WHEN n1 + n2 - ninter = 0 THEN 0.0
+                      ELSE ninter::DOUBLE / (n1 + n2 - ninter) END) AS mj
+      FROM sizes GROUP BY conv_id
+    ),
+    elect AS (SELECT fp, min(conv_id) AS keep FROM per GROUP BY fp),
+    lab AS (
+      SELECT p.conv_id,
+             CASE WHEN p.conv_id != e.keep THEN 'dup'
+                  WHEN coalesce(j.mj, 0) >= {CONV_LOOP_JAC} THEN 'loop'
+                  WHEN p.chars < {CONV_MIN_CHARS} THEN 'short'
+                  WHEN b < {SPLIT_FRACS["train"]} THEN 'train'
+                  WHEN b < {SPLIT_FRACS["train"] + SPLIT_FRACS["val"]}
+                    THEN 'val'
+                  ELSE 'test' END AS cat
+      FROM (SELECT per.*, {SPLIT_BUCKET_SQL} AS b
+            FROM (SELECT per.*, md5(conv_id::VARCHAR) AS h FROM per) per) p
+      JOIN elect e USING (fp)
+      LEFT JOIN jac j USING (conv_id)
+    )
+    SELECT 'total' AS stage, (SELECT count(*) FROM per)::BIGINT AS n_convs
+    UNION ALL
+    SELECT 'after_dedup',
+           (SELECT count(*) FROM lab WHERE cat != 'dup')::BIGINT
+    UNION ALL
+    SELECT 'after_loop_filter',
+           (SELECT count(*) FROM lab
+            WHERE cat NOT IN ('dup', 'loop'))::BIGINT
+    UNION ALL
+    SELECT 'after_length_gate',
+           (SELECT count(*) FROM lab
+            WHERE cat IN ('train', 'val', 'test'))::BIGINT
+    UNION ALL
+    SELECT s.s, coalesce(c.n, 0)::BIGINT
+    FROM (VALUES ('train'), ('val'), ('test')) s(s)
+    LEFT JOIN (SELECT cat, count(*) AS n FROM lab
+               WHERE cat IN ('train', 'val', 'test')
+               GROUP BY cat) c ON c.cat = s.s
+    """
+
+
+ORACLE["conv_curation_pipeline_documents"] = _conv_curation_oracle_sql()
