@@ -746,3 +746,64 @@ ORACLE["json_facet_multiselect_events"] = f"""
     GROUP BY 2
     ORDER BY facet, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# JSON Facet API domain change: blockChildren (`solr/core/src/java/org/
+# apache/solr/search/facet/FacetRequest.java` domain {blockChildren: ...} /
+# `solr/core/src/java/org/apache/solr/search/join/
+# BlockJoinChildQParserPlugin.java`): the facet domain switches from the
+# matched PARENTS to their CHILDREN before bucketing.
+# ---------------------------------------------------------------------------
+
+BC_PRICE_MIN = 300000
+
+
+def q_json_facet_block_children_orders(sf_dir: str):
+    """Parents = orders with o_totalprice > {BC_PRICE_MIN}; domain switches
+    to their lineitems; terms facet on l_returnflag with count + quantity
+    sum.  The matched-parent key set broadcasts once (int64 keys — ~8 B per
+    parent; at a parent set too large to broadcast this becomes the
+    repo's hash join, ops/relational.py) and the child scan filters
+    against it per batch — the child table never shuffles."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    parents = (
+        read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .filter(expr=f"o_totalprice > {BC_PRICE_MIN}")
+        .to_pandas()
+    )
+    keys = np.sort(parents["o_orderkey"].to_numpy(np.int64))
+    kref = ray.put(keys)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        m = np.isin(
+            t["l_orderkey"].to_numpy(zero_copy_only=False), ks,
+            assume_unique=False,
+        )
+        return t.filter(pa.array(m))
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"]
+    )
+    agg = (
+        li.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["sum_qty"] = agg["sum_qty"].astype(np.float64)
+    return agg[["l_returnflag", "n", "sum_qty"]]
+
+
+QUERIES["json_facet_block_children_orders"] = q_json_facet_block_children_orders
+ORACLE["json_facet_block_children_orders"] = f"""
+    SELECT l_returnflag, count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > {BC_PRICE_MIN})
+    GROUP BY l_returnflag
+"""

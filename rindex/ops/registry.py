@@ -39,6 +39,9 @@ _SAMPLE_FIRST = [
     "fuzzy_suggest_documents", "analysis_debug_documents",
     "result_clustering_documents", "term_range_search_documents",
     "setsim_topk_documents", "continuous_topk_events",
+    "span_within_documents", "span_containing_documents",
+    "bigram_nll_documents", "conv_latency_documents",
+    "conv_curation_pipeline_documents",
     # (2) changed this round — need fresh driver verification
     "embedding_cosine_neardup", "ngram_jaccard_neardup",
     "dedup_clusters_documents",
