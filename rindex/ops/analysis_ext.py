@@ -1363,3 +1363,168 @@ ORACLE["analysis_debug_documents"] = f"""
     SELECT doc_id, '40_length' AS stage, pos, token FROM stop
     WHERE length(token) >= {_DEBUG_MIN_LEN}
 """
+
+
+# ---------------------------------------------------------------------------
+# Classic Metaphone (Lawrence Philips, Computer Language 7(12), 1990 — the
+# PhoneticFilterFactory's "Metaphone" encoder option, `lucene/analysis/
+# phonetic/src/java/org/apache/lucene/analysis/phonetic/
+# PhoneticFilterFactory.java`).  Re-implemented from the published rule
+# table; no SQL oracle is possible (rows-only), pinned by hand-derived
+# golden vectors in tests/test_analysis_phonetic.py.
+# ---------------------------------------------------------------------------
+
+_MP_VOWELS = frozenset("AEIOU")
+
+
+def metaphone(token: str, max_len: int = 6) -> str:
+    """Classic Metaphone code of a word (letters only; non-alpha stripped).
+
+    Rule set (Philips 1990): collapse adjacent duplicates except C; initial
+    AE/GN/KN/PN/WR drop the first letter, initial X -> S, initial WH -> W;
+    vowels survive only at position 0; B silent in final -MB; C -> X in
+    -CH- (K in -SCH-) and -CIA-, S before I/E/Y, else K; D -> J before
+    GE/GY/GI, else T; G silent in -GH+consonant and -GN(ED), J before
+    I/E/Y, else K; H silent after vowel with no vowel after; CK -> K;
+    P -> F before H; Q -> K; S -> X before H / in SIO, SIA; T -> 0 before
+    H, X in TIO/TIA, silent in TCH; V -> F; W and Y survive only before a
+    vowel; X -> KS; Z -> S."""
+    u = "".join(c for c in token.upper() if c.isalpha())
+    if not u:
+        return ""
+    # 1. collapse adjacent duplicates, except C
+    s = [u[0]]
+    for c in u[1:]:
+        if c != s[-1] or c == "C":
+            s.append(c)
+    u = "".join(s)
+    # 2. initial exceptions
+    if u[:2] in ("AE", "GN", "KN", "PN", "WR"):
+        u = u[1:]
+    elif u[0] == "X":
+        u = "S" + u[1:]
+    elif u[:2] == "WH":
+        u = "W" + u[2:]
+    out = []
+    n = len(u)
+    i = 0
+    while i < n and len(out) < max_len:
+        c = u[i]
+        nxt = u[i + 1] if i + 1 < n else ""
+        nx2 = u[i + 2] if i + 2 < n else ""
+        prv = u[i - 1] if i > 0 else ""
+        if c in _MP_VOWELS:
+            if i == 0:
+                out.append(c)
+        elif c == "B":
+            if not (i == n - 1 and prv == "M"):
+                out.append("B")
+        elif c == "C":
+            if nxt == "I" and nx2 == "A":
+                out.append("X")
+            elif nxt == "H":
+                out.append("K" if prv == "S" else "X")
+                i += 1  # consume the H
+            elif nxt in ("I", "E", "Y"):
+                out.append("S")
+            else:
+                out.append("K")
+        elif c == "D":
+            if nxt == "G" and nx2 in ("E", "Y", "I"):
+                out.append("J")
+                i += 1  # the G is part of the J sound
+            else:
+                out.append("T")
+        elif c == "G":
+            if nxt == "H":
+                # GH: silent unless at end or before a vowel -> F?  classic
+                # rule: silent when not at end and not before a vowel
+                if i + 2 < n and nx2 not in _MP_VOWELS:
+                    pass
+                else:
+                    out.append("K")
+                i += 1
+            elif nxt == "N":
+                pass  # -GN-, -GNED: silent G
+            elif nxt in ("I", "E", "Y"):
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "H":
+            if prv in _MP_VOWELS and nxt not in _MP_VOWELS:
+                pass
+            else:
+                out.append("H")
+        elif c == "K":
+            if prv != "C":
+                out.append("K")
+        elif c == "P":
+            if nxt == "H":
+                out.append("F")
+                i += 1
+            else:
+                out.append("P")
+        elif c == "Q":
+            out.append("K")
+        elif c == "S":
+            if nxt == "H":
+                out.append("X")
+                i += 1
+            elif nxt == "I" and nx2 in ("O", "A"):
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "T":
+            if nxt == "H":
+                out.append("0")
+                i += 1
+            elif nxt == "I" and nx2 in ("O", "A"):
+                out.append("X")
+            elif nxt == "C" and nx2 == "H":
+                pass  # -TCH-: T silent
+            else:
+                out.append("T")
+        elif c == "V":
+            out.append("F")
+        elif c in ("W", "Y"):
+            if nxt in _MP_VOWELS:
+                out.append(c)
+        elif c == "X":
+            out.append("K")
+            out.append("S")
+        elif c == "Z":
+            out.append("S")
+        elif c in ("F", "J", "L", "M", "N", "R"):
+            out.append(c)
+        i += 1
+    return "".join(out[:max_len])
+
+
+def q_metaphone_topterms_documents(sf_dir: str):
+    """Metaphone bucket counts: top 20 phonetic codes by collection
+    frequency (the PhoneticFilter indexing shape, memoized per distinct
+    token per worker like the soundex op)."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def count(texts):
+        c = Counter()
+        memo: dict[str, str] = {}
+        for x in texts:
+            for t in _TOKEN_RE.findall(x or ""):
+                code = memo.get(t)
+                if code is None:
+                    code = memo[t] = metaphone(t)
+                if code:
+                    c[code] += 1
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+QUERIES["metaphone_topterms_documents"] = q_metaphone_topterms_documents
+# rows-only: Metaphone's rule table is not SQL-expressible; pinned by the
+# golden vectors in tests/test_analysis_phonetic.py instead.
