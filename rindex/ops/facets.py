@@ -807,3 +807,62 @@ ORACLE["json_facet_block_children_orders"] = f"""
                          WHERE o_totalprice > {BC_PRICE_MIN})
     GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# uniqueBlock() JSON facet aggregation (`solr/core/src/java/org/apache/solr/
+# search/facet/UniqueBlockAgg.java`): from a CHILD facet domain, count the
+# DISTINCT PARENT blocks per bucket (the cheap block-aware form of
+# unique(_root_)).  Same coarse-bucket distinct shape as UniqueAgg: shuffle
+# on parent_key % prime so one task owns every child of its parents, dedupe
+# (bucket, parent) pairs vectorized, sum tiny partials.
+# ---------------------------------------------------------------------------
+
+
+def q_json_facet_unique_block_orders(sf_dir: str):
+    """Terms facet on l_returnflag over the lineitem (child) domain with
+    n = child count and n_orders = uniqueBlock(parent): distinct parent
+    orders per bucket."""
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("_ub", pa.array((k % 127).astype(np.int32)))
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        n_child = g.groupby("l_returnflag", sort=False).size()
+        d = g.drop_duplicates(["l_returnflag", "l_orderkey"])
+        n_par = d.groupby("l_returnflag", sort=False).size()
+        return pd.DataFrame(
+            {
+                "l_returnflag": n_child.index.to_numpy(object),
+                "n": n_child.to_numpy(np.int64),
+                "n_orders": n_par.reindex(n_child.index).to_numpy(np.int64),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_returnflag", as_index=False).agg(
+            n=("n", "sum"), n_orders=("n_orders", "sum")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    return (
+        li.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(
+            lambda g: partial(g.drop(columns=["_ub"])), batch_format="pandas"
+        )
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )
+
+
+QUERIES["json_facet_unique_block_orders"] = q_json_facet_unique_block_orders
+ORACLE["json_facet_unique_block_orders"] = """
+    SELECT l_returnflag, count(*)::BIGINT AS n,
+           count(DISTINCT l_orderkey)::BIGINT AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+"""
