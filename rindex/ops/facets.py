@@ -866,3 +866,89 @@ ORACLE["json_facet_unique_block_orders"] = """
            count(DISTINCT l_orderkey)::BIGINT AS n_orders
     FROM lineitem GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# relatedness() JSON facet agg — the Semantic Knowledge Graph statistic
+# (`solr/core/src/java/org/apache/solr/search/facet/RelatednessAgg.java`;
+# Grainger et al., "The Semantic Knowledge Graph", DSAA 2016).  Computed
+# here in the documented two-proportion z-test form: how over-represented
+# is each bucket in the FOREGROUND (docs matching a query) vs the
+# BACKGROUND (all docs): z = (fg_pop - bg_pop) / sqrt(bg_pop * (1 -
+# bg_pop) / fg_size).  One scan; per-batch partials carry four integers
+# per bucket.
+# ---------------------------------------------------------------------------
+
+SKG_TERM = "spark"
+
+
+def q_json_facet_relatedness_documents(sf_dir: str):
+    """Buckets = source; foreground = documents whose text contains the
+    token '{SKG_TERM}'; outputs fg/bg counts and the z-test relatedness
+    (round 6), bucket asc."""
+    import re as _re
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    rx = _re.compile(r"(?:^|[^0-9a-z])" + SKG_TERM + r"(?:[^0-9a-z]|$)")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        low = pc.utf8_lower(pc.coalesce(t["text"], "")).to_pylist()
+        fg = np.fromiter((rx.search(x) is not None for x in low),
+                         bool, len(low))
+        df = pd.DataFrame(
+            {"source": t["source"].to_pylist(), "fg": fg.astype(np.int64)}
+        )
+        out = df.groupby("source", as_index=False).agg(
+            fg_count=("fg", "sum"), bg_count=("fg", "size")
+        )
+        return out
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    agg = parts.groupby("source", as_index=False)[["fg_count", "bg_count"]].sum()
+    fg_size = float(agg["fg_count"].sum())
+    bg_size = float(agg["bg_count"].sum())
+    fg_pop = agg["fg_count"].to_numpy(np.float64) / fg_size
+    bg_pop = agg["bg_count"].to_numpy(np.float64) / bg_size
+    z = (fg_pop - bg_pop) / np.sqrt(bg_pop * (1.0 - bg_pop) / fg_size)
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].to_numpy(object),
+            "fg_count": agg["fg_count"].to_numpy(np.int64),
+            "bg_count": agg["bg_count"].to_numpy(np.int64),
+            "relatedness": np.round(z, 6),
+        }
+    ).sort_values("source", kind="mergesort").reset_index(drop=True)
+    return out
+
+
+QUERIES["json_facet_relatedness_documents"] = q_json_facet_relatedness_documents
+ORACLE["json_facet_relatedness_documents"] = f"""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN regexp_matches(lower(coalesce(text, '')),
+                  '(^|[^0-9a-z]){SKG_TERM}([^0-9a-z]|$)') THEN 1 ELSE 0 END
+               AS fg
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, sum(fg)::BIGINT AS fg_count,
+             count(*)::BIGINT AS bg_count
+      FROM d GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(fg_count)::DOUBLE AS fg_size,
+             sum(bg_count)::DOUBLE AS bg_size
+      FROM agg
+    )
+    SELECT source, fg_count, bg_count,
+           round((fg_count / fg_size - bg_count / bg_size)
+                 / sqrt(bg_count / bg_size * (1.0 - bg_count / bg_size)
+                        / fg_size), 6) AS relatedness
+    FROM agg CROSS JOIN tot
+    ORDER BY source
+"""
