@@ -1028,3 +1028,112 @@ def _conv_curation_oracle_sql() -> str:
 
 
 ORACLE["conv_curation_pipeline_documents"] = _conv_curation_oracle_sql()
+
+
+# --- conversation-atomic context packing --------------------------------------
+
+PACK_BUDGET_CHARS = 4000
+PACK_SHARD_CONVS = 20  # first-fit runs sequentially WITHIN a shard
+
+
+def q_conv_packing_documents(sf_dir: str):
+    """Context-window packing with CONVERSATION atomicity: conversations
+    (in conv_id order) are greedily first-fit packed into
+    {PACK_BUDGET_CHARS}-char windows, never splitting a conversation —
+    the SFT-data analog of GPT-style sequence packing (which cuts the
+    token stream mid-document, ops/textstats.py).  First-fit is
+    inherently sequential, so the pack runs PER SHARD of
+    {PACK_SHARD_CONVS} conversations: each reduce task owns whole shards
+    and walks them in order; windows are (shard, win) pairs.  At 10^12
+    turns the shard width is the only knob — the sequential walk never
+    exceeds one shard."""
+    import pyarrow.compute as pc
+
+    def chars_per_conv(t: pa.Table) -> pd.DataFrame:
+        t = _derive(t)
+        df = pd.DataFrame(
+            {
+                "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
+                "c": pc.utf8_length(
+                    pc.coalesce(t["text"], "")
+                ).to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("conv_id", as_index=False)["c"].sum()
+
+    per = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(chars_per_conv, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+
+    def shard_bucket(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        shard = conv // PACK_SHARD_CONVS
+        t = t.append_column("shard", pa.array(shard, pa.int64()))
+        return t.append_column(
+            "_gb", pa.array((shard % N_BUCKETS).astype(np.int32))
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        # combine per-batch char partials, then first-fit walk per shard
+        g = (
+            g.groupby(["shard", "conv_id"], as_index=False)["c"].sum()
+            .sort_values(["shard", "conv_id"], kind="mergesort")
+        )
+        shard = g["shard"].to_numpy(np.int64)
+        chars = g["c"].to_numpy(np.int64)
+        win = np.zeros(len(g), np.int64)
+        fill = w = 0
+        for i in range(len(g)):
+            if i > 0 and shard[i] != shard[i - 1]:
+                fill = w = 0
+            if fill and fill + chars[i] > PACK_BUDGET_CHARS:
+                w += 1
+                fill = 0
+            fill += chars[i]
+            win[i] = w
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(np.int64),
+                "shard": shard,
+                "win": win,
+                "chars": chars,
+            }
+        )
+
+    return (
+        per.map_batches(shard_bucket, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(lambda g: pack(g.drop(columns=["_gb"])),
+                    batch_format="pandas")
+    )
+
+
+QUERIES["conv_packing_documents"] = q_conv_packing_documents
+ORACLE["conv_packing_documents"] = f"""
+    WITH RECURSIVE {T_CTE},
+    per AS (
+      SELECT conv_id, conv_id // {PACK_SHARD_CONVS} AS shard,
+             sum(length(coalesce(text, '')))::BIGINT AS chars
+      FROM transcripts GROUP BY conv_id
+    ),
+    seq AS (
+      SELECT conv_id, shard, chars,
+             row_number() OVER (PARTITION BY shard ORDER BY conv_id) AS rn
+      FROM per
+    ),
+    r AS (
+      SELECT shard, rn, conv_id, chars, chars AS fill, 0::BIGINT AS win
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT p.shard, p.rn, p.conv_id, p.chars,
+             CASE WHEN r.fill + p.chars > {PACK_BUDGET_CHARS}
+                  THEN p.chars ELSE r.fill + p.chars END,
+             CASE WHEN r.fill + p.chars > {PACK_BUDGET_CHARS}
+                  THEN r.win + 1 ELSE r.win END
+      FROM r JOIN seq p ON p.shard = r.shard AND p.rn = r.rn + 1
+    )
+    SELECT conv_id, shard, win, chars FROM r
+"""
