@@ -41,7 +41,9 @@ _SAMPLE_FIRST = [
     "setsim_topk_documents", "continuous_topk_events",
     "span_within_documents", "span_containing_documents",
     "bigram_nll_documents", "conv_latency_documents",
-    "conv_curation_pipeline_documents",
+    "conv_curation_pipeline_documents", "conv_packing_documents",
+    "json_facet_block_children_orders", "json_facet_unique_block_orders",
+    "json_facet_relatedness_documents", "metaphone_topterms_documents",
     # (2) changed this round — need fresh driver verification
     "embedding_cosine_neardup", "ngram_jaccard_neardup",
     "dedup_clusters_documents",
