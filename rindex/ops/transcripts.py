@@ -373,7 +373,7 @@ def q_conv_search_topk_documents(sf_dir: str):
 
     idx = documents_index(sf_dir)
     searcher = IndexSearcher(idx, algo="wand")
-    frames = []
+    pooled_parts = []
     for qid, text in CONV_QUERIES:
         ds = searcher.score_matches_dataset(text, mode="or")
 
@@ -387,31 +387,35 @@ def q_conv_search_topk_documents(sf_dir: str):
             out.insert(0, "query_id", _qid)
             return out
 
-        pooled = ds.map_batches(pool, batch_format="pandas")
+        pooled_parts.append(ds.map_batches(pool, batch_format="pandas"))
 
-        def combine(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby(["query_id", "conv_id"], as_index=False)["s"].max()
-            # partial top-k per bucket: the global top-10 pooled convs are
-            # contained in the union of per-bucket top-10s
-            out = out.sort_values(
-                ["s", "conv_id"], ascending=[False, True], kind="mergesort"
-            ).head(CONV_TOP_K)
-            return out
+    # ONE execution for all queries: union the lazy per-query pools, then
+    # a single conv-bucket combine with per-(query, bucket) partial top-k
+    pooled = pooled_parts[0].union(*pooled_parts[1:])
 
-        top = (
-            pooled.map_batches(
-                _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .groupby("_gb")
-            .map_groups(
-                lambda g: combine(g.drop(columns=["_gb"])),
-                batch_format="pandas",
-            )
-            .to_pandas()
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["query_id", "conv_id"], as_index=False)["s"].max()
+        # partial top-k per (query, bucket): the global top-10 pooled
+        # convs of a query are contained in the union of its buckets' tops
+        out = (
+            out.sort_values(["query_id", "s", "conv_id"],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id", sort=False)
+            .head(CONV_TOP_K)
         )
-        frames.append(top)
+        return out
 
-    allq = pd.concat(frames, ignore_index=True)
+    allq = (
+        pooled.map_batches(
+            _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_gb")
+        .map_groups(
+            lambda g: combine(g.drop(columns=["_gb"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     allq = allq.sort_values(
         ["query_id", "s", "conv_id"],
         ascending=[True, False, True],

@@ -107,3 +107,26 @@ def test_renumber_is_dense_and_order_preserving(ray_session, loop_dir):
     for _, g in df.groupby("conv_id"):
         assert list(g["new_turn_idx"]) == list(range(len(g)))
         assert list(g["turn_idx"]) == sorted(g["turn_idx"])
+
+
+def test_conv_packing_budget_and_atomicity(ray_session):
+    from rindex.ops.transcripts import (
+        PACK_BUDGET_CHARS, q_conv_packing_documents,
+    )
+
+    df = q_conv_packing_documents("/root/testdata/sf0.001").to_pandas()
+    # every conversation appears exactly once (atomicity)
+    assert df["conv_id"].is_unique
+    # per (shard, win): total chars within budget unless the window is a
+    # single oversized conversation
+    g = df.groupby(["shard", "win"]).agg(
+        total=("chars", "sum"), n=("conv_id", "size")
+    )
+    over = g[g["total"] > PACK_BUDGET_CHARS]
+    assert (over["n"] == 1).all(), "multi-conv window exceeded the budget"
+    # windows are dense 0..k per shard, in conv order
+    for _, s in df.sort_values(["shard", "conv_id"]).groupby("shard"):
+        w = s["win"].to_numpy()
+        assert w[0] == 0
+        assert ((w[1:] - w[:-1]) >= 0).all()
+        assert ((w[1:] - w[:-1]) <= 1).all()
