@@ -1141,3 +1141,112 @@ ORACLE["conv_packing_documents"] = f"""
     )
     SELECT conv_id, shard, win, chars FROM r
 """
+
+
+# --- conversation language consistency ----------------------------------------
+
+
+def q_conv_lang_consistency_documents(sf_dir: str):
+    """Language consistency per conversation: run the stopword-profile
+    language-ID model (the LangDetect URP mapping, loaded once per actor)
+    over every turn, then aggregate per conversation — distinct predicted
+    languages, the majority language (count desc, lang asc) and a mixed
+    flag.  Mixed-language conversations are a standard drop/route signal
+    in multilingual chat curation."""
+    import re as _re
+
+    from rindex.ops.textstats import STOPSETS
+
+    ds = _conv_view(sf_dir)
+
+    class LangId:
+        def __init__(self):
+            self.profiles = {k: frozenset(v) for k, v in STOPSETS.items()}
+            self.rx = _re.compile(r"[0-9a-z]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            preds = []
+            for x in batch["text"]:
+                toks = set(
+                    self.rx.findall(
+                        (x or "").lower() if isinstance(x, str) else ""
+                    )
+                )
+                scores = {
+                    lang: len(toks & sw)
+                    for lang, sw in self.profiles.items()
+                }
+                best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+                preds.append(best[0] if best[1] > 0 else "und")
+            return pd.DataFrame(
+                {"conv_id": batch["conv_id"], "pred_lang": preds}
+            )
+
+    langs = ds.map_batches(
+        LangId, batch_format="pandas", batch_size=1024, concurrency=(1, 2)
+    ).map_batches(_conv_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def consistency(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            g.groupby(["conv_id", "pred_lang"], as_index=False)
+            .size()
+            .sort_values(["conv_id", "size", "pred_lang"],
+                         ascending=[True, False, True], kind="mergesort")
+        )
+        major = cnt.groupby("conv_id", sort=True).first()
+        n_langs = cnt.groupby("conv_id", sort=True).size()
+        return pd.DataFrame(
+            {
+                "conv_id": major.index.to_numpy(np.int64),
+                "n_langs": n_langs.to_numpy(np.int64),
+                "majority_lang": major["pred_lang"].to_numpy(object),
+                "is_mixed": (n_langs.to_numpy(np.int64) > 1).astype(np.int32),
+            }
+        )
+
+    return langs.groupby("_gb").map_groups(
+        lambda g: consistency(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_lang_consistency_documents"] = q_conv_lang_consistency_documents
+
+
+def _conv_lang_oracle_sql() -> str:
+    from rindex.ops.textstats import _STOPSETS_SQL
+
+    return f"""
+    WITH {T_CTE},
+    toks AS (
+      SELECT doc_id, conv_id,
+             list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                              '[0-9a-z]+')) AS t
+      FROM transcripts),
+    scores AS (
+      SELECT doc_id, conv_id, l.lang, len(list_intersect(t, l.sw)) AS sc
+      FROM toks CROSS JOIN (VALUES {_STOPSETS_SQL}) l(lang, sw)),
+    best AS (
+      SELECT doc_id, conv_id,
+             CASE WHEN sc > 0 THEN lang ELSE 'und' END AS pred_lang
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY sc DESC, lang DESC) AS rn
+            FROM scores) WHERE rn = 1),
+    cnt AS (
+      SELECT conv_id, pred_lang, count(*) AS n
+      FROM best GROUP BY 1, 2),
+    major AS (
+      SELECT conv_id, pred_lang,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY n DESC, pred_lang ASC) AS rn
+      FROM cnt)
+    SELECT c.conv_id,
+           count(*)::BIGINT AS n_langs,
+           max(m.pred_lang) AS majority_lang,
+           (count(*) > 1)::INT AS is_mixed
+    FROM cnt c
+    JOIN major m ON m.conv_id = c.conv_id AND m.rn = 1
+    GROUP BY c.conv_id
+    """
+
+
+ORACLE["conv_lang_consistency_documents"] = _conv_lang_oracle_sql()
