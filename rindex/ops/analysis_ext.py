@@ -1528,3 +1528,72 @@ def q_metaphone_topterms_documents(sf_dir: str):
 QUERIES["metaphone_topterms_documents"] = q_metaphone_topterms_documents
 # rows-only: Metaphone's rule table is not SQL-expressible; pinned by the
 # golden vectors in tests/test_analysis_phonetic.py instead.
+
+
+# ---------------------------------------------------------------------------
+# LatLonPoint polygon query (`lucene/core/src/java/org/apache/lucene/
+# document/LatLonPoint.java#newPolygonQuery` / `lucene/core/src/java/org/
+# apache/lucene/geo/Polygon.java`): points inside a polygon.  For a CONVEX
+# polygon the containment test is an AND of half-plane sign tests (one
+# cross product per edge) — exactly vectorizable in numpy AND expressible
+# as plain SQL arithmetic, so the oracle is literal.  Same deterministic
+# (lat, lon) derivation as geo_radius_events.
+# ---------------------------------------------------------------------------
+
+# convex quadrilateral, counter-clockwise in (lon, lat)
+GEO_POLY = [(0.0, 0.0), (60.0, 10.0), (50.0, 60.0), (-10.0, 40.0)]
+
+
+def q_geo_polygon_events(sf_dir: str):
+    """Events whose derived point lies inside the convex polygon
+    (boundary-inclusive), event_id asc."""
+    ds = read_table(sf_dir, "events", ["event_id"])
+    edges = [
+        (GEO_POLY[i], GEO_POLY[(i + 1) % len(GEO_POLY)])
+        for i in range(len(GEO_POLY))
+    ]
+
+    def f(t: pa.Table) -> pa.Table:
+        uid = t["event_id"].to_numpy().astype(np.int64)
+        lat = (uid * 7919 % 18000) / 100.0 - 90.0
+        lon = (uid * 104729 % 36000) / 100.0 - 180.0
+        keep = np.ones(len(uid), bool)
+        for (x1, y1), (x2, y2) in edges:
+            keep &= ((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) >= 0.0
+        return pa.table(
+            {
+                "event_id": t["event_id"].filter(pa.array(keep)),
+                "lat": pa.array(lat[keep]),
+                "lon": pa.array(lon[keep]),
+            }
+        )
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("event_id")
+
+
+QUERIES["geo_polygon_events"] = q_geo_polygon_events
+
+
+def _geo_polygon_oracle_sql() -> str:
+    conds = []
+    for i in range(len(GEO_POLY)):
+        (x1, y1), (x2, y2) = GEO_POLY[i], GEO_POLY[(i + 1) % len(GEO_POLY)]
+        conds.append(
+            f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1}))"
+            " >= 0.0"
+        )
+    where = " AND ".join(conds)
+    return f"""
+    SELECT event_id, lat, lon FROM (
+      SELECT event_id,
+             (event_id * 7919 % 18000) / 100.0 - 90.0  AS lat,
+             (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+      FROM events)
+    WHERE {where}
+    ORDER BY event_id
+    """
+
+
+ORACLE["geo_polygon_events"] = _geo_polygon_oracle_sql()
