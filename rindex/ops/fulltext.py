@@ -2477,3 +2477,91 @@ ORACLE["shard_split_search_documents"] = f"""
     SELECT doc_id FROM documents
     WHERE list_contains(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}'), 'dup')
 """
+
+
+# ---------------------------------------------------------------------------
+# CoveringQuery (`lucene/sandbox/src/java/org/apache/lucene/sandbox/search/
+# CoveringQuery.java`): a disjunction whose minimumNumberMatch is a
+# PER-DOCUMENT value source, not a query constant — here required =
+# 1 + doc_id % 3.  Ray shape: the per-term distributed match sets union
+# lazily, one coarse-bucket combine counts matched clauses and sums their
+# BM25 scores per doc, and the dynamic threshold filters inside the same
+# reduce — no driver-side pass.
+# ---------------------------------------------------------------------------
+
+COVERING_TERMS = ["hash", "join", "scan", "merge"]
+
+
+def q_covering_query_documents(sf_dir: str):
+    """Docs matching at least (1 + doc_id % 3) of the four clause terms;
+    score = sum of the matching clauses' BM25 scores (round 6), doc asc."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand")
+    parts = [
+        searcher.score_matches_dataset(t, mode="or") for t in COVERING_TERMS
+    ]
+    matches = parts[0].union(*parts[1:])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        gb = (t["doc_id"].to_numpy(zero_copy_only=False) % 127).astype(
+            np.int32
+        )
+        return t.append_column("_gb", pa.array(gb))
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False).agg(
+            n_matched=("score", "size"), s=("score", "sum")
+        )
+        did = agg["doc_id"].to_numpy(np.int64)
+        req = 1 + did % 3
+        m = agg["n_matched"].to_numpy(np.int64) >= req
+        return pd.DataFrame(
+            {
+                "doc_id": did[m],
+                "n_matched": agg["n_matched"].to_numpy(np.int64)[m],
+                "required": req[m],
+                "score": agg["s"].to_numpy(np.float64)[m].round(6),
+            }
+        )
+
+    return (
+        matches.map_batches(bucket, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(lambda g: cover(g.drop(columns=["_gb"])),
+                    batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+QUERIES["covering_query_documents"] = q_covering_query_documents
+
+
+def _covering_oracle_sql() -> str:
+    q_rows = ",".join(f"('{t}')" for t in COVERING_TERMS)
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES {q_rows}),
+    per AS (
+      SELECT tf.doc_id, count(*)::BIGINT AS n_matched,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, n_matched, (1 + doc_id % 3)::BIGINT AS required,
+           round(s, 6) AS score
+    FROM per WHERE n_matched >= 1 + doc_id % 3
+    ORDER BY doc_id
+    """
+
+
+ORACLE["covering_query_documents"] = _covering_oracle_sql()
