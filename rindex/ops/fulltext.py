@@ -2565,3 +2565,96 @@ def _covering_oracle_sql() -> str:
 
 
 ORACLE["covering_query_documents"] = _covering_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# SweetSpotSimilarity — Similarity SPI member #8 (`lucene/misc/src/java/
+# org/apache/lucene/misc/SweetSpotSimilarity.java`): plateau length norm
+# (no penalty up to MAX tokens, then 1/sqrt decay), run through the SAME
+# WAND/exhaustive kernels with recomputed block bounds.
+# ---------------------------------------------------------------------------
+
+SWEET_QUERIES: list[tuple[str, str, str]] = [
+    ("w00", "or", "window sort"),
+    ("w01", "term", "merge"),
+    ("w02", "and", "batch vector"),
+]
+
+
+def q_sweetspot_sim_topk_documents(sf_dir: str):
+    """Top-k under SweetSpotSimilarity (idf^2 * sqrt(tf) / plateau-norm).
+    Rounded-rank slack discipline as ClassicSimilarity: the sqrt-ratio
+    form produces genuine cross-doc ties whose unrounded float order is
+    ulp-noise."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand", similarity="sweetspot")
+    slack = 16
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in SWEET_QUERIES]),
+            "qtype": pa.array([q[1] for q in SWEET_QUERIES]),
+            "text": pa.array([q[2] for q in SWEET_QUERIES]),
+            "k": pa.array([TOP_K + slack] * len(SWEET_QUERIES), pa.int32()),
+        }
+    )
+    out = searcher.search_table(qtbl).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=False)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32")
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _sweetspot_oracle_sql() -> str:
+    from rindex.similarity import SweetSpotSimilarity as _S
+
+    mn, mx, st = _S.MIN, _S.MAX, _S.STEEP
+    q_rows = []
+    for qid, qtype, text in SWEET_QUERIES:
+        terms = text.split()
+        for t in terms:
+            q_rows.append(f"('{qid}', '{t}', {len(set(terms))}, '{qtype}')")
+    q_values = ",".join(q_rows)
+    return f"""
+    WITH {_bm25_ctes()},
+    q(query_id, term, n_required, qtype) AS (VALUES {q_values}),
+    scores AS (
+      SELECT q.query_id,
+             tf.doc_id,
+             sum(((1.0 + ln(n_docs / (df + 1.0)))
+                  * (1.0 + ln(n_docs / (df + 1.0)))) * sqrt(tf)
+                 / sqrt({st} * (abs(greatest(ldl, 1.0) - {mn})
+                                + abs(greatest(ldl, 1.0) - {mx})
+                                - ({mx} - {mn})) + 1.0)) AS s,
+             count(DISTINCT tf.term) AS n_matched,
+             max(q.n_required) AS n_required,
+             max(q.qtype) AS qtype
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(s, 6) AS s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 6) DESC, doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM scores
+      WHERE qtype <> 'and' OR n_matched = n_required
+    )
+    SELECT query_id, rank, doc_id, s AS score
+    FROM ranked WHERE rank < {TOP_K}
+    """
+
+
+QUERIES["sweetspot_sim_topk_documents"] = q_sweetspot_sim_topk_documents
+ORACLE["sweetspot_sim_topk_documents"] = _sweetspot_oracle_sql()

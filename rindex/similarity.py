@@ -223,9 +223,43 @@ class ExpressionSimilarity:
         return self._eval(self._s, {"w": w, "tf": tf, "cv": cv})
 
 
+class SweetSpotSimilarity:
+    """SweetSpotSimilarity (`lucene/misc/src/java/org/apache/lucene/misc/
+    SweetSpotSimilarity.java`): ClassicSimilarity with the plateau length
+    norm lengthNorm(dl) = 1/sqrt(steepness*(|dl-min|+|dl-max|-(max-min))+1)
+    — documents inside [min, max] tokens pay NO length penalty.
+
+    Configured with min=1 so the norm is flat up to max and then strictly
+    decreasing: the WAND contract (score non-increasing in dl) requires a
+    MONOTONE norm, and a min>1 plateau penalizes short docs too, which
+    would invalidate the block bound taken at block_min_norm.  The cache
+    stores the DENOMINATOR sqrt(...) and score() divides — same
+    op-order-vs-oracle discipline as ClassicSimilarity."""
+
+    name = "sweetspot"
+    MIN, MAX, STEEP = 1.0, 40.0, 0.5
+
+    def term_weight(self, df, n_docs) -> float:
+        i = 1.0 + np.log(np.float64(n_docs) / (np.asarray(df, np.float64) + 1.0))
+        return i * i
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = np.maximum(NORM_DECODE_TABLE.astype(np.float64), 1.0)
+        return np.sqrt(
+            self.STEEP
+            * (np.abs(dl - self.MIN) + np.abs(dl - self.MAX)
+               - (self.MAX - self.MIN))
+            + 1.0
+        )
+
+    def score(self, w, tf, cv):
+        return w * np.sqrt(tf) / cv
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "classic": ClassicSimilarity(),
+    "sweetspot": SweetSpotSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),
     "lmjelinekmercer": LMJelinekMercerSimilarity(),
     "dfr": DFRSimilarity(),

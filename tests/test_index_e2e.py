@@ -451,3 +451,34 @@ def test_wand_equals_exhaustive_axiomatic(small_index):
     b = s.search_table(queries, algo="exhaustive")
     assert a.equals(b)
     assert (a["score"].to_numpy() > 0).all()
+
+
+def test_wand_equals_exhaustive_sweetspot_similarity(small_index):
+    """SweetSpotSimilarity's plateau norm is flat then decreasing (min=1),
+    so the block bound at block_min_norm stays valid: the pruned path must
+    equal the exhaustive one bit-for-bit."""
+    idx, _ = small_index
+    s = IndexSearcher(idx, similarity="sweetspot")
+    queries = make_queries()
+    a = s.search_table(queries, algo="wand")
+    b = s.search_table(queries, algo="exhaustive")
+    assert a.equals(b)
+
+
+def test_sweetspot_plateau_is_flat_then_decreasing():
+    import numpy as np
+
+    from rindex.similarity import SIMILARITIES
+
+    sim = SIMILARITIES["sweetspot"]
+    cache = sim.norm_cache(avgdl=30.0)
+    from rindex.codec import NORM_DECODE_TABLE
+
+    dl = np.maximum(NORM_DECODE_TABLE.astype(np.float64), 1.0)
+    order = np.argsort(dl, kind="stable")
+    dls, cs = dl[order], cache[order]
+    # score divides by the cache: flat where dl <= MAX, increasing after
+    flat = dls <= sim.MAX
+    assert np.allclose(cs[flat], 1.0)
+    tail = cs[~flat]
+    assert (np.diff(tail) >= 0).all()
