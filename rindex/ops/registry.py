@@ -45,7 +45,7 @@ _SAMPLE_FIRST = [
     "json_facet_block_children_orders", "json_facet_unique_block_orders",
     "json_facet_relatedness_documents", "metaphone_topterms_documents",
     "conv_lang_consistency_documents", "geo_polygon_events",
-    "covering_query_documents",
+    "covering_query_documents", "sweetspot_sim_topk_documents",
     # (2) changed this round — need fresh driver verification
     "embedding_cosine_neardup", "ngram_jaccard_neardup",
     "dedup_clusters_documents",
