@@ -11,14 +11,14 @@ def _modules():
         analysis_ext, ann, atomic, dedup, dismax, evaluators, facets,
         fulltext, intervals, livedocs, loaders, lucene8, ml, monitor,
         multimodal, multiterm, nested, relational, search_ext, sketches,
-        sqlhandler, streamlang, streams, textstats, transcripts,
+        sqlhandler, streamlang, streams, surround, textstats, transcripts,
     )
 
     return [
         relational, fulltext, dedup, textstats, ann, multimodal,
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
         nested, dismax, livedocs, facets, atomic, multiterm, streamlang,
-        ml, sqlhandler, monitor, lucene8, intervals, transcripts,
+        ml, sqlhandler, monitor, lucene8, intervals, transcripts, surround,
     ]
 
 
@@ -46,6 +46,7 @@ _SAMPLE_FIRST = [
     "json_facet_relatedness_documents", "metaphone_topterms_documents",
     "conv_lang_consistency_documents", "geo_polygon_events",
     "covering_query_documents", "sweetspot_sim_topk_documents",
+    "surround_query_documents",
     # (2) changed this round — need fresh driver verification
     "embedding_cosine_neardup", "ngram_jaccard_neardup",
     "dedup_clusters_documents",
