@@ -48,6 +48,10 @@ class _P:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def eat(self, want=None):
+        if self.i >= len(self.toks):
+            raise ValueError(
+                f"surround: unexpected end of input (wanted {want or 'a token'!r})"
+            )
         t = self.toks[self.i]
         if want is not None and t != want:
             raise ValueError(f"surround: expected {want!r}, got {t!r}")

@@ -1,0 +1,59 @@
+"""Surround parser (rindex/ops/surround.py): grammar round-trips, error
+paths, and hand-computed semantics on an engineered corpus."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rindex.ops.surround import _tree_sql, parse_surround
+
+
+def test_parse_shapes():
+    assert parse_surround("hash") == ("term", "hash")
+    assert parse_surround("3W(a, b)") == ("near", 3, True, "a", "b")
+    assert parse_surround("2N(a, b)") == ("near", 2, False, "a", "b")
+    t = parse_surround("AND(a, OR(b, c), NOT(d, e))")
+    assert t[0] == "and" and len(t[1]) == 3
+    assert t[1][1] == ("or", [("term", "b"), ("term", "c")])
+    assert t[1][2] == ("not", [("term", "d"), ("term", "e")])
+
+
+def test_parse_errors():
+    for bad in ["AND(a", "3W(a)", "NOT(a)", "a b", "AND(a,)"]:
+        with pytest.raises(ValueError):
+            parse_surround(bad)
+
+
+def test_sql_backend_matches_hand_semantics(tmp_path):
+    import duckdb
+
+    texts = [
+        "hash x join other words",   # 0: hash..join within 2 (ordered)
+        "join x x hash",             # 1: only unordered proximity
+        "hash x x x x x join",       # 2: too far for 3W
+        "hash join spark",           # 3: proximity but has spark
+        "window sort",               # 4: no proximity
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    pq.write_table(t, p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+
+    def run(q):
+        sql = f"SELECT doc_id FROM ({_tree_sql(parse_surround(q))}) ORDER BY 1"
+        return con.execute(sql).df()["doc_id"].tolist()
+
+    assert run("3W(hash, join)") == [0, 3]          # ordered, width <= 4
+    assert run("4N(hash, join)") == [0, 1, 3]       # unordered, width <= 5
+    assert run("NOT(3W(hash, join), spark)") == [0]
+    assert run("AND(4N(hash, join), OR(spark, other))") == [0, 3]
+    assert run("OR(window, spark)") == [3, 4]
