@@ -34,7 +34,7 @@ import pyarrow as pa
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-SURROUND_QUERY = "AND(4W(hash, join), NOT(OR(window, sort), spark))"
+SURROUND_QUERY = "AND(8W(hash, join, key), NOT(OR(window, sort), spark))"
 
 _TOK = re.compile(r"\s*([A-Za-z0-9]+|\(|\)|,)")
 
@@ -78,11 +78,19 @@ class _P:
             return ("not", [a, b])
         if m:
             self.eat("(")
-            a = self.eat().lower()
-            self.eat(",")
-            b = self.eat().lower()
+            terms = [self.eat().lower()]
+            while self.peek() == ",":
+                self.eat(",")
+                terms.append(self.eat().lower())
             self.eat(")")
-            return ("near", int(m.group(1)), m.group(2) == "W", a, b)
+            ordered = m.group(2) == "W"
+            if len(terms) < 2:
+                raise ValueError("surround: NW/NN need >= 2 terms")
+            if not ordered and len(terms) != 2:
+                # the unordered min-cover oracle is 2-term; keep the engine
+                # surface honest rather than silently unverifiable
+                raise ValueError("surround: NN supports exactly 2 terms")
+            return ("near", int(m.group(1)), ordered, tuple(terms))
         return ("term", t.lower())
 
 
@@ -135,9 +143,9 @@ def q_surround_query_documents(sf_dir: str):
 
             parts.append(ds.map_batches(tag, batch_format="pandas"))
         else:
-            _, n, ordered, a, b = leaf
+            _, n, ordered, terms = leaf
             hits = searcher.search_span_near(
-                f"{a} {b}", slop=n - 1, in_order=ordered
+                " ".join(terms), slop=n - 1, in_order=ordered
             )
             df = pd.DataFrame(
                 {
@@ -190,6 +198,24 @@ def q_surround_query_documents(sf_dir: str):
     )
 
 
+def _chain_expr(prev: str, terms, depth: int = 0) -> str:
+    """Greedy ordered chain end position in SQL: at each step the FIRST
+    occurrence of the next term after the previous position (the span
+    kernel's per-start minimal-chain enumeration).  DuckDB lambdas have no
+    let-binding, so each step binds its scalar through a singleton-list
+    transform; lambda variables are depth-unique (a reused name would
+    shadow and turn 'j > prev' into the always-false 'j > j')."""
+    if not terms:
+        return prev
+    t, rest = terms[0], terms[1:]
+    v = f"j{depth}"
+    jmin = (f"list_min(list_transform(list_filter(range(1, len(l) + 1), "
+            f"{v} -> l[{v}] = '{t}' AND {v} > {prev}), {v} -> {v}))")
+    return (f"list_min(list_transform(list_filter([{jmin}], "
+            f"{v} -> {v} IS NOT NULL), "
+            f"{v} -> {_chain_expr(v, rest, depth + 1)}))")
+
+
 def _leaf_sql(leaf) -> str:
     from rindex.ops.fulltext import TOKEN_SQL_RE
 
@@ -198,17 +224,18 @@ def _leaf_sql(leaf) -> str:
     if leaf[0] == "term":
         return (f"SELECT DISTINCT doc_id FROM ({toks}) "
                 f"WHERE list_contains(l, '{leaf[1]}')")
-    _, n, ordered, a, b = leaf
+    _, n, ordered, terms = leaf
     slop = n - 1
     if ordered:
+        a, rest = terms[0], list(terms[1:])
+        end = _chain_expr("i", rest)
         width = (
             "list_min(list_filter(list_transform("
             f"list_filter(range(1, len(l) + 1), i -> l[i] = '{a}'),"
-            " i -> list_min(list_transform("
-            f"list_filter(range(1, len(l) + 1), j -> l[j] = '{b}' AND j > i),"
-            " j -> j - i + 1))), x -> x IS NOT NULL))"
+            f" i -> {end} - i + 1), x -> x IS NOT NULL))"
         )
     else:
+        a, b = terms
         width = (
             "list_min(list_filter(list_transform("
             f"list_filter(range(1, len(l) + 1), i -> l[i] = '{a}'),"
@@ -217,7 +244,7 @@ def _leaf_sql(leaf) -> str:
             " j -> abs(j - i) + 1))), x -> x IS NOT NULL))"
         )
     return (f"SELECT doc_id FROM (SELECT doc_id, {width} AS w FROM ({toks})) "
-            f"WHERE w IS NOT NULL AND w - 2 <= {slop}")
+            f"WHERE w IS NOT NULL AND w - {len(terms)} <= {slop}")
 
 
 def _tree_sql(tree) -> str:

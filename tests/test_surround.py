@@ -13,8 +13,9 @@ from rindex.ops.surround import _tree_sql, parse_surround
 
 def test_parse_shapes():
     assert parse_surround("hash") == ("term", "hash")
-    assert parse_surround("3W(a, b)") == ("near", 3, True, "a", "b")
-    assert parse_surround("2N(a, b)") == ("near", 2, False, "a", "b")
+    assert parse_surround("3W(a, b)") == ("near", 3, True, ("a", "b"))
+    assert parse_surround("2N(a, b)") == ("near", 2, False, ("a", "b"))
+    assert parse_surround("5W(a, b, c)") == ("near", 5, True, ("a", "b", "c"))
     t = parse_surround("AND(a, OR(b, c), NOT(d, e))")
     assert t[0] == "and" and len(t[1]) == 3
     assert t[1][1] == ("or", [("term", "b"), ("term", "c")])
@@ -22,7 +23,8 @@ def test_parse_shapes():
 
 
 def test_parse_errors():
-    for bad in ["AND(a", "3W(a)", "NOT(a)", "a b", "AND(a,)"]:
+    for bad in ["AND(a", "3W(a)", "NOT(a)", "a b", "AND(a,)",
+                "3N(a, b, c)"]:  # N-ary unordered unsupported, must be loud
         with pytest.raises(ValueError):
             parse_surround(bad)
 
@@ -57,3 +59,8 @@ def test_sql_backend_matches_hand_semantics(tmp_path):
     assert run("NOT(3W(hash, join), spark)") == [0]
     assert run("AND(4N(hash, join), OR(spark, other))") == [0, 3]
     assert run("OR(window, spark)") == [3, 4]
+    # 3-term ordered chains: doc 0 = 'hash x join other words' has the
+    # chain hash(1)..join(3)..words(5): width 5, slack 2
+    assert run("3W(hash, join, words)") == [0]      # slop 2 == slack
+    assert run("2W(hash, join, words)") == []       # slop 1 <  slack
+    assert run("1W(hash, join, spark)") == [3]      # adjacent triple
