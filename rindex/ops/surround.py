@@ -15,9 +15,9 @@ One parse tree, TWO backends (the streamlang two-target discipline):
 `_plan()` evaluates leaves against the engine — term leaves stream their
 distributed match sets, proximity leaves run the positional span kernels —
 then ONE coarse-bucket reduce evaluates the boolean tree per doc over the
-leaf-membership bitmask, vectorized.  `_sql()` renders the SAME tree as
+leaf-membership bitmask, vectorized.  `_tree_sql()` renders the SAME tree as
 composable DuckDB set algebra (INTERSECT / UNION / EXCEPT over per-leaf
-CTP subqueries), so the op and its oracle can never diverge structurally.
+subqueries), so the op and its oracle can never diverge structurally.
 
 Distance semantics: surround's `NW`/`NN` distance N allows spans of width
 up to N + (arity - 1) - 1, i.e. slop = N - 1 in this engine's span terms.
