@@ -1250,3 +1250,48 @@ def _conv_lang_oracle_sql() -> str:
 
 
 ORACLE["conv_lang_consistency_documents"] = _conv_lang_oracle_sql()
+
+
+# --- conversation-level benchmark contamination --------------------------------
+
+
+def q_conv_contamination_documents(sf_dir: str):
+    """Benchmark contamination rolled up to CONVERSATION granularity: a
+    conversation is quarantined when any of its turns shares an n-gram
+    with the held-out benchmark set — the drop unit in chat-data curation
+    is the conversation, not the turn.  Delegates the gram machinery to
+    contamination_check_documents (one broadcast benchmark set, one
+    corpus scan); the rollup runs over the result-bounded contaminated-turn
+    table."""
+    from rindex.ops.textstats import q_contamination_check_documents
+
+    per_doc = q_contamination_check_documents(sf_dir)
+    conv = per_doc["doc_id"].to_numpy(np.int64) // TURNS_PER_CONV
+    df = pd.DataFrame(
+        {"conv_id": conv, "n_hit": per_doc["n_hit"].to_numpy(np.int64)}
+    )
+    out = df.groupby("conv_id", as_index=False).agg(
+        n_turns_hit=("n_hit", "size"), total_hits=("n_hit", "sum")
+    )
+    out["n_turns_hit"] = out["n_turns_hit"].astype(np.int64)
+    out["total_hits"] = out["total_hits"].astype(np.int64)
+    return out
+
+
+QUERIES["conv_contamination_documents"] = q_conv_contamination_documents
+
+
+def _conv_contamination_oracle_sql() -> str:
+    from rindex.ops.textstats import ORACLE as _TS_ORACLE
+
+    inner = _TS_ORACLE["contamination_check_documents"]
+    return f"""
+    SELECT doc_id // {TURNS_PER_CONV} AS conv_id,
+           count(*)::BIGINT AS n_turns_hit,
+           sum(n_hit)::BIGINT AS total_hits
+    FROM ({inner})
+    GROUP BY 1
+    """
+
+
+ORACLE["conv_contamination_documents"] = _conv_contamination_oracle_sql()
