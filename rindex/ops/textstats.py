@@ -2578,3 +2578,51 @@ def _bigram_nll_oracle_sql() -> str:
 
 
 ORACLE["bigram_nll_documents"] = _bigram_nll_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Dual-LM informativeness delta (the RHO-loss / DSIR-style signal family:
+# how much more predictable a document becomes with context): delta =
+# unigram NLL - bigram NLL.  High delta = locally coherent text (context
+# helps a lot); near-zero or negative = token soup or boilerplate.  A pure
+# composition of the two exact LM pipelines — both sides subtract the SAME
+# rounded values, so the compare stays bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def q_lm_delta_documents(sf_dir: str):
+    """Per-doc (unigram NLL, bigram NLL, delta), docs with >= 2 tokens."""
+    uni = q_unigram_nll_documents(sf_dir).to_pandas()
+    bi = q_bigram_nll_documents(sf_dir).to_pandas()
+    m = uni.merge(
+        bi[["doc_id", "nll"]].rename(columns={"nll": "bi_nll"}), on="doc_id"
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "uni_nll": m["nll"].to_numpy(np.float64),
+            "bi_nll": m["bi_nll"].to_numpy(np.float64),
+            "delta": (
+                m["nll"].to_numpy(np.float64)
+                - m["bi_nll"].to_numpy(np.float64)
+            ),
+        }
+    )
+    return out
+
+
+QUERIES["lm_delta_documents"] = q_lm_delta_documents
+
+
+def _lm_delta_oracle_sql() -> str:
+    uni = ORACLE["unigram_nll_documents"]
+    bi = ORACLE["bigram_nll_documents"]
+    return f"""
+    SELECT u.doc_id, u.nll AS uni_nll, b.nll AS bi_nll,
+           u.nll - b.nll AS delta
+    FROM ({uni}) u
+    JOIN ({bi}) b USING (doc_id)
+    """
+
+
+ORACLE["lm_delta_documents"] = _lm_delta_oracle_sql()
