@@ -47,7 +47,7 @@ _SAMPLE_FIRST = [
     "conv_lang_consistency_documents", "geo_polygon_events",
     "covering_query_documents", "sweetspot_sim_topk_documents",
     "surround_query_documents", "conv_contamination_documents",
-    "lm_delta_documents",
+    "lm_delta_documents", "text_tagger_documents",
     # (2) changed this round — need fresh driver verification
     "embedding_cosine_neardup", "ngram_jaccard_neardup",
     "dedup_clusters_documents",

@@ -1685,3 +1685,80 @@ def _zipf_oracle_sql() -> str:
 
 
 ORACLE["zipf_fit_documents"] = _zipf_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Text tagger (`solr/core/src/java/org/apache/solr/handler/tagger/
+# TaggerRequestHandler.java` — the SolrTextTagger contract: find all
+# occurrences of dictionary phrases in raw text).  The dictionary is the
+# stateful small side (compiled once per actor in __init__); per batch the
+# counting is ONE Arrow re2 kernel per phrase over the whole column — no
+# Python row loops.
+# ---------------------------------------------------------------------------
+
+TAG_PHRASES = [
+    "hash join", "merge join", "sort merge", "fast scan", "big table",
+]
+
+
+def q_text_tagger_documents(sf_dir: str):
+    """Per-doc counts of each dictionary phrase (word-boundary matches,
+    non-overlapping) — long-form (doc_id, phrase, n) rows for n > 0."""
+    from rindex.ops.util import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    class Tagger:
+        def __init__(self):
+            self.pats = [
+                (p, r"\b" + p.replace(" ", r"\s+") + r"\b")
+                for p in TAG_PHRASES
+            ]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            low = pc.utf8_lower(pc.coalesce(t["text"], ""))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            out_id, out_p, out_n = [], [], []
+            for phrase, pat in self.pats:
+                n = pc.count_substring_regex(low, pat).to_numpy(
+                    zero_copy_only=False
+                )
+                m = n > 0
+                out_id.append(ids[m])
+                out_p.append(np.full(int(m.sum()), phrase, object))
+                out_n.append(n[m].astype(np.int64))
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.concatenate(out_id) if out_id else [], pa.int64()
+                    ),
+                    "phrase": pa.array(
+                        np.concatenate(out_p) if out_p else [], pa.string()
+                    ),
+                    "n": pa.array(
+                        np.concatenate(out_n) if out_n else [], pa.int64()
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        Tagger, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
+QUERIES["text_tagger_documents"] = q_text_tagger_documents
+ORACLE["text_tagger_documents"] = f"""
+    SELECT doc_id, phrase, n FROM (
+      SELECT doc_id, p.phrase,
+             len(regexp_extract_all(
+                 lower(coalesce(text, '')),
+                 '\\b' || replace(p.phrase, ' ', '\\s+') || '\\b'))::BIGINT
+               AS n
+      FROM documents
+      CROSS JOIN (VALUES {",".join(f"('{p}')" for p in TAG_PHRASES)})
+        p(phrase)
+    ) WHERE n > 0
+"""
