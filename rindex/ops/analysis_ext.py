@@ -1597,3 +1597,114 @@ def _geo_polygon_oracle_sql() -> str:
 
 
 ORACLE["geo_polygon_events"] = _geo_polygon_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# LTR feature logger (`solr/contrib/ltr/src/java/org/apache/solr/ltr/
+# response/transform/LTRFeatureLoggerTransformerFactory.java` — the [features]
+# transformer that extracts per-document feature vectors for training a
+# reranker).  Features: per-term tf (word-boundary re2 counts), token dl,
+# the stored n_chars field, and the BM25 first-pass score; the score side
+# streams from the per-segment match tasks and hash-joins the vectorized
+# feature scan — nothing lands on the driver but the logged rows.
+# ---------------------------------------------------------------------------
+
+LTR_FEAT_QUERY = "hash join"
+
+
+def q_ltr_feature_log_documents(sf_dir: str):
+    """Per-matching-doc feature vector for '{LTR_FEAT_QUERY}': tf_hash,
+    tf_join, dl, n_chars, bm25 (round 6)."""
+    import pyarrow.compute as _pc
+
+    from rindex.ops.fulltext import TOKEN_SQL_RE, documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    scores = s.score_matches_dataset(LTR_FEAT_QUERY, mode="or").map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            _pc.round(t["score"], 6),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        low = _pc.utf8_lower(_pc.coalesce(t["text"], ""))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tf_hash": _pc.cast(
+                    _pc.count_substring_regex(low, r"\bhash\b"), pa.int64()
+                ),
+                "tf_join": _pc.cast(
+                    _pc.count_substring_regex(low, r"\bjoin\b"), pa.int64()
+                ),
+                "dl": _pc.cast(
+                    _pc.count_substring_regex(low, TOKEN_SQL_RE), pa.int64()
+                ),
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    docs = read_table(
+        sf_dir, "documents", ["doc_id", "text", "n_chars"]
+    ).map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+    joined = scores.join(docs, "inner", num_partitions=8, on=("doc_id",))
+    return joined.sort("doc_id").map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tf_hash": t["tf_hash"],
+                "tf_join": t["tf_join"],
+                "dl": t["dl"],
+                "n_chars": t["n_chars"],
+                "bm25": t["score"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+QUERIES["ltr_feature_log_documents"] = q_ltr_feature_log_documents
+
+
+def _ltr_feature_oracle_sql() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    q_rows = ",".join(f"('{t}')" for t in LTR_FEAT_QUERY.split())
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES {q_rows}),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '\\bhash\\b'))::BIGINT AS tf_hash,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '\\bjoin\\b'))::BIGINT AS tf_join,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                 '[0-9a-z]+(?:''[0-9a-z]+)*'))::BIGINT AS dl,
+             n_chars
+      FROM documents
+    )
+    SELECT f.doc_id, f.tf_hash, f.tf_join, f.dl, f.n_chars,
+           round(s.s, 6) AS bm25
+    FROM scores s JOIN feat f ON f.doc_id = s.doc_id
+    """
+
+
+ORACLE["ltr_feature_log_documents"] = _ltr_feature_oracle_sql()
