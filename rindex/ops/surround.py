@@ -86,10 +86,6 @@ class _P:
             ordered = m.group(2) == "W"
             if len(terms) < 2:
                 raise ValueError("surround: NW/NN need >= 2 terms")
-            if not ordered and len(terms) != 2:
-                # the unordered min-cover oracle is 2-term; keep the engine
-                # surface honest rather than silently unverifiable
-                raise ValueError("surround: NN supports exactly 2 terms")
             return ("near", int(m.group(1)), ordered, tuple(terms))
         return ("term", t.lower())
 
@@ -112,18 +108,17 @@ def _leaves(tree, acc):
     return acc
 
 
-def q_surround_query_documents(sf_dir: str):
-    """Docs matching the surround expression '{SURROUND_QUERY}'.  Leaves
-    stream as tagged (doc_id, leaf) rows — term leaves from the
-    distributed match sets, proximity leaves from the positional span
-    kernels — and one coarse-bucket reduce evaluates the tree per doc
-    over the membership bitmask."""
+def _run_surround(sf_dir: str, query: str):
+    """Shared runner: leaves stream as tagged (doc_id, leaf) rows — term
+    leaves from the distributed match sets, proximity leaves from the
+    positional span kernels — and one coarse-bucket reduce evaluates the
+    tree per doc over the membership bitmask."""
     import ray.data as rd
 
     from rindex.ops.fulltext import documents_index_pos
     from rindex.search import IndexSearcher
 
-    tree = parse_surround(SURROUND_QUERY)
+    tree = parse_surround(query)
     leaves = _leaves(tree, [])
     idx = documents_index_pos(sf_dir)
     searcher = IndexSearcher(idx)
@@ -198,6 +193,12 @@ def q_surround_query_documents(sf_dir: str):
     )
 
 
+def q_surround_query_documents(sf_dir: str):
+    """Docs matching the surround expression '{SURROUND_QUERY}' (ordered
+    N-ary NW leaf + boolean algebra)."""
+    return _run_surround(sf_dir, SURROUND_QUERY)
+
+
 def _chain_expr(prev: str, terms, depth: int = 0) -> str:
     """Greedy ordered chain end position in SQL: at each step the FIRST
     occurrence of the next term after the previous position (the span
@@ -235,14 +236,18 @@ def _leaf_sql(leaf) -> str:
             f" i -> {end} - i + 1), x -> x IS NOT NULL))"
         )
     else:
-        a, b = terms
-        width = (
-            "list_min(list_filter(list_transform("
-            f"list_filter(range(1, len(l) + 1), i -> l[i] = '{a}'),"
-            " i -> list_min(list_transform("
-            f"list_filter(range(1, len(l) + 1), j -> l[j] = '{b}'),"
-            " j -> abs(j - i) + 1))), x -> x IS NOT NULL))"
-        )
+        # N-ary minimal covering span: min over the cross product of the
+        # terms' position lists of (greatest - least + 1) — the SQL twin
+        # of the engine's merged-sweep min-cover (depth-unique lambda
+        # vars v0..vk; occurrence counts are tiny so the cross is cheap)
+        vs = [f"v{i}" for i in range(len(terms))]
+        span = (f"greatest({', '.join(vs)}) - least({', '.join(vs)}) + 1")
+        expr = span
+        for v, t in reversed(list(zip(vs, terms))):
+            pos = (f"list_filter(range(1, len(l) + 1), "
+                   f"{v} -> l[{v}] = '{t}')")
+            expr = f"list_min(list_transform({pos}, {v} -> {expr}))"
+        width = f"list_min(list_filter([{expr}], x -> x IS NOT NULL))"
     return (f"SELECT doc_id FROM (SELECT doc_id, {width} AS w FROM ({toks})) "
             f"WHERE w IS NOT NULL AND w - {len(terms)} <= {slop}")
 
@@ -265,3 +270,20 @@ def _surround_oracle_sql() -> str:
 
 QUERIES["surround_query_documents"] = q_surround_query_documents
 ORACLE["surround_query_documents"] = _surround_oracle_sql()
+
+
+SURROUND_UNORDERED_QUERY = "NOT(9N(hash, join, key), spark)"
+
+
+def q_surround_unordered_documents(sf_dir: str):
+    """Docs matching '{SURROUND_UNORDERED_QUERY}' — the unordered N-ary
+    (min-cover) leaf path through the same two-backend compiler."""
+    return _run_surround(sf_dir, SURROUND_UNORDERED_QUERY)
+
+
+QUERIES["surround_unordered_documents"] = q_surround_unordered_documents
+ORACLE["surround_unordered_documents"] = (
+    f"SELECT doc_id FROM "
+    f"({_tree_sql(parse_surround(SURROUND_UNORDERED_QUERY))}) "
+    "ORDER BY doc_id"
+)

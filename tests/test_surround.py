@@ -23,8 +23,7 @@ def test_parse_shapes():
 
 
 def test_parse_errors():
-    for bad in ["AND(a", "3W(a)", "NOT(a)", "a b", "AND(a,)",
-                "3N(a, b, c)"]:  # N-ary unordered unsupported, must be loud
+    for bad in ["AND(a", "3W(a)", "NOT(a)", "a b", "AND(a,)"]:
         with pytest.raises(ValueError):
             parse_surround(bad)
 
@@ -64,3 +63,28 @@ def test_sql_backend_matches_hand_semantics(tmp_path):
     assert run("3W(hash, join, words)") == [0]      # slop 2 == slack
     assert run("2W(hash, join, words)") == []       # slop 1 <  slack
     assert run("1W(hash, join, spark)") == [3]      # adjacent triple
+
+
+def test_nary_unordered_min_cover(tmp_path):
+    import duckdb
+
+    texts = ["a x b x c", "c b a", "a x x x x b c", "a b"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    pq.write_table(t, p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+
+    def run(q):
+        sql = f"SELECT doc_id FROM ({_tree_sql(parse_surround(q))}) ORDER BY 1"
+        return con.execute(sql).df()["doc_id"].tolist()
+
+    # covering widths: d0=5, d1=3, d2=7; d3 lacks c
+    assert run("5N(a, b, c)") == [0, 1, 2]   # slop 4 -> width <= 7
+    assert run("3N(a, b, c)") == [0, 1]      # slop 2 -> width <= 5
+    assert run("1N(a, b, c)") == [1]         # slop 0 -> width <= 3
