@@ -81,6 +81,10 @@ def main() -> int:
 
     nseg = (args.num_segments if args.num_segments == "auto"
             else int(args.num_segments))
+    # count finished partitions BEFORE the build so the job log reports
+    # what resume actually skipped (not just that the mode was on)
+    pre = len(glob.glob(os.path.join(args.index_dir, "**", "_SUCCESS"),
+                        recursive=True))
     t0 = time.perf_counter()
     manifest = build_index(
         corpus, args.index_dir,
@@ -137,7 +141,8 @@ def main() -> int:
     n_docs = sum(p["docs"] for p in parts)
     print(json.dumps({
         "job": "index_build_and_serve",
-        "resumed": not args.no_resume,
+        "resume_enabled": not args.no_resume,
+        "partitions_preexisting": pre,
         "build_sec": round(build_s, 3),
         "docs": n_docs,
         "docs_per_sec": round(n_docs / build_s, 1) if build_s > 0 else None,
