@@ -2658,3 +2658,71 @@ def _sweetspot_oracle_sql() -> str:
 
 QUERIES["sweetspot_sim_topk_documents"] = q_sweetspot_sim_topk_documents
 ORACLE["sweetspot_sim_topk_documents"] = _sweetspot_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# SpanPositionRangeQuery (`lucene/core/src/java/org/apache/lucene/search/
+# spans/SpanPositionRangeQuery.java`): occurrences restricted to a position
+# window [start, end) — the generalization of SpanFirst (which is the
+# end-only case).  Served from the positional postings: per doc, two
+# searchsorteds over the term's sorted position run count the in-window
+# occurrences.
+# ---------------------------------------------------------------------------
+
+SPAN_POS_TERM = "merge"
+SPAN_POS_LO, SPAN_POS_HI = 3, 12  # 0-based positions in [3, 12)
+
+
+def q_span_position_range_documents(sf_dir: str):
+    """Docs where '{SPAN_POS_TERM}' occurs at a 0-based position in
+    [{SPAN_POS_LO}, {SPAN_POS_HI}), with the in-window occurrence count."""
+    import pandas as pd
+
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    rows = []
+    for reader in s.readers:
+        got = reader.positions_for([SPAN_POS_TERM])[SPAN_POS_TERM]
+        if got is None:
+            continue
+        docs, tfs, pos = got[:3]
+        docs = np.asarray(docs, dtype=np.int64)
+        tfs = np.asarray(tfs, dtype=np.int64)
+        pos = np.asarray(pos, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+        # vectorized per-doc window counts: two searchsorteds restricted to
+        # each doc's position run via reduceat over the in-window mask
+        inw = ((pos >= SPAN_POS_LO) & (pos < SPAN_POS_HI)).astype(np.int64)
+        n = np.add.reduceat(inw, starts) if len(pos) else np.zeros(0, np.int64)
+        live = reader.drop_deleted(docs)
+        keep = (n > 0) & np.isin(docs, live, assume_unique=True)
+        hit_docs, hit_n = docs[keep], n[keep]
+        if len(hit_docs) == 0:
+            continue
+        ids = reader.fetch_ids(hit_docs, s.id_cols)
+        rows.extend(
+            (*ids[int(d)], int(c)) for d, c in zip(hit_docs, hit_n)
+        )
+    rows.sort(key=lambda r: r[:-1])
+    return pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "n_in_window": pd.array([r[1] for r in rows], dtype="int64"),
+        }
+    )
+
+
+QUERIES["span_position_range_documents"] = q_span_position_range_documents
+ORACLE["span_position_range_documents"] = f"""
+    SELECT doc_id, n_in_window FROM (
+      SELECT doc_id,
+        len(list_filter(range(1, len(l) + 1),
+            i -> l[i] = '{SPAN_POS_TERM}'
+                 AND i - 1 >= {SPAN_POS_LO}
+                 AND i - 1 < {SPAN_POS_HI}))::BIGINT AS n_in_window
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents))
+    WHERE n_in_window > 0
+"""
