@@ -1708,3 +1708,55 @@ def _ltr_feature_oracle_sql() -> str:
 
 
 ORACLE["ltr_feature_log_documents"] = _ltr_feature_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# LTR model rerank (`solr/contrib/ltr/src/java/org/apache/solr/ltr/search/
+# LTRQParserPlugin.java` — {!ltr model=...} reranking the first-pass top
+# docs with the uploaded model over the logged features).  Closes the LTR
+# loop: feature logger above -> linear model here -> reranked page.
+# ---------------------------------------------------------------------------
+
+LTR_W = {"tf_hash": 0.4, "tf_join": 0.3, "dl": -0.01,
+         "n_chars": 0.001, "bm25": 1.0}
+LTR_RERANK_K = 10
+
+
+def q_ltr_rerank_documents(sf_dir: str):
+    """Top-{LTR_RERANK_K} docs under the linear LTR model applied to every
+    first-pass match's feature vector (the rerank window here is the full
+    match set, so the result is exact, not window-truncated)."""
+    feats = q_ltr_feature_log_documents(sf_dir).to_pandas()
+    score = (
+        LTR_W["tf_hash"] * feats["tf_hash"].to_numpy(np.float64)
+        + LTR_W["tf_join"] * feats["tf_join"].to_numpy(np.float64)
+        + LTR_W["dl"] * feats["dl"].to_numpy(np.float64)
+        + LTR_W["n_chars"] * feats["n_chars"].to_numpy(np.float64)
+        + LTR_W["bm25"] * feats["bm25"].to_numpy(np.float64)
+    )
+    out = pd.DataFrame(
+        {"doc_id": feats["doc_id"].to_numpy(np.int64),
+         "ltr_score": np.round(score, 6)}
+    ).sort_values(["ltr_score", "doc_id"], ascending=[False, True],
+                  kind="mergesort").head(LTR_RERANK_K)
+    out["rank"] = np.arange(len(out), dtype=np.int32)
+    return out[["rank", "doc_id", "ltr_score"]].reset_index(drop=True)
+
+
+QUERIES["ltr_rerank_documents"] = q_ltr_rerank_documents
+ORACLE["ltr_rerank_documents"] = f"""
+    WITH f AS ({_ltr_feature_oracle_sql()}),
+    scored AS (
+      SELECT doc_id,
+             round({LTR_W["tf_hash"]} * tf_hash + {LTR_W["tf_join"]} * tf_join
+                   + {LTR_W["dl"]} * dl + {LTR_W["n_chars"]} * n_chars
+                   + {LTR_W["bm25"]} * bm25, 6) AS ltr_score
+      FROM f
+    )
+    SELECT (row_number() OVER (ORDER BY ltr_score DESC, doc_id ASC) - 1)::INTEGER
+             AS rank,
+           doc_id, ltr_score
+    FROM scored
+    ORDER BY ltr_score DESC, doc_id ASC
+    LIMIT {LTR_RERANK_K}
+"""

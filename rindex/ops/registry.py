@@ -49,7 +49,7 @@ _SAMPLE_FIRST = [
     "surround_query_documents", "conv_contamination_documents",
     "lm_delta_documents", "text_tagger_documents",
     "ltr_feature_log_documents", "surround_unordered_documents",
-    "span_position_range_documents",
+    "span_position_range_documents", "ltr_rerank_documents",
     # (2) changed this round — need fresh driver verification
     "embedding_cosine_neardup", "ngram_jaccard_neardup",
     "dedup_clusters_documents",
