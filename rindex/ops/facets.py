@@ -952,3 +952,44 @@ ORACLE["json_facet_relatedness_documents"] = f"""
     FROM agg CROSS JOIN tot
     ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Facet pagination (facet.offset + facet.limit — SimpleFacets paging,
+# `solr/core/src/java/org/apache/solr/request/SimpleFacets.java`): the
+# second page of count-ordered buckets.
+# ---------------------------------------------------------------------------
+
+FACET_PAGE_OFFSET, FACET_PAGE_LIMIT = 5, 5
+
+
+def q_facet_pagination_documents(sf_dir: str):
+    """Terms facet on `source` ordered (count desc, value asc), page 2
+    (offset {FACET_PAGE_OFFSET}, limit {FACET_PAGE_LIMIT}).  The paging cut
+    happens on the bucket table (bucket-cardinality-sized), never the
+    corpus."""
+    from ray.data.aggregate import Count
+
+    agg = (
+        read_table(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    agg["n"] = agg["n"].astype(np.int64)
+    page = (
+        agg.sort_values(["n", "source"], ascending=[False, True],
+                        kind="mergesort")
+        .iloc[FACET_PAGE_OFFSET: FACET_PAGE_OFFSET + FACET_PAGE_LIMIT]
+        .reset_index(drop=True)
+    )
+    return page[["source", "n"]]
+
+
+QUERIES["facet_pagination_documents"] = q_facet_pagination_documents
+ORACLE["facet_pagination_documents"] = f"""
+    SELECT source, count(*)::BIGINT AS n
+    FROM documents GROUP BY source
+    ORDER BY n DESC, source ASC
+    LIMIT {FACET_PAGE_LIMIT} OFFSET {FACET_PAGE_OFFSET}
+"""
