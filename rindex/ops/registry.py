@@ -50,7 +50,7 @@ _SAMPLE_FIRST = [
     "lm_delta_documents", "text_tagger_documents",
     "ltr_feature_log_documents", "surround_unordered_documents",
     "span_position_range_documents", "ltr_rerank_documents",
-    "facet_pagination_documents",
+    "facet_pagination_documents", "spellcheck_extended_documents",
     # (2) changed this round — need fresh driver verification
     "embedding_cosine_neardup", "ngram_jaccard_neardup",
     "dedup_clusters_documents",

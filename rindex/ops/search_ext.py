@@ -1762,3 +1762,68 @@ ORACLE["text_tagger_documents"] = f"""
         p(phrase)
     ) WHERE n > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# spellcheck.extendedResults — the FULL suggestion list per input word
+# (`solr/core/src/java/org/apache/solr/handler/component/
+# SpellCheckComponent.java` extendedResults=true: every candidate with its
+# frequency, not just the winner), served by the same resident suggester.
+# ---------------------------------------------------------------------------
+
+SPELL_EXT_K = 5
+# the base inputs plus one with MULTIPLE in-distance candidates
+# ('ast' -> fast d1, a d2, agg d2 ...) so the (distance, df, term)
+# tie-break actually bites
+SPELL_EXT_INPUTS = SPELL_INPUTS + ["ast"]
+_spell_ext_values = ",".join(f"('{w}')" for w in SPELL_EXT_INPUTS)
+
+
+def q_spellcheck_extended_documents(sf_dir: str):
+    """Top-{SPELL_EXT_K} correction candidates per misspelled input
+    (distance asc, df desc, term asc) with per-candidate frequency."""
+    import ray
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.suggester import get_suggester
+
+    sa = get_suggester(documents_index(sf_dir))
+    lists = ray.get(
+        [sa.correct_topk.remote(w, SPELL_EXT_K) for w in SPELL_EXT_INPUTS]
+    )
+    rows = []
+    for w, cands in zip(SPELL_EXT_INPUTS, lists):
+        for rank, (term, dist, weight) in enumerate(cands):
+            rows.append((w, np.int32(rank), term, dist, weight))
+    out = pd.DataFrame(
+        rows, columns=["input", "rank", "suggestion", "distance", "weight"]
+    )
+    return out.astype(
+        {"rank": np.int32, "distance": np.int64, "weight": np.int64}
+    )
+
+
+QUERIES["spellcheck_extended_documents"] = q_spellcheck_extended_documents
+ORACLE["spellcheck_extended_documents"] = f"""
+    WITH dict AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS weight
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
+        FROM documents
+      ) GROUP BY term
+    ),
+    inputs(input) AS (VALUES {_spell_ext_values}),
+    cand AS (
+      SELECT input, term AS suggestion,
+             levenshtein(input, term)::BIGINT AS distance, weight,
+             (row_number() OVER (
+               PARTITION BY input
+               ORDER BY levenshtein(input, term) ASC, weight DESC, term ASC
+             ) - 1)::INTEGER AS rank
+      FROM inputs CROSS JOIN dict
+      WHERE levenshtein(input, term) <= 2
+    )
+    SELECT input, rank, suggestion, distance, weight
+    FROM cand WHERE rank < {SPELL_EXT_K}
+"""

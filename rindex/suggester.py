@@ -149,6 +149,29 @@ class Suggester:
         """DirectSpellChecker lookup against the resident dictionary."""
         return rank_correction(word, self.terms, self.weights, max_dist)
 
+    def correct_topk(
+        self, word: str, k: int = 5, max_dist: int = 2
+    ) -> list[tuple]:
+        """extendedResults spellcheck: the TOP-K correction candidates
+        (distance asc, df desc, term asc) with their frequencies —
+        DirectSpellChecker's full suggestion list rather than only the
+        winner.  Same length-pruned vectorized DP as correct()."""
+        from rindex.ops.multiterm import _levenshtein_vec
+
+        lp = np.abs(
+            np.char.str_len(self.terms.astype(str)) - len(word)
+        ) <= max_dist
+        terms, dfs = self.terms[lp], self.weights[lp]
+        if len(terms) == 0:
+            return []
+        d = _levenshtein_vec(word, terms)
+        m = d <= max_dist
+        terms, dfs, d = terms[m], dfs[m], d[m]
+        sel = np.lexsort((terms, -dfs, d))[:k]
+        return [
+            (str(terms[i]), int(d[i]), int(dfs[i])) for i in sel
+        ]
+
     def suggest_fuzzy(
         self,
         word: str,
@@ -198,6 +221,9 @@ def get_suggester(idx: str):
 
         def suggest_fuzzy(self, word: str, k: int = 10, max_edits: int = 1):
             return self.s.suggest_fuzzy(word, k, max_edits)
+
+        def correct_topk(self, word: str, k: int = 5, max_dist: int = 2):
+            return self.s.correct_topk(word, k, max_dist)
 
     name = "rindex-suggester-" + hashlib.md5(idx.encode()).hexdigest()[:10]
     return SuggesterActor.options(
