@@ -88,3 +88,114 @@ def test_nary_unordered_min_cover(tmp_path):
     assert run("5N(a, b, c)") == [0, 1, 2]   # slop 4 -> width <= 7
     assert run("3N(a, b, c)") == [0, 1]      # slop 2 -> width <= 5
     assert run("1N(a, b, c)") == [1]         # slop 0 -> width <= 3
+
+
+# ---------------------------------------------------------------------------
+# Property test: the tree -> SQL compiler agrees with a NAIVE evaluator on
+# random trees over random corpora (the Ray plan is oracle-checked against
+# the same SQL in test_ops_oracle, closing the triangle).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ALPHA = ["a", "b", "c", "x"]
+
+
+def _naive_eval(tree, docs):
+    def leaf_docs(leaf):
+        out = set()
+        for did, toks in docs:
+            if leaf[0] == "term":
+                if leaf[1] in toks:
+                    out.add(did)
+                continue
+            _, n, ordered, terms = leaf
+            slop = n - 1
+            pos = {t: [i for i, x in enumerate(toks) if x == t]
+                   for t in terms}
+            if any(not pos[t] for t in terms):
+                continue
+            widths = []
+            if ordered:
+                for start in pos[terms[0]]:
+                    cur = start
+                    ok = True
+                    for t in terms[1:]:
+                        nxt = [p for p in pos[t] if p > cur]
+                        if not nxt:
+                            ok = False
+                            break
+                        cur = nxt[0]
+                    if ok:
+                        widths.append(cur - start + 1)
+            else:
+                import itertools
+
+                for combo in itertools.product(*(pos[t] for t in terms)):
+                    widths.append(max(combo) - min(combo) + 1)
+            if widths and min(widths) - len(terms) <= slop:
+                out.add(did)
+        return out
+
+    def ev(t):
+        if t[0] == "and":
+            s = ev(t[1][0])
+            for k in t[1][1:]:
+                s = s & ev(k)
+            return s
+        if t[0] == "or":
+            s = ev(t[1][0])
+            for k in t[1][1:]:
+                s = s | ev(k)
+            return s
+        if t[0] == "not":
+            return ev(t[1][0]) - ev(t[1][1])
+        return leaf_docs(t)
+
+    return sorted(ev(tree))
+
+
+def _trees(depth):
+    term = st.sampled_from(_ALPHA).map(lambda t: ("term", t))
+    near = st.tuples(
+        st.integers(1, 4),
+        st.booleans(),
+        st.lists(st.sampled_from(_ALPHA), min_size=2, max_size=3,
+                 unique=True),
+    ).map(lambda x: ("near", x[0], x[1], tuple(x[2])))
+    leaf = st.one_of(term, near)
+    if depth == 0:
+        return leaf
+    sub = _trees(depth - 1)
+    return st.one_of(
+        leaf,
+        st.lists(sub, min_size=2, max_size=3).map(lambda ks: ("and", ks)),
+        st.lists(sub, min_size=2, max_size=3).map(lambda ks: ("or", ks)),
+        st.tuples(sub, sub).map(lambda ab: ("not", list(ab))),
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    tree=_trees(2),
+    corpus=st.lists(
+        st.lists(st.sampled_from(_ALPHA), min_size=0, max_size=8),
+        min_size=1, max_size=12,
+    ),
+)
+def test_sql_backend_matches_naive_on_random_trees(tree, corpus):
+    import duckdb
+
+    docs = [(i, toks) for i, toks in enumerate(corpus)]
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({i}, '{' '.join(toks)}')" for i, toks in docs
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {rows}) "
+        "t(doc_id, text)"
+    )
+    sql = f"SELECT doc_id FROM ({_tree_sql(tree)}) ORDER BY 1"
+    got = con.execute(sql).df()["doc_id"].tolist()
+    assert got == _naive_eval(tree, docs), (tree, corpus)
