@@ -478,12 +478,13 @@ ORACLE["urp_parse_props_events"] = """
 
 def q_fetch_enrich_orders(sf_dir: str):
     """fetch() stream: top-50 orders by totalprice enriched with customer
-    name/segment via a BROADCAST keyed lookup (small side ray.put once,
-    merged per batch — no shuffle join).  Partitioning assumption: the
-    fetched collection fits in one object-store copy per node."""
-    import pyarrow.parquet as pq
-
-    from rindex.ops.util import broadcast_join
+    name/segment.  The BROADCAST side is the TUPLE side — the 50 result
+    keys ray.put once — and the lookup collection is filtered
+    DISTRIBUTEDLY against them (`solr/solrj/.../io/stream/
+    FetchStream.java` batches by the tuple stream, never materializing
+    the fetched collection); only the ≤50 matching lookup rows ever reach
+    the driver, so the lookup table can be arbitrarily large."""
+    from rindex.ops.util import broadcast_semi_filter
 
     top = (
         read_table(
@@ -491,12 +492,19 @@ def q_fetch_enrich_orders(sf_dir: str):
         )
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(50)
+        .to_pandas()
     )
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_name", "c_mktsegment"],
-    ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
-    return broadcast_join(top, cust, on="o_custkey", how="left")
+    cust_ds = read_table(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]
+    )
+    hits = (
+        broadcast_semi_filter(
+            cust_ds, top["o_custkey"].to_numpy(np.int64), "c_custkey"
+        )
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    return top.merge(hits, on="o_custkey", how="left")
 
 
 QUERIES["fetch_enrich_orders"] = q_fetch_enrich_orders

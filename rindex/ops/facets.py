@@ -24,6 +24,8 @@ rows.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -759,38 +761,60 @@ ORACLE["json_facet_multiselect_events"] = f"""
 BC_PRICE_MIN = 300000
 
 
+FACET_BCAST_MAX_PARENTS = int(
+    os.environ.get("RINDEX_FACET_BCAST_MAX", 4_000_000)
+)
+
+
 def q_json_facet_block_children_orders(sf_dir: str):
     """Parents = orders with o_totalprice > {BC_PRICE_MIN}; domain switches
     to their lineitems; terms facet on l_returnflag with count + quantity
-    sum.  The matched-parent key set broadcasts once (int64 keys — ~8 B per
-    parent; at a parent set too large to broadcast this becomes the
-    repo's hash join, ops/relational.py) and the child scan filters
-    against it per batch — the child table never shuffles."""
+    sum.  Below FACET_BCAST_MAX_PARENTS matched parents the key set
+    broadcasts once (int64 keys — ~8 B per parent, fine to ~10^8) and the
+    child scan filters against it per batch with NO child shuffle; above
+    it the op auto-switches to a hash-partitioned Dataset.join of the
+    child table against the (key-only) parent Dataset — the reference's
+    BlockJoin domain switch never assumes the parent set fits one node
+    either (`solr/core/src/java/org/apache/solr/search/facet/
+    BlockJoin.java`).  Env-overridable so tests exercise the join path at
+    small scale."""
     import ray
     from ray.data.aggregate import Count, Sum
 
-    parents = (
+    parents_ds = (
         read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
         .filter(expr=f"o_totalprice > {BC_PRICE_MIN}")
-        .to_pandas()
+        .select_columns(["o_orderkey"])
+        .materialize()
     )
-    keys = np.sort(parents["o_orderkey"].to_numpy(np.int64))
-    kref = ray.put(keys)
-
-    def pick(t: pa.Table) -> pa.Table:
-        ks = ray.get(kref)
-        m = np.isin(
-            t["l_orderkey"].to_numpy(zero_copy_only=False), ks,
-            assume_unique=False,
-        )
-        return t.filter(pa.array(m))
-
     li = read_table(
         sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"]
     )
+    if parents_ds.count() <= FACET_BCAST_MAX_PARENTS:
+        keys = np.sort(parents_ds.to_pandas()["o_orderkey"].to_numpy(np.int64))
+        kref = ray.put(keys)
+
+        def pick(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            m = np.isin(
+                t["l_orderkey"].to_numpy(zero_copy_only=False), ks,
+                assume_unique=False,
+            )
+            return t.filter(pa.array(m))
+
+        matched = li.map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        matched = li.join(
+            parents_ds,
+            "inner",
+            num_partitions=16,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
     agg = (
-        li.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_returnflag")
+        matched.groupby("l_returnflag")
         .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
         .to_pandas()
     )

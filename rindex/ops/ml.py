@@ -420,16 +420,33 @@ def q_naive_bayes_classify_documents(sf_dir: str):
         .sum("tf")
         .to_pandas()
     )
-    # priors come from per-class train-doc counts (tiny second aggregate
-    # over the already-pruned id/source columns)
-    import pandas as pd
+    # priors come from per-class train-doc counts computed DISTRIBUTEDLY:
+    # a per-batch partial count -> groupby sum whose result is n_sources
+    # rows (never the corpus).  At 10^12 turns the old full-corpus
+    # (doc_id, source) driver pull would have been terabytes.
+    def prior_partials(t: pa.Table) -> pa.Table:
+        ids_ = t["doc_id"].to_numpy()
+        srcs_ = pa.table({"source": t["source"]}).filter(
+            pa.array(ids_ % NB_TEST_MOD != 0)
+        )
+        import pyarrow.compute as pc
 
-    meta = read_table(sf_dir, "documents", ["doc_id", "source"]).to_pandas()
-    train_meta = meta[meta["doc_id"] % NB_TEST_MOD != 0]
-    nd_c = train_meta.groupby("source").size()
+        vc = pc.value_counts(srcs_["source"].combine_chunks())
+        return pa.table(
+            {"source": vc.field("values"), "nd": vc.field("counts")}
+        )
+
+    nd_df = (
+        read_table(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(prior_partials, batch_format="pyarrow")
+        .groupby("source")
+        .sum("nd")
+        .to_pandas()
+    )
+    nd_c = nd_df.set_index("source")["sum(nd)"]
     classes = sorted(nd_c.index)
     priors = np.log(nd_c.loc[classes].to_numpy(np.float64)
-                    / float(len(train_meta)))
+                    / float(nd_c.sum()))
     vocab = np.sort(counts["h"].unique())
     V = float(len(vocab))
     tf_mat = np.zeros((len(vocab), len(classes)), np.float64)

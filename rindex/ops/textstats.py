@@ -150,26 +150,59 @@ def q_textprofile_signature_documents(sf_dir: str):
     arithmetic ((8*tf + max) // (2*max)) so the Ray side and the SQL oracle
     agree bit-for-bit on .5 boundaries (the reference's Java Math.round is
     half-up too; Python's round() is banker's and was the reason this op
-    used to be rows-only)."""
+    used to be rows-only).
+
+    Vectorized via the repetition kernel's batch shape (one flat token
+    array + lexsort/reduceat — textstats.py:_repetition_fracs_toklists):
+    tf and per-doc max fall out of ONE (doc, token) lexsort, quantization
+    and "w:q" item formatting are numpy kernels, and a second (doc, item)
+    lexsort yields the signature order — the only remaining per-doc work
+    is the O(n_docs) md5 of each joined profile (irreducible: the digest
+    is per document)."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        from collections import Counter
 
         low = pc.utf8_lower(t["text"]).to_pylist()
-        sigs = []
-        for x in low:
-            c = Counter(_TOKEN_RE.findall(x or ""))
-            if not c:
-                sigs.append(hashlib.md5(b"").hexdigest())
-                continue
-            mx = max(c.values())
-            items = sorted(
-                f"{w}:{(8 * v + mx) // (2 * mx)}" for w, v in c.items()
+        toks_per = [_TOKEN_RE.findall(x or "") for x in low]
+        n = len(toks_per)
+        empty_sig = hashlib.md5(b"").hexdigest()
+        sigs = np.full(n, empty_sig, dtype=object)
+        lens = np.fromiter((len(tk) for tk in toks_per), np.int64, n)
+        if lens.sum() > 0:
+            flat = np.concatenate(
+                [np.asarray(tk, dtype=str) for tk in toks_per if tk]
             )
-            sigs.append(hashlib.md5(" ".join(items).encode()).hexdigest())
-        return pa.table({"doc_id": t["doc_id"], "signature": pa.array(sigs)})
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            o1 = np.lexsort((flat, doc_of))
+            d1, f1 = doc_of[o1], flat[o1]
+            rs = np.flatnonzero(
+                np.r_[True, (d1[1:] != d1[:-1]) | (f1[1:] != f1[:-1])]
+            )
+            tf = np.diff(np.append(rs, len(d1)))
+            run_doc, run_tok = d1[rs], f1[rs]
+            doc_start = np.flatnonzero(
+                np.r_[True, run_doc[1:] != run_doc[:-1]]
+            )
+            runs_per_doc = np.diff(np.append(doc_start, len(run_doc)))
+            mxr = np.repeat(
+                np.maximum.reduceat(tf, doc_start), runs_per_doc
+            )
+            q = (8 * tf + mxr) // (2 * mxr)
+            items = np.char.add(
+                np.char.add(run_tok, ":"), q.astype(str)
+            )
+            o2 = np.lexsort((items, run_doc))
+            items_s = items[o2]
+            ends = np.append(doc_start[1:], len(run_doc))
+            for di, a, b in zip(run_doc[doc_start], doc_start, ends):
+                sigs[di] = hashlib.md5(
+                    " ".join(items_s[a:b]).encode()
+                ).hexdigest()
+        return pa.table(
+            {"doc_id": t["doc_id"], "signature": pa.array(list(sigs))}
+        )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
