@@ -34,11 +34,51 @@ from rindex.schema import MAX_TOKEN_LEN
 # Alphanumeric runs, keeping word-internal apostrophes ("don't" -> one token).
 _TOKEN_RE = re.compile(r"[0-9a-z]+(?:'[0-9a-z]+)*")
 
+# ---------------------------------------------------------------------------
+# Unicode path (UAX#29 conformance, r4).  Pure-ASCII text takes the fast
+# regex above, BIT-IDENTICAL to previous rounds (every SQL oracle segments
+# with the same ASCII regex — the parity contract).  Non-ASCII text is NFC-
+# normalized and segmented per the Lucene StandardTokenizer defaults
+# (`lucene/core/.../analysis/standard/StandardTokenizerImpl.jflex`):
+#   * IDEOGRAPHIC (CJK unified + compat) and HIRAGANA emit single-char
+#     tokens (Lucene's CJK default), KATAKANA emits runs;
+#   * emoji, including ZWJ sequences / VS16 / skin-tone modifiers, emit one
+#     token per sequence (8.x EMOJI token type);
+#   * any other letter/digit run is one token, with word-internal ASCII or
+#     typographic (U+2019) apostrophes kept (MidLetter).
+# DOCUMENTED DIVERGENCES from full UAX#29 (pinned by
+# tests/test_uax29_conformance.py): (1) MidNum — "3.14"/"2,718" split at
+# the separator where UAX#29 keeps one NUM token; (2) ExtendNumLet —
+# "foo_bar" splits at '_' where UAX#29 joins; both are frozen because the
+# ASCII fast path (and every oracle) segments that way; (3) Extend —
+# combining marks outside NFC-composable pairs break a run.
+_CJK = "\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
+_EMO = (
+    "[\u2600-\u27bf\u2b00-\u2bff\U0001f000-\U0001faff]"
+    "\ufe0f?[\U0001f3fb-\U0001f3ff]?"
+)
+_UW = rf"(?:(?![{_CJK}])[^\W_])"
+_UNI_TOKEN_RE = re.compile(
+    rf"{_EMO}(?:\u200d{_EMO})*"                 # emoji / ZWJ sequence
+    rf"|[\u30a0-\u30ff]+"                       # katakana run
+    rf"|[\u3040-\u309f]"                        # hiragana, single char
+    rf"|[\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff]"  # ideograph, 1 char
+    rf"|{_UW}+(?:['\u2019]{_UW}+)*"              # letter/digit run + apos
+)
+
 
 def standard_tokenize(text: str) -> list[str]:
     """Lowercase + segment one string.  Hot path is `map_batches` over Arrow
-    string arrays calling this per row; the regex is module-level-compiled."""
-    toks = _TOKEN_RE.findall(text.lower())
+    string arrays calling this per row; the regex is module-level-compiled.
+    Pure-ASCII input (the whole synthetic corpus) takes the unchanged fast
+    path; anything else takes the UAX#29-ish unicode path above."""
+    low = text.lower()
+    if low.isascii():
+        toks = _TOKEN_RE.findall(low)
+    else:
+        import unicodedata
+
+        toks = _UNI_TOKEN_RE.findall(unicodedata.normalize("NFC", low))
     out = []
     for t in toks:
         if len(t) <= MAX_TOKEN_LEN:

@@ -195,6 +195,23 @@ def _make_tokenize_partials_vec(salt_range: int | None):
         # null text rows tokenize as empty (the Python path's `text or ""`)
         texts = pc.fill_null(texts, "")
         low = pc.utf8_lower(texts)
+        # rows containing non-ASCII route to the exact Python tokenizer
+        # (the UAX#29-ish unicode path in rindex.analysis) — the split
+        # regex below is ASCII-only; such rows are rare in the target
+        # corpus so the batch stays vectorized (one regex scan decides)
+        ex_d: list[int] = []
+        ex_t: list[str] = []
+        na = pc.match_substring_regex(low, r"[^\x00-\x7f]").to_numpy(
+            zero_copy_only=False
+        )
+        if na.any():
+            if isinstance(low, pa.ChunkedArray):
+                low = low.combine_chunks()
+            for i in np.flatnonzero(na):
+                for tt in standard_tokenize(low[i].as_py()):
+                    ex_d.append(int(i))
+                    ex_t.append(tt)
+            low = pc.if_else(pa.array(na), pa.scalar("", pa.string()), low)
         splits = pc.split_pattern_regex(low, "[^0-9a-z']+")
         flat = pc.list_flatten(splits)
         if isinstance(flat, pa.ChunkedArray):
@@ -217,29 +234,29 @@ def _make_tokenize_partials_vec(salt_range: int | None):
         if bad.any():
             # exact fallback for the rare candidates the split regex
             # over-captures; resolve their tokens against the dictionary
-            ex_d, ex_t = [], []
+            # (shares the ex_d/ex_t lists with the non-ASCII row fallback)
             for i in np.flatnonzero(bad):
                 for tt in standard_tokenize(flat[i].as_py()):
                     ex_d.append(int(d_of[i]))
                     ex_t.append(tt)
-            if ex_t:
-                ex_arr = pa.array(ex_t, pa.string())
+        if ex_t:
+            ex_arr = pa.array(ex_t, pa.string())
+            pos = pc.index_in(ex_arr, value_set=dic)
+            pos_np = pos.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            new_mask = np.isnan(pos_np)
+            if new_mask.any():
+                new_terms = pc.unique(ex_arr.filter(pa.array(new_mask)))
+                dic = pa.concat_arrays(
+                    [dic.cast(pa.string()), new_terms.cast(pa.string())]
+                )
                 pos = pc.index_in(ex_arr, value_set=dic)
                 pos_np = pos.to_numpy(zero_copy_only=False).astype(
                     np.float64
                 )
-                new_mask = np.isnan(pos_np)
-                if new_mask.any():
-                    new_terms = pc.unique(ex_arr.filter(pa.array(new_mask)))
-                    dic = pa.concat_arrays(
-                        [dic.cast(pa.string()), new_terms.cast(pa.string())]
-                    )
-                    pos = pc.index_in(ex_arr, value_set=dic)
-                    pos_np = pos.to_numpy(zero_copy_only=False).astype(
-                        np.float64
-                    )
-                d_all = np.concatenate([d_all, np.asarray(ex_d, np.int64)])
-                c_all = np.concatenate([c_all, pos_np.astype(np.int64)])
+            d_all = np.concatenate([d_all, np.asarray(ex_d, np.int64)])
+            c_all = np.concatenate([c_all, pos_np.astype(np.int64)])
         if len(d_all) == 0:
             # zero valid tokens in the whole batch (blank/punctuation-only
             # rows): emit no partials, like the Python path

@@ -8,10 +8,11 @@ def _modules():
     # whole module's ops from the driver's query set and verification
     # would pass vacuously on the remainder
     from rindex.ops import (
-        analysis_ext, ann, atomic, dedup, dismax, evaluators, facets,
-        fulltext, intervals, livedocs, loaders, lucene8, ml, monitor,
-        multimodal, multiterm, nested, relational, search_ext, sketches,
-        sqlhandler, streamlang, streams, surround, textstats, transcripts,
+        analysis_ext, ann, atomic, dedup, dismax, dmetaphone, evaluators,
+        facets, fulltext, intervals, livedocs, loaders, lucene8, ml,
+        monitor, multimodal, multiterm, nested, relational, search_ext,
+        sketches, sqlhandler, streamlang, streams, surround, textstats,
+        transcripts,
     )
 
     return [
@@ -19,6 +20,7 @@ def _modules():
         search_ext, loaders, analysis_ext, sketches, streams, evaluators,
         nested, dismax, livedocs, facets, atomic, multiterm, streamlang,
         ml, sqlhandler, monitor, lucene8, intervals, transcripts, surround,
+        dmetaphone,
     ]
 
 
@@ -175,6 +177,7 @@ _SAMPLE_FIRST = [
     "intervals_not_containing_documents",
     "conv_echo_loop_documents",
     "conv_tool_transitions_documents",
+    "dmetaphone_topterms_documents",
     "metaphone_topterms_documents",
     "percentile_tdigest_value_per_type",
     "porter_stem_documents",

@@ -58,3 +58,62 @@ def test_metaphone_structure():
     # determinism + case/punct insensitivity
     assert metaphone("Church!") == metaphone("church")
     assert metaphone("") == ""
+
+
+# --------------------------------------------------------------- double
+
+# Golden vectors for Double Metaphone (Philips 2000) — the well-published
+# exemplar pairs from the article itself plus canonical single-code words.
+DM_GOLDENS = [
+    ("smith", ("SM0", "XMT")),
+    ("schmidt", ("XMT", "SMT")),
+    ("jose", ("HS", "HS")),
+    ("xavier", ("SF", "SFR")),
+    ("knight", ("NT", "NT")),
+    ("gnome", ("NM", "NM")),
+    ("wright", ("RT", "RT")),
+    ("pneumonia", ("NMN", "NMN")),
+    ("thomas", ("TMS", "TMS")),
+    ("theodore", ("0TR", "TTR")),
+    ("school", ("SKL", "SKL")),
+    ("michael", ("MKL", "MXL")),
+    ("caesar", ("SSR", "SSR")),
+    ("chianti", ("KNT", "KNT")),
+    ("edge", ("AJ", "AJ")),
+    ("edgar", ("ATKR", "ATKR")),
+    ("laugh", ("LF", "LF")),
+    ("island", ("ALNT", "ALNT")),
+    ("sugar", ("XKR", "SKR")),
+    ("dumb", ("TM", "TM")),
+    ("wasserman", ("ASRM", "FSRM")),
+    ("filipowicz", ("FLPT", "FLPF")),
+    ("zhao", ("J", "J")),
+    ("accident", ("AKST", "AKST")),
+    ("tagliaro", ("TKLR", "TLR")),
+    ("arnow", ("ARN", "ARNF")),
+    ("danger", ("TNJR", "TNKR")),
+    ("ranger", ("RNJR", "RNKR")),
+    ("anger", ("ANKR", "ANJR")),
+]
+
+
+@pytest.mark.parametrize("word,codes", DM_GOLDENS)
+def test_double_metaphone_goldens(word, codes):
+    from rindex.ops.dmetaphone import double_metaphone
+
+    assert double_metaphone(word) == codes, word
+
+
+def test_double_metaphone_structure():
+    from rindex.ops.dmetaphone import double_metaphone
+
+    alphabet = set("0AFHJKLMNPRSTX")
+    rng = np.random.default_rng(5)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    for k in rng.integers(1, 12, 300):
+        w = "".join(rng.choice(letters, size=int(k)))
+        p, a = double_metaphone(w)
+        assert len(p) <= 4 and len(a) <= 4
+        assert set(p) <= alphabet and set(a) <= alphabet, (w, p, a)
+    assert double_metaphone("Church!") == double_metaphone("church")
+    assert double_metaphone("") == ("", "")
