@@ -44,6 +44,7 @@ nothing else changes.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -56,7 +57,11 @@ QUERIES: dict = {}
 ORACLE: dict = {}
 
 TURNS_PER_CONV = 5
-N_BUCKETS = 127
+# Conv-bucket shuffle modulus — THE scale knob for every conversation op:
+# a reduce task sees ~n_convs/N_BUCKETS conversations, so raise this with
+# corpus size to bound reducer memory (env-overridable; the skew pytest
+# runs the extremes and asserts identical output).
+N_BUCKETS = int(os.environ.get("RINDEX_CONV_BUCKETS", 127))
 
 # Shared CTE — the documents -> transcripts mapping, verbatim mirror of
 # _derive() below.  Any edit must change both.

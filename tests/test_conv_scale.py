@@ -1,0 +1,121 @@
+"""Conversation-family scale contracts (VERDICT r3 item #8).
+
+The conv-bucket modulus N_BUCKETS is the scale knob that bounds reducer
+memory: a reduce task sees ~n_convs/N_BUCKETS conversations.  These tests
+pin (a) correctness under EXTREME bucket skew — a corpus engineered so
+every conversation lands in the same bucket (one reducer owns the whole
+corpus) — and (b) that the knob is output-invariant: modulus 1 (max skew)
+and 997 (max spread) produce identical results.
+
+The 2.88M-turn wall-clock stress itself runs via
+scripts/conv_scale_stress.py and is recorded in BASELINE.md.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_skew_corpus(tmp_path, n_convs=60, turns=5, stride=127):
+    """Conversations whose conv_id is a multiple of `stride` — with the
+    default N_BUCKETS=127 every conversation hashes to bucket 0."""
+    convs = np.arange(n_convs, dtype=np.int64) * stride
+    doc_ids = (convs[:, None] * turns + np.arange(turns)).ravel()
+    rng = np.random.default_rng(11)
+    words = np.array(["alpha", "beta", "gamma", "delta", "tool", "run"])
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 12)))
+        for _ in range(len(doc_ids))
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    return d, t
+
+
+def _stats_reference(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas()
+    df["conv_id"] = df["doc_id"] // 5
+    df["turn_idx"] = df["doc_id"] % 5
+    df["role"] = np.where(df["turn_idx"] % 2 == 0, "user", "assistant")
+    m7 = df["doc_id"] % 7
+    df["tool"] = np.where(m7 == 0, "search", np.where(m7 == 3, "bash", ""))
+    df["n_chars"] = df["text"].str.len()
+    out = df.groupby("conv_id", as_index=False).agg(
+        n_turns=("doc_id", "size"),
+        n_user=("role", lambda r: int((r == "user").sum())),
+        n_assistant=("role", lambda r: int((r == "assistant").sum())),
+        n_tool_calls=("tool", lambda x: int((x != "").sum())),
+        total_chars=("n_chars", "sum"),
+    )
+    out["avg_turn_chars"] = out["total_chars"] / out["n_turns"]
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def _run_stats(sf_dir):
+    from rindex.ops.transcripts import q_conv_stats_documents
+
+    res = q_conv_stats_documents(sf_dir)
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    return df.sort_values("conv_id").reset_index(drop=True)
+
+
+def test_all_convs_in_one_bucket_still_correct(ray_session, tmp_path):
+    sf_dir, t = _write_skew_corpus(tmp_path)
+    got = _run_stats(sf_dir)
+    ref = _stats_reference(t)
+    got = got[ref.columns].astype({c: ref[c].dtype for c in ref.columns})
+    pd.testing.assert_frame_equal(got, ref)
+
+
+@pytest.mark.parametrize("modulus", [1, 997])
+def test_bucket_modulus_is_output_invariant(
+    ray_session, tmp_path, monkeypatch, modulus
+):
+    import rindex.ops.transcripts as tx
+
+    sf_dir, t = _write_skew_corpus(tmp_path, stride=13)
+    base = _run_stats(sf_dir)
+    monkeypatch.setattr(tx, "N_BUCKETS", modulus)
+    alt = _run_stats(sf_dir)
+    pd.testing.assert_frame_equal(
+        base.sort_index(axis=1), alt.sort_index(axis=1)
+    )
+
+
+def test_one_megaconv_does_not_skew_flatten(ray_session, tmp_path):
+    """A 50k-turn contiguous doc_id run flows through conv_flatten with
+    exact totals.  (The derive maps doc_id//5 -> conv_id, so a single
+    10^4-turn conversation cannot arise from this view — the structural
+    skew case is one BUCKET owning the whole corpus, pinned above; this
+    test pins the dense-run shape: 10k back-to-back convs landing in the
+    same few buckets.)"""
+    # conv 0 gets 10_000 doc rows via doc_ids 0..49_999 (conv = id//5)
+    n_mega = 10_000 * 5
+    mega_ids = np.arange(n_mega, dtype=np.int64)
+    # 50 normal convs far away
+    tail_ids = np.arange(n_mega, n_mega + 250, dtype=np.int64)
+    doc_ids = np.concatenate([mega_ids, tail_ids])
+    texts = ["hello world"] * len(doc_ids)
+    t = pa.table(
+        {"doc_id": pa.array(doc_ids), "text": pa.array(texts, pa.string())}
+    )
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    from rindex.ops.transcripts import q_conv_flatten_documents
+
+    res = q_conv_flatten_documents(d)
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    assert len(df) == len(doc_ids) // 5  # one row per conversation
+    assert int(df["n_turns"].max()) == 5  # derive caps turns per conv at 5
+    assert int(df["n_turns"].sum()) == len(doc_ids)
