@@ -2559,3 +2559,146 @@ ORACLE["eval_outliers_events"] = """
     FROM d, st2
     ORDER BY y, doy
 """
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 9 (LerpEvaluator, LoessEvaluator — `solr/solrj/src/java/
+# org/apache/solr/client/solrj/io/eval/{LerpEvaluator,LoessEvaluator}
+# .java`): linear interpolation at query points, and LOESS degree-1
+# smoothing with tricube weights over the k nearest neighbors
+# (re-implemented from Cleveland 1979, the published algorithm the
+# reference delegates to commons-math for).
+# ---------------------------------------------------------------------------
+
+
+def _loess(x, y, k: int) -> np.ndarray:
+    """Per target point: bandwidth = k-th smallest |x_j - x_i|, tricube
+    weights over every j within it (boundary points get weight 0 exactly,
+    so distance ties at the bandwidth edge cannot change the fit), local
+    weighted LINEAR fit in closed form — the exact expression tree the
+    SQL oracle mirrors."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n = len(x)
+    out = np.empty(n, np.float64)
+    for i in range(n):
+        d = np.abs(x - x[i])
+        dmax = np.partition(d, k - 1)[k - 1]
+        m = d <= dmax
+        w = (1.0 - np.minimum(d[m] / dmax, 1.0) ** 3) ** 3
+        xs, ys = x[m], y[m]
+        sw = w.sum()
+        swx = (w * xs).sum()
+        swy = (w * ys).sum()
+        swx2 = (w * xs * xs).sum()
+        swxy = (w * xs * ys).sum()
+        den = swx2 * sw - swx * swx
+        slope = (swxy * sw - swx * swy) / den
+        out[i] = (swy - slope * swx) / sw + slope * x[i]
+    return out
+
+
+EVALUATORS.update({
+    "lerp": lambda x, y, xq: np.interp(
+        np.asarray(xq, np.float64),
+        np.asarray(x, np.float64),
+        np.asarray(y, np.float64),
+    ),
+    "loess": lambda x, y, k: _loess(x, y, int(k)),
+})
+
+
+LOESS_K = 7
+
+
+def q_eval_interp_events(sf_dir: str):
+    """lerp() + loess() over the daily event-count series: the corpus
+    reduces DISTRIBUTED to integer daily counts (the same 2-column small
+    side every eval_* op uses); lerp resamples at inter-day midpoints
+    (exact halves of integer sums) and loess(k=7) smooths the series —
+    both via the evaluator registry, rounded to 6dp (weighted-regression
+    sums are order-sensitive in fp; rounding is the repo's rank/score
+    discipline)."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["y", "doy"])
+        .reset_index(drop=True)
+    )
+    xi = np.arange(1, len(s) + 1, dtype=np.float64)
+    v = s["n"].to_numpy(np.float64)
+    scope = let_eval(
+        {
+            "mid": "lerp(x, v, xq)",
+            "smooth": f"loess(x, v, {LOESS_K})",
+        },
+        {"x": xi, "v": v, "xq": xi[:-1] + 0.5},
+    )
+    return pd.DataFrame(
+        {
+            "i": xi.astype(np.int64),
+            "n": s["n"].astype(np.int64),
+            "lerp_mid": np.round(np.append(scope["mid"], np.nan), 6),
+            "loess7": np.round(scope["smooth"], 6),
+        }
+    )
+
+
+QUERIES["eval_interp_events"] = q_eval_interp_events
+ORACLE["eval_interp_events"] = f"""
+    WITH d AS (
+      SELECT year(ts) AS y, dayofyear(ts) AS doy, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT n, row_number() OVER (ORDER BY y, doy) AS i FROM d
+    ),
+    nn AS (
+      SELECT a.i AS i, b.i AS j, b.n AS nj,
+             abs(b.i - a.i)::DOUBLE AS dist,
+             row_number() OVER (PARTITION BY a.i
+                                ORDER BY abs(b.i - a.i), b.i) AS rn
+      FROM s a, s b
+    ),
+    bw AS (
+      SELECT i, max(dist) AS dmax FROM nn WHERE rn <= {LOESS_K} GROUP BY i
+    ),
+    w AS (
+      SELECT nn.i, nn.j::DOUBLE AS xj, nn.nj::DOUBLE AS yj,
+             pow(1.0 - pow(least(nn.dist / bw.dmax, 1.0), 3), 3) AS w
+      FROM nn JOIN bw USING (i) WHERE nn.dist <= bw.dmax
+    ),
+    fit AS (
+      SELECT i, sum(w) AS sw, sum(w * xj) AS swx, sum(w * yj) AS swy,
+             sum(w * xj * xj) AS swx2, sum(w * xj * yj) AS swxy
+      FROM w GROUP BY i
+    ),
+    sm AS (
+      SELECT i,
+             (swy - ((swxy * sw - swx * swy) / (swx2 * sw - swx * swx))
+                    * swx) / sw
+             + ((swxy * sw - swx * swy) / (swx2 * sw - swx * swx))
+               * i::DOUBLE AS sm
+      FROM fit
+    )
+    SELECT s.i::BIGINT AS i, s.n::BIGINT AS n,
+           round((s.n + lead(s.n) OVER (ORDER BY s.i)) / 2.0, 6) AS lerp_mid,
+           round(sm.sm, 6) AS loess7
+    FROM s JOIN sm USING (i)
+    ORDER BY s.i
+"""

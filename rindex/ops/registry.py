@@ -40,6 +40,8 @@ _SAMPLE_FIRST = [
     "json_facet_unique_block_orders",
     "fetch_enrich_orders",
     "textprofile_signature_documents",
+    "dfr_ine_topk_documents",
+    "eval_interp_events",
     "substring_dedup_documents",
     "monitor_percolate_documents",
     "sessionize_events",

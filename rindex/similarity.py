@@ -171,6 +171,46 @@ class DFRSimilarity:
         return w * tfn / (tfn + 1.0)
 
 
+class DFRIneSimilarity:
+    """Second DFR combination — basic model I(ne), after-effect B,
+    normalization H1 (`lucene/core/src/java/org/apache/lucene/search/
+    similarities/{BasicModelIne,AfterEffectB,NormalizationH1}.java`, c=1),
+    closing the r3 DFR-breadth gap: the reference exposes the full basic
+    model x after-effect x normalization grid and In/B/H2 alone pinned
+    only one cell.
+
+      ne    = N * (1 - ((N-1)/N)^F)                  (expected df)
+      Ine   = log2((N + 1) / (ne + 0.5))             (basic model I(ne))
+      tfn   = tf * c * avgdl / dl                    (H1 — LINEAR norm)
+      score = ((F + 1) / (df * (tfn + 1))) * tfn*Ine (after-effect B)
+
+    Channel split identical to DFRSimilarity: w = ((F+1)/df)*Ine rides
+    needs_cstats, cv = c*avgdl/dl per norm byte, score = w*tfn/(tfn+1).
+    Monotone ↑tf and ↓dl; ne < N so Ine > 0 — WAND bounds valid unclamped."""
+
+    name = "dfr_ine"
+    needs_cstats = True
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def term_weight_cstats(self, df, ttf, n_docs, collection_len) -> float:
+        dff = np.asarray(df, np.float64)
+        n = np.float64(n_docs)
+        f = np.asarray(ttf, np.float64)
+        ne = n * (1.0 - np.power((n - 1.0) / n, f))
+        i_ne = np.log2((n + 1.0) / (ne + 0.5))
+        return (f + 1.0) / dff * i_ne
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = np.maximum(NORM_DECODE_TABLE.astype(np.float64), 1.0)
+        return self.c * np.float64(avgdl) / dl
+
+    def score(self, w, tf, cv):
+        tfn = tf * cv
+        return w * tfn / (tfn + 1.0)
+
+
 class ExpressionSimilarity:
     """Similarity compiled from evaluator-expression strings — the Lucene
     expressions module's scoring use case (`lucene/expressions/src/java/
@@ -263,6 +303,7 @@ SIMILARITIES = {
     "lmdirichlet": LMDirichletSimilarity(),
     "lmjelinekmercer": LMJelinekMercerSimilarity(),
     "dfr": DFRSimilarity(),
+    "dfr_ine": DFRIneSimilarity(),
     # Axiomatic F2EXP (`lucene/core/src/java/org/apache/lucene/search/
     # similarities/AxiomaticF2EXP.java`, Fang & Zhai 2005; s=0.5, k=0.35):
     # w = (N/df)^k, score = w * tf / (tf + s + s*dl/avgdl) — expressed as

@@ -482,3 +482,25 @@ def test_sweetspot_plateau_is_flat_then_decreasing():
     assert np.allclose(cs[flat], 1.0)
     tail = cs[~flat]
     assert (np.diff(tail) >= 0).all()
+
+
+def test_similarity_conformance_matrix(small_index):
+    """ALL registered Similarity SPI members sweep through WAND ==
+    exhaustive on one query set (the r3 verdict's conformance-matrix
+    item): the block-max bounds must be recomputed correctly from EVERY
+    plugged similarity, and every score must be strictly positive and
+    finite (the unclamped-WAND contract each class documents)."""
+    import numpy as np
+
+    from rindex.similarity import SIMILARITIES
+
+    idx, _ = small_index
+    queries = make_queries()
+    for name in sorted(SIMILARITIES):
+        s = IndexSearcher(idx, similarity=name)
+        a = s.search_table(queries, algo="wand")
+        b = s.search_table(queries, algo="exhaustive")
+        assert a.equals(b), f"WAND != exhaustive under {name}"
+        scores = a["score"].to_numpy(zero_copy_only=False)
+        assert np.isfinite(scores).all(), name
+        assert (scores > 0).all(), name
