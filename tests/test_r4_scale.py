@@ -141,3 +141,23 @@ def test_textprofile_edge_docs(ray_session):
     got = dict(zip(out["doc_id"], out["signature"]))
     for i, text in enumerate(texts):
         assert got[i] == _naive_textprofile(text), (i, text)
+
+
+# ------------------------------------------------ driver sample hygiene
+
+
+def test_driver_sample_window_is_oracle_backed():
+    """VERDICT r3 item #5: the driver samples its 50 correctness slots
+    from the registry prefix — every one of the first 50 registered
+    queries must be oracle-backed (rows-only ops sit below the window so
+    no slot burns as `no_oracle`)."""
+    from rindex.ops import registry
+
+    q = registry.all_queries()
+    o = registry.all_oracle_sql()
+    first50 = list(q)[:50]
+    missing = [k for k in first50 if k not in o]
+    assert missing == [], missing
+    # and every _SAMPLE_FIRST name must actually exist (no dead rotation)
+    dead = [k for k in registry._SAMPLE_FIRST if k not in q]
+    assert dead == [], dead
