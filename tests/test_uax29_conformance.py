@@ -18,6 +18,7 @@ per-row Python path on a mixed ASCII/unicode corpus.
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 from rindex.analysis import _TOKEN_RE, standard_tokenize
@@ -124,3 +125,49 @@ def test_vec_tokenize_partials_matches_python_on_unicode(ray_session):
     assert list(v["term"]) == list(g["term"])
     for col in ("df", "ttf", "docs", "tfs", "norms"):
         assert list(v[col]) == list(g[col]), col
+
+
+def test_unicode_corpus_builds_and_searches_end_to_end(
+    ray_session, tmp_path
+):
+    """Full build -> BM25 search over a corpus mixing ASCII, CJK, cyrillic
+    and emoji turns: the unicode tokenizer path must flow through the
+    whole engine (vectorized tokenize, postings, WAND) and single-char
+    ideograph / katakana-run / unicode-word terms must be searchable."""
+    import pandas as pd
+
+    from rindex.build import build_index
+    from rindex.search import IndexSearcher
+
+    rows = [
+        (0, 0, "the quick brown fox"),
+        (0, 1, "漢字 text with ideographs 漢"),
+        (1, 0, "Привет мир widely привет"),
+        (1, 1, "katakana テスト run テスト"),
+        (2, 0, "emoji 🚀 payload"),
+        (2, 1, "plain ascii filler words"),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.int64()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    src = tmp_path / "uni"
+    src.mkdir()
+    pq.write_table(t, str(src / "part-0.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(
+        str(src), idx, num_segments=2, mode="local", keep_cols=()
+    )
+    s = IndexSearcher(idx)
+    # search() returns [(rank, conv_id, turn_idx, score)]
+    for term, conv in [("漢", 0), ("привет", 1), ("テスト", 1), ("🚀", 2)]:
+        res = s.search(term, k=3)
+        assert len(res) >= 1, term
+        assert int(res[0][1]) == conv, (term, res)
+    # WAND == exhaustive on the unicode terms too
+    a = s.search("漢 text", k=5, mode="or", algo="wand")
+    b = s.search("漢 text", k=5, mode="or", algo="exhaustive")
+    assert a == b
