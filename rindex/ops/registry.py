@@ -42,6 +42,8 @@ _SAMPLE_FIRST = [
     "textprofile_signature_documents",
     "dfr_ine_topk_documents",
     "eval_interp_events",
+    "stream_expr_executor",
+    "stream_expr_daemon",
     "substring_dedup_documents",
     "monitor_percolate_documents",
     "sessionize_events",

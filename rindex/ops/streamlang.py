@@ -925,6 +925,87 @@ def _b_parallel(args, kwargs, ctx):
     return ds
 
 
+def _b_executor(args, kwargs, ctx):
+    """executor(jobs, threads=N) — ExecutorStream (`solr/solrj/.../io/
+    stream/ExecutorStream.java`): each inbound tuple carries a stored
+    streaming expression in its `expr_s` field; the executor compiles and
+    runs each and emits one completion tuple per job.  The reference is a
+    DRIVER-LEVEL work-queue runner (a thread pool draining a jobs
+    collection), not a per-record transform — so the faithful Ray mapping
+    compiles every job into its own INDEPENDENT lazy Dataset and executes
+    them concurrently from the driver with a thread pool; each job's
+    pipeline is itself fully distributed, so threads=N bounds only how
+    many streaming executions overlap.  The jobs table is tiny by
+    contract (stored admin jobs), so collecting it is not a corpus pull;
+    job failures surface as status='failed' tuples like the reference's
+    exception tuples, never as a torn run."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray.data as rd
+
+    jobs = _build(args[0], ctx).to_pandas()
+    if "expr_s" not in jobs.columns:
+        raise ValueError("executor: jobs stream must carry an expr_s field")
+    threads = (
+        int(_lit(kwargs["threads"], "threads")) if "threads" in kwargs else 4
+    )
+    ids = (
+        jobs["job_id"].astype(str).tolist()
+        if "job_id" in jobs.columns
+        else [str(i) for i in range(len(jobs))]
+    )
+
+    def run(job):
+        jid, expr = job
+        try:
+            n = int(_build(parse_stream_expr(expr), ctx).count())
+            return jid, n, "complete"
+        except Exception:  # noqa: BLE001 — reference emits exception tuples
+            return jid, 0, "failed"
+
+    with ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
+        done = list(pool.map(run, zip(ids, jobs["expr_s"].tolist())))
+    done.sort(key=lambda r: r[0])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "job_id": pa.array([r[0] for r in done], pa.string()),
+                "n_rows": pa.array([r[1] for r in done], pa.int64()),
+                "status": pa.array([r[2] for r in done], pa.string()),
+            }
+        )
+    )
+
+
+def _b_daemon(args, kwargs, ctx):
+    """daemon(inner, id="x", runs=N) — DaemonStream (`solr/solrj/.../io/
+    stream/DaemonStream.java`) in BOUNDED form: the reference wraps the
+    inner stream in a background thread that reruns it on an interval
+    forever; a batch engine can't host an unbounded service (SURVEY §2.9
+    scoped the daemon SERVICE out), so runs=N (default 3) reruns the
+    compiled inner pipeline N times — each a fresh streaming execution,
+    the NRT micro-batch refresh shape — and emits the reference's
+    per-iteration status tuple (id, run, n_rows).  Unbounded scheduling
+    belongs to the cluster's job scheduler (ray job submit + cron), not
+    inside a query."""
+    import ray.data as rd
+
+    did = _lit(kwargs["id"], "id") if "id" in kwargs else "daemon"
+    runs = int(_lit(kwargs["runs"], "runs")) if "runs" in kwargs else 3
+    if runs <= 0:
+        raise ValueError(f"daemon: runs must be positive, got {runs}")
+    counts = [int(_build(args[0], ctx).count()) for _ in range(runs)]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([did] * runs, pa.string()),
+                "run": pa.array(np.arange(runs, dtype=np.int64)),
+                "n_rows": pa.array(counts, pa.int64()),
+            }
+        )
+    )
+
+
 def _b_knn(args, kwargs, ctx):
     """knn(stream, field=<vector col>, id=<id col>, qid=N, k=K) — the
     dense-vector top-k stream (Solr 9's {!knn} KnnQParser surfaced as a
@@ -977,6 +1058,8 @@ STREAM_BUILDERS = {
     "update": _b_update,
     "random": _b_random,
     "parallel": _b_parallel,
+    "executor": _b_executor,
+    "daemon": _b_daemon,
     "drill": _b_drill,
     "let": _b_let,
     "list": _b_list,
@@ -1620,4 +1703,89 @@ ORACLE["stream_expr_knn_embeddings"] = """
                AS rn
       FROM embeddings e CROSS JOIN q)
     WHERE rn <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# executor() — parallel stored-expression runner
+# ---------------------------------------------------------------------------
+
+EXEC_JOBS = [
+    ("seg_rollup",
+     'rollup(table(customer, fl="c_custkey,c_mktsegment"), '
+     'over="c_mktsegment", n=count(*))'),
+    ("flag_unique",
+     'unique(table(lineitem, fl="l_returnflag"), over="l_returnflag")'),
+    ("top_orders",
+     'top(table(orders, fl="o_orderkey,o_totalprice"), '
+     'sort="o_totalprice desc,o_orderkey asc", n=25)'),
+]
+
+
+def q_stream_expr_executor(sf_dir: str):
+    """executor() over a 3-job stored-expression table: each job compiles
+    to its own distributed pipeline, the pool runs them concurrently, and
+    the completion tuples carry per-job result-row counts — the admin
+    work-queue surface of the reference's /stream handler."""
+    import ray.data as rd
+
+    def jobs_view(ctx):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "job_id": pa.array([j[0] for j in EXEC_JOBS]),
+                    "expr_s": pa.array([j[1] for j in EXEC_JOBS]),
+                }
+            )
+        )
+
+    out = compile_stream(
+        "executor(table(jobs), threads=3)", sf_dir, views={"jobs": jobs_view}
+    ).to_pandas()
+    return out.sort_values("job_id").reset_index(drop=True)
+
+
+QUERIES["stream_expr_executor"] = q_stream_expr_executor
+ORACLE["stream_expr_executor"] = """
+    SELECT * FROM (
+      SELECT 'seg_rollup' AS job_id,
+             (SELECT count(*) FROM
+               (SELECT c_mktsegment FROM customer GROUP BY 1))::BIGINT
+               AS n_rows,
+             'complete' AS status
+      UNION ALL
+      SELECT 'flag_unique',
+             (SELECT count(DISTINCT l_returnflag) FROM lineitem)::BIGINT,
+             'complete'
+      UNION ALL
+      SELECT 'top_orders',
+             (SELECT least(count(*), 25) FROM orders)::BIGINT,
+             'complete')
+    ORDER BY job_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# daemon() — bounded periodic re-run
+# ---------------------------------------------------------------------------
+
+
+def q_stream_expr_daemon(sf_dir: str):
+    """daemon() in bounded form: rerun a rollup 3 times (the NRT refresh
+    shape), one status tuple per run."""
+    out = compile_stream(
+        'daemon(rollup(table(lineitem, fl="l_returnflag"), '
+        'over="l_returnflag", n=count(*)), id="flagwatch", runs=3)',
+        sf_dir,
+    ).to_pandas()
+    return out.sort_values("run").reset_index(drop=True)
+
+
+QUERIES["stream_expr_daemon"] = q_stream_expr_daemon
+ORACLE["stream_expr_daemon"] = """
+    SELECT 'flagwatch' AS id, r AS run,
+           (SELECT count(DISTINCT l_returnflag) FROM lineitem)::BIGINT
+             AS n_rows
+    FROM (VALUES (0::BIGINT), (1), (2)) runs(r)
+    ORDER BY run
 """

@@ -33,8 +33,9 @@ def test_parser_rejects_garbage():
 
 
 def test_unknown_stream_fails_loud():
+    # daemon()/executor() registered in r4 — use a genuinely unknown name
     with pytest.raises(ValueError, match="not a registered stream"):
-        _build(parse_stream_expr("daemon(table(t))"), {"sf_dir": "/nope"})
+        _build(parse_stream_expr("cdcr(table(t))"), {"sf_dir": "/nope"})
 
 
 def _with_fake_table(df):
@@ -575,4 +576,50 @@ def test_drill_over_update_built_collection(ray_session):
         compile_stream(
             'drill(drilldocs, q="join", mode="or", over="n_chars",'
             ' n=count(*))', sf,
+        )
+
+
+def test_executor_emits_failure_tuples(ray_session):
+    """A job whose stored expression does not compile must surface as a
+    status='failed' completion tuple (the reference's exception tuple),
+    not abort the other jobs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rindex.ops.streamlang import compile_stream
+
+    def jobs_view(ctx):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "job_id": pa.array(["good", "bad"]),
+                    "expr_s": pa.array(
+                        [
+                            'unique(table(region, fl="r_name"), over="r_name")',
+                            "notastream(table(region))",
+                        ]
+                    ),
+                }
+            )
+        )
+
+    out = compile_stream(
+        "executor(table(jobs), threads=2)",
+        "/root/testdata/sf0.001",
+        views={"jobs": jobs_view},
+    ).to_pandas().set_index("job_id")
+    assert out.loc["good", "status"] == "complete"
+    assert int(out.loc["good", "n_rows"]) == 5
+    assert out.loc["bad", "status"] == "failed"
+
+
+def test_daemon_rejects_nonpositive_runs(ray_session):
+    import pytest as _pytest
+
+    from rindex.ops.streamlang import compile_stream
+
+    with _pytest.raises(ValueError, match="runs must be positive"):
+        compile_stream(
+            'daemon(table(region, fl="r_name"), id="x", runs=0)',
+            "/root/testdata/sf0.001",
         )
