@@ -650,6 +650,60 @@ def make_synonym_filter(
     return lambda toks: [mapping.get(t, t) for t in toks]
 
 
+def english_possessive_filter(toks: list[str]) -> list[str]:
+    """EnglishPossessiveFilter analog — strip trailing 's
+    (`lucene/analysis/common/.../en/EnglishPossessiveFilter.java`)."""
+    return [t[:-2] if t.endswith("'s") else t for t in toks]
+
+
+# French elision articles (`lucene/analysis/common/.../util/ElisionFilter
+# .java` + the French default article set in FrenchAnalyzer)
+_ELISION_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
+     "lorsqu", "puisqu"]
+)
+
+
+def elision_filter(toks: list[str]) -> list[str]:
+    """ElisionFilter analog: strip a leading article + apostrophe
+    (l'élève -> élève); tokens keep word-internal apostrophes so the
+    head is whatever precedes the FIRST apostrophe."""
+    out = []
+    for t in toks:
+        if "'" in t:
+            head, rest = t.split("'", 1)
+            if head in _ELISION_ARTICLES and rest:
+                out.append(rest)
+                continue
+        out.append(t)
+    return out
+
+
+def make_truncate_filter(n: int) -> Callable[[list[str]], list[str]]:
+    """TruncateTokenFilterFactory analog (prefixLength=n)."""
+    return lambda toks: [t[:n] for t in toks]
+
+
+def make_limit_token_count_filter(n: int) -> Callable[[list[str]], list[str]]:
+    """LimitTokenCountFilter analog: keep only the first n tokens."""
+    return lambda toks: toks[:n]
+
+
+def whitespace_tokenize(text: str) -> list[str]:
+    """WhitespaceTokenizer (+ LowerCaseFilter) analog: split on
+    whitespace only, punctuation KEPT inside tokens
+    (`lucene/core/.../analysis/core/WhitespaceTokenizer.java`)."""
+    return text.lower().split()
+
+
+def hyphen_join(text: str) -> str:
+    """HyphenatedWordsFilter analog as a char filter: rejoin words
+    hyphenated across whitespace/line breaks
+    (`lucene/analysis/common/.../miscellaneous/HyphenatedWordsFilter
+    .java` semantics approximated pre-tokenize)."""
+    return re.sub(r"-\s+", "", text)
+
+
 ANALYZERS: dict[str, Analyzer] = {
     "standard": Analyzer(name="standard"),
     "ascii_folding": Analyzer(
@@ -667,6 +721,18 @@ ANALYZERS: dict[str, Analyzer] = {
         name="en_snowball", token_filters=[porter2_stem_filter]
     ),
     "en_kstem": Analyzer(name="en_kstem", token_filters=[kstem_filter]),
+    "en_possessive": Analyzer(
+        name="en_possessive", token_filters=[english_possessive_filter]
+    ),
+    "elision": Analyzer(name="elision", token_filters=[elision_filter]),
+    "truncate4": Analyzer(
+        name="truncate4", token_filters=[make_truncate_filter(4)]
+    ),
+    "limit50": Analyzer(
+        name="limit50", token_filters=[make_limit_token_count_filter(50)]
+    ),
+    "whitespace": Analyzer(name="whitespace", tokenizer=whitespace_tokenize),
+    "hyphen_join": Analyzer(name="hyphen_join", char_filters=[hyphen_join]),
 }
 
 

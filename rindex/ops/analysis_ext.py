@@ -1768,3 +1768,170 @@ ORACLE["ltr_rerank_documents"] = f"""
     ORDER BY ltr_score DESC, doc_id ASC
     LIMIT {LTR_RERANK_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 analysis-factory batch (shrinking the "~140 more factories" tail):
+# EnglishPossessiveFilter, ElisionFilter, TruncateTokenFilterFactory,
+# LimitTokenCountFilter, WhitespaceTokenizer, HyphenatedWordsFilter —
+# each a registered Analyzer (rindex/analysis.py) plus an oracle-backed op.
+# ---------------------------------------------------------------------------
+
+
+def _analyzer_topterms(sf_dir: str, analyzer_name: str):
+    """Shared shape: tokenize with a registered analyzer, partial-count
+    per batch, one (term, cnt) combine, top-N."""
+    from collections import Counter
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    an = get_analyzer(analyzer_name)
+
+    def count(texts):
+        c = Counter()
+        for x in texts:
+            c.update(an.tokens(x or ""))
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+def q_possessive_topterms_documents(sf_dir: str):
+    """EnglishPossessiveFilter (`lucene/analysis/common/.../en/
+    EnglishPossessiveFilter.java`): top terms after trailing-'s strip."""
+    return _analyzer_topterms(sf_dir, "en_possessive")
+
+
+QUERIES["possessive_topterms_documents"] = q_possessive_topterms_documents
+ORACLE["possessive_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT regexp_replace(t, '''s$', '') AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_elision_topterms_documents(sf_dir: str):
+    """ElisionFilter (`lucene/analysis/common/.../util/ElisionFilter
+    .java`, French article set): top terms after leading-article strip."""
+    return _analyzer_topterms(sf_dir, "elision")
+
+
+QUERIES["elision_topterms_documents"] = q_elision_topterms_documents
+ORACLE["elision_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT CASE WHEN t LIKE '%''%'
+                   AND split_part(t, '''', 1) IN
+                       ('l','m','t','qu','n','s','j','d','c','jusqu',
+                        'quoiqu','lorsqu','puisqu')
+                   AND len(t) > len(split_part(t, '''', 1)) + 1
+                  THEN substring(t, len(split_part(t, '''', 1)) + 2)
+                  ELSE t END AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_truncate_topterms_documents(sf_dir: str):
+    """TruncateTokenFilterFactory (prefixLength=4): top terms after
+    truncation (`lucene/analysis/common/.../miscellaneous/
+    TruncateTokenFilterFactory.java`)."""
+    return _analyzer_topterms(sf_dir, "truncate4")
+
+
+QUERIES["truncate_topterms_documents"] = q_truncate_topterms_documents
+ORACLE["truncate_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT substring(t, 1, 4) AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_limit_token_count_documents(sf_dir: str):
+    """LimitTokenCountFilter (maxTokenCount=50): per-doc token count with
+    the cap applied (`lucene/analysis/common/.../miscellaneous/
+    LimitTokenCountFilter.java` — the indexing-cost governor)."""
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    an = get_analyzer("limit50")
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.utf8_lower(t["text"]).to_pylist()
+        n = [len(an.tokens(x or "")) for x in texts]
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_tokens": pa.array(np.asarray(n, np.int64))}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["limit_token_count_documents"] = q_limit_token_count_documents
+ORACLE["limit_token_count_documents"] = f"""
+    SELECT doc_id,
+           least(len(regexp_extract_all(lower(coalesce(text, '')),
+                                        '{APOS_SQL_RE}')), 50)::BIGINT
+             AS n_tokens
+    FROM documents
+"""
+
+
+def q_whitespace_token_count_documents(sf_dir: str):
+    """WhitespaceTokenizer (`lucene/core/.../analysis/core/
+    WhitespaceTokenizer.java`): per-doc token count splitting on
+    whitespace ONLY (punctuation stays attached — the contrast with the
+    standard chain is the point of the factory)."""
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    an = get_analyzer("whitespace")
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = [len(an.tokens(x or "")) for x in texts]
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_tokens": pa.array(np.asarray(n, np.int64))}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["whitespace_token_count_documents"] = q_whitespace_token_count_documents
+ORACLE["whitespace_token_count_documents"] = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT
+             AS n_tokens
+    FROM documents
+"""
+
+
+def q_hyphen_join_topterms_documents(sf_dir: str):
+    """HyphenatedWordsFilter (`lucene/analysis/common/.../miscellaneous/
+    HyphenatedWordsFilter.java`): rejoin words hyphenated across line
+    breaks BEFORE tokenizing, then top terms."""
+    return _analyzer_topterms(sf_dir, "hyphen_join")
+
+
+QUERIES["hyphen_join_topterms_documents"] = q_hyphen_join_topterms_documents
+ORACLE["hyphen_join_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(
+               lower(regexp_replace(text, '-\\s+', '', 'g')),
+               '{APOS_SQL_RE}')) AS term
+      FROM documents)
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""

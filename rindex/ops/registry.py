@@ -44,6 +44,12 @@ _SAMPLE_FIRST = [
     "eval_interp_events",
     "stream_expr_executor",
     "stream_expr_daemon",
+    "possessive_topterms_documents",
+    "elision_topterms_documents",
+    "truncate_topterms_documents",
+    "limit_token_count_documents",
+    "whitespace_token_count_documents",
+    "hyphen_join_topterms_documents",
     "substring_dedup_documents",
     "monitor_percolate_documents",
     "sessionize_events",

@@ -276,3 +276,35 @@ def test_word_delimiter_chain():
     assert split("aBcD") == ["a", "bc", "d"]
     assert split("PowerShot500") == ["power", "shot", "500"]
     assert split("plain") == ["plain"]
+
+
+def test_r4_factory_batch_filters():
+    """r4 analysis-factory batch semantics (possessive / elision /
+    truncate / limit / whitespace / hyphen-join)."""
+    from rindex.analysis import (
+        elision_filter,
+        english_possessive_filter,
+        get_analyzer,
+        hyphen_join,
+        make_limit_token_count_filter,
+        make_truncate_filter,
+        whitespace_tokenize,
+    )
+
+    assert english_possessive_filter(["john's", "boss", "class's"]) == [
+        "john", "boss", "class"
+    ]
+    assert elision_filter(["l'élève", "d'artagnan", "don't", "qu'il"]) == [
+        "élève", "artagnan", "don't", "il"
+    ]
+    assert make_truncate_filter(4)(["truncation", "abc"]) == ["trun", "abc"]
+    assert make_limit_token_count_filter(2)(["a", "b", "c"]) == ["a", "b"]
+    assert whitespace_tokenize("Keep, punct! a-b\tc") == [
+        "keep,", "punct!", "a-b", "c"
+    ]
+    assert hyphen_join("hyphen- \n ated word") == "hyphenated word"
+    # registered analyzers compose with the standard chain
+    assert get_analyzer("hyphen_join").tokens("re- \n joined") == ["rejoined"]
+    assert get_analyzer("en_possessive").tokens("John's book") == [
+        "john", "book"
+    ]
