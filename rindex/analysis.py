@@ -704,6 +704,90 @@ def hyphen_join(text: str) -> str:
     return re.sub(r"-\s+", "", text)
 
 
+def capitalization_filter(toks: list[str]) -> list[str]:
+    """CapitalizationFilter analog — upper-case the first letter of each
+    token (`lucene/analysis/common/.../miscellaneous/CapitalizationFilter
+    .java`, default onlyFirstWord=false over already-lowercased input)."""
+    return [t[:1].upper() + t[1:] for t in toks]
+
+
+def reverse_string_filter(toks: list[str]) -> list[str]:
+    """ReverseStringFilter analog (`lucene/analysis/common/.../reverse/
+    ReverseStringFilter.java`) — the building block behind
+    ReversedWildcardFilterFactory's leading-wildcard acceleration."""
+    return [t[::-1] for t in toks]
+
+
+def letter_tokenize(text: str) -> list[str]:
+    """LetterTokenizer analog (`lucene/analysis/common/.../core/
+    LetterTokenizer.java`): maximal letter runs; digits and punctuation
+    split.  ASCII fast path mirrors the SQL oracle regex exactly."""
+    low = text.lower()
+    if low.isascii():
+        return _LETTER_RE.findall(low)
+    return _UNI_LETTER_RE.findall(low)
+
+
+_LETTER_RE = re.compile(r"[a-z]+")
+_UNI_LETTER_RE = re.compile(r"[^\W\d_]+")
+
+
+def make_fingerprint_filter(sep: str = "_") -> Callable[[list[str]], list[str]]:
+    """Solr FingerprintFilter analog (`lucene/analysis/common/.../
+    miscellaneous/FingerprintFilter.java`): the whole stream collapses to
+    ONE token — sorted unique terms joined by `sep`."""
+
+    def f(toks: list[str]) -> list[str]:
+        return [sep.join(sorted(set(toks)))] if toks else []
+
+    return f
+
+
+def keyword_repeat_sstem_filter(toks: list[str]) -> list[str]:
+    """KeywordRepeatFilter + EnglishMinimalStem + RemoveDuplicates analog
+    (`lucene/analysis/common/.../miscellaneous/KeywordRepeatFilter.java`,
+    `.../miscellaneous/RemoveDuplicatesTokenFilter.java`): each position
+    emits the original AND its stem, duplicates at a position removed."""
+    out = []
+    for t in toks:
+        s = english_minimal_stem(t)
+        out.append(t)
+        if s != t:
+            out.append(s)
+    return out
+
+
+_CAP_ALPHA_RE = re.compile(r"[a-z]+")
+_CAP_DIGIT_RE = re.compile(r"[0-9]+")
+
+
+def pattern_capture_filter(toks: list[str]) -> list[str]:
+    """PatternCaptureGroupTokenFilter analog (`lucene/analysis/common/.../
+    pattern/PatternCaptureGroupTokenFilter.java`, preserve_original=true)
+    with the capture patterns ([a-z]+) and ([0-9]+): each token emits
+    itself plus its distinct letter runs and digit runs."""
+    out = []
+    for t in toks:
+        seen = {t}
+        out.append(t)
+        for m in _CAP_ALPHA_RE.findall(t):
+            if m not in seen:
+                seen.add(m)
+                out.append(m)
+        for m in _CAP_DIGIT_RE.findall(t):
+            if m not in seen:
+                seen.add(m)
+                out.append(m)
+    return out
+
+
+def type_token_num_filter(toks: list[str]) -> list[str]:
+    """TypeTokenFilter analog keeping only <NUM>-typed tokens
+    (`lucene/analysis/common/.../core/TypeTokenFilter.java`; the
+    StandardTokenizer types a pure-digit run as <NUM>)."""
+    return [t for t in toks if t.isdigit()]
+
+
 ANALYZERS: dict[str, Analyzer] = {
     "standard": Analyzer(name="standard"),
     "ascii_folding": Analyzer(
@@ -733,6 +817,22 @@ ANALYZERS: dict[str, Analyzer] = {
     ),
     "whitespace": Analyzer(name="whitespace", tokenizer=whitespace_tokenize),
     "hyphen_join": Analyzer(name="hyphen_join", char_filters=[hyphen_join]),
+    "capitalization": Analyzer(
+        name="capitalization", token_filters=[capitalization_filter]
+    ),
+    "reverse": Analyzer(name="reverse", token_filters=[reverse_string_filter]),
+    "letter": Analyzer(name="letter", tokenizer=letter_tokenize),
+    "fingerprint": Analyzer(
+        name="fingerprint", token_filters=[make_fingerprint_filter("_")]
+    ),
+    "keyword_repeat_sstem": Analyzer(
+        name="keyword_repeat_sstem",
+        token_filters=[keyword_repeat_sstem_filter],
+    ),
+    "pattern_capture": Analyzer(
+        name="pattern_capture", token_filters=[pattern_capture_filter]
+    ),
+    "type_num": Analyzer(name="type_num", token_filters=[type_token_num_filter]),
 }
 
 

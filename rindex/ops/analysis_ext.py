@@ -1935,3 +1935,178 @@ ORACLE["hyphen_join_topterms_documents"] = f"""
       FROM documents)
     GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 analysis-factory batch 2: CapitalizationFilter, ReverseStringFilter,
+# LetterTokenizer, Solr FingerprintFilter, KeywordRepeat+RemoveDuplicates,
+# PatternCaptureGroupTokenFilter, TypeTokenFilter.
+# ---------------------------------------------------------------------------
+
+# the SQL expression mirroring rindex.analysis.english_minimal_stem
+_SSTEM_SQL = ("CASE WHEN length(t) >= 3 AND t LIKE '%s' "
+              "AND substr(t, length(t) - 1, 1) NOT IN ('s', 'u') "
+              "THEN substr(t, 1, length(t) - 1) ELSE t END")
+
+
+def q_capitalization_topterms_documents(sf_dir: str):
+    """CapitalizationFilter (`lucene/analysis/common/.../miscellaneous/
+    CapitalizationFilter.java`): top terms with the first letter
+    upper-cased."""
+    return _analyzer_topterms(sf_dir, "capitalization")
+
+
+QUERIES["capitalization_topterms_documents"] = q_capitalization_topterms_documents
+ORACLE["capitalization_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT concat(upper(substr(t, 1, 1)), substr(t, 2)) AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_reverse_topterms_documents(sf_dir: str):
+    """ReverseStringFilter (`lucene/analysis/common/.../reverse/
+    ReverseStringFilter.java`): top terms REVERSED — the index shape
+    behind ReversedWildcardFilterFactory leading-wildcard support."""
+    return _analyzer_topterms(sf_dir, "reverse")
+
+
+QUERIES["reverse_topterms_documents"] = q_reverse_topterms_documents
+ORACLE["reverse_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT reverse(t) AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_letter_topterms_documents(sf_dir: str):
+    """LetterTokenizer (`lucene/analysis/common/.../core/LetterTokenizer
+    .java`): top terms over maximal LETTER runs (digits/apostrophes
+    split, the contrast with the standard chain)."""
+    return _analyzer_topterms(sf_dir, "letter")
+
+
+QUERIES["letter_topterms_documents"] = q_letter_topterms_documents
+ORACLE["letter_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents)
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_fingerprint_filter_documents(sf_dir: str):
+    """Solr FingerprintFilter (`lucene/analysis/common/.../miscellaneous/
+    FingerprintFilter.java`): the whole token stream collapses to one
+    sorted-unique-joined token per document (the dedup-normalization
+    shape Solr ships for fuzzy duplicate detection).  First 20 docs by
+    doc_id — a 20-row sort+limit, never a full collect."""
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    an = get_analyzer("standard")
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        fps = ["_".join(sorted(set(an.tokens(x or "")))) for x in texts]
+        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(fps)})
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id").limit(20)
+
+
+QUERIES["fingerprint_filter_documents"] = q_fingerprint_filter_documents
+ORACLE["fingerprint_filter_documents"] = f"""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '{APOS_SQL_RE}'))), '_') AS fingerprint
+    FROM documents ORDER BY doc_id ASC LIMIT 20
+"""
+
+
+def q_keyword_repeat_topterms_documents(sf_dir: str):
+    """KeywordRepeatFilter + EnglishMinimalStem + RemoveDuplicates
+    (`lucene/analysis/common/.../miscellaneous/KeywordRepeatFilter.java`):
+    each position indexes BOTH the surface form and its stem; top terms
+    over the doubled stream."""
+    return _analyzer_topterms(sf_dir, "keyword_repeat_sstem")
+
+
+QUERIES["keyword_repeat_topterms_documents"] = q_keyword_repeat_topterms_documents
+ORACLE["keyword_repeat_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(list_distinct([t, {_SSTEM_SQL}])) AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_pattern_capture_topterms_documents(sf_dir: str):
+    """PatternCaptureGroupTokenFilter (`lucene/analysis/common/.../pattern/
+    PatternCaptureGroupTokenFilter.java`, preserve_original=true, patterns
+    ([a-z]+) and ([0-9]+)): mixed alnum tokens also emit their letter and
+    digit runs."""
+    return _analyzer_topterms(sf_dir, "pattern_capture")
+
+
+QUERIES["pattern_capture_topterms_documents"] = q_pattern_capture_topterms_documents
+ORACLE["pattern_capture_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(list_distinct(
+               [t] || regexp_extract_all(t, '[a-z]+')
+                   || regexp_extract_all(t, '[0-9]+'))) AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_type_token_num_events(sf_dir: str):
+    """TypeTokenFilter (`lucene/analysis/common/.../core/TypeTokenFilter
+    .java`) keeping only <NUM>-typed tokens, over the events.props field
+    (the documents corpus has no standalone numbers): top digit terms."""
+    from collections import Counter
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "events", ["props"])
+    an = get_analyzer("type_num")
+
+    def f(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for x in t["props"].to_pylist():
+            c.update(an.tokens(x or ""))
+        if not c:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"term": pa.array(ks),
+                         "cnt": pa.array(vs, pa.int64())})
+
+    return _sum_sort_limit(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        TOP_TERMS,
+    )
+
+
+QUERIES["type_token_num_events"] = q_type_token_num_events
+ORACLE["type_token_num_events"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT t AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(coalesce(props, '')),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM events)
+      WHERE regexp_full_match(t, '[0-9]+'))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""

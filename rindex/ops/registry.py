@@ -44,6 +44,13 @@ _SAMPLE_FIRST = [
     "eval_interp_events",
     "stream_expr_executor",
     "stream_expr_daemon",
+    "capitalization_topterms_documents",
+    "reverse_topterms_documents",
+    "letter_topterms_documents",
+    "fingerprint_filter_documents",
+    "keyword_repeat_topterms_documents",
+    "pattern_capture_topterms_documents",
+    "type_token_num_events",
     "possessive_topterms_documents",
     "elision_topterms_documents",
     "truncate_topterms_documents",

@@ -308,3 +308,34 @@ def test_r4_factory_batch_filters():
     assert get_analyzer("en_possessive").tokens("John's book") == [
         "john", "book"
     ]
+
+
+def test_r4_factory_batch2_filters():
+    """r4 batch 2: capitalization / reverse / letter / fingerprint /
+    keyword-repeat / pattern-capture / type-token semantics."""
+    from rindex.analysis import (
+        capitalization_filter,
+        get_analyzer,
+        keyword_repeat_sstem_filter,
+        letter_tokenize,
+        make_fingerprint_filter,
+        pattern_capture_filter,
+        reverse_string_filter,
+        type_token_num_filter,
+    )
+
+    assert capitalization_filter(["abc", "d", ""]) == ["Abc", "D", ""]
+    assert reverse_string_filter(["abc", "x1"]) == ["cba", "1x"]
+    assert letter_tokenize("Ab3cd, e-f 42") == ["ab", "cd", "e", "f"]
+    assert make_fingerprint_filter("_")(["b", "a", "b"]) == ["a_b"]
+    assert make_fingerprint_filter("_")([]) == []
+    # keyword-repeat: surface + S-stem when they differ, in order
+    assert keyword_repeat_sstem_filter(["cats", "boss", "us", "dogs"]) == [
+        "cats", "cat", "boss", "us", "dogs", "dog"
+    ]
+    assert pattern_capture_filter(["abc123", "plain", "7"]) == [
+        "abc123", "abc", "123", "plain", "7"
+    ]
+    assert type_token_num_filter(["a1", "42", "x", "007"]) == ["42", "007"]
+    assert get_analyzer("fingerprint").tokens("b a b a") == ["a_b"]
+    assert get_analyzer("type_num").tokens("room 42 floor 7") == ["42", "7"]
