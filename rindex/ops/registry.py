@@ -51,6 +51,9 @@ _SAMPLE_FIRST = [
     "keyword_repeat_topterms_documents",
     "pattern_capture_topterms_documents",
     "type_token_num_events",
+    "stream_expr_reduce",
+    "stream_expr_shuffle",
+    "stream_expr_nodes",
     "possessive_topterms_documents",
     "elision_topterms_documents",
     "truncate_topterms_documents",

@@ -1789,3 +1789,173 @@ ORACLE["stream_expr_daemon"] = """
     FROM (VALUES (0::BIGINT), (1), (2)) runs(r)
     ORDER BY run
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 stream batch: reduce(), shuffle(), nodes() decorators.
+# ---------------------------------------------------------------------------
+
+
+def _b_reduce(args, kwargs, ctx):
+    """reduce(stream, by="keys", group(sort="...", n=N)) — ReducerStream +
+    GroupOperation (`solr/solrj/.../io/stream/ReducerStream.java`,
+    `.../ops/GroupOperation.java`): group by `by`, keep the top-N tuples
+    per group under the inner sort.  The reference requires the input
+    pre-sorted and streams group-at-a-time; the Ray-native shape is ONE
+    groupby whose reduce tasks each own a slice of the (small) groups —
+    no global sort needed."""
+    ds = _build(args[0], ctx)
+    by = _cols(_lit(kwargs["by"], "by"))
+    gop = next(
+        (a for a in args[1:]
+         if isinstance(a, tuple) and a[0] == "call" and a[1] == "group"),
+        None,
+    )
+    if gop is None:
+        raise ValueError("reduce() requires a group(sort=..., n=...) operation")
+    gkw = dict(_kwargs(gop))
+    keys, desc = _sort_spec(_lit(gkw["sort"], "group sort"))
+    n = int(_lit(gkw["n"], "group n"))
+
+    def top_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            keys, ascending=[not d for d in desc], kind="mergesort"
+        ).head(n)
+
+    return ds.groupby(by if len(by) > 1 else by[0]).map_groups(
+        top_of_group, batch_format="pandas"
+    )
+
+
+def _b_shuffle(args, kwargs, ctx):
+    """shuffle(stream, sort="...", partitionKeys="...") — ShuffleStream
+    (`solr/solrj/.../io/stream/ShuffleStream.java`): the /export-handler
+    search that returns the ENTIRE sorted match set, hash-partitioned on
+    partitionKeys so parallel consumers each own a key-disjoint slice.
+    Ray-native: an optional key-hash exchange (groupby identity — the
+    co-location contract) followed by the mandated total sort."""
+    ds = _build(args[0], ctx)
+    if "partitionKeys" in kwargs:
+        pk = _cols(_lit(kwargs["partitionKeys"], "partitionKeys"))
+        ds = ds.groupby(pk if len(pk) > 1 else pk[0]).map_groups(
+            lambda df: df, batch_format="pandas"
+        )
+    keys, desc = _sort_spec(_lit(kwargs["sort"], "sort"))
+    return ds.sort(keys, descending=desc)
+
+
+def _b_nodes(args, kwargs, ctx):
+    """nodes(collection, rootStream, walk="from->to", gather="field") —
+    GatherNodesStream (`solr/solrj/.../io/graph/GatherNodesStream.java`),
+    one traversal step: distinct root keys join into the collection on
+    the walk edge and the distinct `gather` values come back as `node`
+    tuples.  The frontier stays a Dataset end-to-end (distinct via
+    groupby, then a distributed hash join) — never a driver pull, unlike
+    the reference's in-memory frontier set."""
+    from ray.data.aggregate import Count
+
+    coll = _ident(args[0], "nodes collection")
+    roots = _build(args[1], ctx)
+    frm, _, to = _lit(kwargs["walk"], "walk").partition("->")
+    frm, to = frm.strip(), to.strip()
+    gather = _lit(kwargs["gather"], "gather")
+
+    frontier = roots.groupby(frm).aggregate(Count(alias_name="_c"))
+    frontier = frontier.map_batches(
+        lambda b: b.select([frm]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    views = ctx.get("views") or {}
+    if coll in views:
+        edges = views[coll](ctx).select_columns([to, gather])
+    else:
+        edges = read_table(ctx["sf_dir"], coll, [to, gather])
+    joined = edges.join(
+        frontier, "inner", num_partitions=8, on=(to,), right_on=(frm,)
+    )
+    out = joined.groupby(gather).aggregate(Count(alias_name="_c"))
+    return out.map_batches(
+        lambda b: pa.table({"node": b[gather]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+STREAM_BUILDERS.update(
+    {"reduce": _b_reduce, "shuffle": _b_shuffle, "nodes": _b_nodes}
+)
+
+
+REDUCE_EXPR = """
+reduce(table(orders, fl="o_orderkey,o_orderpriority,o_totalprice"),
+       by="o_orderpriority",
+       group(sort="o_totalprice desc, o_orderkey asc", n="3"))
+"""
+
+
+def q_stream_expr_reduce(sf_dir: str):
+    """reduce() in the language: top-3 orders by price per priority
+    bucket (15 rows) — the grouped-top-N shape ReducerStream ships."""
+    out = compile_stream(REDUCE_EXPR, sf_dir).to_pandas()
+    return out.sort_values(
+        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True],
+    ).reset_index(drop=True)[["o_orderkey", "o_orderpriority", "o_totalprice"]]
+
+
+QUERIES["stream_expr_reduce"] = q_stream_expr_reduce
+ORACLE["stream_expr_reduce"] = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC,
+                                         o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+"""
+
+
+SHUFFLE_EXPR = """
+shuffle(table(supplier, fl="s_suppkey,s_nationkey,s_acctbal"),
+        sort="s_suppkey asc", partitionKeys="s_nationkey")
+"""
+
+
+def q_stream_expr_shuffle(sf_dir: str):
+    """shuffle() in the language: the full sorted export of supplier,
+    hash-co-located on s_nationkey first (the parallel-consumer
+    contract), then totally sorted."""
+    out = compile_stream(SHUFFLE_EXPR, sf_dir).to_pandas()
+    return out.reset_index(drop=True)[["s_suppkey", "s_nationkey", "s_acctbal"]]
+
+
+QUERIES["stream_expr_shuffle"] = q_stream_expr_shuffle
+ORACLE["stream_expr_shuffle"] = """
+    SELECT s_suppkey, s_nationkey, s_acctbal
+    FROM supplier ORDER BY s_suppkey ASC
+"""
+
+
+NODES_EXPR = """
+nodes(orders,
+      having(table(customer, fl="c_custkey,c_nationkey"),
+             eq(c_nationkey, 7)),
+      walk="c_custkey->o_custkey",
+      gather="o_orderpriority")
+"""
+
+
+def q_stream_expr_nodes(sf_dir: str):
+    """nodes()/gatherNodes in the language: one traversal step from the
+    nation-7 customers into their orders, gathering distinct
+    priorities."""
+    out = compile_stream(NODES_EXPR, sf_dir).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+QUERIES["stream_expr_nodes"] = q_stream_expr_nodes
+ORACLE["stream_expr_nodes"] = """
+    SELECT DISTINCT o_orderpriority AS node
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_nationkey = 7
+    ORDER BY node ASC
+"""

@@ -623,3 +623,52 @@ def test_daemon_rejects_nonpositive_runs(ray_session):
             'daemon(table(region, fl="r_name"), id="x", runs=0)',
             "/root/testdata/sf0.001",
         )
+
+
+def test_reduce_shuffle_nodes_builders(ray_session):
+    """r4 decorators: reduce() grouped-top-N, shuffle() partitioned sorted
+    export, nodes() one-hop gather — over in-memory views."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rindex.ops.streamlang import compile_stream
+
+    def t_view(ctx):
+        return rd.from_arrow(pa.table({
+            "g": pa.array(["a", "a", "a", "b", "b"]),
+            "v": pa.array([3, 1, 2, 9, 8], pa.int64()),
+        }))
+
+    out = compile_stream(
+        'reduce(table(t), by="g", group(sort="v desc", n="2"))',
+        "/nonexistent", views={"t": t_view},
+    ).to_pandas().sort_values(["g", "v"], ascending=[True, False])
+    assert out.values.tolist() == [["a", 3], ["a", 2], ["b", 9], ["b", 8]]
+
+    out = compile_stream(
+        'shuffle(table(t), sort="v asc", partitionKeys="g")',
+        "/nonexistent", views={"t": t_view},
+    ).to_pandas()
+    assert out["v"].tolist() == [1, 2, 3, 8, 9]
+
+    # reduce() without a group operation rejects loudly
+    with pytest.raises(ValueError, match="group"):
+        compile_stream('reduce(table(t), by="g")',
+                       "/nonexistent", views={"t": t_view})
+
+    def edges_view(ctx):
+        return rd.from_arrow(pa.table({
+            "dst": pa.array([1, 1, 2, 3], pa.int64()),
+            "tag": pa.array(["x", "y", "x", "z"]),
+        }))
+
+    def roots_view(ctx):
+        return rd.from_arrow(pa.table({
+            "src": pa.array([1, 1, 2], pa.int64()),
+        }))
+
+    out = compile_stream(
+        'nodes(edges, table(roots), walk="src->dst", gather="tag")',
+        "/nonexistent", views={"edges": edges_view, "roots": roots_view},
+    ).to_pandas().sort_values("node")
+    assert out["node"].tolist() == ["x", "y"]
