@@ -452,3 +452,270 @@ ORACLE["index_sort_topk_events"] = f"""
     SELECT event_id, ts FROM events
     ORDER BY ts, event_id LIMIT {SORT_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 query-type batch: MultiPhraseQuery, SpanMultiTermQueryWrapper,
+# FieldExistsQuery, IndexOrDocValuesQuery.
+# ---------------------------------------------------------------------------
+
+MPQ_ALTS, MPQ_NEXT = ("hash", "merge"), "join"
+
+
+def _flat_doc_pos(posts: dict, term_list) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten positional postings for a term set into aligned
+    (doc, position) int64 arrays (the spanOr union shape)."""
+    ds, ps = [], []
+    for t in term_list:
+        row = posts.get(t)
+        if row is None:
+            continue
+        docs, tfs, pos, _ = row
+        ds.append(np.repeat(docs.astype(np.int64), tfs))
+        ps.append(pos.astype(np.int64))
+    if not ds:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ds), np.concatenate(ps)
+
+
+def q_multi_phrase_documents(sf_dir: str):
+    """MultiPhraseQuery (`lucene/core/src/java/org/apache/lucene/search/
+    MultiPhraseQuery.java`): a phrase whose first slot admits MULTIPLE
+    terms — ("hash"|"merge") immediately followed by "join" — the query
+    QueryParser emits for multi-term synonyms at a phrase position.
+
+    Engine shape: the slot's term positions UNION into one flat (doc,
+    pos) array per segment (spanOr), then ONE searchsorted against the
+    next slot's flat positions on a composite doc*stride+pos key — the
+    ExactPhraseMatcher adjacency check, fully vectorized."""
+    from rindex.ops.fulltext import documents_index_pos
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    rows = []
+    for r in s.readers:
+        posts = r.positions_for(list(MPQ_ALTS) + [MPQ_NEXT])
+        ad, ap = _flat_doc_pos(posts, MPQ_ALTS)
+        bd, bp = _flat_doc_pos(posts, [MPQ_NEXT])
+        if not len(ad) or not len(bd):
+            continue
+        stride = np.int64(max(int(ap.max()), int(bp.max())) + 2)
+        want = ad * stride + (ap + 1)
+        have = np.sort(bd * stride + bp)
+        i = np.searchsorted(have, want)
+        hit = (i < len(have)) & (have[np.minimum(i, len(have) - 1)] == want)
+        if not hit.any():
+            continue
+        uniq, cnt = np.unique(ad[hit], return_counts=True)
+        uniq = r.drop_deleted(uniq)
+        surv = np.isin(ad[hit], uniq)
+        uniq2, cnt2 = np.unique(ad[hit][surv], return_counts=True)
+        ids = r.fetch_ids(uniq2, ["doc_id"])
+        for local, c in zip(uniq2, cnt2):
+            rows.append((ids[local][0], int(c)))
+    out = pd.DataFrame(rows, columns=["doc_id", "phrase_freq"])
+    out["phrase_freq"] = out["phrase_freq"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["multi_phrase_documents"] = q_multi_phrase_documents
+ORACLE["multi_phrase_documents"] = f"""
+    SELECT doc_id,
+           len(list_filter(range(1, len(l)),
+               i -> (l[i] = '{MPQ_ALTS[0]}' OR l[i] = '{MPQ_ALTS[1]}')
+                    AND l[i + 1] = '{MPQ_NEXT}'))::BIGINT AS phrase_freq
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+          FROM documents)
+    WHERE len(list_filter(range(1, len(l)),
+              i -> (l[i] = '{MPQ_ALTS[0]}' OR l[i] = '{MPQ_ALTS[1]}')
+                   AND l[i + 1] = '{MPQ_NEXT}')) > 0
+    ORDER BY doc_id
+"""
+
+
+SMTQ_FIRST, SMTQ_PREFIX, SMTQ_SLOP = "spark", "jo", 3
+
+
+def q_span_multiterm_wrapper_documents(sf_dir: str):
+    """SpanMultiTermQueryWrapper (`lucene/core/src/java/org/apache/lucene/
+    search/spans/SpanMultiTermQueryWrapper.java`): an ordered SpanNear of
+    a literal and a WRAPPED PrefixQuery with nonzero slop —
+    spanNear([spark, spanOr(jo*)], slop=3, inOrder).  The contrast with
+    the slop=0 ComplexPhrase op is the position WINDOW: each offset
+    1..slop+1 is one vectorized searchsorted membership probe, OR-ed —
+    never a per-position Python scan.  The prefix expands with the same
+    distributed dictionary scan as WildcardQuery."""
+    from rindex.ops.fulltext import documents_index_pos
+    from rindex.ops.multiterm import _expand_terms
+    from rindex.search import IndexSearcher
+
+    def match(terms: np.ndarray) -> tuple[np.ndarray, None]:
+        m = pc.starts_with(
+            pa.array(terms.tolist(), pa.string()), SMTQ_PREFIX
+        ).to_numpy(zero_copy_only=False)
+        return m, None
+
+    exp = sorted(_expand_terms(sf_dir, match, "span_multiterm")["term"])
+    if not exp:
+        return pd.DataFrame({"doc_id": [], "n_matches": []})
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    rows = []
+    for r in s.readers:
+        posts = r.positions_for([SMTQ_FIRST] + exp)
+        ad, ap = _flat_doc_pos(posts, [SMTQ_FIRST])
+        bd, bp = _flat_doc_pos(posts, exp)
+        if not len(ad) or not len(bd):
+            continue
+        stride = np.int64(max(int(ap.max()), int(bp.max())) + SMTQ_SLOP + 3)
+        have = np.sort(bd * stride + bp)
+        hit = np.zeros(len(ad), dtype=bool)
+        for off in range(1, SMTQ_SLOP + 2):
+            want = ad * stride + (ap + off)
+            i = np.searchsorted(have, want)
+            hit |= (i < len(have)) & (
+                have[np.minimum(i, len(have) - 1)] == want
+            )
+        if not hit.any():
+            continue
+        uniq = r.drop_deleted(np.unique(ad[hit]))
+        surv = np.isin(ad[hit], uniq)
+        uniq2, cnt2 = np.unique(ad[hit][surv], return_counts=True)
+        ids = r.fetch_ids(uniq2, ["doc_id"])
+        for local, c in zip(uniq2, cnt2):
+            rows.append((ids[local][0], int(c)))
+    out = pd.DataFrame(rows, columns=["doc_id", "n_matches"])
+    out["n_matches"] = out["n_matches"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["span_multiterm_wrapper_documents"] = q_span_multiterm_wrapper_documents
+ORACLE["span_multiterm_wrapper_documents"] = f"""
+    SELECT doc_id,
+           len(list_filter(range(1, len(l) + 1),
+               i -> l[i] = '{SMTQ_FIRST}'
+                    AND len(list_filter(
+                          range(i + 1, least(i + {SMTQ_SLOP + 1}, len(l)) + 1),
+                          j -> l[j] LIKE '{SMTQ_PREFIX}%')) > 0))::BIGINT
+             AS n_matches
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+          FROM documents)
+    WHERE len(list_filter(range(1, len(l) + 1),
+              i -> l[i] = '{SMTQ_FIRST}'
+                   AND len(list_filter(
+                         range(i + 1, least(i + {SMTQ_SLOP + 1}, len(l)) + 1),
+                         j -> l[j] LIKE '{SMTQ_PREFIX}%')) > 0)) > 0
+    ORDER BY doc_id
+"""
+
+
+def q_field_exists_events(sf_dir: str):
+    """FieldExistsQuery (8.x DocValuesFieldExistsQuery, `lucene/core/src/
+    java/org/apache/lucene/search/DocValuesFieldExistsQuery.java`): count
+    docs per event_type where a DERIVED sparse field exists — the
+    two-digit `k` parsed from props (single-digit rows have no value, the
+    URP-parsed-field gap).  One scan, vectorized existence mask, count
+    partials shuffled."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        exists = pc.cast(
+            pc.match_substring_regex(t["props"], r'"k": \d\d(\D|$)'),
+            pa.int64(),
+        )
+        return pa.table({"event_type": t["event_type"], "e": exists})
+
+    agg = ds.map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("event_type").aggregate(Sum(on="e", alias_name="n_exists"))
+    return agg.sort("event_type")
+
+
+QUERIES["field_exists_events"] = q_field_exists_events
+ORACLE["field_exists_events"] = r"""
+    SELECT event_type,
+           sum(CASE WHEN regexp_matches(props, '"k": \d\d(\D|$)')
+                    THEN 1 ELSE 0 END)::BIGINT AS n_exists
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+IODV_LO, IODV_HI = 400000.0, 450000.0
+# fraction of row groups the range must prune for the points path to win
+IODV_PRUNE_MIN = 0.5
+
+
+def iodv_plan(sf_dir: str, lo: float, hi: float) -> str:
+    """The IndexOrDocValuesQuery cost model (`lucene/core/src/java/org/
+    apache/lucene/search/IndexOrDocValuesQuery.java`): choose the POINTS
+    path (row-group-pruned filtered read — the BKD tree analog) when the
+    range prunes most row groups, else the DOCVALUES path (verify inside
+    the already-running column scan).  Decided from parquet row-group
+    stats only — no data read."""
+    f = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet"))
+    n = f.metadata.num_row_groups
+    pruned = 0
+    for i in range(n):
+        st = f.metadata.row_group(i).column(
+            f.schema_arrow.get_field_index("o_totalprice")
+        ).statistics
+        if st is not None and (st.max < lo or st.min > hi):
+            pruned += 1
+    return "points" if n and pruned / n >= IODV_PRUNE_MIN else "docvalues"
+
+
+def iodv_range_rollup(sf_dir: str, lo: float, hi: float, path: str):
+    """Both execution paths produce IDENTICAL results (the
+    IndexOrDocValuesQuery contract); the planner only changes IO shape."""
+    import ray.data
+
+    from ray.data.aggregate import Count, Sum
+
+    if path == "points":
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_totalprice"],
+            filter=(pc.field("o_totalprice") >= lo)
+            & (pc.field("o_totalprice") <= hi),
+        )
+    else:
+        ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.greater_equal(t["o_totalprice"], lo),
+                        pc.less_equal(t["o_totalprice"], hi))
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    agg = ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"),
+        Sum(on="o_totalprice", alias_name="sum_price"),
+    )
+    out = agg.sort("o_orderpriority").to_pandas()
+    out["sum_price"] = out["sum_price"].round(4)
+    return out.reset_index(drop=True)
+
+
+def q_index_or_docvalues_orders(sf_dir: str):
+    """IndexOrDocValuesQuery: a totalprice range rollup whose execution
+    path (points vs docvalues) is chosen by the row-group-stats cost
+    model; pytest pins byte-identity of the two paths and the planner's
+    narrow-vs-wide choices."""
+    return iodv_range_rollup(
+        sf_dir, IODV_LO, IODV_HI, iodv_plan(sf_dir, IODV_LO, IODV_HI)
+    )
+
+
+QUERIES["index_or_docvalues_orders"] = q_index_or_docvalues_orders
+ORACLE["index_or_docvalues_orders"] = f"""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders
+    WHERE o_totalprice BETWEEN {IODV_LO} AND {IODV_HI}
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
