@@ -2702,3 +2702,87 @@ ORACLE["eval_interp_events"] = f"""
     FROM s JOIN sm USING (i)
     ORDER BY s.i
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 batch 10 — RankTransformEvaluator + ZScoresEvaluator
+# (`solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# {RankEvaluator,NormalizeEvaluator}.java`; Commons Math NaturalRanking
+# with TiesStrategy.AVERAGE and StandardDeviation's bias-corrected
+# sample std, the reference defaults).
+# ---------------------------------------------------------------------------
+
+def _rank_transform(v) -> np.ndarray:
+    """1-based ranks, ties averaged (NaturalRanking AVERAGE)."""
+    v = np.asarray(v, np.float64)
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v), np.float64)
+    ranks[order] = np.arange(1, len(v) + 1, dtype=np.float64)
+    _, inv = np.unique(v, return_inverse=True)
+    sums = np.bincount(inv, weights=ranks)
+    cnts = np.bincount(inv)
+    return (sums / cnts)[inv]
+
+
+def _zscores(v) -> np.ndarray:
+    v = np.asarray(v, np.float64)
+    return (v - v.mean()) / v.std(ddof=1)
+
+
+EVALUATORS.update({
+    "rankTransform": _rank_transform,
+    "zscores": _zscores,
+})
+
+
+def q_eval_rank_zscore_events(sf_dir: str):
+    """rankTransform() + zscores() over the daily event-count series (the
+    standard distributed reduce to a small integer series, then the
+    registry kernels).  Ranks on integer counts are exact halves; z
+    rounds to 6dp (mean/std are fp)."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["y", "doy"])
+        .reset_index(drop=True)
+    )
+    v = s["n"].to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "y": s["y"].astype(np.int64),
+            "doy": s["doy"].astype(np.int64),
+            "n": s["n"].astype(np.int64),
+            "rank": EVALUATORS["rankTransform"](v),
+            "z": np.round(EVALUATORS["zscores"](v), 6),
+        }
+    )
+
+
+QUERIES["eval_rank_zscore_events"] = q_eval_rank_zscore_events
+ORACLE["eval_rank_zscore_events"] = """
+    WITH d AS (
+      SELECT year(ts) AS y, dayofyear(ts) AS doy, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT y, doy, n,
+           (rank() OVER (ORDER BY n)
+            + (count(*) OVER (PARTITION BY n) - 1) / 2.0) AS rank,
+           round((n::DOUBLE - avg(n::DOUBLE) OVER ())
+                 / stddev_samp(n::DOUBLE) OVER (), 6) AS z
+    FROM d ORDER BY y, doy
+"""

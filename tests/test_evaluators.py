@@ -408,3 +408,14 @@ def test_moving_median_mad_integrate_vs_naive():
         assert mad[i] == np.sort(np.abs(v[i: i + k] - w[k // 2]))[k // 2]
     auc = EVALUATORS["integrate"](v)
     assert auc == sum((v[i] + v[i + 1]) / 2.0 for i in range(len(v) - 1))
+
+
+def test_rank_transform_and_zscores_kernels():
+    """rankTransform averages ties (NaturalRanking AVERAGE); zscores uses
+    the bias-corrected sample std (Commons Math default)."""
+    from rindex.ops.evaluators import EVALUATORS
+
+    r = EVALUATORS["rankTransform"]([10.0, 20.0, 20.0, 5.0])
+    assert r.tolist() == [2.0, 3.5, 3.5, 1.0]
+    z = EVALUATORS["zscores"]([1.0, 2.0, 3.0])
+    assert np.allclose(z, [-1.0, 0.0, 1.0])
