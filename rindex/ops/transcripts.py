@@ -1300,3 +1300,172 @@ def _conv_contamination_oracle_sql() -> str:
 
 
 ORACLE["conv_contamination_documents"] = _conv_contamination_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# context-window truncation — the inference-time "keep the most recent
+# turns that fit the budget" shape (contrast with conv_packing, which
+# packs WHOLE conversations into training sequences)
+# ---------------------------------------------------------------------------
+
+CTX_BUDGET = 300  # token budget for the kept suffix
+
+
+def q_conv_truncate_context_documents(sf_dir: str):
+    """Context-window truncation: per conversation, keep the maximal
+    SUFFIX of turns whose total token count fits CTX_BUDGET (most-recent-
+    first, the chat-serving contract); emit kept_turns/kept_tokens per
+    conversation.  Conversations whose last turn alone exceeds the budget
+    keep nothing and are absent.  Token counts are vectorized per batch
+    (one Arrow count_substring_regex — text never crosses the shuffle);
+    the suffix scan is a segment reverse-cumsum inside each conv-bucket
+    group."""
+    import pyarrow.compute as pc
+
+    ds = _conv_view(sf_dir)
+
+    def tokcount(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.utf8_lower(t["text"]), "[0-9a-z]+"
+        ).cast(pa.int64())
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "n_tok": n,
+            }
+        )
+        return _conv_bucket(out)
+
+    def truncate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["conv_id", "turn_idx"], ascending=[True, False], kind="mergesort"
+        )
+        conv = g["conv_id"].to_numpy(np.int64)
+        n = g["n_tok"].to_numpy(np.int64)
+        new = np.ones(len(conv), bool)
+        new[1:] = conv[1:] != conv[:-1]
+        cs = np.cumsum(n)
+        seg_starts = np.flatnonzero(new)
+        counts = np.diff(np.append(seg_starts, len(conv)))
+        rcum = cs - np.repeat(cs[seg_starts] - n[seg_starts], counts)
+        keep = rcum <= CTX_BUDGET
+        kept = pd.DataFrame({"conv_id": conv[keep], "n_tok": n[keep]})
+        out = kept.groupby("conv_id", as_index=False).agg(
+            kept_turns=("n_tok", "size"), kept_tokens=("n_tok", "sum")
+        )
+        out["kept_turns"] = out["kept_turns"].astype(np.int64)
+        out["kept_tokens"] = out["kept_tokens"].astype(np.int64)
+        return out
+
+    return ds.map_batches(
+        tokcount, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_gb").map_groups(
+        lambda g: truncate(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_truncate_context_documents"] = q_conv_truncate_context_documents
+ORACLE["conv_truncate_context_documents"] = f"""
+    WITH {T_CTE},
+    t AS (
+      SELECT conv_id, turn_idx,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '[0-9a-z]+'))::BIGINT AS n_tok
+      FROM transcripts
+    ),
+    c AS (
+      SELECT conv_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY conv_id
+                              ORDER BY turn_idx DESC) AS rcum
+      FROM t
+    )
+    SELECT conv_id, count(*) AS kept_turns, sum(n_tok)::BIGINT AS kept_tokens
+    FROM c WHERE rcum <= {CTX_BUDGET}
+    GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# reply copy-rate — what fraction of an assistant reply's vocabulary is
+# copied from the user turn it answers (groundedness/parroting metric)
+# ---------------------------------------------------------------------------
+
+
+def q_conv_reply_overlap_documents(sf_dir: str):
+    """Reply copy-rate: for each (user turn t, assistant turn t+1) pair,
+    |distinct assistant tokens ∩ distinct user tokens| / |distinct
+    assistant tokens|; per conversation the pair count and mean rate.
+    High mean = the assistant parrots the user (a curation signal next to
+    the echo-loop detector).  Rates are exact small-integer ratios;
+    the mean of <= 2 such doubles is order-free, rounded 6dp."""
+    ds = _conv_view(sf_dir).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def overlap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(np.int64)
+        role = g["role"].to_numpy()
+        texts = g["text"].tolist()
+        rows: dict[int, list[float]] = {}
+        for i in range(len(conv) - 1):
+            if (
+                conv[i] != conv[i + 1]
+                or role[i] != "user"
+                or role[i + 1] != "assistant"
+            ):
+                continue
+            at = _token_set(texts[i + 1])
+            if not at:
+                continue
+            ut = _token_set(texts[i])
+            rows.setdefault(int(conv[i]), []).append(len(at & ut) / len(at))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.array([], dtype=np.int64),
+                    "n_pairs": pd.array([], dtype=np.int64),
+                    "mean_copy_rate": pd.array([], dtype=np.float64),
+                }
+            )
+        cids = np.fromiter(rows, np.int64, len(rows))
+        return pd.DataFrame(
+            {
+                "conv_id": cids,
+                "n_pairs": np.array([len(rows[c]) for c in cids], np.int64),
+                "mean_copy_rate": np.round(
+                    [float(np.mean(rows[c])) for c in cids], 6
+                ),
+            }
+        )
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: overlap(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_reply_overlap_documents"] = q_conv_reply_overlap_documents
+ORACLE["conv_reply_overlap_documents"] = f"""
+    WITH {T_CTE},
+    pairs AS (
+      SELECT u.conv_id,
+             list_distinct(regexp_extract_all(lower(coalesce(a.text, '')),
+                                              '[0-9a-z]+')) AS at,
+             list_distinct(regexp_extract_all(lower(coalesce(u.text, '')),
+                                              '[0-9a-z]+')) AS ut
+      FROM transcripts u
+      JOIN transcripts a
+        ON u.conv_id = a.conv_id AND a.turn_idx = u.turn_idx + 1
+      WHERE u.role = 'user' AND a.role = 'assistant'
+    ),
+    rates AS (
+      SELECT conv_id,
+             len(list_filter(at, x -> list_contains(ut, x)))::DOUBLE
+               / len(at) AS rate
+      FROM pairs WHERE len(at) > 0
+    )
+    SELECT conv_id, count(*) AS n_pairs,
+           round(avg(rate), 6) AS mean_copy_rate
+    FROM rates GROUP BY conv_id ORDER BY conv_id
+"""

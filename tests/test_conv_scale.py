@@ -119,3 +119,29 @@ def test_one_megaconv_does_not_skew_flatten(ray_session, tmp_path):
     assert len(df) == len(doc_ids) // 5  # one row per conversation
     assert int(df["n_turns"].max()) == 5  # derive caps turns per conv at 5
     assert int(df["n_turns"].sum()) == len(doc_ids)
+
+
+@pytest.mark.parametrize("modulus", [1, 997])
+def test_truncate_and_overlap_bucket_invariant(
+    ray_session, tmp_path, monkeypatch, modulus
+):
+    """r4 ops: context truncation and reply copy-rate are invariant to the
+    conv-bucket modulus (the scale knob must never change output)."""
+    import rindex.ops.transcripts as tx
+
+    sf_dir, _ = _write_skew_corpus(tmp_path, stride=13)
+
+    def run():
+        a = tx.q_conv_truncate_context_documents(sf_dir).to_pandas()
+        b = tx.q_conv_reply_overlap_documents(sf_dir).to_pandas()
+        return (
+            a.sort_values("conv_id").reset_index(drop=True),
+            b.sort_values("conv_id").reset_index(drop=True),
+        )
+
+    a0, b0 = run()
+    monkeypatch.setattr(tx, "N_BUCKETS", modulus)
+    a1, b1 = run()
+    pd.testing.assert_frame_equal(a0, a1)
+    pd.testing.assert_frame_equal(b0, b1)
+    assert len(a0) > 0 and len(b0) > 0
