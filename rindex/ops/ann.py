@@ -1929,3 +1929,104 @@ def _result_clustering_oracle_sql() -> str:
 
 QUERIES["result_clustering_documents"] = q_result_clustering_documents
 ORACLE["result_clustering_documents"] = _result_clustering_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# centroid-outlier filter — embedding-space label-noise pruning: flag the
+# vectors farthest from their OWN label's centroid (the quality-filter
+# sibling of SemDeDup's epsilon-ball dedup).  Everything stays integer-
+# exact: components quantize to floor(x*1000) (the repo's embedding fp
+# discipline, cf. eval_distance_embeddings), the per-label centroid is
+# carried as exact integer numerators (S_i, n), and the scaled distance
+# sum_i (n*m_i - S_i)^2 is an int64 — no float accumulation order
+# anywhere, so the oracle compares exact.  Two passes: one 64-column
+# partial-sum groupby (centroids = n_labels x dim, broadcast once), one
+# vectorized scoring scan + a 20-row sort/limit.
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOPN = 20
+_CENT_DIM = 64
+
+
+def q_centroid_outliers_embeddings(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        m = np.floor(
+            np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            * 1000.0
+        ).astype(np.int64)
+        cols = {"label": lab}
+        for i in range(m.shape[1]):
+            cols[f"c{i}"] = m[:, i]
+        return pa.table(cols)
+
+    agg = (
+        emb.map_batches(quant, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Count(alias_name="n"),
+            *[Sum(f"c{i}", alias_name=f"s{i}") for i in range(_CENT_DIM)],
+        )
+        .to_pandas()
+    )
+    cent = {
+        int(r["label"]): (
+            np.int64(r["n"]),
+            r[[f"s{i}" for i in range(_CENT_DIM)]].to_numpy(np.int64),
+        )
+        for _, r in agg.iterrows()
+    }
+    cent_ref = ray.put(cent)
+
+    def score(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        m = np.floor(
+            np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            * 1000.0
+        ).astype(np.int64)
+        n = np.array([c[int(x)][0] for x in lab], np.int64)
+        s = np.stack([c[int(x)][1] for x in lab])
+        diff = n[:, None] * m - s
+        d2 = np.sum(diff * diff, axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": pa.array(lab.astype(np.int64)),
+                "d2_scaled": pa.array(d2, pa.int64()),
+            }
+        )
+
+    return (
+        emb.map_batches(score, batch_format="pyarrow")
+        .sort(["d2_scaled", "vec_id"], descending=[True, False])
+        .limit(OUTLIER_TOPN)
+    )
+
+
+QUERIES["centroid_outliers_embeddings"] = q_centroid_outliers_embeddings
+ORACLE["centroid_outliers_embeddings"] = f"""
+    WITH u AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS i,
+             floor(unnest(embedding)::DOUBLE * 1000.0)::BIGINT AS m
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, i, sum(m)::BIGINT AS s, count(*)::BIGINT AS n
+      FROM u GROUP BY label, i
+    ),
+    d AS (
+      SELECT u.vec_id, u.label::BIGINT AS label,
+             sum((c.n * u.m - c.s) * (c.n * u.m - c.s))::BIGINT AS d2_scaled
+      FROM u JOIN c ON u.label = c.label AND u.i = c.i
+      GROUP BY u.vec_id, u.label
+    )
+    SELECT vec_id, label, d2_scaled FROM d
+    ORDER BY d2_scaled DESC, vec_id ASC LIMIT {OUTLIER_TOPN}
+"""
