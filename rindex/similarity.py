@@ -296,8 +296,65 @@ class SweetSpotSimilarity:
         return w * np.sqrt(tf) / cv
 
 
+class BooleanSimilarity:
+    """Lucene BooleanSimilarity (`lucene/core/src/java/org/apache/lucene/
+    search/similarities/BooleanSimilarity.java`): every matching term
+    contributes exactly its query boost — no tf, no idf, no length norm.
+    A disjunction's score is therefore the matched-term count (x boost).
+    Constant per term, so WAND block bounds are trivially exact."""
+
+    name = "boolean"
+
+    def term_weight(self, df, n_docs) -> float:
+        return np.ones_like(np.asarray(df, np.float64))
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        return np.ones_like(NORM_DECODE_TABLE, dtype=np.float64)
+
+    def score(self, w, tf, cv):
+        return w * np.ones_like(np.asarray(tf, np.float64))
+
+
+class IBSimilarity:
+    """Lucene IBSimilarity with distribution SPL, lambda DF and
+    normalization H1 (`lucene/core/src/java/org/apache/lucene/search/
+    similarities/{IBSimilarity,DistributionSPL,LambdaDF,
+    NormalizationH1}.java`, c=1 — the information-based family of
+    Clinchant & Gaussier 2010):
+
+      lambda = (df + 1) / (N + 1)                       (LambdaDF)
+      tfn    = tf * c * avgdl / dl                      (H1)
+      score  = -log2((lambda^(tfn/(tfn+1)) - lambda) / (1 - lambda))
+
+    Channel split: w = lambda (NOT a multiplicative weight — boosts other
+    than 1 are unsupported and this op set never boosts), cv =
+    (c*avgdl)/dl per norm byte, score evaluated whole in score().
+    Monotonicity: tfn ↑ in tf and ↓ in dl; the exponent tfn/(tfn+1) rises
+    toward 1, lambda^exp falls toward lambda, so the -log2 rises —
+    strictly positive for lambda < 1 and WAND bounds are valid
+    unclamped."""
+
+    name = "ib_spl"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def term_weight(self, df, n_docs) -> float:
+        return (np.asarray(df, np.float64) + 1.0) / (np.float64(n_docs) + 1.0)
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = np.maximum(NORM_DECODE_TABLE.astype(np.float64), 1.0)
+        return self.c * np.float64(avgdl) / dl
+
+    def score(self, w, tf, cv):
+        tfn = tf * cv
+        return -np.log2((np.power(w, tfn / (tfn + 1.0)) - w) / (1.0 - w))
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
+    "boolean": BooleanSimilarity(),
+    "ib_spl": IBSimilarity(),
     "classic": ClassicSimilarity(),
     "sweetspot": SweetSpotSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),
