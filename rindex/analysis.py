@@ -781,6 +781,36 @@ def pattern_capture_filter(toks: list[str]) -> list[str]:
     return out
 
 
+def apostrophe_filter(toks: list[str]) -> list[str]:
+    """ApostropheFilter analog (`lucene/analysis/common/.../tr/
+    ApostropheFilter.java`, Turkish convention): keep only the part
+    before the first apostrophe."""
+    return [t.partition("'")[0] for t in toks]
+
+
+KEYWORD_PROTECTED = frozenset({"always", "perhaps", "its"})
+
+
+def keyword_marker_sstem_filter(toks: list[str]) -> list[str]:
+    """KeywordMarkerFilter + EnglishMinimalStem analog (`lucene/analysis/
+    common/.../miscellaneous/SetKeywordMarkerFilter.java`): tokens in the
+    protected set bypass the stemmer."""
+    return [
+        t if t in KEYWORD_PROTECTED else english_minimal_stem(t)
+        for t in toks
+    ]
+
+
+_DIGIT_RUN_RE = re.compile(r"[0-9]+")
+
+
+def pattern_replace_token_filter(toks: list[str]) -> list[str]:
+    """PatternReplaceFilter analog (`lucene/analysis/common/.../pattern/
+    PatternReplaceFilter.java`, replaceAll): digit runs collapse to '0'
+    — the number-bucketing normalization."""
+    return [_DIGIT_RUN_RE.sub("0", t) for t in toks]
+
+
 def type_token_num_filter(toks: list[str]) -> list[str]:
     """TypeTokenFilter analog keeping only <NUM>-typed tokens
     (`lucene/analysis/common/.../core/TypeTokenFilter.java`; the
@@ -833,6 +863,14 @@ ANALYZERS: dict[str, Analyzer] = {
         name="pattern_capture", token_filters=[pattern_capture_filter]
     ),
     "type_num": Analyzer(name="type_num", token_filters=[type_token_num_filter]),
+    "apostrophe": Analyzer(name="apostrophe", token_filters=[apostrophe_filter]),
+    "keyword_marker_sstem": Analyzer(
+        name="keyword_marker_sstem", token_filters=[keyword_marker_sstem_filter]
+    ),
+    "pattern_replace_digits": Analyzer(
+        name="pattern_replace_digits",
+        token_filters=[pattern_replace_token_filter],
+    ),
 }
 
 

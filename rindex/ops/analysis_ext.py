@@ -2110,3 +2110,65 @@ ORACLE["type_token_num_events"] = f"""
       WHERE regexp_full_match(t, '[0-9]+'))
     GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 analysis-factory batch 3: ApostropheFilter, KeywordMarkerFilter,
+# PatternReplaceFilter (token-level).
+# ---------------------------------------------------------------------------
+
+
+def q_apostrophe_topterms_documents(sf_dir: str):
+    """ApostropheFilter (`lucene/analysis/common/.../tr/ApostropheFilter
+    .java`): top terms keeping only the part before the apostrophe."""
+    return _analyzer_topterms(sf_dir, "apostrophe")
+
+
+QUERIES["apostrophe_topterms_documents"] = q_apostrophe_topterms_documents
+ORACLE["apostrophe_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT split_part(t, '''', 1) AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_keyword_marker_topterms_documents(sf_dir: str):
+    """SetKeywordMarkerFilter + EnglishMinimalStem (`lucene/analysis/
+    common/.../miscellaneous/SetKeywordMarkerFilter.java`): protected
+    terms bypass the S-stemmer; top terms over the protected chain."""
+    return _analyzer_topterms(sf_dir, "keyword_marker_sstem")
+
+
+_PROTECTED_SQL = "('always', 'perhaps', 'its')"
+
+QUERIES["keyword_marker_topterms_documents"] = q_keyword_marker_topterms_documents
+ORACLE["keyword_marker_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT CASE WHEN t IN {_PROTECTED_SQL} THEN t
+                  ELSE {_SSTEM_SQL} END AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_pattern_replace_topterms_documents(sf_dir: str):
+    """PatternReplaceFilter (`lucene/analysis/common/.../pattern/
+    PatternReplaceFilter.java`, replaceAll): digit runs collapse to '0'
+    (number bucketing); top terms over the normalized stream."""
+    return _analyzer_topterms(sf_dir, "pattern_replace_digits")
+
+
+QUERIES["pattern_replace_topterms_documents"] = q_pattern_replace_topterms_documents
+ORACLE["pattern_replace_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT regexp_replace(t, '[0-9]+', '0', 'g') AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""

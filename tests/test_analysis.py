@@ -339,3 +339,22 @@ def test_r4_factory_batch2_filters():
     assert type_token_num_filter(["a1", "42", "x", "007"]) == ["42", "007"]
     assert get_analyzer("fingerprint").tokens("b a b a") == ["a_b"]
     assert get_analyzer("type_num").tokens("room 42 floor 7") == ["42", "7"]
+
+
+def test_r4_factory_batch3_filters():
+    """r4 batch 3: apostrophe / keyword-marker / pattern-replace."""
+    from rindex.analysis import (
+        apostrophe_filter,
+        keyword_marker_sstem_filter,
+        pattern_replace_token_filter,
+    )
+
+    assert apostrophe_filter(["don't", "john's", "plain"]) == [
+        "don", "john", "plain"
+    ]
+    assert keyword_marker_sstem_filter(["always", "cats", "its"]) == [
+        "always", "cat", "its"
+    ]
+    assert pattern_replace_token_filter(["abc123", "4", "x"]) == [
+        "abc0", "0", "x"
+    ]
