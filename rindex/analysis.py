@@ -696,6 +696,27 @@ def whitespace_tokenize(text: str) -> list[str]:
     return text.lower().split()
 
 
+# URL and email alternatives FIRST (leftmost-first alternation — both
+# Python re and DuckDB's RE2 use PCRE-style preference order, so the SQL
+# oracle segments identically), then the standard word pattern.
+URLEMAIL_SQL_RE = (
+    r"https?://[a-z0-9.-]+(?:/[a-z0-9._/?=&%-]*)?"
+    r"|[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    r"|[0-9a-z]+(?:'[0-9a-z]+)*"
+)
+_URLEMAIL_RE = re.compile(URLEMAIL_SQL_RE)
+
+
+def urlemail_tokenize(text: str) -> list[str]:
+    """UAX29URLEmailTokenizer analog (`lucene/analysis/common/.../
+    standard/UAX29URLEmailTokenizer.java` + its JFlex grammar): standard
+    word segmentation, except URLs and email addresses are kept as ONE
+    token each (the <URL> / <EMAIL> token types).  Simplified scheme
+    subset (http/https URLs, RFC-ish emails) — the full JFlex grammar
+    also covers ftp/file and IP hosts."""
+    return _URLEMAIL_RE.findall(text.lower())
+
+
 def hyphen_join(text: str) -> str:
     """HyphenatedWordsFilter analog as a char filter: rejoin words
     hyphenated across whitespace/line breaks
@@ -846,6 +867,7 @@ ANALYZERS: dict[str, Analyzer] = {
         name="limit50", token_filters=[make_limit_token_count_filter(50)]
     ),
     "whitespace": Analyzer(name="whitespace", tokenizer=whitespace_tokenize),
+    "url_email": Analyzer(name="url_email", tokenizer=urlemail_tokenize),
     "hyphen_join": Analyzer(name="hyphen_join", char_filters=[hyphen_join]),
     "capitalization": Analyzer(
         name="capitalization", token_filters=[capitalization_filter]

@@ -2172,3 +2172,70 @@ ORACLE["pattern_replace_topterms_documents"] = f"""
             FROM documents))
     GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
 """
+
+
+# ---------------------------------------------------------------------------
+# UAX29URLEmailTokenizer — URLs and emails kept as single tokens
+# ---------------------------------------------------------------------------
+
+
+def q_urlemail_topterms_documents(sf_dir: str):
+    """UAX29URLEmailTokenizer (`lucene/analysis/common/.../standard/
+    UAX29URLEmailTokenizer.java`): word segmentation with <URL>/<EMAIL>
+    runs kept whole.  The corpus text has no URLs, so each doc is
+    prefixed with a deterministic URL + email derived from its own
+    (source, doc_id) columns — both sides (this op and the SQL oracle)
+    derive the identical string, so the URL/EMAIL branches are genuinely
+    exercised and hash-checked.  One pruned scan, per-batch Counter
+    partials of a specialty tokenizer, distributed (term,cnt) combine."""
+    from collections import Counter
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    an = get_analyzer("url_email")
+
+    def f(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for did, src, txt in zip(
+            t["doc_id"].to_pylist(),
+            t["source"].to_pylist(),
+            t["text"].to_pylist(),
+        ):
+            s = (
+                f"https://{src}.example.com/docs/{did}?p=1 "
+                f"admin@{src}.example.com {txt or ''}"
+            )
+            c.update(an.tokens(s))
+        if not c:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"term": pa.array(ks), "cnt": pa.array(vs, pa.int64())})
+
+    return _sum_sort_limit(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        TOP_TERMS,
+    )
+
+
+QUERIES["urlemail_topterms_documents"] = q_urlemail_topterms_documents
+
+
+def _urlemail_oracle() -> str:
+    from rindex.analysis import URLEMAIL_SQL_RE
+
+    pat = URLEMAIL_SQL_RE.replace("'", "''")
+    return f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(
+               lower('https://' || source || '.example.com/docs/'
+                     || doc_id::VARCHAR || '?p=1 admin@' || source
+                     || '.example.com ' || coalesce(text, '')),
+               '{pat}')) AS term
+      FROM documents)
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+ORACLE["urlemail_topterms_documents"] = _urlemail_oracle()

@@ -358,3 +358,21 @@ def test_r4_factory_batch3_filters():
     assert pattern_replace_token_filter(["abc123", "4", "x"]) == [
         "abc0", "0", "x"
     ]
+
+
+def test_urlemail_tokenizer_goldens():
+    """UAX29URLEmailTokenizer analog: URLs/emails one token, words split."""
+    from rindex.analysis import urlemail_tokenize
+
+    assert urlemail_tokenize(
+        "See https://Example.COM/a/b?q=1 or mail Bob.Smith+x@corp.io now"
+    ) == [
+        "see", "https://example.com/a/b?q=1", "or", "mail",
+        "bob.smith+x@corp.io", "now",
+    ]
+    # plain text identical to the standard path
+    assert urlemail_tokenize("Fast scan, don't stop!") == [
+        "fast", "scan", "don't", "stop",
+    ]
+    # '@' without a valid domain falls back to word tokens
+    assert urlemail_tokenize("a @ b") == ["a", "b"]
