@@ -1827,3 +1827,126 @@ ORACLE["spellcheck_extended_documents"] = f"""
     SELECT input, rank, suggestion, distance, weight
     FROM cand WHERE rank < {SPELL_EXT_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# PhrasesIdentificationComponent — Solr 8 phrase detection in query text
+# ---------------------------------------------------------------------------
+
+PHRASES_QUERY = "fast hash join merge"
+PHRASES_MAX_LEN = 3
+
+
+def q_phrases_identify_documents(sf_dir: str):
+    """PhrasesIdentificationComponent (`solr/core/src/java/org/apache/
+    solr/handler/component/PhrasesIdentificationComponent.java`, Solr 8):
+    score every contiguous sub-phrase (2..maxLen words) of the query
+    string by corpus statistics to find which word runs are "real"
+    phrases.  Solr scores from shingle-field ttf/df vs the component
+    terms; our score is the same shape: phrase_ttf / min(term_ttf) — how
+    often the words co-occur adjacently relative to the rarest word's
+    total occurrences.
+
+    Engine: per positional segment, each candidate phrase is a chain of
+    searchsorted adjacency intersections over the SAME flat composite
+    (doc*stride+pos) key arrays the span family uses — O(candidates x
+    postings of the query's 4 terms) per segment, never a corpus scan.
+    Term ttfs come from the postings metadata (tf sums)."""
+    from rindex.ops.fulltext import documents_index_pos
+    from rindex.search import IndexSearcher
+
+    words = PHRASES_QUERY.split()
+    cands = [
+        tuple(words[i:i + n])
+        for n in range(2, PHRASES_MAX_LEN + 1)
+        for i in range(len(words) - n + 1)
+    ]
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    term_ttf = {w: 0 for w in words}
+    phrase_ttf = {c: 0 for c in cands}
+    for r in s.readers:
+        posts = r.positions_for(words)
+        keys = {}
+        stride = 1
+        for w in words:
+            row = posts.get(w)
+            if row is None:
+                keys[w] = np.empty(0, np.int64)
+                continue
+            docs, tfs, pos, _ = row
+            term_ttf[w] += int(tfs.sum())
+            stride = max(stride, int(pos.max()) + 2 if len(pos) else 1)
+            keys[w] = (docs, tfs, pos)
+        for w in words:
+            v = keys[w]
+            if isinstance(v, tuple):
+                docs, tfs, pos = v
+                keys[w] = np.sort(
+                    np.repeat(docs.astype(np.int64), tfs) * stride
+                    + pos.astype(np.int64)
+                )
+        for c in cands:
+            cur = keys[c[0]]
+            for w in c[1:]:
+                if not len(cur):
+                    break
+                cur = np.intersect1d(cur + 1, keys[w])
+            phrase_ttf[c] += int(len(cur))
+    rows = []
+    for c in cands:
+        denom = min(term_ttf[w] for w in c)
+        score = round(phrase_ttf[c] / denom, 6) if denom else 0.0
+        rows.append((" ".join(c), phrase_ttf[c], score))
+    out = pd.DataFrame(rows, columns=["phrase", "phrase_ttf", "score"])
+    out["phrase_ttf"] = out["phrase_ttf"].astype("int64")
+    return out.sort_values(
+        ["score", "phrase"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+QUERIES["phrases_identify_documents"] = q_phrases_identify_documents
+
+
+def _phrases_oracle() -> str:
+    from rindex.ops.analysis_ext import TOKEN_SQL_RE
+
+    words = PHRASES_QUERY.split()
+    cands = [
+        words[i:i + n]
+        for n in range(2, PHRASES_MAX_LEN + 1)
+        for i in range(len(words) - n + 1)
+    ]
+    parts = []
+    for c in cands:
+        cond = " AND ".join(
+            f"l[i + {j}] = '{w}'" for j, w in enumerate(c)
+        )
+        terms = ", ".join(f"'{w}'" for w in c)
+        parts.append(f"""
+      SELECT '{" ".join(c)}' AS phrase,
+             (SELECT coalesce(sum(len(list_filter(
+                       range(1, len(l) - {len(c) - 1} + 1),
+                       i -> {cond}))), 0)
+              FROM toks)::BIGINT AS phrase_ttf,
+             (SELECT min(cnt) FROM tttf WHERE term IN ({terms})) AS denom
+        """)
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                '{TOKEN_SQL_RE}') AS l
+      FROM documents),
+    tttf AS (
+      SELECT t AS term, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(l) AS t FROM toks) GROUP BY t)
+    SELECT phrase, phrase_ttf,
+           CASE WHEN denom > 0
+                THEN round(phrase_ttf / denom::DOUBLE, 6)
+                ELSE 0.0 END AS score
+    FROM ({union})
+    ORDER BY score DESC, phrase ASC
+"""
+
+
+ORACLE["phrases_identify_documents"] = _phrases_oracle()
