@@ -1869,9 +1869,13 @@ def _b_nodes(args, kwargs, ctx):
         edges = views[coll](ctx).select_columns([to, gather])
     else:
         edges = read_table(ctx["sf_dir"], coll, [to, gather])
-    joined = edges.join(
-        frontier, "inner", num_partitions=8, on=(to,), right_on=(frm,)
-    )
+    # hash_outer_join, not Dataset.join: the frontier is a sparse filtered
+    # side and Ray 2.49's join aggregator dies on partitions that received
+    # no shards from it (see streams.hash_outer_join docstring)
+    from rindex.ops.streams import hash_outer_join
+
+    joined = hash_outer_join(edges, frontier, on=to, right_on=frm,
+                             how="inner")
     out = joined.groupby(gather).aggregate(Count(alias_name="_c"))
     return out.map_batches(
         lambda b: pa.table({"node": b[gather]}),
