@@ -397,3 +397,120 @@ def _bm25f_oracle_sql() -> str:
 
 QUERIES["bm25f_combined_topk_documents"] = q_bm25f_combined_topk_documents
 ORACLE["bm25f_combined_topk_documents"] = _bm25f_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# edismax pf2/pf3 — automatic bigram/trigram phrase boosting
+# ---------------------------------------------------------------------------
+
+PF_QUERY = "fast hash join"
+PF2_BOOST = 1.5
+PF3_BOOST = 2.0
+
+
+def q_edismax_pf_topk_documents(sf_dir: str):
+    """edismax pf2/pf3 (`solr/core/src/java/org/apache/solr/search/
+    ExtendedDismaxQParser.java#getQuery`, the pf2/pf3 params): on top of
+    the per-term OR, EVERY adjacent word pair of the query becomes a
+    boosted phrase SHOULD clause (pf2) and every adjacent triple another
+    (pf3).  Scores follow the engine's PhraseWeight contract (tf = phrase
+    freq, df = phrase-match doc count) and sum with the term clauses —
+    the same combined kernel query_string_extended exercises, here with
+    the clause set DERIVED from the query text the way edismax does."""
+    from rindex.ops.fulltext import documents_index_pos
+    from rindex.search import IndexSearcher, Query
+
+    words = PF_QUERY.split()
+    phrases = [(list(p), PF2_BOOST)
+               for p in zip(words, words[1:])]
+    phrases += [(list(p), PF3_BOOST)
+                for p in zip(words, words[1:], words[2:])]
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    hits = s.search_query(Query(terms=words, k=10, phrases=phrases))
+    return pd.DataFrame(
+        {
+            "rank": pd.array([h[0] for h in hits], dtype="int32"),
+            "doc_id": [h[1] for h in hits],
+            "score": [round(h[2], 6) for h in hits],
+        }
+    )
+
+
+QUERIES["edismax_pf_topk_documents"] = q_edismax_pf_topk_documents
+
+
+def _pf_phrase_cte(tag: str, words: list[str], boost: float) -> str:
+    from rindex.schema import B, K1
+
+    cond = " AND ".join(
+        f"l[i + {j}] = '{w}'" for j, w in enumerate(words)
+    )
+    n = len(words)
+    return f"""
+    pf_{tag} AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(l) - {n - 1} + 1),
+                             i -> {cond}))::BIGINT AS phrase_freq
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents)
+    ),
+    pm_{tag} AS (SELECT * FROM pf_{tag} WHERE phrase_freq > 0),
+    ps_{tag} AS (SELECT count(*)::DOUBLE AS df_p FROM pm_{tag}),
+    sc_{tag} AS (
+      SELECT m.doc_id,
+             {boost} * ln(1.0 + (s.n_docs - p.df_p + 0.5) / (p.df_p + 0.5))
+                 * m.phrase_freq
+                 / (m.phrase_freq
+                    + {K1} * (1.0 - {B} + {B} * lo.ldl / s.avgdl)) AS s
+      FROM pm_{tag} m
+      JOIN lossy lo USING (doc_id)
+      CROSS JOIN stats s CROSS JOIN ps_{tag} p
+    )"""
+
+
+def _edismax_pf_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    words = PF_QUERY.split()
+    pairs = list(zip(words, words[1:]))
+    triples = list(zip(words, words[1:], words[2:]))
+    ctes, unions = [], ["SELECT doc_id, s FROM tscores"]
+    for i, p in enumerate(pairs):
+        ctes.append(_pf_phrase_cte(f"p2_{i}", list(p), PF2_BOOST))
+        unions.append(f"SELECT doc_id, s FROM sc_p2_{i}")
+    for i, p in enumerate(triples):
+        ctes.append(_pf_phrase_cte(f"p3_{i}", list(p), PF3_BOOST))
+        unions.append(f"SELECT doc_id, s FROM sc_p3_{i}")
+    q_terms = ", ".join(f"'{w}'" for w in words)
+    return f"""
+    WITH {_bm25_ctes()},
+    tscores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM tf JOIN df USING (term) JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.term IN ({q_terms})
+      GROUP BY tf.doc_id
+    ),
+    {",".join(ctes)},
+    allscores AS (
+      SELECT doc_id, sum(s) AS s
+      FROM ({" UNION ALL ".join(unions)})
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, s,
+             (row_number() OVER (ORDER BY s DESC, doc_id ASC) - 1)::INTEGER
+               AS rank
+      FROM allscores
+    )
+    SELECT rank, doc_id, round(s, 6) AS score
+    FROM ranked WHERE rank < 10
+"""
+
+
+ORACLE["edismax_pf_topk_documents"] = _edismax_pf_oracle()
