@@ -129,7 +129,7 @@ def _expand_terms(sf_dir: str, match_fn, label: str) -> pd.DataFrame:
     aggs = [Sum("df", alias_name="df")]
     from ray.data.aggregate import Min
 
-    if label == "fuzzy":
+    if label == "fuzzy" or label.startswith("flt_"):
         aggs.append(Min("ed", alias_name="ed"))
     return hits.groupby("term").aggregate(*aggs).to_pandas()
 
@@ -654,3 +654,157 @@ ORACLE["term_range_search_documents"] = f"""
           WHERE term >= '{TERM_RANGE_LO}' AND term < '{TERM_RANGE_HI}')
     ORDER BY doc_id LIMIT {TERM_RANGE_LIMIT}
 """
+
+
+# ---------------------------------------------------------------------------
+# FuzzyLikeThisQuery — multi-word fuzzy expansion with idf-ranked variants
+# ---------------------------------------------------------------------------
+
+FLT_TEXT = "serch windoow scann"  # three misspelled source words
+FLT_MAX_EDITS = 2
+FLT_MAX_NUM_TERMS = 8   # global variant cap across ALL source words
+FLT_K = 10
+
+
+def q_fuzzy_like_this_documents(sf_dir: str):
+    """FuzzyLikeThisQuery (`lucene/sandbox/src/java/org/apache/lucene/
+    search/FuzzyLikeThisQuery.java`): each source word expands to fuzzy
+    dictionary variants, every variant is scored
+    sv = (1 - ed/min(len)) * idf and only the top maxNumTerms variants
+    survive GLOBALLY (the reference's cross-term ScoreTermQueue); the
+    final query is the OR of the surviving terms, each contributing
+    sv * BM25(term, doc) (boosted-SHOULD sum).
+
+    Scale shape: one distributed dictionary scan per source word
+    (term+df columns only), the variant table is maxNumTerms rows by
+    construction, and per-variant match sets stay distributed
+    (score_matches_dataset task per segment) into a groupby-sum."""
+    import pyarrow.compute as pc
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    cands = []
+    for w in FLT_TEXT.split():
+        qlen = len(w)
+
+        def match(terms: np.ndarray, w=w, qlen=qlen):
+            lens = np.char.str_len(terms.astype(str))
+            cand = np.abs(lens - qlen) <= FLT_MAX_EDITS
+            ed = np.full(len(terms), FLT_MAX_EDITS + 1, dtype=np.int64)
+            ed[cand] = _levenshtein_vec(w, terms[cand])
+            return ed <= FLT_MAX_EDITS, ed
+
+        exp = _expand_terms(sf_dir, match, f"flt_{w}")
+        if not len(exp):
+            continue
+        exp["src_len"] = qlen
+        cands.append(exp)
+    if not cands:
+        return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
+    cand = pd.concat(cands, ignore_index=True)
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    n_docs = float(s.n_docs)
+    sim = 1.0 - cand["ed"].to_numpy(np.float64) / np.minimum(
+        cand["term"].str.len().to_numpy(np.float64),
+        cand["src_len"].to_numpy(np.float64),
+    )
+    idf = np.log(
+        1.0 + (n_docs - cand["df"].to_numpy(np.float64) + 0.5)
+        / (cand["df"].to_numpy(np.float64) + 0.5)
+    )
+    cand["sv"] = sim * idf
+    # a variant reachable from two source words keeps its best score
+    cand = (
+        cand.groupby("term", as_index=False)["sv"].max()
+        .sort_values(["sv", "term"], ascending=[False, True],
+                     kind="mergesort")
+        .head(FLT_MAX_NUM_TERMS)
+    )
+    from ray.data.aggregate import Sum
+
+    parts = []
+    for term, sv in zip(cand["term"], cand["sv"]):
+        scores = s.score_matches_dataset(term, mode="or")
+        parts.append(
+            scores.map_batches(
+                lambda t, b=float(sv): t.set_column(
+                    t.schema.get_field_index("score"), "score",
+                    pc.multiply(t["score"], pa.scalar(b, pa.float64())),
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    top = (
+        ds.groupby("doc_id")
+        .aggregate(Sum("score", alias_name="score"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("score"), "score",
+                pc.round(t["score"], 6),
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(FLT_K)
+        .to_pandas()
+    )
+    top.insert(0, "rank", np.arange(len(top), dtype=np.int64))
+    return top[["rank", "doc_id", "score"]]
+
+
+QUERIES["fuzzy_like_this_documents"] = q_fuzzy_like_this_documents
+
+
+def _flt_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    words = ", ".join(
+        f"('{w}', {len(w)})" for w in FLT_TEXT.split()
+    )
+    return f"""
+    WITH {_bm25_ctes()},
+    src(w, wlen) AS (VALUES {words}),
+    cand AS (
+      SELECT d.term, d.df, levenshtein(d.term, s.w) AS ed, s.wlen
+      FROM df d CROSS JOIN src s
+      WHERE levenshtein(d.term, s.w) <= {FLT_MAX_EDITS}
+    ),
+    sv AS (
+      SELECT term,
+             max((1.0 - ed / least(len(term), wlen)::DOUBLE)
+                 * ln(1.0 + ((SELECT n_docs FROM stats) - df + 0.5)
+                            / (df + 0.5))) AS sv
+      FROM cand GROUP BY term
+    ),
+    kept AS (SELECT * FROM sv ORDER BY sv DESC, term ASC
+             LIMIT {FLT_MAX_NUM_TERMS}),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(k.sv
+                 * ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM kept k
+      JOIN tf ON tf.term = k.term
+      JOIN df ON df.term = k.term
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, round(s, 6) AS score,
+             row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) - 1
+               AS rank
+      FROM scored
+    )
+    SELECT rank, doc_id, score FROM ranked WHERE rank < {FLT_K}
+    """
+
+
+ORACLE["fuzzy_like_this_documents"] = _flt_oracle()
