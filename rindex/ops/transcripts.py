@@ -1469,3 +1469,199 @@ ORACLE["conv_reply_overlap_documents"] = f"""
            round(avg(rate), 6) AS mean_copy_rate
     FROM rates GROUP BY conv_id ORDER BY conv_id
 """
+
+
+# --- role-alternation validation (post tool-drop) --------------------------
+
+
+def q_conv_role_alternation_documents(sf_dir: str):
+    """Training-data hygiene: after dropping tool-bearing turns (the
+    renumber convention), conversations must alternate user/assistant;
+    adjacent same-role turns are violations.  Per conversation: kept-turn
+    count, violation count, validity flag.  One conv-bucket shuffle;
+    the adjacency check is a vectorized shift-compare per reduce task."""
+    ds = _conv_view(sf_dir, columns=("doc_id",)).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["tool"] == ""].sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        )
+        conv = g["conv_id"].to_numpy(np.int64)
+        role = g["role"].to_numpy(object)
+        same_conv = np.concatenate([[False], conv[1:] == conv[:-1]])
+        viol = same_conv & np.concatenate([[False], role[1:] == role[:-1]])
+        df = pd.DataFrame(
+            {"conv_id": conv, "v": viol.astype(np.int64)}
+        )
+        out = df.groupby("conv_id", as_index=False).agg(
+            n_kept=("conv_id", "size"), n_violations=("v", "sum")
+        )
+        out["is_valid"] = out["n_violations"] == 0
+        out["conv_id"] = out["conv_id"].astype("int64")
+        out["n_kept"] = out["n_kept"].astype("int64")
+        out["n_violations"] = out["n_violations"].astype("int64")
+        return out
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: check(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_role_alternation_documents"] = q_conv_role_alternation_documents
+ORACLE["conv_role_alternation_documents"] = f"""
+    WITH {T_CTE},
+    kept AS (
+      SELECT conv_id, turn_idx, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev_role
+      FROM transcripts WHERE tool = ''
+    )
+    SELECT conv_id, count(*)::BIGINT AS n_kept,
+           sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)::BIGINT
+             AS n_violations,
+           sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+             AS is_valid
+    FROM kept GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# --- session split by inactivity gap ---------------------------------------
+
+SESSION_GAP_US = 1_100_000  # gaps strictly above this start a new session
+
+
+def q_conv_session_split_documents(sf_dir: str):
+    """Sessionization WITHIN conversations: a turn whose gap from the
+    previous turn exceeds the inactivity threshold starts a new session
+    (the events-table sessionize op applied to the transcript view; the
+    reference analog is date-gap bucketing,
+    `solr/solrj/.../io/stream/TimeSeriesStream.java` gap semantics).
+    Output per conversation: session count and the longest session.
+    Cumulative-sum-over-break-flags per reduce task, one shuffle."""
+    ds = _conv_view(sf_dir, columns=("doc_id",)).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def split(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        did = g["doc_id"].to_numpy(np.int64)
+        ts = _TS_BASE_US + did * 1_000_000 + ((did * 37) % 4) * 200_000
+        conv = g["conv_id"].to_numpy(np.int64)
+        first = np.concatenate([[True], conv[1:] != conv[:-1]])
+        gap = np.where(first, 0, ts - np.roll(ts, 1))
+        brk = first | (gap > SESSION_GAP_US)
+        sess = np.cumsum(brk)  # global session ids, contiguous per conv
+        df = pd.DataFrame({"conv_id": conv, "sess": sess})
+        per_sess = df.groupby(["conv_id", "sess"]).size().reset_index(
+            name="n"
+        )
+        out = per_sess.groupby("conv_id", as_index=False).agg(
+            n_sessions=("sess", "size"), max_session_len=("n", "max")
+        )
+        for c in ("conv_id", "n_sessions", "max_session_len"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: split(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_session_split_documents"] = q_conv_session_split_documents
+ORACLE["conv_session_split_documents"] = f"""
+    WITH {T_CTE},
+    ts AS (
+      SELECT conv_id, turn_idx,
+             {_TS_BASE_US} + doc_id * 1000000 + ((doc_id * 37) % 4) * 200000
+               AS t_us
+      FROM transcripts
+    ),
+    gaps AS (
+      SELECT conv_id, turn_idx,
+             t_us - lag(t_us) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS gap
+      FROM ts
+    ),
+    sess AS (
+      SELECT conv_id,
+             sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx) AS sid
+      FROM gaps
+    ),
+    per_sess AS (
+      SELECT conv_id, sid, count(*)::BIGINT AS n
+      FROM sess GROUP BY conv_id, sid
+    )
+    SELECT conv_id, count(*)::BIGINT AS n_sessions,
+           max(n)::BIGINT AS max_session_len
+    FROM per_sess GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# --- head+tail sampling (middle truncation) ---------------------------------
+
+HEAD_K = 2
+TAIL_K = 1
+
+
+def q_conv_head_tail_documents(sf_dir: str):
+    """Middle truncation: keep the first HEAD_K and last TAIL_K non-tool
+    turns of every conversation (the long-context recipe that preserves
+    instructions + outcome and drops the middle).  Emits kept turns with
+    a part marker; turns in both windows (short conversations) are kept
+    once, marked 'head'.  One shuffle; per-task vectorized rank from both
+    ends."""
+    ds = _conv_view(sf_dir, columns=("doc_id",)).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def sample(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["tool"] == ""].sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        )
+        conv = g["conv_id"].to_numpy(np.int64)
+        n = len(conv)
+        first = np.concatenate([[True], conv[1:] != conv[:-1]])
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, n))
+        r_asc = np.arange(n) - np.repeat(starts, sizes)
+        r_desc = np.repeat(sizes, sizes) - 1 - r_asc
+        head = r_asc < HEAD_K
+        tail = r_desc < TAIL_K
+        keep = head | tail
+        part = np.where(head, "head", "tail")
+        out = pd.DataFrame(
+            {
+                "conv_id": conv[keep],
+                "turn_idx": g["turn_idx"].to_numpy(np.int32)[keep],
+                "doc_id": g["doc_id"].to_numpy(np.int64)[keep],
+                "part": part[keep],
+            }
+        )
+        return out
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: sample(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_head_tail_documents"] = q_conv_head_tail_documents
+ORACLE["conv_head_tail_documents"] = f"""
+    WITH {T_CTE},
+    ranked AS (
+      SELECT conv_id, turn_idx, doc_id,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+               AS r_asc,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+               - 1 AS r_desc
+      FROM transcripts WHERE tool = ''
+    )
+    SELECT conv_id, turn_idx::INT AS turn_idx, doc_id,
+           CASE WHEN r_asc < {HEAD_K} THEN 'head' ELSE 'tail' END AS part
+    FROM ranked
+    WHERE r_asc < {HEAD_K} OR r_desc < {TAIL_K}
+    ORDER BY conv_id, turn_idx
+"""
