@@ -351,10 +351,28 @@ class IBSimilarity:
         return -np.log2((np.power(w, tfn / (tfn + 1.0)) - w) / (1.0 - w))
 
 
+class IBLLSimilarity(IBSimilarity):
+    """IBSimilarity with distribution LL (log-logistic), lambda DF,
+    normalization H1, c=1 (`lucene/core/src/java/org/apache/lucene/
+    search/similarities/DistributionLL.java`):
+
+      score = -log2(lambda / (tfn + lambda))
+
+    Same lambda/tfn channels as the SPL member; monotone ↑ in tfn, so
+    strictly ↑tf / ↓dl and WAND block bounds stay valid unclamped."""
+
+    name = "ib_ll"
+
+    def score(self, w, tf, cv):
+        tfn = tf * cv
+        return -np.log2(w / (tfn + w))
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "boolean": BooleanSimilarity(),
     "ib_spl": IBSimilarity(),
+    "ib_ll": IBLLSimilarity(),
     "classic": ClassicSimilarity(),
     "sweetspot": SweetSpotSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),
