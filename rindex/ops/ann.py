@@ -2030,3 +2030,81 @@ ORACLE["centroid_outliers_embeddings"] = f"""
     SELECT vec_id, label, d2_scaled FROM d
     ORDER BY d2_scaled DESC, vec_id ASC LIMIT {OUTLIER_TOPN}
 """
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level embedding pooling (mean-centroid per transcript)
+# ---------------------------------------------------------------------------
+
+CONV_POOL_TURNS = 5  # transcripts convention: conv_id = vec_id // 5
+
+
+def q_conv_embedding_pool_embeddings(sf_dir: str):
+    """Conversation-level mean-pooled embedding: turns' vectors grouped by
+    the derived conv_id (vec_id // 5, the transcripts convention) and
+    averaged — the retrieval-side pooling that turns per-turn vectors
+    into one conversation vector (mean pooling; the fulltext analog is
+    the conv_search max-pool op).  Exact integer contract: vectors are
+    quantized floor(x*1000) and per-dim SUMS are reported scaled by the
+    turn count's LCM-free integer form — output is n_vecs and
+    sum-of-squared-dim-sums, both exact int64 on both sides.
+
+    Scale shape: ONE map_batches quantize pass + one groupby-sum over 64
+    int columns (partial+final combinable), rows out = n_conversations."""
+    from ray.data.aggregate import Count, Sum
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.floor(
+            np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            * 1000.0
+        ).astype(np.int64)
+        cols = {"conv_id": vid // CONV_POOL_TURNS}
+        for i in range(m.shape[1]):
+            cols[f"c{i}"] = m[:, i]
+        return pa.table(cols)
+
+    agg = (
+        emb.map_batches(quant, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Count(alias_name="n_vecs"),
+            *[Sum(f"c{i}", alias_name=f"s{i}") for i in range(_CENT_DIM)],
+        )
+        .to_pandas()
+    )
+    s = agg[[f"s{i}" for i in range(_CENT_DIM)]].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "conv_id": agg["conv_id"].astype("int64"),
+            "n_vecs": agg["n_vecs"].astype("int64"),
+            "pool_sq_scaled": np.sum(s * s, axis=1),
+        }
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+QUERIES["conv_embedding_pool_embeddings"] = q_conv_embedding_pool_embeddings
+ORACLE["conv_embedding_pool_embeddings"] = f"""
+    WITH u AS (
+      SELECT vec_id, vec_id // {CONV_POOL_TURNS} AS conv_id,
+             generate_subscripts(embedding, 1) AS i,
+             floor(unnest(embedding)::DOUBLE * 1000.0)::BIGINT AS m
+      FROM embeddings
+    ),
+    dim AS (
+      SELECT conv_id, i, sum(m)::BIGINT AS s
+      FROM u GROUP BY conv_id, i
+    ),
+    nv AS (
+      SELECT conv_id, count(DISTINCT vec_id)::BIGINT AS n_vecs
+      FROM u GROUP BY conv_id
+    )
+    SELECT d.conv_id, nv.n_vecs,
+           sum(d.s * d.s)::BIGINT AS pool_sq_scaled
+    FROM dim d JOIN nv USING (conv_id)
+    GROUP BY d.conv_id, nv.n_vecs
+    ORDER BY d.conv_id
+"""
