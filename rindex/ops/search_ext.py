@@ -1950,3 +1950,125 @@ def _phrases_oracle() -> str:
 
 
 ORACLE["phrases_identify_documents"] = _phrases_oracle()
+
+
+# ---------------------------------------------------------------------------
+# WordBreakSpellChecker — split/join suggestions from index frequencies
+# ---------------------------------------------------------------------------
+
+WB_BREAK_INPUTS = ("hashjoin", "fastscan", "columnsort")
+WB_COMBINE_QUERY = "hash join fast scan"
+WB_MIN_PART_LEN = 2   # minBreakWordLength: both split parts >= 2 chars
+WB_MIN_FREQ = 1
+
+
+def word_break_suggest(
+    index_dir: str,
+    break_inputs: tuple[str, ...] = WB_BREAK_INPUTS,
+    combine_query: str = WB_COMBINE_QUERY,
+    min_part_len: int = WB_MIN_PART_LEN,
+    min_freq: int = WB_MIN_FREQ,
+) -> pd.DataFrame:
+    """WordBreakSpellChecker (`lucene/suggest/src/java/org/apache/lucene/
+    search/spell/WordBreakSpellChecker.java`): suggestWordBreaks splits an
+    out-of-vocabulary run-together term at every point where BOTH parts
+    are dictionary words (maxChanges=1), ranked by the weaker part's
+    docFreq (the reference's freq-of-least-frequent ranking);
+    suggestWordCombinations joins each adjacent query-word pair whose
+    concatenation is itself a dictionary word.
+
+    Engine shape: the candidate strings (O(len) splits per input + one
+    combination per adjacent pair) are enumerated driver-side — dozens of
+    strings by construction — and their dfs come from ONE pruned
+    per-segment postings metadata probe (global_df); no dictionary scan,
+    no corpus read."""
+    from rindex.search import IndexSearcher
+
+    splits = []  # (input, left, right)
+    for w in break_inputs:
+        for i in range(min_part_len, len(w) - min_part_len + 1):
+            splits.append((w, w[:i], w[i:]))
+    words = combine_query.split()
+    combos = [(a, b, a + b) for a, b in zip(words, words[1:])]
+
+    probe = sorted(
+        {p for _, l, r in splits for p in (l, r)}
+        | {c for _, _, c in combos}
+    )
+    s = IndexSearcher(index_dir)
+    df = s.global_df(probe)
+
+    rows = []
+    for w, l, r in splits:
+        f = min(df.get(l, 0), df.get(r, 0))
+        if f >= min_freq:
+            rows.append(("break", w, f"{l} {r}", f))
+    for a, b, c in combos:
+        f = df.get(c, 0)
+        if f >= min_freq:
+            rows.append(("combine", f"{a} {b}", c, f))
+    out = pd.DataFrame(
+        rows, columns=["mode", "input", "suggestion", "freq"]
+    )
+    out["freq"] = out["freq"].astype("int64")
+    return out.sort_values(
+        ["mode", "input", "freq", "suggestion"],
+        ascending=[True, True, False, True],
+    ).reset_index(drop=True)
+
+
+def q_word_break_spell_documents(sf_dir: str):
+    """See :func:`word_break_suggest`; runs it over the shared documents
+    index (combine mode is exercised on a compound-bearing corpus in
+    tests/test_word_break.py — the synthetic sf vocabulary has no
+    run-together compounds, so only break mode fires here)."""
+    from rindex.ops.fulltext import documents_index
+
+    return word_break_suggest(documents_index(sf_dir))
+
+
+QUERIES["word_break_spell_documents"] = q_word_break_spell_documents
+
+
+def _word_break_oracle() -> str:
+    from rindex.ops.analysis_ext import TOKEN_SQL_RE
+
+    splits, combos = [], []
+    for w in WB_BREAK_INPUTS:
+        for i in range(WB_MIN_PART_LEN, len(w) - WB_MIN_PART_LEN + 1):
+            splits.append(f"('{w}', '{w[:i]}', '{w[i:]}')")
+    words = WB_COMBINE_QUERY.split()
+    for a, b in zip(words, words[1:]):
+        combos.append(f"('{a} {b}', '{a}{b}')")
+    return f"""
+    WITH df AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                                             '{TOKEN_SQL_RE}')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    sp(input, l, r) AS (VALUES {",".join(splits)}),
+    cb(input, joined) AS (VALUES {",".join(combos)}),
+    breaks AS (
+      SELECT 'break' AS mode, sp.input,
+             sp.l || ' ' || sp.r AS suggestion,
+             least(dl.df, dr.df) AS freq
+      FROM sp JOIN df dl ON dl.term = sp.l
+              JOIN df dr ON dr.term = sp.r
+      WHERE least(dl.df, dr.df) >= {WB_MIN_FREQ}
+    ),
+    combines AS (
+      SELECT 'combine' AS mode, cb.input, cb.joined AS suggestion, d.df
+             AS freq
+      FROM cb JOIN df d ON d.term = cb.joined
+      WHERE d.df >= {WB_MIN_FREQ}
+    )
+    SELECT mode, input, suggestion, freq
+    FROM (SELECT * FROM breaks UNION ALL SELECT * FROM combines)
+    ORDER BY mode, input, freq DESC, suggestion
+"""
+
+
+ORACLE["word_break_spell_documents"] = _word_break_oracle()
