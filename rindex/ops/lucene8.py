@@ -719,3 +719,79 @@ ORACLE["index_or_docvalues_orders"] = f"""
     WHERE o_totalprice BETWEEN {IODV_LO} AND {IODV_HI}
     GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# CoveringQuery — match docs covering >= minimumNumberMatch(doc) clauses
+# ---------------------------------------------------------------------------
+
+CQ_TERMS = ("hash", "join", "spark", "filter")
+CQ_MIN_EN, CQ_MIN_OTHER = 3, 2  # per-doc LongValuesSource on the lang field
+
+
+def q_covering_query_documents(sf_dir: str):
+    """CoveringQuery (`lucene/core/src/java/org/apache/lucene/search/
+    CoveringQuery.java`): N term clauses plus a PER-DOC minimum-match
+    count supplied by a LongValuesSource — here a stored-field function
+    (lang='en' docs must cover 3 of the 4 clauses, others 2, the
+    "longer/common-language docs need more evidence" shape).  Unlike
+    BooleanQuery#setMinimumNumberShouldMatch the threshold varies by doc.
+
+    Engine shape: per segment, ONE postings probe for the clause terms
+    (never the corpus); presence arrays concatenate into a bincount of
+    distinct matching clauses per doc; the per-doc threshold joins in via
+    the segment's stored-field fetch for just the candidate docs."""
+    from rindex.codec import decode_posting
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx)
+    rows = []
+    for r in s.readers:
+        posts = r.postings_for(list(CQ_TERMS))
+        present = []
+        for t in CQ_TERMS:
+            row = posts.get(t)
+            if row is None:
+                continue
+            d, _, _ = decode_posting(row)
+            present.append(np.unique(d.astype(np.int64)))
+        if not present:
+            continue
+        alldocs = np.concatenate(present)
+        docs, n_match = np.unique(alldocs, return_counts=True)
+        docs2 = r.drop_deleted(docs)
+        keep = np.isin(docs, docs2)
+        docs, n_match = docs[keep], n_match[keep]
+        ids = r.fetch_ids(docs, ["doc_id", "lang"])
+        for local, c in zip(docs, n_match):
+            doc_id, lang = ids[int(local)]
+            need = CQ_MIN_EN if lang == "en" else CQ_MIN_OTHER
+            if int(c) >= need:
+                rows.append((doc_id, int(c), need))
+    out = pd.DataFrame(rows, columns=["doc_id", "n_matched", "min_required"])
+    for c in ("n_matched", "min_required"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["covering_query_documents"] = q_covering_query_documents
+ORACLE["covering_query_documents"] = f"""
+    WITH cov AS (
+      SELECT doc_id,
+             count(DISTINCT term)::BIGINT AS n_matched,
+             any_value(CASE WHEN lang = 'en' THEN {CQ_MIN_EN}
+                            ELSE {CQ_MIN_OTHER} END)::BIGINT AS min_required
+      FROM (SELECT doc_id, lang,
+                   unnest(regexp_extract_all(lower(text),
+                                             '{TOKEN_SQL_RE}')) AS term
+            FROM documents)
+      WHERE term IN ('{CQ_TERMS[0]}', '{CQ_TERMS[1]}',
+                     '{CQ_TERMS[2]}', '{CQ_TERMS[3]}')
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_matched, min_required
+    FROM cov WHERE n_matched >= min_required
+    ORDER BY doc_id
+"""
