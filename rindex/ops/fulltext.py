@@ -1073,6 +1073,62 @@ def q_more_like_this_documents(sf_dir: str):
     return out
 
 
+def q_mlt_interesting_terms_documents(sf_dir: str):
+    """mlt.interestingTerms=details (`solr/core/src/java/org/apache/solr/
+    handler/MoreLikeThisHandler.java`): expose the SELECTED interesting
+    terms with their tf*idf boosts instead of running the derived query —
+    the introspection channel of the MLT op above (same selection rule,
+    same index-stats probe, no corpus scan)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rindex.analysis import get_analyzer
+    from rindex.bm25 import idf as bm25_idf
+    from rindex.search import IndexSearcher
+
+    src_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    src_id = int(pa.compute.min(src_tbl["doc_id"]).as_py())
+    src_text = src_tbl.filter(
+        pa.compute.equal(src_tbl["doc_id"], src_id)
+    )["text"][0].as_py()
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx)
+    tfs = get_analyzer().term_freqs((src_text or "").lower())
+    dfs = s.global_df(list(tfs))
+    scored = sorted(
+        (
+            (-tf * float(bm25_idf(dfs[t], s.n_docs)), t)
+            for t, tf in tfs.items()
+            if dfs[t] > 0
+        ),
+    )[:MLT_N_TERMS]
+    out = pd.DataFrame(
+        {
+            "term": [t for _neg, t in scored],
+            "boost": [round(-neg, 6) for neg, _t in scored],
+        }
+    )
+    return out
+
+
+QUERIES["mlt_interesting_terms_documents"] = q_mlt_interesting_terms_documents
+ORACLE["mlt_interesting_terms_documents"] = f"""
+    WITH {_bm25_ctes()},
+    src AS (SELECT min(doc_id) AS src_id FROM documents)
+    SELECT tf.term,
+           round(tf.tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+             AS boost
+    FROM tf JOIN src ON tf.doc_id = src.src_id
+    JOIN df USING (term) CROSS JOIN stats
+    ORDER BY tf.tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) DESC,
+             tf.term ASC
+    LIMIT {MLT_N_TERMS}
+"""
+
+
 QUERIES["more_like_this_documents"] = q_more_like_this_documents
 ORACLE["more_like_this_documents"] = f"""
     WITH {_bm25_ctes()},

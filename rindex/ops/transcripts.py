@@ -1665,3 +1665,123 @@ ORACLE["conv_head_tail_documents"] = f"""
     WHERE r_asc < {HEAD_K} OR r_desc < {TAIL_K}
     ORDER BY conv_id, turn_idx
 """
+
+
+# --- assistant template detection: repeated reply prefixes -----------------
+
+TPL_PREFIX_LEN = 3    # leading tokens forming the template key
+TPL_MIN_CONVS = 2     # a prefix is a "template" if >= this many convs use it
+TPL_TOP = 20
+
+
+def q_conv_template_documents(sf_dir: str):
+    """Assistant-reply template detection: group assistant turns by their
+    leading-{TPL_PREFIX_LEN}-token prefix and report prefixes used across
+    many DISTINCT conversations — the canned-reply / templated-response
+    screen a transcript curation pipeline runs before SFT sampling (the
+    document-side analog is SignatureUpdateProcessor's near-template
+    clustering; conv_dedup catches whole-conversation copies, this
+    catches per-turn boilerplate).
+
+    Shape: per-batch PARTIAL aggregation to distinct (prefix, conv_id)
+    pairs with turn counts, then ONE groupby-prefix reduce; only the
+    already-aggregated template rows (small by definition — a template
+    repeats) reach the driver for the final top-k sort."""
+    from rindex.analysis import get_analyzer
+
+    ds = _conv_view(sf_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        role = t["role"].to_numpy(zero_copy_only=False)
+        keep = role == "assistant"
+        texts = t["text"].to_pylist()
+        convs = t["conv_id"].to_numpy(zero_copy_only=False)
+        az = get_analyzer("standard")
+        pf, cv = [], []
+        for k, x, c in zip(keep, texts, convs):
+            if not k:
+                continue
+            toks = az.tokens(x or "")
+            if len(toks) >= TPL_PREFIX_LEN:
+                pf.append(" ".join(toks[:TPL_PREFIX_LEN]))
+                cv.append(c)
+        if not pf:
+            return pa.table(
+                {
+                    "prefix": pa.array([], pa.string()),
+                    "conv_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        d = (
+            pd.DataFrame({"prefix": pf, "conv_id": np.array(cv, np.int64)})
+            .groupby(["prefix", "conv_id"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "prefix": pa.array(d["prefix"], pa.string()),
+                "conv_id": pa.array(d["conv_id"], pa.int64()),
+                "n": pa.array(d["size"].astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("prefix", as_index=False).agg(
+            n_turns=("n", "sum"), n_convs=("conv_id", "nunique")
+        )
+        agg = agg[agg["n_convs"] >= TPL_MIN_CONVS]
+        return agg
+
+    tpl = parts.groupby("prefix").map_groups(
+        reduce_prefix, batch_format="pandas"
+    )
+    out = tpl.to_pandas()
+    if out.empty:  # all groups below threshold: keep a stable schema
+        out = pd.DataFrame(
+            {"prefix": pd.Series(dtype=object),
+             "n_turns": pd.Series(dtype="int64"),
+             "n_convs": pd.Series(dtype="int64")}
+        )
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["n_convs"] = out["n_convs"].astype("int64")
+    out = out.sort_values(
+        ["n_turns", "prefix"], ascending=[False, True], kind="mergesort"
+    ).head(TPL_TOP)
+    return out.reset_index(drop=True)
+
+
+QUERIES["conv_template_documents"] = q_conv_template_documents
+
+
+def _conv_template_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH {T_CTE},
+    toks AS (
+      SELECT conv_id,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '{TOKEN_SQL_RE}') AS l
+      FROM transcripts WHERE role = 'assistant'
+    ),
+    pref AS (
+      SELECT conv_id,
+             array_to_string(l[1:{TPL_PREFIX_LEN}], ' ') AS prefix
+      FROM toks WHERE len(l) >= {TPL_PREFIX_LEN}
+    ),
+    agg AS (
+      SELECT prefix, count(*)::BIGINT AS n_turns,
+             count(DISTINCT conv_id)::BIGINT AS n_convs
+      FROM pref GROUP BY prefix
+    )
+    SELECT prefix, n_turns, n_convs
+    FROM agg WHERE n_convs >= {TPL_MIN_CONVS}
+    ORDER BY n_turns DESC, prefix
+    LIMIT {TPL_TOP}
+"""
+
+
+ORACLE["conv_template_documents"] = _conv_template_oracle()
