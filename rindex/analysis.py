@@ -839,6 +839,28 @@ def type_token_num_filter(toks: list[str]) -> list[str]:
     return [t for t in toks if t.isdigit()]
 
 
+STEM_OVERRIDES = {"data": "datum", "criteria": "criterion"}
+
+
+def stemmer_override_filter(toks: list[str]) -> list[str]:
+    """StemmerOverrideFilter + EnglishMinimalStem analog (`lucene/analysis/
+    common/.../miscellaneous/StemmerOverrideFilter.java`): dictionary
+    entries map straight to their override stem and BYPASS the stemmer;
+    everything else stems normally."""
+    return [
+        STEM_OVERRIDES.get(t) or english_minimal_stem(t) for t in toks
+    ]
+
+
+def conditional_reverse_filter(toks: list[str]) -> list[str]:
+    """ConditionalTokenFilter analog (`lucene/analysis/common/.../
+    miscellaneous/ConditionalTokenFilter.java`, the Lucene 8 wrapper
+    ProtectedTermFilterFactory builds on): the wrapped filter (here
+    ReverseStringFilter) applies ONLY to tokens longer than 4 chars;
+    short tokens pass through untouched."""
+    return [t[::-1] if len(t) > 4 else t for t in toks]
+
+
 ANALYZERS: dict[str, Analyzer] = {
     "standard": Analyzer(name="standard"),
     "ascii_folding": Analyzer(
@@ -892,6 +914,13 @@ ANALYZERS: dict[str, Analyzer] = {
     "pattern_replace_digits": Analyzer(
         name="pattern_replace_digits",
         token_filters=[pattern_replace_token_filter],
+    ),
+    "stemmer_override": Analyzer(
+        name="stemmer_override", token_filters=[stemmer_override_filter]
+    ),
+    "conditional_reverse": Analyzer(
+        name="conditional_reverse",
+        token_filters=[conditional_reverse_filter],
     ),
 }
 

@@ -2174,6 +2174,50 @@ ORACLE["pattern_replace_topterms_documents"] = f"""
 """
 
 
+def q_stemmer_override_topterms_documents(sf_dir: str):
+    """StemmerOverrideFilter + EnglishMinimalStem (`lucene/analysis/
+    common/.../miscellaneous/StemmerOverrideFilter.java`): dictionary
+    entries map straight to their override stem (data -> datum) and
+    bypass the stemmer; top terms over the overridden chain."""
+    return _analyzer_topterms(sf_dir, "stemmer_override")
+
+
+QUERIES["stemmer_override_topterms_documents"] = (
+    q_stemmer_override_topterms_documents
+)
+ORACLE["stemmer_override_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT CASE WHEN t = 'data' THEN 'datum'
+                  WHEN t = 'criteria' THEN 'criterion'
+                  ELSE {_SSTEM_SQL} END AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_conditional_filter_topterms_documents(sf_dir: str):
+    """ConditionalTokenFilter (`lucene/analysis/common/.../miscellaneous/
+    ConditionalTokenFilter.java`, Lucene 8): the wrapped
+    ReverseStringFilter applies only to tokens longer than 4 chars —
+    the ProtectedTermFilterFactory conditional-application shape."""
+    return _analyzer_topterms(sf_dir, "conditional_reverse")
+
+
+QUERIES["conditional_filter_topterms_documents"] = (
+    q_conditional_filter_topterms_documents
+)
+ORACLE["conditional_filter_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT CASE WHEN length(t) > 4 THEN reverse(t) ELSE t END AS term
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{APOS_SQL_RE}')) AS t
+            FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
 # ---------------------------------------------------------------------------
 # UAX29URLEmailTokenizer — URLs and emails kept as single tokens
 # ---------------------------------------------------------------------------
