@@ -914,6 +914,49 @@ _register(
 )
 
 
+def q_scale_function_orders(sf_dir: str):
+    """scale() function query (`lucene/queries/src/java/org/apache/lucene/
+    queries/function/valuesource/ScaleFloatFunction.java`; Solr's
+    scale(field,min,max)): linearly rescale o_totalprice into [0, 1]
+    using the GLOBAL min/max — the classic two-scan function query (one
+    tiny stats aggregate, then a streamed rescale + top-k)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    stats = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    lo = float(stats["min(o_totalprice)"])
+    span = float(stats["max(o_totalprice)"]) - lo
+
+    def rescale(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.subtract(t["o_totalprice"], pa.scalar(lo)),
+                      pa.scalar(span))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "scaled": pc.round(s, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(rescale, batch_format="pyarrow")
+        .sort(["scaled", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+_register(
+    "scale_function_orders",
+    q_scale_function_orders,
+    """
+    WITH st AS (SELECT min(o_totalprice) lo, max(o_totalprice) hi FROM orders)
+    SELECT o_orderkey,
+           round((o_totalprice - lo) / (hi - lo), 6) AS scaled
+    FROM orders CROSS JOIN st
+    ORDER BY scaled DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+
+
 def q_datemath_recent_events(sf_dir: str):
     """Date-math window filter: NOW/DAY-7DAYS analog anchored to max(ts)
     (reference: `solr/core/src/java/org/apache/solr/util/DateMathParser.java`
