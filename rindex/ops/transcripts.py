@@ -1738,7 +1738,11 @@ def q_conv_template_documents(sf_dir: str):
     tpl = parts.groupby("prefix").map_groups(
         reduce_prefix, batch_format="pandas"
     )
-    out = tpl.to_pandas()
+    # distributed top-k: only TPL_TOP rows ever reach the driver, even if
+    # a pathological corpus makes "templates" corpus-proportional
+    out = tpl.sort(
+        ["n_turns", "prefix"], descending=[True, False]
+    ).limit(TPL_TOP).to_pandas()
     if out.empty:  # all groups below threshold: keep a stable schema
         out = pd.DataFrame(
             {"prefix": pd.Series(dtype=object),
@@ -1747,9 +1751,6 @@ def q_conv_template_documents(sf_dir: str):
         )
     out["n_turns"] = out["n_turns"].astype("int64")
     out["n_convs"] = out["n_convs"].astype("int64")
-    out = out.sort_values(
-        ["n_turns", "prefix"], ascending=[False, True], kind="mergesort"
-    ).head(TPL_TOP)
     return out.reset_index(drop=True)
 
 
