@@ -211,6 +211,46 @@ class DFRIneSimilarity:
         return w * tfn / (tfn + 1.0)
 
 
+class DFRIfSimilarity:
+    """Third DFR combination — basic model I(F), after-effect B,
+    normalization H2 (`lucene/core/src/java/org/apache/lucene/search/
+    similarities/{BasicModelIF,AfterEffectB,NormalizationH2}.java`, c=1):
+    identical shape to In/B/H2 but the information content comes from the
+    TOTAL term frequency, log2(1 + (N+1)/(F+0.5)), instead of the
+    docFreq — the third cell of the basic-model x after-effect x
+    normalization grid.
+
+      If    = log2(1 + (N + 1) / (F + 0.5))
+      tfn   = tf * log2(1 + c * avgdl / dl)          (H2)
+      score = ((F + 1) / (df * (tfn + 1))) * tfn*If  (after-effect B)
+
+    Channel split identical to DFRSimilarity: w = ((F+1)/df)*If rides
+    needs_cstats (score stays LINEAR in w, so query-term multiplicity
+    composes), cv = log2(1 + avgdl/dl), score = w*tfn/(tfn+1).  The
+    1+ inside the log keeps If > 0 for ANY F (stopword-class terms have
+    F >> N); monotone ↑tf, ↓dl — unclamped WAND bounds stay valid."""
+
+    name = "dfr_if"
+    needs_cstats = True
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def term_weight_cstats(self, df, ttf, n_docs, collection_len) -> float:
+        dff = np.asarray(df, np.float64)
+        f = np.asarray(ttf, np.float64)
+        i_f = np.log2(1.0 + (np.float64(n_docs) + 1.0) / (f + 0.5))
+        return (f + 1.0) / dff * i_f
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = np.maximum(NORM_DECODE_TABLE.astype(np.float64), 1.0)
+        return np.log2(1.0 + self.c * np.float64(avgdl) / dl)
+
+    def score(self, w, tf, cv):
+        tfn = tf * cv
+        return w * tfn / (tfn + 1.0)
+
+
 class ExpressionSimilarity:
     """Similarity compiled from evaluator-expression strings — the Lucene
     expressions module's scoring use case (`lucene/expressions/src/java/
@@ -379,6 +419,7 @@ SIMILARITIES = {
     "lmjelinekmercer": LMJelinekMercerSimilarity(),
     "dfr": DFRSimilarity(),
     "dfr_ine": DFRIneSimilarity(),
+    "dfr_if": DFRIfSimilarity(),
     # Axiomatic F2EXP (`lucene/core/src/java/org/apache/lucene/search/
     # similarities/AxiomaticF2EXP.java`, Fang & Zhai 2005; s=0.5, k=0.35):
     # w = (N/df)^k, score = w * tf / (tf + s + s*dl/avgdl) — expressed as
