@@ -957,6 +957,149 @@ _register(
 )
 
 
+ASOF_A, ASOF_B = "purchase", "click"
+
+
+def q_asof_join_events(sf_dir: str):
+    """AS-OF JOIN (the canonical event-stream custom operator Ray Data
+    lacks): each '{ASOF_A}' event joins the LATEST prior-or-equal
+    '{ASOF_B}' event of the SAME user (b.ts <= a.ts, greatest b.ts wins;
+    (user_id, ts) is unique so the match is unambiguous).  Inner form —
+    purchases with no preceding click drop.
+
+    Engine shape: one pruned read, both sides bucketed by
+    hash(user_id) % N (the single partitioning key), then ONE
+    pd.merge_asof per bucket (sorted-merge within the bucket, by=user_id)
+    — the classic key-partitioned time-sorted distributed as-of.  At
+    10^12 rows only the bucket modulus changes."""
+    ds = read_table(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    ds = ds.map_batches(
+        _stable_bucket_adder("user_id", 64),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            g[g["event_type"] == ASOF_A]
+            .sort_values("ts", kind="mergesort")
+            [["event_id", "user_id", "ts"]]
+        )
+        b = (
+            g[g["event_type"] == ASOF_B]
+            .sort_values("ts", kind="mergesort")
+            [["event_id", "user_id", "ts", "value"]]
+            .rename(columns={"event_id": "b_event_id", "value": "b_value"})
+        )
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "b_event_id": pd.Series(dtype="int64"),
+                    "b_value": pd.Series(dtype="float64"),
+                }
+            )
+        m = pd.merge_asof(a, b, on="ts", by="user_id", direction="backward")
+        m = m.dropna(subset=["b_event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "b_event_id": m["b_event_id"].astype("int64"),
+                "b_value": m["b_value"].round(4),
+            }
+        )
+
+    out = (
+        ds.groupby("_gb")
+        .map_groups(
+            lambda g: asof(g.drop(columns=["_gb"])), batch_format="pandas"
+        )
+        .sort("event_id")
+        .to_pandas()
+    )
+    return out
+
+
+_register(
+    "asof_join_events",
+    q_asof_join_events,
+    f"""
+    WITH a AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = '{ASOF_A}'),
+         b AS (SELECT event_id AS b_event_id, user_id, ts,
+                      round(value, 4) AS b_value
+               FROM events WHERE event_type = '{ASOF_B}')
+    SELECT a.event_id, a.user_id, b.b_event_id, b.b_value
+    FROM a ASOF JOIN b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    ORDER BY a.event_id
+    """,
+)
+
+
+RANGE_BANDS = ((0.0, 50.0, "low"), (25.0, 75.0, "mid"), (50.0, 150.0, "high"))
+
+
+def q_range_join_events(sf_dir: str):
+    """RANGE (interval) JOIN: events join every band whose [lo, hi)
+    interval contains `value` — the bands OVERLAP, so one event can land
+    in two bands (a genuine non-equi join, not bucketing).  Small side
+    (the literal band table) broadcasts; each batch evaluates the
+    containment predicates vectorized and emits per-band partial
+    (count, sum) — no shuffle of the big side at all, the only exchange
+    is the tiny per-band partial combine."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", ["value"])
+
+    def bands(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        labs, vals = [], []
+        for lo, hi, lab in RANGE_BANDS:
+            m = (v >= lo) & (v < hi)
+            if m.any():
+                labs.append(np.full(int(m.sum()), lab, dtype=object))
+                vals.append(v[m])
+        if not labs:
+            return pa.table(
+                {"band": pa.array([], pa.string()),
+                 "value": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(labs).tolist(), pa.string()),
+                "value": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    out = agg.sort("band").to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+_range_vals = ",".join(f"({lo}, {hi}, '{lab}')" for lo, hi, lab in RANGE_BANDS)
+_register(
+    "range_join_events",
+    q_range_join_events,
+    f"""
+    SELECT b.lab AS band, count(*)::BIGINT AS n,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e
+    JOIN (VALUES {_range_vals}) b(lo, hi, lab)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.lab ORDER BY band
+    """,
+)
+
+
 def q_datemath_recent_events(sf_dir: str):
     """Date-math window filter: NOW/DAY-7DAYS analog anchored to max(ts)
     (reference: `solr/core/src/java/org/apache/solr/util/DateMathParser.java`
