@@ -1100,6 +1100,75 @@ _register(
 )
 
 
+WIN_US = 3_600_000_000  # trailing window: 1 hour in microseconds
+
+
+def q_sliding_window_events(sf_dir: str):
+    """Per-key SLIDING-window aggregate (the third custom operator of the
+    as-of/range/window family): for EVERY event, the count and value-sum
+    of the same user's events in the trailing hour (inclusive both ends,
+    the SQL RANGE INTERVAL 1 HOUR PRECEDING frame).
+
+    Engine shape: user-hash buckets (same partitioning key as the as-of
+    join), per-bucket sort by (user_id, ts), then per user run ONE
+    np.searchsorted of (ts - W) against the run's sorted ts + a prefix-sum
+    subtraction — O(n log n) per run, no per-event Python.  The loop is
+    across user RUNS inside a bucket (bounded by the bucket modulus, the
+    scale knob), never across rows."""
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        _stable_bucket_adder("user_id", 64),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        vals = g["value"].to_numpy(np.float64)
+        users = g["user_id"].to_numpy(np.int64)
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(users))[0] + 1, [len(users)]]
+        )
+        cnt = np.empty(len(users), np.int64)
+        sm = np.empty(len(users), np.float64)
+        for a, b in zip(starts[:-1], starts[1:]):
+            t = ts[a:b]
+            lo = np.searchsorted(t, t - WIN_US, side="left")
+            cnt[a:b] = np.arange(1, b - a + 1) - lo
+            cs = np.concatenate([[0.0], np.cumsum(vals[a:b])])
+            sm[a:b] = cs[1 : b - a + 1] - cs[lo]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "w_count": cnt,
+                "w_sum": np.round(sm, 4),
+            }
+        )
+
+    return (
+        ds.groupby("_gb")
+        .map_groups(
+            lambda g: win(g.drop(columns=["_gb"])), batch_format="pandas"
+        )
+        .sort("event_id")
+    )
+
+
+_register(
+    "sliding_window_events",
+    q_sliding_window_events,
+    """
+    SELECT event_id,
+           count(*) OVER w AS w_count,
+           round(sum(value) OVER w, 4) AS w_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+
+
 def q_datemath_recent_events(sf_dir: str):
     """Date-math window filter: NOW/DAY-7DAYS analog anchored to max(ts)
     (reference: `solr/core/src/java/org/apache/solr/util/DateMathParser.java`
