@@ -729,10 +729,13 @@ CQ_TERMS = ("hash", "join", "spark", "filter")
 CQ_MIN_EN, CQ_MIN_OTHER = 3, 2  # per-doc LongValuesSource on the lang field
 
 
-def q_covering_query_documents(sf_dir: str):
+def q_covering_query_lang_documents(sf_dir: str):
     """CoveringQuery (`lucene/core/src/java/org/apache/lucene/search/
     CoveringQuery.java`): N term clauses plus a PER-DOC minimum-match
-    count supplied by a LongValuesSource — here a stored-field function
+    count supplied by a LongValuesSource — here a stored-FIELD function
+    (the sibling covering_query_documents derives its threshold from
+    doc_id arithmetic and sums BM25 clause scores; this variant reads a
+    stored field and reports clause counts via a pure postings probe)
     (lang='en' docs must cover 3 of the 4 clauses, others 2, the
     "longer/common-language docs need more evidence" shape).  Unlike
     BooleanQuery#setMinimumNumberShouldMatch the threshold varies by doc.
@@ -776,8 +779,8 @@ def q_covering_query_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-QUERIES["covering_query_documents"] = q_covering_query_documents
-ORACLE["covering_query_documents"] = f"""
+QUERIES["covering_query_lang_documents"] = q_covering_query_lang_documents
+ORACLE["covering_query_lang_documents"] = f"""
     WITH cov AS (
       SELECT doc_id,
              count(DISTINCT term)::BIGINT AS n_matched,

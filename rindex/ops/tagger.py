@@ -4,7 +4,9 @@ Reference: `solr/core/src/java/org/apache/solr/handler/tagger/
 TaggerRequestHandler.java` (the SolrTextTagger contribution, Solr 7.4+):
 given a dictionary of (possibly multi-word) names, emit every occurrence
 in the input text, resolving overlaps with the default
-`overlaps=LONGEST_DOMINANT_RIGHT` policy — a longer tag starting at a
+`overlaps=LONGEST_DOMINANT_RIGHT` policy (the sibling
+text_tagger_documents in ops/search_ext.py is the no-overlap-policy
+regex tagger; this one resolves dominated unigrams) — a longer tag starting at a
 position dominates shorter tags inside its span.
 
 Engine shape: the dictionary terms' POSITIONAL postings are probed per
@@ -40,7 +42,7 @@ def _keys(d: np.ndarray, p: np.ndarray, stride: np.int64) -> np.ndarray:
     return d * stride + p
 
 
-def q_text_tagger_documents(sf_dir: str):
+def q_text_tagger_overlaps_documents(sf_dir: str):
     """See module docstring.  Output: (doc_id, tag, n) occurrence counts
     after LONGEST_DOMINANT_RIGHT suppression — 'join' occurrences consumed
     by a 'hash join' / 'merge join' bigram are not reported as JOIN."""
@@ -108,7 +110,7 @@ def q_text_tagger_documents(sf_dir: str):
     return out.sort_values(["doc_id", "tag"]).reset_index(drop=True)
 
 
-QUERIES["text_tagger_documents"] = q_text_tagger_documents
+QUERIES["text_tagger_overlaps_documents"] = q_text_tagger_overlaps_documents
 
 
 def _tagger_oracle() -> str:
@@ -146,4 +148,4 @@ def _tagger_oracle() -> str:
     """
 
 
-ORACLE["text_tagger_documents"] = _tagger_oracle()
+ORACLE["text_tagger_overlaps_documents"] = _tagger_oracle()
