@@ -722,6 +722,79 @@ ORACLE["index_or_docvalues_orders"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# PhraseWildcardQuery — exact phrase with a multi-term (wildcard) slot
+# ---------------------------------------------------------------------------
+
+PWQ_PREFIX, PWQ_NEXT = "fa", "scan"
+
+
+def q_phrase_wildcard_documents(sf_dir: str):
+    """PhraseWildcardQuery (`lucene/sandbox/src/java/org/apache/lucene/
+    search/PhraseWildcardQuery.java`, Lucene 8.4 sandbox): an EXACT
+    (slop=0) phrase whose first slot is a wildcard — "fa* scan" — the
+    sandbox class that expands each multi-term slot against the segment
+    dictionary and matches like a MultiPhraseQuery.  Contrast with the
+    slop-window SpanMultiTermQueryWrapper op above: here adjacency is a
+    single offset, so ONE composite searchsorted per segment decides the
+    match.  The prefix expands with the same distributed dictionary scan
+    as WildcardQuery; output is (doc_id, phrase_freq)."""
+    from rindex.ops.fulltext import documents_index_pos
+    from rindex.ops.multiterm import _expand_terms
+    from rindex.search import IndexSearcher
+
+    def match(terms: np.ndarray) -> tuple[np.ndarray, None]:
+        m = pc.starts_with(
+            pa.array(terms.tolist(), pa.string()), PWQ_PREFIX
+        ).to_numpy(zero_copy_only=False)
+        return m, None
+
+    exp = sorted(_expand_terms(sf_dir, match, "phrase_wildcard")["term"])
+    if not exp:
+        return pd.DataFrame({"doc_id": [], "phrase_freq": []})
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    rows = []
+    for r in s.readers:
+        posts = r.positions_for(exp + [PWQ_NEXT])
+        ad, ap = _flat_doc_pos(posts, exp)
+        bd, bp = _flat_doc_pos(posts, [PWQ_NEXT])
+        if not len(ad) or not len(bd):
+            continue
+        stride = np.int64(max(int(ap.max()), int(bp.max())) + 2)
+        want = ad * stride + (ap + 1)
+        have = np.sort(bd * stride + bp)
+        i = np.searchsorted(have, want)
+        hit = (i < len(have)) & (have[np.minimum(i, len(have) - 1)] == want)
+        if not hit.any():
+            continue
+        uniq = r.drop_deleted(np.unique(ad[hit]))
+        surv = np.isin(ad[hit], uniq)
+        uniq2, cnt2 = np.unique(ad[hit][surv], return_counts=True)
+        ids = r.fetch_ids(uniq2, ["doc_id"])
+        for local, c in zip(uniq2, cnt2):
+            rows.append((ids[local][0], int(c)))
+    out = pd.DataFrame(rows, columns=["doc_id", "phrase_freq"])
+    out["phrase_freq"] = out["phrase_freq"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["phrase_wildcard_documents"] = q_phrase_wildcard_documents
+ORACLE["phrase_wildcard_documents"] = f"""
+    SELECT doc_id,
+           len(list_filter(range(1, len(l)),
+               i -> l[i] LIKE '{PWQ_PREFIX}%'
+                    AND l[i + 1] = '{PWQ_NEXT}'))::BIGINT AS phrase_freq
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+          FROM documents)
+    WHERE len(list_filter(range(1, len(l)),
+              i -> l[i] LIKE '{PWQ_PREFIX}%'
+                   AND l[i + 1] = '{PWQ_NEXT}')) > 0
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # CoveringQuery — match docs covering >= minimumNumberMatch(doc) clauses
 # ---------------------------------------------------------------------------
 
