@@ -1005,6 +1005,89 @@ C4_MIN_LINES = 2     # doc-level keep: at least 2 surviving lines
 _C4_BAD_RE = r"(^| )(" + "|".join(C4_BAD_WORDS) + r")( |$)"
 
 
+SAMPLE_TAU_ALPHA = 0.3  # mT5/XLM-R temperature exponent
+
+
+def q_sampling_temperature_documents(sf_dir: str):
+    """Temperature-based source sampling plan (the multinomial mixing
+    recipe of XLM-R / mT5: q_s proportional to n_s^alpha, alpha=0.3 —
+    upsamples the tail, downsamples the head): per source, its exact
+    token count, normalized sampling weight, and implied epochs-per-pass
+    (q_s * N / n_s).  Unlike mixture_sample (which APPLIES fixed keep
+    rates) this op COMPUTES the plan from corpus statistics.
+
+    Shape: one pruned corpus scan emitting per-batch (source, n_tok)
+    integer partials, one tiny groupby(source) sum (rows = n_sources),
+    then driver arithmetic on the n_sources-row plan table."""
+    from ray.data.aggregate import Sum
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        az = get_analyzer("standard")
+        n = np.fromiter(
+            (len(az.tokens(x or "")) for x in t["text"].to_pylist()),
+            np.int64, len(t),
+        )
+        d = (
+            pd.DataFrame({"source": t["source"].to_pylist(), "n": n})
+            .groupby("source", as_index=False)["n"].sum()
+        )
+        return pa.table(
+            {"source": pa.array(d["source"], pa.string()),
+             "n": pa.array(d["n"].to_numpy(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_tok"))
+        .to_pandas()
+    )
+    agg = agg.sort_values("source", kind="mergesort").reset_index(drop=True)
+    n = agg["n_tok"].to_numpy(np.float64)
+    w = np.power(n, SAMPLE_TAU_ALPHA)
+    q = w / w.sum()
+    out = pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_tok": agg["n_tok"].astype("int64"),
+            "weight": np.round(q, 6),
+            "epochs": np.round(q * n.sum() / n, 6),
+        }
+    )
+    return out
+
+
+QUERIES["sampling_temperature_documents"] = q_sampling_temperature_documents
+
+
+def _sampling_temperature_oracle() -> str:
+    from rindex.ops.analysis_ext import TOKEN_SQL_RE
+
+    return f"""
+    WITH per AS (
+      SELECT source,
+             sum(len(regexp_extract_all(lower(coalesce(text, '')),
+                                        '{TOKEN_SQL_RE}')))::BIGINT AS n_tok
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(pow(n_tok, {SAMPLE_TAU_ALPHA})) AS wsum,
+                   sum(n_tok)::DOUBLE AS ntot FROM per)
+    SELECT source, n_tok,
+           round(pow(n_tok, {SAMPLE_TAU_ALPHA}) / wsum, 6) AS weight,
+           round(pow(n_tok, {SAMPLE_TAU_ALPHA}) / wsum * ntot / n_tok, 6)
+             AS epochs
+    FROM per CROSS JOIN tot
+    ORDER BY source
+    """
+
+
+ORACLE["sampling_temperature_documents"] = _sampling_temperature_oracle()
+
+
 def q_c4_line_clean_documents(sf_dir: str):
     """C4 line cleaning: chunk each document into deterministic
     C4_LINE_W-token lines, drop lines under C4_MIN_WORDS words or
