@@ -1667,6 +1667,101 @@ ORACLE["conv_head_tail_documents"] = f"""
 """
 
 
+# --- SFT loss-mask accounting ----------------------------------------------
+
+
+def q_conv_loss_mask_documents(sf_dir: str):
+    """SFT loss-masking accounting: in assistant-supervised fine-tuning
+    the loss is computed ONLY on assistant tokens of non-tool turns;
+    user/tool tokens are context (masked).  Per conversation: trained
+    tokens, masked tokens, trained fraction — the budgeting numbers a
+    training-data pipeline reports before packing.
+
+    Shape: per-batch partial (conv_id, trained, masked) integer sums
+    (tokenize once, role/tool masks vectorized), ONE conv-bucket combine;
+    output rows = conversations."""
+    import pyarrow.compute as pc
+
+    from rindex.analysis import get_analyzer
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _derive(t)
+        az = get_analyzer("standard")
+        n = np.fromiter(
+            (len(az.tokens(x or "")) for x in t["text"].to_pylist()),
+            np.int64, len(t),
+        )
+        role = t["role"].to_numpy(zero_copy_only=False)
+        tool = t["tool"].to_numpy(zero_copy_only=False)
+        trained_mask = (role == "assistant") & (tool == "")
+        d = pd.DataFrame(
+            {
+                "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
+                "trained": np.where(trained_mask, n, 0),
+                "masked": np.where(trained_mask, 0, n),
+            }
+        ).groupby("conv_id", as_index=False).sum()
+        return pa.table(
+            {
+                "conv_id": pa.array(d["conv_id"].to_numpy(np.int64)),
+                "trained": pa.array(d["trained"].to_numpy(np.int64)),
+                "masked": pa.array(d["masked"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(Sum("trained", alias_name="trained_tokens"),
+                   Sum("masked", alias_name="masked_tokens"))
+        .sort("conv_id")
+        .to_pandas()
+    )
+    tot = agg["trained_tokens"] + agg["masked_tokens"]
+    agg["trained_frac"] = np.where(
+        tot > 0, np.round(agg["trained_tokens"] / tot, 6), 0.0
+    )
+    for c in ("trained_tokens", "masked_tokens"):
+        agg[c] = agg[c].astype("int64")
+    return agg
+
+
+QUERIES["conv_loss_mask_documents"] = q_conv_loss_mask_documents
+
+
+def _conv_loss_mask_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH {T_CTE},
+    per AS (
+      SELECT conv_id,
+             sum(CASE WHEN role = 'assistant' AND tool = ''
+                      THEN len(regexp_extract_all(lower(coalesce(text, '')),
+                                                  '{TOKEN_SQL_RE}'))
+                      ELSE 0 END)::BIGINT AS trained_tokens,
+             sum(CASE WHEN role = 'assistant' AND tool = ''
+                      THEN 0
+                      ELSE len(regexp_extract_all(lower(coalesce(text, '')),
+                                                  '{TOKEN_SQL_RE}'))
+                      END)::BIGINT AS masked_tokens
+      FROM transcripts GROUP BY conv_id
+    )
+    SELECT conv_id, trained_tokens, masked_tokens,
+           CASE WHEN trained_tokens + masked_tokens > 0
+                THEN round(trained_tokens::DOUBLE
+                           / (trained_tokens + masked_tokens), 6)
+                ELSE 0.0 END AS trained_frac
+    FROM per ORDER BY conv_id
+    """
+
+
+ORACLE["conv_loss_mask_documents"] = _conv_loss_mask_oracle()
+
+
 # --- assistant template detection: repeated reply prefixes -----------------
 
 TPL_PREFIX_LEN = 3    # leading tokens forming the template key
