@@ -1881,3 +1881,345 @@ def _conv_template_oracle() -> str:
 
 
 ORACLE["conv_template_documents"] = _conv_template_oracle()
+
+
+# --- topic-shift segmentation over turn embeddings --------------------------
+
+# Rational cosine threshold tau = TOPIC_NUM / TOPIC_DEN: a pair of
+# consecutive turns is a topic boundary when cos(e_t, e_{t-1}) < tau.
+# Evaluated EXACTLY on floor(x*1000) int64-quantized vectors:
+#   cos < tau  <=>  dot <= 0  OR  DEN^2*dot^2 < NUM^2*|a|^2*|b|^2
+# (all int64; max |m|<=~500, dim 64 keeps every product under 2^63).
+TOPIC_NUM = 1
+TOPIC_DEN = 20
+
+
+def q_conv_topic_shift_embeddings(sf_dir: str):
+    """Topic-shift segmentation: consecutive turn embeddings within a
+    conversation are compared by cosine; a drop below tau marks a segment
+    boundary (TextTiling-style embedding segmentation, Hearst 1997; the
+    reference-side analog is index-time document blocking for block join
+    — `lucene/join/.../ToParentBlockJoinQuery.java` parents delimit
+    child runs the way boundaries delimit topic runs).
+
+    Shape: ONE quantize map_batches pass, ONE conv-bucket shuffle, then a
+    fully vectorized lag-dot kernel per bucket (each conversation lives in
+    exactly one bucket; adjacent-row products across the whole bucket with
+    conv-boundary masking — no per-conversation Python).  Rows out =
+    conversations with >=1 consecutive pair."""
+    import re
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.floor(
+            np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            * 1000.0
+        ).astype(np.int64)
+        conv = vid // TURNS_PER_CONV
+        cols = {
+            "vec_id": vid,
+            "conv_id": conv,
+            "_gb": (conv % N_BUCKETS).astype(np.int64),
+        }
+        for i in range(m.shape[1]):
+            cols[f"c{i}"] = m[:, i]
+        return pa.table(cols)
+
+    dim_re = re.compile(r"^c\d+$")
+
+    def seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        dims = [c for c in g.columns if dim_re.match(c)]
+        m = g[dims].to_numpy(np.int64)
+        conv = g["conv_id"].to_numpy(np.int64)
+        vid = g["vec_id"].to_numpy(np.int64)
+        same = (conv[1:] == conv[:-1]) & (vid[1:] == vid[:-1] + 1)
+        dot = np.sum(m[1:] * m[:-1], axis=1)
+        na = np.sum(m[1:] * m[1:], axis=1)
+        nb = np.sum(m[:-1] * m[:-1], axis=1)
+        shift = (dot <= 0) | (
+            TOPIC_DEN * TOPIC_DEN * dot * dot < TOPIC_NUM * TOPIC_NUM * na * nb
+        )
+        d = pd.DataFrame(
+            {"conv_id": conv[1:][same], "s": shift[same].astype(np.int64)}
+        )
+        if d.empty:
+            return pd.DataFrame(
+                {"conv_id": pd.Series(dtype="int64"),
+                 "n_pairs": pd.Series(dtype="int64"),
+                 "n_shifts": pd.Series(dtype="int64"),
+                 "n_segments": pd.Series(dtype="int64")}
+            )
+        agg = d.groupby("conv_id", as_index=False).agg(
+            n_pairs=("s", "size"), n_shifts=("s", "sum")
+        )
+        agg["n_segments"] = agg["n_shifts"] + 1
+        for c in agg.columns:
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    out = (
+        emb.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(seg, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+QUERIES["conv_topic_shift_embeddings"] = q_conv_topic_shift_embeddings
+ORACLE["conv_topic_shift_embeddings"] = f"""
+    WITH q AS (
+      SELECT vec_id, vec_id // {TURNS_PER_CONV} AS conv_id,
+             generate_subscripts(embedding, 1) AS i,
+             floor(unnest(embedding)::DOUBLE * 1000.0)::BIGINT AS m
+      FROM embeddings
+    ),
+    pair AS (
+      SELECT a.conv_id,
+             sum(a.m * b.m)::BIGINT AS dot,
+             sum(a.m * a.m)::BIGINT AS na,
+             sum(b.m * b.m)::BIGINT AS nb
+      FROM q a JOIN q b
+        ON a.conv_id = b.conv_id AND a.i = b.i AND b.vec_id = a.vec_id - 1
+      GROUP BY a.conv_id, a.vec_id
+    ),
+    fl AS (
+      SELECT conv_id,
+             CASE WHEN dot <= 0
+                    OR {TOPIC_DEN * TOPIC_DEN} * dot * dot
+                       < {TOPIC_NUM * TOPIC_NUM} * na * nb
+                  THEN 1 ELSE 0 END AS s
+      FROM pair
+    )
+    SELECT conv_id, count(*)::BIGINT AS n_pairs, sum(s)::BIGINT AS n_shifts,
+           (sum(s) + 1)::BIGINT AS n_segments
+    FROM fl GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# --- DPO-style preference-pair construction ---------------------------------
+
+
+def q_conv_dpo_pairs_documents(sf_dir: str):
+    """DPO preference-pair construction: per conversation the assistant
+    turns are candidate completions; the one with the most DISTINCT tokens
+    (lexical-richness heuristic; ties break to the earlier turn) is
+    `chosen`, the poorest (ties to the later turn) is `rejected` — the
+    deterministic skeleton of preference-pair mining over transcripts
+    (Rafailov et al. 2023 DPO data shape).  Conversations need >=2
+    candidates.
+
+    Shape: per-batch scoring partial (tokenize once, distinct-count per
+    assistant turn), ONE conv-bucket shuffle, vectorized per-bucket
+    argmax/argmin by sort-and-first.  Rows out = conversations."""
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        t = _derive(t)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        keep = role == "assistant"
+        az = get_analyzer("standard")
+        texts = t["text"].to_pylist()
+        sc = np.fromiter(
+            (len(set(az.tokens(x or ""))) if k else 0
+             for k, x in zip(keep, texts)),
+            np.int64, len(t),
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[keep], pa.int64()),
+                "turn_idx": pa.array(ti[keep], pa.int64()),
+                "score": pa.array(sc[keep], pa.int64()),
+                "_gb": pa.array((conv[keep] % N_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        nc = g.groupby("conv_id")["score"].transform("size")
+        g = g[nc >= 2]
+        if g.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64")
+                 for c in ("conv_id", "chosen_turn", "chosen_score",
+                           "rejected_turn", "rejected_score", "margin")}
+            )
+        ch = (
+            g.sort_values(["conv_id", "score", "turn_idx"],
+                          ascending=[True, False, True])
+            .groupby("conv_id", as_index=False).first()
+            .rename(columns={"turn_idx": "chosen_turn",
+                             "score": "chosen_score"})
+        )
+        rj = (
+            g.sort_values(["conv_id", "score", "turn_idx"],
+                          ascending=[True, True, False])
+            .groupby("conv_id", as_index=False).first()
+            .rename(columns={"turn_idx": "rejected_turn",
+                             "score": "rejected_score"})
+        )
+        out = ch.merge(rj[["conv_id", "rejected_turn", "rejected_score"]],
+                       on="conv_id")
+        out["margin"] = out["chosen_score"] - out["rejected_score"]
+        out = out[["conv_id", "chosen_turn", "chosen_score",
+                   "rejected_turn", "rejected_score", "margin"]]
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+QUERIES["conv_dpo_pairs_documents"] = q_conv_dpo_pairs_documents
+
+
+def _conv_dpo_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH {T_CTE},
+    cand AS (
+      SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+             len(list_distinct(regexp_extract_all(
+                 lower(coalesce(text, '')), '{TOKEN_SQL_RE}')))::BIGINT
+               AS score
+      FROM transcripts WHERE role = 'assistant'
+    ),
+    ch AS (
+      SELECT conv_id, turn_idx AS chosen_turn, score AS chosen_score,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY score DESC, turn_idx ASC) AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS nc
+      FROM cand
+    ),
+    rj AS (
+      SELECT conv_id, turn_idx AS rejected_turn, score AS rejected_score,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY score ASC, turn_idx DESC) AS rn
+      FROM cand
+    )
+    SELECT c.conv_id, c.chosen_turn, c.chosen_score,
+           r.rejected_turn, r.rejected_score,
+           (c.chosen_score - r.rejected_score)::BIGINT AS margin
+    FROM ch c JOIN rj r ON c.conv_id = r.conv_id AND r.rn = 1
+    WHERE c.rn = 1 AND c.nc >= 2
+    ORDER BY c.conv_id
+"""
+
+
+ORACLE["conv_dpo_pairs_documents"] = _conv_dpo_oracle()
+
+
+# --- full-history context-growth accounting ---------------------------------
+
+
+def q_conv_context_growth_documents(sf_dir: str):
+    """Context-growth accounting: when every assistant call re-feeds the
+    full history, the prompt cost of a conversation is the sum over
+    assistant turns of the token count of all PRIOR turns (the quadratic
+    serving-cost number an agent-transcript pipeline budgets before
+    context-window truncation; conv_truncate_context is the mitigation,
+    this op is the measurement).  amp_ppm = floor(refeed_tokens * 1e6 /
+    total_tokens) keeps the amplification ratio exact-integer on both
+    sides.
+
+    Shape: per-batch token-count partial, ONE conv-bucket shuffle, per-
+    bucket vectorized grouped cumsum.  Rows out = conversations."""
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        t = _derive(t)
+        az = get_analyzer("standard")
+        n = np.fromiter(
+            (len(az.tokens(x or "")) for x in t["text"].to_pylist()),
+            np.int64, len(t),
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.int64()),
+                "turn_idx": t["turn_idx"],
+                "n": pa.array(n),
+                "is_a": pa.array((role == "assistant").astype(np.int64)),
+                "_gb": pa.array((conv % N_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def grow(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        ctx = g.groupby("conv_id")["n"].cumsum() - g["n"]
+        g = g.assign(ctx=ctx, refeed=ctx * g["is_a"])
+        agg = g.groupby("conv_id", as_index=False).agg(
+            total_tokens=("n", "sum"),
+            assistant_calls=("is_a", "sum"),
+            refeed_tokens=("refeed", "sum"),
+        )
+        tot = agg["total_tokens"].to_numpy(np.int64)
+        ref = agg["refeed_tokens"].to_numpy(np.int64)
+        agg["amp_ppm"] = np.where(tot > 0, ref * 1_000_000 // np.maximum(tot, 1), 0)
+        for c in agg.columns:
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(grow, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+QUERIES["conv_context_growth_documents"] = q_conv_context_growth_documents
+
+
+def _conv_context_growth_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH {T_CTE},
+    tok AS (
+      SELECT conv_id, turn_idx, role,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '{TOKEN_SQL_RE}'))::BIGINT AS n
+      FROM transcripts
+    ),
+    cum AS (
+      SELECT conv_id, role, n,
+             coalesce(sum(n) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS ctx
+      FROM tok
+    ),
+    agg AS (
+      SELECT conv_id, sum(n)::BIGINT AS total_tokens,
+             sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+               AS assistant_calls,
+             sum(CASE WHEN role = 'assistant' THEN ctx ELSE 0 END)::BIGINT
+               AS refeed_tokens
+      FROM cum GROUP BY conv_id
+    )
+    SELECT conv_id, total_tokens, assistant_calls, refeed_tokens,
+           CASE WHEN total_tokens > 0
+                THEN (refeed_tokens * 1000000) // total_tokens
+                ELSE 0 END::BIGINT AS amp_ppm
+    FROM agg ORDER BY conv_id
+"""
+
+
+ORACLE["conv_context_growth_documents"] = _conv_context_growth_oracle()
