@@ -2223,3 +2223,200 @@ def _conv_context_growth_oracle() -> str:
 
 
 ORACLE["conv_context_growth_documents"] = _conv_context_growth_oracle()
+
+
+# --- tool-chain runs (gaps-and-islands over tool-bearing turns) --------------
+
+
+def q_conv_tool_chain_documents(sf_dir: str):
+    """Tool-chain accounting: within each conversation, consecutive
+    tool-bearing turns form a chain (an agent loop calling tools
+    back-to-back); report per conversation the tool-turn count, the number
+    of chains, and the longest chain — the agent-trace depth metric a
+    transcript pipeline budgets before deciding a context-truncation
+    policy.  Classic gaps-and-islands, vectorized.
+
+    Shape: per-batch flag partial, ONE conv-bucket shuffle, per-bucket
+    vectorized run-length encoding (run boundaries from adjacent-row
+    compares across the whole bucket — no per-conversation Python).
+    Rows out = conversations with >=1 tool turn."""
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def part(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        conv = did // TURNS_PER_CONV
+        ti = (did % TURNS_PER_CONV).astype(np.int64)
+        m7 = did % 7
+        is_tool = ((m7 == 0) | (m7 == 3)).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.int64()),
+                "turn_idx": pa.array(ti),
+                "is_tool": pa.array(is_tool),
+                "_gb": pa.array((conv % N_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def rle(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        conv = g["conv_id"].to_numpy(np.int64)
+        ti = g["turn_idx"].to_numpy(np.int64)
+        m = g["is_tool"].to_numpy(np.int64).astype(bool)
+        if not m.any():
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64")
+                 for c in ("conv_id", "n_tool_turns", "n_chains",
+                           "max_chain")}
+            )
+        cont = np.zeros(len(g), bool)
+        if len(g) > 1:
+            cont[1:] = (
+                (conv[1:] == conv[:-1]) & (ti[1:] == ti[:-1] + 1)
+                & m[1:] & m[:-1]
+            )
+        start = m & ~cont
+        run_id = np.cumsum(start) - 1          # valid on tool rows only
+        lens = np.bincount(run_id[m])          # length per run
+        run_conv = conv[start]                 # conv per run
+        d = pd.DataFrame({"conv_id": run_conv, "len": lens})
+        agg = d.groupby("conv_id", as_index=False).agg(
+            n_tool_turns=("len", "sum"),
+            n_chains=("len", "size"),
+            max_chain=("len", "max"),
+        )
+        for c in agg.columns:
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(rle, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+QUERIES["conv_tool_chain_documents"] = q_conv_tool_chain_documents
+ORACLE["conv_tool_chain_documents"] = f"""
+    WITH {T_CTE},
+    tl AS (
+      SELECT conv_id, turn_idx,
+             turn_idx - row_number() OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) AS isl
+      FROM transcripts WHERE tool <> ''
+    ),
+    runs AS (
+      SELECT conv_id, isl, count(*)::BIGINT AS len
+      FROM tl GROUP BY conv_id, isl
+    )
+    SELECT conv_id, sum(len)::BIGINT AS n_tool_turns,
+           count(*)::BIGINT AS n_chains, max(len)::BIGINT AS max_chain
+    FROM runs GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# --- turn-length drift (exact integer least-squares slope) ------------------
+
+
+def q_conv_length_drift_documents(sf_dir: str):
+    """Turn-length drift: the least-squares slope of token count over
+    turn index per conversation — do replies grow (context accretion) or
+    shrink (degeneration/truncation) as the conversation proceeds?  The
+    slope is kept EXACT integer on both sides: with x=turn_idx,
+    y=tokens, num = n*Σxy − Σx*Σy, den = n*Σx² − (Σx)² > 0, and
+    slope_ppm = sign(num) * (|num|*10⁶ // den) (truncating division —
+    DuckDB `//` truncates toward zero, numpy floors, so both sides use
+    the sign/abs form).
+
+    Shape: per-batch partial sums per conversation, ONE combinable
+    groupby-Sum (no map_groups), final O(n_convs) formula.  Rows out =
+    conversations with >=2 turns."""
+    from ray.data.aggregate import Sum
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        t = _derive(t)
+        az = get_analyzer("standard")
+        y = np.fromiter(
+            (len(az.tokens(x or "")) for x in t["text"].to_pylist()),
+            np.int64, len(t),
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        x = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "conv_id": conv,
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        ).groupby("conv_id", as_index=False).sum()
+        return pa.table({c: pa.array(d[c].to_numpy(np.int64))
+                         for c in d.columns})
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    agg = agg[agg["n"] >= 2].copy()
+    n = agg["n"].to_numpy(np.int64)
+    sx = agg["sx"].to_numpy(np.int64)
+    sy = agg["sy"].to_numpy(np.int64)
+    num = n * agg["sxy"].to_numpy(np.int64) - sx * sy
+    den = n * agg["sxx"].to_numpy(np.int64) - sx * sx
+    out = pd.DataFrame(
+        {
+            "conv_id": agg["conv_id"].astype("int64"),
+            "n_turns": n,
+            "total_tokens": sy,
+            "slope_ppm": np.sign(num) * (np.abs(num) * 1_000_000 // den),
+        }
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+QUERIES["conv_length_drift_documents"] = q_conv_length_drift_documents
+
+
+def _conv_length_drift_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH {T_CTE},
+    tok AS (
+      SELECT conv_id, turn_idx::BIGINT AS x,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '{TOKEN_SQL_RE}'))::BIGINT AS y
+      FROM transcripts
+    ),
+    s AS (
+      SELECT conv_id, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx
+      FROM tok GROUP BY conv_id HAVING count(*) >= 2
+    )
+    SELECT conv_id, n AS n_turns, sy AS total_tokens,
+           (sign(n * sxy - sx * sy)
+            * (abs(n * sxy - sx * sy) * 1000000
+               // (n * sxx - sx * sx)))::BIGINT AS slope_ppm
+    FROM s ORDER BY conv_id
+"""
+
+
+ORACLE["conv_length_drift_documents"] = _conv_length_drift_oracle()
