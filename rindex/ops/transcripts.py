@@ -2420,3 +2420,184 @@ def _conv_length_drift_oracle() -> str:
 
 
 ORACLE["conv_length_drift_documents"] = _conv_length_drift_oracle()
+
+
+# --- conversation self-retrieval MRR (BM25 retrieval eval) -------------------
+
+MRR_SAMPLE_MOD = 17   # query convs: conv_id % 17 == 0 (deterministic sample)
+MRR_MAX_Q = 8         # hard cap on query count (eval stays O(1) vs corpus)
+MRR_QLEN = 6          # query = first 6 tokens of the conversation's turn 0
+
+
+def q_conv_self_retrieval_documents(sf_dir: str):
+    """Conversation self-retrieval eval: for a deterministic sample of
+    conversations, the opening user turn's first {MRR_QLEN} tokens form a
+    BM25 query; conversations are ranked by max-pooled turn score (the
+    conv_search pooling) and the rank of the SOURCE conversation is
+    reported with its exact reciprocal rank (rr_ppm = 10^6 // rank) —
+    the known-item retrieval-quality probe (MRR) a transcript pipeline
+    runs to validate its index before large-scale retrieval jobs.
+
+    Shape: queries are a bounded sample (filter + sort + limit, <=
+    {MRR_MAX_Q} tiny rows to the driver); per query ONE scoring pass
+    (per-segment tasks, scores stay in the object store), max-pool as
+    per-batch partial + groupby combine, then the pooled per-conv scores
+    (already aggregate-sized) yield the self score (1-row filter) and a
+    distributed better-than count.  Rows out = sampled queries."""
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    from rindex.analysis import get_analyzer
+
+    def _pick_queries(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (did % TURNS_PER_CONV == 0) & (
+            (did // TURNS_PER_CONV) % MRR_SAMPLE_MOD == 0
+        )
+        return t.filter(pa.array(keep))
+
+    qsrc = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_pick_queries, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .sort("doc_id")
+        .limit(MRR_MAX_Q)
+        .to_pandas()
+    )
+    az = get_analyzer("standard")
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand")
+    rows = []
+    for _, r in qsrc.iterrows():
+        qid = int(r["doc_id"]) // TURNS_PER_CONV
+        toks = az.tokens(r["text"] or "")[:MRR_QLEN]
+        terms = list(dict.fromkeys(toks))
+        if not terms:
+            continue
+        ds = searcher.score_matches_dataset(" ".join(terms), mode="or")
+
+        def pool(df: pd.DataFrame) -> pd.DataFrame:
+            conv = df["doc_id"].to_numpy(np.int64) // TURNS_PER_CONV
+            return (
+                pd.DataFrame({"conv_id": conv, "s": df["score"].to_numpy()})
+                .groupby("conv_id", as_index=False)["s"]
+                .max()
+            )
+
+        pooled = (
+            ds.map_batches(pool, batch_format="pandas")
+            .groupby("conv_id")
+            .max("s")
+        ).materialize()  # aggregate-sized (convs with >=1 matching turn)
+        def _self_only(t: pa.Table, _qid=qid) -> pa.Table:
+            c = t["conv_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(c == _qid))
+
+        self_row = pooled.map_batches(
+            _self_only, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        s_self = float(self_row["max(s)"].iloc[0])
+
+        def better(t: pa.Table, _s=s_self, _qid=qid) -> pa.Table:
+            s = t["max(s)"].to_numpy(zero_copy_only=False)
+            c = t["conv_id"].to_numpy(zero_copy_only=False)
+            # self conv excluded: the oracle recomputes the pooled CTE for
+            # both sides of its self-join, and parallel float-sum order can
+            # flip strict > on the SELF row; non-self gaps are real (>1e-5)
+            n = int(np.count_nonzero(
+                (c != _qid) & ((s > _s) | ((s == _s) & (c < _qid)))
+            ))
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        n_better = (
+            pooled.map_batches(better, batch_format="pyarrow").sum("n")
+        )
+        rank = int(n_better) + 1
+        rows.append((qid, rank, 1_000_000 // rank))
+
+    out = pd.DataFrame(
+        rows, columns=["query_id", "self_rank", "rr_ppm"]
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+QUERIES["conv_self_retrieval_documents"] = q_conv_self_retrieval_documents
+
+
+def _conv_self_retrieval_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE, norm_vals_sql
+
+    norm_vals = norm_vals_sql()
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+             (SELECT sum(dl) FROM dl)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    norm_table AS (SELECT unnest([{norm_vals}]) AS v),
+    lossy AS (
+      SELECT doc_id,
+             (SELECT max(v) FROM norm_table WHERE v <= dl.dl)::DOUBLE AS ldl
+      FROM dl
+    ),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    qsrc AS (
+      SELECT doc_id // {TURNS_PER_CONV} AS query_id,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '{TOKEN_SQL_RE}') AS l
+      FROM documents
+      WHERE doc_id % {TURNS_PER_CONV} = 0
+        AND (doc_id // {TURNS_PER_CONV}) % {MRR_SAMPLE_MOD} = 0
+      ORDER BY doc_id LIMIT {MRR_MAX_Q}
+    ),
+    q AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT query_id, unnest(l[1:{MRR_QLEN}]) AS term FROM qsrc
+      )
+    ),
+    scores AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    ),
+    pooled AS (
+      SELECT query_id, doc_id // {TURNS_PER_CONV} AS conv_id, max(s) AS s
+      FROM scores GROUP BY 1, 2
+    ),
+    selfs AS (
+      SELECT query_id, s AS s_self FROM pooled WHERE conv_id = query_id
+    )
+    SELECT p.query_id,
+           (1 + count(*) FILTER (WHERE p.conv_id <> p.query_id
+                                 AND (p.s > f.s_self
+                                      OR (p.s = f.s_self
+                                          AND p.conv_id < p.query_id))))::BIGINT
+             AS self_rank,
+           (1000000 // (1 + count(*) FILTER (WHERE p.conv_id <> p.query_id
+                                 AND (p.s > f.s_self
+                                      OR (p.s = f.s_self
+                                          AND p.conv_id < p.query_id)))))::BIGINT
+             AS rr_ppm
+    FROM pooled p JOIN selfs f USING (query_id)
+    GROUP BY p.query_id
+    ORDER BY p.query_id
+"""
+
+
+ORACLE["conv_self_retrieval_documents"] = _conv_self_retrieval_oracle()
