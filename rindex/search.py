@@ -316,6 +316,68 @@ def parse_boolean_query(qs: str, analyzer_name: str = "standard"):
     return tree
 
 
+class _SegTableRegistry:
+    """Node-local shared cache of loaded postings tables (detached actor).
+
+    Every QuerySearcher actor on a node used to read+hold its OWN copy of
+    each segment's postings table, so a 12-actor pool held 12 private
+    copies of identical hot state — wasted heap AND duplicated DRAM/L3
+    footprint (the measured cause of the query-throughput plateau
+    degrading past ~12 actors).  This registry loads each table ONCE,
+    `ray.put`s it into the object store, and hands out the ObjectRef;
+    plasma-backed Arrow tables are read zero-copy from shared memory by
+    every actor on the node.  The reference analog is a single shared
+    `SolrIndexSearcher` serving all request threads
+    (`solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java`)
+    rather than one searcher per thread.
+
+    Cache key includes (mtime_ns, size) so a segment rewritten in place
+    (tests, merges) is never served stale."""
+
+    def __init__(self):
+        self._refs: dict = {}
+
+    def get_or_load(self, path: str, key: tuple, cols: tuple):
+        import ray as _ray
+
+        k = (path, key)
+        if k not in self._refs:
+            t = pq.read_table(path, columns=list(cols)).combine_chunks()
+            self._refs = {
+                kk: v for kk, v in self._refs.items() if kk[0] != path
+            }  # drop stale generations of the same file
+            self._refs[k] = _ray.put(t)
+        return self._refs[k]
+
+
+def _shared_postings_table(path: str, cols) -> "pa.Table | None":
+    """Fetch `path` as a zero-copy shared Arrow table via the registry
+    actor, or None when Ray isn't initialised / sharing is disabled
+    (RINDEX_SHARED_SEG=0) — caller falls back to a private read."""
+    if os.environ.get("RINDEX_SHARED_SEG", "1") != "1":
+        return None
+    try:
+        import ray as _ray
+
+        if not _ray.is_initialized():
+            return None
+        st = os.stat(path)
+        reg = _ray.remote(_SegTableRegistry).options(
+            name="rindex_seg_registry",
+            get_if_exists=True,
+            lifetime="detached",
+            num_cpus=0,
+        ).remote()
+        ref = _ray.get(
+            reg.get_or_load.remote(
+                path, (st.st_mtime_ns, st.st_size), tuple(cols)
+            )
+        )
+        return _ray.get(ref)
+    except Exception:
+        return None  # any Ray hiccup degrades to the private-read path
+
+
 class _SegmentReader:
     """Lazy per-segment postings + stored-field access with a term cache."""
 
@@ -344,7 +406,14 @@ class _SegmentReader:
             if int(self.meta.get("postings_bytes", 1 << 62)) > self.FULL_CACHE_BYTES:
                 return False
             path = os.path.join(self.sdir, "postings.parquet")
-            self._tbl = pq.read_table(path, columns=self._COLS).combine_chunks()
+            # node-shared zero-copy table when Ray is up (one physical copy
+            # serves every searcher actor on the node); private read as the
+            # standalone fallback
+            self._tbl = _shared_postings_table(path, self._COLS)
+            if self._tbl is None:
+                self._tbl = pq.read_table(
+                    path, columns=self._COLS
+                ).combine_chunks()
             self._terms_np = self._tbl["term"].to_numpy(zero_copy_only=False)
         return True
 

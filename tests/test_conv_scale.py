@@ -145,3 +145,44 @@ def test_truncate_and_overlap_bucket_invariant(
     pd.testing.assert_frame_equal(a0, a1)
     pd.testing.assert_frame_equal(b0, b1)
     assert len(a0) > 0 and len(b0) > 0
+
+
+@pytest.mark.parametrize("modulus", [1, 997])
+def test_new_r4_conv_ops_bucket_invariant(
+    ray_session, tmp_path, monkeypatch, modulus
+):
+    """Late-r4 ops: DPO pairs, context growth, tool chains and topic-shift
+    segmentation are invariant to the conv-bucket modulus."""
+    import rindex.ops.transcripts as tx
+
+    sf_dir, _ = _write_skew_corpus(tmp_path, stride=13)
+    # embeddings for topic_shift: vec_id aligned with doc_id, 8 dims
+    rng = np.random.default_rng(7)
+    n = len(pq.read_table(os.path.join(sf_dir, "documents.parquet")))
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [row.tolist() for row in
+                 rng.normal(size=(n, 8)).astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(emb, os.path.join(sf_dir, "embeddings.parquet"))
+
+    def run():
+        return [
+            tx.q_conv_dpo_pairs_documents(sf_dir),
+            tx.q_conv_context_growth_documents(sf_dir),
+            tx.q_conv_tool_chain_documents(sf_dir),
+            tx.q_conv_topic_shift_embeddings(sf_dir),
+        ]
+
+    base = run()
+    monkeypatch.setattr(tx, "N_BUCKETS", modulus)
+    alt = run()
+    for b, a in zip(base, alt):
+        pd.testing.assert_frame_equal(
+            b.sort_index(axis=1), a.sort_index(axis=1)
+        )
