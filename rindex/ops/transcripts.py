@@ -2601,3 +2601,153 @@ def _conv_self_retrieval_oracle() -> str:
 
 
 ORACLE["conv_self_retrieval_documents"] = _conv_self_retrieval_oracle()
+
+
+# --- recency-weighted conversation retrieval --------------------------------
+
+RECENCY_DECAY_POW2 = 1   # per-step decay 2^-1 = 0.5: EXACT in binary float
+
+
+def q_conv_recency_search_documents(sf_dir: str):
+    """Recency-weighted conversation retrieval: each turn's BM25 score is
+    damped by 0.5^(T-1-turn_idx) before the per-conversation max-pool, so
+    LATE turns dominate — the conversation analog of Solr's
+    `recip(ms(NOW,date))` recency boost (the doc-level variant is
+    edismax_boost in ops/fulltext.py; reference
+    `solr/core/src/java/org/apache/solr/util/DateMathParser.java` +
+    boost function composition).  The damp factors are powers of two, so
+    Ray and DuckDB multiply bit-identical doubles and ranks stay exact.
+
+    Shape: identical to conv_search_topk — one scoring pass per fixed
+    query, per-batch partial damp+pool, ONE conv-bucket combine with
+    per-bucket top-k."""
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand")
+    pooled_parts = []
+    for qid, text in CONV_QUERIES:
+        ds = searcher.score_matches_dataset(text, mode="or")
+
+        def pool(df: pd.DataFrame, _qid=qid) -> pd.DataFrame:
+            did = df["doc_id"].to_numpy(np.int64)
+            conv = did // TURNS_PER_CONV
+            ti = did % TURNS_PER_CONV
+            damp = np.ldexp(
+                1.0,
+                -RECENCY_DECAY_POW2 * (TURNS_PER_CONV - 1 - ti).astype(np.int64),
+            )
+            out = (
+                pd.DataFrame(
+                    {"conv_id": conv,
+                     "s": df["score"].to_numpy() * damp}
+                )
+                .groupby("conv_id", as_index=False)["s"]
+                .max()
+            )
+            out.insert(0, "query_id", _qid)
+            return out
+
+        pooled_parts.append(ds.map_batches(pool, batch_format="pandas"))
+
+    pooled = pooled_parts[0].union(*pooled_parts[1:])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["query_id", "conv_id"], as_index=False)["s"].max()
+        out = (
+            out.sort_values(["query_id", "s", "conv_id"],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id", sort=False)
+            .head(CONV_TOP_K)
+        )
+        return out
+
+    allq = (
+        pooled.map_batches(
+            _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_gb")
+        .map_groups(
+            lambda g: combine(g.drop(columns=["_gb"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    allq = allq.sort_values(
+        ["query_id", "s", "conv_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    allq = allq.groupby("query_id", sort=False).head(CONV_TOP_K)
+    allq["rank"] = (
+        allq.groupby("query_id", sort=False).cumcount().astype(np.int32)
+    )
+    allq["score"] = allq["s"].round(6)
+    return allq[["query_id", "rank", "conv_id", "score"]].reset_index(
+        drop=True
+    )
+
+
+QUERIES["conv_recency_search_documents"] = q_conv_recency_search_documents
+
+
+def _conv_recency_oracle_sql() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE, norm_vals_sql
+
+    norm_vals = norm_vals_sql()
+    q_rows = ",".join(
+        f"('{qid}', '{t}')"
+        for qid, text in CONV_QUERIES
+        for t in text.split()
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+             (SELECT sum(dl) FROM dl)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    norm_table AS (SELECT unnest([{norm_vals}]) AS v),
+    lossy AS (
+      SELECT doc_id, (SELECT max(v) FROM norm_table WHERE v <= dl.dl)::DOUBLE AS ldl
+      FROM dl
+    ),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {q_rows}),
+    scores AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    ),
+    pooled AS (
+      SELECT query_id, doc_id // {TURNS_PER_CONV} AS conv_id,
+             max(s * power(2.0, -{RECENCY_DECAY_POW2}
+                 * ({TURNS_PER_CONV} - 1 - doc_id % {TURNS_PER_CONV}))) AS s
+      FROM scores GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, conv_id, s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, conv_id ASC) - 1)::INTEGER
+               AS rank
+      FROM pooled
+    )
+    SELECT query_id, rank, conv_id, round(s, 6) AS score
+    FROM ranked WHERE rank < {CONV_TOP_K}
+    """
+
+
+ORACLE["conv_recency_search_documents"] = _conv_recency_oracle_sql()
