@@ -340,11 +340,14 @@ class _SegTableRegistry:
     def get_or_load(self, path: str, key: tuple, cols: tuple):
         import ray as _ray
 
-        k = (path, key)
+        k = (path, key, cols)  # cols in the key: the postings col-set and
+        # the positional superset are DIFFERENT cached tables of one file
         if k not in self._refs:
             t = pq.read_table(path, columns=list(cols)).combine_chunks()
             self._refs = {
-                kk: v for kk, v in self._refs.items() if kk[0] != path
+                kk: v
+                for kk, v in self._refs.items()
+                if not (kk[0] == path and kk[1] != key)
             }  # drop stale generations of the same file
             self._refs[k] = _ray.put(t)
         return self._refs[k]
@@ -458,17 +461,48 @@ class _SegmentReader:
                 "(build_index(with_positions=True))"
             )
         uniq = sorted(set(terms))
-        tbl = pq.read_table(
-            path,
-            filters=[("term", "in", uniq)],
-            columns=self._COLS + ["pos_blob", "pos_width"],
-        )
         out: dict[str, tuple | None] = dict.fromkeys(uniq)
-        for row in tbl.to_pylist():
+        tbl = self._pos_table(path)
+        if tbl is not None:
+            # cached whole-table path (node-shared): binary-search the term
+            # column instead of a per-query filtered parquet read — phrase /
+            # span queries call this once per segment per query
+            tnp = self._pos_terms_np
+            rows = []
+            for t in uniq:
+                i = int(np.searchsorted(tnp, t))
+                if i < len(tnp) and tnp[i] == t:
+                    rows.append(tbl.slice(i, 1).to_pylist()[0])
+        else:
+            rows = pq.read_table(
+                path,
+                filters=[("term", "in", uniq)],
+                columns=self._COLS + ["pos_blob", "pos_width"],
+            ).to_pylist()
+        for row in rows:
             docs, tfs, norms = decode_posting(row)
             pos = decode_positions(row["pos_blob"], int(row["pos_width"]), tfs)
             out[row["term"]] = (docs, tfs, pos, norms)
         return out
+
+    def _pos_table(self, path: str):
+        """Whole positional postings table, cached per reader and shared
+        per node via the registry; None above the size gate (fall back to
+        per-term filtered reads so one reader never holds an unbounded
+        table)."""
+        if getattr(self, "_pos_tbl", None) is None:
+            try:
+                if os.path.getsize(path) > self.FULL_CACHE_BYTES:
+                    return None
+            except OSError:
+                return None
+            cols = self._COLS + ["pos_blob", "pos_width"]
+            t = _shared_postings_table(path, cols)
+            if t is None:
+                t = pq.read_table(path, columns=cols).combine_chunks()
+            self._pos_tbl = t
+            self._pos_terms_np = t["term"].to_numpy(zero_copy_only=False)
+        return self._pos_tbl
 
     # decoded-postings cache: only lists this long are cached (short lists
     # decode in ~µs; hot stopword-class lists dominate repeated-query cost);
