@@ -2751,3 +2751,135 @@ def _conv_recency_oracle_sql() -> str:
 
 
 ORACLE["conv_recency_search_documents"] = _conv_recency_oracle_sql()
+
+
+# --- conversation self-repetition (bigram novelty vs full prior history) ----
+
+
+def q_conv_self_repetition_documents(sf_dir: str):
+    """Self-repetition audit: for each assistant turn, the fraction of its
+    DISTINCT bigrams already present in ANY prior turn of the same
+    conversation — the full-history generalization of conv_echo_loop
+    (which compares adjacent turns only); a model looping on itself shows
+    high repeated-bigram mass late in the conversation.  Per conversation:
+    total distinct assistant bigrams, how many were already seen, and the
+    exact repeated fraction rep_ppm = repeated * 10^6 // total.
+
+    Shape: per-batch bigram extraction partial (tokenize once per turn),
+    ONE conv-bucket shuffle, per-bucket vectorized first-seen logic (sort
+    by (conv, bigram, turn); a bigram occurrence is 'repeated' when an
+    EARLIER turn in the same conversation already produced it).  Rows out
+    = conversations with >=1 assistant bigram."""
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        t = _derive(t)
+        az = get_analyzer("standard")
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        cv, tn, bg, ia = [], [], [], []
+        for c, x, i, r in zip(conv, texts, ti, role):
+            toks = az.tokens(x or "")
+            # distinct bigrams of THIS turn (set semantics per turn)
+            bs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+            for s in bs:
+                cv.append(c)
+                tn.append(i)
+                bg.append(s)
+                ia.append(1 if r == "assistant" else 0)
+        return pa.table(
+            {
+                "conv_id": pa.array(np.array(cv, np.int64)),
+                "turn_idx": pa.array(np.array(tn, np.int64)),
+                "bigram": pa.array(bg, pa.string()),
+                "is_a": pa.array(np.array(ia, np.int64)),
+                "_gb": pa.array(
+                    (np.array(cv, np.int64) % N_BUCKETS).astype(np.int64)
+                ),
+            }
+        )
+
+    def rep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "bigram", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(np.int64)
+        bgr = g["bigram"].to_numpy()
+        # first occurrence of (conv, bigram) is novel; later turns repeat it
+        first = np.ones(len(g), bool)
+        if len(g) > 1:
+            first[1:] = ~((conv[1:] == conv[:-1]) & (bgr[1:] == bgr[:-1]))
+        is_a = g["is_a"].to_numpy(np.int64).astype(bool)
+        d = pd.DataFrame(
+            {
+                "conv_id": conv[is_a],
+                "total": 1,
+                "repeated": (~first[is_a]).astype(np.int64),
+            }
+        )
+        if d.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64")
+                 for c in ("conv_id", "total_bigrams", "repeated_bigrams",
+                           "rep_ppm")}
+            )
+        agg = d.groupby("conv_id", as_index=False).agg(
+            total_bigrams=("total", "sum"),
+            repeated_bigrams=("repeated", "sum"),
+        )
+        agg["rep_ppm"] = (
+            agg["repeated_bigrams"] * 1_000_000 // agg["total_bigrams"]
+        )
+        for c in agg.columns:
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(rep, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+QUERIES["conv_self_repetition_documents"] = q_conv_self_repetition_documents
+
+
+def _conv_self_repetition_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH {T_CTE},
+    tk AS (
+      SELECT conv_id, turn_idx, role,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '{TOKEN_SQL_RE}') AS l
+      FROM transcripts
+    ),
+    bg AS (
+      SELECT DISTINCT conv_id, turn_idx, role,
+             l[i] || ' ' || l[i + 1] AS bigram
+      FROM tk, unnest(range(1, len(l))) AS t(i)
+      WHERE len(l) >= 2
+    ),
+    firsts AS (
+      SELECT conv_id, bigram, min(turn_idx) AS first_turn
+      FROM bg GROUP BY conv_id, bigram
+    ),
+    marked AS (
+      SELECT b.conv_id,
+             CASE WHEN b.turn_idx > f.first_turn THEN 1 ELSE 0 END AS rep
+      FROM bg b JOIN firsts f USING (conv_id, bigram)
+      WHERE b.role = 'assistant'
+    )
+    SELECT conv_id, count(*)::BIGINT AS total_bigrams,
+           sum(rep)::BIGINT AS repeated_bigrams,
+           (sum(rep) * 1000000 // count(*))::BIGINT AS rep_ppm
+    FROM marked GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+ORACLE["conv_self_repetition_documents"] = _conv_self_repetition_oracle()
