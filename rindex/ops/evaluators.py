@@ -2786,3 +2786,460 @@ ORACLE["eval_rank_zscore_events"] = """
                  / stddev_samp(n::DOUBLE) OVER (), 6) AS z
     FROM d ORDER BY y, doy
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 batch 11 — vector-distance family (`solr/solrj/src/java/org/apache/
+# solr/client/solrj/io/eval/{CanberraDistanceEvaluator,
+# ChebyshevDistanceEvaluator,EarthMoversDistanceEvaluator,
+# HaversineMetersEvaluator}.java`).  EMD follows the commons-math3
+# EarthMoversDistance recurrence (total = sum_i |cumsum(p - q)_i|);
+# haversine uses the IERS mean earth radius the reference delegates to.
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6371008.7714
+
+
+def _canberra(a, b) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    den = np.abs(a) + np.abs(b)
+    num = np.abs(a - b)
+    out = np.divide(num, den, out=np.zeros_like(num), where=den != 0.0)
+    return float(out.sum())
+
+
+def _haversine_m(lat1, lon1, lat2, lon2) -> float:
+    p1, p2 = np.radians(float(lat1)), np.radians(float(lat2))
+    dp = np.radians(float(lat2) - float(lat1))
+    dl = np.radians(float(lon2) - float(lon1))
+    h = (np.sin(dp / 2.0) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin(dl / 2.0) ** 2)
+    return float(2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(h)))
+
+
+EVALUATORS.update({
+    "canberraDistance": _canberra,
+    "chebyshevDistance": lambda a, b: float(
+        np.max(np.abs(np.asarray(a, np.float64)
+                      - np.asarray(b, np.float64)))
+    ),
+    "earthMoversDistance": lambda a, b: float(
+        np.abs(np.cumsum(np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64))).sum()
+    ),
+    "haversineMeters": _haversine_m,
+})
+
+
+def q_eval_vector_distances_events(sf_dir: str):
+    """canberraDistance / chebyshevDistance / earthMoversDistance between
+    the 'click' and 'view' daily event-count series (aligned on day,
+    inner-join semantics — both types fire every day in this corpus).
+    The two series reduce DISTRIBUTED to integer daily counts (one small
+    groupby, same shape as every eval_* op); the distance algebra runs on
+    the collected 30-point vectors.  Chebyshev and EMD are integer-exact;
+    Canberra is a 30-term rational sum, rounded 6dp per the repo's
+    fp-sum discipline."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+                "et": t["event_type"],
+            }
+        )
+
+    s = (
+        ev.filter(expr="event_type == 'click' or event_type == 'view'")
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy", "et"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    w = s.pivot_table(index=["y", "doy"], columns="et", values="n",
+                      aggfunc="first").dropna().sort_index()
+    a = w["click"].to_numpy(np.float64)
+    b = w["view"].to_numpy(np.float64)
+    scope = let_eval(
+        {
+            "can": "canberraDistance(a, b)",
+            "che": "chebyshevDistance(a, b)",
+            "emd": "earthMoversDistance(a, b)",
+        },
+        {"a": a, "b": b},
+    )
+    return pd.DataFrame(
+        {
+            "days": [np.int64(len(a))],
+            "canberra": [round(scope["can"], 6)],
+            "chebyshev": [scope["che"]],
+            "emd": [scope["emd"]],
+        }
+    )
+
+
+QUERIES["eval_vector_distances_events"] = q_eval_vector_distances_events
+ORACLE["eval_vector_distances_events"] = """
+    WITH d AS (
+      SELECT year(ts) AS y, dayofyear(ts) AS doy, event_type AS et,
+             count(*) AS n
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT a.y, a.doy, a.n::DOUBLE AS ca, b.n::DOUBLE AS cv
+      FROM d a JOIN d b USING (y, doy)
+      WHERE a.et = 'click' AND b.et = 'view'
+    ),
+    c AS (
+      SELECT y, doy, ca, cv,
+             sum(ca - cv) OVER (ORDER BY y, doy) AS cum
+      FROM w
+    )
+    SELECT count(*)::BIGINT AS days,
+           round(sum(CASE WHEN abs(ca) + abs(cv) = 0 THEN 0
+                          ELSE abs(ca - cv) / (abs(ca) + abs(cv)) END),
+                 6) AS canberra,
+           max(abs(ca - cv)) AS chebyshev,
+           sum(abs(cum)) AS emd
+    FROM c
+"""
+
+
+def q_eval_haversine_events(sf_dir: str):
+    """haversineMeters() over per-type synthetic waypoints: each event
+    type's (lat, lon) derives from EXACT integer aggregates
+    (count, sum(user_id) — hugeint-safe on the SQL side, int64 on the
+    Ray side), so both engines feed IDENTICAL doubles into the same
+    haversine tree; distance to the (0, 0) reference point, rounded to
+    3dp (meters)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = read_table(sf_dir, "events", ["event_type", "user_id"])
+    s = (
+        ev.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("user_id", alias_name="su"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    lat = (s["n"].to_numpy(np.int64) % 9000) / 100.0 - 45.0
+    lon = (s["su"].to_numpy(np.int64) % 18000) / 100.0 - 90.0
+    dist = [
+        round(EVALUATORS["haversineMeters"](la, lo, 0.0, 0.0), 3)
+        for la, lo in zip(lat, lon)
+    ]
+    return pd.DataFrame(
+        {
+            "event_type": s["event_type"],
+            "lat": lat,
+            "lon": lon,
+            "meters": dist,
+        }
+    )
+
+
+QUERIES["eval_haversine_events"] = q_eval_haversine_events
+ORACLE["eval_haversine_events"] = f"""
+    WITH s AS (
+      SELECT event_type,
+             (count(*) % 9000) / 100.0 - 45.0 AS lat,
+             (sum(user_id) % 18000) / 100.0 - 90.0 AS lon
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, lat, lon,
+           round(2.0 * {EARTH_RADIUS_M!r} * asin(sqrt(
+             sin(radians(0.0 - lat) / 2.0) * sin(radians(0.0 - lat) / 2.0)
+             + cos(radians(lat)) * cos(radians(0.0))
+               * sin(radians(0.0 - lon) / 2.0)
+               * sin(radians(0.0 - lon) / 2.0))), 3) AS meters
+    FROM s ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# r4 batch 12 — interpolation-FUNCTION family (`solr/solrj/src/java/org/
+# apache/solr/client/solrj/io/eval/{SplineEvaluator,AkimaEvaluator,
+# DerivativeEvaluator,PredictEvaluator,FindDelayEvaluator}.java`).  In the
+# reference these evaluators return VectorFunctions that predict()
+# evaluates — mirrored here as tagged nodes the way the distribution
+# kernels already are (batch 8's density() precedent).  Spline is the
+# natural cubic (second derivative 0 at both ends, the commons-math
+# default); Akima follows Akima 1970 with the standard quadratic slope
+# extension; derivative() is analytic per interpolator.  lerp() becomes
+# polymorphic like the reference: lerp(x, y) returns the interpolating
+# function, lerp(x, y, xq) keeps the batch-9 direct-evaluation form.
+# ---------------------------------------------------------------------------
+
+
+def _spline_node(x, y):
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n = len(x)
+    h = np.diff(x)
+    A = np.zeros((n, n))
+    r = np.zeros(n)
+    A[0, 0] = A[n - 1, n - 1] = 1.0  # natural ends: M0 = Mn-1 = 0
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1]
+        A[i, i] = 2.0 * (h[i - 1] + h[i])
+        A[i, i + 1] = h[i]
+        r[i] = 6.0 * ((y[i + 1] - y[i]) / h[i]
+                      - (y[i] - y[i - 1]) / h[i - 1])
+    M = np.linalg.solve(A, r)
+    return ("spline", x, y, M)
+
+
+def _akima_node(x, y):
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n = len(x)
+    m = np.diff(y) / np.diff(x)
+    # Akima 1970 quadratic end extension: two virtual slopes each side
+    me = np.empty(n + 3)
+    me[2:n + 1] = m
+    me[1] = 2.0 * me[2] - me[3]
+    me[0] = 2.0 * me[1] - me[2]
+    me[n + 1] = 2.0 * me[n] - me[n - 1]
+    me[n + 2] = 2.0 * me[n + 1] - me[n]
+    t = np.empty(n)
+    for i in range(n):
+        w1 = abs(me[i + 3] - me[i + 2])
+        w2 = abs(me[i + 1] - me[i])
+        t[i] = (me[i + 1] + me[i + 2]) / 2.0 if w1 + w2 == 0.0 else (
+            (w1 * me[i + 1] + w2 * me[i + 2]) / (w1 + w2)
+        )
+    return ("akima", x, y, t)
+
+
+def _segment(x, xq):
+    xq = np.asarray(xq, np.float64)
+    return np.clip(np.searchsorted(x, xq, side="right") - 1, 0,
+                   len(x) - 2), xq
+
+
+def _predict(f, xq):
+    kind = f[0]
+    if kind == "deriv":
+        return _predict_deriv(f[1], xq)
+    if kind == "lerp":
+        _, x, y = f
+        return np.interp(np.asarray(xq, np.float64), x, y)
+    if kind == "spline":
+        _, x, y, M = f
+        i, xq = _segment(x, xq)
+        h = x[i + 1] - x[i]
+        A = (x[i + 1] - xq) / h
+        B = (xq - x[i]) / h
+        return (A * y[i] + B * y[i + 1]
+                + ((A ** 3 - A) * M[i] + (B ** 3 - B) * M[i + 1])
+                * h * h / 6.0)
+    if kind == "akima":
+        _, x, y, t = f
+        i, xq = _segment(x, xq)
+        h = x[i + 1] - x[i]
+        s = (xq - x[i]) / h
+        h00 = (1.0 + 2.0 * s) * (1.0 - s) ** 2
+        h10 = s * (1.0 - s) ** 2
+        h01 = s * s * (3.0 - 2.0 * s)
+        h11 = s * s * (s - 1.0)
+        return (h00 * y[i] + h10 * h * t[i]
+                + h01 * y[i + 1] + h11 * h * t[i + 1])
+    raise ValueError(f"predict: unsupported function node {kind!r}")
+
+
+def _predict_deriv(f, xq):
+    kind = f[0]
+    if kind == "lerp":
+        _, x, y = f
+        i, xq = _segment(x, xq)
+        return (y[i + 1] - y[i]) / (x[i + 1] - x[i])
+    if kind == "spline":
+        _, x, y, M = f
+        i, xq = _segment(x, xq)
+        h = x[i + 1] - x[i]
+        A = (x[i + 1] - xq) / h
+        B = (xq - x[i]) / h
+        return ((y[i + 1] - y[i]) / h
+                - (3.0 * A * A - 1.0) * h * M[i] / 6.0
+                + (3.0 * B * B - 1.0) * h * M[i + 1] / 6.0)
+    if kind == "akima":
+        _, x, y, t = f
+        i, xq = _segment(x, xq)
+        h = x[i + 1] - x[i]
+        s = (xq - x[i]) / h
+        d00 = (6.0 * s * s - 6.0 * s) / h
+        d10 = 3.0 * s * s - 4.0 * s + 1.0
+        d01 = (6.0 * s - 6.0 * s * s) / h
+        d11 = 3.0 * s * s - 2.0 * s
+        return (d00 * y[i] / 1.0 + d10 * t[i]
+                + d01 * y[i + 1] + d11 * t[i + 1])
+    raise ValueError(f"derivative: unsupported function node {kind!r}")
+
+
+def _finddelay(a, b) -> int:
+    """delay d maximizing the zero-padded cross-correlation
+    sum_i a[i] * b[i + d] over d in [-(n-1), n-1]; smallest d wins ties
+    (the reference's convolution-argmax semantics with a deterministic
+    tiebreak)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    c = np.correlate(b, a, mode="full")  # index k -> d = k - (len(a)-1)
+    best = int(np.argmax(c))  # argmax returns FIRST max = smallest d
+    return best - (len(a) - 1)
+
+
+def _lerp_poly(x, y, xq=None):
+    if xq is None:
+        return ("lerp", np.asarray(x, np.float64),
+                np.asarray(y, np.float64))
+    return np.interp(np.asarray(xq, np.float64),
+                     np.asarray(x, np.float64),
+                     np.asarray(y, np.float64))
+
+
+EVALUATORS.update({
+    "lerp": _lerp_poly,
+    "spline": _spline_node,
+    "akima": _akima_node,
+    "derivative": lambda f: ("deriv", f),
+    "predict": _predict,
+    "finddelay": _finddelay,
+})
+
+
+def q_eval_spline_knots_events(sf_dir: str):
+    """spline()/akima()/derivative(lerp()) over the daily event-count
+    series with x = day index: interpolants evaluated AT THE KNOTS (both
+    pass through them exactly — the property the SQL oracle pins;
+    between-knot values and analytic derivatives are pinned by pytest
+    goldens against hand-derived closed forms), and the lerp derivative
+    sampled at segment midpoints (= the exact forward difference, h=1).
+    One distributed groupby to the 30-point small side, as every eval_*
+    op."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["y", "doy"])
+        .reset_index(drop=True)
+    )
+    v = s["n"].to_numpy(np.float64)
+    x = np.arange(1, len(v) + 1, dtype=np.float64)
+    scope = let_eval(
+        {
+            "spl": "predict(spline(x, v), x)",
+            "aki": "predict(akima(x, v), x)",
+            "dmid": "predict(derivative(lerp(x, v)), xm)",
+        },
+        {"x": x, "v": v, "xm": x[:-1] + 0.5},
+    )
+    return pd.DataFrame(
+        {
+            "y": s["y"].astype(np.int64),
+            "doy": s["doy"].astype(np.int64),
+            "n": s["n"].astype(np.int64),
+            "spl": scope["spl"],
+            "aki": scope["aki"],
+            "dmid": np.append(scope["dmid"], np.nan),
+        }
+    )
+
+
+QUERIES["eval_spline_knots_events"] = q_eval_spline_knots_events
+ORACLE["eval_spline_knots_events"] = """
+    WITH d AS (
+      SELECT year(ts) AS y, dayofyear(ts) AS doy, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT y, doy, n,
+           n::DOUBLE AS spl,
+           n::DOUBLE AS aki,
+           lead(n::DOUBLE) OVER (ORDER BY y, doy) - n::DOUBLE AS dmid
+    FROM d ORDER BY y, doy
+"""
+
+
+FD_SHIFT = 3
+
+
+def q_eval_finddelay_events(sf_dir: str):
+    """finddelay() between the daily event-count series and its
+    {FD_SHIFT}-day zero-padded lag: the recovered delay must equal the
+    injected shift, with the integer-exact correlation peak alongside.
+    The series reduces DISTRIBUTED; the correlation runs on the 30-point
+    small side."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["y", "doy"])
+        .reset_index(drop=True)
+    )
+    a = s["n"].to_numpy(np.float64)
+    b = np.concatenate([np.zeros(FD_SHIFT), a[:-FD_SHIFT]])
+    d = EVALUATORS["finddelay"](a, b)
+    peak = float((a[: len(a) - d] * b[d:]).sum()) if d >= 0 else float(
+        (a[-d:] * b[: len(b) + d]).sum()
+    )
+    return pd.DataFrame(
+        {"delay": [np.int64(d)], "peak": [np.int64(peak)]}
+    )
+
+
+QUERIES["eval_finddelay_events"] = q_eval_finddelay_events
+ORACLE["eval_finddelay_events"] = f"""
+    WITH d AS (
+      SELECT year(ts) AS y, dayofyear(ts) AS doy, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT row_number() OVER (ORDER BY y, doy) AS i, n,
+             coalesce(lag(n, {FD_SHIFT}) OVER (ORDER BY y, doy), 0) AS b
+      FROM d
+    ),
+    ks AS (SELECT unnest(range(1 - (SELECT count(*) FROM s),
+                               (SELECT count(*) FROM s))) AS k),
+    xc AS (
+      SELECT ks.k, coalesce(sum(a.n * b.b), 0) AS score
+      FROM ks LEFT JOIN s a ON TRUE
+              LEFT JOIN s b ON b.i = a.i + ks.k
+      GROUP BY ks.k
+    )
+    SELECT k::BIGINT AS delay, score::BIGINT AS peak
+    FROM xc ORDER BY score DESC, k ASC LIMIT 1
+"""

@@ -419,3 +419,84 @@ def test_rank_transform_and_zscores_kernels():
     assert r.tolist() == [2.0, 3.5, 3.5, 1.0]
     z = EVALUATORS["zscores"]([1.0, 2.0, 3.0])
     assert np.allclose(z, [-1.0, 0.0, 1.0])
+
+
+def test_distance_batch11_kernels():
+    import numpy as np
+
+    from rindex.ops.evaluators import EVALUATORS
+
+    a = np.array([1.0, 2.0, 3.0])
+    b = np.array([3.0, 2.0, 1.0])
+    assert EVALUATORS["chebyshevDistance"](a, b) == 2.0
+    # canberra: |1-3|/4 + 0 + |3-1|/4 = 1.0; 0/0 terms drop
+    assert EVALUATORS["canberraDistance"](a, b) == 1.0
+    assert EVALUATORS["canberraDistance"]([0.0], [0.0]) == 0.0
+    # commons-math recurrence: cum diffs -2,-2,0 -> sum |.| = 4
+    assert EVALUATORS["earthMoversDistance"](a, b) == 4.0
+    # quarter meridian on the IERS mean-radius SPHERE = R * pi / 2
+    q = EVALUATORS["haversineMeters"](0.0, 0.0, 90.0, 0.0)
+    assert abs(q - 6_371_008.7714 * np.pi / 2.0) < 1e-6
+    assert EVALUATORS["haversineMeters"](12.5, -3.25, 12.5, -3.25) == 0.0
+
+
+def test_spline_akima_derivative_kernels():
+    import numpy as np
+
+    from rindex.ops.evaluators import EVALUATORS
+
+    # natural cubic on x=[0,1,2], y=[0,1,0]: M = [0, -6y1/2? ...] solved
+    # by hand: M1 = 6*(y0 - 2y1 + y2) / 4 = -3; s(0.5) = 0.5*y1 +
+    # ((A^3-A)*M0 + (B^3-B)*M1)/6 with A=B=0.5 -> 0.5 - (-0.375*-3)/6?
+    # closed form: s(0.5) = 0.6875 (verified analytically: 11/16)
+    sp = EVALUATORS["spline"]([0.0, 1.0, 2.0], [0.0, 1.0, 0.0])
+    mid = EVALUATORS["predict"](sp, [0.5, 1.5])
+    assert np.allclose(mid, [11 / 16, 11 / 16])
+    # pass-through at knots is EXACT (the SQL-oracled property)
+    assert np.array_equal(
+        EVALUATORS["predict"](sp, [0.0, 1.0, 2.0]), [0.0, 1.0, 0.0]
+    )
+    # symmetric hat: natural-spline derivative at center is 0
+    dsp = EVALUATORS["derivative"](sp)
+    d = EVALUATORS["predict"](dsp, [1.0])
+    assert abs(d[0]) < 1e-12
+    # derivative at the ends of the natural spline: s'(0) = (y1-y0)/h
+    # - h*(2*M0 + M1)/6 = 1 - (-3)/6 = 1.5
+    assert np.allclose(EVALUATORS["predict"](dsp, [0.0]), [1.5])
+
+    # akima reproduces straight lines exactly (its defining property)
+    x = np.arange(6.0)
+    y = 2.0 * x + 1.0
+    ak = EVALUATORS["akima"](x, y)
+    xs = np.array([0.25, 1.7, 3.5, 4.9])
+    assert np.allclose(EVALUATORS["predict"](ak, xs), 2.0 * xs + 1.0)
+    dak = EVALUATORS["derivative"](ak)
+    assert np.allclose(EVALUATORS["predict"](dak, xs), 2.0)
+    # ... and passes through arbitrary knots exactly
+    y2 = np.array([0.0, 3.0, 1.0, 4.0, 1.0, 5.0])
+    ak2 = EVALUATORS["akima"](x, y2)
+    assert np.allclose(EVALUATORS["predict"](ak2, x), y2)
+
+    # polymorphic lerp: 2-arg returns a function node, 3-arg evaluates
+    lf = EVALUATORS["lerp"]([0.0, 1.0], [0.0, 2.0])
+    assert EVALUATORS["predict"](lf, [0.25])[0] == 0.5
+    assert EVALUATORS["lerp"]([0.0, 1.0], [0.0, 2.0], [0.25])[0] == 0.5
+    dlf = EVALUATORS["derivative"](lf)
+    assert EVALUATORS["predict"](dlf, [0.5])[0] == 2.0
+
+
+def test_finddelay_kernel():
+    import numpy as np
+
+    from rindex.ops.evaluators import EVALUATORS
+
+    fd = EVALUATORS["finddelay"]
+    a = np.array([0.0, 0.0, 1.0, 0.0, 0.0])
+    assert fd(a, np.array([0.0, 0.0, 0.0, 0.0, 1.0])) == 2
+    assert fd(a, np.array([1.0, 0.0, 0.0, 0.0, 0.0])) == -2
+    assert fd(a, a) == 0
+    # noisy shifted copy of a zero-mean-ish series still recovers the lag
+    rng = np.arange(40.0)
+    base = np.sin(rng * 0.7) * 10.0
+    sh = np.concatenate([np.zeros(5), base[:-5]])
+    assert fd(base, sh) == 5
