@@ -2883,3 +2883,102 @@ def _conv_self_repetition_oracle() -> str:
 
 
 ORACLE["conv_self_repetition_documents"] = _conv_self_repetition_oracle()
+
+
+# --- conversation near-dup: 3-gram Jaccard at conversation granularity ----
+
+CONV_JACCARD_TAU = 0.1
+
+
+def q_conv_near_dedup_documents(sf_dir: str):
+    """Conversation-level near-dup pairs: 3-gram Jaccard >= {tau} over the
+    turn-ordered CONCATENATED conversation text (shingles span turn
+    boundaries — two conversations that split the same content across
+    different turn breaks still match).  conv_dedup catches byte-identical
+    conversations; this is the near-miss screen a transcript pipeline runs
+    before SFT sampling (document-side analog: ngram_jaccard_neardup;
+    reference analog: SignatureUpdateProcessor's fuzzy TextProfile mode,
+    `solr/core/src/java/org/apache/solr/update/processor/
+    SignatureUpdateProcessorFactory.java`).
+
+    Shape: ONE conv-bucket shuffle assembles per-conversation text
+    (~1/{nb} of conversations per reduce task, vectorized join); the
+    shingle explode, pair counting and Jaccard verify then reuse the
+    dedup module's fully-distributed co-occurrence machinery — pair
+    multiplicity IS the intersection size, per-conv sizes broadcast below
+    DEDUP_BCAST_MAX_DOCS and hash-joined above it.  Nothing corpus-sized
+    reaches the driver."""
+    from rindex.ops.dedup import (
+        _jaccard_from_counts, _pair_counts, _shingles,
+    )
+
+    ds = _conv_view(sf_dir).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        joined = g.groupby("conv_id", sort=True)["text"].agg(
+            lambda s: " ".join(x or "" for x in s)
+        )
+        return pd.DataFrame(
+            {"conv_id": joined.index.to_numpy(np.int64),
+             "text": joined.to_numpy()}
+        )
+
+    def shingle(t: pa.Table) -> pa.Table:
+        ids, sh = [], []
+        for cid, text in zip(t["conv_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            s = _shingles(text)
+            ids.extend([cid] * len(s))
+            sh.extend(s.tolist())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "shingle": pa.array(sh, pa.int64())}
+        )
+
+    st = (
+        ds.groupby("_gb")
+        .map_groups(assemble, batch_format="pandas")
+        .map_batches(shingle, batch_format="pyarrow")
+        .materialize()  # feeds sizes AND pairs, as the doc-level op does
+    )
+    counts = _pair_counts(st, "shingle")
+    res = _jaccard_from_counts(counts, st, CONV_JACCARD_TAU, "conv_ngram")
+    res = res.rename(columns={"doc_a": "conv_a", "doc_b": "conv_b"})
+    return res.sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
+
+
+q_conv_near_dedup_documents.__doc__ = q_conv_near_dedup_documents.__doc__.format(
+    tau=CONV_JACCARD_TAU, nb="N_BUCKETS"
+)
+
+QUERIES["conv_near_dedup_documents"] = q_conv_near_dedup_documents
+ORACLE["conv_near_dedup_documents"] = f"""
+    WITH {T_CTE},
+    cv AS (
+      SELECT conv_id,
+             string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx) AS tx
+      FROM transcripts GROUP BY conv_id
+    ),
+    sh AS (
+      SELECT conv_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)]) AS shingles
+      FROM (SELECT conv_id,
+                   regexp_extract_all(lower(tx), '[0-9a-z]+') AS toks
+            FROM cv)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.conv_id < b.conv_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)))
+          >= {CONV_JACCARD_TAU}
+"""

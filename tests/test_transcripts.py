@@ -130,3 +130,46 @@ def test_conv_packing_budget_and_atomicity(ray_session):
         assert w[0] == 0
         assert ((w[1:] - w[:-1]) >= 0).all()
         assert ((w[1:] - w[:-1]) <= 1).all()
+
+
+@pytest.fixture(scope="module")
+def neardup_dir(tmp_path_factory):
+    """3 conversations: conv 0 and conv 1 carry the SAME 40-token stream
+    split across DIFFERENT turn boundaries (near-dup, boundary-spanning
+    shingles must match them); conv 2 is unrelated."""
+    d = tmp_path_factory.mktemp("neardupcorpus")
+    words = [f"w{i}" for i in range(40)]
+    stream = " ".join(words)
+    # conv 0: splits after 8/16/24/32; conv 1: splits after 5/20/25/35
+    def split(cuts):
+        cuts = [0] + cuts + [40]
+        return [" ".join(words[a:b]) for a, b in zip(cuts, cuts[1:])]
+
+    texts = split([8, 16, 24, 32]) + split([5, 20, 25, 35]) + [
+        "zebra yak xray walrus vulture",
+        "unicorn tiger snake rhino",
+        "quail porcupine otter",
+        "narwhal moose llama",
+        "koala jaguar ibis",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(15, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_conv_near_dedup_spans_turn_boundaries(ray_session, neardup_dir):
+    """Identical content under different turn segmentation must match with
+    Jaccard 1.0 (shingles are computed on the JOINED conversation text);
+    the unrelated conversation must not appear in any pair."""
+    from rindex.ops.transcripts import q_conv_near_dedup_documents
+
+    df = q_conv_near_dedup_documents(neardup_dir)
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert (row["conv_a"], row["conv_b"]) == (0, 1)
+    assert row["jaccard"] == 1.0
