@@ -3243,3 +3243,152 @@ ORACLE["eval_finddelay_events"] = f"""
     SELECT k::BIGINT AS delay, score::BIGINT AS peak
     FROM xc ORDER BY score DESC, k ASC LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 batch 13 — ML-wrapper evaluators (`solr/solrj/src/java/org/apache/
+# solr/client/solrj/io/eval/{KnnEvaluator,KmeansEvaluator,
+# GetCentroidsEvaluator,GetClusterEvaluator}.java`).  These run on the
+# small collected side inside let() in the reference too — the
+# corpus-scale counterparts live in rindex/ops/ann.py (IVF quantizer,
+# distributed assignment); these kernels are the matrix-algebra surface.
+# kmeans uses DETERMINISTIC farthest-first init (first row, then
+# iteratively the row farthest from its nearest chosen center; ties ->
+# lowest index) instead of the reference's random seeding — documented
+# divergence, required by the repo's bit-determinism contract.
+# ---------------------------------------------------------------------------
+
+
+def _knn_idx(M, q, k):
+    M = np.asarray(M, np.float64)
+    q = np.asarray(q, np.float64)
+    d2 = ((M - q[None, :]) ** 2).sum(axis=1)
+    k = int(k)
+    # stable argsort -> ties break toward the lower row index
+    return np.argsort(d2, kind="stable")[:k].astype(np.int64)
+
+
+def _kmeans_fit(M, k, iters=20):
+    M = np.asarray(M, np.float64)
+    k = int(k)
+    # farthest-first traversal init (Gonzalez 1985), fully deterministic
+    centers = [0]
+    d = ((M - M[0][None, :]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d))  # first max -> lowest index on ties
+        centers.append(nxt)
+        d = np.minimum(d, ((M - M[nxt][None, :]) ** 2).sum(axis=1))
+    C = M[np.array(centers)]
+    for _ in range(int(iters)):
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = np.argmin(d2, axis=1)  # ties -> lowest cluster id
+        newC = np.stack([
+            M[lab == j].mean(axis=0) if np.any(lab == j) else C[j]
+            for j in range(k)
+        ])
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return ("kmeans", C, lab.astype(np.int64))
+
+
+EVALUATORS.update({
+    "knn": _knn_idx,
+    "kmeans": _kmeans_fit,
+    "getCentroids": lambda m: m[1],
+    "getCluster": lambda m, j: np.flatnonzero(m[2] == int(j)).astype(
+        np.int64
+    ),
+})
+
+
+KNN_K = 5
+
+
+def q_eval_knn_days_events(sf_dir: str):
+    """knn() over the day x event-type count matrix: which {k} earlier
+    days look most like the LAST day (euclidean over the 5-type count
+    vector)?  The matrix reduces DISTRIBUTED to 30 x 5 integers (one
+    small groupby — the evaluator runs on the collected side exactly as
+    the reference's let() does); squared distances are integer-exact so
+    the ranking is exact, sqrt rounded 6dp."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+                "et": t["event_type"],
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy", "et"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    w = (
+        s.pivot_table(index=["y", "doy"], columns="et", values="n",
+                      aggfunc="first")
+        .fillna(0.0)
+        .sort_index()
+    )
+    w = w[sorted(w.columns)]
+    M = w.to_numpy(np.float64)
+    q = M[-1]
+    idx = EVALUATORS["knn"](M[:-1], q, KNN_K)
+    keys = w.index.to_numpy()[idx]
+    d = np.sqrt(((M[:-1][idx] - q[None, :]) ** 2).sum(axis=1))
+    return pd.DataFrame(
+        {
+            "y": np.array([k[0] for k in keys], np.int64),
+            "doy": np.array([k[1] for k in keys], np.int64),
+            "dist": np.round(d, 6),
+        }
+    )
+
+
+q_eval_knn_days_events.__doc__ = q_eval_knn_days_events.__doc__.format(
+    k=KNN_K
+)
+
+QUERIES["eval_knn_days_events"] = q_eval_knn_days_events
+ORACLE["eval_knn_days_events"] = f"""
+    WITH d AS (
+      SELECT year(ts) AS y, dayofyear(ts) AS doy, event_type AS et,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    v AS (
+      SELECT y, doy,
+             coalesce(sum(n) FILTER (et = 'click'), 0) AS c1,
+             coalesce(sum(n) FILTER (et = 'error'), 0) AS c2,
+             coalesce(sum(n) FILTER (et = 'purchase'), 0) AS c3,
+             coalesce(sum(n) FILTER (et = 'signup'), 0) AS c4,
+             coalesce(sum(n) FILTER (et = 'view'), 0) AS c5
+      FROM d GROUP BY y, doy
+    ),
+    lastday AS (
+      SELECT * FROM v ORDER BY y DESC, doy DESC LIMIT 1
+    )
+    SELECT v.y, v.doy,
+           round(sqrt((v.c1 - l.c1) * (v.c1 - l.c1)
+                      + (v.c2 - l.c2) * (v.c2 - l.c2)
+                      + (v.c3 - l.c3) * (v.c3 - l.c3)
+                      + (v.c4 - l.c4) * (v.c4 - l.c4)
+                      + (v.c5 - l.c5) * (v.c5 - l.c5)), 6) AS dist
+    FROM v, lastday l
+    WHERE NOT (v.y = l.y AND v.doy = l.doy)
+    ORDER BY (v.c1 - l.c1) * (v.c1 - l.c1)
+             + (v.c2 - l.c2) * (v.c2 - l.c2)
+             + (v.c3 - l.c3) * (v.c3 - l.c3)
+             + (v.c4 - l.c4) * (v.c4 - l.c4)
+             + (v.c5 - l.c5) * (v.c5 - l.c5) ASC,
+             v.y ASC, v.doy ASC
+    LIMIT {KNN_K}
+"""

@@ -500,3 +500,32 @@ def test_finddelay_kernel():
     base = np.sin(rng * 0.7) * 10.0
     sh = np.concatenate([np.zeros(5), base[:-5]])
     assert fd(base, sh) == 5
+
+
+def test_ml_wrapper_batch13_kernels():
+    import numpy as np
+
+    from rindex.ops.evaluators import EVALUATORS
+
+    M = np.array([[0.0, 0.0], [1.0, 0.0], [10.0, 10.0],
+                  [11.0, 10.0], [0.5, 0.2]])
+    # nearest three to (0.4, 0.1): rows 4, 0, 1 in that order
+    assert list(EVALUATORS["knn"](M, [0.4, 0.1], 3)) == [4, 0, 1]
+    # tie-break: equidistant rows resolve to the LOWER index
+    T = np.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 5.0]])
+    assert list(EVALUATORS["knn"](T, [0.0, 0.0], 2)) == [0, 1]
+
+    km = EVALUATORS["kmeans"](M, 2)
+    lab = km[2]
+    # two well-separated blobs: {0,1,4} vs {2,3}
+    assert lab[0] == lab[1] == lab[4]
+    assert lab[2] == lab[3] != lab[0]
+    C = EVALUATORS["getCentroids"](km)
+    blob = sorted(map(tuple, np.round(C, 6).tolist()))
+    assert blob[0] == (0.5, 0.066667)          # mean of rows 0,1,4
+    assert blob[1] == (10.5, 10.0)             # mean of rows 2,3
+    cl = EVALUATORS["getCluster"](km, int(lab[0]))
+    assert list(cl) == [0, 1, 4]
+    # determinism: same input -> identical labels and centroids
+    km2 = EVALUATORS["kmeans"](M, 2)
+    assert np.array_equal(km[1], km2[1]) and np.array_equal(km[2], km2[2])
