@@ -3392,3 +3392,223 @@ ORACLE["eval_knn_days_events"] = f"""
              v.y ASC, v.doy ASC
     LIMIT {KNN_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 14 — multivariate OLS + harmonic fit (r4 continuation)
+# ---------------------------------------------------------------------------
+
+
+def _cramer3(m, v):
+    """Solve the 3x3 system m @ beta = v by Cramer's rule with the SAME
+    expansion order the oracle SQL spells out (term-for-term mirror — the
+    exactness discipline every eval_* op follows)."""
+    (a, b, c), (d, e, f), (g, h, i) = m
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    def rep(col):
+        mm = [list(r) for r in m]
+        for r, val in zip(mm, v):
+            r[col] = val
+        (a, b, c), (d, e, f), (g, h, i) = mm
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    return rep(0) / det, rep(1) / det, rep(2) / det
+
+
+def q_eval_ols_multi_lineitem(sf_dir: str):
+    """olsRegress()/predict() — multivariate OLS
+    (`solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    {OLSRegressionEvaluator,PredictEvaluator}.java`):
+    l_extendedprice ~ l_quantity + l_discount with intercept, solved from
+    DISTRIBUTED moment partials (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y,
+    Σx2y, Σy²) via a 3x3 Cramer solve — the table never leaves the
+    workers; the oracle unrolls the identical normal equations in SQL.
+    Also reports R² from the same sums (rSquared evaluator)."""
+    li = read_table(
+        sf_dir, "lineitem", ["l_quantity", "l_discount", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x1 = t["l_quantity"].to_numpy().astype(np.float64)
+        x2 = t["l_discount"].to_numpy().astype(np.float64)
+        y = t["l_extendedprice"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "n": [float(len(y))],
+                "s1": [x1.sum()], "s2": [x2.sum()], "sy": [y.sum()],
+                "s11": [(x1 * x1).sum()], "s12": [(x1 * x2).sum()],
+                "s22": [(x2 * x2).sum()],
+                "s1y": [(x1 * y).sum()], "s2y": [(x2 * y).sum()],
+                "syy": [(y * y).sum()],
+            }
+        )
+
+    p = li.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n, s1, s2, sy = p["n"], p["s1"], p["s2"], p["sy"]
+    s11, s12, s22, s1y, s2y, syy = (
+        p["s11"], p["s12"], p["s22"], p["s1y"], p["s2y"], p["syy"]
+    )
+    b0, b1, b2 = _cramer3(
+        [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]], [sy, s1y, s2y]
+    )
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    return pd.DataFrame(
+        {
+            "n": [int(n)],
+            "b0": [round(float(b0), 4)],
+            "b_qty": [round(float(b1), 4)],
+            "b_disc": [round(float(b2), 4)],
+            "r2": [round(float(1.0 - sse / sst), 6)],
+            "predict_30_005": [
+                round(float(b0 + b1 * 30.0 + b2 * 0.05), 4)
+            ],
+        }
+    )
+
+
+QUERIES["eval_ols_multi_lineitem"] = q_eval_ols_multi_lineitem
+ORACLE["eval_ols_multi_lineitem"] = """
+    WITH s AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(l_quantity::DOUBLE) AS s1,
+             sum(l_discount::DOUBLE) AS s2,
+             sum(l_extendedprice::DOUBLE) AS sy,
+             sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS s11,
+             sum(l_quantity::DOUBLE * l_discount::DOUBLE) AS s12,
+             sum(l_discount::DOUBLE * l_discount::DOUBLE) AS s22,
+             sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS s1y,
+             sum(l_discount::DOUBLE * l_extendedprice::DOUBLE) AS s2y,
+             sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy
+      FROM lineitem
+    ),
+    d AS (
+      SELECT *,
+        n  * (s11 * s22 - s12 * s12)
+      - s1 * (s1  * s22 - s12 * s2)
+      + s2 * (s1  * s12 - s11 * s2)  AS det,
+        sy  * (s11 * s22 - s12 * s12)
+      - s1  * (s1y * s22 - s12 * s2y)
+      + s2  * (s1y * s12 - s11 * s2y) AS det0,
+        n  * (s1y * s22 - s12 * s2y)
+      - sy * (s1  * s22 - s12 * s2)
+      + s2 * (s1  * s2y - s1y * s2)   AS det1,
+        n  * (s11 * s2y - s1y * s12)
+      - s1 * (s1  * s2y - s1y * s2)
+      + sy * (s1  * s12 - s11 * s2)   AS det2
+      FROM s
+    )
+    SELECT n::BIGINT AS n,
+           round(det0 / det, 4) AS b0,
+           round(det1 / det, 4) AS b_qty,
+           round(det2 / det, 4) AS b_disc,
+           round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                        - (det2 / det) * s2y)
+                       / (syy - sy * sy / n), 6) AS r2,
+           round(det0 / det + (det1 / det) * 30.0
+                 + (det2 / det) * 0.05, 4) AS predict_30_005
+    FROM d
+"""
+
+
+HARMFIT_PERIOD = 7.0  # weekly harmonic over the daily series
+
+
+def q_eval_harmfit_events(sf_dir: str):
+    """harmfit() (`solr/solrj/.../io/eval/HarmonicFitEvaluator.java`):
+    least-squares fit of y = b0 + b1*sin(wt) + b2*cos(wt) with fixed
+    weekly w = 2*pi/7 over the daily event-count series.  The fit is
+    LINEAR in (sin, cos) so the same 3x3 Cramer solve as olsRegress
+    applies; the series reduces distributed (groupby day -> integer
+    counts) and both sides evaluate sin/cos at the same integer day
+    indexes.  Reports amplitude sqrt(b1^2+b2^2) and phase atan2(b2,b1)."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["y", "doy"])
+        .reset_index(drop=True)
+    )
+    t = np.arange(1, len(s) + 1, dtype=np.float64)
+    yv = s["n"].to_numpy(np.float64)
+    w = 2.0 * np.pi / HARMFIT_PERIOD
+    x1 = np.sin(w * t)
+    x2 = np.cos(w * t)
+    n = float(len(t))
+    s1, s2, sy = x1.sum(), x2.sum(), yv.sum()
+    s11, s12, s22 = (x1 * x1).sum(), (x1 * x2).sum(), (x2 * x2).sum()
+    s1y, s2y = (x1 * yv).sum(), (x2 * yv).sum()
+    b0, b1, b2 = _cramer3(
+        [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]], [sy, s1y, s2y]
+    )
+    return pd.DataFrame(
+        {
+            "n_days": [int(n)],
+            "b0": [round(float(b0), 6)],
+            "b_sin": [round(float(b1), 6)],
+            "b_cos": [round(float(b2), 6)],
+            "amplitude": [round(float(np.sqrt(b1 * b1 + b2 * b2)), 6)],
+            "phase": [round(float(np.arctan2(b2, b1)), 6)],
+        }
+    )
+
+
+QUERIES["eval_harmfit_events"] = q_eval_harmfit_events
+ORACLE["eval_harmfit_events"] = f"""
+    WITH d AS (
+      SELECT year(ts) AS yy, dayofyear(ts) AS doy, count(*)::DOUBLE AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT n, row_number() OVER (ORDER BY yy, doy)::DOUBLE AS t FROM d
+    ),
+    tr AS (
+      SELECT n AS yv,
+             sin(2 * pi() / {HARMFIT_PERIOD} * t) AS x1,
+             cos(2 * pi() / {HARMFIT_PERIOD} * t) AS x2
+      FROM ser
+    ),
+    s AS (
+      SELECT count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
+             sum(yv) AS sy, sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22, sum(x1 * yv) AS s1y, sum(x2 * yv) AS s2y
+      FROM tr
+    ),
+    dd AS (
+      SELECT *,
+        n  * (s11 * s22 - s12 * s12)
+      - s1 * (s1  * s22 - s12 * s2)
+      + s2 * (s1  * s12 - s11 * s2)  AS det,
+        sy  * (s11 * s22 - s12 * s12)
+      - s1  * (s1y * s22 - s12 * s2y)
+      + s2  * (s1y * s12 - s11 * s2y) AS det0,
+        n  * (s1y * s22 - s12 * s2y)
+      - sy * (s1  * s22 - s12 * s2)
+      + s2 * (s1  * s2y - s1y * s2)   AS det1,
+        n  * (s11 * s2y - s1y * s12)
+      - s1 * (s1  * s2y - s1y * s2)
+      + sy * (s1  * s12 - s11 * s2)   AS det2
+      FROM s
+    )
+    SELECT n::BIGINT AS n_days,
+           round(det0 / det, 6) AS b0,
+           round(det1 / det, 6) AS b_sin,
+           round(det2 / det, 6) AS b_cos,
+           round(sqrt((det1 / det) * (det1 / det)
+                      + (det2 / det) * (det2 / det)), 6) AS amplitude,
+           round(atan2(det2 / det, det1 / det), 6) AS phase
+    FROM dd
+"""

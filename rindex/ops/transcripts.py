@@ -2982,3 +2982,389 @@ ORACLE["conv_near_dedup_documents"] = f"""
              - len(list_intersect(a.shingles, b.shingles)))
           >= {CONV_JACCARD_TAU}
 """
+
+
+# --- refusal / marker-lexicon audit ----------------------------------------
+
+# PII regexes shared with textstats.q_pii_redact_documents (same derived
+# contact-line corpus augmentation; kept literal here so the oracle SQL
+# f-strings below stay self-contained).
+_CONV_EMAIL_RE = r"[0-9a-z._%+-]+@[0-9a-z.-]+\.[a-z]{2,}"
+_CONV_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+# Marker lexicon for the assistant-turn audit.  On a real corpus this is
+# the refusal/deflection phrase list ("I cannot", "as an AI", ...); the
+# driver's synthetic vocabulary has no such phrases, so the default
+# markers are corpus words the flag actually splits on — the OPERATOR
+# (substring-lexicon incidence rollup per source) is what is under test.
+REFUSAL_MARKERS = ("slow", "dup")
+_REFUSAL_RE = "(" + "|".join(REFUSAL_MARKERS) + ")"
+
+
+def q_conv_refusal_audit_documents(sf_dir: str):
+    """Refusal-style lexicon audit: fraction of ASSISTANT turns per source
+    whose text contains a marker phrase — the rollup every RLHF/SFT
+    curation pass runs to spot over-refusing sources (the reference analog
+    is a terms-filter facet: facet counts over a query filter,
+    `solr/core/src/java/org/apache/solr/request/SimpleFacets.java`).
+    Vectorized: one re2 match per batch, per-batch (source, n, n_flag)
+    partials, one tiny groupby (rows = n_sources)."""
+    import pyarrow.compute as pc
+
+    ds = _conv_view(sf_dir, columns=("doc_id", "text", "source"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["role"], "assistant")
+        sub = t.filter(m)
+        flag = pc.match_substring_regex(
+            pc.utf8_lower(pc.coalesce(sub["text"], pa.scalar(""))),
+            _REFUSAL_RE,
+        )
+        df = pd.DataFrame(
+            {
+                "source": sub["source"].to_pandas(),
+                "n_assistant": 1,
+                "n_flagged": flag.to_pandas().astype(np.int64),
+            }
+        )
+        out = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .sum(["n_assistant", "n_flagged"])
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(n_assistant)": "n_assistant",
+                "sum(n_flagged)": "n_flagged",
+            }
+        )
+    )
+    agg["flag_rate"] = agg["n_flagged"].to_numpy(np.float64) / agg[
+        "n_assistant"
+    ].to_numpy(np.float64)
+    return agg.sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
+QUERIES["conv_refusal_audit_documents"] = q_conv_refusal_audit_documents
+ORACLE["conv_refusal_audit_documents"] = f"""
+    WITH {T_CTE},
+    t2 AS (SELECT t.*, d.source FROM transcripts t
+           JOIN documents d USING (doc_id))
+    SELECT source,
+           count(*)::BIGINT AS n_assistant,
+           sum(CASE WHEN regexp_matches(lower(coalesce(text, '')),
+                                        '{_REFUSAL_RE}')
+                    THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+           sum(CASE WHEN regexp_matches(lower(coalesce(text, '')),
+                                        '{_REFUSAL_RE}')
+                    THEN 1 ELSE 0 END)::DOUBLE / count(*) AS flag_rate
+    FROM t2 WHERE role = 'assistant'
+    GROUP BY source ORDER BY source
+"""
+
+
+# --- cross-conversation turn-level exact dedup -----------------------------
+
+
+def q_conv_turn_dedup_documents(sf_dir: str):
+    """Turn-granularity exact dedup ACROSS conversations: a turn survives
+    iff its doc_id is the global minimum for md5(lower(text)) — the
+    SignatureUpdateProcessor dedup key applied per turn instead of per
+    conversation (conv_dedup_documents).  Output: per KEEPER conversation,
+    how many of the corpus' distinct turn texts it contributed (n_kept)
+    and how many of its own {TURNS} turns were shadowed elsewhere
+    (n_dropped).  Shape: one signature shuffle (groupby sig -> min), then
+    one tiny conv rollup — no text leaves the first stage, signatures
+    only."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def sigs(t: pa.Table) -> pa.Table:
+        s = [
+            hashlib.md5((x or "").lower().encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"sig": pa.array(s, pa.string()), "doc_id": t["doc_id"]})
+
+    keepers = (
+        ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sig")
+        .min("doc_id")
+    )
+
+    def conv_rollup(t: pa.Table) -> pa.Table:
+        m = t["min(doc_id)"].to_numpy()
+        conv = m // TURNS_PER_CONV
+        u, c = np.unique(conv, return_counts=True)
+        return pa.table(
+            {"conv_id": pa.array(u, pa.int64()), "n_kept": pa.array(c, pa.int64())}
+        )
+
+    agg = (
+        keepers.map_batches(conv_rollup, batch_format="pyarrow")
+        .groupby("conv_id")
+        .sum("n_kept")
+        .to_pandas()
+        .rename(columns={"sum(n_kept)": "n_kept"})
+    )
+    agg["n_dropped"] = TURNS_PER_CONV - agg["n_kept"]
+    return agg
+
+
+QUERIES["conv_turn_dedup_documents"] = q_conv_turn_dedup_documents
+ORACLE["conv_turn_dedup_documents"] = f"""
+    WITH {T_CTE},
+    k AS (
+      SELECT min(doc_id) AS m FROM transcripts
+      GROUP BY md5(lower(coalesce(text, '')))
+    )
+    SELECT m // {TURNS_PER_CONV} AS conv_id,
+           count(*)::BIGINT AS n_kept,
+           {TURNS_PER_CONV} - count(*)::BIGINT AS n_dropped
+    FROM k GROUP BY m // {TURNS_PER_CONV}
+"""
+
+
+# --- opening-prompt template clustering ------------------------------------
+
+PREFIX_LEN = 32
+PREFIX_TOP = 50
+
+
+def q_conv_prefix_cluster_documents(sf_dir: str):
+    """Opening-prompt template clustering: conversations bucketed by the
+    first {PL} chars of their turn-0 user prompt (lowercased) — the
+    prompt-template reuse report a training-data curator uses to spot
+    boilerplate-seeded conversations.  Top-{TOP} clusters by size.
+    Shape: the turn-0 filter drops 4/5 of the corpus inside the scan, the
+    prefix groupby carries (prefix, count, min) partials only, and top-k
+    happens on the (already tiny) cluster table."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(ids % TURNS_PER_CONV == 0))
+        pfx = pc.utf8_slice_codeunits(
+            pc.utf8_lower(pc.coalesce(sub["text"], pa.scalar(""))),
+            0,
+            PREFIX_LEN,
+        )
+        conv = sub["doc_id"].to_numpy() // TURNS_PER_CONV
+        return pa.table(
+            {"prefix": pfx, "conv_id": pa.array(conv, pa.int64())}
+        )
+
+    clusters = (
+        ds.map_batches(prefixes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("prefix")
+        .aggregate(Count(), Min("conv_id"))
+        .to_pandas()
+        .rename(
+            columns={"count()": "n_convs", "min(conv_id)": "rep_conv"}
+        )
+    )
+    clusters = clusters.sort_values(
+        ["n_convs", "prefix"], ascending=[False, True], kind="mergesort"
+    ).head(PREFIX_TOP)
+    return clusters[["prefix", "n_convs", "rep_conv"]].reset_index(drop=True)
+
+
+QUERIES["conv_prefix_cluster_documents"] = q_conv_prefix_cluster_documents
+ORACLE["conv_prefix_cluster_documents"] = f"""
+    WITH {T_CTE}
+    SELECT substr(lower(coalesce(text, '')), 1, {PREFIX_LEN}) AS prefix,
+           count(*)::BIGINT AS n_convs,
+           min(conv_id) AS rep_conv
+    FROM transcripts WHERE turn_idx = 0
+    GROUP BY 1 ORDER BY n_convs DESC, prefix ASC LIMIT {PREFIX_TOP}
+"""
+
+
+# --- per-conversation PII incidence ----------------------------------------
+
+PII_TURN_MOD = 13  # turns with doc_id % 13 == 0 carry the derived contact line
+
+
+def _strip_sum_names(t: pa.Table) -> pa.Table:
+    """Rename Ray's sum(col) aggregate outputs back to col (by NAME, not
+    position)."""
+    return t.rename_columns(
+        [n[4:-1] if n.startswith("sum(") and n.endswith(")") else n
+         for n in t.schema.names]
+    )
+
+
+def q_conv_pii_incidence_documents(sf_dir: str):
+    """Per-conversation PII incidence: which conversations contain turns
+    with an email/phone hit and how many — the quarantine-granularity
+    report that decides whether to scrub a turn or drop the whole
+    conversation.  The driver corpus has no PII, so (like
+    pii_redact_documents) a contact line is derived deterministically —
+    but only on turns with doc_id % {MOD} == 0, so incidence VARIES per
+    conversation.  Vectorized re2 count per batch; additive (conv_id,
+    n_pii_turns, n_email) partials; one int-keyed groupby."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(ids % PII_TURN_MOD == 0))
+        ids_np = sub["doc_id"].to_numpy()
+        if not len(ids_np):  # np.char kernels reject empty int arrays
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.int64()),
+                    "n_pii_turns": pa.array([], pa.int64()),
+                    "n_email": pa.array([], pa.int64()),
+                    "n_phone": pa.array([], pa.int64()),
+                }
+            )
+        m100 = pa.array(np.char.mod("%d", ids_np % 100))
+        m4 = pa.array(np.char.zfill(np.char.mod("%d", ids_np % 10000), 4))
+        aug = pc.binary_join_element_wise(
+            pc.coalesce(sub["text"], pa.scalar("")), m100, " contact user"
+        )
+        aug = pc.binary_join_element_wise(
+            aug, m4, "@example.com or call +1-555-"
+        )
+        n_email = pc.count_substring_regex(aug, _CONV_EMAIL_RE).to_numpy()
+        n_phone = pc.count_substring_regex(aug, _CONV_PHONE_RE).to_numpy()
+        conv = ids_np // TURNS_PER_CONV
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.int64()),
+                "n_pii_turns": pa.array(
+                    ((n_email + n_phone) > 0).astype(np.int64)
+                ),
+                "n_email": pa.array(n_email.astype(np.int64)),
+                "n_phone": pa.array(n_phone.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .sum(["n_pii_turns", "n_email", "n_phone"])
+        .map_batches(_strip_sum_names, batch_format="pyarrow")
+    )
+
+
+QUERIES["conv_pii_incidence_documents"] = q_conv_pii_incidence_documents
+ORACLE["conv_pii_incidence_documents"] = f"""
+    WITH {T_CTE},
+    aug AS (
+      SELECT conv_id,
+             coalesce(text, '') || ' contact user' || (doc_id % 100)::VARCHAR
+               || '@example.com or call +1-555-'
+               || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+      FROM transcripts WHERE doc_id % {PII_TURN_MOD} = 0
+    ),
+    per_turn AS (
+      SELECT conv_id,
+             len(regexp_extract_all(t, '{_CONV_EMAIL_RE}'))::BIGINT AS ne,
+             len(regexp_extract_all(t, '{_CONV_PHONE_RE}'))::BIGINT AS np
+      FROM aug
+    )
+    SELECT conv_id,
+           sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_pii_turns,
+           sum(ne)::BIGINT AS n_email,
+           sum(np)::BIGINT AS n_phone
+    FROM per_turn GROUP BY conv_id
+"""
+
+
+# --- tool-error recovery ----------------------------------------------------
+
+TOOL_ERR_MOD = 11  # tool turns with doc_id % 11 == 0 are derived failures
+
+
+def q_conv_tool_recovery_documents(sf_dir: str):
+    """Agent tool-error recovery audit: a tool turn FAILS iff
+    doc_id % {MOD} == 0 (deterministic derivation, both sides); a failure
+    is RECOVERED iff a LATER tool turn in the same conversation succeeded.
+    Output per conversation with >= 1 failure: tool-turn/failure/recovery
+    counts — the trajectory-quality gate an agent-data pipeline applies
+    before keeping a transcript for training.  Shape: the tool filter
+    drops ~5/7 of turns in-scan; one conv-bucket shuffle; per-group
+    vectorized suffix-max (no Python pair loops)."""
+    ds = _conv_view(sf_dir).map_batches(
+        _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def rec(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["tool"].ne("")].sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        )
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.array([], dtype=np.int64),
+                    "n_tool": pd.array([], dtype=np.int64),
+                    "n_err": pd.array([], dtype=np.int64),
+                    "n_recovered": pd.array([], dtype=np.int64),
+                }
+            )
+        conv = g["conv_id"].to_numpy(np.int64)
+        err = (g["doc_id"].to_numpy() % TOOL_ERR_MOD == 0)
+        ok = ~err
+        # suffix "any later ok in same conv": reversed cumulative OR of ok,
+        # reset at conv boundaries (convs are contiguous after the sort)
+        n = len(conv)
+        later_ok = np.zeros(n, bool)
+        run_any = False
+        # vectorized per-conv suffix scan via group boundaries
+        bounds = np.flatnonzero(np.diff(conv) != 0) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        for s, e in zip(starts, ends):  # per-CONVERSATION, not per-turn
+            seg = ok[s:e]
+            later_ok[s:e] = np.concatenate(
+                (np.cumsum(seg[::-1])[::-1][1:] > 0, [False])
+            )
+        df = pd.DataFrame(
+            {
+                "conv_id": conv,
+                "n_tool": 1,
+                "n_err": err.astype(np.int64),
+                "n_recovered": (err & later_ok).astype(np.int64),
+            }
+        )
+        out = df.groupby("conv_id", as_index=False).sum()
+        return out[out["n_err"] > 0]
+
+    return ds.groupby("_gb").map_groups(
+        lambda g: rec(g.drop(columns=["_gb"])), batch_format="pandas"
+    )
+
+
+QUERIES["conv_tool_recovery_documents"] = q_conv_tool_recovery_documents
+ORACLE["conv_tool_recovery_documents"] = f"""
+    WITH {T_CTE},
+    tt AS (
+      SELECT conv_id, turn_idx,
+             (doc_id % {TOOL_ERR_MOD} = 0) AS is_err
+      FROM transcripts WHERE tool <> ''
+    ),
+    flags AS (
+      SELECT a.conv_id, a.turn_idx, a.is_err,
+             EXISTS (SELECT 1 FROM tt b
+                     WHERE b.conv_id = a.conv_id
+                       AND b.turn_idx > a.turn_idx
+                       AND NOT b.is_err) AS later_ok
+      FROM tt a
+    )
+    SELECT conv_id,
+           count(*)::BIGINT AS n_tool,
+           sum(CASE WHEN is_err THEN 1 ELSE 0 END)::BIGINT AS n_err,
+           sum(CASE WHEN is_err AND later_ok THEN 1 ELSE 0 END)::BIGINT
+             AS n_recovered
+    FROM flags GROUP BY conv_id
+    HAVING sum(CASE WHEN is_err THEN 1 ELSE 0 END) > 0
+"""

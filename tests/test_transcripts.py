@@ -173,3 +173,59 @@ def test_conv_near_dedup_spans_turn_boundaries(ray_session, neardup_dir):
     row = df.iloc[0]
     assert (row["conv_a"], row["conv_b"]) == (0, 1)
     assert row["jaccard"] == 1.0
+
+
+def test_tool_recovery_suffix_scan_matches_bruteforce(ray_session, tmp_path):
+    """The per-conversation vectorized suffix scan in
+    conv_tool_recovery_documents must equal the quadratic definition: an
+    error tool turn is recovered iff ANY later tool turn in the same
+    conversation succeeded."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    # 40 conversations x 5 turns; texts irrelevant to the op
+    n = 200
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["w"] * n, pa.string()),
+        }
+    )
+    d = tmp_path / "sfrec"
+    d.mkdir()
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+
+    from rindex.ops.transcripts import (
+        TOOL_ERR_MOD,
+        TURNS_PER_CONV,
+        q_conv_tool_recovery_documents,
+    )
+
+    got = (
+        q_conv_tool_recovery_documents(str(d))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force
+    rows = {}
+    for did in range(n):
+        m7 = did % 7
+        if m7 not in (0, 3):
+            continue
+        conv, ti = did // TURNS_PER_CONV, did % TURNS_PER_CONV
+        rows.setdefault(conv, []).append((ti, did % TOOL_ERR_MOD == 0))
+    expect = []
+    for conv, turns in sorted(rows.items()):
+        n_err = sum(e for _, e in turns)
+        if not n_err:
+            continue
+        n_rec = sum(
+            1
+            for ti, e in turns
+            if e and any(t2 > ti and not e2 for t2, e2 in turns)
+        )
+        expect.append((conv, len(turns), n_err, n_rec))
+    assert list(map(tuple, got.to_records(index=False))) == expect
