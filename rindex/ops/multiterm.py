@@ -808,3 +808,121 @@ def _flt_oracle() -> str:
 
 
 ORACLE["fuzzy_like_this_documents"] = _flt_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser — the never-throwing end-user syntax
+# ---------------------------------------------------------------------------
+
+SIMPLE_QUERY = 's* + (hash | merge) + -window + "table scan"'
+SIMPLE_K = 10
+
+
+def q_simple_query_parser_documents(sf_dir: str):
+    """SimpleQueryParser end-to-end (`lucene/queryparser/src/java/org/
+    apache/lucene/queryparser/simple/SimpleQueryParser.java`): one query
+    exercising the whole surface — a prefix clause `s*` (dictionary-
+    expanded, CONSTANT_SCORE_REWRITE: flat 1.0), an OR group of scored
+    terms, a NOT clause, and an exact phrase scored with PhraseWeight
+    stats (tf = phrase freq, df = phrase-match count), all ANDed.  The
+    prefix expansion is the same distributed dictionary scan every
+    multi-term query here uses; match + scoring run in
+    IndexSearcher.search_boolean's dense per-segment kernel."""
+    import pyarrow.compute as pc
+
+    from rindex.ops.fulltext import documents_index_pos
+    from rindex.search import IndexSearcher, parse_simple_query
+
+    def expand(kind, payload):
+        assert kind == "prefix", kind
+
+        def match(terms: np.ndarray):
+            m = pc.starts_with(
+                pa.array(terms.tolist(), pa.string()), pattern=payload
+            ).to_numpy(zero_copy_only=False)
+            return m, None
+
+        exp = _expand_terms(sf_dir, match, "simple_prefix")
+        return sorted(exp["term"]) if len(exp) else []
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    tree = parse_simple_query(SIMPLE_QUERY, expand=expand)
+    hits = s.search_boolean(tree, k=SIMPLE_K + 16)
+    out = pd.DataFrame(hits, columns=["_r", "doc_id", "score"])
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(SIMPLE_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(len(out), dtype=np.int32)
+    return out[["rank", "doc_id", "score"]]
+
+
+def _simple_query_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    return f"""
+    WITH {_bm25_ctes()},
+    flags AS (
+      SELECT doc_id,
+             bool_or(term LIKE 's%') AS f_pre,
+             bool_or(term = 'hash') AS f_hash,
+             bool_or(term = 'merge') AS f_merge,
+             bool_or(term = 'window') AS f_window
+      FROM tf GROUP BY doc_id
+    ),
+    pf AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(l)),
+                             i -> l[i] = 'table'
+                              AND l[i + 1] = 'scan'))::BIGINT AS phrase_freq
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+            FROM documents)
+    ),
+    pmatch AS (SELECT * FROM pf WHERE phrase_freq > 0),
+    pstats AS (SELECT count(*)::DOUBLE AS df_p FROM pmatch),
+    sel AS (
+      SELECT f.doc_id FROM flags f JOIN pmatch USING (doc_id)
+      WHERE f_pre AND (f_hash OR f_merge) AND NOT f_window
+    ),
+    term_scores AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM tf JOIN df USING (term) JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE term IN ('hash', 'merge')
+      GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT sel.doc_id,
+             coalesce(ts.s, 0)
+             + 1.0
+             + ln(1.0 + (st.n_docs - p.df_p + 0.5) / (p.df_p + 0.5))
+               * pm.phrase_freq
+               / (pm.phrase_freq
+                  + {K1} * (1.0 - {B} + {B} * lo.ldl / st.avgdl)) AS s
+      FROM sel
+      LEFT JOIN term_scores ts USING (doc_id)
+      JOIN pmatch pm USING (doc_id)
+      JOIN lossy lo USING (doc_id)
+      CROSS JOIN stats st CROSS JOIN pstats p
+    ),
+    ranked AS (
+      SELECT doc_id, round(s, 6) AS s,
+             (row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM scored
+    )
+    SELECT rank, doc_id, s AS score FROM ranked WHERE rank < {SIMPLE_K}
+    """
+
+
+QUERIES["simple_query_parser_documents"] = q_simple_query_parser_documents
+ORACLE["simple_query_parser_documents"] = _simple_query_oracle()

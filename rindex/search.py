@@ -316,6 +316,149 @@ def parse_boolean_query(qs: str, analyzer_name: str = "standard"):
     return tree
 
 
+def parse_simple_query(
+    qs: str,
+    analyzer_name: str = "standard",
+    expand=None,
+    default_op: str = "and",
+):
+    """SimpleQueryParser (`lucene/queryparser/src/java/org/apache/lucene/
+    queryparser/simple/SimpleQueryParser.java`): the NEVER-THROWING
+    end-user syntax.  Grammar (left-associative, no precedence — the
+    reference folds clauses onto the accumulated query strictly left to
+    right):
+
+        a b            -> default operator (AND here, configurable)
+        a | b          -> OR           a + b   -> AND
+        -a             -> NOT          ( ... ) -> group
+        "a b"          -> exact phrase (PhraseWeight scoring downstream)
+        pre*           -> prefix query, CONSTANT_SCORE_REWRITE: expanded
+                          via the `expand('prefix', body)` dictionary
+                          callback into a ('const', terms) leaf that
+                          matches any expansion and contributes a flat
+                          1.0 to the score (PrefixQuery's default rewrite)
+        term~N         -> fuzzy, same constant-score expansion via
+                          `expand('fuzzy', (body, N))`
+
+    Returns a tree for IndexSearcher.search_boolean — nodes ('and'|'or',
+    [children]), ('not', child), leaves ('term', t) / ('const', terms) /
+    ('phrase', terms) — or None for a query with no positive clause
+    (Lucene's pure-negative / empty case: matches nothing).  On a SYNTAX
+    error the parser DEGRADES instead of raising (the class contract):
+    operator punctuation is stripped and the surviving words are joined
+    with the default operator."""
+    analyzer = get_analyzer(analyzer_name)
+
+    def leaf_for(word: str):
+        if word.endswith("*") and len(word) > 1 and expand is not None:
+            return ("const", tuple(expand("prefix", word[:-1].lower())))
+        fm = re.fullmatch(r"(.+)~(\d+)", word)
+        if fm and expand is not None:
+            return ("const", tuple(expand("fuzzy", (fm.group(1).lower(),
+                                                    int(fm.group(2))))))
+        terms = analyzer.tokens(word)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return (default_op, [("term", t) for t in terms])
+
+    def parse_strict():
+        toks = re.findall(r'"[^"]*"|\(|\)|\||\+|[^\s()|+]+', qs)
+        pos = 0
+
+        def peek():
+            return toks[pos] if pos < len(toks) else None
+
+        def take():
+            nonlocal pos
+            t = toks[pos]
+            pos += 1
+            return t
+
+        def unary():
+            t = peek()
+            if t is None:
+                raise ValueError("unexpected end")
+            if t.startswith("-") and t != "-":
+                take()
+                toks.insert(pos, t[1:])
+                return ("not", unary())
+            if t == "(":
+                take()
+                node = expr()
+                if peek() != ")":
+                    raise ValueError("missing ')'")
+                take()
+                return node
+            if t in (")", "|", "+", "-"):
+                raise ValueError(f"unexpected {t!r}")
+            take()
+            if t.startswith('"'):
+                pterms = analyzer.tokens(t.strip('"'))
+                if not pterms:
+                    return None
+                if len(pterms) == 1:
+                    return ("term", pterms[0])
+                return ("phrase", tuple(pterms))
+            return leaf_for(t)
+
+        def expr():
+            node = unary()
+            while True:
+                t = peek()
+                if t is None or t == ")":
+                    break
+                if t in ("|", "+"):
+                    take()
+                    kind = "or" if t == "|" else "and"
+                else:
+                    kind = default_op
+                rhs = unary()
+                if rhs is None:
+                    continue
+                if node is None:
+                    node = rhs
+                    continue
+                if node[0] == kind and isinstance(node[1], list):
+                    node[1].append(rhs)
+                else:
+                    node = (kind, [node, rhs])
+            return node
+
+        tree = expr()
+        if pos != len(toks):
+            raise ValueError("trailing tokens")
+        return tree
+
+    try:
+        tree = parse_strict()
+    except Exception:
+        # degradation path: strip operator punctuation, keep the words
+        toks = analyzer.tokens(re.sub(r'[()|+"~*-]', " ", qs))
+        if not toks:
+            return None
+        tree = (
+            ("term", toks[0])
+            if len(toks) == 1
+            else (default_op, [("term", t) for t in toks])
+        )
+
+    def has_positive(node):
+        if node is None:
+            return False
+        k = node[0]
+        if k in ("term", "phrase"):
+            return True
+        if k == "const":
+            return bool(node[1])
+        if k == "not":
+            return False
+        return any(has_positive(ch) for ch in node[1])
+
+    return tree if has_positive(tree) else None
+
+
 class _SegTableRegistry:
     """Node-local shared cache of loaded postings tables (detached actor).
 
@@ -1468,11 +1611,21 @@ class IndexSearcher:
         term-order summation.  Trees are validated by parse_boolean_query
         (NOT only as an AND operand, never all operands)."""
         leaves: dict[str, int] = {}
+        const_scoring: list[tuple] = []   # ('const', terms) leaves that score
+        phrase_nodes: dict[tuple, bool] = {}  # terms -> any scoring occurrence
 
         def collect(node, under_not):
             if node[0] == "term":
                 if not under_not:
                     leaves[node[1]] = leaves.get(node[1], 0) + 1
+            elif node[0] == "const":
+                if not under_not:
+                    const_scoring.append(tuple(node[1]))
+            elif node[0] == "phrase":
+                key = tuple(node[1])
+                phrase_nodes[key] = phrase_nodes.get(key, False) or (
+                    not under_not
+                )
             elif node[0] == "not":
                 collect(node[1], True)
             else:
@@ -1484,6 +1637,10 @@ class IndexSearcher:
         def all_terms(node):
             if node[0] == "term":
                 return [node[1]]
+            if node[0] == "const":
+                return list(node[1])
+            if node[0] == "phrase":
+                return []  # phrase leaves read positional postings below
             if node[0] == "not":
                 return all_terms(node[1])
             out = []
@@ -1494,8 +1651,32 @@ class IndexSearcher:
         order = list(leaves)
         df = self.global_df(order)
         idf_map = self.term_weights([t for t in order if df[t] > 0], df)
+        # phrase leaves: per-segment matches + PhraseWeight stats up front
+        # (df = global phrase-match count — the PhraseWeight contract)
+        phrase_plan: dict[tuple, tuple] = {}
+        for pterms, scoring in phrase_nodes.items():
+            seg: dict[int, tuple] = {}
+            df_p, ttf_p = 0, 0.0
+            for si, reader in enumerate(self.readers):
+                docs, freqs, norms = self._segment_phrase(
+                    reader, list(pterms)
+                )
+                df_p += len(docs)
+                if len(docs):
+                    seg[si] = (
+                        np.asarray(docs, dtype=np.int64),
+                        np.asarray(freqs, dtype=np.float64),
+                        np.asarray(norms, dtype=np.uint8),
+                    )
+                    ttf_p += float(seg[si][1].sum())
+            w = (
+                self._pseudo_term_weight(df_p, ttf_p)
+                if (scoring and df_p)
+                else 0.0
+            )
+            phrase_plan[pterms] = (w, seg)
         cands = []
-        for reader in self.readers:
+        for si, reader in enumerate(self.readers):
             posts = reader.postings_for(sorted(set(all_terms(tree))))
             acc = np.zeros(reader.max_doc, dtype=np.float64)
             masks: dict[str, np.ndarray] = {}
@@ -1521,10 +1702,35 @@ class IndexSearcher:
                     tf_arr.astype(np.float64),
                     self.cache[nrm],
                 )
+            # scoring phrase leaves: sim.score(w_p, phrase_freq, norm)
+            for _pterms, (w_p, seg) in phrase_plan.items():
+                s_ = seg.get(si)
+                if s_ is not None and w_p:
+                    pd_, pf_, pn_ = s_
+                    acc[pd_] += self.sim.score(w_p, pf_, self.cache[pn_])
+
+            def const_mask(terms):
+                m = np.zeros(reader.max_doc, dtype=bool)
+                for t in terms:
+                    m |= term_mask(t)
+                return m
+
+            # constant-score leaves (prefix/fuzzy CONSTANT_SCORE_REWRITE):
+            # a flat 1.0 where the expansion matches
+            for cterms in const_scoring:
+                acc[const_mask(cterms)] += 1.0
 
             def ev(node):
                 if node[0] == "term":
                     return term_mask(node[1])
+                if node[0] == "const":
+                    return const_mask(node[1])
+                if node[0] == "phrase":
+                    m = np.zeros(reader.max_doc, dtype=bool)
+                    s_ = phrase_plan[tuple(node[1])][1].get(si)
+                    if s_ is not None:
+                        m[s_[0]] = True
+                    return m
                 if node[0] == "not":
                     return ~ev(node[1])
                 parts = [ev(ch) for ch in node[1]]
