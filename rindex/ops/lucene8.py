@@ -871,3 +871,147 @@ ORACLE["covering_query_lang_documents"] = f"""
     FROM cov WHERE n_matched >= min_required
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SpanPayloadCheckQuery — payload-gated span matching
+# ---------------------------------------------------------------------------
+
+PC_A, PC_B = "hash", "join"
+PC_MIN_PAYLOAD = 0.05  # 1/(1+p) >= 0.05  <=>  'hash' position p <= 19
+
+
+def q_payload_check_documents(sf_dir: str):
+    """SpanPayloadCheckQuery (`lucene/queries/src/java/org/apache/lucene/
+    queries/payloads/SpanPayloadCheckQuery.java`): an ordered span
+    'hash join' matches ONLY where the payload at the span's first
+    position passes the check — here the index-time position-decay
+    payload 1/(1+p) (the payload_score convention) must be
+    >= {PC_MIN_PAYLOAD}, i.e. the span must start early in the doc.
+    Per-segment vectorized kernel: both terms' positional postings only,
+    (doc, pos) pairs packed into int64 keys, one np.isin for the
+    adjacency test, payload gate applied on the first-term positions;
+    counts per doc via np.unique."""
+    from rindex.ops.fulltext import documents_index_pos
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s = IndexSearcher(idx)
+    rows: list[tuple] = []
+    for reader in s.readers:
+        got = reader.positions_for([PC_A, PC_B])
+        if got[PC_A] is None or got[PC_B] is None:
+            continue
+        docs_h, tfs_h, pos_h = (
+            np.asarray(a) for a in got[PC_A][:3]
+        )
+        docs_j, tfs_j, pos_j = (
+            np.asarray(a) for a in got[PC_B][:3]
+        )
+        rep_h = np.repeat(docs_h.astype(np.int64), tfs_h)
+        rep_j = np.repeat(docs_j.astype(np.int64), tfs_j)
+        key_h = rep_h * (1 << 32) + pos_h.astype(np.int64)
+        key_j = rep_j * (1 << 32) + pos_j.astype(np.int64)
+        adjacent = np.isin(key_h + 1, key_j)
+        payload = 1.0 / (1.0 + pos_h.astype(np.float64))
+        sel = adjacent & (payload >= PC_MIN_PAYLOAD)
+        if not sel.any():
+            continue
+        d_sel = rep_h[sel]
+        live = reader.drop_deleted(np.unique(d_sel))
+        d_sel = d_sel[np.isin(d_sel, live)]
+        if not len(d_sel):
+            continue
+        u, c = np.unique(d_sel, return_counts=True)
+        ids = reader.fetch_ids(u, s.id_cols)
+        rows.extend(
+            (*ids[int(d)], int(n)) for d, n in zip(u, c)
+        )
+    rows.sort(key=lambda r: r[:-1])
+    return pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "n_spans": pd.array([r[1] for r in rows], dtype="int64"),
+        }
+    )
+
+
+QUERIES["payload_check_documents"] = q_payload_check_documents
+# 1-based subscript i corresponds to 0-based position p = i-1, so the
+# payload at the span start is 1/(1+p) = 1/i
+ORACLE["payload_check_documents"] = f"""
+    SELECT doc_id,
+           len(list_filter(range(1, len(l)),
+               i -> l[i] = '{PC_A}' AND l[i + 1] = '{PC_B}'
+                AND 1.0 / i >= {PC_MIN_PAYLOAD}))::BIGINT AS n_spans
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS l
+          FROM documents)
+    WHERE len(list_filter(range(1, len(l)),
+              i -> l[i] = '{PC_A}' AND l[i + 1] = '{PC_B}'
+               AND 1.0 / i >= {PC_MIN_PAYLOAD})) > 0
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CurrencyFieldType — rate-table conversion + range query in target currency
+# ---------------------------------------------------------------------------
+
+# 7-currency rate table (the exchange-rate file CurrencyFieldType loads);
+# currency of an order derives deterministically from its key.
+CUR_RATES = (1.0, 0.9, 1.1, 0.8, 1.25, 0.95, 1.05)
+CUR_LO, CUR_HI = 150_000.0, 160_000.0
+CUR_TOP = 50
+
+
+def q_currency_range_orders(sf_dir: str):
+    """CurrencyFieldType range query (`solr/core/src/java/org/apache/solr/
+    schema/CurrencyFieldType.java` + CurrencyValue): each order's price
+    converts through a per-currency rate table (currency id =
+    o_orderkey % 7 — the deterministic-derivation convention), then a
+    range filter [lo, hi) applies IN THE TARGET CURRENCY and the top-k
+    by converted value returns.  The rate table is a handful of floats
+    (broadcast by closure capture — tiny constant, not data); the scan
+    is one pruned-column vectorized pass, filter-then-top-k so only
+    in-range rows reach the sort."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    rates = np.asarray(CUR_RATES, dtype=np.float64)
+
+    def conv(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        v = t["o_totalprice"].to_numpy().astype(np.float64)
+        cur = (k % len(CUR_RATES)).astype(np.int64)
+        c = v * rates[cur]
+        m = (c >= CUR_LO) & (c < CUR_HI)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[m]),
+                "cur_id": pa.array(cur[m]),
+                "converted": pa.array(np.round(c[m], 4)),
+            }
+        )
+
+    out = (
+        ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["converted", "o_orderkey"], descending=[True, False])
+        .limit(CUR_TOP)
+        .to_pandas()
+    )
+    return out
+
+
+QUERIES["currency_range_orders"] = q_currency_range_orders
+ORACLE["currency_range_orders"] = f"""
+    WITH conv AS (
+      SELECT o_orderkey,
+             o_orderkey % {len(CUR_RATES)} AS cur_id,
+             o_totalprice::DOUBLE
+               * ([{", ".join(str(r) for r in CUR_RATES)}])
+                 [(o_orderkey % {len(CUR_RATES)}) + 1] AS c
+      FROM orders
+    )
+    SELECT o_orderkey, cur_id, round(c, 4) AS converted
+    FROM conv WHERE c >= {CUR_LO} AND c < {CUR_HI}
+    ORDER BY converted DESC, o_orderkey ASC LIMIT {CUR_TOP}
+"""

@@ -926,3 +926,65 @@ def _simple_query_oracle() -> str:
 
 QUERIES["simple_query_parser_documents"] = q_simple_query_parser_documents
 ORACLE["simple_query_parser_documents"] = _simple_query_oracle()
+
+
+# ---------------------------------------------------------------------------
+# GraphTermsQParser — terms filter that drops high-docFreq terms
+# ---------------------------------------------------------------------------
+
+GT_TERMS = ("dup", "window", "query")
+GT_MAX_DF_PCT = 0.5  # drop terms with df > 50% of the corpus
+GT_LIMIT = 200
+
+
+def q_graph_terms_filter_documents(sf_dir: str):
+    """GraphTermsQParser ({!graphTerms f=text maxDocFreqPct=50}dup,window,
+    query — `solr/core/src/java/org/apache/solr/search/
+    GraphTermsQParserPlugin.java`): a terms filter that silently DROPS
+    terms whose docFreq exceeds the cap (the graph-traversal frontier
+    guard against hot-node blowup), then matches any surviving term,
+    constant score.  df screening is a driver-side per-term stat lookup
+    (tiny); the surviving-term match set stays distributed (one posting
+    task per segment, distinct doc ids via groupby)."""
+    from ray.data.aggregate import Count
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    df = s.global_df(list(GT_TERMS))
+    cap = GT_MAX_DF_PCT * s.n_docs
+    keep = sorted(t for t in GT_TERMS if 0 < df[t] <= cap)
+    if not keep:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    ds = s.score_matches_dataset(" ".join(keep), mode="or")
+    out = (
+        ds.groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .sort("doc_id")
+        .limit(GT_LIMIT)
+        .to_pandas()
+    )
+    out["score"] = 1.0
+    return out[["doc_id", "score"]]
+
+
+def _graph_terms_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+
+    terms_sql = ", ".join(f"'{t}'" for t in GT_TERMS)
+    return f"""
+    WITH {_bm25_ctes()},
+    kept AS (
+      SELECT term FROM df CROSS JOIN stats
+      WHERE term IN ({terms_sql}) AND df <= {GT_MAX_DF_PCT} * n_docs
+    )
+    SELECT DISTINCT tf.doc_id, 1.0 AS score
+    FROM tf JOIN kept USING (term)
+    ORDER BY tf.doc_id LIMIT {GT_LIMIT}
+    """
+
+
+QUERIES["graph_terms_filter_documents"] = q_graph_terms_filter_documents
+ORACLE["graph_terms_filter_documents"] = _graph_terms_oracle()
