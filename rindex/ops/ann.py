@@ -2108,3 +2108,149 @@ ORACLE["conv_embedding_pool_embeddings"] = f"""
     GROUP BY d.conv_id, nv.n_vecs
     ORDER BY d.conv_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Conversation hard-negative mining over pooled embeddings
+# ---------------------------------------------------------------------------
+
+HN_ANCHOR_MOD = 10      # anchors: conv_id % 10 == 0 ...
+HN_ANCHOR_CAP = 1000    # ... and conv_id < 1000 (bounded broadcast side)
+HN_NEAR_CAP = 0.95      # cos >= cap is a near-dup, not a negative
+HN_K = 3
+
+
+def q_conv_hard_negatives_embeddings(sf_dir: str):
+    """Hard-negative mining for retrieval training: for each ANCHOR
+    conversation, the top-{HN_K} most-similar other conversations by
+    pooled-embedding cosine that are NOT near-duplicates (cos <
+    {HN_NEAR_CAP}) — the contrastive-batch construction step (DPR,
+    Karpukhin et al. 2020).  EXACT contract: dims quantize to
+    floor(x*1000) ints, conversation pooling is the INTEGER dim-sum
+    (cosine is scale-invariant so sum == mean), and every dot/norm
+    partial sum stays integer-valued (< 2^53) — cosine is then
+    bit-identical on both sides (exact int / correctly-rounded sqrt).
+
+    Scale shape: one quantize pass, one conv groupby (64 int sums),
+    anchors are a CAPPED broadcast side (conv_id % {HN_ANCHOR_MOD} == 0,
+    < {HN_ANCHOR_CAP}); candidate scoring is one matmul per batch with
+    per-batch per-anchor top-k partials — rows leaving a batch are
+    <= anchors x {HN_K}, never the corpus."""
+    from ray.data.aggregate import Sum
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.floor(
+            np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            * 1000.0
+        ).astype(np.int64)
+        cols = {"conv_id": vid // CONV_POOL_TURNS}
+        for i in range(m.shape[1]):
+            cols[f"c{i}"] = m[:, i]
+        return pa.table(cols)
+
+    pooled = (
+        emb.map_batches(quant, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(*[Sum(f"c{i}", alias_name=f"s{i}") for i in range(_CENT_DIM)])
+    )
+    scols = [f"s{i}" for i in range(_CENT_DIM)]
+
+    # anchor side: BOUNDED pushed-down read (vec_id < cap*turns), pooled
+    # on the driver — the big pooled pipeline above then runs exactly once
+    anch_rows = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {HN_ANCHOR_CAP * CONV_POOL_TURNS}")
+        .map_batches(quant, batch_format="pyarrow")
+        .to_pandas()
+    )
+    anch_rows = anch_rows[
+        anch_rows["conv_id"] % HN_ANCHOR_MOD == 0
+    ]
+    cq = [f"c{i}" for i in range(_CENT_DIM)]
+    anchors = (
+        anch_rows.groupby("conv_id", as_index=False)[cq]
+        .sum()
+        .sort_values("conv_id")
+    )
+    a_ids = anchors["conv_id"].to_numpy(np.int64)
+    A = anchors[cq].to_numpy(np.float64)
+    a_norm = np.sqrt(np.einsum("ij,ij->i", A, A))
+    import ray as _ray
+
+    a_ref = _ray.put((a_ids, A, a_norm))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_, A_, an_ = _ray.get(a_ref)
+        conv = t["conv_id"].to_numpy()
+        M = np.stack([t[c].to_numpy() for c in scols], axis=1).astype(
+            np.float64
+        )
+        mn = np.sqrt(np.einsum("ij,ij->i", M, M))
+        cos = (M @ A_.T) / (mn[:, None] * an_[None, :])
+        out_a, out_n, out_c = [], [], []
+        for j in range(len(ids_)):
+            cj = cos[:, j]
+            ok = (conv != ids_[j]) & (cj < HN_NEAR_CAP)
+            idx = np.flatnonzero(ok)
+            if not len(idx):
+                continue
+            top = idx[np.lexsort((conv[idx], -cj[idx]))[:HN_K]]
+            out_a.extend([ids_[j]] * len(top))
+            out_n.extend(conv[top].tolist())
+            out_c.extend(cj[top].tolist())
+        return pa.table(
+            {
+                "anchor_conv": pa.array(out_a, pa.int64()),
+                "neg_conv": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    part = pooled.map_batches(score, batch_format="pyarrow").to_pandas()
+    part = part.sort_values(
+        ["anchor_conv", "cosine", "neg_conv"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    part["rank"] = part.groupby("anchor_conv").cumcount().astype(np.int32)
+    part = part[part["rank"] < HN_K].reset_index(drop=True)
+    part["cosine"] = part["cosine"].round(6)
+    return part[["anchor_conv", "rank", "neg_conv", "cosine"]]
+
+
+QUERIES["conv_hard_negatives_embeddings"] = q_conv_hard_negatives_embeddings
+ORACLE["conv_hard_negatives_embeddings"] = f"""
+    WITH u AS (
+      SELECT vec_id // {CONV_POOL_TURNS} AS conv_id,
+             generate_subscripts(embedding, 1) AS i,
+             floor(unnest(embedding)::DOUBLE * 1000.0)::BIGINT AS m
+      FROM embeddings
+    ),
+    dim AS (
+      SELECT conv_id, i, sum(m)::DOUBLE AS s FROM u GROUP BY conv_id, i
+    ),
+    vecs AS (
+      SELECT conv_id, list(s ORDER BY i) AS v FROM dim GROUP BY conv_id
+    ),
+    anch AS (
+      SELECT conv_id AS a, v AS av FROM vecs
+      WHERE conv_id % {HN_ANCHOR_MOD} = 0 AND conv_id < {HN_ANCHOR_CAP}
+    ),
+    scored AS (
+      SELECT anch.a, vecs.conv_id AS neg,
+             list_cosine_similarity(av, v) AS c
+      FROM anch JOIN vecs ON vecs.conv_id <> anch.a
+    ),
+    ranked AS (
+      SELECT a, neg, c,
+             (row_number() OVER (PARTITION BY a
+                                 ORDER BY c DESC, neg ASC) - 1) AS rank
+      FROM scored WHERE c < {HN_NEAR_CAP}
+    )
+    SELECT a AS anchor_conv, rank::INTEGER AS rank, neg AS neg_conv,
+           round(c, 6) AS cosine
+    FROM ranked WHERE rank < {HN_K}
+"""

@@ -3612,3 +3612,151 @@ ORACLE["eval_harmfit_events"] = f"""
            round(atan2(det2 / det, det1 / det), 6) AS phase
     FROM dd
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 15 — corrMatrix + frequencyTable
+# ---------------------------------------------------------------------------
+
+
+def q_eval_corr_matrix_events(sf_dir: str):
+    """corr() with a MATRIX argument (`solr/solrj/.../io/eval/
+    CorrelationEvaluator.java` matrix mode): the pairwise Pearson matrix
+    of the per-event-type daily count series.  The day x type table
+    reduces DISTRIBUTED (one groupby, integer counts; missing days fill
+    0); the pairwise pass runs on the driver over the tiny pivot with
+    the SAME integer moment sums the SQL mirror unrolls (n*sxy-sx*sy
+    over sqrt terms) — all sums are exact int64, so values match
+    bit-for-bit before the 6dp round.  Long-form upper triangle out."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = _dtidx(t["ts"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "y": pa.array(idx.year.to_numpy().astype(np.int64)),
+                "doy": pa.array(idx.dayofyear.to_numpy().astype(np.int64)),
+                "event_type": t["event_type"],
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["y", "doy", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    piv = (
+        s.pivot_table(
+            index=["y", "doy"], columns="event_type", values="n",
+            fill_value=0, aggfunc="sum",
+        )
+        .sort_index()
+    )
+    types = sorted(piv.columns)
+    n = float(len(piv))
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            x = piv[ta].to_numpy(np.float64)
+            yv = piv[tb].to_numpy(np.float64)
+            sx, sy = x.sum(), yv.sum()
+            sxy = float((x * yv).sum())
+            sxx, syy = float((x * x).sum()), float((yv * yv).sum())
+            c = (n * sxy - sx * sy) / np.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+            rows.append((ta, tb, round(float(c), 6)))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "corr"])
+
+
+QUERIES["eval_corr_matrix_events"] = q_eval_corr_matrix_events
+ORACLE["eval_corr_matrix_events"] = """
+    WITH d AS (
+      SELECT year(ts) AS yy, dayofyear(ts) AS doy, event_type,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    spine AS (SELECT DISTINCT yy, doy FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    grid AS (
+      SELECT s.yy, s.doy, t.event_type, coalesce(d.n, 0)::DOUBLE AS n
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN d ON d.yy = s.yy AND d.doy = s.doy
+                 AND d.event_type = t.event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*)::DOUBLE AS n,
+             sum(a.n) AS sx, sum(b.n) AS sy, sum(a.n * b.n) AS sxy,
+             sum(a.n * a.n) AS sxx, sum(b.n * b.n) AS syy
+      FROM grid a
+      JOIN grid b ON a.yy = b.yy AND a.doy = b.doy
+                 AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS corr
+    FROM pairs ORDER BY type_a, type_b
+"""
+
+
+def q_eval_freq_table_lineitem(sf_dir: str):
+    """freqTable() (`solr/solrj/.../io/eval/FrequencyTableEvaluator.java`):
+    the value/count/pct/cumFreq/cumPct table over l_quantity — integer
+    counts reduce distributed (per-batch value_counts partials, one tiny
+    groupby over the 50 distinct values), percentages and cumulative
+    columns derive on the driver with the SAME division order as the SQL
+    window mirror."""
+    li = read_table(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t["l_quantity"].combine_chunks())
+        return pa.table(
+            {
+                "value": pc.cast(vc.field("values"), pa.int64()),
+                "n": vc.field("counts"),
+            }
+        )
+
+    s = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    total = float(s["n"].sum())
+    cum = s["n"].cumsum()
+    return pd.DataFrame(
+        {
+            "value": s["value"].astype("int64"),
+            "n": s["n"].astype("int64"),
+            "pct": (s["n"].to_numpy(np.float64) / total).round(6),
+            "cum_freq": cum.astype("int64"),
+            "cum_pct": (cum.to_numpy(np.float64) / total).round(6),
+        }
+    )
+
+
+QUERIES["eval_freq_table_lineitem"] = q_eval_freq_table_lineitem
+ORACLE["eval_freq_table_lineitem"] = """
+    WITH f AS (
+      SELECT l_quantity::BIGINT AS value, count(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT sum(n)::DOUBLE AS total FROM f)
+    SELECT value, n,
+           round(n / total, 6) AS pct,
+           sum(n) OVER (ORDER BY value)::BIGINT AS cum_freq,
+           round(sum(n) OVER (ORDER BY value) / total, 6) AS cum_pct
+    FROM f CROSS JOIN t ORDER BY value
+"""
