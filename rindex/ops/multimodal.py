@@ -775,3 +775,92 @@ ORACLE["multimodal_box_downsample"] = f"""
            sum(wgt * pb)::BIGINT AS ck_b
     FROM px GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (aHash) image near-dup buckets
+# ---------------------------------------------------------------------------
+
+AHASH_SIDE = 4  # 4x4 grid -> 16-bit hash: collision buckets ARE the signal
+
+
+class PpmAHasher(PpmDecoder):
+    """Actor-pool aHash stage: decode (inherited), nearest-neighbor
+    sample a {AHASH_SIDE}x{AHASH_SIDE} grid, binarize each cell's gray
+    sum against the grid total (EXACT integer compare: gray*16 > total),
+    pack the bits into an int64 average-hash — the classic pHash-family
+    image dedup signature, computed per batch inside the pool."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:  # type: ignore[override]
+        n = AHASH_SIDE
+        ids, hashes = [], []
+        for did, p, m in zip(
+            batch["doc_id"], batch["payload"], batch["mime"]
+        ):
+            img = self.decode_one(p, m)
+            if img is None:
+                continue
+            h, w, _ = img.shape
+            rr = (np.arange(n) * h) // n
+            cc = (np.arange(n) * w) // n
+            gray = img[np.ix_(rr, cc)].astype(np.int64).sum(axis=2)
+            total = int(gray.sum())
+            bits = (gray.ravel() * (n * n) > total).astype(np.int64)
+            hashes.append(int((bits << np.arange(n * n)).sum()))
+            ids.append(did)
+        return pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+
+def q_multimodal_ahash_dedup(sf_dir: str):
+    """Image near-dup via average-hash buckets: decode -> 4x4 aHash in an
+    actor pool, then ONE hash groupby; buckets holding >= 2 images are
+    the candidate duplicate groups (the image analog of the MD5/minhash
+    text dedup family — at 100 TB the same coarse-bucket reduce shape).
+    Output: (ahash, n_docs, rep_doc) per bucket."""
+    from ray.data.aggregate import Count, Min
+
+    hashes = make_payloads(sf_dir).map_batches(
+        PpmAHasher,
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    out = (
+        hashes.groupby("ahash")
+        .aggregate(Count(alias_name="n_docs"), Min("doc_id"))
+        .to_pandas()
+        .rename(columns={"min(doc_id)": "rep_doc"})
+    )
+    out = out[out["n_docs"] >= 2].sort_values("ahash").reset_index(drop=True)
+    return out[["ahash", "n_docs", "rep_doc"]]
+
+
+QUERIES["multimodal_ahash_dedup"] = q_multimodal_ahash_dedup
+ORACLE["multimodal_ahash_dedup"] = f"""
+    WITH {_PAR},
+    grid4 AS (
+      SELECT p.*, r.i AS r, c.j AS c,
+             (r.i * p.h) // {AHASH_SIDE} AS rr,
+             (c.j * p.w) // {AHASH_SIDE} AS cc
+      FROM par p, range({AHASH_SIDE}) r(i), range({AHASH_SIDE}) c(j)
+    ),
+    g AS (
+      SELECT doc_id, r, c,
+             (((1 + (d2 + 0) % 5) * rr + (1 + (d3 + 0) % 5) * cc + s0) % 256
+            + ((1 + (d2 + 1) % 5) * rr + (1 + (d3 + 1) % 5) * cc + s1) % 256
+            + ((1 + (d2 + 2) % 5) * rr + (1 + (d3 + 2) % 5) * cc + s2) % 256
+             )::BIGINT AS gray
+      FROM grid4
+    ),
+    tot AS (SELECT doc_id, sum(gray)::BIGINT AS tot FROM g GROUP BY doc_id),
+    hs AS (
+      SELECT g.doc_id,
+             sum(CASE WHEN g.gray * {AHASH_SIDE * AHASH_SIDE} > t.tot
+                      THEN 1::BIGINT << (g.r * {AHASH_SIDE} + g.c)
+                      ELSE 0 END)::BIGINT AS ahash
+      FROM g JOIN tot t USING (doc_id) GROUP BY g.doc_id
+    )
+    SELECT ahash, count(*)::BIGINT AS n_docs, min(doc_id) AS rep_doc
+    FROM hs GROUP BY ahash HAVING count(*) >= 2 ORDER BY ahash
+"""
