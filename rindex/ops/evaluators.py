@@ -3760,3 +3760,157 @@ ORACLE["eval_freq_table_lineitem"] = """
            round(sum(n) OVER (ORDER BY value) / total, 6) AS cum_pct
     FROM f CROSS JOIN t ORDER BY value
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 16 — dbscan() ML-wrapper evaluator
+# ---------------------------------------------------------------------------
+
+DBS_N = 500           # bounded evaluator sample (vec_id < DBS_N), all scales
+DBS_EPS2 = 1_420_000  # squared-L2 threshold on the floor(x*1000) int grid
+DBS_MINPTS = 8        # core iff >= this many OTHER points within eps
+
+
+def q_eval_dbscan_embeddings(sf_dir: str):
+    """dbscan() (`solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    DbscanEvaluator.java`, backed by commons-math DBSCANClusterer): density
+    clustering over a BOUNDED evaluator sample (vec_id < {DBS_N} — the
+    reference evaluator likewise runs on an in-memory let() matrix, never
+    the corpus).  EXACT contract: dims quantize to floor(x*1000) ints, so
+    every pairwise squared distance is an exact integer and the
+    core/border/noise partition is bit-deterministic on both sides.
+    Cluster id = min core vec_id of the component (the SQL mirror's
+    recursive min-label propagation); border points join the MIN cluster
+    among their core neighbors.  Output: per cluster core/border counts,
+    plus a -1 noise row."""
+    emb = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {DBS_N}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = emb["vec_id"].to_numpy(np.int64)
+    E = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1000.0
+    ).astype(np.int64)
+    n = len(ids)
+    sq = np.einsum("ij,ij->i", E, E)
+    d2 = sq[:, None] + sq[None, :] - 2 * (E @ E.T)
+    nb = (d2 <= DBS_EPS2) & ~np.eye(n, dtype=bool)
+    core = nb.sum(axis=1) >= DBS_MINPTS
+    # union-find over core-core eps edges
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ci = np.flatnonzero(core)
+    for a in ci:
+        for b in ci[ci > a]:
+            if nb[a, b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # cluster label = min core vec_id in the component
+    comp_min: dict[int, int] = {}
+    for a in ci:
+        r = find(a)
+        comp_min[r] = min(comp_min.get(r, 1 << 62), int(ids[a]))
+    core_label = {int(ids[a]): comp_min[find(a)] for a in ci}
+    rows: dict[int, list] = {}
+    n_noise = 0
+    for i in range(n):
+        if core[i]:
+            lab = core_label[int(ids[i])]
+            rows.setdefault(lab, [0, 0])[0] += 1
+        else:
+            neigh_cores = [
+                core_label[int(ids[j])]
+                for j in np.flatnonzero(nb[i] & core)
+            ]
+            if neigh_cores:
+                rows.setdefault(min(neigh_cores), [0, 0])[1] += 1
+            else:
+                n_noise += 1
+    out = pd.DataFrame(
+        {
+            "cluster_id": sorted(rows),
+            "n_core": [rows[c][0] for c in sorted(rows)],
+            "n_border": [rows[c][1] for c in sorted(rows)],
+        }
+    )
+    noise = pd.DataFrame(
+        {"cluster_id": [-1], "n_core": [0], "n_border": [n_noise]}
+    )
+    return (
+        pd.concat([noise, out], ignore_index=True)
+        .astype({"cluster_id": "int64", "n_core": "int64",
+                 "n_border": "int64"})
+    )
+
+
+QUERIES["eval_dbscan_embeddings"] = q_eval_dbscan_embeddings
+ORACLE["eval_dbscan_embeddings"] = f"""
+    WITH u AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             floor(unnest(embedding)::DOUBLE * 1000.0)::BIGINT AS m
+      FROM embeddings WHERE vec_id < {DBS_N}
+    ),
+    sq AS (SELECT vec_id, sum(m * m)::BIGINT AS s2 FROM u GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS x, b.vec_id AS y, sum(a.m * b.m)::BIGINT AS d
+      FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    nbr AS (
+      SELECT d.x, d.y
+      FROM dots d JOIN sq sa ON sa.vec_id = d.x
+      JOIN sq sb ON sb.vec_id = d.y
+      WHERE sa.s2 + sb.s2 - 2 * d.d <= {DBS_EPS2}
+    ),
+    cores AS (
+      SELECT x AS n FROM nbr GROUP BY x HAVING count(*) >= {DBS_MINPTS}
+    ),
+    core_edges AS (
+      SELECT nbr.x AS a, nbr.y AS b FROM nbr
+      JOIN cores ca ON ca.n = nbr.x JOIN cores cb ON cb.n = nbr.y
+    ),
+    reach AS (
+      WITH RECURSIVE r(n, l) AS (
+        SELECT n, n FROM cores
+        UNION
+        SELECT e.b, r.l FROM r JOIN core_edges e ON e.a = r.n
+      ) SELECT * FROM r
+    ),
+    core_label AS (SELECT n, min(l) AS cl FROM reach GROUP BY n),
+    border AS (
+      SELECT nbr.x AS n, min(core_label.cl) AS cl
+      FROM nbr JOIN core_label ON core_label.n = nbr.y
+      WHERE nbr.x NOT IN (SELECT n FROM cores)
+      GROUP BY nbr.x
+    ),
+    clusters AS (
+      SELECT cl AS cluster_id,
+             count(*)::BIGINT AS n_core, 0::BIGINT AS n_border
+      FROM core_label GROUP BY cl
+      UNION ALL
+      SELECT cl, 0, count(*)::BIGINT FROM border GROUP BY cl
+    ),
+    agg AS (
+      SELECT cluster_id, sum(n_core)::BIGINT AS n_core,
+             sum(n_border)::BIGINT AS n_border
+      FROM clusters GROUP BY cluster_id
+    ),
+    noise AS (
+      SELECT -1::BIGINT AS cluster_id, 0::BIGINT AS n_core,
+             (SELECT count(*) FROM sq)::BIGINT
+             - (SELECT count(*) FROM core_label)
+             - (SELECT count(*) FROM border) AS n_border
+    )
+    SELECT * FROM noise
+    UNION ALL
+    SELECT * FROM agg ORDER BY cluster_id
+"""
