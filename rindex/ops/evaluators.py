@@ -3914,3 +3914,99 @@ ORACLE["eval_dbscan_embeddings"] = f"""
     UNION ALL
     SELECT * FROM agg ORDER BY cluster_id
 """
+
+
+def q_eval_gaussfit_lineitem(sf_dir: str):
+    """gaussfit() (`solr/solrj/.../io/eval/GaussFitEvaluator.java`):
+    Caruana's algorithm — fit a parabola to (value, ln count) of the
+    l_quantity frequency table; the Gaussian parameters follow from the
+    quadratic coefficients (mu = -b1/2b2, the fitted log-peak).  Counts
+    reduce DISTRIBUTED (the freqTable partials); the 3x3 Cramer solve is
+    the same term-for-term SQL mirror as olsRegress/harmfit.  Reported:
+    coefficients, fitted peak location, and log-amplitude at the peak
+    (b0 - b1^2/(4 b2)) — sigma is left implicit because the synthetic
+    distribution is near-uniform (b2 may be nonnegative) and sqrt of a
+    sign-unstable quantity would be NaN-fragile on both sides."""
+    li = read_table(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t["l_quantity"].combine_chunks())
+        return pa.table(
+            {
+                "value": pc.cast(vc.field("values"), pa.int64()),
+                "n": vc.field("counts"),
+            }
+        )
+
+    s = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    x = s["value"].to_numpy(np.float64)
+    ly = np.log(s["n"].to_numpy(np.float64))
+    x2 = x * x
+    n = float(len(x))
+    s1, s2, sy = x.sum(), x2.sum(), ly.sum()
+    s11, s12, s22 = (x * x).sum(), (x * x2).sum(), (x2 * x2).sum()
+    s1y, s2y = (x * ly).sum(), (x2 * ly).sum()
+    b0, b1, b2 = _cramer3(
+        [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]], [sy, s1y, s2y]
+    )
+    return pd.DataFrame(
+        {
+            "n_bins": [int(n)],
+            "b0": [round(float(b0), 6)],
+            "b1": [round(float(b1), 6)],
+            "b2": [round(float(b2), 6)],
+            "peak_x": [round(float(-b1 / (2.0 * b2)), 6)],
+            "log_amp": [round(float(b0 - b1 * b1 / (4.0 * b2)), 6)],
+        }
+    )
+
+
+QUERIES["eval_gaussfit_lineitem"] = q_eval_gaussfit_lineitem
+ORACLE["eval_gaussfit_lineitem"] = """
+    WITH f AS (
+      SELECT l_quantity::DOUBLE AS x, count(*)::BIGINT AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    tr AS (SELECT x, x * x AS xx, ln(cnt::DOUBLE) AS ly FROM f),
+    s AS (
+      SELECT count(*)::DOUBLE AS n, sum(x) AS s1, sum(xx) AS s2,
+             sum(ly) AS sy, sum(x * x) AS s11, sum(x * xx) AS s12,
+             sum(xx * xx) AS s22, sum(x * ly) AS s1y, sum(xx * ly) AS s2y
+      FROM tr
+    ),
+    dd AS (
+      SELECT *,
+        n  * (s11 * s22 - s12 * s12)
+      - s1 * (s1  * s22 - s12 * s2)
+      + s2 * (s1  * s12 - s11 * s2)  AS det,
+        sy  * (s11 * s22 - s12 * s12)
+      - s1  * (s1y * s22 - s12 * s2y)
+      + s2  * (s1y * s12 - s11 * s2y) AS det0,
+        n  * (s1y * s22 - s12 * s2y)
+      - sy * (s1  * s22 - s12 * s2)
+      + s2 * (s1  * s2y - s1y * s2)   AS det1,
+        n  * (s11 * s2y - s1y * s12)
+      - s1 * (s1  * s2y - s1y * s2)
+      + sy * (s1  * s12 - s11 * s2)   AS det2
+      FROM s
+    )
+    SELECT n::BIGINT AS n_bins,
+           round(det0 / det, 6) AS b0,
+           round(det1 / det, 6) AS b1,
+           round(det2 / det, 6) AS b2,
+           round(-(det1 / det) / (2.0 * (det2 / det)), 6) AS peak_x,
+           round(det0 / det
+                 - (det1 / det) * (det1 / det)
+                   / (4.0 * (det2 / det)), 6) AS log_amp
+    FROM dd
+"""
