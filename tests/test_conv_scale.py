@@ -186,3 +186,58 @@ def test_new_r4_conv_ops_bucket_invariant(
         pd.testing.assert_frame_equal(
             b.sort_index(axis=1), a.sort_index(axis=1)
         )
+
+
+@pytest.mark.parametrize("modulus", [1, 997])
+def test_r4c_conv_ops_bucket_invariant(
+    ray_session, tmp_path, monkeypatch, modulus
+):
+    """Continuation-session ops: tool-error recovery (bucketed suffix
+    scan), refusal audit, turn-level dedup and PII incidence are
+    invariant to the conv-bucket modulus / unaffected by extreme skew."""
+    import rindex.ops.transcripts as tx
+
+    n_convs, turns, stride = 40, 5, 127
+    convs = np.arange(n_convs, dtype=np.int64) * stride
+    doc_ids = (convs[:, None] * turns + np.arange(turns)).ravel()
+    rng = np.random.default_rng(23)
+    words = np.array(["alpha", "beta", "slow", "delta", "dup", "run"])
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 12)))
+        for _ in range(len(doc_ids))
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(
+                [f"src{int(d) % 3}" for d in doc_ids], pa.string()
+            ),
+        }
+    )
+    sf_dir = str(tmp_path / "sfr4c")
+    os.makedirs(sf_dir)
+    pq.write_table(t, os.path.join(sf_dir, "documents.parquet"))
+
+    def run():
+        def norm(x):
+            df = x if isinstance(x, pd.DataFrame) else x.to_pandas()
+            return (
+                df.sort_values(list(df.columns))
+                .reset_index(drop=True)
+                .sort_index(axis=1)
+            )
+
+        return [
+            norm(tx.q_conv_tool_recovery_documents(sf_dir)),
+            norm(tx.q_conv_refusal_audit_documents(sf_dir)),
+            norm(tx.q_conv_turn_dedup_documents(sf_dir)),
+            norm(tx.q_conv_pii_incidence_documents(sf_dir)),
+        ]
+
+    base = run()
+    monkeypatch.setattr(tx, "N_BUCKETS", modulus)
+    alt = run()
+    for b, a in zip(base, alt):
+        pd.testing.assert_frame_equal(b, a)
+    assert len(base[0]) > 0 and len(base[2]) > 0
