@@ -151,3 +151,72 @@ def q_percentile_tdigest_value_per_type(sf_dir: str):
 
 QUERIES["percentile_tdigest_value_per_type"] = q_percentile_tdigest_value_per_type
 # no ORACLE: approximate sketch; bounded-error pytest coverage instead.
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — theta-sketch family
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_TWO63 = 9223372036854775808.0  # 2^63 as an exact double literal, both sides
+
+
+def q_kmv_distinct_documents(sf_dir: str):
+    """KMV distinct-count sketch (Bar-Yossef et al. 2002; the
+    DataSketches theta-sketch family the reference exposes through
+    percentile/unique agg plugins): keep the k smallest DISTINCT 63-bit
+    hashes of the text; estimate = (k-1) / U(k) with U(k) = kth-min /
+    2^63.  Hashing is the repo's md5-based _stable_hash64, which DuckDB
+    reproduces exactly (md5_number_upper >> 1), so — unlike t-digest —
+    the ENTIRE sketch state and the estimate are deterministic and
+    oracle-checkable.  Shape: per-batch distinct-hash k-min partials
+    (<= k rows leave each batch), one tiny driver combine — the
+    mergeable-sketch partial/final contract at any scale."""
+    import pyarrow as pa
+
+    from rindex.ops.dedup import _stable_hash64
+    from rindex.ops.util import read_table
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = set(t["text"].to_pylist())
+        hs = np.unique(
+            np.fromiter(
+                ((_stable_hash64((x or "").encode())) for x in texts),
+                np.int64,
+                len(texts),
+            )
+        )
+        return pa.table({"h": pa.array(np.sort(hs)[:KMV_K])})
+
+    import pandas as pd
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    u = np.unique(parts["h"].to_numpy(np.int64))
+    k = min(KMV_K, len(u))
+    kth = float(u[k - 1])
+    est = (k - 1) * _TWO63 / kth
+    return pd.DataFrame(
+        {
+            "k": [int(k)],
+            "kth_hash": [int(u[k - 1])],
+            "est_distinct": [round(est, 4)],
+        }
+    )
+
+
+QUERIES["kmv_distinct_documents"] = q_kmv_distinct_documents
+ORACLE["kmv_distinct_documents"] = f"""
+    WITH h AS (
+      SELECT DISTINCT
+             (md5_number_upper(coalesce(text, '')) >> 1)::BIGINT AS v
+      FROM documents
+    ),
+    km AS (SELECT v FROM h ORDER BY v ASC LIMIT {KMV_K}),
+    kth AS (SELECT count(*)::BIGINT AS k, max(v) AS kv FROM km)
+    SELECT k, kv AS kth_hash,
+           round((k - 1)::DOUBLE * {_TWO63!r} / kv::DOUBLE, 4)
+             AS est_distinct
+    FROM kth
+"""

@@ -60,3 +60,20 @@ def test_tdigest_aggregate_on_events(ray_session):
         for col, q in [("p50", 0.5), ("p90", 0.9)]:
             rank = np.searchsorted(g, r[col]) / len(g)
             assert abs(rank - q) < 0.03, (r.event_type, col, rank)
+
+
+def test_kmv_estimate_error_bound(ray_session):
+    """KMV with k=64 has relative std ~ 1/sqrt(k-2) ~ 12.7%; the estimate
+    on the sf0.001 corpus must land within 4 sigma of the true distinct
+    text count."""
+    import duckdb
+
+    from rindex.ops.sketches import q_kmv_distinct_documents
+
+    out = q_kmv_distinct_documents("/root/testdata/sf0.001")
+    est = float(out["est_distinct"].iloc[0])
+    truth = duckdb.sql(
+        "SELECT count(DISTINCT coalesce(text,'')) FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert abs(est - truth) / truth < 4.0 / np.sqrt(64 - 2)
