@@ -1017,3 +1017,54 @@ ORACLE["facet_pagination_documents"] = f"""
     ORDER BY n DESC, source ASC
     LIMIT {FACET_PAGE_LIMIT} OFFSET {FACET_PAGE_OFFSET}
 """
+
+
+# ---------------------------------------------------------------------------
+# facet.pivot + stats.field — stats nested inside pivot buckets
+# ---------------------------------------------------------------------------
+
+
+def q_pivot_facet_stats_orders(sf_dir: str):
+    """facet.pivot with a hung stats component
+    (`facet.pivot={{!stats=p}}priority,status` +
+    `stats.field={{!tag=p}}o_totalprice` — `solr/core/src/java/org/apache/
+    solr/handler/component/FacetComponent.java` pivot-stats wiring): per
+    (priority, status) pivot cell, count + sum/mean of the stats field.
+    One distributed groupby with additive partials; the mean derives
+    driver-side from sum/count with the same division the SQL mirror
+    writes."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    agg = (
+        ds.groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="s"))
+        .to_pandas()
+        .sort_values(["o_orderpriority", "o_orderstatus"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    s = agg["s"].to_numpy(np.float64)
+    n = agg["n"].to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "o_orderpriority": agg["o_orderpriority"],
+            "o_orderstatus": agg["o_orderstatus"],
+            "n": agg["n"].astype("int64"),
+            "sum_price": np.round(s, 2),
+            "mean_price": np.round(s / n, 4),
+        }
+    )
+
+
+QUERIES["pivot_facet_stats_orders"] = q_pivot_facet_stats_orders
+ORACLE["pivot_facet_stats_orders"] = """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*)::BIGINT AS n,
+           round(sum(o_totalprice::DOUBLE), 2) AS sum_price,
+           round(sum(o_totalprice::DOUBLE) / count(*), 4) AS mean_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, o_orderstatus
+"""

@@ -1456,3 +1456,65 @@ ORACLE["continuous_topk_events"] = f"""
     SELECT win, (rn - 1)::INTEGER AS rank, event_id, value
     FROM ranked WHERE rn <= {CTK_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# group.func — grouping by a function-query key
+# ---------------------------------------------------------------------------
+
+GF_BUCKET = 50_000.0
+GF_TOP = 2
+
+
+def q_group_func_orders(sf_dir: str):
+    """group.func ({!func}floor(div(o_totalprice,50000)) —
+    `solr/core/src/java/org/apache/solr/search/Grouping.java` Command
+    .Func): groups keyed by a FUNCTION-QUERY value instead of a stored
+    field, top-{GF_TOP} docs per group by price.  The key derives
+    vectorized inside the scan batch; grouped top-k is one bucket
+    groupby + per-group head (groups here are price bands — a handful,
+    each reduced independently)."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def key(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "gkey": pa.array(np.floor(v / GF_BUCKET).astype(np.int64)),
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(GF_TOP)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g
+
+    out = (
+        ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gkey")
+        .map_groups(topn, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["gkey", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out[["gkey", "rank", "o_orderkey", "o_totalprice"]]
+
+
+QUERIES["group_func_orders"] = q_group_func_orders
+ORACLE["group_func_orders"] = f"""
+    SELECT gkey, (rn - 1)::INTEGER AS rank, o_orderkey, o_totalprice
+    FROM (
+      SELECT floor(o_totalprice::DOUBLE / {GF_BUCKET})::BIGINT AS gkey,
+             o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY floor(o_totalprice::DOUBLE / {GF_BUCKET})
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= {GF_TOP}
+    ORDER BY gkey, rank
+"""

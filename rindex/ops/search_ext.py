@@ -2072,3 +2072,72 @@ def _word_break_oracle() -> str:
 
 
 ORACLE["word_break_spell_documents"] = _word_break_oracle()
+
+
+TERMS_REGEX = "^[a-z]*a[a-z]+$"  # terms containing 'a' (not the bare 'a')
+
+
+def q_terms_regex_documents(sf_dir: str):
+    """TermsComponent terms.regex mode (`solr/core/src/java/org/apache/
+    solr/handler/component/TermsComponent.java` REGEXP flag): enumerate
+    dictionary terms matching a regex with summed per-segment df/ttf,
+    sort=count desc.  Unlike the prefix mode (which becomes a parquet
+    range predicate), a regex cannot prune the dictionary — the scan
+    reads every segment's term/df/ttf columns (still never the postings
+    blobs), the documented cost of regex enumeration; the re2 match runs
+    vectorized per batch."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.segments import read_manifest, seg_dir
+
+    idx = documents_index(sf_dir)
+    man = read_manifest(idx)
+    paths = [
+        os.path.join(seg_dir(idx, s["seg_id"], int(s.get("gen", 0))),
+                     "postings.parquet")
+        for s in man["segments"]
+    ]
+    ds = rd.read_parquet(paths, columns=["term", "df", "ttf"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(t["term"], TERMS_REGEX)
+        return t.filter(m)
+
+    out = (
+        ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .to_pandas()
+        .sort_values(["df", "term"], ascending=[False, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out[["term", "df", "ttf"]]
+
+
+QUERIES["terms_regex_documents"] = q_terms_regex_documents
+
+
+def _terms_regex_oracle() -> str:
+    from rindex.ops.analysis_ext import TOKEN_SQL_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                               '{TOKEN_SQL_RE}')) AS term
+      FROM documents
+    ),
+    st AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+             count(*)::BIGINT AS ttf
+      FROM toks WHERE regexp_matches(term, '{TERMS_REGEX}')
+      GROUP BY term
+    )
+    SELECT term, df, ttf FROM st ORDER BY df DESC, term ASC
+    """
+
+
+ORACLE["terms_regex_documents"] = _terms_regex_oracle()
