@@ -2141,3 +2141,74 @@ def _terms_regex_oracle() -> str:
 
 
 ORACLE["terms_regex_documents"] = _terms_regex_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ContextQuery — context-filtered completion
+# ---------------------------------------------------------------------------
+
+CTX_SOURCE = "src3"
+CTX_PREFIX = "s"
+CTX_LIMIT = 10
+
+
+def q_suggest_context_documents(sf_dir: str):
+    """ContextQuery completion (`lucene/suggest/src/java/org/apache/
+    lucene/search/suggest/document/ContextQuery.java`): suggestions for a
+    prefix restricted to one CONTEXT — weights count only docs whose
+    `source` matches (the reference stores the context in the suggester
+    FST at build time; here the context-aware build is one distributed
+    tokenize scan producing (term, context) df partials, the per-context
+    analog of the dictionary build).  Lookup = prefix + context filter +
+    weight-ordered top-k over the tiny aggregated table."""
+    from rindex.ops.analysis_ext import _TOKEN_RE
+
+    ds = read_table(sf_dir, "documents", ["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms, srcs = [], []
+        for x, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+            # DISTINCT terms per doc: suggester weights are docfreqs
+            for tk in set(_TOKEN_RE.findall((x or "").lower())):
+                if tk.startswith(CTX_PREFIX):
+                    terms.append(tk)
+                    srcs.append(src)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["term", "source"])
+        .aggregate(Count(alias_name="weight"))
+        .to_pandas()
+    )
+    hits = agg[agg["source"] == CTX_SOURCE].sort_values(
+        ["weight", "term"], ascending=[False, True], kind="mergesort"
+    ).head(CTX_LIMIT)
+    return (
+        hits[["term", "weight"]]
+        .rename(columns={"term": "suggestion"})
+        .astype({"weight": np.int64})
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["suggest_context_documents"] = q_suggest_context_documents
+ORACLE["suggest_context_documents"] = f"""
+    SELECT term AS suggestion, count(*)::BIGINT AS weight
+    FROM (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text),
+                                         '[0-9a-z]+(?:''[0-9a-z]+)*')) AS term
+        FROM documents WHERE source = '{CTX_SOURCE}')
+    ) t JOIN documents d USING (doc_id)
+    WHERE term LIKE '{CTX_PREFIX}%'
+    GROUP BY term ORDER BY weight DESC, suggestion ASC LIMIT {CTX_LIMIT}
+"""
