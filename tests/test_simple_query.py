@@ -57,3 +57,18 @@ def test_pure_negative_matches_nothing():
 def test_fuzzy_expansion_leaf():
     t = parse_simple_query("merge~1", expand=_expand)
     assert t == ("const", ("merge",))
+
+
+def test_parser_never_raises_fuzz():
+    """The SimpleQueryParser contract: NO input string may raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=40))
+    def run(qs):
+        t = parse_simple_query(qs, expand=_expand)
+        assert t is None or t[0] in ("term", "and", "or", "const",
+                                     "phrase", "not")
+
+    run()
