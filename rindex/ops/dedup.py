@@ -1482,3 +1482,76 @@ ORACLE["setsim_topk_documents"] = f"""
     SELECT rank, doc_id, round(j, 6) AS jaccard
     FROM ranked WHERE rank < {SETSIM_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHashFilter — analysis-chain minhash tokens
+# ---------------------------------------------------------------------------
+
+MHF_K = 4
+MHF_TOP = 20
+
+
+def q_minhash_filter_documents(sf_dir: str):
+    """MinHashFilterFactory (`lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/minhash/MinHashFilter.java`): the ANALYSIS-CHAIN
+    side of minhash — each doc's token stream shingles (3-grams) and
+    emits only the {MHF_K} smallest hashes as synthetic tokens (the
+    index-time fuzzy-dup signature field).  Here: the corpus' top
+    {MHF_TOP} minhash tokens by document frequency — the vocabulary the
+    signature field would hold.  Per-batch partials (<= {MHF_K} rows per
+    doc leave the scan), one (hash -> df) groupby, tiny top-k."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs = []
+        for text in t["text"].to_pylist():
+            s = _shingles(text)
+            if len(s):
+                hs.append(np.sort(s)[:MHF_K])
+        out = (
+            np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
+        )
+        return pa.table({"h": pa.array(out)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+        .sort_values(["df", "h"], ascending=[False, True], kind="mergesort")
+        .head(MHF_TOP)
+        .reset_index(drop=True)
+    )
+    return agg.rename(columns={"h": "minhash_token"}).astype(
+        {"minhash_token": "int64", "df": "int64"}
+    )
+
+
+QUERIES["minhash_filter_documents"] = q_minhash_filter_documents
+ORACLE["minhash_filter_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS t
+      FROM documents),
+    hl AS (
+      SELECT doc_id, [(md5_number_upper(x) >> 1)::BIGINT FOR x IN t] AS hs
+      FROM toks WHERE len(t) >= {NGRAM}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([((hs[i]::HUGEINT * {0x9E3779B1}
+                       + hs[i + 1]::HUGEINT * {0x85EBCA77}
+                       + hs[i + 2]) % {1 << 63})::BIGINT
+                     FOR i IN range(1, len(hs) - 1)]) AS s
+      FROM hl),
+    kmin AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s ASC) AS rn
+        FROM sh)
+      WHERE rn <= {MHF_K})
+    SELECT s AS minhash_token, count(*)::BIGINT AS df
+    FROM kmin GROUP BY s
+    ORDER BY df DESC, minhash_token ASC LIMIT {MHF_TOP}
+"""

@@ -3138,3 +3138,109 @@ def _ib_ll_oracle_sql() -> str:
 
 QUERIES["ib_ll_topk_documents"] = q_ib_ll_topk_documents
 ORACLE["ib_ll_topk_documents"] = _ib_ll_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Explanation API — per-hit BM25 score decomposition (debug=true)
+# ---------------------------------------------------------------------------
+
+EXPLAIN_QUERY = "hash join"
+EXPLAIN_K = 5
+
+
+def q_explain_scores_documents(sf_dir: str):
+    """Lucene's Explanation tree (`lucene/core/src/java/org/apache/lucene/
+    search/Explanation.java` via IndexSearcher#explain / Solr debug=true):
+    for the top-{EXPLAIN_K} hits of an OR query, the per-term BM25
+    decomposition — tf, df, idf, the lossy norm length, the tf
+    saturation, and the term's score part — reconstructed from the SAME
+    postings the scorer read, so sum(parts) is bit-identical to the hit
+    score.  The oracle re-derives every leaf of the explanation in SQL."""
+    from rindex.schema import B, K1
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    terms = EXPLAIN_QUERY.split()
+    hits = s.search(EXPLAIN_QUERY, k=EXPLAIN_K, mode="or")
+    top_ids = {int(h[1]) for h in hits}
+    df = s.global_df(terms)
+    n, avgdl = float(s.n_docs), float(s.sum_dl) / float(s.n_docs)
+    rows = []
+    for reader in s.readers:
+        posts = reader.postings_for(terms)
+        for t in terms:
+            row = posts.get(t)
+            if row is None:
+                continue
+            from rindex.codec import NORM_DECODE_TABLE
+
+            d, tf_arr, nrm = reader.decoded(t, row)
+            ids = reader.fetch_ids(np.asarray(d, dtype=np.int64), s.id_cols)
+            ldl = NORM_DECODE_TABLE[nrm].astype(np.float64)
+            for j in range(len(d)):
+                did = int(ids[int(d[j])][0])
+                if did not in top_ids:
+                    continue
+                tf = float(tf_arr[j])
+                idf = np.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                sat = tf / (tf + K1 * (1.0 - B + B * float(ldl[j]) / avgdl))
+                rows.append(
+                    (
+                        did, t, int(tf), int(df[t]),
+                        round(float(idf), 6), float(ldl[j]),
+                        round(float(sat), 6),
+                        round(float(idf * sat), 6),
+                    )
+                )
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "term", "tf", "df", "idf", "norm_dl",
+                 "tf_sat", "score_part"],
+    )
+
+
+QUERIES["explain_scores_documents"] = q_explain_scores_documents
+
+
+def _explain_oracle_sql() -> str:
+    from rindex.schema import B, K1
+
+    terms_sql = ", ".join(f"('{t}')" for t in EXPLAIN_QUERY.split())
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES {terms_sql}),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM tf JOIN q USING (term) JOIN df USING (term)
+      JOIN lossy USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    topk AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC)
+                 AS rn
+        FROM scored)
+      WHERE rn <= {EXPLAIN_K}
+    )
+    SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf,
+           df.df::BIGINT AS df,
+           round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf,
+           ldl AS norm_dl,
+           round(tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl)), 6)
+             AS tf_sat,
+           round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl)), 6)
+             AS score_part
+    FROM tf JOIN q USING (term) JOIN df USING (term)
+    JOIN topk USING (doc_id)
+    JOIN lossy USING (doc_id) CROSS JOIN stats
+    ORDER BY tf.doc_id, tf.term
+    """
+
+
+ORACLE["explain_scores_documents"] = _explain_oracle_sql()
