@@ -1015,3 +1015,176 @@ ORACLE["currency_range_orders"] = f"""
     FROM conv WHERE c >= {CUR_LO} AND c < {CUR_HI}
     ORDER BY converted DESC, o_orderkey ASC LIMIT {CUR_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# FeatureField log / sigmoid scoring functions
+# ---------------------------------------------------------------------------
+
+FF_W = 1.5
+FF_SIG_PIVOT, FF_SIG_EXP = 4.0, 2.0
+FF_FN_K = 10
+
+
+def q_rank_feature_functions_documents(sf_dir: str):
+    """FeatureField's OTHER scoring functions (`lucene/core/src/java/org/
+    apache/lucene/document/FeatureField.java#newLogQuery/newSigmoidQuery`
+    — saturation is covered by rank_feature_topk): for the same match
+    set and feature f = ln(1+n_chars),
+        log:     w * ln(1 + f)
+        sigmoid: w * f^a / (f^a + pivot^a)
+    Both computed in the same distributed join + vectorized combine as
+    the saturation op, top-k by the log-scored total with the sigmoid
+    score carried per hit."""
+    import pyarrow.compute as pc
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    matches = s.score_matches_dataset(FEATURE_QUERY, mode="or")
+    feats = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    joined = matches.join(feats, "inner", num_partitions=8, on=("doc_id",))
+
+    def combine(t: pa.Table) -> pa.Table:
+        f = pc.ln(pc.add(pc.cast(t["n_chars"], pa.float64()), 1.0))
+        logq = pc.add(t["score"], pc.multiply(pc.ln(pc.add(f, 1.0)), FF_W))
+        fa = pc.power(f, FF_SIG_EXP)
+        sig = pc.add(
+            t["score"],
+            pc.multiply(
+                pc.divide(fa, pc.add(fa, FF_SIG_PIVOT ** FF_SIG_EXP)),
+                FF_W,
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "log_score": pc.round(logq, 6),
+                "sigmoid_score": pc.round(sig, 6),
+            }
+        )
+
+    out = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .sort(["log_score", "doc_id"], descending=[True, False])
+        .limit(FF_FN_K)
+        .to_pandas()
+    )
+    out["rank"] = np.arange(len(out), dtype=np.int32)
+    return out[["rank", "doc_id", "log_score", "sigmoid_score"]]
+
+
+def _rank_feature_fn_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    tlist = ",".join(
+        f"('{t}')" for t in dict.fromkeys(FEATURE_QUERY.split())
+    )
+    return f"""
+    WITH {_bm25_ctes()},
+    q(term) AS (VALUES {tlist}),
+    bm25 AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl))) AS s
+      FROM tf JOIN q USING (term) JOIN df USING (term)
+      JOIN lossy USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    feat AS (
+      SELECT doc_id, ln(1.0 + n_chars::DOUBLE) AS f FROM documents
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             round(b.s + {FF_W} * ln(1.0 + f.f), 6) AS log_score,
+             round(b.s + {FF_W} * (pow(f.f, {FF_SIG_EXP})
+                   / (pow(f.f, {FF_SIG_EXP})
+                      + {FF_SIG_PIVOT ** FF_SIG_EXP})), 6) AS sigmoid_score
+      FROM bm25 b JOIN feat f USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, log_score, sigmoid_score,
+             (row_number() OVER (ORDER BY log_score DESC, doc_id ASC) - 1)
+               ::INTEGER AS rank
+      FROM scored
+    )
+    SELECT rank, doc_id, log_score, sigmoid_score
+    FROM ranked WHERE rank < {FF_FN_K}
+    """
+
+
+QUERIES["rank_feature_functions_documents"] = q_rank_feature_functions_documents
+ORACLE["rank_feature_functions_documents"] = _rank_feature_fn_oracle()
+
+
+# ---------------------------------------------------------------------------
+# DateRangeField — document-held ranges intersecting a query window
+# ---------------------------------------------------------------------------
+
+DR_W_START = "2024-01-15 00:00:00"
+DR_W_END = "2024-01-18 00:00:00"
+DR_TOP = 20
+_US_PER_DAY = 86_400_000_000
+
+
+def q_date_range_field_events(sf_dir: str):
+    """DateRangeField Intersects query (`lucene/spatial-extras/src/java/
+    org/apache/lucene/spatial/prefix/NumberRangePrefixTreeStrategy.java` /
+    Solr DateRangeField): each event HOLDS a range [ts, ts + dur) with
+    dur = (event_id % 7 + 1) days (deterministic derivation); the query
+    returns ranges intersecting a fixed window, top-{DR_TOP} by overlap
+    length.  All arithmetic is exact int64 epoch-microseconds on both
+    sides; the scan is one pruned-column vectorized pass with the window
+    filter applied in-batch (top-k over survivors only)."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts"])
+    w0 = np.datetime64(DR_W_START.replace(" ", "T"), "us").astype(np.int64)
+    w1 = np.datetime64(DR_W_END.replace(" ", "T"), "us").astype(np.int64)
+
+    def overlap(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        start = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dur = (eid % 7 + 1) * _US_PER_DAY
+        end = start + dur
+        ov = np.minimum(end, w1) - np.maximum(start, w0)
+        m = ov > 0
+        return pa.table(
+            {
+                "event_id": pa.array(eid[m]),
+                "dur_days": pa.array((eid[m] % 7 + 1).astype(np.int64)),
+                "overlap_us": pa.array(ov[m].astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(overlap, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["overlap_us", "event_id"], descending=[True, False])
+        .limit(DR_TOP)
+        .to_pandas()
+    )
+    return out[["event_id", "dur_days", "overlap_us"]]
+
+
+QUERIES["date_range_field_events"] = q_date_range_field_events
+ORACLE["date_range_field_events"] = f"""
+    WITH r AS (
+      SELECT event_id,
+             (event_id % 7 + 1)::BIGINT AS dur_days,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + (event_id % 7 + 1) * {_US_PER_DAY} AS e
+      FROM events
+    ),
+    ov AS (
+      SELECT event_id, dur_days,
+             least(e, epoch_us(TIMESTAMP '{DR_W_END}'))
+             - greatest(s, epoch_us(TIMESTAMP '{DR_W_START}')) AS overlap_us
+      FROM r
+    )
+    SELECT event_id, dur_days, overlap_us
+    FROM ov WHERE overlap_us > 0
+    ORDER BY overlap_us DESC, event_id ASC LIMIT {DR_TOP}
+"""
