@@ -17,8 +17,9 @@ Ray pipeline a hand-written expression would:
 Supported subset (rejects loudly otherwise): single table, WHERE as an
 AND-chain of `col <op> literal` (op in = != <> < <= > >=), optional
 GROUP BY with count(*)/sum/avg/min/max aggregates (aliases required,
-like the reference's field-naming contract), ORDER BY over output
-columns, LIMIT.  No joins (the expression language has them; the
+like the reference's field-naming contract), HAVING over the aggregate
+aliases (Filter-on-Aggregate, compiled to a having() ABOVE the rollup),
+ORDER BY over output columns, LIMIT.  No joins (the expression language has them; the
 reference's SQL join support routes through the same stream operators).
 """
 
@@ -36,6 +37,7 @@ _SQL_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
     re.I | re.S,
@@ -117,6 +119,22 @@ def compile_sql(sql: str, sf_dir: str, views: dict | None = None):
             expr = f'select({expr}, keep="{",".join(aggs)}")'
     elif plain_cols:
         expr = f'select({expr}, keep="{",".join(plain_cols)}")'
+    if m.group("having"):
+        # HAVING: the same predicate compiler, applied ABOVE the rollup
+        # over aggregate aliases (Calcite's Filter-on-Aggregate rule)
+        if not aggs:
+            raise ValueError("HAVING requires GROUP BY aggregates")
+        for part in re.split(r"\s+AND\s+", m.group("having"), flags=re.I):
+            pm = _PRED_RE.match(part.strip())
+            if not pm:
+                raise ValueError(f"unsupported HAVING predicate {part!r}")
+            col, op, lit = pm.groups()
+            if col not in aggs and col not in group_cols:
+                raise ValueError(
+                    f"HAVING column {col!r} is not an output column"
+                )
+            lit_expr = lit if not lit.startswith("'") else f'"{lit[1:-1]}"'
+            expr = f"having({expr}, {_CMP_FN[op]}({col}, {lit_expr}))"
     if m.group("order"):
         expr = f'sort({expr}, by="{m.group("order").strip()}")'
     node = parse_stream_expr(expr)
@@ -172,4 +190,35 @@ ORACLE["sql_handler_orders"] = """
     GROUP BY c_mktsegment, o_orderpriority
     ORDER BY n DESC, c_mktsegment ASC, o_orderpriority ASC
     LIMIT 12
+"""
+
+
+SQL_HAVING_TEXT = (
+    "SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS tot "
+    "FROM orders "
+    "GROUP BY o_orderpriority "
+    "HAVING n > 100 "
+    "ORDER BY tot DESC, o_orderpriority ASC"
+)
+
+
+def q_sql_handler_having_orders(sf_dir: str):
+    """/sql with HAVING: the post-aggregation filter compiles to a
+    having() stream ABOVE the rollup (Calcite Filter-on-Aggregate), the
+    WHERE-pushdown path stays below — one lazy pipeline either way.
+    Sum column rounded 2dp for the float-sum discipline."""
+    ds, _cols = compile_sql(SQL_HAVING_TEXT, sf_dir)
+    out = ds.to_pandas().reset_index(drop=True)
+    out["tot"] = out["tot"].round(2)
+    return out
+
+
+QUERIES["sql_handler_having_orders"] = q_sql_handler_having_orders
+ORACLE["sql_handler_having_orders"] = """
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice::DOUBLE), 2) AS tot
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING count(*) > 100
+    ORDER BY round(sum(o_totalprice::DOUBLE), 2) DESC, o_orderpriority ASC
 """

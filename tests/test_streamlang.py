@@ -552,6 +552,21 @@ def test_sql_handler_compile_contracts(ray_session):
         compile_sql("SELECT k, v, count(*) AS n FROM t GROUP BY k", "",
                     views=views)
 
+    # HAVING filters ABOVE the rollup on aggregate aliases
+    ds2, _ = compile_sql(
+        "SELECT k, count(*) AS n FROM t GROUP BY k HAVING n > 2 "
+        "ORDER BY k ASC",
+        "", views=views,
+    )
+    got2 = ds2.to_pandas()
+    assert got2["k"].tolist() == ["b"] and got2["n"].tolist() == [3]
+    with pytest.raises(ValueError, match="HAVING requires"):
+        compile_sql("SELECT k FROM t HAVING k = 'a'", "", views=views)
+    with pytest.raises(ValueError, match="not an output column"):
+        compile_sql(
+            "SELECT k, count(*) AS n FROM t GROUP BY k HAVING z > 1",
+            "", views=views)
+
 
 def test_drill_over_update_built_collection(ray_session):
     """drill() enriches from the COLLECTION's stored fields, so it works
