@@ -19,6 +19,8 @@ AND-chain of `col <op> literal` (op in = != <> < <= > >=), optional
 GROUP BY with count(*)/sum/avg/min/max aggregates (aliases required,
 like the reference's field-naming contract), HAVING over the aggregate
 aliases (Filter-on-Aggregate, compiled to a having() ABOVE the rollup),
+SELECT DISTINCT -> unique(), count(DISTINCT c) -> rollup over a
+unique() pre-stream (Aggregate-over-Distinct; sole aggregate only),
 ORDER BY over output columns, LIMIT.  No joins (the expression language has them; the
 reference's SQL join support routes through the same stream operators).
 """
@@ -34,7 +36,8 @@ QUERIES: dict = {}
 ORACLE: dict = {}
 
 _SQL_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>\w+)"
+    r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<select>.+?)"
+    r"\s+FROM\s+(?P<table>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+HAVING\s+(?P<having>.+?))?"
@@ -45,6 +48,9 @@ _SQL_RE = re.compile(
 _AGG_RE = re.compile(
     r"^(count)\(\s*\*\s*\)\s+AS\s+(\w+)$|^(sum|avg|min|max)\((\w+)\)\s+AS\s+(\w+)$",
     re.I,
+)
+_CNT_DIST_RE = re.compile(
+    r"^count\(\s*DISTINCT\s+(\w+)\s*\)\s+AS\s+(\w+)$", re.I
 )
 _PRED_RE = re.compile(
     r"^(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*('[^']*'|[-0-9.]+)$"
@@ -70,7 +76,14 @@ def compile_sql(sql: str, sf_dir: str, views: dict | None = None):
         if m.group("group") else []
     )
     plain_cols, aggs = [], {}
+    cnt_dist = None  # (source_col, alias)
     for item in select_items:
+        dm = _CNT_DIST_RE.match(item)
+        if dm:
+            if cnt_dist is not None:
+                raise ValueError("at most one count(DISTINCT) per query")
+            cnt_dist = (dm.group(1), dm.group(2))
+            continue
         am = _AGG_RE.match(item)
         if am:
             if am.group(1):  # count(*) AS alias
@@ -83,7 +96,16 @@ def compile_sql(sql: str, sf_dir: str, views: dict | None = None):
             raise ValueError(
                 f"unsupported SELECT item {item!r} (aggregates need AS)"
             )
-    if aggs and sorted(plain_cols) != sorted(group_cols):
+    if cnt_dist is not None and aggs:
+        # the distinct-stream rewrite below dedups the input, which would
+        # corrupt sibling row-level aggregates — the reference's planner
+        # has the same single-distinct-aggregate restriction
+        raise ValueError(
+            "count(DISTINCT) cannot mix with other aggregates"
+        )
+    if m.group("distinct") and (aggs or cnt_dist):
+        raise ValueError("SELECT DISTINCT cannot take aggregates")
+    if (aggs or cnt_dist) and sorted(plain_cols) != sorted(group_cols):
         raise ValueError("non-aggregated SELECT columns must = GROUP BY")
 
     # source with column pruning
@@ -103,9 +125,20 @@ def compile_sql(sql: str, sf_dir: str, views: dict | None = None):
             lit_expr = lit if not lit.startswith("'") else f'"{lit[1:-1]}"'
             preds.append(f"{_CMP_FN[op]}({col}, {lit_expr})")
 
+    if cnt_dist is not None:
+        need.add(cnt_dist[0])
     expr = f'table({table}, fl="{",".join(sorted(need))}")'
     for p in preds:  # filter pushdown below the rollup
         expr = f"having({expr}, {p})"
+    if cnt_dist is not None:
+        # count(DISTINCT c) GROUP BY g  ->  rollup(unique(s, over="g,c"),
+        # over="g", alias=count(*))  — dedup first, then count rows
+        # (Calcite's Aggregate-over-Distinct expansion)
+        dcols = ",".join([*group_cols, cnt_dist[0]])
+        expr = f'unique({expr}, over="{dcols}")'
+        aggs = {cnt_dist[1]: "count(*)"}
+    if m.group("distinct"):
+        expr = f'unique({expr}, over="{",".join(plain_cols)}")'
     if aggs:
         metrics = ", ".join(f"{a}={e}" for a, e in aggs.items())
         if group_cols:
@@ -221,4 +254,46 @@ ORACLE["sql_handler_having_orders"] = """
     GROUP BY o_orderpriority
     HAVING count(*) > 100
     ORDER BY round(sum(o_totalprice::DOUBLE), 2) DESC, o_orderpriority ASC
+"""
+
+
+SQL_DISTINCT_TEXT = (
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders "
+    "ORDER BY o_orderpriority ASC, o_orderstatus ASC"
+)
+SQL_CNT_DIST_TEXT = (
+    "SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS np "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC"
+)
+
+
+def q_sql_handler_distinct_orders(sf_dir: str):
+    """/sql SELECT DISTINCT -> unique() stream; and count(DISTINCT c)
+    -> rollup over a unique() pre-stream (Calcite's
+    Aggregate-over-Distinct expansion).  Both compile onto the same lazy
+    streamlang pipeline; outputs concatenated long-form (which, value)."""
+    d1, _ = compile_sql(SQL_DISTINCT_TEXT, sf_dir)
+    d2, _ = compile_sql(SQL_CNT_DIST_TEXT, sf_dir)
+    a = d1.to_pandas().reset_index(drop=True)
+    b = d2.to_pandas().reset_index(drop=True)
+    a["which"] = "distinct"
+    a = a.rename(columns={"o_orderpriority": "k1", "o_orderstatus": "k2"})
+    a["np"] = np.int64(0)
+    b["which"] = "count_distinct"
+    b = b.rename(columns={"o_orderstatus": "k1"})
+    b["k2"] = ""
+    b["np"] = b["np"].astype(np.int64)
+    cols = ["which", "k1", "k2", "np"]
+    return pd.concat([a[cols], b[cols]], ignore_index=True)
+
+
+QUERIES["sql_handler_distinct_orders"] = q_sql_handler_distinct_orders
+ORACLE["sql_handler_distinct_orders"] = """
+    SELECT 'distinct' AS which, o_orderpriority AS k1,
+           o_orderstatus AS k2, 0::BIGINT AS np
+    FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+    UNION ALL
+    SELECT 'count_distinct', o_orderstatus, '',
+           count(DISTINCT o_orderpriority)::BIGINT
+    FROM orders GROUP BY o_orderstatus
 """

@@ -567,6 +567,24 @@ def test_sql_handler_compile_contracts(ray_session):
             "SELECT k, count(*) AS n FROM t GROUP BY k HAVING z > 1",
             "", views=views)
 
+    # SELECT DISTINCT -> unique(); count(DISTINCT) -> unique + rollup
+    d, _ = compile_sql("SELECT DISTINCT k FROM t ORDER BY k ASC",
+                       "", views=views)
+    assert d.to_pandas()["k"].tolist() == ["a", "b"]
+    cd, _ = compile_sql(
+        "SELECT k, count(DISTINCT v) AS nv FROM t GROUP BY k "
+        "ORDER BY k ASC", "", views=views)
+    got_cd = cd.to_pandas()
+    assert got_cd["k"].tolist() == ["a", "b"]
+    assert got_cd["nv"].tolist() == [2, 3]
+    with pytest.raises(ValueError, match="cannot mix"):
+        compile_sql(
+            "SELECT k, count(DISTINCT v) AS nv, count(*) AS n FROM t "
+            "GROUP BY k", "", views=views)
+    with pytest.raises(ValueError, match="cannot take aggregates"):
+        compile_sql("SELECT DISTINCT k, count(*) AS n FROM t GROUP BY k",
+                    "", views=views)
+
 
 def test_drill_over_update_built_collection(ray_session):
     """drill() enriches from the COLLECTION's stored fields, so it works
