@@ -2283,3 +2283,62 @@ def _urlemail_oracle() -> str:
 
 
 ORACLE["urlemail_topterms_documents"] = _urlemail_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PathHierarchyTokenizer + taxonomy facet
+# ---------------------------------------------------------------------------
+
+
+def q_path_hierarchy_facet_documents(sf_dir: str):
+    """PathHierarchyTokenizerFactory (`lucene/analysis/common/src/java/
+    org/apache/lucene/analysis/path/PathHierarchyTokenizer.java`) feeding
+    a hierarchical facet: each doc's taxonomy path `source/lang` (derived
+    from stored fields, the delimiter convention) emits ONE TOKEN PER
+    ANCESTOR (`src3`, `src3/en`), and the facet counts docs per hierarchy
+    node — the drill-down taxonomy tree every faceted catalog renders.
+    Vectorized: one Arrow concat per level, per-batch value_counts
+    partials, one (node -> count) groupby; rows out = taxonomy nodes."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lvl1 = t["source"]
+        lvl2 = pc.binary_join_element_wise(
+            t["source"], t["lang"], "/"
+        )
+        nodes = pa.concat_arrays(
+            [pc.cast(lvl1, pa.string()).combine_chunks(),
+             pc.cast(lvl2, pa.string()).combine_chunks()]
+        )
+        vc = pc.value_counts(nodes)
+        return pa.table(
+            {"node": vc.field("values"), "n": vc.field("counts")}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n_docs"})
+        .sort_values("node", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["depth"] = out["node"].str.count("/").astype(np.int64) + 1
+    return out[["node", "depth", "n_docs"]].astype({"n_docs": "int64"})
+
+
+QUERIES["path_hierarchy_facet_documents"] = q_path_hierarchy_facet_documents
+ORACLE["path_hierarchy_facet_documents"] = """
+    WITH nodes AS (
+      SELECT source AS node FROM documents
+      UNION ALL
+      SELECT source || '/' || lang FROM documents
+    )
+    SELECT node,
+           (len(node) - len(replace(node, '/', '')) + 1)::BIGINT AS depth,
+           count(*)::BIGINT AS n_docs
+    FROM nodes GROUP BY node ORDER BY node
+"""
