@@ -3368,3 +3368,93 @@ ORACLE["conv_tool_recovery_documents"] = f"""
     FROM flags GROUP BY conv_id
     HAVING sum(CASE WHEN is_err THEN 1 ELSE 0 END) > 0
 """
+
+
+# --- incremental dedup: new batch vs existing corpus -----------------------
+
+INC_SPLIT_FRAC = 5  # doc_id % 5 != 4 -> existing corpus; == 4 -> new batch
+
+
+def q_conv_incremental_dedup_documents(sf_dir: str):
+    """Incremental ingestion dedup: the NEW batch (every 5th turn, a
+    deterministic split) checks its turn signatures against the EXISTING
+    corpus' signature set AND earlier rows of the batch itself — the
+    SignatureUpdateProcessor shape a production pipeline runs on every
+    increment (signatures of the base corpus live in the index; only the
+    delta is hashed fresh).  Per-source novel/duplicate counts for the
+    batch.  Shape: signatures computed in-scan for both sides, ONE
+    sig-keyed groupby decides novelty (min doc_id wins — identical to
+    the global dedup contract restricted to the batch rows), then a tiny
+    source rollup."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def sigs(t: pa.Table) -> pa.Table:
+        s = [
+            hashlib.md5((x or "").lower().encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "sig": pa.array(s, pa.string()),
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+            }
+        )
+
+    sig_ds = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy()
+        is_new = ids % TURNS_PER_CONV == INC_SPLIT_FRAC - 1
+        has_existing = bool((~is_new).any())
+        # batch rows: novel iff no existing row shares the sig AND this is
+        # the first batch row for the sig
+        first_new = np.zeros(len(g), bool)
+        nz = np.flatnonzero(is_new)
+        if len(nz):
+            first_new[nz[0]] = True
+        novel = is_new & first_new & (not has_existing)
+        out = pd.DataFrame(
+            {
+                "source": g["source"].to_numpy()[is_new],
+                "novel": novel[is_new].astype(np.int64),
+                "dup": (~novel[is_new]).astype(np.int64),
+            }
+        )
+        return out
+
+    per_sig = sig_ds.groupby("sig").map_groups(decide, batch_format="pandas")
+    agg = (
+        per_sig.groupby("source")
+        .sum(["novel", "dup"])
+        .to_pandas()
+        .rename(columns={"sum(novel)": "n_novel", "sum(dup)": "n_dup"})
+        .sort_values("source", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return agg.astype({"n_novel": "int64", "n_dup": "int64"})
+
+
+QUERIES["conv_incremental_dedup_documents"] = q_conv_incremental_dedup_documents
+ORACLE["conv_incremental_dedup_documents"] = f"""
+    WITH sigs AS (
+      SELECT doc_id, source,
+             md5(lower(coalesce(text, ''))) AS sig,
+             doc_id % {TURNS_PER_CONV} = {INC_SPLIT_FRAC - 1} AS is_new
+      FROM documents
+    ),
+    batch AS (
+      SELECT b.doc_id, b.source, b.sig,
+             CASE WHEN EXISTS (SELECT 1 FROM sigs e
+                               WHERE NOT e.is_new AND e.sig = b.sig)
+                  THEN 0
+                  WHEN b.doc_id = (SELECT min(doc_id) FROM sigs x
+                                   WHERE x.is_new AND x.sig = b.sig)
+                  THEN 1 ELSE 0 END AS novel
+      FROM sigs b WHERE b.is_new
+    )
+    SELECT source, sum(novel)::BIGINT AS n_novel,
+           sum(1 - novel)::BIGINT AS n_dup
+    FROM batch GROUP BY source ORDER BY source
+"""
