@@ -3458,3 +3458,105 @@ ORACLE["conv_incremental_dedup_documents"] = f"""
            sum(1 - novel)::BIGINT AS n_dup
     FROM batch GROUP BY source ORDER BY source
 """
+
+
+# --- conversation retrieval, average pooling (ScoreMode.Avg) ---------------
+
+
+def q_conv_search_avgpool_documents(sf_dir: str):
+    """Conversation retrieval with AVERAGE pooling over matching turns
+    (AvgP — the other pooling Dai & Callan 2019 compare; block-join
+    analog `ToParentBlockJoinQuery` ScoreMode.Avg): parent score = mean
+    BM25 of its MATCHING turns.  Same streaming skeleton as the MaxP op,
+    but the pool partial is (sum, n) — still additive, still one
+    conv-bucket combine; the mean materializes only at ranking."""
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand")
+    pooled_parts = []
+    for qid, text in CONV_QUERIES:
+        ds = searcher.score_matches_dataset(text, mode="or")
+
+        def pool(df: pd.DataFrame, _qid=qid) -> pd.DataFrame:
+            conv = df["doc_id"].to_numpy(np.int64) // TURNS_PER_CONV
+            out = (
+                pd.DataFrame({"conv_id": conv, "s": df["score"].to_numpy()})
+                .groupby("conv_id", as_index=False)["s"]
+                .agg(ssum="sum", n="count")
+            )
+            out.insert(0, "query_id", _qid)
+            return out
+
+        pooled_parts.append(ds.map_batches(pool, batch_format="pandas"))
+
+    pooled = pooled_parts[0].union(*pooled_parts[1:])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["query_id", "conv_id"], as_index=False)[
+            ["ssum", "n"]
+        ].sum()
+        out["s"] = out["ssum"] / out["n"]
+        out = (
+            out.sort_values(["query_id", "s", "conv_id"],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id", sort=False)
+            .head(CONV_TOP_K)
+        )
+        return out[["query_id", "conv_id", "ssum", "n", "s"]]
+
+    allq = (
+        pooled.map_batches(
+            _conv_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_gb")
+        .map_groups(
+            lambda g: combine(g.drop(columns=["_gb"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    # re-combine across buckets (a conv lives in ONE bucket, so this only
+    # merges the per-bucket top-k lists), then final rank
+    allq["s"] = allq["ssum"] / allq["n"]
+    allq = allq.sort_values(
+        ["query_id", "s", "conv_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    allq = allq.groupby("query_id", sort=False).head(CONV_TOP_K)
+    allq["rank"] = (
+        allq.groupby("query_id", sort=False).cumcount().astype(np.int32)
+    )
+    allq["score"] = allq["s"].round(6)
+    allq["n_matching_turns"] = allq["n"].astype(np.int64)
+    return allq[
+        ["query_id", "rank", "conv_id", "n_matching_turns", "score"]
+    ].reset_index(drop=True)
+
+
+def _conv_search_avg_oracle_sql() -> str:
+    base = _conv_search_oracle_sql()
+    # reuse the MaxP oracle's CTE chain up to `scores`, swap the pooling
+    head, _, _tail = base.partition("    pooled AS (")
+    return head + f"""    pooled AS (
+      SELECT query_id, doc_id // {TURNS_PER_CONV} AS conv_id,
+             sum(s) / count(*) AS s, count(*)::BIGINT AS n
+      FROM scores GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, conv_id, n, s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, conv_id ASC) - 1)::INTEGER
+               AS rank
+      FROM pooled
+    )
+    SELECT query_id, rank, conv_id, n AS n_matching_turns,
+           round(s, 6) AS score
+    FROM ranked WHERE rank < {CONV_TOP_K}
+    """
+
+
+QUERIES["conv_search_avgpool_documents"] = q_conv_search_avgpool_documents
+ORACLE["conv_search_avgpool_documents"] = _conv_search_avg_oracle_sql()
