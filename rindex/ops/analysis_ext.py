@@ -2342,3 +2342,74 @@ ORACLE["path_hierarchy_facet_documents"] = """
            count(*)::BIGINT AS n_docs
     FROM nodes GROUP BY node ORDER BY node
 """
+
+
+def q_score_join_modes_documents(sf_dir: str):
+    """ScoreJoin remaining score modes (`lucene/join/src/java/org/apache/
+    lucene/search/join/JoinUtil.java` ScoreMode.Total / ScoreMode.Avg —
+    max is score_join_documents_source): per `source`, the SUM and MEAN
+    of the joined BM25 scores plus the contributing match count.  Same
+    distributed shape: per-segment scoring tasks -> hash join to the
+    source column -> additive (sum, n) aggregate; avg derives at the
+    end with the oracle's division."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from rindex.ops.fulltext import documents_index
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    s = IndexSearcher(idx, algo="exhaustive")
+    scores = s.score_matches_dataset(SCORE_JOIN_TERM, mode="or").map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            _pc.round(t["score"], 6),
+        ),
+        batch_format="pyarrow",
+    )
+    docs = read_table(sf_dir, "documents", ["doc_id", "source"])
+    joined = scores.join(docs, "inner", num_partitions=8, on=("doc_id",))
+    agg = (
+        joined.groupby("source")
+        .aggregate(
+            Sum(on="score", alias_name="ssum"),
+            Count(alias_name="n_matches"),
+        )
+        .to_pandas()
+    )
+    agg["total_score"] = agg["ssum"].round(6)
+    agg["avg_score"] = (agg["ssum"] / agg["n_matches"]).round(6)
+    agg = agg.sort_values(
+        ["total_score", "source"], ascending=[False, True], kind="mergesort"
+    ).head(SCORE_JOIN_TOP)
+    return agg[
+        ["source", "n_matches", "total_score", "avg_score"]
+    ].astype({"n_matches": "int64"}).reset_index(drop=True)
+
+
+def _score_join_modes_oracle() -> str:
+    from rindex.ops.fulltext import _bm25_ctes
+    from rindex.schema import B, K1
+
+    return f"""
+    WITH {_bm25_ctes()},
+    scores AS (
+      SELECT tf.doc_id,
+             round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf / (tf + {K1} * (1.0 - {B} + {B} * ldl / avgdl)), 6) AS s
+      FROM tf JOIN df USING (term) JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.term = '{SCORE_JOIN_TERM}'
+    )
+    SELECT d.source, count(*)::BIGINT AS n_matches,
+           round(sum(s.s), 6) AS total_score,
+           round(sum(s.s) / count(*), 6) AS avg_score
+    FROM scores s JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY round(sum(s.s), 6) DESC, d.source ASC LIMIT {SCORE_JOIN_TOP}
+    """
+
+
+QUERIES["score_join_modes_documents"] = q_score_join_modes_documents
+ORACLE["score_join_modes_documents"] = _score_join_modes_oracle()
