@@ -317,3 +317,121 @@ SELECT doc_id, count(*)::BIGINT AS n_intervals,
        min(e - s + 1)::BIGINT AS min_width
 FROM q GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# before(ordered(hash, join), window) / after(ordered(hash, join), merge)
+# ---------------------------------------------------------------------------
+
+BA_A, BA_B = "hash", "join"
+BA_BEFORE_REF, BA_AFTER_REF = "window", "merge"
+
+
+def q_intervals_before_after_documents(sf_dir: str):
+    """Intervals.before / Intervals.after (`lucene/queries/src/java/org/
+    apache/lucene/queries/intervals/Intervals.java`): minimal ordered
+    (hash, join) intervals that END before some '{BA_BEFORE_REF}'
+    occurrence (before) or START after some '{BA_AFTER_REF}' occurrence
+    (after).  Per doc: surviving-interval counts for both combinators;
+    docs where either survives.  Same per-segment positional scan as the
+    other interval ops."""
+    from rindex.ops.fulltext import documents_index_pos
+    from rindex.search import IndexSearcher
+
+    idx = documents_index_pos(sf_dir)
+    s_ = IndexSearcher(idx)
+    rows: list[tuple] = []
+    want = [BA_A, BA_B, BA_BEFORE_REF, BA_AFTER_REF]
+    for reader in s_.readers:
+        posts = reader.positions_for(want)
+        if posts[BA_A] is None or posts[BA_B] is None:
+            continue
+        common = np.intersect1d(posts[BA_A][0], posts[BA_B][0])
+        common = reader.drop_deleted(common)
+        if len(common) == 0:
+            continue
+        runs = {}
+        for t in want:
+            if posts[t] is None:
+                runs[t] = None
+                continue
+            docs, tfs, pos = posts[t][:3]
+            starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+            at = np.searchsorted(docs, common)
+            present = (at < len(docs)) & (
+                docs[np.minimum(at, len(docs) - 1)] == common
+            )
+            runs[t] = (starts, tfs, pos, at, present)
+
+        def _run(t, i):
+            if runs[t] is None:
+                return np.empty(0, np.int64)
+            starts, tfs, pos, at, present = runs[t]
+            if not present[i]:
+                return np.empty(0, np.int64)
+            j = at[i]
+            return np.asarray(
+                pos[starts[j]: starts[j] + tfs[j]], dtype=np.int64
+            )
+
+        out_d, out_b, out_a = [], [], []
+        for i, d in enumerate(common):
+            pa_, pb_ = _run(BA_A, i), _run(BA_B, i)
+            s, e = minimal_ordered(pa_, pb_)
+            if len(s) == 0:
+                continue
+            ref_b = _run(BA_BEFORE_REF, i)
+            ref_a = _run(BA_AFTER_REF, i)
+            n_before = int((e < ref_b.max()).sum()) if len(ref_b) else 0
+            n_after = int((s > ref_a.min()).sum()) if len(ref_a) else 0
+            if n_before or n_after:
+                out_d.append(int(d))
+                out_b.append(n_before)
+                out_a.append(n_after)
+        if out_d:
+            ids = reader.fetch_ids(np.asarray(out_d, dtype=np.int64),
+                                   s_.id_cols)
+            rows.extend(
+                (*ids[d], nb, na)
+                for d, nb, na in zip(out_d, out_b, out_a)
+            )
+    rows.sort(key=lambda r: r[:-2])
+    return pd.DataFrame(
+        {"doc_id": [r[0] for r in rows],
+         "n_before": pd.array([r[1] for r in rows], dtype="int64"),
+         "n_after": pd.array([r[2] for r in rows], dtype="int64")}
+    )
+
+
+QUERIES["intervals_before_after_documents"] = (
+    q_intervals_before_after_documents
+)
+ORACLE["intervals_before_after_documents"] = f"""
+WITH {_TOKS_CTE},
+chain AS (
+  SELECT a.doc_id, a.p AS s, min(b.p) AS e
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.term = '{BA_B}' AND b.p > a.p
+  WHERE a.term = '{BA_A}'
+  GROUP BY a.doc_id, a.p
+),
+minimal AS (SELECT doc_id, max(s) AS s, e FROM chain GROUP BY doc_id, e),
+refs AS (
+  SELECT doc_id,
+         max(CASE WHEN term = '{BA_BEFORE_REF}' THEN p END) AS max_bref,
+         min(CASE WHEN term = '{BA_AFTER_REF}' THEN p END) AS min_aref
+  FROM toks WHERE term IN ('{BA_BEFORE_REF}', '{BA_AFTER_REF}')
+  GROUP BY doc_id
+),
+counts AS (
+  SELECT m.doc_id,
+         sum(CASE WHEN r.max_bref IS NOT NULL AND m.e < r.max_bref
+                  THEN 1 ELSE 0 END)::BIGINT AS n_before,
+         sum(CASE WHEN r.min_aref IS NOT NULL AND m.s > r.min_aref
+                  THEN 1 ELSE 0 END)::BIGINT AS n_after
+  FROM minimal m LEFT JOIN refs r USING (doc_id)
+  GROUP BY m.doc_id
+)
+SELECT doc_id, n_before, n_after FROM counts
+WHERE n_before > 0 OR n_after > 0 ORDER BY doc_id
+"""
