@@ -4010,3 +4010,67 @@ ORACLE["eval_gaussfit_lineitem"] = """
                    / (4.0 * (det2 / det)), 6) AS log_amp
     FROM dd
 """
+
+
+def q_eval_precision_recall_documents(sf_dir: str):
+    """precision()/recall()/f1() evaluators (`solr/solrj/.../io/eval/
+    {PrecisionEvaluator,RecallEvaluator,F1Evaluator}.java` semantics over
+    a confusion matrix): ground truth = doc is 'long' (n_chars >= 190),
+    prediction = a deterministic proxy rule (doc_id % 10 < 7 predicts
+    long).  The confusion matrix reduces DISTRIBUTED as four additive
+    partial counts; P/R/F1 derive on the driver with the SQL mirror's
+    division order.  Exact: integer counts, identical float divisions."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        truth = t["n_chars"].to_numpy() >= 190
+        pred = ids % 10 < 7
+        return pa.table(
+            {
+                "tp": [int((truth & pred).sum())],
+                "fp": [int((~truth & pred).sum())],
+                "fn": [int((truth & ~pred).sum())],
+                "tn": [int((~truth & ~pred).sum())],
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    tp, fp, fn, tn = (
+        float(p["tp"]), float(p["fp"]), float(p["fn"]), float(p["tn"])
+    )
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    return pd.DataFrame(
+        {
+            "tp": [int(tp)], "fp": [int(fp)],
+            "fn": [int(fn)], "tn": [int(tn)],
+            "precision": [round(prec, 6)],
+            "recall": [round(rec, 6)],
+            "f1": [round(2.0 * prec * rec / (prec + rec), 6)],
+        }
+    )
+
+
+QUERIES["eval_precision_recall_documents"] = q_eval_precision_recall_documents
+ORACLE["eval_precision_recall_documents"] = """
+    WITH c AS (
+      SELECT
+        sum(CASE WHEN n_chars >= 190 AND doc_id % 10 < 7
+                 THEN 1 ELSE 0 END)::BIGINT AS tp,
+        sum(CASE WHEN n_chars < 190 AND doc_id % 10 < 7
+                 THEN 1 ELSE 0 END)::BIGINT AS fp,
+        sum(CASE WHEN n_chars >= 190 AND doc_id % 10 >= 7
+                 THEN 1 ELSE 0 END)::BIGINT AS fn,
+        sum(CASE WHEN n_chars < 190 AND doc_id % 10 >= 7
+                 THEN 1 ELSE 0 END)::BIGINT AS tn
+      FROM documents
+    )
+    SELECT tp, fp, fn, tn,
+           round(tp::DOUBLE / (tp + fp), 6) AS precision,
+           round(tp::DOUBLE / (tp + fn), 6) AS recall,
+           round(2.0 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn))
+                 / ((tp::DOUBLE / (tp + fp)) + (tp::DOUBLE / (tp + fn))),
+                 6) AS f1
+    FROM c
+"""

@@ -3560,3 +3560,87 @@ def _conv_search_avg_oracle_sql() -> str:
 
 QUERIES["conv_search_avgpool_documents"] = q_conv_search_avgpool_documents
 ORACLE["conv_search_avgpool_documents"] = _conv_search_avg_oracle_sql()
+
+
+# --- LLM-judge agreement (Cohen's kappa) -----------------------------------
+
+
+def q_conv_judge_agreement_documents(sf_dir: str):
+    """LLM-judge calibration: Cohen's kappa between two derived raters
+    over assistant turns (rater A: n_chars >= 190; rater B:
+    doc_id % 3 != 0 — deterministic proxies for two judge models scoring
+    'acceptable') — the inter-rater agreement audit every judge-filtered
+    training pipeline runs before trusting a single model's labels.
+    Confusion cells reduce distributed (additive partials); kappa =
+    (po - pe) / (1 - pe) derives on the driver with the mirrored
+    arithmetic."""
+    ds = _conv_view(sf_dir, columns=("doc_id", "text", "n_chars"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sub = t.filter(pc.equal(t["role"], "assistant"))
+        ids = sub["doc_id"].to_numpy()
+        a = sub["n_chars"].to_numpy() >= 190
+        b = ids % 3 != 0
+        return pa.table(
+            {
+                "n11": [int((a & b).sum())],
+                "n10": [int((a & ~b).sum())],
+                "n01": [int((~a & b).sum())],
+                "n00": [int((~a & ~b).sum())],
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n11, n10, n01, n00 = (
+        float(p["n11"]), float(p["n10"]), float(p["n01"]), float(p["n00"])
+    )
+    n = n11 + n10 + n01 + n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) / n) * ((n11 + n01) / n) \
+        + ((n01 + n00) / n) * ((n10 + n00) / n)
+    return pd.DataFrame(
+        {
+            "n_turns": [int(n)],
+            "n11": [int(n11)], "n10": [int(n10)],
+            "n01": [int(n01)], "n00": [int(n00)],
+            "po": [round(po, 6)],
+            "pe": [round(pe, 6)],
+            "kappa": [round((po - pe) / (1.0 - pe), 6)],
+        }
+    )
+
+
+QUERIES["conv_judge_agreement_documents"] = q_conv_judge_agreement_documents
+ORACLE["conv_judge_agreement_documents"] = f"""
+    WITH {T_CTE},
+    t2 AS (SELECT t.doc_id, d.n_chars FROM transcripts t
+           JOIN documents d USING (doc_id) WHERE t.role = 'assistant'),
+    c AS (
+      SELECT
+        sum(CASE WHEN n_chars >= 190 AND doc_id % 3 != 0
+                 THEN 1 ELSE 0 END)::BIGINT AS n11,
+        sum(CASE WHEN n_chars >= 190 AND doc_id % 3 = 0
+                 THEN 1 ELSE 0 END)::BIGINT AS n10,
+        sum(CASE WHEN n_chars < 190 AND doc_id % 3 != 0
+                 THEN 1 ELSE 0 END)::BIGINT AS n01,
+        sum(CASE WHEN n_chars < 190 AND doc_id % 3 = 0
+                 THEN 1 ELSE 0 END)::BIGINT AS n00
+      FROM t2
+    ),
+    k AS (
+      SELECT *,
+             (n11 + n10 + n01 + n00)::DOUBLE AS n,
+             (n11 + n00)::DOUBLE / (n11 + n10 + n01 + n00) AS po,
+             ((n11 + n10)::DOUBLE / (n11 + n10 + n01 + n00))
+               * ((n11 + n01)::DOUBLE / (n11 + n10 + n01 + n00))
+             + ((n01 + n00)::DOUBLE / (n11 + n10 + n01 + n00))
+               * ((n10 + n00)::DOUBLE / (n11 + n10 + n01 + n00)) AS pe
+      FROM c
+    )
+    SELECT n::BIGINT AS n_turns, n11, n10, n01, n00,
+           round(po, 6) AS po, round(pe, 6) AS pe,
+           round((po - pe) / (1.0 - pe), 6) AS kappa
+    FROM k
+"""
