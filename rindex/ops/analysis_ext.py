@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rindex.schema import join_partitions, pool_cap
 from rindex.ops.util import read_table
 
 QUERIES: dict = {}
@@ -138,7 +139,7 @@ def q_synonym_canonical_documents(sf_dir: str):
 
     mapped = ds.map_batches(
         SynonymCount, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_cap(min_cap=4),
     )
     return _sum_sort_limit(mapped, TOP_TERMS)
 
@@ -269,7 +270,7 @@ def q_porter_stem_documents(sf_dir: str):
 
     return ds.map_batches(
         Stem, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_cap(min_cap=4),
     )
 
 
@@ -312,7 +313,7 @@ def q_snowball_stem_documents(sf_dir: str):
 
     return ds.map_batches(
         Stem, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_cap(min_cap=4),
     )
 
 
@@ -372,7 +373,7 @@ def q_kstem_top_terms_documents(sf_dir: str):
 
     out = (
         ds.map_batches(Stem, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
+                       concurrency=pool_cap(min_cap=4))
         .groupby("stem")
         .aggregate(Sum("pn", alias_name="n"))
         .to_pandas()
@@ -548,7 +549,7 @@ def q_score_join_documents_source(sf_dir: str):
         batch_format="pyarrow",
     )
     docs = read_table(sf_dir, "documents", ["doc_id", "source"])
-    joined = scores.join(docs, "inner", num_partitions=8, on=("doc_id",))
+    joined = scores.join(docs, "inner", num_partitions=join_partitions(), on=("doc_id",))
     out = joined.groupby("source").aggregate(
         Max(on="score", alias_name="max_score")
     )
@@ -630,7 +631,7 @@ def q_ltr_score_documents(sf_dir: str):
 
     scored = ds.map_batches(
         LtrScorer, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_cap(min_cap=4),
     )
     return scored.sort(
         ["ltr_score", "doc_id"], descending=[True, False]
@@ -1659,7 +1660,7 @@ def q_ltr_feature_log_documents(sf_dir: str):
     docs = read_table(
         sf_dir, "documents", ["doc_id", "text", "n_chars"]
     ).map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
-    joined = scores.join(docs, "inner", num_partitions=8, on=("doc_id",))
+    joined = scores.join(docs, "inner", num_partitions=join_partitions(), on=("doc_id",))
     return joined.sort("doc_id").map_batches(
         lambda t: pa.table(
             {
@@ -2369,7 +2370,7 @@ def q_score_join_modes_documents(sf_dir: str):
         batch_format="pyarrow",
     )
     docs = read_table(sf_dir, "documents", ["doc_id", "source"])
-    joined = scores.join(docs, "inner", num_partitions=8, on=("doc_id",))
+    joined = scores.join(docs, "inner", num_partitions=join_partitions(), on=("doc_id",))
     agg = (
         joined.groupby("source")
         .aggregate(

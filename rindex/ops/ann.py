@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rindex.schema import join_partitions
 from rindex.ops.util import read_table
 
 QUERIES: dict = {}
@@ -973,7 +974,7 @@ def q_hybrid_bm25_cosine_topk(sf_dir: str):
     cos_ds = emb.map_batches(cos_batch, batch_format="pandas",
                              batch_size=1024)
     joined = bm.join(
-        cos_ds, "inner", num_partitions=8,
+        cos_ds, "inner", num_partitions=join_partitions(),
         on=("doc_id",), right_on=("vec_id",),
     )
 

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rindex.schema import pool_cap
 from rindex.ops.util import read_table
 
 QUERIES: dict = {}
@@ -1341,7 +1342,7 @@ def q_substring_dedup_documents(sf_dir: str):
                 }
             )
 
-    return ds.map_batches(_Mark, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_Mark, batch_format="pyarrow", concurrency=pool_cap(min_cap=8))
 
 
 QUERIES["substring_dedup_documents"] = q_substring_dedup_documents

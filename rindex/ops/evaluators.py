@@ -23,10 +23,16 @@ batch), timeseries (movingAvg/expMovingAvg/diff/sequence/rev), scaling
 (minMaxScale/standardize), scalar stats (mean/var/stddev), vector norms +
 distances (norm/l1norm/linfnorm/cosineSimilarity/euclidean/manhattan),
 spectral (fft as direct DFT), fits/tests (polyFit/ttest), and discrete
-distributions (poisson/binomial + probability) (r3 second batch) — ~85 of
-the reference's ~150 Lang.java registrations; the long tail (machine-
-learning wrappers, interpolation splines, phonic codecs) stays out of
-scope per SURVEY.md §2.8, and the registry below is the extension hook.
+distributions (poisson/binomial + probability) (r3 second batch), the r4
+batches 9–16 (lerp/loess/spline/akima interpolation, gaussfit/harmfit/
+olsRegress fits, dbscan/kmeans/knn ML wrappers, corrMatrix/freqTable,
+precision/recall/F1, Cohen's kappa), and the r5 batch 17 (describe/mode/
+anova/pairedTtest + array builders + factorial) — 156 registered evaluator
+names covering ~120 of the reference's ~150 Lang.java registrations (the
+residue is Java-interop wrappers: termVectors over Java analyzers,
+commons-math distributions needing erf/incomplete-beta CDFs we expose only
+where an elementary closed form exists, and the model-persistence
+update/recommend family).  The registry below is the extension hook.
 """
 
 from __future__ import annotations
@@ -4073,4 +4079,319 @@ ORACLE["eval_precision_recall_documents"] = """
                  / ((tp::DOUBLE / (tp + fp)) + (tp::DOUBLE / (tp + fn))),
                  6) AS f1
     FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch 17 (r5) — descriptive stats, ANOVA, paired t, array builders
+# (`solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# DescribeEvaluator.java, ModeEvaluator.java, AnovaEvaluator.java,
+# PairedTTestEvaluator.java, CopyOfEvaluator.java, CopyOfRangeEvaluator.java,
+# AddAllEvaluator.java, NaturalEvaluator.java, RepeatEvaluator.java,
+# ZerosEvaluator.java, OnesEvaluator.java, FactorialEvaluator.java,
+# ConstantDistributionEvaluator.java`)
+# ---------------------------------------------------------------------------
+
+
+def _describe(v):
+    """DescribeEvaluator: the commons-math DescriptiveStatistics map
+    (N/min/max/sum/mean/var/stddev; sample variance like the reference)."""
+    v = np.asarray(v, np.float64)
+    n = float(len(v))
+    s = v.sum()
+    var = ((v * v).sum() - s * s / n) / (n - 1.0)
+    return {
+        "N": n, "min": float(v.min()), "max": float(v.max()),
+        "sum": float(s), "mean": float(s / n), "var": float(var),
+        "stddev": float(np.sqrt(var)),
+    }
+
+
+def _mode(v):
+    """ModeEvaluator: the most frequent value(s), ascending (commons-math
+    StatUtils.mode returns all ties sorted)."""
+    vals, cnts = np.unique(np.asarray(v, np.float64), return_counts=True)
+    return vals[cnts == cnts.max()]
+
+
+def _anova(*groups):
+    """AnovaEvaluator (commons-math OneWayAnova): [fRatio, dfBetween,
+    dfWithin].  The p-value needs the F CDF (no scipy here); the F ratio
+    and dfs are the oracle-checkable core."""
+    gs = [np.asarray(g, np.float64) for g in groups]
+    k = float(len(gs))
+    n = float(sum(len(g) for g in gs))
+    grand = sum(g.sum() for g in gs) / n
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in gs)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in gs)
+    f = (ssb / (k - 1.0)) / (ssw / (n - k))
+    return np.array([f, k - 1.0, n - k])
+
+
+def _paired_ttest(a, b):
+    """PairedTTestEvaluator: t on the per-index differences; [t, df]."""
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    n = float(len(d))
+    s = d.sum()
+    var = ((d * d).sum() - s * s / n) / (n - 1.0)
+    return np.array([(s / n) / np.sqrt(var / n), n - 1.0])
+
+
+def _factorial(n):
+    import math
+
+    return float(math.factorial(int(n)))
+
+
+EVALUATORS.update({
+    "describe": _describe,
+    "mode": _mode,
+    "anova": _anova,
+    "pairedTtest": _paired_ttest,
+    "copyOf": lambda arr, n=None: np.asarray(arr, np.float64)[
+        : (int(n) if n is not None else len(np.asarray(arr)))
+    ].copy(),
+    "copyOfRange": lambda arr, a, b: np.asarray(arr, np.float64)[
+        int(a):int(b)
+    ].copy(),
+    "addAll": lambda *arrs: np.concatenate(
+        [np.asarray(a, np.float64) for a in arrs]
+    ),
+    "natural": lambda n: np.arange(int(n), dtype=np.float64),
+    "repeat": lambda val, n: np.full(int(n), float(val)),
+    "zeros": lambda n: np.zeros(int(n)),
+    "ones": lambda n: np.ones(int(n)),
+    "factorial": _factorial,
+    "constantDistribution": lambda x: ("constant", float(x)),
+})
+
+
+def q_eval_describe_mode_lineitem(sf_dir: str):
+    """describe() + mode() over l_quantity.  The corpus side reduces to
+    the distinct-value/count table exactly like freqTable (per-batch
+    value_counts partials, one tiny groupby); describe's moments and the
+    mode derive from that weighted table on the driver, so no stage ever
+    materializes the column."""
+    li = read_table(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["l_quantity"].combine_chunks())
+        return pa.table(
+            {
+                "value": pc.cast(vc.field("values"), pa.float64()),
+                "n": vc.field("counts"),
+            }
+        )
+
+    s = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    v = s["value"].to_numpy(np.float64)
+    w = s["n"].to_numpy(np.float64)
+    n = w.sum()
+    tot = (v * w).sum()
+    var = ((v * v * w).sum() - tot * tot / n) / (n - 1.0)
+    # weighted expansion == _describe on the raw column
+    modes = v[w == w.max()]
+    return pd.DataFrame(
+        {
+            "n": [int(n)],
+            "min": [round_sql(v.min())],
+            "max": [round_sql(v.max())],
+            "sum": [round_sql(tot)],
+            "mean": [round_sql(tot / n)],
+            "variance": [round_sql(var)],
+            "stddev": [round_sql(np.sqrt(var))],
+            "mode": [round_sql(modes.min())],
+        }
+    )
+
+
+QUERIES["eval_describe_mode_lineitem"] = q_eval_describe_mode_lineitem
+ORACLE["eval_describe_mode_lineitem"] = """
+    WITH m AS (
+      SELECT l_quantity::DOUBLE AS value, count(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1
+    ),
+    md AS (SELECT value FROM m ORDER BY n DESC, value ASC LIMIT 1)
+    SELECT count(*)::BIGINT AS n,
+           round(min(l_quantity)::DOUBLE, 6) AS min,
+           round(max(l_quantity)::DOUBLE, 6) AS max,
+           round(sum(l_quantity)::DOUBLE, 6) AS sum,
+           round(avg(l_quantity::DOUBLE), 6) AS mean,
+           round(var_samp(l_quantity::DOUBLE), 6) AS variance,
+           round(stddev_samp(l_quantity::DOUBLE), 6) AS stddev,
+           round((SELECT value FROM md), 6) AS mode
+    FROM lineitem
+"""
+
+
+def q_eval_anova_orders(sf_dir: str):
+    """anova() one-way over o_totalprice grouped by o_orderstatus: the
+    group moments (n, sum, sum-of-squares) reduce in ONE distributed
+    groupby; the F ratio assembles from those k rows on the driver — the
+    reference evaluator likewise runs commons-math OneWayAnova over
+    collected lists, but the corpus-side reduction here never collects."""
+    od = read_table(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = t.to_pandas()
+        x = df["o_totalprice"].to_numpy(np.float64)
+        g = df.groupby("o_orderstatus", sort=False)
+        agg = g["o_totalprice"].agg(["count", "sum"])
+        sq = _pd.Series(x * x, index=df.index).groupby(
+            df["o_orderstatus"], sort=False
+        ).sum()
+        return pa.table(
+            {
+                "grp": agg.index.astype(str),
+                "cnt": agg["count"].to_numpy(np.int64),
+                "s": agg["sum"].to_numpy(np.float64),
+                "ss": sq.reindex(agg.index).to_numpy(np.float64),
+            }
+        )
+
+    g = (
+        od.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("grp")
+        .sum(["cnt", "s", "ss"])
+        .to_pandas()
+        .sort_values("grp")
+    )
+    cnt = g["sum(cnt)"].to_numpy(np.float64)
+    s = g["sum(s)"].to_numpy(np.float64)
+    ss = g["sum(ss)"].to_numpy(np.float64)
+    k, n = float(len(cnt)), cnt.sum()
+    grand = s.sum() / n
+    means = s / cnt
+    ssb = (cnt * (means - grand) ** 2).sum()
+    ssw = (ss - s * s / cnt).sum()
+    f = (ssb / (k - 1.0)) / (ssw / (n - k))
+    return pd.DataFrame(
+        {
+            "f_ratio": [round_sql(f)],
+            "df_between": [int(k - 1)],
+            "df_within": [int(n - k)],
+        }
+    )
+
+
+QUERIES["eval_anova_orders"] = q_eval_anova_orders
+ORACLE["eval_anova_orders"] = """
+    WITH g AS (
+      SELECT o_orderstatus AS grp, count(*)::DOUBLE AS cnt,
+             sum(o_totalprice)::DOUBLE AS s,
+             sum(o_totalprice * o_totalprice)::DOUBLE AS ss
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT count(*)::DOUBLE AS k, sum(cnt) AS n,
+             sum(s) / sum(cnt) AS grand
+      FROM g
+    ),
+    parts AS (
+      SELECT sum(cnt * (s / cnt - grand) * (s / cnt - grand)) AS ssb,
+             sum(ss - s * s / cnt) AS ssw
+      FROM g CROSS JOIN t
+    )
+    SELECT round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_ratio,
+           (k - 1)::BIGINT AS df_between,
+           (n - k)::BIGINT AS df_within
+    FROM parts CROSS JOIN t
+"""
+
+
+def q_eval_paired_ttest_lineitem(sf_dir: str):
+    """pairedTtest() of the discounted vs list price per line item: the
+    per-pair difference is -l_extendedprice*l_discount, reduced to
+    (n, sum d, sum d^2) partials inside map_batches + one global sum —
+    the t statistic is a 3-scalar driver formula."""
+    li = read_table(sf_dir, "lineitem", ["l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = -(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * t["l_discount"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([len(d)], pa.int64()),
+                "s": pa.array([d.sum()], pa.float64()),
+                "ss": pa.array([(d * d).sum()], pa.float64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum(["n", "s", "ss"])
+    )
+    n = float(agg["sum(n)"])
+    s = float(agg["sum(s)"])
+    ss = float(agg["sum(ss)"])
+    var = (ss - s * s / n) / (n - 1.0)
+    t_stat = (s / n) / np.sqrt(var / n)
+    return pd.DataFrame(
+        {"t": [round_sql(t_stat)], "df": [int(n - 1)]}
+    )
+
+
+QUERIES["eval_paired_ttest_lineitem"] = q_eval_paired_ttest_lineitem
+ORACLE["eval_paired_ttest_lineitem"] = """
+    WITH d AS (
+      SELECT -(l_extendedprice * l_discount)::DOUBLE AS diff FROM lineitem
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS n, sum(diff) AS s,
+             sum(diff * diff) AS ss
+      FROM d
+    )
+    SELECT round((s / n) / sqrt(((ss - s * s / n) / (n - 1)) / n), 6) AS t,
+           (n - 1)::BIGINT AS df
+    FROM m
+"""
+
+
+def q_eval_array_builders_events(sf_dir: str):
+    """Array-builder evaluators (natural/repeat/zeros/ones/copyOf/
+    copyOfRange/addAll/factorial) composed in a let()-style scalar
+    computation seeded by a corpus count — the builders run on the
+    driver over tiny arrays (their reference contract); only count()
+    touches data."""
+    n_events = read_table(sf_dir, "events", ["event_id"]).count()
+    E = EVALUATORS
+    arr = E["addAll"](
+        E["copyOfRange"](E["natural"](12), 2, 9),   # 2..8
+        E["repeat"](3.5, 4),                         # 3.5 x4
+        E["ones"](3),
+    )
+    arr2 = E["copyOf"](arr, 10)
+    return pd.DataFrame(
+        {
+            "n_events": [int(n_events)],
+            "arr_len": [int(len(arr))],
+            "arr_sum": [round_sql(arr.sum())],
+            "arr2_sum": [round_sql(arr2.sum())],
+            "zeros_sum": [round_sql(E["zeros"](5).sum())],
+            "fact7": [round_sql(E["factorial"](7))],
+        }
+    )
+
+
+QUERIES["eval_array_builders_events"] = q_eval_array_builders_events
+ORACLE["eval_array_builders_events"] = """
+    SELECT count(*)::BIGINT AS n_events,
+           14::BIGINT AS arr_len,
+           round(2+3+4+5+6+7+8 + 3.5*4 + 3.0, 6) AS arr_sum,
+           round(2+3+4+5+6+7+8 + 3.5*3, 6) AS arr2_sum,
+           round(0.0, 6) AS zeros_sum,
+           round(5040.0, 6) AS fact7
+    FROM events
 """

@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from rindex.schema import join_partitions
 from rindex.ops.util import read_table
 
 QUERIES: dict = {}
@@ -809,7 +810,7 @@ def q_json_facet_block_children_orders(sf_dir: str):
         matched = li.join(
             parents_ds,
             "inner",
-            num_partitions=16,
+            num_partitions=join_partitions(),
             on=("l_orderkey",),
             right_on=("o_orderkey",),
         )

@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from rindex.codec import NORM_DECODE_TABLE
-from rindex.schema import B, K1
+from rindex.schema import B, K1, join_partitions
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -972,7 +972,7 @@ def q_boost_function_search_documents(sf_dir: str):
     s = IndexSearcher(idx, algo="exhaustive")
     scores = s.score_matches_dataset(BOOST_QUERY, mode="or")
     docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-    joined = scores.join(docs, "inner", num_partitions=8, on=("doc_id",))
+    joined = scores.join(docs, "inner", num_partitions=join_partitions(), on=("doc_id",))
 
     def boost(t: pa.Table) -> pa.Table:
         sc = t["score"].to_numpy()
@@ -1658,7 +1658,7 @@ def q_composite_search_rollup_documents(sf_dir: str):
     )
     docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
     joined = scores.join(
-        docs, "inner", num_partitions=8, on=("doc_id",)
+        docs, "inner", num_partitions=join_partitions(), on=("doc_id",)
     )
     out = joined.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Mean("score", alias_name="avg_score")

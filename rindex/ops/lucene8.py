@@ -47,6 +47,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from rindex.schema import join_partitions
 from rindex.ops.analysis_ext import TOKEN_SQL_RE
 from rindex.ops.util import cache_dir, read_table
 
@@ -177,7 +178,7 @@ def q_rank_feature_topk_documents(sf_dir: str):
     matches = s.score_matches_dataset(FEATURE_QUERY, mode="or")
     feats = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
     joined = matches.join(
-        feats, "inner", num_partitions=8, on=("doc_id",)
+        feats, "inner", num_partitions=join_partitions(), on=("doc_id",)
     )
 
     def combine(t: pa.Table) -> pa.Table:
@@ -1045,7 +1046,7 @@ def q_rank_feature_functions_documents(sf_dir: str):
     s = IndexSearcher(idx, algo="exhaustive")
     matches = s.score_matches_dataset(FEATURE_QUERY, mode="or")
     feats = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-    joined = matches.join(feats, "inner", num_partitions=8, on=("doc_id",))
+    joined = matches.join(feats, "inner", num_partitions=join_partitions(), on=("doc_id",))
 
     def combine(t: pa.Table) -> pa.Table:
         f = pc.ln(pc.add(pc.cast(t["n_chars"], pa.float64()), 1.0))

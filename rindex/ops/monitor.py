@@ -30,6 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 from rindex.ops.analysis_ext import TOKEN_SQL_RE
+from rindex.schema import pool_cap
 from rindex.ops.util import read_table
 
 QUERIES: dict = {}
@@ -150,7 +151,7 @@ def q_monitor_percolate_documents(sf_dir: str):
             )
 
     res = ds.map_batches(
-        _Percolate, batch_format="pyarrow", concurrency=(1, 8)
+        _Percolate, batch_format="pyarrow", concurrency=pool_cap(min_cap=8)
     )
     return (
         res.to_pandas()

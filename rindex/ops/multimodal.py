@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rindex.schema import pool_cap
 from rindex.ops.util import read_table
 
 QUERIES: dict = {}
@@ -163,7 +164,7 @@ def q_multimodal_decode_features(sf_dir: str):
         PpmDecoder,
         batch_format="pandas",
         batch_size=256,  # wide binary rows -> small batches
-        concurrency=(1, 2),
+        concurrency=pool_cap(min_cap=2),
         num_cpus=1,
     )
 
@@ -256,7 +257,7 @@ def q_multimodal_resize_plan(sf_dir: str):
         PpmResizer,
         batch_format="pandas",
         batch_size=256,
-        concurrency=(1, 2),
+        concurrency=pool_cap(min_cap=2),
         num_cpus=1,
     )
 
@@ -498,7 +499,7 @@ def q_multimodal_audio_energy(sf_dir: str):
         WavDecoder,
         batch_format="pandas",
         batch_size=256,
-        concurrency=(1, 2),
+        concurrency=pool_cap(min_cap=2),
         num_cpus=1,
     )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -653,7 +654,7 @@ def q_multimodal_video_decode(sf_dir: str):
         VideoDecoder,
         batch_format="pandas",
         batch_size=128,   # video rows are the widest payloads
-        concurrency=(1, 2),
+        concurrency=pool_cap(min_cap=2),
         num_cpus=1,
     )
     return (
@@ -748,7 +749,7 @@ def q_multimodal_box_downsample(sf_dir: str):
         PpmBoxDownsampler,
         batch_format="pandas",
         batch_size=256,
-        concurrency=(1, 2),
+        concurrency=pool_cap(min_cap=2),
         num_cpus=1,
     )
 
@@ -823,7 +824,7 @@ def q_multimodal_ahash_dedup(sf_dir: str):
         PpmAHasher,
         batch_format="pandas",
         batch_size=256,
-        concurrency=(1, 2),
+        concurrency=pool_cap(min_cap=2),
         num_cpus=1,
     )
     out = (

@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from rindex.schema import join_partitions
 from rindex.ops.util import broadcast_join, broadcast_semi_filter, read_table
 
 QUERIES: dict = {}
@@ -373,7 +374,7 @@ def q_hash_join_orders_customers(sf_dir: str):
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = orders.join(
-        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust, "inner", num_partitions=join_partitions(), on=("o_custkey",), right_on=("c_custkey",)
     )
     out = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")

@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rindex.schema import pool_cap
 from rindex.ops.util import read_table
 
 QUERIES: dict = {}
@@ -1745,7 +1746,7 @@ def q_text_tagger_documents(sf_dir: str):
 
     return ds.map_batches(
         Tagger, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_cap(min_cap=4),
     )
 
 

@@ -48,6 +48,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rindex.schema import join_partitions
 from rindex.ops.util import read_table
 
 QUERIES: dict = {}
@@ -237,7 +238,7 @@ def _b_hashjoin(args, kwargs, ctx):
     right = _build(args[1], ctx)
     lk, _, rk = _lit(kwargs["on"], "on").partition("=")
     return left.join(
-        right, "inner", num_partitions=8,
+        right, "inner", num_partitions=join_partitions(),
         on=(lk.strip(),), right_on=(rk.strip() or lk.strip(),),
     )
 
@@ -326,16 +327,48 @@ def _b_innerjoin(args, kwargs, ctx):
     )
 
 
+# fetch()'s right stream is the DESIGNATED small side by the expression
+# contract (FetchStream batches the tuple side the same way), but trusting
+# the author unconditionally is how a 10^9-row "small" side OOMs the
+# driver.  Count-gate it: at or under this many rows it broadcasts (one
+# driver copy, shipped once via ray.put inside broadcast_join); above, the
+# op auto-switches to the distributed left-outer hash join — identical
+# semantics, no driver materialization.  Mirrors DEDUP_BCAST_MAX_DOCS.
+STREAM_BCAST_MAX_ROWS = int(os.environ.get("STREAM_BCAST_MAX_ROWS", "200000"))
+
+
 def _b_fetch(args, kwargs, ctx):
     """fetch() enrichment: the right stream is the DESIGNATED small side
     (FetchStream pulls it in one request the same way), broadcast once.
     LEFT join — FetchStream never filters: unmatched tuples pass through
-    un-enriched (null fields), only matched ones gain fields."""
+    un-enriched (null fields), only matched ones gain fields.  Right
+    streams larger than STREAM_BCAST_MAX_ROWS take the distributed
+    left-outer hash-join path instead of broadcasting."""
     from rindex.ops.util import broadcast_join
 
     lk, _, rk = _lit(kwargs["on"], "on").partition("=")
     lk, rk = lk.strip(), (rk.strip() or lk.strip())
-    small = _build(args[1], ctx).to_pandas()
+    right = _build(args[1], ctx)
+    if right.count() > STREAM_BCAST_MAX_ROWS:
+        from rindex.ops.streams import hash_outer_join
+
+        # key under a reserved name so the right key column can be dropped
+        # after the join — output columns then match the broadcast path
+        # exactly (left cols + right non-key cols)
+        tmp = "__fetch_right_key__"
+        # rename via an Arrow map_batches, not Dataset.rename_columns —
+        # the latter dies on pandas-block datasets in Ray 2.49
+        right = right.map_batches(
+            lambda t, _rk=rk, _tmp=tmp: t.rename_columns(
+                [_tmp if c == _rk else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_outer_join(
+            _build(args[0], ctx), right, on=lk, right_on=tmp, how="left"
+        )
+        return joined.drop_columns([tmp])
+    small = right.to_pandas()
     if rk != lk:
         small = small.rename(columns={rk: lk})
     return broadcast_join(_build(args[0], ctx), small, on=lk, how="left")
@@ -838,7 +871,7 @@ def _b_drill(args, kwargs, ctx):
                 f"drill: fields {sorted(set(need) - stored)} are not "
                 f"stored in collection {coll!r}"
             )
-        ds = ds.join(right, "inner", num_partitions=8, on=("doc_id",))
+        ds = ds.join(right, "inner", num_partitions=join_partitions(), on=("doc_id",))
     inner_done = ("done", ds)
     return _b_rollup([inner_done], kwargs, ctx)
 

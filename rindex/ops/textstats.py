@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rindex.schema import pool_cap
 from rindex.ops.util import read_table
 
 QUERIES: dict = {}
@@ -254,7 +255,7 @@ def q_langid_documents(sf_dir: str):
             )
 
     return ds.map_batches(
-        LangId, batch_format="pandas", batch_size=1024, concurrency=(1, 2)
+        LangId, batch_format="pandas", batch_size=1024, concurrency=pool_cap(min_cap=2)
     )
 
 
@@ -590,7 +591,7 @@ def q_contamination_check_documents(sf_dir: str):
                 }
             )
 
-    res = ds.map_batches(_Check, batch_format="pyarrow", concurrency=(1, 8))
+    res = ds.map_batches(_Check, batch_format="pyarrow", concurrency=pool_cap(min_cap=8))
     return (
         res.to_pandas().sort_values("doc_id").reset_index(drop=True)
     )

@@ -51,7 +51,7 @@ import pandas as pd
 import pyarrow as pa
 
 from rindex.ops.util import read_table
-from rindex.schema import B, K1
+from rindex.schema import B, K1, pool_cap
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -1188,7 +1188,7 @@ def q_conv_lang_consistency_documents(sf_dir: str):
             )
 
     langs = ds.map_batches(
-        LangId, batch_format="pandas", batch_size=1024, concurrency=(1, 2)
+        LangId, batch_format="pandas", batch_size=1024, concurrency=pool_cap(min_cap=2)
     ).map_batches(_conv_bucket, batch_format="pyarrow", zero_copy_batch=True)
 
     def consistency(g: pd.DataFrame) -> pd.DataFrame:

@@ -8,6 +8,8 @@ import threading
 import pandas as pd
 import pyarrow as pa
 
+from rindex.schema import pool_cap
+
 
 def cache_dir(sf_dir: str, tag: str) -> str:
     """Per-(sf_dir, tag) scratch directory under the ONE cache root —
@@ -55,7 +57,7 @@ def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, on=on, how=how)
 
-    return ds.map_batches(_Join, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(_Join, batch_format="pandas", concurrency=pool_cap(min_cap=4))
 
 
 def broadcast_semi_filter(ds, keys, col: str, anti: bool = False):

@@ -10,6 +10,8 @@ re-expressed as Parquet tables per immutable segment directory.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 # --- BM25 constants (reference: BM25Similarity, k1=1.2, b=0.75) -------------
@@ -117,6 +119,58 @@ TOPK_SCHEMA = pa.schema(
         ("score", pa.float64()),
     ]
 )
+
+# --- cluster-proportional sizing -------------------------------------------
+# The reference sizes its parallelism from the hardware it lands on —
+# HashQParserPlugin partitions its hash join by worker count
+# (solr/core/src/java/org/apache/solr/search/HashQParserPlugin.java) and
+# IndexSearcher#slices / ConcurrentMergeScheduler derive executor width from
+# core count.  These helpers are the single place the repo does the same:
+# every Dataset.join picks its reduce-partition count and every stateful
+# actor pool picks its autoscale cap from the LIVE cluster's CPU total, so
+# the identical pipeline that runs on a 4-cpu pytest session also spreads
+# across a 1024-core cluster without editing code.  Env overrides exist for
+# benchmarking and for pinning behavior in tests.
+
+
+def _cluster_cpus() -> int:
+    """Total CPUs in the connected Ray cluster (or this host pre-init)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            if cpus > 0:
+                return cpus
+    except Exception:
+        pass
+    return os.cpu_count() or 4
+
+
+def join_partitions() -> int:
+    """Reduce-partition count for Dataset.join sites (RINDEX_JOIN_PARTITIONS
+    overrides).  2× cluster CPUs, floored at 8: enough partitions that each
+    reduce task's build side stays heap-sized at cluster scale, few enough
+    that per-task overhead stays negligible on a laptop."""
+    env = os.environ.get("RINDEX_JOIN_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    return max(8, 2 * _cluster_cpus())
+
+
+def pool_cap(frac: float = 0.5, floor: int = 1, min_cap: int = 2) -> tuple:
+    """Autoscale (min, max) for a stateful map_batches actor pool.
+
+    `frac` is the share of cluster CPUs the stage may claim at full
+    autoscale (it only gets there when it is the bottleneck); `floor`
+    actors always start so small inputs don't pay autoscale latency.
+    RINDEX_POOL_MAX caps the max for tests/benchmarks."""
+    env = os.environ.get("RINDEX_POOL_MAX")
+    hi = max(min_cap, int(_cluster_cpus() * frac))
+    if env:
+        hi = min(hi, max(floor, int(env)))
+    return (floor, max(floor, hi))
+
 
 # Positions jump by this between values of a multi-valued text field, so
 # phrases/proximity can't match across value boundaries (Lucene FieldType

@@ -510,6 +510,9 @@ def _shared_postings_table(path: str, cols) -> "pa.Table | None":
         st = os.stat(path)
         reg = _ray.remote(_SegTableRegistry).options(
             name="rindex_seg_registry",
+            namespace="rindex",  # explicit namespace: repeated driver
+            # sessions on one cluster find and reuse the same registry
+            # instead of leaking one detached actor per anonymous session
             get_if_exists=True,
             lifetime="detached",
             num_cpus=0,
