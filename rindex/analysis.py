@@ -32,6 +32,23 @@ from typing import Callable
 from rindex.schema import MAX_TOKEN_LEN
 
 # Alphanumeric runs, keeping word-internal apostrophes ("don't" -> one token).
+#
+# CONTRACT (two formally pinned divergences from UAX#29 / the reference's
+# StandardTokenizerImpl.jflex, frozen since r1 and mirrored by every SQL
+# oracle's segmentation expression):
+#   * MidNum (UAX#29 WB11/WB12; jflex {MidNumericEx}): the reference keeps
+#     "3.14" / "2,718" as ONE <NUM> token when a MidNum punct sits between
+#     digits; this regex splits them ("3", "14").
+#   * ExtendNumLet (UAX#29 WB13a/WB13b; jflex {ExtendNumLetEx}): the
+#     reference joins "foo_bar" into ONE <ALPHANUM> token via U+005F
+#     ExtendNumLet; this regex splits it ("foo", "bar").
+# Rationale: both rules fire on pure-ASCII text, i.e. inside the fast path
+# whose byte-identity with the DuckDB oracle regexes is the correctness
+# gate for all fulltext ops; changing either side means changing BOTH in
+# lockstep across every oracle.  On the synthetic transcript corpus neither
+# pattern affects ranking (no decimal-number or snake_case query terms in
+# the reference query set).  tests/test_uax29_conformance.py pins both
+# divergences with the rule ids above.
 _TOKEN_RE = re.compile(r"[0-9a-z]+(?:'[0-9a-z]+)*")
 
 # ---------------------------------------------------------------------------

@@ -3244,3 +3244,125 @@ def _explain_oracle_sql() -> str:
 
 
 ORACLE["explain_scores_documents"] = _explain_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# r5: DFR basic-model-G grid cells (G/B/H2 and G/L/H1) — the first
+# similarities whose information content is AFFINE in tfn, riding the
+# 2-vector weight channel (rindex/similarity.py DFRGBSimilarity/
+# DFRGLSimilarity, rindex/search.py _weight_val)
+# ---------------------------------------------------------------------------
+
+
+def q_dfr_gb_topk_documents(sf_dir: str):
+    """Top-k with DFR G/B/H2 (c=1) — see rindex.similarity.DFRGBSimilarity;
+    same WAND kernels (2-vector block bounds), same rounded-rank
+    discipline as the other DFR topk ops."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand", similarity="dfr_gb")
+    slack = 16
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in LMD_QUERIES]),
+            "qtype": pa.array([q[1] for q in LMD_QUERIES]),
+            "text": pa.array([q[2] for q in LMD_QUERIES]),
+            "k": pa.array([TOP_K + slack] * len(LMD_QUERIES), pa.int32()),
+        }
+    )
+    out = searcher.search_table(qtbl).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=False)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32")
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _dfr_g_oracle_sql(after_effect: str) -> str:
+    """Shared SQL for the G-model cells: after_effect 'b' multiplies by
+    (F+1)/df and uses H2's log tfn; 'l' has unit gain and H1's linear
+    tfn.  lam = F/(N+F) — the geometric prior both similarity classes
+    document."""
+    q_rows = []
+    for qid, _qtype, text in LMD_QUERIES:
+        for t in text.split():
+            q_rows.append(f"('{qid}', '{t}')")
+    q_values = ",".join(q_rows)
+    if after_effect == "b":
+        tfn = f"(tf * log2(1.0 + {DFR_C} * avgdl / greatest(ldl, 1.0)))"
+        gain = "((ttf + 1.0) / df)"
+    else:
+        tfn = f"(tf * {DFR_C} * avgdl / greatest(ldl, 1.0))"
+        gain = "1.0"
+    return f"""
+    WITH {_bm25_ctes()},
+    ttfc AS (SELECT term, sum(tf)::DOUBLE AS ttf FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {q_values}),
+    scores AS (
+      SELECT q.query_id,
+             tf.doc_id,
+             sum({gain}
+                 * (log2(1.0 + ttf / (n_docs + ttf))
+                    + {tfn} * log2((1.0 + ttf / (n_docs + ttf))
+                                   / (ttf / (n_docs + ttf))))
+                 / ({tfn} + 1.0)) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN ttfc USING (term)
+      JOIN df USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(s, 6) AS s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 6) DESC, doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM scores
+    )
+    SELECT query_id, rank, doc_id, s AS score
+    FROM ranked WHERE rank < {TOP_K}
+    """
+
+
+QUERIES["dfr_gb_topk_documents"] = q_dfr_gb_topk_documents
+ORACLE["dfr_gb_topk_documents"] = _dfr_g_oracle_sql("b")
+
+
+def q_dfr_gl_topk_documents(sf_dir: str):
+    """Top-k with DFR G/L/H1 (c=1) — see rindex.similarity.DFRGLSimilarity."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand", similarity="dfr_gl")
+    slack = 16
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in LMD_QUERIES]),
+            "qtype": pa.array([q[1] for q in LMD_QUERIES]),
+            "text": pa.array([q[2] for q in LMD_QUERIES]),
+            "k": pa.array([TOP_K + slack] * len(LMD_QUERIES), pa.int32()),
+        }
+    )
+    out = searcher.search_table(qtbl).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=False)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32")
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+QUERIES["dfr_gl_topk_documents"] = q_dfr_gl_topk_documents
+ORACLE["dfr_gl_topk_documents"] = _dfr_g_oracle_sql("l")

@@ -810,6 +810,17 @@ class _SegmentReader:
         return out
 
 
+def _weight_val(x):
+    """Normalize a similarity term weight: python float for the scalar
+    channel (every classic similarity), a float64 vector for similarities
+    whose score is linear in SEVERAL per-term constants (DFR basic model G:
+    score = w0/(tfn+1) + w1*tfn/(tfn+1)).  Query-term multiplicity and
+    boosts compose by scalar-multiplying the whole vector — score stays
+    linear in it, exactly like the scalar channel."""
+    a = np.asarray(x, np.float64)
+    return float(a) if a.ndim == 0 else a
+
+
 def _topk_preselect(d: np.ndarray, s: np.ndarray, k: int):
     """Exact top-k preselection: np.partition finds the k-th largest score
     in O(n), then only entries with score >= that value (ties INCLUDED, so
@@ -886,7 +897,7 @@ class IndexSearcher:
         if getattr(self.sim, "needs_cstats", False):
             ttf = self.global_ttf(order)
             return {
-                t: float(
+                t: _weight_val(
                     self.sim.term_weight_cstats(
                         df[t], ttf[t], self.n_docs, self.sum_dl
                     )
@@ -894,7 +905,8 @@ class IndexSearcher:
                 for t in order
             }
         return {
-            t: float(self.sim.term_weight(df[t], self.n_docs)) for t in order
+            t: _weight_val(self.sim.term_weight(df[t], self.n_docs))
+            for t in order
         }
 
     def _pseudo_term_weight(self, df: int, ttf: float) -> float:
@@ -903,12 +915,12 @@ class IndexSearcher:
         contract), routed through whichever stats channel the plugged
         similarity uses."""
         if getattr(self.sim, "needs_cstats", False):
-            return float(
+            return _weight_val(
                 self.sim.term_weight_cstats(
                     df, ttf, self.n_docs, self.sum_dl
                 )
             )
-        return float(self.sim.term_weight(df, self.n_docs))
+        return _weight_val(self.sim.term_weight(df, self.n_docs))
 
     # ---- scoring ----
     def _term_plan(self, q: Query):

@@ -251,6 +251,85 @@ class DFRIfSimilarity:
         return w * tfn / (tfn + 1.0)
 
 
+class DFRGBSimilarity:
+    """Fourth DFR combination — basic model G (geometric), after-effect B,
+    normalization H2 (`lucene/core/src/java/org/apache/lucene/search/
+    similarities/{BasicModelG,AfterEffectB,NormalizationH2}.java`, c=1),
+    extending the basic-model grid beyond the tfn-proportional models
+    (In/Ine/IF).  The geometric information content has a CONSTANT term:
+
+      lam   = F / (N + F)                      (geometric prior)
+      Inf1  = log2(1+lam) + tfn * log2((1+lam)/lam)
+      tfn   = tf * log2(1 + c * avgdl / dl)    (H2)
+      score = ((F+1) / (df * (tfn+1))) * Inf1  (after-effect B)
+
+    Because Inf1 is affine (not proportional) in tfn, the weight channel
+    is a 2-VECTOR w = ((F+1)/df) * (log2(1+lam), log2((1+lam)/lam)) and
+    score = (w0 + w1*tfn)/(tfn+1) — still linear in w, so boosts/query
+    multiplicity compose by scalar-multiplying the vector (_weight_val in
+    rindex/search.py).  Monotone ↑tfn: d/dtfn = (w1 - w0)/(tfn+1)^2 and
+    w1 - w0 = k*(-log2 lam) > 0 since lam < 1; monotone ↓dl via H2 — the
+    recomputed WAND block bounds stay valid unclamped."""
+
+    name = "dfr_gb"
+    needs_cstats = True
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def term_weight_cstats(self, df, ttf, n_docs, collection_len):
+        f = np.asarray(ttf, np.float64)
+        n = np.float64(n_docs)
+        lam = f / (n + f)
+        k = (f + 1.0) / np.asarray(df, np.float64)
+        return np.array(
+            [k * np.log2(1.0 + lam), k * np.log2((1.0 + lam) / lam)]
+        )
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = np.maximum(NORM_DECODE_TABLE.astype(np.float64), 1.0)
+        return np.log2(1.0 + self.c * np.float64(avgdl) / dl)
+
+    def score(self, w, tf, cv):
+        tfn = tf * cv
+        return (w[0] + w[1] * tfn) / (tfn + 1.0)
+
+
+class DFRGLSimilarity:
+    """Fifth DFR combination — basic model G, after-effect L, normalization
+    H1 (`.../similarities/{BasicModelG,AfterEffectL,NormalizationH1}.java`,
+    c=1).  After-effect L is the Laplace gain 1/(tfn+1) with NO (F+1)/df
+    factor, and H1 is the linear length normalization:
+
+      tfn   = tf * c * avgdl / dl              (H1)
+      score = (log2(1+lam) + tfn*log2((1+lam)/lam)) / (tfn + 1)
+
+    Same 2-vector weight channel as G/B with k = 1; same monotonicity
+    argument (w1 > w0 always), so WAND bounds hold unclamped."""
+
+    name = "dfr_gl"
+    needs_cstats = True
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def term_weight_cstats(self, df, ttf, n_docs, collection_len):
+        f = np.asarray(ttf, np.float64)
+        n = np.float64(n_docs)
+        lam = f / (n + f)
+        return np.array(
+            [np.log2(1.0 + lam), np.log2((1.0 + lam) / lam)]
+        )
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = np.maximum(NORM_DECODE_TABLE.astype(np.float64), 1.0)
+        return self.c * np.float64(avgdl) / dl
+
+    def score(self, w, tf, cv):
+        tfn = tf * cv
+        return (w[0] + w[1] * tfn) / (tfn + 1.0)
+
+
 class ExpressionSimilarity:
     """Similarity compiled from evaluator-expression strings — the Lucene
     expressions module's scoring use case (`lucene/expressions/src/java/
@@ -420,6 +499,8 @@ SIMILARITIES = {
     "dfr": DFRSimilarity(),
     "dfr_ine": DFRIneSimilarity(),
     "dfr_if": DFRIfSimilarity(),
+    "dfr_gb": DFRGBSimilarity(),
+    "dfr_gl": DFRGLSimilarity(),
     # Axiomatic F2EXP (`lucene/core/src/java/org/apache/lucene/search/
     # similarities/AxiomaticF2EXP.java`, Fang & Zhai 2005; s=0.5, k=0.35):
     # w = (N/df)^k, score = w * tf / (tf + s + s*dl/avgdl) — expressed as

@@ -50,11 +50,17 @@ CASES = [
     ("l’élève", ["l’élève"]),
     # NFC normalization: decomposed e + combining acute == composed é
     ("café", ["café"]),
-    # --- documented divergences from full UAX#29 (frozen: the ASCII fast
-    # path and every SQL oracle segment this way) ---
-    # MidNum: UAX#29/Lucene keep "3.14" and "2,718" as one NUM token
+    # --- formally pinned divergences from full UAX#29 (contract, not
+    # backlog — rationale at rindex/analysis.py::_TOKEN_RE: both rules
+    # fire in the pure-ASCII fast path whose byte-identity with every
+    # DuckDB oracle's segmentation regex is the fulltext correctness
+    # gate) ---
+    # MidNum, UAX#29 WB11/WB12 ({MidNumericEx} in
+    # StandardTokenizerImpl.jflex): reference keeps "3.14"/"2,718" as one
+    # <NUM> token; this engine and its oracles split on the punct
     ("3.14 and 2,718", ["3", "14", "and", "2", "718"]),
-    # ExtendNumLet: UAX#29/Lucene join "foo_bar" into one token
+    # ExtendNumLet, UAX#29 WB13a/WB13b ({ExtendNumLetEx}): reference
+    # joins "foo_bar" via U+005F; this engine and its oracles split
     ("foo_bar", ["foo", "bar"]),
 ]
 
