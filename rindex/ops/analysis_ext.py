@@ -2414,3 +2414,186 @@ def _score_join_modes_oracle() -> str:
 
 QUERIES["score_join_modes_documents"] = q_score_join_modes_documents
 ORACLE["score_join_modes_documents"] = _score_join_modes_oracle()
+
+
+# ---------------------------------------------------------------------------
+# r5 factory batch: RefinedSoundex + MatchRatingApproach phonetic encoders
+# (PhoneticFilterFactory encoder="RefinedSoundex"/"MatchRatingApproach",
+# `lucene/analysis/phonetic/src/java/org/apache/lucene/analysis/phonetic/
+# PhoneticFilterFactory.java` + commons-codec
+# {RefinedSoundex,MatchRatingApproachEncoder}.java) and KeepWordFilter
+# (`lucene/analysis/common/.../miscellaneous/KeepWordFilterFactory.java`)
+# ---------------------------------------------------------------------------
+
+_REFINED_SOUNDEX_MAP = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01360240043788015936020505"
+)
+
+
+def refined_soundex(token: str) -> str:
+    """commons-codec RefinedSoundex: first letter + the FULL adjacent-
+    collapsed digit string (vowel zeros kept, no truncation, no H/W
+    transparency) — e.g. testing -> T6036084."""
+    from itertools import groupby
+
+    u = token.upper()
+    codes = u.translate(_REFINED_SOUNDEX_MAP)
+    return u[0] + "".join(k for k, _ in groupby(codes))
+
+
+def _refined_soundex_sql(col: str) -> str:
+    u = f"upper({col})"
+    codes = (
+        f"translate({u}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        f" '01360240043788015936020505')"
+    )
+    collapsed = codes
+    for d in "0123456789":
+        for _ in range(5):
+            collapsed = f"replace({collapsed}, '{d}{d}', '{d}')"
+    return f"substr({u}, 1, 1) || {collapsed}"
+
+
+def q_refined_soundex_topterms_documents(sf_dir: str):
+    """PhoneticFilter with the RefinedSoundex encoder (inject=false):
+    top codes over the corpus; codes memoized per DISTINCT term per
+    batch like the Soundex op."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def count(texts):
+        c = Counter()
+        memo: dict = {}
+        for x in texts:
+            for t in _TOKEN_RE.findall(x or ""):
+                code = memo.get(t)
+                if code is None:
+                    code = memo[t] = refined_soundex(t)
+                c[code] += 1
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+QUERIES["refined_soundex_topterms_documents"] = (
+    q_refined_soundex_topterms_documents
+)
+ORACLE["refined_soundex_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT {_refined_soundex_sql('t')} AS term FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS t
+        FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def match_rating_encode(token: str) -> str:
+    """commons-codec MatchRatingApproachEncoder: letters only, drop
+    non-leading vowels, collapse adjacent duplicates, first-3 + last-3
+    when longer than 6.  (Adjacent-duplicate collapse here is FULL; the
+    reference's per-letter single-pass replace leaves one survivor of a
+    triple letter — no English corpus token has one, and the SQL mirror
+    collapses fully on both sides.)"""
+    import re as _re
+    from itertools import groupby
+
+    u = _re.sub(r"[^A-Z]", "", token.upper())
+    if not u:
+        return ""
+    s = u[0] + _re.sub(r"[AEIOU]", "", u[1:])
+    s = "".join(k for k, _ in groupby(s))
+    return s if len(s) <= 6 else s[:3] + s[-3:]
+
+
+def _match_rating_sql(col: str) -> str:
+    u = f"regexp_replace(upper({col}), '[^A-Z]', '', 'g')"
+    s = (
+        f"(substr({u}, 1, 1) ||"
+        f" regexp_replace(substr({u}, 2), '[AEIOU]', '', 'g'))"
+    )
+    # consonants only (a non-leading vowel never survives the strip, and a
+    # leading vowel cannot duplicate), 2 passes (runs <= 4 — an English
+    # token has at most a double letter) — 42 nested replaces, inside
+    # DuckDB's 128-deep binder limit where 26x5 was not
+    collapsed = s
+    for ch in "BCDFGHJKLMNPQRSTVWXYZ":
+        for _ in range(2):
+            collapsed = f"replace({collapsed}, '{ch}{ch}', '{ch}')"
+    return (
+        f"CASE WHEN {u} = '' THEN '' "
+        f"WHEN length({collapsed}) <= 6 THEN {collapsed} "
+        f"ELSE substr({collapsed}, 1, 3) || substr({collapsed}, -3) END"
+    )
+
+
+def q_match_rating_topterms_documents(sf_dir: str):
+    """PhoneticFilter with the MatchRatingApproach encoder: top codes
+    over the corpus."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def count(texts):
+        c = Counter()
+        memo: dict = {}
+        for x in texts:
+            for t in _TOKEN_RE.findall(x or ""):
+                code = memo.get(t)
+                if code is None:
+                    code = memo[t] = match_rating_encode(t)
+                c[code] += 1
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+QUERIES["match_rating_topterms_documents"] = q_match_rating_topterms_documents
+ORACLE["match_rating_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT {_match_rating_sql('t')} AS term FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS t
+        FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+# KeepWordFilter: the inverse of StopFilter — ONLY tokens in the keep set
+# survive (KeepWordFilterFactory words=...).
+KEEP_WORDS = ("join", "merge", "sort", "window", "hash")
+
+
+def q_keep_word_topterms_documents(sf_dir: str):
+    """KeepWordFilter over the corpus, then term counts: only the keep
+    set survives, so the result is the per-keep-word occurrence counts
+    (descending)."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    keep = frozenset(KEEP_WORDS)
+
+    def count(texts):
+        c = Counter()
+        for x in texts:
+            for t in _TOKEN_RE.findall(x or ""):
+                if t in keep:
+                    c[t] += 1
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+QUERIES["keep_word_topterms_documents"] = q_keep_word_topterms_documents
+ORACLE["keep_word_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents)
+    WHERE term IN ({", ".join(f"'{w}'" for w in KEEP_WORDS)})
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""

@@ -30,6 +30,21 @@ def _register(name, fn, sql=None):
         ORACLE[name] = sql
 
 
+def _user_buckets() -> int:
+    """Bucket modulus for high-cardinality key columns (user_id): the
+    reduce granularity of the asof/window family's single shuffle.
+    Cluster-proportional like join_partitions() — 64 floor keeps small
+    runs cheap, RINDEX_USER_BUCKETS pins it for invariance tests.  The
+    modulus never changes RESULTS (each group is processed whole); only
+    reduce-task sizing."""
+    import os
+
+    env = os.environ.get("RINDEX_USER_BUCKETS")
+    if env:
+        return max(1, int(env))
+    return max(64, join_partitions())
+
+
 def _stable_bucket_adder(col: str, n_buckets: int):
     """map_batches fn appending `_gb` = stable-hash(col) % n_buckets — the
     coarse shuffle key of the partial+combine rewrites (one reduce task
@@ -977,7 +992,7 @@ def q_asof_join_events(sf_dir: str):
         sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"]
     )
     ds = ds.map_batches(
-        _stable_bucket_adder("user_id", 64),
+        _stable_bucket_adder("user_id", _user_buckets()),
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
@@ -1118,7 +1133,7 @@ def q_sliding_window_events(sf_dir: str):
     scale knob), never across rows."""
     ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     ds = ds.map_batches(
-        _stable_bucket_adder("user_id", 64),
+        _stable_bucket_adder("user_id", _user_buckets()),
         batch_format="pyarrow", zero_copy_batch=True,
     )
 

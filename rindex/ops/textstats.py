@@ -230,32 +230,67 @@ ORACLE["textprofile_signature_documents"] = """
 """
 
 
+class LangIdKernel:
+    """Vectorized stopword-profile language-ID actor (shared by the
+    documents op below and the per-conversation variant in transcripts.py).
+
+    The r1–r4 kernel walked rows in Python (regex + per-row set
+    intersections); this one is the same SEMANTICS — score = |distinct
+    tokens ∩ profile|, winner = max by (score, lang), 'und' on all-zero —
+    expressed as one explode→dedupe→merge→groupby chain per batch, all in
+    pandas C kernels.  The profile table (one (token, lang) row per
+    stopword) is built once per actor in __init__."""
+
+    def __init__(self, id_col: str):
+        self.id_col = id_col
+        self.prof = pd.DataFrame(
+            [(w, lang) for lang, sw in STOPSETS.items() for w in sw],
+            columns=["tok", "lang"],
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = (
+            batch["text"].reset_index(drop=True).fillna("").astype(str)
+            .str.lower()
+        )
+        ex = texts.str.findall(r"[0-9a-z]+").explode().dropna()
+        pairs = pd.DataFrame(
+            {"row": ex.index.to_numpy(np.int64), "tok": ex.to_numpy()}
+        ).drop_duplicates()
+        sc = (
+            pairs.merge(self.prof, on="tok")
+            .groupby(["row", "lang"], as_index=False)
+            .size()
+        )
+        # winner per row: largest count, lang DESC on ties == Python
+        # max(items, key=(score, lang)) of the historical row kernel
+        win = (
+            sc.sort_values(["row", "size", "lang"], kind="mergesort")
+            .groupby("row", sort=False)
+            .tail(1)
+        )
+        preds = np.full(len(batch), "und", dtype=object)
+        preds[win["row"].to_numpy(np.int64)] = win["lang"].to_numpy()
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].reset_index(drop=True),
+                "pred_lang": preds,
+            }
+        )
+
+
 def q_langid_documents(sf_dir: str):
     """Language-ID enrichment via stopword-profile heuristic (LangDetect URP
     mapping; the model here is a dictionary profile loaded once per actor —
-    the actor-pool stateful-stage pattern)."""
+    the actor-pool stateful-stage pattern, batch kernel fully vectorized
+    since r5)."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    class LangId:
-        def __init__(self):
-            self.profiles = {k: frozenset(v) for k, v in STOPSETS.items()}
-            self.rx = re.compile(r"[0-9a-z]+")
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            preds = []
-            for x in batch["text"]:
-                toks = set(self.rx.findall((x or "").lower() if isinstance(x, str) else ""))
-                scores = {
-                    lang: len(toks & sw) for lang, sw in self.profiles.items()
-                }
-                best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-                preds.append(best[0] if best[1] > 0 else "und")
-            return pd.DataFrame(
-                {"doc_id": batch["doc_id"], "pred_lang": preds}
-            )
-
     return ds.map_batches(
-        LangId, batch_format="pandas", batch_size=1024, concurrency=pool_cap(min_cap=2)
+        LangIdKernel,
+        fn_constructor_args=("doc_id",),
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=pool_cap(min_cap=2),
     )
 
 

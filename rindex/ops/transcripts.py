@@ -1158,37 +1158,16 @@ def q_conv_lang_consistency_documents(sf_dir: str):
     languages, the majority language (count desc, lang asc) and a mixed
     flag.  Mixed-language conversations are a standard drop/route signal
     in multilingual chat curation."""
-    import re as _re
-
-    from rindex.ops.textstats import STOPSETS
+    from rindex.ops.textstats import LangIdKernel
 
     ds = _conv_view(sf_dir)
 
-    class LangId:
-        def __init__(self):
-            self.profiles = {k: frozenset(v) for k, v in STOPSETS.items()}
-            self.rx = _re.compile(r"[0-9a-z]+")
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            preds = []
-            for x in batch["text"]:
-                toks = set(
-                    self.rx.findall(
-                        (x or "").lower() if isinstance(x, str) else ""
-                    )
-                )
-                scores = {
-                    lang: len(toks & sw)
-                    for lang, sw in self.profiles.items()
-                }
-                best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-                preds.append(best[0] if best[1] > 0 else "und")
-            return pd.DataFrame(
-                {"conv_id": batch["conv_id"], "pred_lang": preds}
-            )
-
     langs = ds.map_batches(
-        LangId, batch_format="pandas", batch_size=1024, concurrency=pool_cap(min_cap=2)
+        LangIdKernel,
+        fn_constructor_args=("conv_id",),
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=pool_cap(min_cap=2),
     ).map_batches(_conv_bucket, batch_format="pyarrow", zero_copy_batch=True)
 
     def consistency(g: pd.DataFrame) -> pd.DataFrame:
