@@ -3366,3 +3366,72 @@ def q_dfr_gl_topk_documents(sf_dir: str):
 
 QUERIES["dfr_gl_topk_documents"] = q_dfr_gl_topk_documents
 ORACLE["dfr_gl_topk_documents"] = _dfr_g_oracle_sql("l")
+
+
+def q_ib_ll_ttf_topk_documents(sf_dir: str):
+    """Top-k with IB LL/LambdaTTF/H1 (c=1) — see
+    rindex.similarity.IBLLTTFSimilarity; LambdaTTF rides the cstats
+    channel like the DFR family."""
+    from rindex.search import IndexSearcher
+
+    idx = documents_index(sf_dir)
+    searcher = IndexSearcher(idx, algo="wand", similarity="ib_ll_ttf")
+    slack = 16
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in LMD_QUERIES]),
+            "qtype": pa.array([q[1] for q in LMD_QUERIES]),
+            "text": pa.array([q[2] for q in LMD_QUERIES]),
+            "k": pa.array([TOP_K + slack] * len(LMD_QUERIES), pa.int32()),
+        }
+    )
+    out = searcher.search_table(qtbl).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = (
+        out.sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=False)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32")
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _ib_ll_ttf_oracle_sql() -> str:
+    q_rows = []
+    for qid, _qtype, text in LMD_QUERIES:
+        for t in text.split():
+            q_rows.append(f"('{qid}', '{t}')")
+    q_values = ",".join(q_rows)
+    return f"""
+    WITH {_bm25_ctes()},
+    ttfc AS (SELECT term, sum(tf)::DOUBLE AS ttf FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {q_values}),
+    scores AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(-log2(((ttf + 1.0) / (n_docs + 1.0))
+                       / ((tf * ({IB_C} * avgdl / greatest(ldl, 1.0)))
+                          + (ttf + 1.0) / (n_docs + 1.0)))) AS s
+      FROM q
+      JOIN tf USING (term)
+      JOIN ttfc USING (term)
+      JOIN lossy USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(s, 6) AS s,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 6) DESC, doc_id ASC)
+              - 1)::INTEGER AS rank
+      FROM scores
+    )
+    SELECT query_id, rank, doc_id, s AS score
+    FROM ranked WHERE rank < {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+QUERIES["ib_ll_ttf_topk_documents"] = q_ib_ll_ttf_topk_documents
+ORACLE["ib_ll_ttf_topk_documents"] = _ib_ll_ttf_oracle_sql()

@@ -487,11 +487,43 @@ class IBLLSimilarity(IBSimilarity):
         return -np.log2(w / (tfn + w))
 
 
+class IBLLTTFSimilarity(IBLLSimilarity):
+    """IB LL with LambdaTTF (`.../similarities/LambdaTTF.java`): lambda =
+    (F + 1)/(N + 1) from the COLLECTION total term frequency instead of
+    docFreq — the third IB grid cell.  LL is the safe distribution for
+    LambdaTTF: -log2(lam/(tfn+lam)) = log2(1 + tfn/lam) stays finite and
+    positive for ANY lam > 0, where SPL's (lam^e - lam)/(1 - lam) goes
+    negative once a stopword-class term pushes lam past 1 (the same
+    degeneracy the reference's SPL+TTF combination has)."""
+
+    name = "ib_ll_ttf"
+    needs_cstats = True
+
+    def term_weight_cstats(self, df, ttf, n_docs, collection_len):
+        return (np.asarray(ttf, np.float64) + 1.0) / (
+            np.float64(n_docs) + 1.0
+        )
+
+
+class IBLLH2Similarity(IBLLSimilarity):
+    """IB LL / LambdaDF / NormalizationH2 (c=1): the log length
+    normalization tfn = tf * log2(1 + c*avgdl/dl) under the log-logistic
+    distribution — same channels, only the norm cache changes."""
+
+    name = "ib_ll_h2"
+
+    def norm_cache(self, avgdl: float) -> np.ndarray:
+        dl = np.maximum(NORM_DECODE_TABLE.astype(np.float64), 1.0)
+        return np.log2(1.0 + self.c * np.float64(avgdl) / dl)
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "boolean": BooleanSimilarity(),
     "ib_spl": IBSimilarity(),
     "ib_ll": IBLLSimilarity(),
+    "ib_ll_ttf": IBLLTTFSimilarity(),
+    "ib_ll_h2": IBLLH2Similarity(),
     "classic": ClassicSimilarity(),
     "sweetspot": SweetSpotSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),

@@ -84,31 +84,88 @@ def structural_audit(index_dir: str) -> dict:
             "terms_total": n_terms}
 
 
+def _transcript_corpus(n_turns_target: int = 2_880_000) -> tuple:
+    """The r2-comparable corpus: make_transcripts synthetic turns (229k
+    full Zipf vocab, ~60 tokens/turn) — the SAME shape the r2 8x
+    build+merge stress measured, so walls are apples-to-apples.  Written
+    in 32 seeded shards (cached)."""
+    out = "/tmp/rindex_merge_stress_corpus"
+    done = os.path.join(out, "_DONE")
+    import pyarrow.parquet as _pq
+
+    from rindex.fixtures import make_transcripts
+
+    n_convs = n_turns_target // 3  # E[turns/conv] with max_turns=5 is ~3
+    per_shard = n_convs // 32
+    if not (os.path.exists(done)
+            and open(done).read().strip() == str(n_convs)):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        total = 0
+        for s in range(32):
+            t = make_transcripts(per_shard, 5, seed=1000 + s)
+            # disambiguate conv ids across shards
+            import pyarrow as _pa
+
+            conv = _pa.array(
+                [f"s{s:02d}-{v}" for v in t["conv_id"].to_pylist()],
+                _pa.string(),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("conv_id"), "conv_id", conv
+            )
+            total += t.num_rows
+            _pq.write_table(t, os.path.join(out, f"part-{s:02d}.parquet"))
+        with open(done, "w") as fh:
+            fh.write(str(n_convs))
+        print(f"corpus: {total} turns", file=sys.stderr)
+    parts = sorted(
+        os.path.join(out, f) for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    n_rows = sum(_pq.read_metadata(p).num_rows for p in parts)
+    return parts, n_rows
+
+
 def main() -> None:
-    num_cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    use_transcripts = "--transcripts" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    num_cpus = int(args[0]) if args else 32
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False)
 
-    from scripts.relational_scale_stress import DOC_TILES, build_corpora
-
-    sf_dir = build_corpora()
-    corpus = os.path.join(sf_dir, "documents.parquet")
-    n_docs = 5_000 * DOC_TILES
-
-    from rindex.build import build_index
+    from rindex.build import append_index, build_index
     from rindex.deletes import delete_by_terms, num_docs
     from rindex.merge import run_merges
     from rindex.search import IndexSearcher
 
     import glob
 
-    from rindex.build import append_index
+    if use_transcripts:
+        # r2-comparable corpus (full Zipf vocab, default transcript cols)
+        parts, n_docs = _transcript_corpus()
+        build_kwargs = {}
+        # mid-Zipf body word: present in a few % of turns, so the merge
+        # still remaps essentially the whole live corpus (the r2 shape)
+        del_term, live_term = "w0100", "w0002"
+    else:
+        from scripts.relational_scale_stress import (
+            DOC_TILES,
+            build_corpora,
+        )
 
-    parts = sorted(glob.glob(os.path.join(corpus, "part-*.parquet")))
-    # ~94% of tiles in the base build, the rest appended as a second
+        sf_dir = build_corpora()
+        corpus = os.path.join(sf_dir, "documents.parquet")
+        n_docs = 5_000 * DOC_TILES
+        parts = sorted(glob.glob(os.path.join(corpus, "part-*.parquet")))
+        build_kwargs = {"id_cols": ("doc_id",), "text_col": "text",
+                        "keep_cols": ()}
+        del_term, live_term = "spark", "join"
+
+    # most shards in the base build, the last two appended as a second
     # GENERATION so every slot is gen-stacked and forceMerge has real
     # cross-generation work (the r4 layout the re-stress must exercise)
     base, extra = parts[:-2], parts[-2:]
@@ -116,8 +173,7 @@ def main() -> None:
     t0 = time.perf_counter()
     build_index(
         base, IDX, num_segments="auto", mode="local",
-        id_cols=("doc_id",), text_col="text", keep_cols=(),
-        input_files=base,
+        input_files=base, **build_kwargs,
     )
     build_sec = round(time.perf_counter() - t0, 2)
     print(f"build: {build_sec}s", file=sys.stderr)
@@ -128,7 +184,7 @@ def main() -> None:
     print(f"append: {append_sec}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    delete_by_terms(IDX, "spark")  # real corpus vocabulary
+    delete_by_terms(IDX, del_term)
     del_sec = round(time.perf_counter() - t0, 2)
     live, max_docs = num_docs(IDX)
     print(f"delete_by_terms: {del_sec}s, live {live}/{max_docs}",
@@ -147,13 +203,14 @@ def main() -> None:
 
     # post-merge: the deleted term is expunged, a live term still matches
     s = IndexSearcher(IDX)
-    assert len(s.search("spark", k=5)) == 0, "deleted term survived merge"
-    assert len(s.search("join", k=5)) > 0
+    assert len(s.search(del_term, k=5)) == 0, "deleted term survived merge"
+    assert len(s.search(live_term, k=5)) > 0
 
     print(
         json.dumps(
             {
                 "metric": "merge_scale_stress",
+                "corpus": "transcripts" if use_transcripts else "documents",
                 "n_docs": n_docs,
                 "num_cpus": num_cpus,
                 "build_sec": build_sec,
