@@ -26,9 +26,10 @@ spectral (fft as direct DFT), fits/tests (polyFit/ttest), and discrete
 distributions (poisson/binomial + probability) (r3 second batch), the r4
 batches 9–16 (lerp/loess/spline/akima interpolation, gaussfit/harmfit/
 olsRegress fits, dbscan/kmeans/knn ML wrappers, corrMatrix/freqTable,
-precision/recall/F1, Cohen's kappa), and the r5 batch 17 (describe/mode/
-anova/pairedTtest + array builders + factorial) — 156 registered evaluator
-names covering ~120 of the reference's ~150 Lang.java registrations (the
+precision/recall/F1, Cohen's kappa), and the r5 batches 17–18 (describe/
+mode/anova/pairedTtest + array builders + factorial; enumerated/beta
+distributions + termVectors tf-idf) — 159 registered evaluator names
+covering ~120 of the reference's ~150 Lang.java registrations (the
 residue is Java-interop wrappers: termVectors over Java analyzers,
 commons-math distributions needing erf/incomplete-beta CDFs we expose only
 where an elementary closed form exists, and the model-persistence
@@ -4394,4 +4395,243 @@ ORACLE["eval_array_builders_events"] = """
            round(0.0, 6) AS zeros_sum,
            round(5040.0, 6) AS fact7
     FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch 18 (r5) — enumerated/beta distributions + termVectors/tfidf
+# (`solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# EnumeratedDistributionEvaluator.java, BetaDistributionEvaluator.java,
+# TermVectorsEvaluator.java` — termVectors' tf-idf formula mirrors the
+# evaluator's freq * log((numDocs+1)/(docFreq+1)) weighting)
+# ---------------------------------------------------------------------------
+
+
+def _beta_binom_cdf(a: int, b: int, x):
+    """Beta(a,b) CDF for INTEGER shapes via the binomial closed form
+    I_x(a,b) = sum_{j=a}^{a+b-1} C(a+b-1,j) x^j (1-x)^(a+b-1-j) —
+    elementary, so the SQL oracle can mirror it term by term."""
+    import math
+
+    x = np.asarray(x, np.float64)
+    n = a + b - 1
+    out = np.zeros_like(x)
+    for j in range(a, n + 1):
+        out = out + math.comb(n, j) * np.power(x, j) * np.power(
+            1.0 - x, n - j
+        )
+    return out
+
+
+def _beta_pdf(a: int, b: int, x):
+    """Beta(a,b) density for integer shapes: B(a,b) = (a-1)!(b-1)!/(a+b-1)!"""
+    import math
+
+    x = np.asarray(x, np.float64)
+    bfun = (
+        math.factorial(a - 1) * math.factorial(b - 1)
+        / math.factorial(a + b - 1)
+    )
+    return np.power(x, a - 1) * np.power(1.0 - x, b - 1) / bfun
+
+
+EVALUATORS.update({
+    "enumeratedDistribution": lambda vals, probs=None: (
+        "enumerated",
+        np.asarray(vals, np.float64),
+        (np.asarray(probs, np.float64)
+         if probs is not None
+         else np.full(len(np.asarray(vals)), 1.0 / len(np.asarray(vals)))),
+    ),
+    "betaDistribution": lambda a, b: ("beta", int(a), int(b)),
+})
+
+# extend the distribution dispatchers (probability / cumulativeProbability
+# / density) for the two new tagged kinds
+_orig_cum_prob = _cum_prob
+
+
+def _cum_prob_b18(dist, x):
+    kind = dist[0]
+    if kind == "enumerated":
+        _, vals, probs = dist
+        xx = float(np.asarray(x))
+        return float(probs[vals <= xx].sum())
+    if kind == "beta":
+        _, a, b = dist
+        return float(_beta_binom_cdf(a, b, float(np.asarray(x))))
+    return _orig_cum_prob(dist, x)
+
+
+def _dist_prob_b18(dist, k):
+    if dist[0] == "enumerated":
+        _, vals, probs = dist
+        kk = float(np.asarray(k))
+        m = vals == kk
+        return float(probs[m].sum())
+    return _dist_prob(dist, k)
+
+
+EVALUATORS["cumulativeProbability"] = _cum_prob_b18
+EVALUATORS["probability"] = _dist_prob_b18
+_orig_density = EVALUATORS.get("density")
+if _orig_density is not None:
+    def _density_b18(dist, x):
+        if dist[0] == "beta":
+            _, a, b = dist
+            return _beta_pdf(a, b, x)
+        return _orig_density(dist, x)
+
+    EVALUATORS["density"] = _density_b18
+
+
+def _term_vectors(texts, min_df: int = 1):
+    """TermVectorsEvaluator: tf-idf matrix over a COLLECTED doc list
+    (the evaluator contract — it runs on a let() sample, never a corpus).
+    Returns (docs x terms) matrix, sorted term vocabulary, per-term dfs;
+    weight = freq * log((numDocs+1)/(docFreq+1)) like the reference."""
+    from collections import Counter
+
+    tok_lists = [
+        re.findall(r"[0-9a-z]+", (t or "").lower()) for t in texts
+    ]
+    dfc = Counter()
+    for toks in tok_lists:
+        dfc.update(set(toks))
+    vocab = sorted(t for t, c in dfc.items() if c >= min_df)
+    vi = {t: i for i, t in enumerate(vocab)}
+    n = len(tok_lists)
+    mat = np.zeros((n, len(vocab)))
+    for r, toks in enumerate(tok_lists):
+        for t, f in Counter(toks).items():
+            if t in vi:
+                mat[r, vi[t]] = f * np.log(
+                    (n + 1.0) / (dfc[t] + 1.0)
+                )
+    return mat, vocab, np.array([dfc[t] for t in vocab], np.int64)
+
+
+EVALUATORS["termVectors"] = _term_vectors
+
+
+TV_N_DOCS = 20  # bounded evaluator sample, all scales
+
+
+def q_eval_term_vectors_documents(sf_dir: str):
+    """termVectors() tf-idf over the bounded doc sample (doc_id <
+    {TV_N_DOCS}): per term, df and the SUM of its tf-idf weights across
+    the sample — one row per term appearing in >= 8 sample docs (keeps
+    the result stable and small).  The corpus side is a pruned+filtered
+    read; the matrix algebra runs on the collected sample, the
+    evaluator's contract."""
+    docs = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .filter(expr=f"doc_id < {TV_N_DOCS}")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    mat, vocab, dfs = _term_vectors(docs["text"].tolist())
+    keep = dfs >= 8
+    out = pd.DataFrame(
+        {
+            "term": np.array(vocab, dtype=object)[keep],
+            "df": dfs[keep],
+            "tfidf_sum": np.round(mat.sum(axis=0)[keep], 6),
+        }
+    )
+    return out.sort_values("term").reset_index(drop=True)
+
+
+QUERIES["eval_term_vectors_documents"] = q_eval_term_vectors_documents
+ORACLE["eval_term_vectors_documents"] = f"""
+    WITH sample AS (
+      SELECT doc_id, lower(text) AS text FROM documents
+      WHERE doc_id < {TV_N_DOCS}
+    ),
+    n AS (SELECT count(*)::DOUBLE AS nd FROM sample),
+    tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS f FROM (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[0-9a-z]+')) AS term
+        FROM sample) GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+    SELECT dfs.term, dfs.df,
+           round(sum(tf.f * ln((nd + 1.0) / (dfs.df + 1.0))), 6)
+             AS tfidf_sum
+    FROM tf JOIN dfs USING (term) CROSS JOIN n
+    WHERE dfs.df >= 8
+    GROUP BY dfs.term, dfs.df
+    ORDER BY dfs.term
+"""
+
+
+def q_eval_beta_enum_dist_lineitem(sf_dir: str):
+    """betaDistribution(2,5) pdf/cdf at the corpus discount mean, and an
+    enumeratedDistribution over the l_linestatus frequencies: the corpus
+    reduces to (mean discount, per-status counts) in one pass each; the
+    distribution math is closed-form on both sides (integer-shape Beta
+    CDF via the binomial sum — elementary, so the SQL mirrors it term by
+    term)."""
+    li = read_table(sf_dir, "lineitem", ["l_discount", "l_linestatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        import pandas as _pd
+
+        st = _pd.Series(t["l_linestatus"].to_pylist())
+        vc = st.value_counts()
+        return pa.table(
+            {
+                "n": pa.array([len(d)], pa.int64()),
+                "s": pa.array([float(d.sum())], pa.float64()),
+                "n_f": pa.array([int(vc.get("F", 0))], pa.int64()),
+                "n_o": pa.array([int(vc.get("O", 0))], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum(["n", "s", "n_f", "n_o"])
+    )
+    n = float(agg["sum(n)"])
+    x = float(agg["sum(s)"]) / n  # mean discount in (0,1)
+    n_f, n_o = float(agg["sum(n_f)"]), float(agg["sum(n_o)"])
+    E = EVALUATORS
+    beta = E["betaDistribution"](2, 5)
+    # enumerated over status codes 0(F)/1(O) with observed probabilities
+    enum = E["enumeratedDistribution"]([0.0, 1.0], [n_f / n, n_o / n])
+    return pd.DataFrame(
+        {
+            "x": [round_sql(x)],
+            "beta_pdf": [round_sql(float(E["density"](beta, x)))],
+            "beta_cdf": [round_sql(float(E["cumulativeProbability"](beta, x)))],
+            "enum_p0": [round_sql(float(E["probability"](enum, 0.0)))],
+            "enum_cdf0": [
+                round_sql(float(E["cumulativeProbability"](enum, 0.0)))
+            ],
+        }
+    )
+
+
+QUERIES["eval_beta_enum_dist_lineitem"] = q_eval_beta_enum_dist_lineitem
+ORACLE["eval_beta_enum_dist_lineitem"] = """
+    WITH m AS (
+      SELECT avg(l_discount::DOUBLE) AS x,
+             count(*)::DOUBLE AS n,
+             sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::DOUBLE
+               AS n_f
+      FROM lineitem
+    )
+    SELECT round(x, 6) AS x,
+           -- Beta(2,5): pdf = x(1-x)^4 / B(2,5), B(2,5)=1!4!/6!=1/30
+           round(x * pow(1 - x, 4) * 30.0, 6) AS beta_pdf,
+           -- I_x(2,5) = sum_{j=2}^{6} C(6,j) x^j (1-x)^(6-j)
+           round(  15 * pow(x, 2) * pow(1 - x, 4)
+                 + 20 * pow(x, 3) * pow(1 - x, 3)
+                 + 15 * pow(x, 4) * pow(1 - x, 2)
+                 +  6 * pow(x, 5) * (1 - x)
+                 +      pow(x, 6), 6) AS beta_cdf,
+           round(n_f / n, 6) AS enum_p0,
+           round(n_f / n, 6) AS enum_cdf0
+    FROM m
 """
