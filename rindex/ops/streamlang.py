@@ -776,6 +776,46 @@ def _b_significant(args, kwargs, ctx):
     )
 
 
+def _b_echo(args, kwargs, ctx):
+    """echo("text") — EchoStream (`solr/solrj/.../io/stream/EchoStream
+    .java`): emits exactly one tuple {echo: <text>}; the reference's
+    smoke-test stream for expression plumbing."""
+    import ray.data as rd
+
+    if len(args) != 1:
+        raise ValueError("echo: exactly one literal argument")
+    txt = _lit(args[0], "echo") if args[0][0] == "lit" else _ident(
+        args[0], "echo"
+    )
+    return rd.from_pandas(pd.DataFrame({"echo": [txt]}))
+
+
+def _b_tuple(args, kwargs, ctx):
+    """tuple(a=<scalar expr or stream>, b=...) — TupStream
+    (`solr/solrj/.../io/stream/TupStream.java`): one output tuple whose
+    fields are evaluator scalars (evaluated over an EMPTY scope — pure
+    expressions) or, for a stream argument, the stream's row COUNT (the
+    repo's bounded analog of embedding a whole stream in one tuple —
+    TupStream holds the tuple list in driver RAM, which is exactly the
+    unbounded materialization this engine refuses; count is the scalar
+    the contract needs most)."""
+    import ray.data as rd
+
+    from rindex.ops.evaluators import eval_node
+
+    vals: dict = {}
+    for name, node in kwargs.items():
+        if node[0] == "call" and node[1] in STREAM_BUILDERS:
+            vals[name] = int(_build(node, ctx).count())
+        else:
+            out = eval_node(_check_scalar(node, f"tuple {name}="), {})
+            vals[name] = float(np.asarray(out)) if np.ndim(out) == 0 else out
+    if not vals:
+        raise ValueError("tuple: needs at least one named field")
+    return rd.from_pandas(pd.DataFrame({k: [v] for k, v in vals.items()}))
+
+
+
 def _b_let(args, kwargs, ctx):
     """let(a=col(<stream>, field), b=<evaluator expr>, ..., echo="a,b")
     — LetStream + ColumnEvaluator (`solr/solrj/.../io/stream/LetStream
@@ -1095,6 +1135,8 @@ STREAM_BUILDERS = {
     "daemon": _b_daemon,
     "drill": _b_drill,
     "let": _b_let,
+    "echo": _b_echo,
+    "tuple": _b_tuple,
     "list": _b_list,
     "plist": _b_list,
     "topic": _b_topic,
@@ -1995,4 +2037,27 @@ ORACLE["stream_expr_nodes"] = """
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE c_nationkey = 7
     ORDER BY node ASC
+"""
+
+
+TUPLE_EXPR = (
+    'tuple(n_orders=table(orders), half_pi=round(asin(1), 6), '
+    'kibi=pow(2, 10))'
+)
+
+
+def q_stream_expr_tuple(sf_dir: str):
+    """tuple() as a compiled stream: one tuple mixing a stream-count
+    field with pure evaluator scalars (TupStream)."""
+    out = compile_stream(TUPLE_EXPR, sf_dir).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES["stream_expr_tuple"] = q_stream_expr_tuple
+ORACLE["stream_expr_tuple"] = """
+    SELECT count(*)::BIGINT AS n_orders,
+           round(asin(1.0), 6) AS half_pi,
+           pow(2.0, 10.0) AS kibi
+    FROM orders
 """

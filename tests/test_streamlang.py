@@ -705,3 +705,16 @@ def test_reduce_shuffle_nodes_builders(ray_session):
         "/nonexistent", views={"edges": edges_view, "roots": roots_view},
     ).to_pandas().sort_values("node")
     assert out["node"].tolist() == ["x", "y"]
+
+
+def test_echo_and_tuple_builders(ray_session):
+    got = _build(parse_stream_expr('echo("hello world")'), {"sf_dir": ""})
+    df = got.to_pandas()
+    assert df["echo"].tolist() == ["hello world"]
+
+    df2 = _build(
+        parse_stream_expr('tuple(a=add(2, 3), b=round(sqrt(2), 3))'),
+        {"sf_dir": ""},
+    ).to_pandas()
+    assert df2["a"].tolist() == [5.0]
+    assert df2["b"].tolist() == [1.414]
