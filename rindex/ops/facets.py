@@ -1069,3 +1069,41 @@ ORACLE["pivot_facet_stats_orders"] = """
     GROUP BY o_orderpriority, o_orderstatus
     ORDER BY o_orderpriority, o_orderstatus
 """
+
+
+def q_terms_facet_numbuckets_events(sf_dir: str):
+    """json.facet numBuckets:true (`solr/core/src/java/org/apache/solr/
+    search/facet/FacetField.java` numBuckets option): the top-5 user_id
+    buckets by count PLUS the total distinct-bucket count, as the
+    reference returns them side by side.  One distributed groupby; the
+    bucket census and the top-k both derive from its (already small)
+    result."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        read_table(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    num_buckets = len(counts)
+    top = (
+        counts.sort_values(["n", "user_id"], ascending=[False, True],
+                           kind="mergesort")
+        .head(5)
+        .reset_index(drop=True)
+    )
+    top["num_buckets"] = num_buckets
+    return top[["user_id", "n", "num_buckets"]]
+
+
+QUERIES["terms_facet_numbuckets_events"] = q_terms_facet_numbuckets_events
+ORACLE["terms_facet_numbuckets_events"] = """
+    WITH c AS (
+      SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1
+    ),
+    nb AS (SELECT count(*)::BIGINT AS num_buckets FROM c)
+    SELECT user_id, n, num_buckets
+    FROM c CROSS JOIN nb
+    ORDER BY n DESC, user_id ASC LIMIT 5
+"""

@@ -21,8 +21,10 @@ like the reference's field-naming contract), HAVING over the aggregate
 aliases (Filter-on-Aggregate, compiled to a having() ABOVE the rollup),
 SELECT DISTINCT -> unique(), count(DISTINCT c) -> rollup over a
 unique() pre-stream (Aggregate-over-Distinct; sole aggregate only),
-ORDER BY over output columns, LIMIT.  No joins (the expression language has them; the
-reference's SQL join support routes through the same stream operators).
+ORDER BY over output columns, LIMIT, LIMIT+OFFSET pagination (Calcite
+Sort.fetch/Sort.offset; OFFSET without LIMIT is rejected — an unbounded
+page).  No joins (the expression language has them; the reference's SQL
+join support routes through the same stream operators).
 """
 
 from __future__ import annotations
@@ -42,7 +44,8 @@ _SQL_RE = re.compile(
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+HAVING\s+(?P<having>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
-    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+    r"(?:\s+OFFSET\s+(?P<offset>\d+))?\s*$",
     re.I | re.S,
 )
 _AGG_RE = re.compile(
@@ -174,6 +177,22 @@ def compile_sql(sql: str, sf_dir: str, views: dict | None = None):
     from rindex.ops.streamlang import _build
 
     ds = _build(node, {"sf_dir": sf_dir, "views": views})
+    if m.group("offset"):
+        # Calcite LIMIT/OFFSET pagination: pull limit+offset rows of the
+        # sorted stream, drop the first offset on the driver — the page
+        # is small BY CONTRACT (OFFSET without LIMIT is the unbounded
+        # materialization the engine refuses, same as the reference's
+        # cursorMark guidance)
+        if not m.group("limit"):
+            raise ValueError("OFFSET requires LIMIT (bounded page)")
+        import ray.data as rd
+
+        off, lim = int(m.group("offset")), int(m.group("limit"))
+        page = ds.limit(lim + off).to_pandas().iloc[off:]
+        return (
+            rd.from_pandas(page.reset_index(drop=True)),
+            plain_cols + list(aggs),
+        )
     if m.group("limit"):
         ds = ds.limit(int(m.group("limit")))
     return ds, plain_cols + list(aggs)
@@ -296,4 +315,29 @@ ORACLE["sql_handler_distinct_orders"] = """
     SELECT 'count_distinct', o_orderstatus, '',
            count(DISTINCT o_orderpriority)::BIGINT
     FROM orders GROUP BY o_orderstatus
+"""
+
+
+SQL_OFFSET_TEXT = (
+    "SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS tot "
+    "FROM orders GROUP BY o_orderpriority "
+    "ORDER BY o_orderpriority ASC LIMIT 2 OFFSET 2"
+)
+
+
+def q_sql_handler_offset_orders(sf_dir: str):
+    """/sql pagination: LIMIT 2 OFFSET 2 over the sorted rollup (Calcite
+    Sort.fetch/Sort.offset) — page rows 3-4 of the 5 priorities."""
+    ds, _cols = compile_sql(SQL_OFFSET_TEXT, sf_dir)
+    out = ds.to_pandas().reset_index(drop=True)
+    out["tot"] = out["tot"].round(2)
+    return out
+
+
+QUERIES["sql_handler_offset_orders"] = q_sql_handler_offset_orders
+ORACLE["sql_handler_offset_orders"] = """
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice::DOUBLE), 2) AS tot
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC LIMIT 2 OFFSET 2
 """
