@@ -149,13 +149,19 @@ def _cluster_cpus() -> int:
 
 def join_partitions() -> int:
     """Reduce-partition count for Dataset.join sites (RINDEX_JOIN_PARTITIONS
-    overrides).  2× cluster CPUs, floored at 8: enough partitions that each
-    reduce task's build side stays heap-sized at cluster scale, few enough
-    that per-task overhead stays negligible on a laptop."""
+    overrides).  cpus/2, floored at 8: scales with the cluster (the r4
+    hard-coded 8 meant ~12 TB per reduce partition at 10^12 rows) while
+    never oversubscribing — Ray 2.49's hash-shuffle join spins up one
+    aggregator worker per partition, and a measured sweep on this box
+    (32 cpus, sf0.1) showed wall 5.1/5.5/9.6/14.4 s at 8/16/32/64
+    partitions: past ~cpus/2 the worker spin-up dominates the join.  For
+    a known-huge join, set the env to input_bytes / ~1 GiB instead —
+    partition count is ultimately a DATA-size knob; cores are only the
+    floor the cluster gives us for free."""
     env = os.environ.get("RINDEX_JOIN_PARTITIONS")
     if env:
         return max(1, int(env))
-    return max(8, 2 * _cluster_cpus())
+    return max(8, _cluster_cpus() // 2)
 
 
 def pool_cap(frac: float = 0.5, floor: int = 1, min_cap: int = 2) -> tuple:

@@ -50,7 +50,9 @@ def test_join_partitions_scales_and_overrides(monkeypatch):
 
     monkeypatch.delenv("RINDEX_JOIN_PARTITIONS", raising=False)
     monkeypatch.setattr(schema, "_cluster_cpus", lambda: 256)
-    assert schema.join_partitions() == 512
+    assert schema.join_partitions() == 128  # cpus/2: measured knee —
+    # more aggregators than cores/2 pays worker spin-up, fewer stops
+    # scaling with the cluster
     monkeypatch.setattr(schema, "_cluster_cpus", lambda: 2)
     assert schema.join_partitions() == 8  # floor for small sessions
     monkeypatch.setenv("RINDEX_JOIN_PARTITIONS", "3")
