@@ -3623,3 +3623,133 @@ ORACLE["conv_judge_agreement_documents"] = f"""
            round((po - pe) / (1.0 - pe), 6) AS kappa
     FROM k
 """
+
+
+# --- rejection sampling (best-of-n over a shared opening prompt) -----------
+
+RS_PREFIX_LEN = 24  # opening-prompt template key (chars, lowercased)
+RS_TOP = 40         # report the largest candidate pools
+
+
+def q_conv_rejection_sampling_documents(sf_dir: str):
+    """Best-of-n rejection sampling over prompt-template pools: group
+    conversations by their opening-prompt prefix (the same template key
+    family as conv_prefix_cluster), score each candidate by its TOTAL
+    assistant distinct-token richness (the conv_dpo_pairs reward proxy
+    summed over turns), keep the pool's best (ties -> min conv_id) — the
+    deterministic skeleton of best-of-n sampling for SFT data (one kept
+    completion per prompt).  Top-{RS_TOP} pools by candidate count.
+
+    Shape: ONE scan emits (conv, prefix-or-null, turn reward) rows; one
+    conv-bucket shuffle reduces to the per-conversation (prefix, reward)
+    table (corpus/5 rows); the pool groupby + argmax runs on that already
+    small table.  Rows out = {RS_TOP}."""
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        t = _derive(t)
+        az = get_analyzer("standard")
+        role = t["role"].to_numpy(zero_copy_only=False)
+        ti = t["turn_idx"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        is_a = role == "assistant"
+        reward = np.fromiter(
+            (len(set(az.tokens(x or ""))) if a else 0
+             for a, x in zip(is_a, texts)),
+            np.int64, len(t),
+        )
+        pfx = [
+            (x or "").lower()[:RS_PREFIX_LEN] if i == 0 else None
+            for i, x in zip(ti, texts)
+        ]
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.int64()),
+                "prefix": pa.array(pfx, pa.string()),
+                "reward": pa.array(reward),
+                "_gb": pa.array((conv % N_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("conv_id", sort=True).agg(
+            prefix=("prefix", "first"),  # non-null sorts first? NO — use max
+            reward=("reward", "sum"),
+        )
+        # 'first' may hit a null row; the prefix is the unique non-null
+        pref = g.dropna(subset=["prefix"]).groupby("conv_id", sort=True)[
+            "prefix"
+        ].first()
+        agg["prefix"] = pref.reindex(agg.index)
+        agg = agg.dropna(subset=["prefix"])
+        return agg.reset_index()[["conv_id", "prefix", "reward"]]
+
+    convs = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(per_conv, batch_format="pandas")
+    ).to_pandas()
+    pools = (
+        convs.sort_values(["prefix", "reward", "conv_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        .groupby("prefix", as_index=False)
+        .agg(
+            n_candidates=("conv_id", "size"),
+            best_conv=("conv_id", "first"),
+            best_reward=("reward", "first"),
+        )
+    )
+    out = (
+        pools.sort_values(["n_candidates", "prefix"],
+                          ascending=[False, True], kind="mergesort")
+        .head(RS_TOP)
+        .reset_index(drop=True)
+    )
+    out["n_candidates"] = out["n_candidates"].astype("int64")
+    out["best_conv"] = out["best_conv"].astype("int64")
+    out["best_reward"] = out["best_reward"].astype("int64")
+    return out[["prefix", "n_candidates", "best_conv", "best_reward"]]
+
+
+def _conv_rejection_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH {T_CTE},
+    rewards AS (
+      SELECT conv_id,
+             sum(len(list_distinct(regexp_extract_all(
+                 lower(coalesce(text, '')), '{TOKEN_SQL_RE}'))))::BIGINT
+               AS reward
+      FROM transcripts WHERE role = 'assistant' GROUP BY conv_id
+    ),
+    pfx AS (
+      SELECT conv_id,
+             substr(lower(coalesce(text, '')), 1, {RS_PREFIX_LEN}) AS prefix
+      FROM transcripts WHERE turn_idx = 0
+    ),
+    cand AS (
+      SELECT p.prefix, p.conv_id, coalesce(r.reward, 0) AS reward
+      FROM pfx p LEFT JOIN rewards r USING (conv_id)
+    ),
+    best AS (
+      SELECT prefix, conv_id, reward,
+             count(*) OVER (PARTITION BY prefix)::BIGINT AS n_candidates,
+             row_number() OVER (PARTITION BY prefix
+                                ORDER BY reward DESC, conv_id ASC) AS rn
+      FROM cand
+    )
+    SELECT prefix, n_candidates, conv_id::BIGINT AS best_conv,
+           reward::BIGINT AS best_reward
+    FROM best WHERE rn = 1
+    ORDER BY n_candidates DESC, prefix ASC LIMIT {RS_TOP}
+"""
+
+
+QUERIES["conv_rejection_sampling_documents"] = (
+    q_conv_rejection_sampling_documents
+)
+ORACLE["conv_rejection_sampling_documents"] = _conv_rejection_oracle()
