@@ -28,7 +28,7 @@ batches 9–16 (lerp/loess/spline/akima interpolation, gaussfit/harmfit/
 olsRegress fits, dbscan/kmeans/knn ML wrappers, corrMatrix/freqTable,
 precision/recall/F1, Cohen's kappa), and the r5 batches 17–18 (describe/
 mode/anova/pairedTtest + array builders + factorial; enumerated/beta
-distributions + termVectors tf-idf) — 159 registered evaluator names
+distributions + termVectors tf-idf; distance matrix) — 160 registered evaluator names
 covering ~120 of the reference's ~150 Lang.java registrations (the
 residue is Java-interop wrappers: termVectors over Java analyzers,
 commons-math distributions needing erf/incomplete-beta CDFs we expose only
@@ -4634,4 +4634,99 @@ ORACLE["eval_beta_enum_dist_lineitem"] = """
            round(n_f / n, 6) AS enum_p0,
            round(n_f / n, 6) AS enum_cdf0
     FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch 19 (r5) — DistanceEvaluator matrix overload
+# (`solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# DistanceEvaluator.java`: over a matrix it returns the pairwise
+# COLUMN-distance matrix; measure defaults to euclidean)
+# ---------------------------------------------------------------------------
+
+
+def _distance_matrix(m, measure: str = "euclidean"):
+    m = np.asarray(m, np.float64)
+    cols = m.T  # pairwise over columns, the reference contract
+    n = len(cols)
+    out = np.zeros((n, n))
+    for i in range(n):
+        d = cols - cols[i]
+        if measure == "euclidean":
+            out[i] = np.sqrt((d * d).sum(axis=1))
+        elif measure == "manhattan":
+            out[i] = np.abs(d).sum(axis=1)
+        elif measure == "cosine":
+            num = cols @ cols[i]
+            den = np.linalg.norm(cols, axis=1) * np.linalg.norm(cols[i])
+            out[i] = 1.0 - num / den
+        else:
+            raise KeyError(f"distance: unknown measure {measure!r}")
+    return out
+
+
+EVALUATORS["distance"] = _distance_matrix
+
+
+def q_eval_distance_matrix_events(sf_dir: str):
+    """distance() matrix overload: the 3x3 pairwise euclidean distance
+    matrix over per-event-type hourly count series (the matrix collects
+    from ONE distributed groupby over (event_type, hour); the reference
+    evaluator likewise runs on a let() matrix).  Output long-form
+    (type_a, type_b, dist) so column names hash stably."""
+    import pyarrow.compute as pc_
+
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc_.hour(t["ts"]),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    counts = (
+        ds.groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    types = sorted(counts["event_type"].unique())[:3]
+    # dense 24-hour series per type (missing hours = 0)
+    mat = np.zeros((24, len(types)))
+    for j, ty in enumerate(types):
+        sub = counts[counts["event_type"] == ty]
+        mat[sub["hour"].to_numpy(np.int64), j] = sub["n"].to_numpy(
+            np.float64
+        )
+    dm = EVALUATORS["distance"](mat)  # 3x3 over columns
+    rows = []
+    for i, a in enumerate(types):
+        for j, b in enumerate(types):
+            rows.append((a, b, round_sql(float(dm[i, j]))))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "dist"])
+
+
+QUERIES["eval_distance_matrix_events"] = q_eval_distance_matrix_events
+ORACLE["eval_distance_matrix_events"] = """
+    WITH c AS (
+      SELECT event_type, extract(hour FROM ts)::BIGINT AS hour,
+             count(*)::DOUBLE AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t3 AS (
+      SELECT event_type FROM (SELECT DISTINCT event_type FROM c)
+      ORDER BY event_type LIMIT 3
+    ),
+    grid AS (
+      SELECT t.event_type, h.hour, coalesce(c.n, 0) AS n
+      FROM t3 t CROSS JOIN range(24) h(hour)
+      LEFT JOIN c ON c.event_type = t.event_type AND c.hour = h.hour
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(sqrt(sum((a.n - b.n) * (a.n - b.n))), 6) AS dist
+    FROM grid a JOIN grid b USING (hour)
+    GROUP BY 1, 2 ORDER BY 1, 2
 """
