@@ -878,6 +878,53 @@ def conditional_reverse_filter(toks: list[str]) -> list[str]:
     return [t[::-1] if len(t) > 4 else t for t in toks]
 
 
+_SCAND_MAP = str.maketrans("\u00e5\u00e4\u00e6\u00f6\u00f8", "aaaoo")
+
+
+def scandinavian_fold_filter(toks: list[str]) -> list[str]:
+    """ScandinavianFoldingFilter (`lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/miscellaneous/ScandinavianFoldingFilter.java`):
+    folds lowercase a-ring/a-umlaut/ae-ligature -> a and o-umlaut/
+    o-slash -> o, and collapses the digraphs aa/ao/ae/oe/oo to their
+    first vowel (the javadoc's "discriminates against double vowels"
+    rule; a triple vowel leaves one pair, as the reference's single
+    forward scan does)."""
+    out = []
+    for t in toks:
+        t = t.translate(_SCAND_MAP)
+        for dg, rep in (("aa", "a"), ("ao", "a"), ("ae", "a"),
+                        ("oe", "o"), ("oo", "o")):
+            t = t.replace(dg, rep)
+        out.append(t)
+    return out
+
+
+def turkish_lowercase_charfilter(s: str) -> str:
+    """TurkishLowerCaseFilter semantics hoisted to a char filter
+    (`lucene/analysis/common/.../tr/TurkishLowerCaseFilter.java`): ASCII
+    I lowercases to DOTLESS i (U+0131) and dotted capital I (U+0130) to
+    ASCII i, BEFORE the standard pipeline's own lowercasing (which would
+    wrongly produce a dotted i for I)."""
+    return s.replace("\u0130", "i").replace("I", "\u0131")
+
+
+def decimal_digit_charfilter(s: str) -> str:
+    """DecimalDigitFilter semantics as a char filter (`lucene/analysis/
+    common/.../core/DecimalDigitFilter.java`): every Unicode decimal
+    digit folds to its ASCII 0-9 value (Arabic-Indic, Devanagari, ...);
+    ASCII digits pass through untouched."""
+    if s.isascii():
+        return s
+    import unicodedata
+
+    out = []
+    for ch in s:
+        d = unicodedata.decimal(ch, None)
+        out.append(chr(ord("0") + d) if d is not None else ch)
+    return "".join(out)
+
+
+
 ANALYZERS: dict[str, Analyzer] = {
     "standard": Analyzer(name="standard"),
     "ascii_folding": Analyzer(
@@ -934,6 +981,15 @@ ANALYZERS: dict[str, Analyzer] = {
     ),
     "stemmer_override": Analyzer(
         name="stemmer_override", token_filters=[stemmer_override_filter]
+    ),
+    "scandinavian_fold": Analyzer(
+        name="scandinavian_fold", token_filters=[scandinavian_fold_filter]
+    ),
+    "turkish_lower": Analyzer(
+        name="turkish_lower", char_filters=[turkish_lowercase_charfilter]
+    ),
+    "decimal_digit": Analyzer(
+        name="decimal_digit", char_filters=[decimal_digit_charfilter]
     ),
     "conditional_reverse": Analyzer(
         name="conditional_reverse",

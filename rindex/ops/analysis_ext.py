@@ -2597,3 +2597,86 @@ ORACLE["keep_word_topterms_documents"] = f"""
     WHERE term IN ({", ".join(f"'{w}'" for w in KEEP_WORDS)})
     GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
 """
+
+
+# r5 factory batch 2: ScandinavianFolding / TurkishLowerCase / DecimalDigit
+# (`lucene/analysis/common/.../miscellaneous/ScandinavianFoldingFilter.java`,
+# `.../tr/TurkishLowerCaseFilter.java`, `.../core/DecimalDigitFilter.java`)
+# — the fold/digit behavior itself is pinned by tests/test_r5_ops.py on
+# non-ASCII inputs; over the ASCII corpus Scandinavian folding still
+# rewrites the oo/ae/... digraphs and the other two are the identity
+# (same oracle shape as ascii_fold_topterms).
+
+
+def _scand_topterms(sf_dir: str, analyzer_name: str):
+    from collections import Counter
+
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    an = get_analyzer(analyzer_name)
+
+    def count(texts):
+        c = Counter()
+        for x in texts:
+            c.update(an.tokens(x or ""))
+        return c
+
+    return _sum_sort_limit(ds.map_batches(
+        _count_partial(count), batch_format="pyarrow", zero_copy_batch=True
+    ), TOP_TERMS)
+
+
+def q_scandinavian_fold_topterms_documents(sf_dir: str):
+    """ScandinavianFoldingFilter: top terms after the fold (digraph
+    collapse is live on this corpus: oo->o etc.)."""
+    return _scand_topterms(sf_dir, "scandinavian_fold")
+
+
+QUERIES["scandinavian_fold_topterms_documents"] = (
+    q_scandinavian_fold_topterms_documents
+)
+ORACLE["scandinavian_fold_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT replace(replace(replace(replace(replace(t,
+               'aa', 'a'), 'ao', 'a'), 'ae', 'a'), 'oe', 'o'), 'oo', 'o')
+             AS term FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS t
+        FROM documents))
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_turkish_lower_topterms_documents(sf_dir: str):
+    """TurkishLowerCaseFilter chain: identity on the ASCII corpus (no
+    capital I in the lowercase corpus); the dotless-i behavior is pinned
+    by tests/test_r5_ops.py."""
+    return _scand_topterms(sf_dir, "turkish_lower")
+
+
+QUERIES["turkish_lower_topterms_documents"] = (
+    q_turkish_lower_topterms_documents
+)
+ORACLE["turkish_lower_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents)
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""
+
+
+def q_decimal_digit_topterms_documents(sf_dir: str):
+    """DecimalDigitFilter chain: identity on the ASCII corpus (fast-path
+    short-circuit); Unicode-digit folding pinned by tests/test_r5_ops.py."""
+    return _scand_topterms(sf_dir, "decimal_digit")
+
+
+QUERIES["decimal_digit_topterms_documents"] = (
+    q_decimal_digit_topterms_documents
+)
+ORACLE["decimal_digit_topterms_documents"] = f"""
+    SELECT term, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+      FROM documents)
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_TERMS}
+"""

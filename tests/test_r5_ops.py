@@ -116,3 +116,22 @@ def test_weight_val_vector_scalar():
     assert isinstance(_weight_val(np.float64(2.0)), float)
     v = _weight_val(np.array([1.0, 2.0]))
     assert isinstance(v, np.ndarray) and (2.0 * v).tolist() == [2.0, 4.0]
+
+
+def test_scandinavian_turkish_decimal_factories():
+    from rindex.analysis import get_analyzer
+
+    sc = get_analyzer("scandinavian_fold")
+    assert sc.tokens("smörgåsbord") == ["smorgasbord"]
+    assert sc.tokens("aarhus blæst brønd") == ["arhus", "blast", "brond"]
+    assert sc.tokens("looks") == ["loks"]  # oo digraph collapses
+
+    tr = get_analyzer("turkish_lower")
+    assert tr.tokens("Istanbul") == ["ıstanbul"]  # I -> dotless
+    assert tr.tokens("İzmir") == ["izmir"]        # dotted I -> i
+
+    dd = get_analyzer("decimal_digit")
+    assert dd.tokens("room ٣٤ and 56") == [
+        "room", "34", "and", "56"
+    ]
+    assert dd.tokens("plain ascii 99") == ["plain", "ascii", "99"]
