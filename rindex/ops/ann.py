@@ -2255,3 +2255,131 @@ ORACLE["conv_hard_negatives_embeddings"] = f"""
            round(c, 6) AS cosine
     FROM ranked WHERE rank < {HN_K}
 """
+
+
+# --- IVF + PQ with exact re-rank: the composed scale path -------------------
+
+PQ_RERANK = 64  # ADC candidates per query fed to the exact re-rank
+
+
+def q_ann_ivf_pq_topk(sf_dir: str):
+    """IVF-PQ with asymmetric-distance candidate generation + exact
+    re-rank — the COMPOSITION a billion-vector deployment runs (Jégou et
+    al. 2011 IVFADC): probe the {IVF_NPROBE} nearest IVF lists
+    (directory-pruned reads, same persisted index as ann_ivf), score
+    probed vectors by the PQ lookup-table dot product (per batch: one
+    argmin encode against the broadcast codebooks + one LUT gather —
+    64 floats never leave the worker), keep the top {PQ_RERANK} ADC
+    candidates per query, then re-rank ONLY those with exact cosines.
+    Approximate -> recall vs brute force pinned in pytest (the ann_ivf
+    discipline); the exact re-rank makes reported cosines exact, so any
+    recall loss is candidate-generation only."""
+    import ray
+    import ray.data as rd
+
+    qids, Q = _query_matrix(sf_dir)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    idx = ivf_index(sf_dir)
+    C = np.load(os.path.join(idx, "centroids.npy"))
+    probes = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :IVF_NPROBE]
+    probes.sort(axis=1)
+    wanted = np.unique(probes)
+    paths = [
+        os.path.join(p, f)
+        for v in wanted.tolist()
+        if os.path.isdir(p := os.path.join(idx, f"lid_part={v}"))
+        for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+    ]
+    books = _pq_codebooks(sf_dir)
+    # per-query LUT: lut[q, m, j] = <Qn_sub(q,m), codeword(m,j)> — ADC
+    # scores assemble by code gather, never touching raw vectors
+    lut = np.einsum(
+        "qmd,mjd->qmj",
+        Qn.reshape(len(Qn), PQ_M, PQ_DSUB),
+        books,
+    )
+    ref = ray.put((qids, probes, books, lut))
+
+    def adc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qids_, probes_, B, lut_ = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        lid = batch["lid"].to_numpy()
+        V = np.array(batch["embedding"].tolist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        # encode once per batch (at real scale the lists STORE the codes;
+        # encoding here keeps the synthetic index reusable across ops)
+        codes = np.empty((len(V), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            S = V[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+            d2 = ((S[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
+        rows = []
+        for qi in range(len(qids_)):
+            ok = np.isin(lid, probes_[qi]) & (ids != qids_[qi])
+            if not ok.any():
+                continue
+            ck = codes[ok]
+            adc = lut_[qi][np.arange(PQ_M)[None, :], ck].sum(axis=1)
+            cid = ids[ok]
+            sel = np.lexsort((cid, -adc))[:PQ_RERANK]
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(sel), qids_[qi]),
+                        "neighbor_id": cid[sel],
+                        "adc": adc[sel],
+                    }
+                )
+            )
+        if not rows:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "neighbor_id": pd.Series(dtype=np.int64),
+                 "adc": pd.Series(dtype=np.float64)}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    if not paths:
+        return _merge_topk(pd.DataFrame())
+    cand = (
+        rd.read_parquet(paths, columns=["lid", "vec_id", "embedding"])
+        .map_batches(adc_partial, batch_format="pandas", batch_size=1024)
+        .to_pandas()
+    )
+    # global per-query ADC cut, then exact re-rank of the survivors only
+    cand = (
+        cand.sort_values(["query_id", "adc", "neighbor_id"],
+                         ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=False)
+        .head(PQ_RERANK)
+    )
+    need = np.unique(cand["neighbor_id"].to_numpy())
+    emb = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(
+            lambda t, _n=ray.put(need): t.filter(
+                pa.compute.is_in(t["vec_id"],
+                                 value_set=pa.array(ray.get(_n)))
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    V = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(emb["vec_id"].to_numpy())}
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    nb = cand["neighbor_id"].to_numpy()
+    qq = cand["query_id"].to_numpy()
+    exact = np.einsum(
+        "ij,ij->i",
+        Qn[[qpos[int(q)] for q in qq]],
+        V[[pos[int(n)] for n in nb]],
+    )
+    out = pd.DataFrame(
+        {"query_id": qq, "neighbor_id": nb, "cosine": exact}
+    )
+    return _merge_topk(out)
+
+
+QUERIES["ann_ivf_pq_topk"] = q_ann_ivf_pq_topk
