@@ -3753,3 +3753,98 @@ QUERIES["conv_rejection_sampling_documents"] = (
     q_conv_rejection_sampling_documents
 )
 ORACLE["conv_rejection_sampling_documents"] = _conv_rejection_oracle()
+
+
+# --- SFT pair mining: adjacent (user -> assistant) turn pairs --------------
+
+SFT_MIN_Q = 5   # min user-turn tokens for a usable pair
+SFT_MIN_A = 5   # min assistant-turn tokens
+
+
+def q_conv_sft_pairs_documents(sf_dir: str):
+    """SFT pair mining: every adjacent (user turn i, assistant turn i+1)
+    pair with both sides >= a minimum token count — the basic
+    instruction-tuning extraction over multi-turn transcripts (each pair
+    becomes one training example; the conversation-atomic packing op is
+    the downstream consumer).  Output: one row per kept pair with both
+    token counts.
+
+    Shape: per-batch token-count partial, ONE conv-bucket shuffle, per-
+    bucket vectorized shift-join (sort by (conv, turn), compare row i to
+    row i+1).  Rows out = kept pairs."""
+    from rindex.analysis import get_analyzer
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        t = _derive(t)
+        az = get_analyzer("standard")
+        n = np.fromiter(
+            (len(az.tokens(x or "")) for x in t["text"].to_pylist()),
+            np.int64, len(t),
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.int64()),
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "n_tok": pa.array(n),
+                "_gb": pa.array((conv % N_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="mergesort").reset_index(drop=True)
+        nxt = g.shift(-1)
+        ok = (
+            (g["conv_id"] == nxt["conv_id"])
+            & (g["turn_idx"] + 1 == nxt["turn_idx"])
+            & (g["role"] == "user")
+            & (nxt["role"] == "assistant")
+            & (g["n_tok"] >= SFT_MIN_Q)
+            & (nxt["n_tok"] >= SFT_MIN_A)
+        )
+        out = pd.DataFrame(
+            {
+                "conv_id": g.loc[ok, "conv_id"].astype("int64"),
+                "q_turn": g.loc[ok, "turn_idx"].astype("int64"),
+                "q_tokens": g.loc[ok, "n_tok"].astype("int64"),
+                "a_tokens": nxt.loc[ok, "n_tok"].astype("int64"),
+            }
+        )
+        return out
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "q_turn"]).reset_index(drop=True)
+
+
+def _conv_sft_oracle() -> str:
+    from rindex.ops.fulltext import TOKEN_SQL_RE
+
+    return f"""
+    WITH {T_CTE},
+    toks AS (
+      SELECT conv_id, turn_idx, role,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                 '{TOKEN_SQL_RE}'))::BIGINT AS n_tok
+      FROM transcripts
+    )
+    SELECT q.conv_id, q.turn_idx::BIGINT AS q_turn,
+           q.n_tok AS q_tokens, a.n_tok AS a_tokens
+    FROM toks q JOIN toks a
+      ON a.conv_id = q.conv_id AND a.turn_idx = q.turn_idx + 1
+    WHERE q.role = 'user' AND a.role = 'assistant'
+      AND q.n_tok >= {SFT_MIN_Q} AND a.n_tok >= {SFT_MIN_A}
+    ORDER BY q.conv_id, q_turn
+"""
+
+
+QUERIES["conv_sft_pairs_documents"] = q_conv_sft_pairs_documents
+ORACLE["conv_sft_pairs_documents"] = _conv_sft_oracle()
