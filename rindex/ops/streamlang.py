@@ -776,6 +776,17 @@ def _b_significant(args, kwargs, ctx):
     )
 
 
+def _b_priority(args, kwargs, ctx):
+    """priority(high, low) — PriorityStream (`solr/solrj/.../io/stream/
+    PriorityStream.java`): drain ALL of the high-priority stream before
+    any of the low-priority one (the executor() scheduling wrapper).
+    Dataset.union preserves operand order block-wise, which is exactly
+    the two-phase drain; a priority test pins the ordering."""
+    if len(args) != 2:
+        raise ValueError("priority: exactly two streams (high, low)")
+    return _build(args[0], ctx).union(_build(args[1], ctx))
+
+
 def _b_echo(args, kwargs, ctx):
     """echo("text") — EchoStream (`solr/solrj/.../io/stream/EchoStream
     .java`): emits exactly one tuple {echo: <text>}; the reference's
@@ -1136,6 +1147,7 @@ STREAM_BUILDERS = {
     "drill": _b_drill,
     "let": _b_let,
     "echo": _b_echo,
+    "priority": _b_priority,
     "tuple": _b_tuple,
     "list": _b_list,
     "plist": _b_list,

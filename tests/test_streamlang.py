@@ -718,3 +718,25 @@ def test_echo_and_tuple_builders(ray_session):
     ).to_pandas()
     assert df2["a"].tolist() == [5.0]
     assert df2["b"].tolist() == [1.414]
+
+
+def test_priority_builder_drains_high_first(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    tables = {
+        "hi": pd.DataFrame({"k": [1, 2], "src": ["hi", "hi"]}),
+        "lo": pd.DataFrame({"k": [3, 4], "src": ["lo", "lo"]}),
+    }
+    orig = STREAM_BUILDERS["table"]
+    STREAM_BUILDERS["table"] = (
+        lambda a, k, ctx: rd.from_pandas(tables[a[0][1]])
+    )
+    try:
+        got = _build(
+            parse_stream_expr("priority(table(hi), table(lo))"),
+            {"sf_dir": ""},
+        ).to_pandas()
+        assert got["src"].tolist() == ["hi", "hi", "lo", "lo"]
+    finally:
+        STREAM_BUILDERS["table"] = orig
