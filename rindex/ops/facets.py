@@ -1107,3 +1107,77 @@ ORACLE["terms_facet_numbuckets_events"] = """
     FROM c CROSS JOIN nb
     ORDER BY n DESC, user_id ASC LIMIT 5
 """
+
+
+def q_json_facet_stats_metrics_events(sf_dir: str):
+    """JSON facet bucket metrics beyond sum/avg (`solr/core/src/java/org/
+    apache/solr/search/facet/{SumsqAgg,VarianceAgg,StddevAgg,MissingAgg,
+    CountValsAgg}.java`): per event_type bucket — countvals, missing,
+    sumsq, sample variance, stddev over `value`.  Per-batch moment
+    partials (n, nmiss, s, ss) reduce in ONE tiny groupby; the derived
+    metrics assemble from the k-row result with the same quotient tree
+    the SQL mirror uses."""
+    from rindex.ops.evaluators import round_sql
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = t.to_pandas()
+        v = df["value"]
+        g = df.groupby("event_type", sort=False)
+        out = _pd.DataFrame(
+            {
+                "nvals": g["value"].count(),
+                "nmiss": g["value"].apply(lambda s: int(s.isna().sum())),
+                "s": g["value"].sum(),
+                "ss": _pd.Series(v * v, index=df.index).groupby(
+                    df["event_type"], sort=False
+                ).sum(),
+            }
+        )
+        out.index.name = "event_type"
+        return pa.Table.from_pandas(out.reset_index())
+
+    g = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .sum(["nvals", "nmiss", "s", "ss"])
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    n = g["sum(nvals)"].to_numpy(np.float64)
+    s = g["sum(s)"].to_numpy(np.float64)
+    ss = g["sum(ss)"].to_numpy(np.float64)
+    var = (ss - s * s / n) / (n - 1.0)
+    return pd.DataFrame(
+        {
+            "event_type": g["event_type"],
+            "countvals": g["sum(nvals)"].astype("int64"),
+            "missing": g["sum(nmiss)"].astype("int64"),
+            "sumsq": round_sql(ss, 2),
+            "variance": round_sql(var, 6),
+            "stddev": round_sql(np.sqrt(var), 6),
+        }
+    )
+
+
+QUERIES["json_facet_stats_metrics_events"] = q_json_facet_stats_metrics_events
+ORACLE["json_facet_stats_metrics_events"] = """
+    WITH m AS (
+      SELECT event_type,
+             count(value)::DOUBLE AS n,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS missing,
+             sum(value::DOUBLE) AS s,
+             sum(value::DOUBLE * value::DOUBLE) AS ss
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n::BIGINT AS countvals, missing,
+           round(ss, 2) AS sumsq,
+           round((ss - s * s / n) / (n - 1), 6) AS variance,
+           round(sqrt((ss - s * s / n) / (n - 1)), 6) AS stddev
+    FROM m ORDER BY event_type
+"""
