@@ -28,7 +28,8 @@ batches 9–16 (lerp/loess/spline/akima interpolation, gaussfit/harmfit/
 olsRegress fits, dbscan/kmeans/knn ML wrappers, corrMatrix/freqTable,
 precision/recall/F1, Cohen's kappa), and the r5 batches 17–18 (describe/
 mode/anova/pairedTtest + array builders + factorial; enumerated/beta
-distributions + termVectors tf-idf; distance matrix) — 160 registered evaluator names
+distributions + termVectors tf-idf; distance matrix; chiSquareDataSet) — 161
+registered evaluator names
 covering ~120 of the reference's ~150 Lang.java registrations (the
 residue is Java-interop wrappers: termVectors over Java analyzers,
 commons-math distributions needing erf/incomplete-beta CDFs we expose only
@@ -4729,4 +4730,92 @@ ORACLE["eval_distance_matrix_events"] = """
            round(sqrt(sum((a.n - b.n) * (a.n - b.n))), 6) AS dist
     FROM grid a JOIN grid b USING (hour)
     GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch 20 (r5) — chiSquareDataSet (two-sample comparison)
+# (`solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# ChiSquareDataSetEvaluator.java`, backed by commons-math
+# ChiSquareTest.chiSquareDataSetsComparison)
+# ---------------------------------------------------------------------------
+
+
+def _chi_square_dataset(o1, o2):
+    """Two-dataset chi-square statistic: with N1=sum(o1), N2=sum(o2),
+    K1=sqrt(N2/N1), K2=sqrt(N1/N2):
+        chi2 = sum_i (K1*o1_i - K2*o2_i)^2 / (o1_i + o2_i)
+    (cells empty in BOTH samples are excluded, the commons-math
+    contract)."""
+    o1 = np.asarray(o1, np.float64)
+    o2 = np.asarray(o2, np.float64)
+    n1, n2 = o1.sum(), o2.sum()
+    k1 = np.sqrt(n2 / n1)
+    k2 = np.sqrt(n1 / n2)
+    m = (o1 + o2) > 0
+    return float(
+        (((k1 * o1[m] - k2 * o2[m]) ** 2) / (o1[m] + o2[m])).sum()
+    )
+
+
+EVALUATORS["chiSquareDataSet"] = _chi_square_dataset
+
+
+def q_eval_chisq_dataset_events(sf_dir: str):
+    """chiSquareDataSet() comparing the event_type distribution of
+    even-user events vs odd-user events: the two count vectors reduce in
+    ONE distributed groupby over (event_type, parity); the statistic is
+    a k-row driver formula mirrored term by term in SQL."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "par": pc.bit_wise_and(
+                    pc.cast(t["user_id"], pa.int64()), pa.scalar(1)
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    g = (
+        ds.groupby(["event_type", "par"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .pivot_table(index="event_type", columns="par", values="n",
+                     fill_value=0)
+        .sort_index()
+    )
+    o1 = g[0].to_numpy(np.float64)
+    o2 = g[1].to_numpy(np.float64)
+    chi2 = EVALUATORS["chiSquareDataSet"](o1, o2)
+    return pd.DataFrame(
+        {
+            "chi2": [round_sql(chi2)],
+            "df": [int(len(o1) - 1)],
+            "n_even": [int(o1.sum())],
+            "n_odd": [int(o2.sum())],
+        }
+    )
+
+
+QUERIES["eval_chisq_dataset_events"] = q_eval_chisq_dataset_events
+ORACLE["eval_chisq_dataset_events"] = """
+    WITH c AS (
+      SELECT event_type,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS o1,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS o2
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(o1) AS n1, sum(o2) AS n2 FROM c)
+    SELECT round(sum(
+             (sqrt(n2 / n1) * o1 - sqrt(n1 / n2) * o2)
+             * (sqrt(n2 / n1) * o1 - sqrt(n1 / n2) * o2)
+             / (o1 + o2)), 6) AS chi2,
+           (count(*) - 1)::BIGINT AS df,
+           max(n1)::BIGINT AS n_even,
+           max(n2)::BIGINT AS n_odd
+    FROM c CROSS JOIN t WHERE o1 + o2 > 0
 """
