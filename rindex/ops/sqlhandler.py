@@ -15,7 +15,9 @@ Ray pipeline a hand-written expression would:
     LIMIT n                    ->  top(... n=...) / limit
 
 Supported subset (rejects loudly otherwise): single table, WHERE as an
-AND-chain of `col <op> literal` (op in = != <> < <= > >=), optional
+AND-chain of `col <op> literal` (op in = != <> < <= > >=) or
+`col IN (lit, ...)` (expanded to an or(eq,...) chain, Calcite's IN
+expansion), optional
 GROUP BY with count(*)/sum/avg/min/max aggregates (aliases required,
 like the reference's field-naming contract), HAVING over the aggregate
 aliases (Filter-on-Aggregate, compiled to a having() ABOVE the rollup),
@@ -58,6 +60,33 @@ _CNT_DIST_RE = re.compile(
 _PRED_RE = re.compile(
     r"^(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*('[^']*'|[-0-9.]+)$"
 )
+_IN_RE = re.compile(r"^(\w+)\s+IN\s*\((.+)\)$", re.I)
+
+
+def _compile_pred(part: str) -> tuple[str, str]:
+    """One WHERE predicate -> (column, evaluator expression).  `col <op>
+    literal` or `col IN (lit, ...)` (Calcite expands IN to an OR chain;
+    same here — nested or(eq, eq, ...) over the repo's evaluators)."""
+    im = _IN_RE.match(part)
+    if im:
+        col = im.group(1)
+        items = [i.strip() for i in im.group(2).split(",")]
+        eqs = []
+        for lit in items:
+            if not re.fullmatch(r"'[^']*'|[-0-9.]+", lit):
+                raise ValueError(f"unsupported IN literal {lit!r}")
+            le = lit if not lit.startswith("'") else f'"{lit[1:-1]}"'
+            eqs.append(f"eq({col}, {le})")
+        expr = eqs[0]
+        for e in eqs[1:]:
+            expr = f"or({expr}, {e})"
+        return col, expr
+    pm = _PRED_RE.match(part)
+    if not pm:
+        raise ValueError(f"unsupported WHERE predicate {part!r}")
+    col, op, lit = pm.groups()
+    lit_expr = lit if not lit.startswith("'") else f'"{lit[1:-1]}"'
+    return col, f"{_CMP_FN[op]}({col}, {lit_expr})"
 _CMP_FN = {"=": "eq", "!=": "neq", "<>": "neq", "<": "lt",
            "<=": "lteq", ">": "gt", ">=": "gteq"}
 
@@ -120,13 +149,9 @@ def compile_sql(sql: str, sf_dir: str, views: dict | None = None):
     preds = []
     if m.group("where"):
         for part in re.split(r"\s+AND\s+", m.group("where"), flags=re.I):
-            pm = _PRED_RE.match(part.strip())
-            if not pm:
-                raise ValueError(f"unsupported WHERE predicate {part!r}")
-            col, op, lit = pm.groups()
+            col, expr_p = _compile_pred(part.strip())
             need.add(col)
-            lit_expr = lit if not lit.startswith("'") else f'"{lit[1:-1]}"'
-            preds.append(f"{_CMP_FN[op]}({col}, {lit_expr})")
+            preds.append(expr_p)
 
     if cnt_dist is not None:
         need.add(cnt_dist[0])
@@ -340,4 +365,32 @@ ORACLE["sql_handler_offset_orders"] = """
            round(sum(o_totalprice::DOUBLE), 2) AS tot
     FROM orders GROUP BY o_orderpriority
     ORDER BY o_orderpriority ASC LIMIT 2 OFFSET 2
+"""
+
+
+SQL_IN_TEXT = (
+    "SELECT o_orderstatus, count(*) AS n, avg(o_totalprice) AS avg_price "
+    "FROM orders "
+    "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 50000 "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus ASC"
+)
+
+
+def q_sql_handler_in_orders(sf_dir: str):
+    """/sql WHERE ... IN (...): the IN list compiles to an or(eq,eq)
+    chain pushed below the rollup like every other predicate (Calcite's
+    IN expansion)."""
+    ds, _cols = compile_sql(SQL_IN_TEXT, sf_dir)
+    out = ds.to_pandas().reset_index(drop=True)
+    out["avg_price"] = out["avg_price"].round(4)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+QUERIES["sql_handler_in_orders"] = q_sql_handler_in_orders
+ORACLE["sql_handler_in_orders"] = """
+    SELECT o_orderstatus, count(*)::BIGINT AS n,
+           round(avg(o_totalprice::DOUBLE), 4) AS avg_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 50000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus ASC
 """
