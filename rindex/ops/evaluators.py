@@ -4819,3 +4819,92 @@ ORACLE["eval_chisq_dataset_events"] = """
            max(n2)::BIGINT AS n_odd
     FROM c CROSS JOIN t WHERE o1 + o2 > 0
 """
+
+
+def _f_test(a, b):
+    """FTestEvaluator (`solr/solrj/.../io/eval/FTestEvaluator.java`,
+    commons-math variance-ratio core): [F, df1, df2] with F =
+    var_samp(a)/var_samp(b) (p-value needs the F CDF — no scipy here;
+    the ratio and dfs are the oracle-checkable core, same policy as
+    anova)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+
+    def _var(v):
+        n = float(len(v))
+        s = v.sum()
+        return ((v * v).sum() - s * s / n) / (n - 1.0)
+
+    return np.array(
+        [_var(a) / _var(b), float(len(a) - 1), float(len(b) - 1)]
+    )
+
+
+EVALUATORS["fTest"] = _f_test
+
+
+def q_eval_ftest_events(sf_dir: str):
+    """fTest() of event `value` variance: even-user events vs odd-user
+    events — per-parity (n, sum, sumsq) moments reduce in one tiny
+    groupby; the variance ratio is a 6-scalar driver formula."""
+    ds = read_table(sf_dir, "events", ["user_id", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        par = (uid[ok] % 2).astype(np.int64)
+        v = v[ok]
+        rows = {"par": [], "n": [], "s": [], "ss": []}
+        for p in (0, 1):
+            m = par == p
+            rows["par"].append(p)
+            rows["n"].append(int(m.sum()))
+            rows["s"].append(float(v[m].sum()))
+            rows["ss"].append(float((v[m] * v[m]).sum()))
+        return pa.table(
+            {
+                "par": pa.array(rows["par"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "s": pa.array(rows["s"], pa.float64()),
+                "ss": pa.array(rows["ss"], pa.float64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("par")
+        .sum(["n", "s", "ss"])
+        .to_pandas()
+        .sort_values("par")
+    )
+    n = g["sum(n)"].to_numpy(np.float64)
+    s = g["sum(s)"].to_numpy(np.float64)
+    ss = g["sum(ss)"].to_numpy(np.float64)
+    var = (ss - s * s / n) / (n - 1.0)
+    return pd.DataFrame(
+        {
+            "f": [round_sql(var[0] / var[1])],
+            "df1": [int(n[0] - 1)],
+            "df2": [int(n[1] - 1)],
+        }
+    )
+
+
+QUERIES["eval_ftest_events"] = q_eval_ftest_events
+ORACLE["eval_ftest_events"] = """
+    WITH m AS (
+      SELECT user_id % 2 AS par,
+             count(value)::DOUBLE AS n,
+             sum(value::DOUBLE) AS s,
+             sum(value::DOUBLE * value::DOUBLE) AS ss
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    v AS (
+      SELECT par, n, (ss - s * s / n) / (n - 1) AS var FROM m
+    )
+    SELECT round((SELECT var FROM v WHERE par = 0)
+                 / (SELECT var FROM v WHERE par = 1), 6) AS f,
+           ((SELECT n FROM v WHERE par = 0) - 1)::BIGINT AS df1,
+           ((SELECT n FROM v WHERE par = 1) - 1)::BIGINT AS df2
+"""
