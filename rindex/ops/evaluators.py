@@ -4908,3 +4908,98 @@ ORACLE["eval_ftest_events"] = """
            ((SELECT n FROM v WHERE par = 0) - 1)::BIGINT AS df1,
            ((SELECT n FROM v WHERE par = 1) - 1)::BIGINT AS df2
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 21 (r5) — knnRegress + predict() dispatch
+# (`solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# KnnRegressionEvaluator.java`: k-nearest-neighbor regression; predict =
+# mean outcome of the k nearest training rows by euclidean distance)
+# ---------------------------------------------------------------------------
+
+
+def _knn_regress(X, y, k):
+    X = np.asarray(X, np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    return ("knnRegress", X, np.asarray(y, np.float64), int(k))
+
+
+EVALUATORS["knnRegress"] = _knn_regress
+
+_orig_predict_b21 = EVALUATORS["predict"]
+
+
+def _predict_b21(f, xq):
+    if f[0] == "knnRegress":
+        _, X, y, k = f
+        Xq = np.asarray(xq, np.float64)
+        if Xq.ndim == 0:
+            Xq = Xq[None, None]
+        elif Xq.ndim == 1:
+            Xq = Xq[:, None]
+        order = np.arange(X.shape[0])
+        out = np.empty(len(Xq))
+        for i in range(len(Xq)):
+            d2 = ((X - Xq[i]) ** 2).sum(axis=1)
+            # distance ties break by TRAINING-ROW position (rows are fed
+            # in id order) — the SQL mirror's (d2 ASC, id ASC)
+            sel = np.lexsort((order, d2))[:k]
+            out[i] = y[sel].mean()
+        return out
+    return _orig_predict_b21(f, xq)
+
+
+EVALUATORS["predict"] = _predict_b21
+
+KNN_TRAIN_N = 400  # bounded training sample (event_id < this), all scales
+KNN_K = 10
+KNN_TEST_HOURS = (3.0, 9.0, 15.0, 21.0)
+
+
+def q_eval_knn_regress_events(sf_dir: str):
+    """knnRegress() of event value on hour-of-day: the bounded training
+    sample (event_id < {KNN_TRAIN_N}, non-null value, id order) collects
+    from a pruned+filtered scan; predict() at 4 fixed test hours = mean
+    value of the {KNN_K} nearest training hours (d2 asc, id asc)."""
+    ev = (
+        read_table(sf_dir, "events", ["event_id", "ts", "value"])
+        .filter(expr=f"event_id < {KNN_TRAIN_N}")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    ev = ev[ev["value"].notna()]
+    hours = ev["ts"].dt.hour.to_numpy(np.float64)
+    model = EVALUATORS["knnRegress"](
+        hours, ev["value"].to_numpy(np.float64), KNN_K
+    )
+    preds = EVALUATORS["predict"](model, np.array(KNN_TEST_HOURS))
+    return pd.DataFrame(
+        {
+            "test_hour": [int(h) for h in KNN_TEST_HOURS],
+            "pred": round_sql(preds),
+        }
+    )
+
+
+QUERIES["eval_knn_regress_events"] = q_eval_knn_regress_events
+ORACLE["eval_knn_regress_events"] = f"""
+    WITH train AS (
+      SELECT event_id, extract(hour FROM ts)::DOUBLE AS h,
+             value::DOUBLE AS v
+      FROM events WHERE event_id < {KNN_TRAIN_N} AND value IS NOT NULL
+    ),
+    tests(test_hour) AS (VALUES (3), (9), (15), (21)),
+    ranked AS (
+      SELECT t.test_hour, tr.v,
+             row_number() OVER (
+               PARTITION BY t.test_hour
+               ORDER BY (tr.h - t.test_hour) * (tr.h - t.test_hour) ASC,
+                        tr.event_id ASC) AS rn
+      FROM tests t CROSS JOIN train tr
+    )
+    SELECT test_hour::INT AS test_hour,
+           round(avg(v), 6) AS pred
+    FROM ranked WHERE rn <= {KNN_K}
+    GROUP BY 1 ORDER BY 1
+"""
