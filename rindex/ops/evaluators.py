@@ -28,7 +28,8 @@ batches 9–16 (lerp/loess/spline/akima interpolation, gaussfit/harmfit/
 olsRegress fits, dbscan/kmeans/knn ML wrappers, corrMatrix/freqTable,
 precision/recall/F1, Cohen's kappa), and the r5 batches 17–18 (describe/
 mode/anova/pairedTtest + array builders + factorial; enumerated/beta
-distributions + termVectors tf-idf; distance matrix; chiSquareDataSet) — 161
+distributions + termVectors tf-idf; distance matrix; chiSquareDataSet;
+fTest; knnRegress) — 163
 registered evaluator names
 covering ~120 of the reference's ~150 Lang.java registrations (the
 residue is Java-interop wrappers: termVectors over Java analyzers,
