@@ -4953,31 +4953,31 @@ def _predict_b21(f, xq):
 
 EVALUATORS["predict"] = _predict_b21
 
-KNN_TRAIN_N = 400  # bounded training sample (event_id < this), all scales
-KNN_K = 10
-KNN_TEST_HOURS = (3.0, 9.0, 15.0, 21.0)
+KNNR_TRAIN_N = 400  # bounded training sample (event_id < this), all scales
+KNNR_K = 10
+KNNR_TEST_HOURS = (3.0, 9.0, 15.0, 21.0)
 
 
 def q_eval_knn_regress_events(sf_dir: str):
     """knnRegress() of event value on hour-of-day: the bounded training
-    sample (event_id < {KNN_TRAIN_N}, non-null value, id order) collects
+    sample (event_id < {KNNR_TRAIN_N}, non-null value, id order) collects
     from a pruned+filtered scan; predict() at 4 fixed test hours = mean
-    value of the {KNN_K} nearest training hours (d2 asc, id asc)."""
+    value of the {KNNR_K} nearest training hours (d2 asc, id asc)."""
     ev = (
         read_table(sf_dir, "events", ["event_id", "ts", "value"])
-        .filter(expr=f"event_id < {KNN_TRAIN_N}")
+        .filter(expr=f"event_id < {KNNR_TRAIN_N}")
         .to_pandas()
         .sort_values("event_id")
     )
     ev = ev[ev["value"].notna()]
     hours = ev["ts"].dt.hour.to_numpy(np.float64)
     model = EVALUATORS["knnRegress"](
-        hours, ev["value"].to_numpy(np.float64), KNN_K
+        hours, ev["value"].to_numpy(np.float64), KNNR_K
     )
-    preds = EVALUATORS["predict"](model, np.array(KNN_TEST_HOURS))
+    preds = EVALUATORS["predict"](model, np.array(KNNR_TEST_HOURS))
     return pd.DataFrame(
         {
-            "test_hour": [int(h) for h in KNN_TEST_HOURS],
+            "test_hour": [int(h) for h in KNNR_TEST_HOURS],
             "pred": round_sql(preds),
         }
     )
@@ -4988,7 +4988,7 @@ ORACLE["eval_knn_regress_events"] = f"""
     WITH train AS (
       SELECT event_id, extract(hour FROM ts)::DOUBLE AS h,
              value::DOUBLE AS v
-      FROM events WHERE event_id < {KNN_TRAIN_N} AND value IS NOT NULL
+      FROM events WHERE event_id < {KNNR_TRAIN_N} AND value IS NOT NULL
     ),
     tests(test_hour) AS (VALUES (3), (9), (15), (21)),
     ranked AS (
@@ -5001,6 +5001,6 @@ ORACLE["eval_knn_regress_events"] = f"""
     )
     SELECT test_hour::INT AS test_hour,
            round(avg(v), 6) AS pred
-    FROM ranked WHERE rn <= {KNN_K}
+    FROM ranked WHERE rn <= {KNNR_K}
     GROUP BY 1 ORDER BY 1
 """
